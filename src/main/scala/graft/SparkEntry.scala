@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{Connector, Filter, Sort}
+import graft.engine.QueryBuilder
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries are organized per operator family under graft.queries and
+  * merged here.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's canonical table_query shape
+    * (adapters/postgresql/src/index.ts:147-190) on Spark.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    QueryBuilder.build(spark, "/root/testdata/sf0.001", Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"),
+      filters = Seq(Filter("l_quantity", "<", 24), Filter("l_returnflag", "=", "N")),
+      sort = Seq(Sort.desc("l_extendedprice"), Sort.asc("l_orderkey"), Sort.asc("l_linenumber")),
+      limit = 100
+    ))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RefParity.queries ++
+      graft.queries.TransformQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.RefParity.oracleSql ++
+      graft.queries.TransformQueries.oracleSql
 }

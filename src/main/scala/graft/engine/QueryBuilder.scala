@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Connector, Filter, Sort}
+import graft.transform.Transforms
+
+/** Compiles the declarative [[graft.model.Connector]] into a Spark logical
+  * plan: scan → filter → transform → select → sort → offset/limit.
+  *
+  * This replaces the reference's per-adapter query compilers (e.g.
+  * buildSelectQuery, adapters/postgresql/src/index.ts:147-190; Mongo find
+  * doc, adapters/mongodb/src/index.ts:202-240; HubSpot search body,
+  * adapters/hubspot/src/index.ts:357-432). Because the plan is declarative,
+  * Catalyst performs the pushdowns those adapters hand-coded — predicate
+  * pushdown, column pruning and limit pushdown all reach the parquet scan
+  * (SURVEY §4) — and the same Connector runs unchanged at any scale.
+  */
+object QueryBuilder {
+
+  /** Filter-op registry — the cross-adapter operator union (SURVEY §2.2
+    * F2-F4; reference src/types.ts:157-199). All filters AND-combine (F1).
+    */
+  def filterToColumn(f: Filter): Column = {
+    val c = col(f.field)
+    def l(v: Any) = lit(v)
+    f.operator match {
+      case "="  | "eq"  => c === l(f.value)
+      case "!=" | "neq" => c =!= l(f.value)
+      case ">"          => c > l(f.value)
+      case ">="         => c >= l(f.value)
+      case "<"          => c < l(f.value)
+      case "<="         => c <= l(f.value)
+      case "contains"     => c.cast("string").contains(f.value.toString)
+      case "not_contains" => !c.cast("string").contains(f.value.toString)
+      case "starts_with"  => c.cast("string").startsWith(f.value.toString) // S3 prefix analogue (F5)
+      case "in" =>
+        c.isin(f.value.asInstanceOf[Seq[Any]]: _*)
+      case "not_in" =>
+        !c.isin(f.value.asInstanceOf[Seq[Any]]: _*)
+      case "between" =>
+        val Seq(lo, hi) = f.value.asInstanceOf[Seq[Any]]
+        c.between(l(lo), l(hi))
+      case "not_between" =>
+        val Seq(lo, hi) = f.value.asInstanceOf[Seq[Any]]
+        !c.between(l(lo), l(hi))
+      case "is_null"     => c.isNull
+      case "is_not_null" => c.isNotNull
+      case other =>
+        // Reference passes unmapped operators through verbatim
+        // (adapters/hubspot/src/index.ts:397). We guard with an allowlist
+        // instead of interpolating arbitrary strings (SURVEY §2.2 F6).
+        throw new IllegalArgumentException(s"unsupported filter operator: $other")
+    }
+  }
+
+  def sortToColumn(s: Sort): Column =
+    if (s.ascending) col(s.field).asc else col(s.field).desc
+
+  /** Scan a named testdata table: `$dir/$table.parquet`.
+    *
+    * events.ts is stored as parquet TIMESTAMP(NANOS) which Spark reads as
+    * long under spark.sql.legacy.parquet.nanosAsLong; normalize it to
+    * TimestampType (microsecond precision — matches DuckDB's cast of a
+    * nanos timestamp to its default micros timestamp).
+    */
+  def scan(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Full Connector compile. Order mirrors the reference's observable
+    * semantics: filters and projection are source-pushed (adapters), the
+    * transform fold runs after extraction (src/index.ts:419-421), sort and
+    * limit are pushed (SURVEY §2.5). We filter before transform (matches
+    * the reference: filters reference source fields only), project after
+    * transform (transforms may create the projected fields).
+    */
+  def build(spark: SparkSession, dir: String, c: Connector): DataFrame = {
+    var df = scan(spark, dir, c.table)
+    if (c.filters.nonEmpty)
+      df = df.filter(c.filters.map(filterToColumn).reduce(_ && _))
+    if (c.transformations.nonEmpty)
+      df = Transforms.applyAll(df, c.transformations)
+    if (c.fields.nonEmpty)
+      df = df.select(c.fields.map(col): _*)
+    if (c.sort.nonEmpty)
+      df = df.orderBy(c.sort.map(sortToColumn): _*)
+    if (c.offset > 0)
+      df = df.offset(c.offset.toInt)
+    if (c.limit > 0 && c.limit < Long.MaxValue)
+      df = df.limit(c.limit.toInt)
+    df
+  }
+}

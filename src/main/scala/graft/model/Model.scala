@@ -1,0 +1,91 @@
+package graft.model
+
+/** Declarative query/pipeline model — the Scala analogue of the reference's
+  * type system (reference: src/types.ts:98-308). The reference expresses a
+  * query as a `Connector` object: projection (`fields`), conjunctive
+  * `filters`, multi-key `sort`, `limit` and pagination
+  * (src/types.ts:242-264). Here the same declarative surface compiles to a
+  * Spark logical plan (see [[graft.engine.QueryBuilder]]) instead of being
+  * compiled per-adapter into SQL/Mongo/REST dialects.
+  */
+
+/** One conjunctive predicate — reference src/types.ts:151-155.
+  * Operator strings match the reference's cross-adapter union
+  * (src/types.ts:157-199; SURVEY §2.2 F2-F4).
+  */
+final case class Filter(field: String, operator: String, value: Any = null)
+
+/** Multi-key sort entry — reference src/types.ts:232-235. */
+final case class Sort(field: String, ascending: Boolean = true)
+object Sort {
+  def asc(f: String): Sort = Sort(f, ascending = true)
+  def desc(f: String): Sort = Sort(f, ascending = false)
+}
+
+/** Pagination config — reference src/types.ts:236-241. Under Spark, paging
+  * is replaced by partitioned scans; `itemsPerPage` survives only as the
+  * sink-side batch cap (reference src/index.ts:479-524, SURVEY §2.1 K3).
+  */
+final case class Pagination(itemsPerPage: Int = 1000, pageType: String = "offset")
+
+/** A named transformation step — reference src/types.ts:201-230 and
+  * src/utils/transform.ts. Parameters are carried loosely (like the
+  * reference's per-type option objects); [[graft.transform.Transforms]]
+  * validates per type at plan-build time.
+  */
+final case class Transformation(
+    `type`: String,
+    field: String = null,
+    to: String = null,
+    properties: Seq[String] = Nil,
+    glue: String = " ",
+    delimiter: String = ",",
+    search: String = null,
+    replace: String = null,
+    prefix: String = null,
+    suffix: String = null,
+    pattern: String = null,
+    start: Int = 0,
+    end: Int = Int.MaxValue,
+    fields: Seq[String] = Nil
+)
+
+/** The query half of a pipeline endpoint — reference src/types.ts:242-264.
+  * `table` names a testdata parquet table (or any registered source path).
+  */
+final case class Connector(
+    table: String,
+    fields: Seq[String] = Nil,             // empty => endpoint defaults / all
+    filters: Seq[Filter] = Nil,            // always AND-combined (SURVEY §2.2 F1)
+    sort: Seq[Sort] = Nil,
+    limit: Long = 1000000L,                // DEFAULT_CONFIG.TOTAL_ITEMS_LIMIT, src/index.ts:31-34
+    offset: Long = 0L,
+    transformations: Seq[Transformation] = Nil
+)
+
+/** Retry policy — reference src/index.ts:376-379 defaults. */
+final case class ErrorHandling(maxRetries: Int = 0, retryIntervalMs: Long = 1000L)
+
+/** Typed pipeline event — reference src/types.ts:267-272. */
+final case class PipelineEvent(
+    eventType: String,                     // start|extract|transform|load|error|complete|info
+    message: String,
+    dataCount: Option[Long] = None,
+    timestampMs: Long = System.currentTimeMillis()
+)
+
+/** An extract→transform→load pipeline — reference src/types.ts:274-301. */
+final case class PipelineSpec(
+    source: Option[Connector] = None,
+    target: Option[SinkSpec] = None,
+    errorHandling: ErrorHandling = ErrorHandling()
+)
+
+/** Sink half — reference upload surface (SURVEY §2.1 K1-K4). */
+final case class SinkSpec(
+    format: String,                        // parquet|csv|json|jdbc|foreach
+    path: String = null,
+    mode: String = "overwrite",
+    itemsPerBatch: Int = 0,                // 0 => no batch cap (reference src/index.ts:480-489)
+    options: Map[String, String] = Map.empty
+)

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.engine.QueryBuilder
+
+/** Reference-parity queries: the complete Connector surface — projection
+  * (P1-P3), every filter operator (F1-F6), multi-key sort, limit, offset,
+  * top-k (SURVEY §2.2/§2.5). Each query is the declarative model compiled
+  * by [[graft.engine.QueryBuilder]]; every oracle is the equivalent ANSI
+  * SQL. All sorts are key-complete so tie order can't diverge from the
+  * oracle (SURVEY §7.4).
+  */
+object RefParity {
+  private def q(c: Connector)(spark: SparkSession, dir: String): DataFrame =
+    QueryBuilder.build(spark, dir, c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 projection + stable order
+    "q_scan_project" -> q(Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+      // sort on every selected column so output order is value-deterministic
+      sort = Seq(Sort.asc("l_orderkey"), Sort.asc("l_linenumber"), Sort.asc("l_quantity")),
+      limit = 500
+    )) _,
+
+    // F2 comparison operators =, <, >=
+    "q_filter_cmp" -> q(Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"),
+      filters = Seq(
+        Filter("l_quantity", "<", 24),
+        Filter("l_returnflag", "=", "N"),
+        Filter("l_discount", ">=", 0.05)
+      ),
+      sort = Seq(Sort.asc("l_orderkey"), Sort.asc("l_linenumber"),
+        Sort.asc("l_quantity"), Sort.asc("l_discount"), Sort.asc("l_returnflag")),
+      limit = 0
+    )) _,
+
+    // F2 !=, <=, >
+    "q_filter_ops" -> q(Connector(
+      table = "orders",
+      fields = Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      filters = Seq(
+        Filter("o_orderstatus", "!=", "F"),
+        Filter("o_totalprice", ">", 1000.0),
+        Filter("o_custkey", "<=", 500)
+      ),
+      sort = Seq(Sort.asc("o_orderkey")),
+      limit = 0
+    )) _,
+
+    // F3 contains / not_contains / starts_with
+    "q_filter_strings" -> q(Connector(
+      table = "part",
+      fields = Seq("p_partkey", "p_name", "p_type", "p_brand"),
+      filters = Seq(
+        Filter("p_type", "contains", "ECO"),
+        Filter("p_name", "not_contains", "red"),
+        Filter("p_brand", "starts_with", "Brand#1")
+      ),
+      sort = Seq(Sort.asc("p_partkey")),
+      limit = 0
+    )) _,
+
+    // F4 in / not_in / between
+    "q_filter_set" -> q(Connector(
+      table = "customer",
+      fields = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      filters = Seq(
+        Filter("c_nationkey", "in", Seq(1, 3, 5, 7)),
+        Filter("c_acctbal", "between", Seq(100.0, 5000.0)),
+        Filter("c_mktsegment", "not_in", Seq("AUTOMOBILE", "MACHINERY"))
+      ),
+      sort = Seq(Sort.asc("c_custkey")),
+      limit = 0
+    )) _,
+
+    // F4 null tests + not_between
+    "q_filter_null" -> q(Connector(
+      table = "events",
+      fields = Seq("event_id", "user_id", "event_type", "value"),
+      filters = Seq(
+        Filter("props", "is_not_null"),
+        Filter("value", "not_between", Seq(10.0, 1000.0))
+      ),
+      sort = Seq(Sort.asc("event_id")),
+      limit = 0
+    )) _,
+
+    // Top-K: multi-key sort desc + limit → Spark plans TakeOrderedAndProject
+    "q_topk" -> q(Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_extendedprice"),
+      sort = Seq(Sort.desc("l_extendedprice"), Sort.asc("l_orderkey"), Sort.asc("l_linenumber")),
+      limit = 100
+    )) _,
+
+    // Offset pagination analogue (reference page math, src/index.ts:230)
+    "q_offset" -> q(Connector(
+      table = "orders",
+      fields = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      sort = Seq(Sort.asc("o_orderkey")),
+      offset = 100,
+      limit = 50
+    )) _,
+
+    // Flagship e2e: the reference's canonical table_query shape
+    // (adapters/postgresql/src/index.ts:147-190) — filter+project+sort+limit
+    "q_connector_e2e" -> q(Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"),
+      filters = Seq(Filter("l_quantity", "<", 24), Filter("l_returnflag", "=", "N")),
+      sort = Seq(Sort.desc("l_extendedprice"), Sort.asc("l_orderkey"), Sort.asc("l_linenumber"),
+        Sort.asc("l_quantity"), Sort.asc("l_returnflag")),
+      limit = 100
+    )) _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
+    "q_filter_cmp" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag FROM lineitem
+        |WHERE l_quantity < 24 AND l_returnflag = 'N' AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+    "q_filter_ops" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0 AND o_custkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_strings" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+        |WHERE p_type LIKE '%ECO%' AND p_name NOT LIKE '%red%' AND p_brand LIKE 'Brand#1%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_filter_set" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_nationkey IN (1,3,5,7) AND c_acctbal BETWEEN 100.0 AND 5000.0
+        |  AND c_mktsegment NOT IN ('AUTOMOBILE','MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_filter_null" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE props IS NOT NULL AND value NOT BETWEEN 10.0 AND 1000.0
+        |ORDER BY event_id""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_connector_e2e" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag FROM lineitem
+        |WHERE l_quantity < 24 AND l_returnflag = 'N'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |LIMIT 100""".stripMargin
+  )
+}
