@@ -25,12 +25,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefParity.queries ++
-      graft.queries.TransformQueries.queries
+      graft.queries.TransformQueries.queries ++
+      graft.queries.JoinQueries.queries ++
+      graft.queries.AggQueries.queries ++
+      graft.queries.WindowQueries.queries ++
+      graft.queries.SetOpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.RefParity.oracleSql ++
-      graft.queries.TransformQueries.oracleSql
+      graft.queries.TransformQueries.oracleSql ++
+      graft.queries.JoinQueries.oracleSql ++
+      graft.queries.AggQueries.oracleSql ++
+      graft.queries.WindowQueries.oracleSql ++
+      graft.queries.SetOpQueries.oracleSql
 }

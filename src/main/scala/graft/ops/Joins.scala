@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as single primitives, built the way they
+  * scale — no join explosion, no cartesian products. The reference has no
+  * joins at all (SURVEY §2.4); these are north-star extensions.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, attach the latest right row
+    * with rightTime <= leftTime for the same key.
+    *
+    * Implementation is the union+window pattern, not join-then-rank:
+    * both sides are tagged and unioned, shuffled ONCE on the key, sorted
+    * within partition by (time, side), and each left row picks up the
+    * running `last(right payload, ignoreNulls)` — i.e. the most recent
+    * right row at or before it. Compared to `left.join(right, key &&
+    * time >= rtime)` + row_number, this never materializes the O(|matches|)
+    * intermediate, so it survives keys with millions of right rows.
+    *
+    * Right rows are deduplicated to one per (key, time) first (keeping the
+    * row with the max tiebreaker) so the result is deterministic when
+    * right-side times tie.
+    *
+    * @param rightPayload columns of `right` to attach (null-free names)
+    * @param tiebreak     right column that makes (key, time) unique-ish;
+    *                     max wins on ties
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tiebreak: String
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    // one right row per (key, time): max_by(payload, tiebreak) — deterministic
+    val payloadAggs = rightPayload.map(c => max_by(col(c), col(tiebreak)).as(c))
+    val rightDedup = right.groupBy(col(rightKey), col(rightTime))
+      .agg(payloadAggs.head, payloadAggs.tail: _*)
+
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightDedup.select(rightPayload.map(col): _*).schema.fields)))
+
+    val r = rightDedup
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isLeft", lit(0))
+      .withColumn("__r", struct(rightPayload.map(col): _*))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__r"))): _*)
+
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__r"))): _*)
+      .unionByName(r)
+
+    // right rows (__isLeft=0) sort before left rows at equal time → '<=' semantics
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("__match", last("__r", ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1 && col("__match").isNotNull)
+      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Range (interval) join: rows of `left` whose `leftValue` falls in
+    * `[lo, hi]` of `right`. Implemented by binning: each right interval is
+    * exploded to the bins it covers, the left value is bucketed to its
+    * bin, and the join becomes an equi-join on the bin plus a residual
+    * filter — a shuffle-partitionable plan instead of the
+    * BroadcastNestedLoopJoin Spark would pick for a bare inequality join.
+    * binWidth should be chosen ~ the typical interval width so intervals
+    * explode to O(1) bins.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      leftValue: String,
+      right: DataFrame,
+      lo: String,
+      hi: String,
+      binWidth: Double
+  ): DataFrame = {
+    val rightBinned = right.withColumn(
+      "__bin",
+      explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long")))
+    )
+    val leftBinned = left.withColumn("__bin", floor(col(leftValue) / binWidth).cast("long"))
+    leftBinned
+      .join(rightBinned, Seq("__bin"))
+      .filter(col(leftValue) >= col(lo) && col(leftValue) <= col(hi))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.ExactAgg._
+
+/** Aggregation surface (SURVEY §2.5 — absent in the reference). All double
+  * sums/avgs go through ExactAgg so results are order-independent and
+  * hash-match the oracle (and are reproducible run-to-run at cluster
+  * scale). Group-bys are partial-aggregated map-side by Spark's
+  * HashAggregate automatically.
+  */
+object AggQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape — the canonical scan-heavy aggregation
+    "q_agg_q1" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // HAVING: post-aggregation filter
+    "q_agg_having" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 12)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // distinct aggregation
+    "q_agg_distinct" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ROLLUP: hierarchical subtotals; null grouping rows ordered NULLS
+    // FIRST on both sides (Spark's asc default; DuckDB needs it spelled)
+    "q_agg_rollup" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // CUBE: all grouping-set combinations
+    "q_agg_cube" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // min/max/count stats (exact for doubles regardless of order)
+    "q_agg_stats" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // date_trunc time-bucket aggregation (the batch shape of streaming windows)
+    "q_agg_bydate" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+         |ORDER BY o_custkey""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_bydate" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  )
+}

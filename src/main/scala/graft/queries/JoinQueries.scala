@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.{ExactAgg, Joins}
+
+/** Join surface (SURVEY §2.4 — absent in the reference, full extension
+  * tier here): inner/left/semi/anti, broadcast star join, range join,
+  * as-of join. Dimension tables (region/nation/supplier) are explicitly
+  * broadcast — at 100 TB the fact side never shuffles for those joins.
+  */
+object JoinQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val c = scan(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_left" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val bigOrders = scan(s, d, "orders").filter(col("o_totalprice") > 50000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    "q_join_semi" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val bigOrders = scan(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val bigOrders = scan(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // TPC-H Q5-shaped star join: fact table joins broadcast dims, then
+    // aggregates. nation/region/supplier are broadcast → no fact shuffle
+    // until the final group-by.
+    "q_join_star" -> ((s: SparkSession, d: String) => {
+      val li = scan(s, d, "lineitem")
+      val sup = broadcast(scan(s, d, "supplier"))
+      val nat = broadcast(scan(s, d, "nation"))
+      val reg = broadcast(scan(s, d, "region"))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          ExactAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Range join via binning (see Joins.rangeJoin): customers whose
+    // balance falls in a nation-derived band.
+    "q_join_range" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val bands = scan(s, d, "nation")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 400.0).as("lo"),
+          (col("n_nationkey") * 400.0 + 399.0).as("hi"))
+      Joins.rangeJoin(c, "c_acctbal", bands, "lo", "hi", binWidth = 250.0)
+        .select(col("c_custkey"), col("n_nationkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"), col("n_nationkey"))
+    }),
+
+    // As-of join via single-shuffle union+window (see Joins.asofBackward):
+    // each event picks up the customer's latest order at-or-before ts.
+    "q_join_asof" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "events").select("event_id", "user_id", "ts")
+      val o = scan(s, d, "orders")
+      Joins.asofBackward(
+        e, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        tiebreak = "o_orderkey"
+      ).orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 50000) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_star" ->
+      s"""SELECT r_name, n_name,
+         |       ${ExactAgg.sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_range" ->
+      """SELECT c_custkey, n_nationkey, c_acctbal
+        |FROM customer JOIN nation
+        |  ON c_acctbal >= n_nationkey * 400.0 AND c_acctbal <= n_nationkey * 400.0 + 399.0
+        |ORDER BY c_custkey, n_nationkey""".stripMargin,
+    "q_join_asof" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         max_by(o_orderkey, o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

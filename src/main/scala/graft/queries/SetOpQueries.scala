@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+
+/** Set-operation surface (SURVEY §2.5 — absent in the reference):
+  * union/unionAll/intersect/except over compatible projections.
+  */
+object SetOpQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_union_all" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"), lit("cust").as("side"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"), lit("supp").as("side"))
+      c.unionAll(sup).orderBy(col("nk"), col("side"))
+    }),
+
+    "q_set_union" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      c.union(sup).distinct().orderBy(col("nk"))
+    }),
+
+    "q_set_intersect" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      c.intersect(sup).orderBy(col("nk"))
+    }),
+
+    "q_set_except" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      c.except(sup).orderBy(col("nk"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_set_union_all" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk, 'cust' AS side FROM customer
+        |UNION ALL
+        |SELECT CAST(s_nationkey AS INT) AS nk, 'supp' AS side FROM supplier
+        |ORDER BY nk, side""".stripMargin,
+    "q_set_union" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_set_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin
+  )
+}
