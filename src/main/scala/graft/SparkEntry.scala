@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.JoinQueries.queries ++
       graft.queries.AggQueries.queries ++
       graft.queries.WindowQueries.queries ++
-      graft.queries.SetOpQueries.queries
+      graft.queries.SetOpQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.JoinQueries.oracleSql ++
       graft.queries.AggQueries.oracleSql ++
       graft.queries.WindowQueries.oracleSql ++
-      graft.queries.SetOpQueries.oracleSql
+      graft.queries.SetOpQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

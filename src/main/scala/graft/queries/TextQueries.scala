@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.TextAnalysis._
+
+/** Text-analysis queries over the documents table, each with an exact
+  * DuckDB oracle spelling the same deterministic formula.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
+          tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_quality" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(
+          col("doc_id"),
+          stopwordCount(col("text"), defaultStopwords).cast("long").as("n_stop"),
+          stopwordRatio(col("text"), defaultStopwords).as("stop_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          avgWordLen(col("text")).as("avg_wlen"),
+          qualityScore(col("text")).as("quality")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_langid" -> ((s: SparkSession, d: String) => {
+      val df = scan(s, d, "documents")
+      val scored = langScores(col("text")).foldLeft(df) { case (acc, (lang, score)) =>
+        acc.withColumn(s"score_$lang", score.cast("long"))
+      }
+      scored
+        .withColumn("pred_lang", langId(col("text")))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("score_en"), col("score_de"), col("score_fr"), col("score_es"), col("score_zh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-dup fingerprint clusters: md5 over normalized text, keep
+    // clusters with >1 member (group sizes, not pairs — scales linearly)
+    "q_text_fingerprint" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    })
+  )
+
+  private val stopList = defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        w -> list_contains($stopList, w))) AS n_stop,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_stop AS BIGINT) AS n_stop,
+         |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_ws AS DOUBLE), 1.0) AS stop_ratio,
+         |  CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / greatest(CAST(n_ws AS DOUBLE), 1.0) AS avg_wlen,
+         |  (CAST(n_stop AS DOUBLE) / greatest(CAST(n_ws AS DOUBLE), 1.0)) * 2.0
+         |    - (CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 4.0
+         |    - abs(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |          / greatest(CAST(n_ws AS DOUBLE), 1.0) - 5.0) * 0.1 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      val markers = graft.ops.TextAnalysis.defaultMarkers
+      val scoreExprs = markers.map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> list_contains($list, w))) AS score_$lang"
+      }.mkString(",\n    ")
+      val maxExpr = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val caseExpr = markers.map { case (l, _) =>
+        s"WHEN score_$l = __mx AND __mx > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    $scoreExprs
+         |  FROM documents),
+         |m AS (SELECT *, $maxExpr AS __mx FROM t)
+         |SELECT doc_id, lang, $caseExpr AS pred_lang,
+         |  CAST(score_en AS BIGINT) AS score_en, CAST(score_de AS BIGINT) AS score_de,
+         |  CAST(score_fr AS BIGINT) AS score_fr, CAST(score_es AS BIGINT) AS score_es,
+         |  CAST(score_zh AS BIGINT) AS score_zh
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q_text_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY fp""".stripMargin
+  )
+}
