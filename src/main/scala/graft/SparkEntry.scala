@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.AggQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.SetOpQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.AggQueries.oracleSql ++
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.SetOpQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 }

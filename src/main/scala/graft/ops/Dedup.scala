@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. The reference has no dedup
+  * (SURVEY §2.5); these are north-star extensions designed for the
+  * 100 TB case:
+  *
+  *  - every candidate-generation step is a *blocked* equi-join (band
+  *    buckets / simhash byte chunks / shared shingles with a
+  *    document-frequency cap) — never an all-pairs product;
+  *  - all hashing is md5-based and dialect-portable, so every stage has
+  *    an exact DuckDB oracle;
+  *  - signatures are computed in one explode + groupBy (one shuffle),
+  *    pair verification touches only candidate pairs.
+  */
+object Dedup {
+
+  /** md5 hex of a string column (Spark's md5 wants binary). */
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup, deterministic survivor: group rows by `keyCol` and keep
+    * the minimum `idCol`. (dropDuplicates keeps an arbitrary row — not
+    * reproducible, so not oracle-checkable; min-survivor is.)
+    */
+  def exactDedup(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
+    df.groupBy(keyCol.as("__key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word k-shingles of lowercased text; documents shorter than
+    * k words collapse to a single whole-document shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      when(size(words) >= k,
+        transform(sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", slice(words, i, lit(k)))))
+        .otherwise(array(concat_ws(" ", words))))
+  }
+
+  /** (doc_id, shingle) exploded table — the base for minhash and jaccard. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), k)).as("sh"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash band signatures: numSeeds independent hash functions
+    * h_s(x) = md5(s || ':' || x), signature = per-seed min over the
+    * doc's shingles, grouped into bands of `rowsPerBand` and collapsed to
+    * one md5 per band. Docs sharing any band signature are candidates.
+    * One explode (seeds) + one groupBy — a single shuffle keyed by
+    * (doc, seed), then (doc, band).
+    */
+  def minhashBands(sh: DataFrame, numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val seeded = sh
+      .withColumn("seed", explode(sequence(lit(0), lit(numSeeds - 1))))
+      .withColumn("h", md5s(concat(col("seed").cast("string"), lit(":"), col("sh"))))
+    val sigs = seeded.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+    sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5s(array_join(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")), "")).as("band_sig"))
+  }
+
+  /** Candidate pairs from band collisions (doc_a < doc_b, distinct). */
+  def bandCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for given pairs over the shingle table. Touches only
+    * candidate pairs: |A∩B| via a shingle-equi-join restricted to the
+    * pairs, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val aSh = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val bSh = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs
+      .join(aSh, "doc_a")
+      .join(bSh, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → band → candidates →
+    * exact-Jaccard verify ≥ threshold.
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, k: Int = 3,
+                   numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k)
+    val cands = bandCandidates(minhashBands(sh, numSeeds, rowsPerBand))
+    pairJaccard(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val hexDigits = "0123456789abcdef"
+
+  /** Value of hex digit at 1-based position `pos` of md5 hex `h`. */
+  private def hexDigitAt(h: Column, pos: Int): Column =
+    (instr(lit(hexDigits), substring(h, pos, 1)) - 1).cast("int")
+
+  val simhashBits = 60 // 15 md5 hex digits — stays positive in a signed long
+
+  /** 60-bit SimHash over the doc's distinct k-shingles (Charikar): bit i
+    * of a shingle's md5 contributes ±1; the doc's bit i is
+    * sign(Σ contributions). Computed as 60 conditional aggregates in one
+    * groupBy — no per-bit explode, one shuffle. Portable: bit i =
+    * (hexdigit(i/4+1) >> (i%4)) & 1 on both engines. Shingle features
+    * (not words) so near-identical word-order matters — word-set simhash
+    * degenerates on small vocabularies.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k).withColumn("h", md5s(col("sh")))
+    val bitSums = (0 until simhashBits).map { i =>
+      val digit = hexDigitAt(col("h"), i / 4 + 1)
+      val bit = floor(digit / math.pow(2, i % 4).toInt).cast("int") % 2
+      sum(bit * 2 - 1).as(s"s$i")
+    }
+    val agged = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until simhashBits).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on the four 15-bit chunks of the
+    * signature (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    * then verify hamming ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
+    val chunked = sims.withColumn("chunk", explode(array((0 until 4).map(j =>
+      struct(lit(j).as("j"), shiftright(col("simhash"), 15 * j).bitwiseAND(32767).as("c"))): _*)))
+    val a = chunked.select(col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity join via an inverted index:
+    * candidates = pairs sharing ≥1 shingle, with shingles occurring in
+    * more than `maxDocFreq` docs dropped first (the standard
+    * stop-shingle cut that keeps the self-join from exploding on
+    * common n-grams; Jaccard is then over the filtered sets —
+    * consistent on both engines).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.3, k: Int = 3, maxDocFreq: Long = 100): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+    val shF = sh.join(rare.select("sh"), "sh")
+    val cands = shF.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(shF.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairJaccard(cands, shF)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

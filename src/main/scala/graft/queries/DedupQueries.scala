@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup queries over the documents table (SURVEY §2.5 "Dedup" north-star
+  * tier). Oracle SQL is generated from the same constants as the Scala
+  * pipeline so the two can't drift.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup with deterministic min-id survivor
+    "q_dedup_exact" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      Dedup.exactDedup(docs, TextAnalysis.fingerprint(col("text")), col("doc_id"))
+        .select(col("__key").as("fp"), col("keep_id"), col("group_size"))
+        .orderBy(col("fp"))
+    }),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) => {
+      Dedup.minhashDedup(scan(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash signatures per doc (60-bit, shingle features)
+    "q_dedup_simhash_sig" -> ((s: SparkSession, d: String) => {
+      Dedup.simhash(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup pairs (chunk-blocked, hamming <= 3)
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => {
+      Dedup.simhashPairs(Dedup.simhash(scan(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // exact n-gram Jaccard similarity join (inverted index + DF cap)
+    "q_dedup_ngram" -> ((s: SparkSession, d: String) => {
+      Dedup.ngramJaccard(scan(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3, maxDocFreq = 100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  // ---- oracle SQL builders (same constants as the Scala ops) ----
+
+  /** Shared CTE prefix: distinct word-3-shingles per doc. */
+  private val shingleCtes =
+    raw"""w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+         |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+         |    ELSE [array_to_string(ws, ' ')] END) AS shs FROM w),
+         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)""".stripMargin
+
+  private val jaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c JOIN sh A ON A.doc_id = c.doc_a
+      |              JOIN sh B ON B.doc_id = c.doc_b AND B.sh = A.sh
+      |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
+  private def simhashSql: String = {
+    val nb = Dedup.simhashBits
+    val bitSums = (0 until nb).map { i =>
+      s"SUM((((strpos('0123456789abcdef', substring(h, ${i / 4 + 1}, 1)) - 1) // ${1 << (i % 4)}) % 2) * 2 - 1) AS s$i"
+    }.mkString(", ")
+    val simExpr = (0 until nb).map { i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $shingleCtes,
+       |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+       |sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simExpr AS simhash FROM sums)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |seeded AS (
+         |  SELECT doc_id, sh, t.seed, md5(t.seed::VARCHAR || ':' || sh) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) t),
+         |sigs AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |         md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+         |  FROM sigs GROUP BY doc_id, CAST(seed // 3 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |$jaccardTail
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |             JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash_sig" ->
+      s"""$simhashSql
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""$simhashSql,
+         |chunked AS (
+         |  SELECT doc_id, simhash, t.j, (simhash >> (15*t.j)) & 32767 AS c
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0,4)) AS j) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM chunked a JOIN chunked b ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $shingleCtes,
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 100),
+         |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN shf A ON A.doc_id = c.doc_a
+         |              JOIN shf B ON B.doc_id = c.doc_b AND B.sh = A.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |             JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}
