@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.SetOpQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.SetOpQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.DedupQueries.oracleSql
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql
 }

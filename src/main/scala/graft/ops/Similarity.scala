@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Numerics are engineered for cross-engine determinism: per-element
+  * products are computed in double (exact IEEE, identical everywhere),
+  * each term is scaled by 1e12 and floored to a long (floor of identical
+  * doubles is identical on every engine — unlike double→decimal casts,
+  * where Spark rounds the *shortest string* representation via
+  * java.math.BigDecimal while DuckDB rounds the exact binary value, which
+  * diverges on boundary cases), and the long sum is exact and
+  * order-independent. So a distributed Spark sum equals a single-node
+  * DuckDB sum bit-for-bit, and cluster runs are reproducible regardless
+  * of partitioning. The 1e12 scale cancels in the cosine ratio.
+  *
+  * Scale design: brute-force top-k is the per-query baseline (one pass,
+  * no shuffle, TakeOrderedAndProject); the LSH path buckets vectors by
+  * 16 deterministic random-hyperplane signs so a query probes only its
+  * bucket — the 100 TB shape (bucket = partition key).
+  */
+object Similarity {
+
+  private val SCALE = 1e12
+
+  /** Scaled exact dot product: Σ floor(a_i·b_i·1e12) as a long.
+    * Order-independent; |terms| must stay < 2^53/1e12 ≈ 9e3 per element
+    * pair (fine for unit-ish embeddings).
+    */
+  def scaledDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => floor(x * y * lit(SCALE)).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+
+  /** Deterministic cosine similarity (the 1e12 scales cancel). */
+  def cosine(a: Column, b: Column): Column =
+    scaledDot(a, b).cast("double") /
+      (sqrt(scaledDot(a, a).cast("double")) * sqrt(scaledDot(b, b).cast("double")))
+
+  // ------------------------------------------------------ hyperplane LSH
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): +1 iff the
+    * first hex digit of md5("plane_dim") is >= 8. Same formula is
+    * spelled in the oracle SQL, so Spark and DuckDB build the identical
+    * hyperplane set with no shipped state.
+    */
+  def hyperplaneSign(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_${dim}".getBytes("UTF-8"))
+    val firstDigit = (hex(0) >> 4) & 0xf
+    if (firstDigit >= 8) 1.0 else -1.0
+  }
+
+  def signRow(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(j => hyperplaneSign(plane, j))
+
+  /** Random-hyperplane LSH bucket id (numPlanes bits): bit i = 1 iff
+    * dot(v, plane_i) > 0, with the dot in exact scaled-integer arithmetic.
+    */
+  def lshBucket(v: Column, dims: Int, numPlanes: Int = 16): Column =
+    (0 until numPlanes).map { i =>
+      val signs = array(signRow(i, dims).map(lit): _*)
+      when(scaledDot(v, signs) > 0L, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k against one query vector (broadcast): one
+    * scan of the corpus, TakeOrderedAndProject — the correctness
+    * baseline any ANN variant is measured against.
+    */
+  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .withColumn("cosine", cosine(col(vecCol), col("__qv")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows in the query's bucket;
+    * exact cosine re-rank of the bucket only. At scale the corpus is
+    * written bucket-partitioned so a query reads one partition.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+              query: DataFrame, queryVecCol: String, k: Int, numPlanes: Int = 16): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv"),
+      lshBucket(col(queryVecCol), dims, numPlanes).as("__qb")))
+    corpus
+      .withColumn("__b", lshBucket(col(vecCol), dims, numPlanes))
+      .join(q, col("__b") === col("__qb"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qv")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding near-dup pairs within equality blocks (e.g. a cluster
+    * label, language, or LSH bucket): pairwise cosine only inside each
+    * block — never a global cross product.
+    */
+  def blockedNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

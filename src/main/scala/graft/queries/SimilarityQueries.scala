@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.Similarity
+
+/** Similarity-search queries over the embeddings table. Oracles spell the
+  * identical double-product → DECIMAL(30,12)-sum arithmetic, so cosine
+  * values match bit-for-bit (see Similarity scaladoc).
+  */
+object SimilarityQueries {
+
+  private val DIMS = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force exact top-20 neighbors of vec 0
+    "q_sim_topk" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.bruteTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding", k = 20)
+    }),
+
+    // LSH-bucketed ANN top-10 for vec 0 (bucket probe + exact re-rank)
+    "q_sim_lsh" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.lshTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", DIMS,
+        e.filter(col("vec_id") === 0), "embedding", k = 10)
+    }),
+
+    // LSH bucket assignment for every vector (the partitioning key a
+    // 100 TB corpus would be bucketed by)
+    "q_sim_buckets" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.lshBucket(col("embedding"), DIMS).as("bucket"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // embedding near-dup pairs, blocked by label
+    "q_dedup_embed" -> ((s: SparkSession, d: String) => {
+      Similarity.blockedNearDup(scan(s, d, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  /** DuckDB scaled-integer dot of two float lists (same floor(x·y·1e12)
+    * arithmetic as Similarity.scaledDot), as CTEs over a per-row lateral
+    * range join (j = 1..dims).
+    */
+  private def sqlCosineCtes: String =
+    s"""terms AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(floor(CAST(p.va[t.j] AS DOUBLE) * CAST(p.vb[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tab,
+       |    CAST(floor(CAST(p.va[t.j] AS DOUBLE) * CAST(p.va[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS taa,
+       |    CAST(floor(CAST(p.vb[t.j] AS DOUBLE) * CAST(p.vb[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tbb
+       |  FROM pairs p CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS j) t),
+       |sums AS (
+       |  SELECT id_a, id_b,
+       |    CAST(SUM(tab) AS DOUBLE) AS dot,
+       |    CAST(SUM(taa) AS DOUBLE) AS na,
+       |    CAST(SUM(tbb) AS DOUBLE) AS nb
+       |  FROM terms GROUP BY id_a, id_b),
+       |cos AS (SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM sums)""".stripMargin
+
+  /** Hyperplane-sign + bucket CTE: same md5 formula as
+    * Similarity.hyperplaneSign / lshBucket.
+    */
+  private def sqlBucketCte(src: String): String =
+    s"""${src}_terms AS (
+       |  SELECT e.vec_id, i.i,
+       |    CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) *
+       |      (CASE WHEN strpos('0123456789abcdef',
+       |              substring(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1 >= 8
+       |            THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT) AS t
+       |  FROM $src e
+       |    CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+       |    CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS j) j),
+       |${src}_dots AS (
+       |  SELECT vec_id, i, SUM(t) AS dot
+       |  FROM ${src}_terms GROUP BY vec_id, i),
+       |${src}_buckets AS (
+       |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+       |  FROM ${src}_dots GROUP BY vec_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id AS id_a, 0 AS id_b, e.embedding AS va, q.qv AS vb
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |$sqlCosineCtes
+         |SELECT id_a AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_sim_lsh" ->
+      s"""WITH ${sqlBucketCte("embeddings")},
+         |qb AS (SELECT bucket FROM embeddings_buckets WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id AS id_a, 0 AS id_b, e.embedding AS va, q.qv AS vb
+         |  FROM embeddings e
+         |    JOIN embeddings_buckets b ON b.vec_id = e.vec_id
+         |    JOIN qb ON b.bucket = qb.bucket, q
+         |  WHERE e.vec_id <> 0),
+         |$sqlCosineCtes
+         |SELECT id_a AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_buckets" ->
+      s"""WITH ${sqlBucketCte("embeddings")}
+         |SELECT vec_id, bucket FROM embeddings_buckets ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |$sqlCosineCtes
+         |SELECT id_a, id_b, cosine FROM cos
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -20,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        return v  # exact — the driver hashes values, so no tolerance
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
