@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.ExactAgg.sqlDsum
+import graft.streaming.StreamOps
+
+/** Streaming queries (run to completion over the bounded events table)
+  * with batch-equivalent DuckDB oracles, plus batch sessionization.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-day windows, complete mode → all finalized windows
+    "q_stream_tumbling" -> ((s: SparkSession, d: String) => {
+      val agg = StreamOps.tumblingAgg(StreamOps.eventsStream(s, d), "1 day", "1 hour")
+      StreamOps.runToMemory(s, agg, "mem_tumbling", "complete")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // sliding 2-day windows every 1 day
+    "q_stream_sliding" -> ((s: SparkSession, d: String) => {
+      val agg = StreamOps.slidingAgg(StreamOps.eventsStream(s, d), "2 days", "1 day", "1 hour")
+      StreamOps.runToMemory(s, agg, "mem_sliding", "complete")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // streaming exact dedup (state-store): distinct (user_id, event_type)
+    "q_stream_dedup" -> ((s: SparkSession, d: String) => {
+      val dd = StreamOps.streamDedup(StreamOps.eventsStream(s, d), Seq("user_id", "event_type"))
+      StreamOps.runToMemory(s, dd, "mem_dedup", "append")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // batch sessionization, 6-hour inactivity gap
+    "q_sessionize" -> ((s: SparkSession, d: String) => {
+      StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+         |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH shifted AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - (o.o * INTERVAL 1 DAY) AS window_start,
+        |         event_type
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS o) o)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM shifted GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > ${6 * 3600}::BIGINT * 1000000
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |       COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM numbered GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.ExactAgg
+
+/** Structured-Streaming tier (SURVEY §2.7 — the reference declares
+  * `schedule`/`action:"sync"` but implements nothing; here the real
+  * streaming surface). Micro-batch with Trigger.AvailableNow reproduces
+  * "scheduled sync" semantics: each invocation drains what's new and
+  * stops — and the same code runs unbounded with a continuous trigger.
+  *
+  * For the driver's batch-oracle harness, each query runs the stream to
+  * completion into a memory sink and returns the result table; the
+  * oracle states the batch-equivalent SQL (window agg ≡ GROUP BY
+  * date_trunc).
+  */
+object StreamOps {
+
+  /** readStream over the events parquet with the same nanos→timestamp
+    * normalization as the batch scan. FileStreamSource requires a
+    * directory; the testdata table is a single file, so expose it via a
+    * symlink dir (a production deployment would point at the partitioned
+    * table root).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    val staticSchema = spark.read.parquet(src.toString).schema
+    spark.readStream
+      .schema(staticSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a (bounded) streaming DataFrame to completion into a memory
+    * sink, return the materialized result.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling-window aggregation with watermark. */
+  def tumblingAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), ExactAgg.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregation. */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on a key subset (state-store backed). */
+  def streamDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the user's previous event exceeds `gapSeconds`. One
+    * window pass + one groupBy, both keyed by user — two shuffles on the
+    * same key (AQE coalesces), no state store needed for bounded data.
+    * The unbounded twin is session_window/flatMapGroupsWithState.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("__prev"))) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ExactAgg.dsum(col("value")).as("sum_value")
+      )
+  }
+}
