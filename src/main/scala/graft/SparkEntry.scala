@@ -33,7 +33,9 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +50,7 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.StreamQueries.oracleSql
+      graft.queries.StreamQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

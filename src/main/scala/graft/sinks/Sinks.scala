@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.model.SinkSpec
+
+/** Sinks — the Spark analogue of the reference's upload surface
+  * (SURVEY §2.1 K1-K4). File/JDBC sinks are `df.write`; the reference's
+  * upload batcher (itemsPerBatch slices + per-batch retry,
+  * src/index.ts:479-524) maps to:
+  *   - file sinks: `maxRecordsPerFile` (the batch cap, enforced by Spark)
+  *   - custom sinks: foreachPartition + grouped iterator with per-batch
+  *     retry — the shape every HTTP-adapter upload (K4) plugs into.
+  * Nothing is ever collected to the driver.
+  */
+object Sinks {
+
+  def write(df: DataFrame, spec: SinkSpec): Unit = {
+    val writer = df.write.mode(spec.mode).options(spec.options)
+    val batched =
+      if (spec.itemsPerBatch > 0)
+        writer.option("maxRecordsPerFile", spec.itemsPerBatch.toLong)
+      else writer
+    spec.format match {
+      case "parquet" => batched.parquet(spec.path)
+      case "csv"     => batched.option("header", "true").csv(spec.path)
+      case "json"    => batched.json(spec.path)
+      case "orc"     => batched.orc(spec.path)
+      case "jdbc"    => batched.format("jdbc").save()
+      case other     => throw new IllegalArgumentException(s"unknown sink format '$other'")
+    }
+  }
+
+  /** Custom upload sink: executor-side batches of `itemsPerBatch` rows,
+    * each attempted up to maxRetries+1 times with retryIntervalMs backoff
+    * (reference per-batch retry loop, src/index.ts:495-517). `send` is
+    * the adapter-upload hook (K4): it receives one batch and throws to
+    * signal failure.
+    */
+  def foreachBatchSink(df: DataFrame, itemsPerBatch: Int,
+                       maxRetries: Int, retryIntervalMs: Long)(
+      send: Seq[Row] => Unit): Unit = {
+    val batchSize = if (itemsPerBatch > 0) itemsPerBatch else Int.MaxValue
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { send(batch); done = true }
+          catch {
+            case e: Throwable if attempt < maxRetries =>
+              attempt += 1
+              Thread.sleep(retryIntervalMs)
+            case e: Throwable => throw e
+          }
+        }
+      }
+    }
+  }
+}
