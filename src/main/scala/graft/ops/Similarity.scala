@@ -105,11 +105,16 @@ object Similarity {
     */
   def blockedNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    // self-norms computed once per vector before the self-join (1 dot per
+    // pair instead of 3); same longs, so oracle values are unchanged
+    val withNorm = corpus.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+      col(vecCol).as("__v"), scaledDot(col(vecCol), col(vecCol)).as("__n"))
+    val a = withNorm.toDF("__blk", "id_a", "__va", "__na")
+    val b = withNorm.toDF("__blk", "id_b", "__vb", "__nb")
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", scaledDot(col("__va"), col("__vb")).cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

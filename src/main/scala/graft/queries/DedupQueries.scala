@@ -65,16 +65,24 @@ object DedupQueries {
       |              JOIN sh B ON B.doc_id = c.doc_b AND B.sh = A.sh
       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
+  /** DuckDB spelling of Dedup.hex60: first 15 md5 hex digits → 60-bit
+    * bigint via digit-arithmetic (portable; no engine hex parsing).
+    */
+  private def sqlHex60(h: String): String =
+    (0 until 15).map { d =>
+      s"(strpos('0123456789abcdef', substring($h, ${d + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (14 - d))}"
+    }.mkString("(", " + ", ")")
+
   private def simhashSql: String = {
     val nb = Dedup.simhashBits
     val bitSums = (0 until nb).map { i =>
-      s"SUM((((strpos('0123456789abcdef', substring(h, ${i / 4 + 1}, 1)) - 1) // ${1 << (i % 4)}) % 2) * 2 - 1) AS s$i"
+      s"SUM((((hl >> $i) & 1) * 2 - 1)) AS s$i"
     }.mkString(", ")
     val simExpr = (0 until nb).map { i =>
       s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH $shingleCtes,
-       |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+       |hashed AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS hl FROM sh),
        |sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
        |sims AS (SELECT doc_id, $simExpr AS simhash FROM sums)""".stripMargin
   }
@@ -85,16 +93,19 @@ object DedupQueries {
         |       MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val m = Dedup.minhashMod
+      val minExprs = (0 until 12).map(s => s"min((h0 * ${2 * s + 1} + $s) % $m) AS mh$s").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val mhs = (b * 3 until b * 3 + 3).map(s => s"mh$s::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($mhs) AS band_sig FROM sigs"
+      }.mkString("\n  UNION ALL ")
       s"""WITH $shingleCtes,
-         |seeded AS (
-         |  SELECT doc_id, sh, t.seed, md5(t.seed::VARCHAR || ':' || sh) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) t),
-         |sigs AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+         |based AS (SELECT doc_id, ${sqlHex60("md5(sh)")} % $m AS h0 FROM sh),
+         |sigs AS (SELECT doc_id, $minExprs FROM based GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |         md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
-         |  FROM sigs GROUP BY doc_id, CAST(seed // 3 AS INT)),
+         |  $bandSelects),""".stripMargin +
+      s"""
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -105,7 +116,8 @@ object DedupQueries {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
          |             JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql
@@ -126,17 +138,14 @@ object DedupQueries {
 
     "q_dedup_ngram" ->
       s"""WITH $shingleCtes,
-         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 100),
-         |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |shi AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS sh FROM sh),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shi GROUP BY sh) WHERE df <= 100),
+         |shf AS (SELECT s.doc_id, s.sh FROM shi s JOIN rare r ON s.sh = r.sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN shf A ON A.doc_id = c.doc_a
-         |              JOIN shf B ON B.doc_id = c.doc_b AND B.sh = A.sh
-         |  GROUP BY c.doc_a, c.doc_b)
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
          |SELECT i.doc_a, i.doc_b,
          |  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
