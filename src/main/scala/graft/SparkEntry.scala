@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.SqlFunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.SqlFunctionQueries.oracleSql
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.ExactAgg._
+
+/** SQL passthrough (SURVEY §2.1 S9 — the headline win of the port: the
+  * reference forwards opaque query strings per dialect, here it's real
+  * Catalyst SQL over registered views) and the §2.6 scalar-function tier
+  * the reference lacks entirely: JSON, date arithmetic, math, arrays,
+  * maps, conditionals.
+  */
+object SqlFunctionQueries {
+
+  /** Register the testdata tables as temp views (idempotent). */
+  private def registerViews(s: SparkSession, d: String, tables: Seq[String]): Unit =
+    tables.foreach(t => scan(s, d, t).createOrReplaceTempView(t))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9: the user hands us SQL; we run it — on Spark, not a passthrough
+    "q_sql_passthrough" -> ((s: SparkSession, d: String) => {
+      registerViews(s, d, Seq("orders", "customer"))
+      s.sql(
+        """SELECT c_mktsegment,
+          |       COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'F'
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // JSON extraction from the events props column
+    "q_json_extract" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          json_tuple(col("props"), "k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k_typed")
+        )
+        .orderBy(col("event_id"))
+    }),
+
+    // date/time arithmetic (reference has NO date functions — §2.6)
+    "q_date_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast("long").as("days_to_end"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // math/conditional scalar tier
+    "q_math_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          // round() on raw doubles diverges across engines (Spark rounds
+          // the shortest string repr, DuckDB the exact binary) — round on
+          // an exact decimal instead, then surface as double
+          round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          (col("l_discount") * col("l_discount")).as("disc_sq"), // pow() is libm-dependent
+
+          greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+          when(col("l_quantity") > 25, "H").when(col("l_quantity") > 10, "M").otherwise("L").as("qty_band")
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("disc_sq"))
+    }),
+
+    // array + map constructors and higher-order functions
+    "q_array_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_words"),
+          slice(split(trim(col("text")), "\\s+"), 1, 5).as("first5"),
+          // sorted: DuckDB's list_distinct does not preserve order
+          sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 10))).as("d10"),
+          aggregate(transform(slice(split(trim(col("text")), "\\s+"), 1, 10), w => length(w)),
+            lit(0), (acc, x) => acc + x).as("len10"),
+          sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 6))).as("sorted6")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // approximate distinct-count sketch (no exact oracle by nature —
+    // driver records the rows-only check; the exact twin is q_agg_distinct)
+    "q_agg_approx_distinct" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sql_passthrough" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  l_discount * l_discount AS disc_sq,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  CASE WHEN l_quantity > 25 THEN 'H' WHEN l_quantity > 10 THEN 'M' ELSE 'L' END AS qty_band
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, disc_sq""".stripMargin,
+    "q_array_funcs" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(ws) AS INT) AS n_words,
+           |  ws[1:5] AS first5,
+           |  list_sort(list_distinct(ws[1:10])) AS d10,
+           |  CAST(list_sum([length(x) for x in ws[1:10]]) AS INT) AS len10,
+           |  list_sort(list_distinct(ws[1:6])) AS sorted6
+           |FROM w ORDER BY doc_id""".stripMargin
+    // q_agg_approx_distinct: intentionally no oracle (sketch output)
+  )
+}
