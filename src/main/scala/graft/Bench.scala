@@ -26,6 +26,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
   }
 }

@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.StreamQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.SqlFunctionQueries.queries
+      graft.queries.SqlFunctionQueries.queries ++
+      graft.queries.RestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.StreamQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.SqlFunctionQueries.oracleSql
+      graft.queries.SqlFunctionQueries.oracleSql ++
+      graft.queries.RestQueries.oracleSql
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.rest.StubServer
+
+/** REST-source queries: the DSv2 paginated reader against the
+  * deterministic in-process stub. The stub data is a closed formula over
+  * id = 1..250, so the oracle is generative DuckDB SQL (range table
+  * function) — no parquet needed.
+  */
+object RestQueries {
+
+  private val schemaDdl = "id BIGINT, name STRING, value DOUBLE"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // offset pagination, 100-row pages over 250 rows → 3 pages + stop on short page
+    "q_rest_offset" -> ((s: SparkSession, _: String) => {
+      s.read.format("graft.sources.rest.RestSource")
+        .option("schema", schemaDdl)
+        .option("url", StubServer.url("/rows"))
+        .option("itemsPerPage", "100")
+        .load()
+        .orderBy(col("id"))
+    }),
+
+    // cursor pagination: opaque nextOffset chain (stops on missing cursor)
+    "q_rest_cursor" -> ((s: SparkSession, _: String) => {
+      s.read.format("graft.sources.rest.RestSource")
+        .option("schema", schemaDdl)
+        .option("url", StubServer.url("/cursor-rows"))
+        .option("pageType", "cursor")
+        .option("itemsPerPage", "60")
+        .load()
+        .orderBy(col("id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rest_offset" ->
+      """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(1, 251)) AS i)
+        |ORDER BY id""".stripMargin,
+    "q_rest_cursor" ->
+      """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(1, 251)) AS i)
+        |ORDER BY id""".stripMargin
+  )
+}
