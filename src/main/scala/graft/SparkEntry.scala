@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.SqlFunctionQueries.queries ++
-      graft.queries.RestQueries.queries
+      graft.queries.RestQueries.queries ++
+      graft.queries.AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.SqlFunctionQueries.oracleSql ++
-      graft.queries.RestQueries.oracleSql
+      graft.queries.RestQueries.oracleSql ++
+      graft.queries.AdvancedQueries.oracleSql
 }

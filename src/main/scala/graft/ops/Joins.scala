@@ -75,6 +75,24 @@ object Joins {
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** Skew-mitigated equi-join (salting): the left (large, skewed) side
+    * gets a random-free deterministic salt derived from other columns'
+    * hash; the right side is replicated `saltFactor` times so every
+    * (key, salt) bucket joins locally. Result set is identical to a
+    * plain inner join on `key` — only the shuffle distribution changes:
+    * a hot key spreads over `saltFactor` reducers instead of one.
+    * Complements AQE's skew-join splitting when a single key exceeds
+    * what one task can hold.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: rows of `left` whose `leftValue` falls in
     * `[lo, hi]` of `right`. Implemented by binning: each right interval is
     * exploded to the bins it covers, the left value is bucketed to its

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.Joins
+
+/** Plan-shape assertions: the properties that decide whether these
+  * operators survive a 100× scale-up — partition pruning, broadcast
+  * joins on dims, salted-join result parity, no nested-loop joins.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  test("partitionBy write + filtered read prunes partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/orders"
+    scan(spark, sf001, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "O")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan.take(2000))
+    // pruned scan reads fewer files than the full table
+    val full = spark.read.parquet(out)
+    assert(df.count() < full.count())
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val li = scan(spark, sf001, "lineitem")
+    val nat = broadcast(scan(spark, sf001, "nation"))
+    val plan = li.join(nat, li("l_suppkey") % 25 === nat("n_nationkey"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val li = scan(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = scan(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = Joins.saltedJoin(li, o, "l_orderkey", 8).count()
+    assert(plain == salted)
+  }
+
+  test("connector pipeline stays in whole-stage codegen") {
+    val df = graft.engine.QueryBuilder.build(spark, sf001, graft.model.Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_quantity"),
+      filters = Seq(graft.model.Filter("l_quantity", "<", 24)),
+      limit = 0))
+    // '*(n)' marks a WholeStageCodegen stage in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1)"), plan.take(1000))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = graft.engine.QueryBuilder.build(spark, sf001, graft.model.Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_extendedprice"),
+      sort = Seq(graft.model.Sort.desc("l_extendedprice")),
+      limit = 10))
+    assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
+  }
+}
