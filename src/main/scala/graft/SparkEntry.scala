@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.SqlFunctionQueries.queries ++
       graft.queries.RestQueries.queries ++
-      graft.queries.AdvancedQueries.queries
+      graft.queries.AdvancedQueries.queries ++
+      graft.queries.TypedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.SqlFunctionQueries.oracleSql ++
       graft.queries.RestQueries.oracleSql ++
-      graft.queries.AdvancedQueries.oracleSql
+      graft.queries.AdvancedQueries.oracleSql ++
+      graft.queries.TypedQueries.oracleSql
 }

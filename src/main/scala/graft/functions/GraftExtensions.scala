@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions so
+  * they are usable from SQL text as well as the Column API. Activate with
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * or programmatically via `GraftExtensions.install(spark)` on a live
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[functions] val jsToNumberDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("js_to_number"),
+    new ExpressionInfo(classOf[JsToNumber].getName, "js_to_number"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "js_to_number takes exactly 1 argument")
+      JsToNumber(children.head)
+    }
+  )
+
+  /** Register on an already-built session (the extensions config only
+    * applies at session construction).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = jsToNumberDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Column-API entry point (session must have the function installed). */
+  def js_to_number(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("js_to_number", c)
+}

@@ -43,6 +43,16 @@ object SimilarityQueries {
       Similarity.blockedNearDup(scan(s, d, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // label-free near-dup: block by the LSH bucket itself — the shape
+    // used when no clustering metadata exists (bucket = partition key at
+    // 100 TB; only same-bucket pairs are compared)
+    "q_dedup_embed_lsh" -> ((s: SparkSession, d: String) => {
+      val withBucket = scan(s, d, "embeddings")
+        .withColumn("__bucket", Similarity.lshBucket(col("embedding"), DIMS))
+      Similarity.blockedNearDup(withBucket, "vec_id", "embedding", "__bucket", threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -122,6 +132,18 @@ object SimilarityQueries {
          |    ON a.label = b.label AND a.vec_id < b.vec_id),
          |$sqlCosineCtes
          |SELECT id_a, id_b, cosine FROM cos
-         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      s"""WITH ${sqlBucketCte("embeddings")},
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+         |  FROM embeddings a
+         |    JOIN embeddings_buckets ba ON ba.vec_id = a.vec_id
+         |    JOIN embeddings b ON a.vec_id < b.vec_id
+         |    JOIN embeddings_buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket),
+         |$sqlCosineCtes
+         |SELECT id_a, id_b, cosine FROM cos
+         |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
   )
 }

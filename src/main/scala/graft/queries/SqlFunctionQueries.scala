@@ -97,6 +97,18 @@ object SqlFunctionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // native Catalyst expression (codegen) — same JS semantics as the
+    // regexp composition in q_t_tonumber, via the SQL-registered function
+    "q_expr_tonumber" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftExtensions.install(s)
+      scan(s, d, "customer")
+        .withColumn("bal_str", col("c_acctbal").cast("string"))
+        .select(col("c_custkey"),
+          graft.functions.GraftExtensions.js_to_number(col("bal_str")).as("bal_num"),
+          graft.functions.GraftExtensions.js_to_number(col("c_mktsegment")).as("seg_num"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // approximate distinct-count sketch (no exact oracle by nature —
     // driver records the rows-only check; the exact twin is q_agg_distinct)
     "q_agg_approx_distinct" -> ((s: SparkSession, d: String) => {
@@ -114,6 +126,9 @@ object SqlFunctionQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'F'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_expr_tonumber" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_num, 0.0 AS seg_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
