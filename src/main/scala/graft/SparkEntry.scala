@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.SqlFunctionQueries.queries ++
       graft.queries.RestQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
-      graft.queries.TypedQueries.queries
+      graft.queries.TypedQueries.queries ++
+      graft.queries.FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.SqlFunctionQueries.oracleSql ++
       graft.queries.RestQueries.oracleSql ++
       graft.queries.AdvancedQueries.oracleSql ++
-      graft.queries.TypedQueries.oracleSql
+      graft.queries.TypedQueries.oracleSql ++
+      graft.queries.FormatQueries.oracleSql
 }

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
+    ext.injectOptimizerRule(_ => SimplifyJsToNumber)
   }
 }
 
@@ -33,6 +34,9 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = jsToNumberDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyJsToNumber
   }
 
   /** Column-API entry point (session must have the function installed). */

@@ -45,6 +45,24 @@ class JsToNumberSpec extends SparkSpec {
     assert(both.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("SimplifyJsToNumber rewrites js_to_number(cast(int as string)) to a cast") {
+    val df = graft.engine.QueryBuilder.scan(spark, sf001, "customer")
+      .select(GraftExtensions.js_to_number(col("c_custkey").cast("string")).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.toLowerCase.contains("js_to_number"), optimized)
+    // and the rewrite preserves values
+    val viaCast = graft.engine.QueryBuilder.scan(spark, sf001, "customer")
+      .select(col("c_custkey").cast("double").as("n"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      viaCast.collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("SimplifyJsToNumber does NOT rewrite floating-point children (-0.0 semantics)") {
+    val df = graft.engine.QueryBuilder.scan(spark, sf001, "customer")
+      .select(GraftExtensions.js_to_number(col("c_acctbal").cast("string")).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString().toLowerCase.contains("js_to_number"))
+  }
+
   test("expression participates in whole-stage codegen") {
     // parquet-backed (a local Seq gets folded to LocalTableScan via
     // interpreted eval, bypassing codegen)
