@@ -183,6 +183,45 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ------------------------------------------- cluster resolution (CC)
+
+  /** Connected components over an undirected pair list (doc_a, doc_b) —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS (keep one
+    * doc per component). Iterative min-label propagation: each node
+    * adopts the minimum label in its neighborhood until fixpoint. Every
+    * iteration is one groupBy over the (symmetrized) edge list — the
+    * standard scalable CC shape (≈ small-star/large-star without the
+    * restructuring); iterations ≤ graph diameter, and near-dup graphs
+    * are shallow. localCheckpoint truncates lineage per round.
+    *
+    * Returns (doc_id, cluster) where cluster = min doc_id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Exact n-gram Jaccard similarity join via an inverted index:

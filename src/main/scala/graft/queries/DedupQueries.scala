@@ -44,6 +44,23 @@ object DedupQueries {
       Dedup.ngramJaccard(scan(s, d, "documents"), "doc_id", "text",
         threshold = 0.8, k = 3, maxDocFreq = 100)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // pairs → clusters: connected components over the minhash near-dup
+    // graph (keep-one-per-cluster is then a join + filter)
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
+      val pairs = Dedup.minhashDedup(scan(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash-sampling: reproducible stratified downsampling
+    // (md5-based, no RNG state — identical on any cluster/run)
+    "q_sample_hash" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .filter(Dedup.hex60(md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary"))) % 10 < 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -73,6 +90,34 @@ object DedupQueries {
       s"(strpos('0123456789abcdef', substring($h, ${d + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (14 - d))}"
     }.mkString("(", " + ", ")")
 
+  /** Full minhash pipeline as CTEs ending in `pairsq(doc_a, doc_b,
+    * jaccard)` — shared by the pairs query and the cluster (CC) query.
+    */
+  private lazy val minhashCtes: String = {
+    val m = Dedup.minhashMod
+    val minExprs = (0 until 12).map(s => s"min((h0 * ${2 * s + 1} + $s) % $m) AS mh$s").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val mhs = (b * 3 until b * 3 + 3).map(s => s"mh$s::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($mhs) AS band_sig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCtes,
+       |based AS (SELECT doc_id, ${sqlHex60("md5(sh)")} % $m AS h0 FROM sh),
+       |sigs AS (SELECT doc_id, $minExprs FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |$jaccardTail,
+       |pairsq AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |               JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5)""".stripMargin
+  }
+
   private def simhashSql: String = {
     val nb = Dedup.simhashBits
     val bitSums = (0 until nb).map { i =>
@@ -93,31 +138,25 @@ object DedupQueries {
         |       MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val m = Dedup.minhashMod
-      val minExprs = (0 until 12).map(s => s"min((h0 * ${2 * s + 1} + $s) % $m) AS mh$s").mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val mhs = (b * 3 until b * 3 + 3).map(s => s"mh$s::VARCHAR").mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($mhs) AS band_sig FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCtes,
-         |based AS (SELECT doc_id, ${sqlHex60("md5(sh)")} % $m AS h0 FROM sh),
-         |sigs AS (SELECT doc_id, $minExprs FROM based GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),""".stripMargin +
-      s"""
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-         |$jaccardTail
-         |SELECT i.doc_a, i.doc_b,
-         |  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
-         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-         |             JOIN sizes sb ON sb.doc_id = i.doc_b
-         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_dedup_minhash" -> s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairsq ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairsq
+         |  UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${sqlHex60("md5('sample:' || doc_id::VARCHAR)")} % 10 < 3
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql
