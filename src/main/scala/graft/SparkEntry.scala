@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.RestQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
       graft.queries.TypedQueries.queries ++
-      graft.queries.FormatQueries.queries
+      graft.queries.FormatQueries.queries ++
+      graft.queries.ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.RestQueries.oracleSql ++
       graft.queries.AdvancedQueries.oracleSql ++
       graft.queries.TypedQueries.oracleSql ++
-      graft.queries.FormatQueries.oracleSql
+      graft.queries.FormatQueries.oracleSql ++
+      graft.queries.ProfileQueries.oracleSql
 }

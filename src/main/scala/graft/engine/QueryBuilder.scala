@@ -72,6 +72,21 @@ object QueryBuilder {
     }
   }
 
+  /** Endpoint-resolved build: empty Connector.fields takes the
+    * endpoint's defaultFields (reference src/index.ts:96-109 getEndpoint
+    * + :200-206 defaults copy-down).
+    */
+  def buildFromEndpoint(spark: SparkSession, dir: String,
+                        catalog: Map[String, graft.model.Endpoint],
+                        endpointName: String, c: Connector): DataFrame = {
+    val ep = catalog.getOrElse(endpointName,
+      throw new IllegalArgumentException(s"unknown endpoint '$endpointName'"))
+    val effective = c.copy(
+      table = ep.table,
+      fields = if (c.fields.nonEmpty) c.fields else ep.defaultFields)
+    build(spark, dir, effective)
+  }
+
   /** Full Connector compile. Order mirrors the reference's observable
     * semantics: filters and projection are source-pushed (adapters), the
     * transform fold runs after extraction (src/index.ts:419-421), sort and

@@ -63,6 +63,17 @@ final case class Connector(
     transformations: Seq[Transformation] = Nil
 )
 
+/** A named queryable endpoint with default projection — reference
+  * src/types.ts:123-137 (Endpoint) and the defaultFields copy-down at
+  * src/index.ts:200-206: an empty Connector.fields takes the endpoint's
+  * defaults.
+  */
+final case class Endpoint(
+    name: String,
+    table: String,
+    defaultFields: Seq[String] = Nil
+)
+
 /** Retry policy — reference src/index.ts:376-379 defaults. */
 final case class ErrorHandling(maxRetries: Int = 0, retryIntervalMs: Long = 1000L)
 

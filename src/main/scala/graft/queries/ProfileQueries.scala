@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder
+import graft.engine.QueryBuilder.scan
+import graft.model.{Connector, Endpoint, Sort}
+import graft.ops.ExactAgg._
+
+/** Data-profiling + endpoint-catalog queries: per-column statistics in
+  * one pass (the scan-once profile shape that matters at 100 TB — never
+  * one job per column), fixed-width histograms, and the reference's
+  * endpoint defaultFields resolution (P3).
+  */
+object ProfileQueries {
+
+  private val endpoints = Map(
+    "customers" -> Endpoint("customers", "customer",
+      defaultFields = Seq("c_custkey", "c_name", "c_mktsegment")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one-pass multi-column profile (null counts, distincts, ranges)
+    "q_profile" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        dsum(col("o_totalprice")).as("price_sum"),
+        min(col("o_orderdate")).as("date_min"),
+        max(col("o_orderdate")).as("date_max"))
+    }),
+
+    // fixed-width histogram (single pass, no per-bin jobs)
+    "q_histogram" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
+    // P3: empty fields resolve to the endpoint's defaultFields
+    "q_endpoint_defaults" -> ((s: SparkSession, d: String) => {
+      QueryBuilder.buildFromEndpoint(s, d, endpoints, "customers",
+        Connector(table = null, sort = Seq(Sort.asc("c_custkey")), limit = 0))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_profile" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(o_custkey) AS custkey_nonnull,
+         |  COUNT(DISTINCT o_custkey) AS custkey_distinct,
+         |  COUNT(DISTINCT o_orderstatus) AS status_distinct,
+         |  MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+         |  ${sqlDsum("o_totalprice")} AS price_sum,
+         |  MIN(o_orderdate) AS date_min, MAX(o_orderdate) AS date_max
+         |FROM orders""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_endpoint_defaults" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
