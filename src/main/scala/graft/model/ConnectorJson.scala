@@ -1,0 +1,79 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.collection.JavaConverters._
+
+/** JSON front-end for the declarative model — the reference's users write
+  * `Connector`/`Pipeline` objects as JSON config (src/types.ts:242-301);
+  * this parses the same shape into the Scala model, so a reference
+  * pipeline definition ports by changing nothing but the engine.
+  *
+  * Shape (all fields optional except table):
+  * {
+  *   "table": "lineitem",
+  *   "fields": ["l_orderkey"],
+  *   "filters": [{"field": "l_quantity", "operator": "<", "value": 24}],
+  *   "sort": [{"field": "l_orderkey", "type": "asc"}],
+  *   "limit": 100, "offset": 0,
+  *   "transformations": [{"type": "uppercase", "field": "x", "to": "y", ...}]
+  * }
+  */
+object ConnectorJson {
+  private val mapper = new ObjectMapper()
+
+  private def anyOf(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isArray) n.elements().asScala.map(anyOf).toSeq
+    else n.asText()
+
+  private def strSeq(n: JsonNode): Seq[String] =
+    if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq
+
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+
+  def parseFilter(n: JsonNode): Filter =
+    Filter(
+      field = n.get("field").asText(),
+      operator = n.get("operator").asText(),
+      value = anyOf(n.get("value")))
+
+  def parseSort(n: JsonNode): Sort =
+    Sort(n.get("field").asText(),
+      ascending = opt(n, "type").forall(_.asText() != "desc"))
+
+  def parseTransformation(n: JsonNode): Transformation =
+    Transformation(
+      `type` = n.get("type").asText(),
+      field = opt(n, "field").map(_.asText()).orNull,
+      to = opt(n, "to").map(_.asText()).orNull,
+      properties = strSeq(n.get("properties")),
+      glue = opt(n, "glue").map(_.asText()).getOrElse(" "),
+      delimiter = opt(n, "delimiter").map(_.asText()).getOrElse(","),
+      search = opt(n, "search").map(_.asText()).orNull,
+      replace = opt(n, "replace").map(_.asText()).orNull,
+      prefix = opt(n, "prefix").map(_.asText()).orNull,
+      suffix = opt(n, "suffix").map(_.asText()).orNull,
+      pattern = opt(n, "pattern").map(_.asText()).orNull,
+      start = opt(n, "start").map(_.asInt()).getOrElse(0),
+      end = opt(n, "end").map(_.asInt()).getOrElse(Int.MaxValue),
+      fields = strSeq(n.get("fields")))
+
+  def parse(json: String): Connector = {
+    val root = mapper.readTree(json)
+    require(root.hasNonNull("table"), "connector JSON requires 'table'")
+    Connector(
+      table = root.get("table").asText(),
+      fields = strSeq(root.get("fields")),
+      filters = opt(root, "filters").map(_.elements().asScala.map(parseFilter).toSeq).getOrElse(Nil),
+      sort = opt(root, "sort").map(_.elements().asScala.map(parseSort).toSeq).getOrElse(Nil),
+      limit = opt(root, "limit").map(_.asLong()).getOrElse(1000000L),
+      offset = opt(root, "offset").map(_.asLong()).getOrElse(0L),
+      transformations = opt(root, "transformations")
+        .map(_.elements().asScala.map(parseTransformation).toSeq).getOrElse(Nil))
+  }
+}

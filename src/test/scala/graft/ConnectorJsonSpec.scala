@@ -1,0 +1,72 @@
+package graft
+
+import graft.model._
+import graft.engine.QueryBuilder
+import graft.sources.{SourceDef, SourceRegistry, Vault}
+
+/** JSON config front-end + registry/vault error semantics (reference:
+  * adapter-not-found src/index.ts:388, missing credentials
+  * src/index.ts:334-351).
+  */
+class ConnectorJsonSpec extends SparkSpec {
+
+  test("JSON connector parses and runs identically to the Scala model") {
+    val json =
+      """{
+        |  "table": "lineitem",
+        |  "fields": ["l_orderkey", "l_linenumber", "l_quantity"],
+        |  "filters": [
+        |    {"field": "l_quantity", "operator": "<", "value": 24},
+        |    {"field": "l_returnflag", "operator": "=", "value": "N"}
+        |  ],
+        |  "sort": [{"field": "l_orderkey", "type": "asc"},
+        |           {"field": "l_linenumber", "type": "asc"},
+        |           {"field": "l_quantity", "type": "asc"}],
+        |  "limit": 50
+        |}""".stripMargin
+    val fromJson = QueryBuilder.build(spark, sf001, ConnectorJson.parse(json)).collect().toSeq
+    val fromModel = QueryBuilder.build(spark, sf001, Connector(
+      table = "lineitem",
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      filters = Seq(Filter("l_quantity", "<", 24L), Filter("l_returnflag", "=", "N")),
+      sort = Seq(Sort.asc("l_orderkey"), Sort.asc("l_linenumber"), Sort.asc("l_quantity")),
+      limit = 50)).collect().toSeq
+    assert(fromJson == fromModel)
+    assert(fromJson.nonEmpty)
+  }
+
+  test("JSON transformations round-trip (concat/uppercase)") {
+    val json =
+      """{"table": "region",
+        |  "transformations": [
+        |    {"type": "concat", "properties": ["r_name", "r_name"], "glue": "-", "to": "double_name"},
+        |    {"type": "uppercase", "field": "double_name", "to": "double_name"}],
+        |  "fields": ["r_regionkey", "double_name"],
+        |  "sort": [{"field": "r_regionkey"}], "limit": 0}""".stripMargin
+    val rows = QueryBuilder.build(spark, sf001, ConnectorJson.parse(json)).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getString(1) == (r.getString(1).toUpperCase)))
+    assert(rows.head.getString(1).contains("-"))
+  }
+
+  test("connector JSON without table is rejected") {
+    intercept[IllegalArgumentException] { ConnectorJson.parse("""{"fields": ["x"]}""") }
+  }
+
+  test("unknown source name errors like adapter-not-found") {
+    val reg = new SourceRegistry()
+    intercept[IllegalArgumentException] { reg.load(spark, "nope") }
+  }
+
+  test("missing credentials key is a hard error (vault semantics)") {
+    val reg = new SourceRegistry(new Vault(Map.empty))
+      .register("s", SourceDef("parquet", s"$sf001/region.parquet", credentialsKey = "absent"))
+    intercept[IllegalArgumentException] { reg.load(spark, "s") }
+  }
+
+  test("registry loads registered parquet sources with credentials merged") {
+    val reg = new SourceRegistry(new Vault(Map("k" -> Map("mergeSchema" -> "false"))))
+      .register("regions", SourceDef("parquet", s"$sf001/region.parquet", credentialsKey = "k"))
+    assert(reg.load(spark, "regions").count() == 5)
+  }
+}
