@@ -73,7 +73,11 @@ object Dedup {
     */
   def minhashBands(sh: DataFrame, numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     require(numSeeds % rowsPerBand == 0, "numSeeds must divide into bands")
-    val based = sh.withColumn("h0", hex60(md5s(col("sh"))) % minhashMod)
+    // accept either raw shingle strings or pre-hashed 60-bit ids
+    val baseHash =
+      if (sh.schema("sh").dataType == org.apache.spark.sql.types.LongType) col("sh")
+      else hex60(md5s(col("sh")))
+    val based = sh.withColumn("h0", baseHash % minhashMod)
     val minAggs = (0 until numSeeds).map { s =>
       min((col("h0") * (2 * s + 1) + s) % minhashMod).as(s"mh$s")
     }
@@ -123,8 +127,11 @@ object Dedup {
                    threshold: Double = 0.5, k: Int = 3,
                    numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     // the shingle table feeds banding + both sides of the verify join —
-    // materialize it once instead of recomputing the explode per branch
-    val sh = shingleTable(docs, idCol, textCol, k).persist()
+    // materialize it ONCE, as hashed 60-bit ids (16-byte rows instead of
+    // shingle strings: cheaper to cache and to join; Jaccard over hashed
+    // shingles ≡ over strings at 2^-60 collision odds)
+    val sh = shingleTable(docs, idCol, textCol, k)
+      .select(col("doc_id"), hex60(md5s(col("sh"))).as("sh")).persist()
     val cands = bandCandidates(minhashBands(sh, numSeeds, rowsPerBand))
     pairJaccard(cands, sh)
       .filter(col("jaccard") >= threshold)
@@ -196,7 +203,10 @@ object Dedup {
     *
     * Returns (doc_id, cluster) where cluster = min doc_id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the union below reads pairs twice — materialize the (possibly very
+    // expensive) pair pipeline once before symmetrizing
+    val pairs = pairs0.persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()

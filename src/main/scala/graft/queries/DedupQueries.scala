@@ -75,11 +75,11 @@ object DedupQueries {
          |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)""".stripMargin
 
   private val jaccardTail =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    """sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-      |  FROM cand c JOIN sh A ON A.doc_id = c.doc_a
-      |              JOIN sh B ON B.doc_id = c.doc_b AND B.sh = A.sh
+      |  FROM cand c JOIN shh A ON A.doc_id = c.doc_a
+      |              JOIN shh B ON B.doc_id = c.doc_b AND B.sh = A.sh
       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
   /** DuckDB spelling of Dedup.hex60: first 15 md5 hex digits → 60-bit
@@ -101,7 +101,8 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, md5($mhs) AS band_sig FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""$shingleCtes,
-       |based AS (SELECT doc_id, ${sqlHex60("md5(sh)")} % $m AS h0 FROM sh),
+       |shh AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS sh FROM sh),
+       |based AS (SELECT doc_id, sh % $m AS h0 FROM shh),
        |sigs AS (SELECT doc_id, $minExprs FROM based GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
