@@ -32,5 +32,6 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
+    System.exit(0) // insurance: never let a leaked non-daemon thread stall the driver's round
   }
 }

@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.AdvancedQueries.queries ++
       graft.queries.TypedQueries.queries ++
       graft.queries.FormatQueries.queries ++
-      graft.queries.ProfileQueries.queries
+      graft.queries.ProfileQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.AdvancedQueries.oracleSql ++
       graft.queries.TypedQueries.oracleSql ++
       graft.queries.FormatQueries.oracleSql ++
-      graft.queries.ProfileQueries.oracleSql
+      graft.queries.ProfileQueries.oracleSql ++
+      graft.queries.SearchQueries.oracleSql
 }

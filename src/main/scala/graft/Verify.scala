@@ -42,5 +42,6 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
+    System.exit(0) // insurance: never let a leaked non-daemon thread stall the driver's round
   }
 }
