@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.TypedQueries.queries ++
       graft.queries.FormatQueries.queries ++
       graft.queries.ProfileQueries.queries ++
-      graft.queries.SearchQueries.queries
+      graft.queries.SearchQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.TypedQueries.oracleSql ++
       graft.queries.FormatQueries.oracleSql ++
       graft.queries.ProfileQueries.oracleSql ++
-      graft.queries.SearchQueries.oracleSql
+      graft.queries.SearchQueries.oracleSql ++
+      graft.queries.CorpusQueries.oracleSql
 }

@@ -66,13 +66,17 @@ object DedupQueries {
 
   // ---- oracle SQL builders (same constants as the Scala ops) ----
 
-  /** Shared CTE prefix: distinct word-3-shingles per doc. */
-  private val shingleCtes =
-    raw"""w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+  /** Shared CTE prefix: distinct word-3-shingles per doc, over any
+    * (doc_id, text) relation.
+    */
+  private def shingleCtesOver(src: String): String =
+    raw"""w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM $src),
          |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
          |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
          |    ELSE [array_to_string(ws, ' ')] END) AS shs FROM w),
          |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)""".stripMargin
+
+  private val shingleCtes = shingleCtesOver("documents")
 
   private val jaccardTail =
     """sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
@@ -90,10 +94,19 @@ object DedupQueries {
       s"(strpos('0123456789abcdef', substring($h, ${d + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (14 - d))}"
     }.mkString("(", " + ", ")")
 
+  /** sqlHex60 for reuse from other query families. */
+  def sqlHex60Public(h: String): String = sqlHex60(h)
+
+  /** Full minhash pipeline as CTEs over any (doc_id, text) relation,
+    * ending in `pairsq(doc_a, doc_b, jaccard)`.
+    */
+  def minhashCtesOver(src: String): String =
+    minhashCtes.replace(shingleCtes, shingleCtesOver(src))
+
   /** Full minhash pipeline as CTEs ending in `pairsq(doc_a, doc_b,
     * jaccard)` — shared by the pairs query and the cluster (CC) query.
     */
-  private lazy val minhashCtes: String = {
+  private[queries] lazy val minhashCtes: String = {
     val m = Dedup.minhashMod
     val minExprs = (0 until 12).map(s => s"min((h0 * ${2 * s + 1} + $s) % $m) AS mh$s").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
