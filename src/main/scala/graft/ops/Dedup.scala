@@ -203,10 +203,20 @@ object Dedup {
     *
     * Returns (doc_id, cluster) where cluster = min doc_id reachable.
     */
-  def connectedComponents(pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Below this many edges the component graph resolves driver-side
+    * with union-find (a few ms) instead of paying per-round job overhead
+    * — the same threshold logic as a broadcast join; near-dup graphs are
+    * tiny relative to their corpora (edges ∝ duplicates, not documents).
+    */
+  val smallGraphEdgeThreshold = 1000000L
+
+  def connectedComponents(pairs0: DataFrame, maxIter: Int = 20,
+                          forceDistributed: Boolean = false): DataFrame = {
     // the union below reads pairs twice — materialize the (possibly very
     // expensive) pair pipeline once before symmetrizing
     val pairs = pairs0.persist()
+    val nPairs = pairs.count()
+    if (!forceDistributed && nPairs <= smallGraphEdgeThreshold) return unionFindLocal(pairs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
@@ -230,6 +240,32 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side min-label union-find for graphs under the threshold.
+    * Union keeps the smaller root, so find() yields the component's min
+    * id directly — identical output to the distributed propagation.
+    */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataFrame(labels).toDF("doc_id", "cluster")
   }
 
   // ------------------------------------------------------- n-gram jaccard

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.Dedup
+
+/** Both CC paths (driver union-find under the edge threshold, distributed
+  * min-label propagation above it) must produce identical clusters.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // chain 1-2-3, pair (10,11), triangle 20-21-22 + bridge 22-23, singleton pair (30,31)
+  private lazy val pairs = Seq(
+    (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L), (30L, 31L)
+  ).toDF("doc_a", "doc_b")
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L,
+    10L -> 10L, 11L -> 10L,
+    20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+    30L -> 30L, 31L -> 30L)
+
+  test("driver union-find path resolves min-label clusters") {
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("distributed propagation path produces the identical clustering") {
+    val got = Dedup.connectedComponents(pairs, forceDistributed = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("long chain needs multiple propagation rounds and still converges") {
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, forceDistributed = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 12L).map(_ -> 1L).toMap)
+  }
+}
