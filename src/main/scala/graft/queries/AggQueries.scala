@@ -84,6 +84,18 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // arg-max/arg-min: value of one column at another's extremum (the
+    // ordering key is unique, so the pick is deterministic)
+    "q_agg_argmax" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // date_trunc time-bucket aggregation (the batch shape of streaming windows)
     "q_agg_bydate" -> ((s: SparkSession, d: String) => {
       scan(s, d, "events")
@@ -127,6 +139,12 @@ object AggQueries {
     "q_agg_stats" ->
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         |       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_argmax" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_totalprice, o_orderkey) AS latest_price,
+        |  min_by(o_totalprice, o_orderkey) AS first_price,
+        |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_bydate" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

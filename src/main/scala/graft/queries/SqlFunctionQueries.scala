@@ -81,6 +81,21 @@ object SqlFunctionQueries {
           col("l_extendedprice"), col("disc_sq"))
     }),
 
+    // string-function battery (pad/reverse/levenshtein/repeat/position)
+    "q_string_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("padded_l"),
+          rpad(col("c_mktsegment"), 12, ".").as("padded_r"),
+          reverse(col("c_name")).as("rev"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"),
+          repeat(lit("ab"), 3).as("rep"),
+          instr(col("c_name"), "0").cast("long").as("pos0"),
+          length(col("c_name")).cast("long").as("len"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // array + map constructors and higher-order functions
     "q_array_funcs" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
@@ -155,6 +170,16 @@ object SqlFunctionQueries {
         |  CASE WHEN l_quantity > 25 THEN 'H' WHEN l_quantity > 10 THEN 'M' ELSE 'L' END AS qty_band
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, disc_sq""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padded_l,
+        |  rpad(c_mktsegment, 12, '.') AS padded_r,
+        |  reverse(c_name) AS rev,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev,
+        |  repeat('ab', 3) AS rep,
+        |  CAST(strpos(c_name, '0') AS BIGINT) AS pos0,
+        |  CAST(length(c_name) AS BIGINT) AS len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_array_funcs" ->
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
            |SELECT doc_id,

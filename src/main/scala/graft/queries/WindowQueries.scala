@@ -53,6 +53,16 @@ object WindowQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // rank ratios — exact divisions, identical IEEE on both engines
+    "q_win_pct" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      scan(s, d, "orders")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("pr"), col("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // sliding row-frame average (3-row centered window)
     "q_win_frame" -> ((s: SparkSession, d: String) => {
       val frame = perCustomer.rowsBetween(-1, 1)
@@ -88,6 +98,11 @@ object WindowQueries {
       """SELECT c_custkey, c_acctbal,
         |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_win_pct" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER
