@@ -99,6 +99,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side twins of scaledDot/cosine — same IEEE double ops and
+    * floor-scaling, so coordination decisions made on the driver (e.g.
+    * IVF probe selection) agree bit-for-bit with in-plan arithmetic.
+    */
+  def scaledDotLocal(a: Seq[Float], b: Seq[Float]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += math.floor(a(i).toDouble * b(i).toDouble * SCALE).toLong; i += 1 }
+    s
+  }
+  def cosineLocal(a: Seq[Float], b: Seq[Float]): Double =
+    scaledDotLocal(a, b).toDouble /
+      (math.sqrt(scaledDotLocal(a, a).toDouble) * math.sqrt(scaledDotLocal(b, b).toDouble))
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the K vectors with
+    * the smallest ids act as centroids — no trained state to ship, no
+    * RNG), every vector is assigned to its max-cosine centroid (ties →
+    * lowest centroid index), and a query probes only the `probes`
+    * centroids nearest to it, re-ranking those cells exactly. At 100 TB
+    * the corpus is written partitioned by `cell`, so a query reads
+    * probes/K of the data. Swap the seed rule for k-means centroids and
+    * nothing else changes.
+    */
+  def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
+               seeds: Seq[(Int, Seq[Float])]): Column = {
+    val cosines = seeds.map { case (i, sv) =>
+      i -> cosine(col(vecCol), array(sv.map(v => lit(v.toDouble)): _*))
+    }
+    val maxCos = greatest(cosines.map(_._2): _*)
+    cosines.foldRight(lit(-1)) { case ((i, c), other) =>
+      when(c === maxCos, lit(i)).otherwise(other)
+    }
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int,
+              numCells: Int = 16, probes: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    // deterministic centroids: the numCells smallest-id vectors
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect()
+      .zipWithIndex.map { case (r: Row, i) => i -> r.getSeq[Float](1) }.toSeq
+    val qv = query.select(col(queryVecCol)).head().getSeq[Float](0)
+    // probe selection on the driver, with the same arithmetic as the plan
+    val probeCells = seeds.map { case (i, sv) => (cosineLocal(qv, sv), i) }
+      .sortBy { case (c, i) => (-c, i) }.take(probes).map(_._2)
+    corpus
+      .withColumn("__cell", ivfCells(corpus, idCol, vecCol, seeds))
+      .filter(col("__cell").isin(probeCells: _*))
+      .withColumn("cosine", cosine(col(vecCol),
+        array(qv.map(v => lit(v.toDouble)): _*)))
+      .select(col(idCol), col("__cell").as("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs within equality blocks (e.g. a cluster
     * label, language, or LSH bucket): pairwise cosine only inside each
     * block — never a global cross product.

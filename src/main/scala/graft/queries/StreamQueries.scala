@@ -36,6 +36,20 @@ object StreamQueries {
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Spark's native session_window (works in batch aggregation too);
+    // oracle = gaps-and-islands with end = last event + gap. Note
+    // session_window's gap is EXCLUSIVE (a gap of exactly 6h starts a
+    // new session) while sessionize's `>` test is inclusive — the oracle
+    // spells session_window's semantics.
+    "q_session_window" -> ((s: SparkSession, d: String) => {
+      graft.engine.QueryBuilder.scan(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -54,6 +68,25 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR ts - prev_ts >= INTERVAL 6 HOUR
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       s"""WITH lagged AS (
          |  SELECT user_id, event_id, ts, value,
