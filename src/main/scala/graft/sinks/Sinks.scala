@@ -37,14 +37,26 @@ object Sinks {
     * signal failure.
     */
   def foreachBatchSink(df: DataFrame, itemsPerBatch: Int,
-                       maxRetries: Int, retryIntervalMs: Long)(
+                       maxRetries: Int, retryIntervalMs: Long,
+                       requestsPerSecond: Double = 0.0)(
       send: Seq[Row] => Unit): Unit = {
     val batchSize = if (itemsPerBatch > 0) itemsPerBatch else Int.MaxValue
+    // per-partition token interval — rate_limiting semantics of the
+    // reference's page loop (src/index.ts:234-243) applied to uploads;
+    // at N partitions the aggregate rate is N × requestsPerSecond, so
+    // callers divide their global budget by the partition count
+    val minIntervalMs = if (requestsPerSecond > 0) (1000.0 / requestsPerSecond).toLong else 0L
     df.foreachPartition { (rows: Iterator[Row]) =>
+      var lastSendAt = 0L
       rows.grouped(batchSize).foreach { batch =>
+        if (minIntervalMs > 0) {
+          val wait = lastSendAt + minIntervalMs - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+        }
         var attempt = 0
         var done = false
         while (!done) {
+          lastSendAt = System.currentTimeMillis()
           try { send(batch); done = true }
           catch {
             case e: Throwable if attempt < maxRetries =>

@@ -80,6 +80,17 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(PipelineRunnerSpec.attempts.get() == 4) // 2 batches × (fail + success)
   }
 
+  test("foreachBatchSink rate limiting spaces batches (src/index.ts:234-243)") {
+    import spark.implicits._
+    val df = (1 to 9).toDF("v").repartition(1)
+    val t0 = System.nanoTime()
+    Sinks.foreachBatchSink(df, itemsPerBatch = 3, maxRetries = 0,
+      retryIntervalMs = 1, requestsPerSecond = 20.0) { _ => () }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // 3 batches at >= 50ms spacing → >= 100ms
+    assert(elapsedMs >= 100, s"elapsed ${elapsedMs}ms")
+  }
+
   test("load failure retries then succeeds within maxRetries") {
     val out = tmp()
     // a sink path that fails first by pointing at an existing FILE, then
