@@ -122,35 +122,43 @@ object Similarity {
     * probes/K of the data. Swap the seed rule for k-means centroids and
     * nothing else changes.
     */
-  def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
-               seeds: Seq[(Int, Seq[Float])]): Column = {
-    val cosines = seeds.map { case (i, sv) =>
-      i -> cosine(col(vecCol), array(sv.map(v => lit(v.toDouble)): _*))
+  /** Max-cosine cell assignment over a precomputed self-norm column —
+    * seed norms are driver-side constants and the vector's norm is read
+    * from `n2Col` once, so assignment costs 1 dot per (row, seed)
+    * instead of 3.
+    */
+  def ivfCells(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Float])]): Column = {
+    val cosines = seeds.map { case (_, sv) =>
+      val seedNorm = math.sqrt(scaledDotLocal(sv, sv).toDouble)
+      scaledDot(col(vecCol), array(sv.map(v => lit(v.toDouble)): _*)).cast("double") /
+        (sqrt(col(n2Col).cast("double")) * lit(seedNorm))
     }
-    val maxCos = greatest(cosines.map(_._2): _*)
-    cosines.foldRight(lit(-1)) { case ((i, c), other) =>
-      when(c === maxCos, lit(i)).otherwise(other)
-    }
+    // each cosine evaluates exactly once into the array; array_position
+    // returns the FIRST max (1-based) → lowest-index tie-break
+    val cosArr = array(cosines: _*)
+    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
   }
 
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               numCells: Int = 16, probes: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     // deterministic centroids: the numCells smallest-id vectors
     val seeds = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(numCells).collect()
       .zipWithIndex.map { case (r: Row, i) => i -> r.getSeq[Float](1) }.toSeq
     val qv = query.select(col(queryVecCol)).head().getSeq[Float](0)
+    val qNorm = math.sqrt(scaledDotLocal(qv, qv).toDouble)
     // probe selection on the driver, with the same arithmetic as the plan
     val probeCells = seeds.map { case (i, sv) => (cosineLocal(qv, sv), i) }
       .sortBy { case (c, i) => (-c, i) }.take(probes).map(_._2)
     corpus
-      .withColumn("__cell", ivfCells(corpus, idCol, vecCol, seeds))
+      .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
+      .withColumn("__cell", ivfCells(vecCol, "__n2", seeds))
       .filter(col("__cell").isin(probeCells: _*))
-      .withColumn("cosine", cosine(col(vecCol),
-        array(qv.map(v => lit(v.toDouble)): _*)))
+      .withColumn("cosine",
+        scaledDot(col(vecCol), array(qv.map(v => lit(v.toDouble)): _*)).cast("double") /
+          (sqrt(col("__n2").cast("double")) * lit(qNorm)))
       .select(col(idCol), col("__cell").as("cell"), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
