@@ -81,6 +81,34 @@ object SqlFunctionQueries {
           col("l_extendedprice"), col("disc_sq"))
     }),
 
+    // null-handling tier: nullif/coalesce/nvl2-style branches (the
+    // testdata is null-free, so nulls are manufactured with nullif)
+    "q_null_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("F")).as("status_nf"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("CLOSED")).as("status_c"),
+          when(nullif(col("o_orderstatus"), lit("F")).isNull, col("o_totalprice"))
+            .otherwise(lit(0.0)).as("closed_price"),
+          isnull(nullif(col("o_orderstatus"), lit("F"))).as("is_closed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // map-typed column: construction + lookup
+    "q_map_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "region")
+        .select(
+          col("r_regionkey"),
+          map(lit("name"), col("r_name"), lit("key"), col("r_regionkey").cast("string")).as("m"))
+        .select(
+          col("r_regionkey"),
+          element_at(col("m"), "name").as("m_name"),
+          element_at(col("m"), "missing").as("m_missing"),
+          size(col("m")).as("m_size"))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // string-function battery (pad/reverse/levenshtein/repeat/position)
     "q_string_funcs" -> ((s: SparkSession, d: String) => {
       scan(s, d, "customer")
@@ -170,6 +198,22 @@ object SqlFunctionQueries {
         |  CASE WHEN l_quantity > 25 THEN 'H' WHEN l_quantity > 10 THEN 'M' ELSE 'L' END AS qty_band
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, disc_sq""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'F') AS status_nf,
+        |  coalesce(nullif(o_orderstatus, 'F'), 'CLOSED') AS status_c,
+        |  CASE WHEN nullif(o_orderstatus, 'F') IS NULL THEN o_totalprice ELSE 0.0 END AS closed_price,
+        |  nullif(o_orderstatus, 'F') IS NULL AS is_closed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT r_regionkey,
+        |  map_extract(m, 'name')[1] AS m_name,
+        |  map_extract(m, 'missing')[1] AS m_missing,
+        |  CAST(cardinality(m) AS INT) AS m_size
+        |FROM (SELECT r_regionkey,
+        |        MAP {'name': r_name, 'key': r_regionkey::VARCHAR} AS m
+        |      FROM region)
+        |ORDER BY r_regionkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |  lpad(c_name, 25, '*') AS padded_l,
