@@ -32,6 +32,20 @@ object ExactAgg {
   def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec, scale: Int = 6): Column =
     sum(dec(c, scale)).over(w).cast("double")
 
+  /** Exact sum for LARGE computed doubles (≳1e8, e.g. squared prices):
+    * the plain decimal cast diverges across engines there because the
+    * double's ulp approaches the rounding granularity and Spark rounds
+    * the shortest-string repr. Floor-scaling first makes the cast input
+    * integer-valued — integers round-trip decimal casts exactly on every
+    * engine. Result = Σ floor(x·10^s) / 10^s.
+    */
+  def dsumScaled(c: Column, scale: Int = 6): Column =
+    (sum(floor(c * math.pow(10, scale)).cast(DecimalType(38, 0))).cast("double") /
+      math.pow(10, scale))
+
+  def sqlDsumScaled(expr: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(floor(($expr) * 1e$scale) AS DECIMAL(38,0))) AS DOUBLE) / 1e$scale"
+
   /** DuckDB spelling of dsum for oracle SQL. */
   def sqlDsum(expr: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"

@@ -96,6 +96,29 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // covariance/correlation assembled from exact decimal sums — the
+    // built-in covar_pop/corr accumulate doubles (partitioning-dependent
+    // low bits); this formulation is deterministic at any scale
+    "q_agg_covar" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          // price² ≈ 1e9: needs the floor-scaled path (see ExactAgg)
+          dsumScaled(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        .select(
+          col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // date_trunc time-bucket aggregation (the batch shape of streaming windows)
     "q_agg_bydate" -> ((s: SparkSession, d: String) => {
       scan(s, d, "events")
@@ -140,6 +163,21 @@ object AggQueries {
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         |       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_covar" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlDsum("l_quantity")} AS sx,
+         |    ${sqlDsum("l_extendedprice")} AS sy,
+         |    ${sqlDsum("l_quantity * l_extendedprice")} AS sxy,
+         |    ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+         |    ${sqlDsumScaled("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (sxy - sx * sy / n) / n AS covar_pop,
+         |  (sxy - sx * sy / n) /
+         |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
+         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_argmax" ->
       """SELECT o_orderstatus,
         |  max_by(o_totalprice, o_orderkey) AS latest_price,
