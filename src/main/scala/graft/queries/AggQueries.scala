@@ -119,6 +119,21 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // deterministic stddev/variance twin (built-ins accumulate doubles)
+    "q_agg_stddev" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"))
+        .select(
+          col("l_returnflag"),
+          (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("var_pop"),
+          sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("stddev_pop"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // date_trunc time-bucket aggregation (the batch shape of streaming windows)
     "q_agg_bydate" -> ((s: SparkSession, d: String) => {
       scan(s, d, "events")
@@ -163,6 +178,16 @@ object AggQueries {
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         |       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_stddev" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlDsum("l_quantity")} AS sx,
+         |    ${sqlDsum("l_quantity * l_quantity")} AS sxx
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  sxx / n - (sx / n) * (sx / n) AS var_pop,
+         |  sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_pop
+         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_covar" ->
       s"""WITH sums AS (
          |  SELECT l_returnflag,
