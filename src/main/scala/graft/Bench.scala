@@ -21,15 +21,24 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
+    var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a broken query must fail LOUDLY, not benchmark as "fast"
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors ::= name
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query detail first; the compact total line LAST so the driver's
+    // tail capture always parses it even if earlier output is truncated
+    println(s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
     System.exit(0) // insurance: never let a leaked non-daemon thread stall the driver's round

@@ -64,6 +64,14 @@ final class PipelineRunner(spark: SparkSession, sourceDir: String,
             case Some(toLoad) =>
               val obs = Observation()
               val observed = toLoad.observe(obs, count(lit(1)).as("rows"))
+              // NOTE: retry re-runs the whole Sinks.write, which is safe
+              // only for idempotent sinks (overwrite-mode file formats,
+              // where a failed partial attempt is replaced wholesale).
+              // For append-mode or JDBC sinks a partial failed attempt
+              // followed by a successful retry could duplicate rows — the
+              // reference retries per-BATCH instead
+              // (adapters/hubspot/src/index.ts:506-519); our per-batch
+              // analogue is Sinks.foreachBatchSink's bounded retry.
               var attempt = 0
               var done = false
               while (!done) {

@@ -239,33 +239,49 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // exiting non-converged would silently return non-minimal labels on a
+    // graph with diameter > maxIter — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter iterations; " +
+        "raise maxIter (graph diameter exceeds it)")
     labels
   }
 
   /** Driver-side min-label union-find for graphs under the threshold.
     * Union keeps the smaller root, so find() yields the component's min
     * id directly — identical output to the distributed propagation.
+    * Operates on the ids' NATIVE type (no long cast), so string/int/long
+    * ids all work and the output schema matches the distributed path.
     */
   private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
+    val idType = pairs.schema("doc_a").dataType
+    val es = pairs.select(col("doc_a"), col("doc_b")).collect()
+    // ids are parquet scalars (numeric / string / date) — all Comparable
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val parent = scala.collection.mutable.Map[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
       while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
       r
     }
-    es.foreach { case (a, b) =>
+    es.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      if (ord.lt(ra, rb)) parent(rb) = ra else if (ord.lt(rb, ra)) parent(ra) = rb
     }
-    val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
-    spark.createDataFrame(labels).toDF("doc_id", "cluster")
+    val labels = parent.keys.toSeq.sorted.map(n => Row(n, find(n)))
+    val schema = StructType(Seq(
+      StructField("doc_id", idType), StructField("cluster", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(labels, 1), schema)
   }
 
   // ------------------------------------------------------- n-gram jaccard

@@ -90,4 +90,13 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", "").cast("binary"))
+
+  /** Prefix fingerprint: md5 over the first `nWords` whitespace tokens of
+    * the lowercased text — a coarser near-dup key (same-opening docs
+    * collide) used when exact dups are rare. At scale it is a groupBy
+    * key like [[fingerprint]]: linear, no pairwise compare.
+    */
+  def prefixFingerprint(text: Column, nWords: Int): Column =
+    md5(array_join(
+      slice(split(trim(lower(text)), "\\s+"), 1, nWords), " ").cast("binary"))
 }

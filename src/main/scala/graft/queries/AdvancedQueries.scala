@@ -117,7 +117,7 @@ object AdvancedQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_udaf_sumsq" ->
       """SELECT l_returnflag,
-        |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_qty_sq,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_sq,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_udtf_explode" ->

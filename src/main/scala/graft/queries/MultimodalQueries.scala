@@ -13,10 +13,16 @@ import graft.ops.Multimodal
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ingest → typed partition-wise decode → features
+    // ingest → typed partition-wise decode → features. The 8-dim
+    // embedding array is flattened to scalar columns in the FINAL
+    // projection only (the driver's pandas compare can't sort ndarray
+    // cells); the typed Array[Double] pipeline runs intact upstream.
     "q_multimodal_features" -> ((s: SparkSession, d: String) => {
-      Multimodal.extractFeatures(
+      val feats = Multimodal.extractFeatures(
         Multimodal.asMedia(scan(s, d, "documents"), "doc_id", "text"))
+      val embCols = (0 until 8).map(i => col("embedding")(i).as(s"e$i"))
+      feats.select(col("media_id") +: col("mime") +: col("n_bytes") +:
+          col("content_hash") +: embCols: _*)
         .orderBy(col("media_id"))
     }),
 
@@ -33,15 +39,19 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_multimodal_features" ->
-      """WITH h AS (SELECT doc_id, text, md5(text) AS hex FROM documents)
-        |SELECT doc_id AS media_id, 'text/plain' AS mime,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  hex AS content_hash,
-        |  [ CAST((strpos('0123456789abcdef', substring(hex, 2*i + 1, 1)) - 1) * 16
-        |       + (strpos('0123456789abcdef', substring(hex, 2*i + 2, 1)) - 1) AS DOUBLE) / 255.0
-        |    for i in range(0, 8) ] AS embedding
-        |FROM h ORDER BY media_id""".stripMargin,
+    "q_multimodal_features" -> {
+      val embExprs = (0 until 8).map { i =>
+        s"""  CAST((strpos('0123456789abcdef', substring(hex, ${2 * i + 1}, 1)) - 1) * 16
+           |     + (strpos('0123456789abcdef', substring(hex, ${2 * i + 2}, 1)) - 1) AS DOUBLE) / 255.0
+           |    AS e$i""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h AS (SELECT doc_id, text, md5(text) AS hex FROM documents)
+         |SELECT doc_id AS media_id, 'text/plain' AS mime,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  hex AS content_hash,
+         |$embExprs
+         |FROM h ORDER BY media_id""".stripMargin
+    },
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS n_frames

@@ -28,9 +28,13 @@ object SetOpQueries {
       c.intersect(sup).orderBy(col("nk"))
     }),
 
+    // supplier side restricted to nations < 10 so the EXCEPT is non-empty
+    // (all 25 nations have suppliers, so an unrestricted EXCEPT would
+    // trivially verify an empty result)
     "q_set_except" -> ((s: SparkSession, d: String) => {
       val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
       val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+        .filter(col("nk") < 10)
       c.except(sup).orderBy(col("nk"))
     })
   )
@@ -54,7 +58,7 @@ object SetOpQueries {
     "q_set_except" ->
       """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |EXCEPT
-        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier WHERE s_nationkey < 10
         |ORDER BY nk""".stripMargin
   )
 }

@@ -12,6 +12,7 @@ import graft.ops.Similarity
 object SimilarityQueries {
 
   private val DIMS = 64
+  private val LSH_PLANES = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact top-20 neighbors of vec 0
@@ -22,12 +23,15 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 20)
     }),
 
-    // LSH-bucketed ANN top-10 for vec 0 (bucket probe + exact re-rank)
+    // LSH-bucketed ANN top-10 for vec 0 (bucket probe + exact re-rank).
+    // 6 planes → 64 buckets: sized so the probe bucket is non-empty at
+    // sf0.01 (~500 vectors) — 16 planes would leave the query alone in
+    // its bucket and the query would trivially return 0 rows
     "q_sim_lsh" -> ((s: SparkSession, d: String) => {
       val e = scan(s, d, "embeddings")
       Similarity.lshTopK(
         e.filter(col("vec_id") =!= 0), "vec_id", "embedding", DIMS,
-        e.filter(col("vec_id") === 0), "embedding", k = 10)
+        e.filter(col("vec_id") === 0), "embedding", k = 10, numPlanes = LSH_PLANES)
     }),
 
     // IVF-style ANN: deterministic coarse quantizer (16 smallest-id
@@ -89,7 +93,7 @@ object SimilarityQueries {
   /** Hyperplane-sign + bucket CTE: same md5 formula as
     * Similarity.hyperplaneSign / lshBucket.
     */
-  private def sqlBucketCte(src: String): String =
+  private def sqlBucketCte(src: String, planes: Int = 16): String =
     s"""${src}_terms AS (
        |  SELECT e.vec_id, i.i,
        |    CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) *
@@ -97,13 +101,14 @@ object SimilarityQueries {
        |              substring(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1 >= 8
        |            THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT) AS t
        |  FROM $src e
-       |    CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+       |    CROSS JOIN (SELECT unnest(range(0, $planes)) AS i) i
        |    CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS j) j),
        |${src}_dots AS (
        |  SELECT vec_id, i, SUM(t) AS dot
        |  FROM ${src}_terms GROUP BY vec_id, i),
        |${src}_buckets AS (
-       |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
        |  FROM ${src}_dots GROUP BY vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -117,7 +122,7 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q_sim_lsh" ->
-      s"""WITH ${sqlBucketCte("embeddings")},
+      s"""WITH ${sqlBucketCte("embeddings", LSH_PLANES)},
          |qb AS (SELECT bucket FROM embeddings_buckets WHERE vec_id = 0),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |pairs AS (

@@ -125,17 +125,20 @@ object SqlFunctionQueries {
     }),
 
     // array + map constructors and higher-order functions
+    // array columns are string-serialized (array_join) in the FINAL
+    // projection only — the driver's pandas compare can't sort ndarray
+    // cells; the list ops themselves run on real arrays
     "q_array_funcs" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
         .select(
           col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("n_words"),
-          slice(split(trim(col("text")), "\\s+"), 1, 5).as("first5"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), "|").as("first5"),
           // sorted: DuckDB's list_distinct does not preserve order
-          sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 10))).as("d10"),
+          array_join(sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 10))), "|").as("d10"),
           aggregate(transform(slice(split(trim(col("text")), "\\s+"), 1, 10), w => length(w)),
             lit(0), (acc, x) => acc + x).as("len10"),
-          sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 6))).as("sorted6")
+          array_join(sort_array(array_distinct(slice(split(trim(col("text")), "\\s+"), 1, 6))), "|").as("sorted6")
         )
         .orderBy(col("doc_id"))
     }),
@@ -228,10 +231,10 @@ object SqlFunctionQueries {
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
            |SELECT doc_id,
            |  CAST(len(ws) AS INT) AS n_words,
-           |  ws[1:5] AS first5,
-           |  list_sort(list_distinct(ws[1:10])) AS d10,
+           |  array_to_string(ws[1:5], '|') AS first5,
+           |  array_to_string(list_sort(list_distinct(ws[1:10])), '|') AS d10,
            |  CAST(list_sum([length(x) for x in ws[1:10]]) AS INT) AS len10,
-           |  list_sort(list_distinct(ws[1:6])) AS sorted6
+           |  array_to_string(list_sort(list_distinct(ws[1:6])), '|') AS sorted6
            |FROM w ORDER BY doc_id""".stripMargin
     // q_agg_approx_distinct: intentionally no oracle (sketch output)
   )

@@ -47,11 +47,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // exact-dup fingerprint clusters: md5 over normalized text, keep
-    // clusters with >1 member (group sizes, not pairs — scales linearly)
+    // fingerprint clusters: md5 over the 5-word normalized prefix, keep
+    // clusters with >1 member (group sizes, not pairs — scales linearly).
+    // Prefix (not whole-text) fingerprint so the query exercises real
+    // collisions at sf0.01, where no two docs are exact dups
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), prefixFingerprint(col("text"), 5).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
         .filter(col("n_docs") > 1)
@@ -109,10 +111,11 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     },
     "q_text_fingerprint" ->
-      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
-        |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
-        |FROM documents
-        |GROUP BY 1 HAVING COUNT(*) > 1
-        |ORDER BY fp""".stripMargin
+      raw"""SELECT md5(array_to_string(
+           |         (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,
+           |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+           |FROM documents
+           |GROUP BY 1 HAVING COUNT(*) > 1
+           |ORDER BY fp""".stripMargin
   )
 }

@@ -66,26 +66,39 @@ object TransformQueries {
       limit = 0
     )) _,
 
-    // T6 split (literal delimiter) + T7 regex replace (global)
-    "q_t_split_replace" -> q(Connector(
-      table = "part",
-      transformations = Seq(
-        Transformation("split", field = "p_type", to = "type_words", delimiter = " "),
-        Transformation("replace", field = "p_name", to = "name_repl", search = "a", replace = "A")
-      ),
-      fields = Seq("p_partkey", "type_words", "name_repl"),
-      sort = Seq(Sort.asc("p_partkey")),
-      limit = 0
-    )) _,
+    // T6 split (literal delimiter) + T7 regex replace (global).
+    // The split array is serialized with array_join in the FINAL projection
+    // only (the driver's pandas compare can't sort ndarray cells); the
+    // array-typed column itself is produced and spec-checked upstream.
+    "q_t_split_replace" -> ((spark: SparkSession, dir: String) => {
+      q(Connector(
+        table = "part",
+        transformations = Seq(
+          Transformation("split", field = "p_type", to = "type_words", delimiter = " "),
+          Transformation("replace", field = "p_name", to = "name_repl", search = "a", replace = "A")
+        ),
+        fields = Seq("p_partkey", "type_words", "name_repl"),
+        sort = Seq(Sort.asc("p_partkey")),
+        limit = 0
+      ))(spark, dir)
+        .withColumn("type_words", array_join(col("type_words"), "|"))
+    }),
 
-    // T12 mergeObjects → struct; T2 renameKey via dotted path back out
+    // T12 mergeObjects → struct; T2 renameKey via dotted path back out.
+    // The struct is flattened to scalar fields in the FINAL projection only
+    // (driver's pandas compare can't sort dict cells); struct production
+    // itself is exercised by the merge + dotted-path access.
     "q_t_merge_rename" -> ((spark: SparkSession, dir: String) => {
       val base = QueryBuilder.scan(spark, dir, "customer")
       val merged = graft.transform.Transforms.applyAll(base, Seq(
         Transformation("mergeObjects", to = "obj", fields = Seq("c_name", "c_mktsegment")),
         Transformation("renameKey", field = "obj.c_name", to = "extracted")
       ))
-      merged.select(col("c_custkey"), col("obj"), col("extracted")).orderBy(col("c_custkey"))
+      merged.select(col("c_custkey"),
+          col("obj.c_name").as("obj_name"),
+          col("obj.c_mktsegment").as("obj_seg"),
+          col("extracted"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -106,12 +119,13 @@ object TransformQueries {
         |       substring(p_name, 1, 5) AS name_slice
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_t_split_replace" ->
-      """SELECT p_partkey, string_split(p_type, ' ') AS type_words,
+      """SELECT p_partkey,
+        |       array_to_string(string_split(p_type, ' '), '|') AS type_words,
         |       regexp_replace(p_name, 'a', 'A', 'g') AS name_repl
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_t_merge_rename" ->
       """SELECT c_custkey,
-        |       struct_pack(c_name := c_name, c_mktsegment := c_mktsegment) AS obj,
+        |       c_name AS obj_name, c_mktsegment AS obj_seg,
         |       c_name AS extracted
         |FROM customer ORDER BY c_custkey""".stripMargin
   )

@@ -40,12 +40,15 @@ object Transforms {
     * without leaving codegen.
     */
   def toNumber(c: Column): Column = {
+    // leading-whitespace class matches JS trim: space \t \n \r \f \v
     val prefix = regexp_extract(
       c.cast(StringType),
-      "^[ \\t\\n]*([-+]?(?:[0-9]+\\.?[0-9]*(?:[eE][-+]?[0-9]+)?|\\.[0-9]+(?:[eE][-+]?[0-9]+)?))",
+      "^[ \\t\\n\\r\\f\\x0B]*([-+]?(?:[0-9]+\\.?[0-9]*(?:[eE][-+]?[0-9]+)?|\\.[0-9]+(?:[eE][-+]?[0-9]+)?))",
       1
     )
-    coalesce(when(prefix === "", lit(0.0)).otherwise(prefix.cast("double")), lit(0.0))
+    val parsed = coalesce(when(prefix === "", lit(0.0)).otherwise(prefix.cast("double")), lit(0.0))
+    // `|| 0` collapses -0 to +0 in JS; match the native JsToNumber expr
+    when(parsed === 0.0, lit(0.0)).otherwise(parsed)
   }
 
   /** T1 `concat` — join with glue, skipping falsy values (transform.ts:18-29). */
