@@ -33,6 +33,19 @@ object RestQueries {
         .option("itemsPerPage", "60")
         .load()
         .orderBy(col("id"))
+    }),
+
+    // filter pushdown: the predicate compiles into f_id_gte/f_id_lte
+    // query params, the server filters before paginating, and the engine
+    // re-applies the residual — fetches ~60 rows instead of 250
+    "q_rest_filtered" -> ((s: SparkSession, _: String) => {
+      s.read.format("graft.sources.rest.RestSource")
+        .option("schema", schemaDdl)
+        .option("url", StubServer.url("/rows"))
+        .option("itemsPerPage", "100")
+        .load()
+        .filter(col("id") >= 100 && col("id") <= 160 && col("name").startsWith("Item1"))
+        .orderBy(col("id"))
     })
   )
 
@@ -44,6 +57,11 @@ object RestQueries {
     "q_rest_cursor" ->
       """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
         |FROM (SELECT unnest(range(1, 251)) AS i)
+        |ORDER BY id""".stripMargin,
+    "q_rest_filtered" ->
+      """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(1, 251)) AS i)
+        |WHERE i BETWEEN 100 AND 160 AND starts_with('Item' || i, 'Item1')
         |ORDER BY id""".stripMargin
   )
 }

