@@ -75,22 +75,41 @@ object Joins {
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
 
-  /** Skew-mitigated equi-join (salting): the left (large, skewed) side
-    * gets a random-free deterministic salt derived from other columns'
-    * hash; the right side is replicated `saltFactor` times so every
-    * (key, salt) bucket joins locally. Result set is identical to a
-    * plain inner join on `key` — only the shuffle distribution changes:
-    * a hot key spreads over `saltFactor` reducers instead of one.
-    * Complements AQE's skew-join splitting when a single key exceeds
-    * what one task can hold.
+  /** Skew-mitigated equi-join — HOT-KEY-ONLY salting, two-path union.
+    *
+    * Keys whose left-side frequency exceeds `hotKeyThreshold` take the
+    * salted path: their left rows get a deterministic (hash-derived,
+    * random-free) salt and only the right rows OF THOSE KEYS are
+    * replicated `saltFactor`×, so a hot key spreads over `saltFactor`
+    * reducers. Everything else takes a plain equi-join. Result set is
+    * identical to a plain inner join on `key` — only the shuffle
+    * distribution changes.
+    *
+    * Why not salt everything: replicating the whole right side inflates
+    * the shuffle `saltFactor`× — an 8× write of a 100 TB-scale right
+    * table to fix a handful of hot keys. The hot set is at most
+    * |left| / hotKeyThreshold keys, so its one-column projection is
+    * broadcastable by construction, and the frequency pass is a cheap
+    * map-side-combined count. Complements AQE's skew-join splitting
+    * when a single key exceeds what one task can hold.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
-    val saltedRight = right.withColumn("__salt",
+                 saltFactor: Int, hotKeyThreshold: Long = 100000L): DataFrame = {
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotKeyThreshold).select(col(key))
+    val leftHot = left.join(broadcast(hot), Seq(key), "left_semi")
+    val leftCold = left.join(broadcast(hot), Seq(key), "left_anti")
+    // only hot-key right rows are replicated
+    val rightHot = right.join(broadcast(hot), Seq(key), "left_semi")
+    val saltedLeft = leftHot.withColumn("__salt",
+      pmod(xxhash64(leftHot.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = rightHot.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    val hotJoined = saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    // cold left rows can join the UNFILTERED right side (their keys are
+    // disjoint from the hot set by construction) — saves an anti pass
+    val coldJoined = leftCold.join(right, Seq(key))
+    hotJoined.unionByName(coldJoined)
   }
 
   /** Range (interval) join: rows of `left` whose `leftValue` falls in

@@ -26,12 +26,14 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // salting changes only shuffle distribution, not the result set
+    // salting changes only shuffle distribution, not the result set.
+    // threshold=3 marks orders with ≥4 lineitems "hot" so BOTH paths
+    // (salted hot keys + plain cold join) carry real data here
     "q_join_salted" -> ((s: SparkSession, d: String) => {
       val li = scan(s, d, "lineitem").select("l_orderkey", "l_quantity")
       val o = scan(s, d, "orders").select("o_orderkey", "o_totalprice")
         .withColumnRenamed("o_orderkey", "l_orderkey")
-      Joins.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+      Joins.saltedJoin(li, o, "l_orderkey", saltFactor = 8, hotKeyThreshold = 3)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
           max(col("o_totalprice")).as("price"))

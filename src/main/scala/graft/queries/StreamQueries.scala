@@ -32,6 +32,15 @@ object StreamQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // watermarked dedup — bounded state: the 45-day horizon covers the
+    // whole 30-day event span, so the result equals global DISTINCT
+    "q_stream_dedup_wm" -> ((s: SparkSession, d: String) => {
+      val dd = StreamOps.streamDedupWithinWatermark(
+        StreamOps.eventsStream(s, d), Seq("user_id", "event_type"), "45 days")
+      StreamOps.runToMemory(s, dd, "mem_dedup_wm", "append")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -66,6 +75,9 @@ object StreamQueries {
         |SELECT window_start, event_type, COUNT(*) AS n
         |FROM shifted GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "q_session_window" ->

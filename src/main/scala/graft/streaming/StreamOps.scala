@@ -71,9 +71,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
-  /** Streaming exact dedup on a key subset (state-store backed). */
+  /** Streaming exact dedup on a key subset (state-store backed).
+    * WARNING — unbounded state: every key ever seen stays in the store
+    * forever; on a real 100 TB stream this is a scale-killer. Use
+    * [[streamDedupWithinWatermark]] unless exact all-time dedup on a
+    * bounded replay is the explicit intent.
+    */
   def streamDedup(events: DataFrame, keys: Seq[String]): DataFrame =
     events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  /** Scale-safe streaming dedup: dropDuplicatesWithinWatermark keeps a
+    * key's state only until the watermark passes its event time + delay,
+    * so the state store is bounded by the churn inside one watermark
+    * window instead of all history. With `delay` wider than the data's
+    * event-time span the output equals a global DISTINCT (exact batch
+    * oracle); on an unbounded stream you pick the real dedup horizon.
+    * Only the key columns are emitted — which physical row "won" inside
+    * a batch is partition-order dependent and must not leak into
+    * verified output.
+    */
+  def streamDedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                                 delay: String): DataFrame =
+    events.select(keys.map(col) :+ col("ts"): _*)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
 
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the user's previous event exceeds `gapSeconds`. One

@@ -34,8 +34,34 @@ class PlanQualitySpec extends SparkSpec {
     val o = scan(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
     val plain = li.join(o, "l_orderkey").count()
-    val salted = Joins.saltedJoin(li, o, "l_orderkey", 8).count()
+    // exercise both paths: threshold 3 puts part of orders on each side
+    val salted = Joins.saltedJoin(li, o, "l_orderkey", 8, hotKeyThreshold = 3).count()
     assert(plain == salted)
+    // degenerate thresholds also agree: all-hot (0) and all-cold (huge)
+    assert(Joins.saltedJoin(li, o, "l_orderkey", 8, hotKeyThreshold = 0).count() == plain)
+    assert(Joins.saltedJoin(li, o, "l_orderkey", 8, hotKeyThreshold = Long.MaxValue).count() == plain)
+  }
+
+  test("salted join replicates ONLY hot-key right rows, not the whole right side") {
+    val li = scan(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = scan(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val df = Joins.saltedJoin(li, o, "l_orderkey", 8, hotKeyThreshold = 3)
+    // every explode (salt replication) must sit above a semi-join that
+    // filters the right side to hot keys — the r1 shape exploded the
+    // bare scan, an 8× shuffle inflation of the ENTIRE right table
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val generates = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.nonEmpty, "expected a Generate (explode) node for the salt")
+    generates.foreach { g =>
+      assert(g.exists(_.toString.contains("LeftSemi")),
+        s"explode is not fed by a hot-key semi-join:\n${g.treeString.take(1500)}")
+    }
+    // and a cold path exists: a plain join with a LeftAnti-filtered left
+    assert(plan.exists(_.toString.contains("LeftAnti")), "missing cold path")
   }
 
   test("connector pipeline stays in whole-stage codegen") {

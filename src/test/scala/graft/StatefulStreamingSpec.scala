@@ -45,4 +45,46 @@ class StatefulStreamingSpec extends SparkSpec {
 
     assert(got == want)
   }
+
+  test("dropDuplicatesWithinWatermark bounds state: key re-emitted after eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (key, event-time seconds)
+
+    val deduped = input.toDF().toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .select("k", "sec")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("mem_dedup_evict")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // batch 1: first sighting of "a" → emitted; watermark → 990
+    input.addData(("a", 1000L))
+    q.processAllAvailable()
+    // batch 2: duplicate "a" inside the horizon → suppressed; "b" far in
+    // the future advances the watermark to 49990, past a's expiry (1010)
+    input.addData(("a", 1005L), ("b", 50000L))
+    q.processAllAvailable()
+    // batch 3: "a" again — its state was EVICTED, so it re-emits. An
+    // unbounded dropDuplicates would suppress this forever (and keep
+    // every key in the store forever — the 100 TB failure mode)
+    input.addData(("a", 60000L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("mem_dedup_evict").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq(("a", 1000L), ("a", 60000L), ("b", 50000L)),
+      s"got $out — expected a emitted twice (state evicted between)")
+
+    // progress metrics corroborate eviction: rows were REMOVED from the
+    // state store, not only added
+    val removed = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatten.map(_.numRowsRemoved).sum
+    assert(removed > 0, "state store never evicted a row")
+  }
 }
