@@ -112,6 +112,31 @@ object Joins {
     hotJoined.unionByName(coldJoined)
   }
 
+  /** Bloom-prefiltered semi-join: build a Bloom filter over the dim keys
+    * (n·~10 bits — fits in a broadcast long after the dim itself is too
+    * big for a broadcast-hash join), drop the fact rows that can't match
+    * BEFORE the shuffle, then run the exact semi-join to remove the
+    * filter's false positives. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~matching slice.
+    * Spark's AQE has a runtime version (runtime.bloomFilter); this makes
+    * the pattern explicit and deterministic. Integral keys only (the
+    * fact-side test uses mightContainLong).
+    *
+    * The one driver-side action is dim.count() to size the filter —
+    * metadata-scale, same class as IVF's seed collect.
+    */
+  def bloomPrefilteredSemiJoin(fact: DataFrame, factKey: String,
+                               dim: DataFrame, dimKey: String,
+                               fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val n = math.max(dim.count(), 1L)
+    val bf = dim.stat.bloomFilter(dimKey, n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+  }
+
   /** Range (interval) join: rows of `left` whose `leftValue` falls in
     * `[lo, hi]` of `right`. Implemented by binning: each right interval is
     * exploded to the bins it covers, the left value is bucketed to its

@@ -79,6 +79,19 @@ object AdvancedQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // unpivot/melt: wide measure columns → long (measure, val) rows —
+    // the normalization step feature-store pipelines run before
+    // per-feature aggregation. Narrow op, no shuffle
+    "q_unpivot" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
+    }),
+
     // explicit GROUPING SETS with grouping_id disambiguation
     "q_agg_groupingsets" -> ((s: SparkSession, d: String) => {
       scan(s, d, "orders").createOrReplaceTempView("orders_gs")
@@ -129,6 +142,12 @@ object AdvancedQueries {
            |       CAST(unnest(range(1, len(ws) + 1)) - 1 AS INT) AS pos,
            |       unnest(ws) AS word
            |FROM w ORDER BY doc_id, pos""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, name AS measure, value AS val
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |               FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount INTO NAME name VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin,
     "q_agg_groupingsets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(grouping(o_orderstatus) AS INT) AS g_status,

@@ -53,6 +53,23 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // exact percentiles (interpolated): Spark's percentile and DuckDB's
+    // quantile_cont share the lower + (upper-lower)*frac definition over
+    // identical doubles, so the values hash-match. The exact variant
+    // sorts per group — at 100 TB prefer approx_percentile (sketch,
+    // partial-aggregated) and bound it the way SketchSpec bounds HLL
+    "q_agg_median" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ROLLUP: hierarchical subtotals; null grouping rows ordered NULLS
     // FIRST on both sides (Spark's asc default; DuckDB needs it spelled)
     "q_agg_rollup" -> ((s: SparkSession, d: String) => {
@@ -165,6 +182,13 @@ object AggQueries {
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty

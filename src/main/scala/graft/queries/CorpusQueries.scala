@@ -25,10 +25,14 @@ object CorpusQueries {
         .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords))
         .filter(col("n_words") >= 20 && col("stop_ratio") > 0.0)
 
-      // 2. exact dedup: keep min doc_id per normalized fingerprint
-      val fp = quality.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      // 2. exact dedup: keep min doc_id per normalized fingerprint.
+      // fp feeds BOTH the min-id groupBy and the join back; keepExact
+      // feeds the near-dup input AND the final anti-join — persist each
+      // once or the regex-heavy quality stage re-runs per consumer
+      val fp = quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))).persist()
       val keepExact = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .join(fp.select("doc_id", "lang", "source", "n_words"), "doc_id")
+        .persist()
 
       // 3. near-dup removal: minhash pairs over survivors → CC →
       //    drop every doc that is not its cluster's canonical (min id)

@@ -31,6 +31,15 @@ object FormatQueries {
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .json(out)
         .orderBy(col("s_suppkey"))
+    }),
+
+    // ORC: the columnar alternative — schema rides in the file footer,
+    // so the read-back needs no DDL (parity check that types survive)
+    "q_orc_roundtrip" -> ((s: SparkSession, d: String) => {
+      val out = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
+      Sinks.write(scan(s, d, "part")
+        .select("p_partkey", "p_name", "p_type", "p_retailprice"), SinkSpec("orc", out))
+      s.read.orc(out).orderBy(col("p_partkey"))
     })
   )
 
@@ -38,6 +47,8 @@ object FormatQueries {
     "q_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_json_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_type, p_retailprice FROM part ORDER BY p_partkey"
   )
 }

@@ -77,6 +77,20 @@ object JoinQueries {
         .orderBy(col("c_custkey"), col("n_nationkey"))
     }),
 
+    // Bloom-prefiltered semi-join (see Joins.bloomPrefilteredSemiJoin):
+    // orders of BUILDING-segment customers; the bloom drops non-matching
+    // orders pre-shuffle, the exact semi-join removes false positives —
+    // so the result equals the plain semi-join and the oracle is exact
+    "q_join_bloom" -> ((s: SparkSession, d: String) => {
+      val dim = scan(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val fact = scan(s, d, "orders")
+      Joins.bloomPrefilteredSemiJoin(fact, "o_custkey", dim, "c_custkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), ExactAgg.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // As-of join via single-shuffle union+window (see Joins.asofBackward):
     // each event picks up the customer's latest order at-or-before ts.
     "q_join_asof" -> ((s: SparkSession, d: String) => {
@@ -125,6 +139,12 @@ object JoinQueries {
         |FROM customer JOIN nation
         |  ON c_acctbal >= n_nationkey * 400.0 AND c_acctbal <= n_nationkey * 400.0 + 399.0
         |ORDER BY c_custkey, n_nationkey""".stripMargin,
+    "q_join_bloom" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${ExactAgg.sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM customer
+         |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_asof" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate,

@@ -41,6 +41,22 @@ object StreamQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // stream-static join: the enrichment shape — a stream joined to a
+    // broadcast dimension (no state store, no watermark needed for the
+    // join itself), then windowed aggregation. At 100 TB the dim is the
+    // broadcast side and the stream never shuffles for the join
+    "q_stream_static_join" -> ((s: SparkSession, d: String) => {
+      val ev = StreamOps.eventsStream(s, d).withWatermark("ts", "1 hour")
+      val dim = broadcast(graft.engine.QueryBuilder.scan(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = ev.join(dim, ev("user_id") === dim("c_custkey"))
+        .groupBy(window(col("ts"), "1 day").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), graft.ops.ExactAgg.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("day"), col("c_mktsegment"), col("n"), col("sum_value"))
+      StreamOps.runToMemory(s, agg, "mem_ssjoin", "complete")
+        .orderBy(col("day"), col("c_mktsegment"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -80,6 +96,11 @@ object StreamQueries {
     "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_static_join" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, c_mktsegment,
+         |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY day, c_mktsegment""".stripMargin,
     "q_session_window" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,

@@ -47,6 +47,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus heavy hitters: top-30 tokens by frequency with deterministic
+    // tie-break — vocabulary statistics for tokenizer/quality work. The
+    // groupBy is partial-aggregated map-side; top-k is
+    // TakeOrderedAndProject (no global sort materialization)
+    "q_text_heavyhitters" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(30)
+    }),
+
     // fingerprint clusters: md5 over the 5-word normalized prefix, keep
     // clusters with >1 member (group sizes, not pairs — scales linearly).
     // Prefix (not whole-text) fingerprint so the query exercises real
@@ -110,6 +124,13 @@ object TextQueries {
          |  CAST(score_zh AS BIGINT) AS score_zh
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "q_text_heavyhitters" ->
+      raw"""SELECT token, COUNT(*) AS cnt
+           |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           |      FROM documents)
+           |WHERE token <> ''
+           |GROUP BY token
+           |ORDER BY cnt DESC, token ASC LIMIT 30""".stripMargin,
     "q_text_fingerprint" ->
       raw"""SELECT md5(array_to_string(
            |         (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,
