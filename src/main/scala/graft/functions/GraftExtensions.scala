@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
+    ext.injectFunction(GraftExtensions.hex60Descriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
   }
 }
@@ -28,12 +29,23 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val hex60Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hex60"),
+    new ExpressionInfo(classOf[Hex60].getName, "graft_hex60"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_hex60 takes exactly 1 argument")
+      Hex60(children.head)
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = jsToNumberDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(jsToNumberDescriptor, hex60Descriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifyJsToNumber
@@ -42,4 +54,8 @@ object GraftExtensions {
   /** Column-API entry point (session must have the function installed). */
   def js_to_number(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("js_to_number", c)
+
+  /** Column-API entry point for the native hex60 (install first). */
+  def graft_hex60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("graft_hex60", c)
 }

@@ -60,6 +60,17 @@ object Dedup {
       (hexDigitAt(h, d + 1).cast("long") * lit(1L << (4 * (14 - d))))
     }.reduce(_ + _)
 
+  /** Native-expression twin of [[hex60]] (functions/Hex60.scala — one
+    * 15-byte loop in codegen instead of 15 substring+instr terms). Used
+    * on the per-shingle hot paths, where this expression runs O(corpus
+    * tokens) times; identical output, so oracles are unchanged. Needs a
+    * session to register the function, hence the DataFrame-scoped form.
+    */
+  private def hex60Native(df: DataFrame, c: Column): Column = {
+    graft.functions.GraftExtensions.install(df.sparkSession)
+    call_function("graft_hex60", c)
+  }
+
   /** Mersenne-prime modulus for the affine re-hash family. */
   val minhashMod = 2147483647L
 
@@ -76,7 +87,7 @@ object Dedup {
     // accept either raw shingle strings or pre-hashed 60-bit ids
     val baseHash =
       if (sh.schema("sh").dataType == org.apache.spark.sql.types.LongType) col("sh")
-      else hex60(md5s(col("sh")))
+      else hex60Native(sh, md5s(col("sh")))
     val based = sh.withColumn("h0", baseHash % minhashMod)
     val minAggs = (0 until numSeeds).map { s =>
       min((col("h0") * (2 * s + 1) + s) % minhashMod).as(s"mh$s")
@@ -131,7 +142,7 @@ object Dedup {
     // shingle strings: cheaper to cache and to join; Jaccard over hashed
     // shingles ≡ over strings at 2^-60 collision odds)
     val sh = shingleTable(docs, idCol, textCol, k)
-      .select(col("doc_id"), hex60(md5s(col("sh"))).as("sh")).persist()
+      .select(col("doc_id"), hex60Native(docs, md5s(col("sh"))).as("sh")).persist()
     val cands = bandCandidates(minhashBands(sh, numSeeds, rowsPerBand))
     pairJaccard(cands, sh)
       .filter(col("jaccard") >= threshold)
@@ -158,7 +169,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, k)
-      .withColumn("hl", hex60(md5s(col("sh"))))
+      .withColumn("hl", hex60Native(docs, md5s(col("sh"))))
     val bitSums = (0 until simhashBits).map { i =>
       val bit = shiftright(col("hl"), i).bitwiseAND(1).cast("int")
       sum(bit * 2 - 1).as(s"s$i")
@@ -298,7 +309,7 @@ object Dedup {
     // join/shuffle on a 60-bit integer shingle id, not the shingle string:
     // same Jaccard (collisions at 2^-60), much smaller shuffle payload
     val sh = shingleTable(docs, idCol, textCol, k)
-      .select(col("doc_id"), hex60(md5s(col("sh"))).as("sh"))
+      .select(col("doc_id"), hex60Native(docs, md5s(col("sh"))).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
     // both self-join branches + sizes read this — materialize once
     val shF = sh.join(rare.select("sh"), "sh").persist()

@@ -99,6 +99,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Blocked k-NN JOIN: top-k neighbors for EVERY query row at once —
+    * the batch shape real pipelines run (embedding table vs itself or a
+    * probe set), not one vector at a time. Both sides are bucketed by
+    * the same hyperplane LSH; candidates are same-bucket pairs (equi-
+    * join — at 100 TB both tables are written partitioned by bucket, so
+    * the join is co-located), then an exact cosine re-rank keeps the
+    * top-k per query via row_number. Recall is bucket-limited like any
+    * single-probe LSH; raise recall by lowering numPlanes or probing
+    * neighbor buckets.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              dims: Int, k: Int, numPlanes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), dims, numPlanes).as("__b"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      lshBucket(col(qVecCol), dims, numPlanes).as("__b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    q.join(c, Seq("__b"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Driver-side twins of scaledDot/cosine — same IEEE double ops and
     * floor-scaling, so coordination decisions made on the driver (e.g.
     * IVF probe selection) agree bit-for-bit with in-plan arithmetic.

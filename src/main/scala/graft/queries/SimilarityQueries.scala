@@ -43,6 +43,17 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 10)
     }),
 
+    // batched k-NN join: top-3 same-bucket neighbors for EVERY vector
+    // with id < 25, in one bucketed equi-join + per-query re-rank
+    "q_sim_knn" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.knnJoin(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 25), "vec_id", "embedding",
+        DIMS, k = 3, numPlanes = LSH_PLANES)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH bucket assignment for every vector (the partitioning key a
     // 100 TB corpus would be bucketed by)
     "q_sim_buckets" -> ((s: SparkSession, d: String) => {
@@ -190,6 +201,24 @@ object SimilarityQueries {
     "q_sim_buckets" ->
       s"""WITH ${sqlBucketCte("embeddings")}
          |SELECT vec_id, bucket FROM embeddings_buckets ORDER BY vec_id""".stripMargin,
+
+    "q_sim_knn" ->
+      s"""WITH ${sqlBucketCte("embeddings", LSH_PLANES)},
+         |pairs AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.embedding AS va, c.embedding AS vb
+         |  FROM embeddings q
+         |    JOIN embeddings_buckets bq ON bq.vec_id = q.vec_id
+         |    JOIN embeddings_buckets bc ON bc.bucket = bq.bucket
+         |    JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id),
+         |$sqlCosineCtes,
+         |ranked AS (
+         |  SELECT id_a AS query_id, id_b AS corpus_id, cosine,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM cos)
+         |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH pairs AS (

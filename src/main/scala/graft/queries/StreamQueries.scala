@@ -57,6 +57,30 @@ object StreamQueries {
         .orderBy(col("day"), col("c_mktsegment"))
     }),
 
+    // stream-stream interval join: click → purchase attribution within
+    // 1 hour for the same user. Both sides carry watermarks and the join
+    // condition bounds event time, so the state store holds only ~1 h +
+    // watermark of each stream per key — the unbounded-stream-safe shape
+    // (an unbounded-time stream-stream join would grow state forever)
+    "q_stream_stream_join" -> ((s: SparkSession, d: String) => {
+      val base = StreamOps.eventsStream(s, d)
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+      StreamOps.runToMemory(s, joined, "mem_ssj", "append")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -101,6 +125,14 @@ object StreamQueries {
          |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY day, c_mktsegment""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_session_window" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,
