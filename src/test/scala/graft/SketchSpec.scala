@@ -30,4 +30,19 @@ class SketchSpec extends SparkSpec {
         s"flag ${r.getString(0)}: approx $a vs exact $e (relErr $relErr > ${5 * rsd})")
     }
   }
+
+  test("approx_percentile lands within rank tolerance of the exact percentile") {
+    // accuracy 1000 → rank error ≤ n/1000; check the returned value's
+    // true rank is within that band of the target rank (the documented
+    // GK-sketch guarantee — the q_agg_median exact twin is the oracle)
+    val acc = 1000
+    val vals = scan(spark, sf001, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("v"))
+    val n = vals.count()
+    val approx = vals.agg(approx_percentile(col("v"), lit(0.5), lit(acc))).head().getDouble(0)
+    val rankOfApprox = vals.filter(col("v") <= approx).count()
+    val tol = math.max(n / acc, 1L) + 1
+    assert(math.abs(rankOfApprox - n / 2) <= tol,
+      s"approx median $approx has rank $rankOfApprox, target ${n / 2} ± $tol of $n")
+  }
 }
