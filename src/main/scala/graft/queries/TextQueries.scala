@@ -47,6 +47,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // edit-distance fuzzy match: nation-name pairs within levenshtein 6 —
+    // the record-linkage primitive (blocked by first letter here; at
+    // corpus scale the block key is the join key, never all-pairs)
+    "q_text_levenshtein" -> ((s: SparkSession, d: String) => {
+      val n = scan(s, d, "nation").select(col("n_name"))
+      val a = n.select(col("n_name").as("name_a"))
+        .withColumn("__blk", substring(col("name_a"), 1, 1))
+      val b = n.select(col("n_name").as("name_b"))
+        .withColumn("__blk", substring(col("name_b"), 1, 1))
+      a.join(b, Seq("__blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 6)
+        .select(col("name_a"), col("name_b"), col("lev"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
     // corpus heavy hitters: top-30 tokens by frequency with deterministic
     // tie-break — vocabulary statistics for tokenizer/quality work. The
     // groupBy is partial-aggregated map-side; top-k is
@@ -124,6 +141,14 @@ object TextQueries {
          |  CAST(score_zh AS BIGINT) AS score_zh
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "q_text_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS lev
+        |FROM nation a JOIN nation b
+        |  ON substring(a.n_name, 1, 1) = substring(b.n_name, 1, 1)
+        | AND a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 6
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_text_heavyhitters" ->
       raw"""SELECT token, COUNT(*) AS cnt
            |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -53,6 +53,20 @@ object WindowQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // first/last/nth value over a full-partition frame — frame-boundary
+    // semantics (last_value needs the unbounded-following frame or it
+    // degenerates to the current row on both engines)
+    "q_win_nth" -> ((s: SparkSession, d: String) => {
+      val full = perCustomer.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      scan(s, d, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(full))
+        .withColumn("last_key", last(col("o_orderkey")).over(full))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("first_key"), col("last_key"), col("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // rank ratios — exact divisions, identical IEEE on both engines
     "q_win_pct" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -110,6 +124,15 @@ object WindowQueries {
         |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS sum3,
         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n3
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
