@@ -2,11 +2,13 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.{Connector, Filter, Sort}
+import graft.model.{AggSpec, Connector, Filter, GroupBySpec, JoinSpec, Sort}
+import graft.ops.ExactAgg
 import graft.transform.Transforms
 
 /** Compiles the declarative [[graft.model.Connector]] into a Spark logical
-  * plan: scan → filter → transform → select → sort → offset/limit.
+  * plan: scan → filter → transform → joins → groupBy/having → select →
+  * sort → offset/limit (joins/groupBy are the SURVEY §7.1 extensions).
   *
   * This replaces the reference's per-adapter query compilers (e.g.
   * buildSelectQuery, adapters/postgresql/src/index.ts:147-190; Mongo find
@@ -57,6 +59,48 @@ object QueryBuilder {
   def sortToColumn(s: Sort): Column =
     if (s.ascending) col(s.field).asc else col(s.field).desc
 
+  /** Agg registry (extension — SURVEY §7.1). sum/avg take the ExactAgg
+    * decimal path so the declarative surface inherits order-independent
+    * numerics; unknown functions fail at plan build (allowlist, like F6).
+    */
+  def aggToColumn(a: AggSpec): Column = {
+    val named = a.function match {
+      case "count"          => count(lit(1))
+      case "sum"            => ExactAgg.dsum(col(a.field))
+      case "avg"            => ExactAgg.davg(col(a.field))
+      case "min"            => min(col(a.field))
+      case "max"            => max(col(a.field))
+      case "count_distinct" => countDistinct(col(a.field))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported aggregate function: $other")
+    }
+    named.as(Option(a.as).getOrElse(
+      if (a.field == null) a.function else s"${a.function}_${a.field}"))
+  }
+
+  private val joinTypes =
+    Set("inner", "left", "right", "full", "left_semi", "left_anti")
+
+  private def applyJoin(spark: SparkSession, dir: String,
+                        df: DataFrame, j: JoinSpec): DataFrame = {
+    if (!joinTypes(j.joinType))
+      throw new IllegalArgumentException(s"unsupported join type: ${j.joinType}")
+    val right0 = scan(spark, dir, j.table)
+    val right = if (j.broadcastRight) broadcast(right0) else right0
+    if (j.leftOn == j.rightOn) df.join(right, Seq(j.leftOn), j.joinType)
+    else df.join(right, df(j.leftOn) === right(j.rightOn), j.joinType)
+  }
+
+  private def applyGroupBy(df: DataFrame, g: GroupBySpec): DataFrame = {
+    require(g.aggs.nonEmpty, "groupBy requires at least one aggregate")
+    val aggCols = g.aggs.map(aggToColumn)
+    val grouped = df.groupBy(g.fields.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    if (g.having.nonEmpty)
+      grouped.filter(g.having.map(filterToColumn).reduce(_ && _))
+    else grouped
+  }
+
   /** Scan a named testdata table: `$dir/$table.parquet`.
     *
     * events.ts is stored as parquet TIMESTAMP(NANOS) which Spark reads as
@@ -100,6 +144,10 @@ object QueryBuilder {
       df = df.filter(c.filters.map(filterToColumn).reduce(_ && _))
     if (c.transformations.nonEmpty)
       df = Transforms.applyAll(df, c.transformations)
+    // extensions: joins after filters/transforms (filters stay pushable
+    // to the left scan), aggregation after joins, HAVING on agg output
+    c.joins.foreach(j => df = applyJoin(spark, dir, df, j))
+    c.groupBy.foreach(g => df = applyGroupBy(df, g))
     if (c.fields.nonEmpty)
       df = df.select(c.fields.map(col): _*)
     if (c.sort.nonEmpty)

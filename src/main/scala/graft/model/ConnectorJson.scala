@@ -63,6 +63,26 @@ object ConnectorJson {
       end = opt(n, "end").map(_.asInt()).getOrElse(Int.MaxValue),
       fields = strSeq(n.get("fields")))
 
+  def parseJoin(n: JsonNode): JoinSpec =
+    JoinSpec(
+      table = n.get("table").asText(),
+      leftOn = n.get("leftOn").asText(),
+      rightOn = n.get("rightOn").asText(),
+      joinType = opt(n, "type").map(_.asText()).getOrElse("inner"),
+      broadcastRight = opt(n, "broadcast").exists(_.asBoolean()))
+
+  def parseAgg(n: JsonNode): AggSpec =
+    AggSpec(
+      function = n.get("function").asText(),
+      field = opt(n, "field").map(_.asText()).orNull,
+      as = opt(n, "as").map(_.asText()).orNull)
+
+  def parseGroupBy(n: JsonNode): GroupBySpec =
+    GroupBySpec(
+      fields = strSeq(n.get("fields")),
+      aggs = opt(n, "aggs").map(_.elements().asScala.map(parseAgg).toSeq).getOrElse(Nil),
+      having = opt(n, "having").map(_.elements().asScala.map(parseFilter).toSeq).getOrElse(Nil))
+
   def parse(json: String): Connector = {
     val root = mapper.readTree(json)
     require(root.hasNonNull("table"), "connector JSON requires 'table'")
@@ -74,6 +94,8 @@ object ConnectorJson {
       limit = opt(root, "limit").map(_.asLong()).getOrElse(1000000L),
       offset = opt(root, "offset").map(_.asLong()).getOrElse(0L),
       transformations = opt(root, "transformations")
-        .map(_.elements().asScala.map(parseTransformation).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(parseTransformation).toSeq).getOrElse(Nil),
+      joins = opt(root, "joins").map(_.elements().asScala.map(parseJoin).toSeq).getOrElse(Nil),
+      groupBy = opt(root, "groupBy").map(parseGroupBy))
   }
 }

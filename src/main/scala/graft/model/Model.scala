@@ -50,8 +50,39 @@ final case class Transformation(
     fields: Seq[String] = Nil
 )
 
+/** Declarative aggregate — EXTENSION beyond the reference (SURVEY §7.1
+  * "adds Agg/Join/Window specs as extensions"; the reference has no
+  * aggregation surface, §2.5). `function` is allowlisted in
+  * [[graft.engine.QueryBuilder.aggToColumn]]; sums/avgs run through
+  * [[graft.ops.ExactAgg]] so declarative results are order-independent.
+  */
+final case class AggSpec(function: String, field: String = null, as: String = null)
+
+/** Declarative GROUP BY with HAVING (post-aggregation filters reuse the
+  * Filter operator registry against the agg output names).
+  */
+final case class GroupBySpec(
+    fields: Seq[String],
+    aggs: Seq[AggSpec],
+    having: Seq[Filter] = Nil
+)
+
+/** Declarative equi-join to another table — EXTENSION (SURVEY §2.4: the
+  * reference has no joins). `broadcastRight` marks a dimension-sized
+  * right side for a broadcast-hash join (no fact shuffle).
+  */
+final case class JoinSpec(
+    table: String,
+    leftOn: String,
+    rightOn: String,
+    joinType: String = "inner",            // inner|left|right|full|left_semi|left_anti
+    broadcastRight: Boolean = false
+)
+
 /** The query half of a pipeline endpoint — reference src/types.ts:242-264.
   * `table` names a testdata parquet table (or any registered source path).
+  * `joins` and `groupBy` are extensions (SURVEY §7.1) — the declarative
+  * surface a reference user grows into once joins/aggs exist.
   */
 final case class Connector(
     table: String,
@@ -60,7 +91,9 @@ final case class Connector(
     sort: Seq[Sort] = Nil,
     limit: Long = 1000000L,                // DEFAULT_CONFIG.TOTAL_ITEMS_LIMIT, src/index.ts:31-34
     offset: Long = 0L,
-    transformations: Seq[Transformation] = Nil
+    transformations: Seq[Transformation] = Nil,
+    joins: Seq[JoinSpec] = Nil,
+    groupBy: Option[GroupBySpec] = None
 )
 
 /** A named queryable endpoint with default projection — reference

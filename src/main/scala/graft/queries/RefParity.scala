@@ -118,7 +118,49 @@ object RefParity {
       sort = Seq(Sort.desc("l_extendedprice"), Sort.asc("l_orderkey"), Sort.asc("l_linenumber"),
         Sort.asc("l_quantity"), Sort.asc("l_returnflag")),
       limit = 100
-    )) _
+    )) _,
+
+    // SURVEY §7.1 extension surface, fully declared as the JSON a
+    // reference user would write: filter → broadcast join → groupBy with
+    // ExactAgg sums → HAVING → sort. Parsed through ConnectorJson so the
+    // whole declarative path (JSON → model → Catalyst plan) is verified
+    "q_connector_join_agg" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "orders",
+          |  "filters": [{"field": "o_totalprice", "operator": ">", "value": 1000}],
+          |  "joins": [{"table": "customer", "leftOn": "o_custkey",
+          |             "rightOn": "c_custkey", "type": "inner", "broadcast": true}],
+          |  "groupBy": {
+          |    "fields": ["c_mktsegment", "o_orderstatus"],
+          |    "aggs": [
+          |      {"function": "count", "as": "n"},
+          |      {"function": "sum", "field": "o_totalprice", "as": "revenue"},
+          |      {"function": "avg", "field": "o_totalprice", "as": "avg_price"},
+          |      {"function": "count_distinct", "field": "o_custkey", "as": "n_cust"}
+          |    ],
+          |    "having": [{"field": "n", "operator": ">=", "value": 10}]
+          |  },
+          |  "sort": [{"field": "c_mktsegment", "type": "asc"},
+          |           {"field": "o_orderstatus", "type": "asc"}]
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    }),
+
+    // declarative left join + projection (no aggregation): the other
+    // extension shape, also via JSON
+    "q_connector_join" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "customer",
+          |  "joins": [{"table": "nation", "leftOn": "c_nationkey",
+          |             "rightOn": "n_nationkey", "type": "left", "broadcast": true}],
+          |  "fields": ["c_custkey", "c_name", "n_name"],
+          |  "sort": [{"field": "c_custkey", "type": "asc"}],
+          |  "limit": 1000
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,6 +198,20 @@ object RefParity {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag FROM lineitem
         |WHERE l_quantity < 24 AND l_returnflag = 'N'
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q_connector_join_agg" ->
+      s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+         |  ${graft.ops.ExactAgg.sqlDsum("o_totalprice")} AS revenue,
+         |  ${graft.ops.ExactAgg.sqlDavg("o_totalprice")} AS avg_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_totalprice > 1000
+         |GROUP BY c_mktsegment, o_orderstatus
+         |HAVING COUNT(*) >= 10
+         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_connector_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin
   )
 }

@@ -53,6 +53,35 @@ class ConnectorJsonSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ConnectorJson.parse("""{"fields": ["x"]}""") }
   }
 
+  test("extended connector JSON parses joins and groupBy (SURVEY §7.1 extensions)") {
+    val c = ConnectorJson.parse(
+      """{
+        |  "table": "orders",
+        |  "joins": [{"table": "customer", "leftOn": "o_custkey",
+        |             "rightOn": "c_custkey", "type": "left", "broadcast": true}],
+        |  "groupBy": {
+        |    "fields": ["c_mktsegment"],
+        |    "aggs": [{"function": "count", "as": "n"},
+        |             {"function": "sum", "field": "o_totalprice", "as": "rev"}],
+        |    "having": [{"field": "n", "operator": ">", "value": 5}]
+        |  }
+        |}""".stripMargin)
+    assert(c.joins == Seq(JoinSpec("customer", "o_custkey", "c_custkey", "left", broadcastRight = true)))
+    val g = c.groupBy.get
+    assert(g.fields == Seq("c_mktsegment"))
+    assert(g.aggs == Seq(AggSpec("count", null, "n"), AggSpec("sum", "o_totalprice", "rev")))
+    assert(g.having == Seq(Filter("n", ">", 5L)))
+  }
+
+  test("declarative broadcast join plans as BroadcastHashJoin") {
+    val df = graft.engine.QueryBuilder.build(spark, sf001, Connector(
+      "orders",
+      joins = Seq(JoinSpec("customer", "o_custkey", "c_custkey", broadcastRight = true)),
+      groupBy = Some(GroupBySpec(Seq("c_mktsegment"), Seq(AggSpec("count", as = "n"))))))
+    assert(df.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"))
+    assert(df.count() > 0)
+  }
+
   test("unknown source name errors like adapter-not-found") {
     val reg = new SourceRegistry()
     intercept[IllegalArgumentException] { reg.load(spark, "nope") }

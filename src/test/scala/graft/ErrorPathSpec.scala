@@ -43,4 +43,29 @@ class ErrorPathSpec extends SparkSpec {
         "region", filters = Seq(Filter("r_regionkey", "between", Seq(1))))).collect()
     }
   }
+
+  test("unknown aggregate function is a plan-time allowlist error") {
+    val e = intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", groupBy = Some(GroupBySpec(Seq("o_orderstatus"),
+          Seq(AggSpec("median_of_medians", "o_totalprice"))))))
+    }
+    assert(e.getMessage.contains("unsupported aggregate function"))
+  }
+
+  test("unknown join type is a plan-time allowlist error") {
+    val e = intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", joins = Seq(JoinSpec("customer", "o_custkey", "c_custkey",
+          joinType = "sideways"))))
+    }
+    assert(e.getMessage.contains("unsupported join type"))
+  }
+
+  test("groupBy without aggregates is rejected") {
+    intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", groupBy = Some(GroupBySpec(Seq("o_orderstatus"), Nil))))
+    }
+  }
 }
