@@ -78,6 +78,37 @@ object QueryBuilder {
       if (a.field == null) a.function else s"${a.function}_${a.field}"))
   }
 
+  /** Window registry (extension — SURVEY §7.1). Aggregating windows use
+    * the ExactAgg running-sum path; rank-family functions need no field.
+    */
+  def windowToColumn(w: graft.model.WindowFnSpec): Column = {
+    import org.apache.spark.sql.expressions.Window
+    require(w.orderBy.nonEmpty || Set("sum", "avg", "min", "max", "count")(w.function),
+      s"window function ${w.function} requires orderBy")
+    val base = if (w.partitionBy.nonEmpty)
+      Window.partitionBy(w.partitionBy.map(col): _*) else Window.partitionBy()
+    val spec = if (w.orderBy.nonEmpty) base.orderBy(w.orderBy.map(sortToColumn): _*) else base
+    val c = w.function match {
+      case "row_number" => row_number().over(spec)
+      case "rank"       => rank().over(spec)
+      case "dense_rank" => dense_rank().over(spec)
+      case "lag"        => lag(col(w.field), w.offset).over(spec)
+      case "lead"       => lead(col(w.field), w.offset).over(spec)
+      case "sum" =>
+        val frame = if (w.orderBy.nonEmpty)
+          spec.rowsBetween(Window.unboundedPreceding, Window.currentRow) else spec
+        ExactAgg.dsumOver(col(w.field), frame)
+      case "avg"   => avg(col(w.field)).over(spec)
+      case "min"   => min(col(w.field)).over(spec)
+      case "max"   => max(col(w.field)).over(spec)
+      case "count" => count(lit(1)).over(spec)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported window function: $other")
+    }
+    c.as(Option(w.as).getOrElse(
+      if (w.field == null) w.function else s"${w.function}_${w.field}"))
+  }
+
   private val joinTypes =
     Set("inner", "left", "right", "full", "left_semi", "left_anti")
 
@@ -145,8 +176,12 @@ object QueryBuilder {
     if (c.transformations.nonEmpty)
       df = Transforms.applyAll(df, c.transformations)
     // extensions: joins after filters/transforms (filters stay pushable
-    // to the left scan), aggregation after joins, HAVING on agg output
+    // to the left scan), windows after joins, aggregation last, HAVING
+    // on agg output
     c.joins.foreach(j => df = applyJoin(spark, dir, df, j))
+    c.windows.foreach(w => df = df.withColumn(
+      Option(w.as).getOrElse(if (w.field == null) w.function else s"${w.function}_${w.field}"),
+      windowToColumn(w)))
     c.groupBy.foreach(g => df = applyGroupBy(df, g))
     if (c.fields.nonEmpty)
       df = df.select(c.fields.map(col): _*)

@@ -83,6 +83,15 @@ object ConnectorJson {
       aggs = opt(n, "aggs").map(_.elements().asScala.map(parseAgg).toSeq).getOrElse(Nil),
       having = opt(n, "having").map(_.elements().asScala.map(parseFilter).toSeq).getOrElse(Nil))
 
+  def parseWindow(n: JsonNode): WindowFnSpec =
+    WindowFnSpec(
+      function = n.get("function").asText(),
+      field = opt(n, "field").map(_.asText()).orNull,
+      as = opt(n, "as").map(_.asText()).orNull,
+      partitionBy = strSeq(n.get("partitionBy")),
+      orderBy = opt(n, "orderBy").map(_.elements().asScala.map(parseSort).toSeq).getOrElse(Nil),
+      offset = opt(n, "offset").map(_.asInt()).getOrElse(1))
+
   def parse(json: String): Connector = {
     val root = mapper.readTree(json)
     require(root.hasNonNull("table"), "connector JSON requires 'table'")
@@ -96,6 +105,7 @@ object ConnectorJson {
       transformations = opt(root, "transformations")
         .map(_.elements().asScala.map(parseTransformation).toSeq).getOrElse(Nil),
       joins = opt(root, "joins").map(_.elements().asScala.map(parseJoin).toSeq).getOrElse(Nil),
-      groupBy = opt(root, "groupBy").map(parseGroupBy))
+      groupBy = opt(root, "groupBy").map(parseGroupBy),
+      windows = opt(root, "windows").map(_.elements().asScala.map(parseWindow).toSeq).getOrElse(Nil))
   }
 }

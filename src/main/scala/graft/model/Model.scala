@@ -79,10 +79,25 @@ final case class JoinSpec(
     broadcastRight: Boolean = false
 )
 
+/** Declarative window function — EXTENSION (SURVEY §7.1; §2.5: the
+  * reference has no windows). `function` is allowlisted in
+  * [[graft.engine.QueryBuilder.windowToColumn]]; `orderBy` should be
+  * key-complete for deterministic ranks (SURVEY §7.4).
+  */
+final case class WindowFnSpec(
+    function: String,                      // row_number|rank|dense_rank|lag|lead|sum|avg|min|max|count
+    field: String = null,                  // null for rank-family
+    as: String = null,
+    partitionBy: Seq[String] = Nil,
+    orderBy: Seq[Sort] = Nil,
+    offset: Int = 1                        // lag/lead distance
+)
+
 /** The query half of a pipeline endpoint — reference src/types.ts:242-264.
   * `table` names a testdata parquet table (or any registered source path).
-  * `joins` and `groupBy` are extensions (SURVEY §7.1) — the declarative
-  * surface a reference user grows into once joins/aggs exist.
+  * `joins`, `groupBy` and `windows` are extensions (SURVEY §7.1) — the
+  * declarative surface a reference user grows into once joins/aggs/
+  * windows exist.
   */
 final case class Connector(
     table: String,
@@ -93,7 +108,8 @@ final case class Connector(
     offset: Long = 0L,
     transformations: Seq[Transformation] = Nil,
     joins: Seq[JoinSpec] = Nil,
-    groupBy: Option[GroupBySpec] = None
+    groupBy: Option[GroupBySpec] = None,
+    windows: Seq[WindowFnSpec] = Nil       // applied after joins, before groupBy
 )
 
 /** A named queryable endpoint with default projection — reference

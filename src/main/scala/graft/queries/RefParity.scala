@@ -147,6 +147,29 @@ object RefParity {
       QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
     }),
 
+    // declarative windows (the third §7.1 extension): per-customer order
+    // rank + running revenue, straight from JSON
+    "q_connector_window" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "orders",
+          |  "windows": [
+          |    {"function": "row_number", "as": "rn",
+          |     "partitionBy": ["o_custkey"],
+          |     "orderBy": [{"field": "o_orderdate", "type": "asc"},
+          |                 {"field": "o_orderkey", "type": "asc"}]},
+          |    {"function": "sum", "field": "o_totalprice", "as": "running_rev",
+          |     "partitionBy": ["o_custkey"],
+          |     "orderBy": [{"field": "o_orderdate", "type": "asc"},
+          |                 {"field": "o_orderkey", "type": "asc"}]}
+          |  ],
+          |  "fields": ["o_custkey", "o_orderkey", "rn", "running_rev"],
+          |  "sort": [{"field": "o_custkey", "type": "asc"},
+          |           {"field": "o_orderkey", "type": "asc"}]
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    }),
+
     // declarative left join + projection (no aggregation): the other
     // extension shape, also via JSON
     "q_connector_join" -> ((spark: SparkSession, dir: String) => {
@@ -212,6 +235,15 @@ object RefParity {
     "q_connector_join" ->
       """SELECT c_custkey, c_name, n_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey LIMIT 1000""".stripMargin
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+    "q_connector_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -68,4 +68,20 @@ class ErrorPathSpec extends SparkSpec {
         "orders", groupBy = Some(GroupBySpec(Seq("o_orderstatus"), Nil))))
     }
   }
+
+  test("unknown window function is a plan-time allowlist error") {
+    val e = intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", windows = Seq(WindowFnSpec("percentile_disc", "o_totalprice",
+          partitionBy = Seq("o_custkey"), orderBy = Seq(Sort.asc("o_orderkey"))))))
+    }
+    assert(e.getMessage.contains("unsupported window function"))
+  }
+
+  test("rank-family window without orderBy is rejected") {
+    intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", windows = Seq(WindowFnSpec("row_number", partitionBy = Seq("o_custkey")))))
+    }
+  }
 }
