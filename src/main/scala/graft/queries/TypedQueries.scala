@@ -38,6 +38,19 @@ object TypedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the custom physical operator (plans/TopKPerKey.scala): logical node
+    // + strategy + partial/final exec pair with map-side pruning — the
+    // per-key top-k that ships ≤ partitions×keys×k rows through the
+    // shuffle instead of the whole table (window twin = the oracle)
+    "q_topk_per_key" -> ((s: SparkSession, d: String) => {
+      graft.plans.TopKPerKey.topKPerKey(
+        scan(s, d, "events").select("event_id", "user_id", "value"),
+        keyCols = Seq("user_id"),
+        sorts = Seq(("value", false), ("event_id", true)),
+        k = 2)
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    }),
+
     "q_typed_topn" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       scan(s, d, "events")
@@ -54,6 +67,14 @@ object TypedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_topk_per_key" ->
+      """WITH ranked AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, value
+        |FROM ranked WHERE rn <= 2
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
     "q_typed_topn" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, value,
