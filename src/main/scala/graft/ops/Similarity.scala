@@ -117,13 +117,19 @@ object Similarity {
       lshBucket(col(vecCol), dims, numPlanes).as("__b"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
       lshBucket(col(qVecCol), dims, numPlanes).as("__b"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    q.join(c, Seq("__b"))
+    val scored = q.join(c, Seq("__b"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+    // per-query top-k via the custom partial/final operator: candidates
+    // are pruned to ≤ k per query per partition BEFORE the shuffle (the
+    // row_number window alone would shuffle every candidate pair); the
+    // tiny survivor set then gets its rank from a window over ≤ k rows
+    val topk = graft.plans.TopKPerKey.topKPerKey(scored,
+      keyCols = Seq("query_id"), sorts = Seq(("cosine", false), ("corpus_id", true)), k = k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    topk.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 

@@ -79,6 +79,18 @@ object AdvancedQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Z-order (Morton) clustering key over (nation, balance-bucket) —
+    // the multi-dimensional layout key (see ops/Layout.scala and
+    // ZOrderSpec for the file-locality demonstration)
+    "q_zorder" -> ((s: SparkSession, d: String) => {
+      val zin1 = col("c_nationkey").cast("long")
+      val zin2 = pmod(floor(col("c_acctbal")).cast("long"), lit(1024L))
+      scan(s, d, "customer")
+        .select(col("c_custkey"),
+          graft.ops.Layout.zorder2(zin1, zin2, bits = 10).as("zkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // unpivot/melt: wide measure columns → long (measure, val) rows —
     // the normalization step feature-store pipelines run before
     // per-feature aggregation. Narrow op, no shuffle
@@ -142,6 +154,14 @@ object AdvancedQueries {
            |       CAST(unnest(range(1, len(ws) + 1)) - 1 AS INT) AS pos,
            |       unnest(ws) AS word
            |FROM w ORDER BY doc_id, pos""".stripMargin,
+    "q_zorder" -> {
+      val zb = graft.ops.Layout.sqlZorder2(
+        "c_nationkey",
+        "((CAST(floor(c_acctbal) AS BIGINT) % 1024) + 1024) % 1024",
+        bits = 10)
+      s"""SELECT c_custkey, $zb AS zkey
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, name AS measure, value AS val
         |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
