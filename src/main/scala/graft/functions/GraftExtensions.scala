@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
     ext.injectFunction(GraftExtensions.hex60Descriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

@@ -44,6 +44,38 @@ object SearchQueries {
         .limit(50)
     }),
 
+    // BM25-shaped ranked retrieval (OR semantics): tf saturation (k1) +
+    // doc-length normalization (b) + RATIONAL idf (N-df+0.5)/(df+0.5) —
+    // the log() of textbook BM25 is libm-dependent and would break the
+    // bit-exact oracle; the rational idf is the same monotone ranking
+    // signal. Per-term weights are floor-scaled to integers (1e9) before
+    // the per-doc sum, so the distributed summation is order-independent
+    // and hash-matches DuckDB exactly
+    "q_text_bm25" -> ((s: SparkSession, d: String) => {
+      val k1 = 1.2
+      val b = 0.75
+      val terms = Seq("spark", "window")
+      val docs = scan(s, d, "documents")
+      val nDocs = docs.count() // metadata-scale driver constants
+      val words = docs
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val nWords = words.count()
+      val avgdl = nWords.toDouble / nDocs.toDouble
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+      val ws = words.filter(col("term").isin(terms: _*))
+      val dfq = ws.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val tf = ws.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val sat = (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+      tf.join(dfq, "term").join(dl, "doc_id")
+        .withColumn("w9", floor(idf * sat * lit(1e9)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("w9")).as("score_x9"))
+        .orderBy(col("score_x9").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // cross-modal: documents joined to their embedding rows
     "q_multimodal_join" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
@@ -79,6 +111,31 @@ object SearchQueries {
            |  GROUP BY tf.doc_id)
            |SELECT doc_id, score FROM scored WHERE n_terms = 2
            |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q_text_bm25" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |consts AS (
+           |  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+           |         ((SELECT COUNT(*)::DOUBLE FROM w)
+           |          / (SELECT COUNT(*)::DOUBLE FROM documents)) AS avgdl),
+           |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+           |f AS (SELECT doc_id, term FROM w WHERE term IN ('spark', 'window')),
+           |dfreq AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM f GROUP BY term),
+           |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM f GROUP BY doc_id, term),
+           |weighted AS (
+           |  SELECT tf.doc_id,
+           |    CAST(floor(
+           |      ((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
+           |      * 1e9) AS BIGINT) AS w9
+           |  FROM tf
+           |    JOIN dfreq d ON tf.term = d.term
+           |    JOIN dl l ON l.doc_id = tf.doc_id
+           |    CROSS JOIN consts c)
+           |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(w9) AS BIGINT) AS score_x9
+           |FROM weighted GROUP BY doc_id
+           |ORDER BY score_x9 DESC, doc_id LIMIT 50""".stripMargin,
     "q_multimodal_join" ->
       """SELECT doc_id, lang, label, n_chars, CAST(len(embedding) AS INT) AS dims
         |FROM documents JOIN embeddings ON doc_id = vec_id
