@@ -62,6 +62,24 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeStub).toDF()
   }
 
+  /** STUB "resize": deterministic byte-level downsample — keep every
+    * `stride`-th byte of the payload (a real implementation decodes and
+    * rescales pixels here; the plumbing — binary in, smaller binary out,
+    * pure in-plan expression, no driver round-trip — is the production
+    * shape). Exactly oracle-checkable since payloads are text bytes.
+    */
+  def resizeStub(media: DataFrame, stride: Int): DataFrame =
+    media.withColumn("resized",
+      expr(s"""filter(transform(sequence(1, length(payload)),
+              |  i -> IF((i - 1) % $stride = 0, substring(payload, i, 1), null)),
+              |  x -> x IS NOT NULL)""".stripMargin)
+        .cast("array<string>"))
+      .withColumn("resized", concat_ws("", col("resized")).cast("binary"))
+      .select(col("media_id"), col("mime"),
+        length(col("payload")).as("orig_bytes"),
+        length(col("resized")).as("resized_bytes"),
+        col("resized"))
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `stride`-th — in-plan binary arithmetic (posexplode over a
     * computed index range), the shape video frame-extraction takes

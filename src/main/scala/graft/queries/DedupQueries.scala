@@ -54,13 +54,29 @@ object DedupQueries {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
-    // deterministic hash-sampling: reproducible stratified downsampling
-    // (md5-based, no RNG state — identical on any cluster/run)
+    // deterministic hash-sampling: reproducible downsampling (md5-based,
+    // no RNG state — identical on any cluster/run)
     "q_sample_hash" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
         .filter(Dedup.hex60(md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary"))) % 10 < 3)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // STRATIFIED hash-sampling: per-stratum rates (the corpus-mixing
+    // primitive — e.g. upsample rare languages): en keeps 50%, others
+    // 10%, decided by the same RNG-free md5 predicate per row. The rate
+    // map is pure Column logic, so at 100 TB this is a single codegen'd
+    // filter — no per-group sampleBy driver machinery
+    "q_sample_stratified" -> ((s: SparkSession, d: String) => {
+      val bucket = Dedup.hex60(
+        md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary"))) % 10
+      val keep = when(col("lang") === "en", bucket < 5).otherwise(bucket < 1)
+      scan(s, d, "documents")
+        .filter(keep)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -171,6 +187,14 @@ object DedupQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHex60("md5('sample:' || doc_id::VARCHAR)")} % 10 < 3
          |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+         |FROM documents
+         |WHERE CASE WHEN lang = 'en'
+         |           THEN ${sqlHex60("md5('strat:' || doc_id::VARCHAR)")} % 10 < 5
+         |           ELSE ${sqlHex60("md5('strat:' || doc_id::VARCHAR)")} % 10 < 1 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql

@@ -26,6 +26,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // "resize": every-3rd-byte downsample (stub for a pixel rescale —
+    // the binary-in/binary-out in-plan shape); md5 of the result pins
+    // the exact output bytes
+    "q_multimodal_resize" -> ((s: SparkSession, d: String) => {
+      Multimodal.resizeStub(
+        Multimodal.asMedia(scan(s, d, "documents"), "doc_id", "text"), stride = 3)
+        .select(col("media_id"), col("orig_bytes"), col("resized_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -52,6 +63,17 @@ object MultimodalQueries {
          |$embExprs
          |FROM h ORDER BY media_id""".stripMargin
     },
+    "q_multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    array_to_string([substring(text, i, 1)
+        |                     for i in range(1, length(text) + 1) if (i - 1) % 3 = 0], '') AS resized
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(length(text) AS INT) AS orig_bytes,
+        |  CAST(length(resized) AS INT) AS resized_bytes,
+        |  md5(resized) AS resized_md5
+        |FROM r ORDER BY media_id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS n_frames

@@ -62,6 +62,19 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // unit-norm normalization: the preprocessing step before any cosine
+    // index build. Norm from the exact scaled-integer self-dot (order-
+    // independent), components emitted as scalars for the hash compare
+    "q_sim_normalize" -> ((s: SparkSession, d: String) => {
+      val n2 = Similarity.scaledDot(col("embedding"), col("embedding"))
+      val norm = sqrt(n2.cast("double") / lit(1e12))
+      val comps = (0 until 4).map(i =>
+        (col("embedding")(i).cast("double") / norm).as(s"u$i"))
+      scan(s, d, "embeddings")
+        .select(col("vec_id") +: n2.as("n2_scaled") +: comps: _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding near-dup pairs, blocked by label
     "q_dedup_embed" -> ((s: SparkSession, d: String) => {
       Similarity.blockedNearDup(scan(s, d, "embeddings"),
@@ -219,6 +232,21 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q_sim_normalize" ->
+      s"""WITH terms AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor(CAST(e.embedding[j.j] AS DOUBLE) * CAST(e.embedding[j.j] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+         |    j.j
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS j) j),
+         |norms AS (SELECT vec_id, CAST(SUM(t) AS BIGINT) AS n2 FROM terms GROUP BY vec_id)
+         |SELECT e.vec_id, n.n2 AS n2_scaled,
+         |  CAST(e.embedding[1] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) / 1e12) AS u0,
+         |  CAST(e.embedding[2] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) / 1e12) AS u1,
+         |  CAST(e.embedding[3] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) / 1e12) AS u2,
+         |  CAST(e.embedding[4] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) / 1e12) AS u3
+         |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH pairs AS (
