@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.FormatQueries.queries ++
       graft.queries.ProfileQueries.queries ++
       graft.queries.SearchQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.FormatQueries.oracleSql ++
       graft.queries.ProfileQueries.oracleSql ++
       graft.queries.SearchQueries.oracleSql ++
-      graft.queries.CorpusQueries.oracleSql
+      graft.queries.CorpusQueries.oracleSql ++
+      graft.queries.TpchQueries.oracleSql
 }
