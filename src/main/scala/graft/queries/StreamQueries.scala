@@ -81,6 +81,36 @@ object StreamQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // streaming E→L through the sink surface: readStream → foreachBatch →
+    // Sinks.write (the K-sink batcher under a stream), then verify the
+    // landed data aggregates exactly like the batch table. This is the
+    // reference's declared-but-dead "sync" action made real: each
+    // micro-batch lands through the same sink path batch pipelines use
+    "q_stream_sink" -> ((s: SparkSession, d: String) => {
+      val out = s"/tmp/graft_streamsink_${Integer.toHexString(d.hashCode)}"
+      // clean slate: append-mode landing must not accumulate across runs
+      val dir = new java.io.File(out)
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      val q = StreamOps.eventsStream(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.sinks.Sinks.write(batch,
+            graft.model.SinkSpec("parquet", out, mode = "append"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.ops.ExactAgg.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -125,6 +155,9 @@ object StreamQueries {
          |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY day, c_mktsegment""".stripMargin,
+    "q_stream_sink" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
