@@ -30,7 +30,9 @@ object Bench {
           errors ::= name
           System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query persists must not accumulate
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

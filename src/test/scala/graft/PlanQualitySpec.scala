@@ -75,6 +75,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(1000))
   }
 
+  test("TPC-H Q3 broadcasts the filtered customer dim and plans top-k") {
+    val df = graft.queries.TpchQueries.queries("q_tpch_q3")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the segment-filtered customer side is dimension-sized → broadcast
+    // (no lineitem shuffle for the join), and the LIMIT 10 over the agg
+    // plans as TakeOrderedAndProject
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val df = graft.engine.QueryBuilder.build(spark, sf001, graft.model.Connector(
       table = "lineitem",
