@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
     ext.injectFunction(GraftExtensions.hex60Descriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -50,6 +51,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifyJsToNumber
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteTopKWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteTopKWindow
+    graft.plans.TopKPerKey.install(spark) // rewritten plans need the strategy
   }
 
   /** Column-API entry point (session must have the function installed). */

@@ -72,6 +72,42 @@ class TopKPerKeySpec extends SparkSpec {
     assert(all.count() == n)
   }
 
+  test("RewriteTopKWindow: window+filter+drop(rn) pattern auto-rewrites to TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.install(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    // expected BEFORE triggering the rewrite pattern: keep rn in the
+    // output (rule must NOT fire), drop it driver-side
+    val keptRn = events.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(unwrap(keptRn.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }.isEmpty,
+      "rule fired although rn is still projected")
+    val want = keptRn.drop("rn")
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+      .collect().map(_.toSeq).toSeq
+    // the rewritable shape: rn is dropped in the SAME plan
+    val rewritten = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    val execs = unwrap(rewritten.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }
+    assert(execs.size == 2, "rewrite did not fire:\n" +
+      rewritten.queryExecution.optimizedPlan.toString.take(1200))
+    val got = rewritten.orderBy(col("user_id"), col("value").desc, col("event_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("RewriteTopKWindow leaves rank() (tie-admitting) windows alone") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.install(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    val df = events.withColumn("rk", rank().over(w)).filter(col("rk") <= 2).drop("rk")
+    assert(unwrap(df.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }.isEmpty,
+      "rank() must not rewrite — ties admit more than k rows")
+    df.count() // still executes fine through the window path
+  }
+
   test("missing column is a plan-time error") {
     val e = intercept[IllegalArgumentException] {
       TopKPerKey.topKPerKey(events, Seq("ghost"), Seq(("value", false)), 2)
