@@ -35,6 +35,19 @@ object RestQueries {
         .orderBy(col("id"))
     }),
 
+    // parallel ingest: 4 offset-range partitions page concurrently — the
+    // distributed scale path the reference's serial loop cannot take
+    "q_rest_parallel" -> ((s: SparkSession, _: String) => {
+      s.read.format("graft.sources.rest.RestSource")
+        .option("schema", schemaDdl)
+        .option("url", StubServer.url("/rows"))
+        .option("itemsPerPage", "40")
+        .option("totalLimit", "250")
+        .option("parallelism", "4")
+        .load()
+        .orderBy(col("id"))
+    }),
+
     // filter pushdown: the predicate compiles into f_id_gte/f_id_lte
     // query params, the server filters before paginating, and the engine
     // re-applies the residual — fetches ~60 rows instead of 250
@@ -62,6 +75,10 @@ object RestQueries {
       """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
         |FROM (SELECT unnest(range(1, 251)) AS i)
         |WHERE i BETWEEN 100 AND 160 AND starts_with('Item' || i, 'Item1')
+        |ORDER BY id""".stripMargin,
+    "q_rest_parallel" ->
+      """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(1, 251)) AS i)
         |ORDER BY id""".stripMargin
   )
 }

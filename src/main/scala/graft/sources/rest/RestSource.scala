@@ -47,7 +47,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * itemsPerPage, maxItemsPerPage, totalLimit, maxRetries,
   * retryIntervalMs, requestsPerSecond, timeoutMs,
   * oauthTokenUrl (OAuth2 bearer fetch + refresh-on-401, O8),
-  * modifiedAfter (incremental-read watermark → If-Modified-Since).
+  * modifiedAfter (incremental-read watermark → If-Modified-Since),
+  * parallelism (offset mode + finite totalLimit: N offset-range
+  * partitions paged concurrently — the distributed-ingest scale path).
   */
 class RestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -133,27 +135,66 @@ final class RestScanBuilder(fullSchema: StructType, opts: Map[String, String])
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-rest PushedFilters: [${pushed.mkString(", ")}]"
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(RestPartition(opts, prunedSchema.toDDL, pushedLimit, filterQuery)) // serial page chain ⇒ 1 partition
+
+    /** A cursor chain is inherently serial ⇒ 1 partition. OFFSET
+      * pagination is random-access, so with `parallelism = N` and a
+      * finite `totalLimit` the offset space [0, totalLimit) splits into
+      * N contiguous ranges, one InputPartition each — N executors page
+      * their own slice concurrently (each respecting the rate limit, so
+      * the aggregate rate is N × requestsPerSecond; divide the budget
+      * accordingly). This is the 100× ingest path the reference's
+      * serial loop (src/index.ts:171) cannot take.
+      */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val pageType = opts.getOrElse("pagetype", "offset")
+      val parallelism = opts.getOrElse("parallelism", "1").toInt
+      val totalLimit = opts.get("totallimit").map(_.toLong)
+      val effLimit = (totalLimit, pushedLimit) match {
+        case (Some(t), l) if l >= 0 => Some(math.min(t, l.toLong))
+        case (Some(t), _)           => Some(t)
+        case (None, l) if l >= 0    => Some(l.toLong)
+        case _                      => None
+      }
+      if (pageType == "offset" && parallelism > 1 && effLimit.isDefined) {
+        val total = effLimit.get
+        val per = (total + parallelism - 1) / parallelism
+        (0 until parallelism).iterator
+          .map(i => (i * per, math.min((i + 1) * per, total)))
+          .filter { case (s, e) => e > s }
+          .map { case (s, e) =>
+            RestPartition(opts, prunedSchema.toDDL, -1, filterQuery,
+              startOffset = s, endOffset = e): InputPartition
+          }.toArray
+      } else
+        Array(RestPartition(opts, prunedSchema.toDDL, pushedLimit, filterQuery))
+    }
+
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
           val rp = p.asInstanceOf[RestPartition]
           val schema = if (rp.schemaDdl.trim.isEmpty) new StructType() // count(): all columns pruned
             else StructType.fromDDL(rp.schemaDdl)
-          new RestPartitionReader(rp.opts, schema, rp.limit, rp.filterQuery)
+          new RestPartitionReader(rp.opts, schema, rp.limit, rp.filterQuery,
+            rp.startOffset, rp.endOffset)
         }
       }
   }
 }
 
 final case class RestPartition(opts: Map[String, String], schemaDdl: String, limit: Int,
-                               filterQuery: String = "")
+                               filterQuery: String = "",
+                               startOffset: Long = 0L, endOffset: Long = -1L)
     extends InputPartition
 
-/** The serial page loop, executor-side. */
+/** The page loop, executor-side. With an offset range
+  * [startOffset, endOffset) this reader pages exactly its slice (one of
+  * N parallel partitions); endOffset = -1 means the classic serial
+  * whole-stream loop.
+  */
 final class RestPartitionReader(opts: Map[String, String], schema: StructType, pushedLimit: Int,
-                                filterQuery: String = "")
+                                filterQuery: String = "",
+                                startOffset: Long = 0L, endOffset: Long = -1L)
     extends PartitionReader[InternalRow] {
 
   private val url = opts("url")
@@ -191,7 +232,7 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val startedAt = System.currentTimeMillis()
   private var lastRequestAt = 0L
-  private var offset = 0L
+  private var offset = startOffset
   private var cursor: String = null
   private var exhausted = false
   private var emitted = 0L
@@ -208,12 +249,18 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
     }
     // cursor mode: the FIRST request carries no offset (the server
     // defines the chain start); offset mode sends the page arithmetic
+    // offset-range partitions never request past their slice end
+    val pageLimit =
+      if (pageType == "offset" && endOffset >= 0)
+        math.min(itemsPerPage.toLong, endOffset - offset).toInt
+      else itemsPerPage
+    if (pageLimit <= 0) { exhausted = true; return }
     val fq = if (filterQuery.isEmpty) "" else s"&$filterQuery"
     val pageUrl =
       if (pageType == "cursor")
-        if (cursor == null) s"$url?limit=$itemsPerPage$fq"
-        else s"$url?limit=$itemsPerPage&offset=$cursor$fq"
-      else s"$url?limit=$itemsPerPage&offset=$offset$fq"
+        if (cursor == null) s"$url?limit=$pageLimit$fq"
+        else s"$url?limit=$pageLimit&offset=$cursor$fq"
+      else s"$url?limit=$pageLimit&offset=$offset$fq"
 
     // bounded retry (fetchData, src/index.ts:36-90), with two
     // status-aware paths: 401 → refresh the OAuth bearer once and retry
@@ -266,8 +313,9 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
       cursor = if (next == null || next.isNull) null else next.asText()
       if (cursor == null) exhausted = true // missing cursor stops (src/index.ts:273-282)
     } else {
-      offset += itemsPerPage
-      if (n < itemsPerPage) exhausted = true // short page stops
+      offset += pageLimit
+      if (n < pageLimit) exhausted = true // short page stops
+      if (endOffset >= 0 && offset >= endOffset) exhausted = true // slice done
     }
     if (n == 0) exhausted = true
   }

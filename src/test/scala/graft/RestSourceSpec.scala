@@ -171,6 +171,34 @@ class RestSourceSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == (201L to 250L).toSet)
   }
 
+  test("parallel offset partitions page their slices concurrently and exactly") {
+    StubServer.requestCount.set(0)
+    val df = read("/rows", "itemsPerPage" -> "40",
+      "totalLimit" -> "250", "parallelism" -> "4")
+    assert(df.rdd.getNumPartitions == 4) // 63+63+63+61 offset ranges
+    val rows = df.collect()
+    assert(rows.length == 250)
+    assert(rows.map(_.getLong(0)).toSet == (1L to 250L).toSet) // no dupes, no gaps
+  }
+
+  test("parallelism falls back to the serial loop for cursor mode") {
+    val df = read("/cursor-rows", "pageType" -> "cursor", "itemsPerPage" -> "60",
+      "totalLimit" -> "250", "parallelism" -> "4")
+    assert(df.rdd.getNumPartitions == 1) // cursor chains are serial
+    assert(df.count() == 250)
+  }
+
+  test("parallel partitions compose with filter pushdown") {
+    StubServer.rowsServed.set(0)
+    val rows = read("/rows", "itemsPerPage" -> "40",
+      "totalLimit" -> "250", "parallelism" -> "4")
+      .filter(col("id") >= 100 && col("id") <= 160).collect()
+    assert(rows.map(_.getLong(0)).toSet == (100L to 160L).toSet)
+    // server filters BEFORE paginating, so each slice pages the filtered
+    // stream — still only the 61 matching rows cross the wire in total
+    assert(StubServer.rowsServed.get() == 61, s"served ${StubServer.rowsServed.get()}")
+  }
+
   test("download timeout keeps partial data (S4, src/index.ts:256-262)") {
     StubServer.requestCount.set(0)
     // each page takes ≥200ms; wall-clock budget of ~300ms admits the first
