@@ -33,6 +33,24 @@ object ProfileQueries {
         max(col("o_orderdate")).as("date_max"))
     }),
 
+    // key-skew profile: per-key frequency distribution of a join key —
+    // the diagnostic that picks the hot-key threshold for
+    // Joins.saltedJoin (max/avg ratio >> 1 ⇒ salt those keys). Two
+    // aggregations (key counts, then stats over counts), both
+    // partial-aggregated; exact percentiles over integer counts
+    "q_profile_skew" -> ((s: SparkSession, d: String) => {
+      val counts = scan(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        min(col("n")).as("min_n"),
+        max(col("n")).as("max_n"),
+        percentile(col("n").cast("double"), lit(0.5)).as("p50_n"),
+        percentile(col("n").cast("double"), lit(0.99)).as("p99_n"),
+        (max(col("n")).cast("double") /
+          (sum(col("n")).cast("double") / count(lit(1)).cast("double"))).as("max_over_avg"))
+    }),
+
     // fixed-width histogram (single pass, no per-bin jobs)
     "q_histogram" -> ((s: SparkSession, d: String) => {
       scan(s, d, "orders")
@@ -64,6 +82,13 @@ object ProfileQueries {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_profile_skew" ->
+      """WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |SELECT COUNT(*) AS n_keys, MIN(n) AS min_n, MAX(n) AS max_n,
+        |  quantile_cont(n::DOUBLE, 0.5) AS p50_n,
+        |  quantile_cont(n::DOUBLE, 0.99) AS p99_n,
+        |  MAX(n)::DOUBLE / (SUM(n)::DOUBLE / COUNT(*)::DOUBLE) AS max_over_avg
+        |FROM c""".stripMargin,
     "q_endpoint_defaults" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin
