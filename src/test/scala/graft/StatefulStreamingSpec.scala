@@ -87,4 +87,29 @@ class StatefulStreamingSpec extends SparkSpec {
       .flatten.map(_.numRowsRemoved).sum
     assert(removed > 0, "state store never evicted a row")
   }
+
+  test("stateful streaming runs on the RocksDB state store (large-state backend)") {
+    // the default HDFS-backed store keeps all state on the JVM heap; at
+    // 100 TB-scale key cardinalities the RocksDB provider spills to
+    // local disk — pin that the same query is correct on it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val dd = StreamOps.streamDedup(
+        StreamOps.eventsStream(spark, sf001), Seq("user_id", "event_type"))
+      val got = StreamOps.runToMemory(spark, dd, "mem_dedup_rocks", "append")
+        .orderBy("user_id", "event_type")
+        .as[(Long, String)].collect().toSeq
+      val want = graft.engine.QueryBuilder.scan(spark, sf001, "events")
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type")
+        .as[(Long, String)].collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
