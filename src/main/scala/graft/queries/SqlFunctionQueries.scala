@@ -124,6 +124,19 @@ object SqlFunctionQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // regex-extract-all + structured string surgery (the §2.6 tail:
+    // split_part, translate, ascii); matches serialized via array_join
+    "q_string_regex" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "part")
+        .select(
+          col("p_partkey"),
+          array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), "|").as("words"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          ascii(substring(col("p_name"), 1, 1)).cast("long").as("first_ascii"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // array + map constructors and higher-order functions
     // array columns are string-serialized (array_join) in the FINAL
     // projection only — the driver's pandas compare can't sort ndarray
@@ -181,6 +194,13 @@ object SqlFunctionQueries {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_string_regex" ->
+      raw"""SELECT p_partkey,
+           |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+           |  split_part(p_type, ' ', 1) AS type_head,
+           |  translate(p_brand, '#', '-') AS brand_dashed,
+           |  CAST(ascii(substring(p_name, 1, 1)) AS BIGINT) AS first_ascii
+           |FROM part ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS yr,
