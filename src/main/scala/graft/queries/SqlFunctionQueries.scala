@@ -60,6 +60,21 @@ object SqlFunctionQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // interval arithmetic tier: day/month adds (with Spark/DuckDB's
+    // shared end-of-month clamping), last_day, month truncation
+    "q_date_arith" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 45).as("plus_45d"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus_2mo"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // math/conditional scalar tier
     "q_math_funcs" -> ((s: SparkSession, d: String) => {
       scan(s, d, "lineitem")
@@ -194,6 +209,15 @@ object SqlFunctionQueries {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_string_regex" ->
       raw"""SELECT p_partkey,
            |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
