@@ -73,6 +73,126 @@ object TpchQueries {
             dsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
             dsum(rev)).as("promo_revenue_pct"),
           count(lit(1)).as("n"))
+    }),
+
+    // Q4 shape — order-priority checking. The synthetic schema has no
+    // l_commitdate/l_receiptdate, so "late" = shipped >75 days after the
+    // order date. Semi-join (EXISTS) so multi-lineitem orders count once;
+    // Spark plans the extra range conjunct as a post-probe filter on the
+    // equi semi-join — no nested loop.
+    "q_tpch_q4" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = scan(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 75 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q5 shape — local-supplier volume: the full snowflake join
+    // (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the
+    // c_nationkey=s_nationkey locality constraint. nation/region are
+    // broadcast (tiny dims); the fact-fact joins shuffle on their keys.
+    "q_tpch_q5" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val o = scan(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = scan(s, d, "lineitem")
+      val sup = scan(s, d, "supplier")
+      val n = scan(s, d, "nation")
+      val r = scan(s, d, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q7 shape — volume shipping between two nations, both directions,
+    // grouped by year. Two independent broadcast joins against nation
+    // (customer side and supplier side) + a pair-set filter.
+    "q_tpch_q7" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = scan(s, d, "orders")
+      val c = scan(s, d, "customer")
+      val sup = scan(s, d, "supplier")
+      val n1 = scan(s, d, "nation").select(
+        col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val n2 = scan(s, d, "nation").select(
+        col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("supp_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("cust_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q12 shape — shipping-mode priority mix. No l_shipmode in the
+    // synthetic schema; l_returnflag stands in as the mode column.
+    // Conditional counts (map-side combinable) after one fact-fact join.
+    "q_tpch_q12" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val l = scan(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q18 shape — large-volume customers: groupBy-HAVING on the fact
+    // table first (map-side partial agg shrinks the shuffle), then join
+    // the small surviving key set back to orders/customer.
+    "q_tpch_q18" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = scan(s, d, "orders")
+      val c = scan(s, d, "customer")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19 shape — discounted revenue over an OR-of-ANDs join predicate.
+    // The p_partkey=l_partkey equi-conjunct is common to every disjunct,
+    // so Catalyst still plans a hash join with the OR as a post-filter.
+    "q_tpch_q19" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val p = scan(s, d, "part")
+      val m1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 21)
+      val m2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)
+      val m3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40)
+      l.join(p, l("l_partkey") === p("p_partkey") && (m1 || m2 || m3))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -108,6 +228,70 @@ object TpchQueries {
          |FROM lineitem, part
          |WHERE l_partkey = p_partkey
          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+         |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING ${sqlDsum("l_quantity")} > 300) big
+         |  ON o_orderkey = big.l_orderkey
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q19" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue, COUNT(*) AS n
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey
+         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
   )
 }
