@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.ProfileQueries.queries ++
       graft.queries.SearchQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.TpchQueries.queries
+      graft.queries.TpchQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.ProfileQueries.oracleSql ++
       graft.queries.SearchQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
-      graft.queries.TpchQueries.oracleSql
+      graft.queries.TpchQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 }

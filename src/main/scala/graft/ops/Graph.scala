@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph operators over edge DataFrames — the iterative-join
+  * (Pregel-style) patterns a training-data pipeline needs for link-graph
+  * dedup weighting and domain authority scoring.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Everything is an equi-join on a vertex key: each round is exactly one
+  *    shuffle partitioned by vertex id, the layout a real cluster wants.
+  *  - Triangle counting uses the degree-ordered orientation (each wedge is
+  *    enumerated at its lowest-(degree,id) endpoint), which bounds the wedge
+  *    blowup at O(m^1.5) instead of sum(deg^2) — the difference between
+  *    finishing and dying on a power-law web graph.
+  *  - PageRank keeps all mass integer-scaled (rank DIV degree contributions):
+  *    bit-exact, order-independent sums — no float drift between engines or
+  *    between partition orders (cf. the determinism rules in ExactAgg).
+  */
+object Graph {
+
+  /** Mass scale: each node starts with 1e12 "rank units". */
+  val Scale = 1000000000000L
+  /** Teleport term: 0.15 * Scale. */
+  val Teleport = 150000000000L
+
+  /** Undirected co-occurrence edges: nodes that share at least `minShared`
+    * distinct group keys, one row per pair with left < right. The
+    * group→node table is distinct-ed first so the per-group self-join never
+    * sees duplicate membership rows.
+    */
+  def coOccurrenceEdges(groupNode: DataFrame, groupCol: String, nodeCol: String,
+                        minShared: Long): DataFrame = {
+    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct()
+    val a = m.select(col("g"), col("n").as("s1"))
+    val b = m.select(col("g"), col("n").as("s2"))
+    a.join(b, Seq("g")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("s1"), col("s2"))
+  }
+
+  /** Degree histogram of an undirected edge list (s1 < s2 per row). */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val ends = edges.select(col("s1").as("n")).unionAll(edges.select(col("s2").as("n")))
+    ends.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  /** Exact global triangle count via degree-ordered wedge enumeration.
+    *
+    * Orientation: u→v iff (deg(u), u) < (deg(v), v). Every triangle has a
+    * unique minimum vertex under that total order, and is counted exactly
+    * once as a wedge at it. The closing-edge probe joins back to the
+    * original (s1 < s2) edge list — the wedge endpoints are emitted in id
+    * order, so no symmetric union is needed.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val oriented = sym
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .filter(col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .persist() // reused as wedge legs AND closing probe — one materialization
+    val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
+    val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    val closing = edges.select(col("s1").as("b"), col("s2").as("c"))
+    wedges.join(closing, Seq("b", "c"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Integer-scaled PageRank over a directed edge list (src, dst), `iters`
+    * synchronous rounds. rank'(v) = 0.15·Scale + (85 · Σ_{u→v} rank(u) DIV
+    * deg(u)) DIV 100, all in BIGINT — deterministic across engines and
+    * partition orders. Callers wanting the undirected variant pass both
+    * edge directions (then every node has out-degree ≥ 1 and no dangling
+    * mass). Each round is one shuffle keyed by dst.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .persist() // static per-round join input: pay the degree join once
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(Teleport) + expr("(85 * csum) div 100")).as("r"))
+    }
+    ranks
+  }
+}

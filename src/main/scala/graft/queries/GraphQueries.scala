@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.Graph
+
+/** Graph-operator tier over edge tables derived from the star schema:
+  * a supplier co-supply graph (suppliers sharing ≥145 distinct parts) and
+  * the customer↔supplier order bipartite graph. Degree stats, exact
+  * degree-ordered triangle counting, and integer-scaled PageRank — all
+  * oracle-checked bit-for-bit against DuckDB (integer math only; see
+  * Graph.scala scaladoc for why that matters).
+  */
+object GraphQueries {
+
+  private val MinShared = 145L
+  private val SuppOffset = 1000000L
+  private val PrIters = 3
+
+  private def coSupply(s: SparkSession, d: String): DataFrame =
+    Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared)
+
+  /** customer↔supplier bipartite, both directions; supplier ids offset so
+    * the two key spaces never collide. */
+  private def orderGraph(s: SparkSession, d: String): DataFrame = {
+    val o = scan(s, d, "orders")
+    val l = scan(s, d, "lineitem")
+    val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    cs.select(col("c").as("src"), (col("s") + lit(SuppOffset)).as("dst"))
+      .unionAll(cs.select((col("s") + lit(SuppOffset)).as("src"), col("c").as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree" -> ((s: SparkSession, d: String) =>
+      Graph.degreeHistogram(coSupply(s, d))),
+
+    "q_graph_triangles" -> ((s: SparkSession, d: String) =>
+      Graph.triangleCount(coSupply(s, d))),
+
+    "q_graph_pagerank" -> ((s: SparkSession, d: String) =>
+      Graph.pageRank(orderGraph(s, d), PrIters)
+        .orderBy(col("r").desc, col("node")).limit(20))
+  )
+
+  /** Shared DuckDB CTE: the thresholded co-supply edge list. */
+  private val edgeCte =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |g AS (SELECT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       |      GROUP BY a.s, b.s HAVING count(*) >= $MinShared)""".stripMargin
+
+  /** One PageRank round as SQL (prev CTE name -> this round's SELECT). */
+  private def prRound(prev: String): String =
+    s"""SELECT u.dst AS node,
+       |  CAST(${Graph.Teleport} + (85 * CAST(SUM(r.r // d.d) AS BIGINT)) // 100 AS BIGINT) AS r
+       |FROM und u JOIN deg d ON u.src = d.src JOIN $prev r ON r.node = u.src
+       |GROUP BY u.dst""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_graph_degree" ->
+      s"""$edgeCte,
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT s1 AS n FROM g UNION ALL SELECT s2 AS n FROM g)
+         |        GROUP BY n)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "q_graph_triangles" ->
+      s"""$edgeCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM g e1 JOIN g e2 ON e1.s2 = e2.s1
+         |JOIN g e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2""".stripMargin,
+    "q_graph_pagerank" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS (SELECT c AS src, s + $SuppOffset AS dst FROM cs
+         |        UNION ALL SELECT s + $SuppOffset AS src, c AS dst FROM cs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(${Graph.Scale} AS BIGINT) AS r FROM deg),
+         |i1 AS (${prRound("r0")}),
+         |i2 AS (${prRound("i1")}),
+         |i3 AS (${prRound("i2")})
+         |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCount: known graphs") {
+    // 4-clique has C(4,3)=4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s1", "s2")
+    assert(Graph.triangleCount(k4).head().getLong(0) == 4L)
+    // a path has none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s1", "s2")
+    assert(Graph.triangleCount(path).head().getLong(0) == 0L)
+    // two triangles sharing an edge
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("s1", "s2")
+    assert(Graph.triangleCount(bowtie).head().getLong(0) == 2L)
+  }
+
+  test("degreeHistogram: star graph") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s1", "s2")
+    val h = Graph.degreeHistogram(star).as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 3L, 3L -> 1L)) // 3 leaves of degree 1, 1 hub of degree 3
+  }
+
+  test("coOccurrenceEdges: threshold and duplicate membership rows") {
+    // groups g1,g2 shared by (a,b); g1 only for c; duplicate rows must not
+    // inflate the shared count
+    val m = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"), ("g1", "c"))
+      .toDF("grp", "node")
+    val e2 = Graph.coOccurrenceEdges(m, "grp", "node", 2L).as[(String, String)].collect()
+    assert(e2.toSet == Set(("a", "b")))
+    val e1 = Graph.coOccurrenceEdges(m, "grp", "node", 1L).as[(String, String)].collect()
+    assert(e1.toSet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("pageRank: hub of an undirected star outranks leaves; regular graph stays uniform") {
+    // undirected star: hub 1, leaves 2..5 — pass both edge directions
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val und = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(und, 3).as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(3L) == r(4L) && r(4L) == r(5L))
+    // on a d-regular graph (a 4-cycle) ranks stay exactly at the fixpoint:
+    // 0.15·S + 0.85·S (up to the two integer floors)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val undc = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val rc = Graph.pageRank(undc, 3).as[(Long, Long)].collect().toMap
+    assert(rc.values.toSet.size == 1)
+    assert(math.abs(rc(1L) - Graph.Scale) <= 2L) // floors lose at most 1 unit each
+  }
+}
