@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder.scan
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, TextAnalysis}
 
 /** The flagship LLM-training-data pipeline, end to end in one lazy plan
   * chain: quality filter → exact dedup (fingerprint, min-id survivor) →
@@ -49,6 +49,32 @@ object CorpusQueries {
         .filter(Dedup.hex60(md5(concat(lit("corpus:"), col("doc_id").cast("string")).cast("binary"))) % 2 === 0)
         .select(col("doc_id"), col("lang"), col("source"), col("n_words").cast("long").as("n_words"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: docs from source 'src0' are the held-out
+    // eval suite; flag every train doc sharing a 4-gram with it.
+    "q_decontaminate" -> ((s: SparkSession, d: String) =>
+      CorpusOps.decontaminate(scan(s, d, "documents"), "doc_id", "text",
+          col("source") === "src0", n = 4)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition quality signals per document.
+    "q_text_gopher" -> ((s: SparkSession, d: String) =>
+      CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // PII scrub: emails/phones synthesized from customer fields (the corpus
+    // tables contain none), then redacted + counted — the regex-scrub
+    // semantics are what's under test.
+    "q_text_pii" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val msg = concat(col("c_name"), lit(" <"), lower(col("c_name")),
+        lit("@mail.example.com> tel:555-"), col("c_custkey").cast("string"))
+      c.select(col("c_custkey"),
+          CorpusOps.piiRedact(msg).as("redacted"),
+          CorpusOps.piiEmailCount(msg).as("n_emails"),
+          CorpusOps.piiPhoneCount(msg).as("n_phones"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -94,6 +120,51 @@ object CorpusQueries {
            |FROM deduped
            |WHERE ${DedupQueries.sqlHex60Public("md5('corpus:' || doc_id::VARCHAR)")} % 2 = 0
            |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q_decontaminate" ->
+      raw"""WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |ng AS (SELECT doc_id, source,
+           |         unnest(list_transform(range(1, len(ws) - 2),
+           |                i -> array_to_string(list_slice(ws, i, i + 3), ' '))) AS g
+           |       FROM w),
+           |bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+           |train AS (SELECT DISTINCT doc_id, g FROM ng WHERE source <> 'src0')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |FROM train JOIN bench USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |wx AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+           |wc AS (SELECT doc_id, wd, count(*) AS c FROM wx GROUP BY doc_id, wd),
+           |wstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+           |             CAST(sum(c) AS BIGINT) AS total_words,
+           |             CAST(count(*) AS BIGINT) AS distinct_words
+           |           FROM wc GROUP BY doc_id),
+           |bgx AS (SELECT doc_id,
+           |          unnest(list_transform(range(1, len(ws)),
+           |                 i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+           |        FROM w),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY doc_id, g),
+           |bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+           |             CAST(count(*) AS BIGINT) AS distinct_bigrams
+           |           FROM bgc GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CAST(top_cnt AS DOUBLE) / CAST(total_words AS DOUBLE) AS top_word_frac,
+           |  CAST(distinct_words AS DOUBLE) / CAST(total_words AS DOUBLE) AS type_token_ratio,
+           |  1.0 - CAST(distinct_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE) AS dup_bigram_frac
+           |FROM wstats JOIN bstats USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      """WITH m AS (SELECT c_custkey,
+        |  c_name || ' <' || lower(c_name) || '@mail.example.com> tel:555-' || CAST(c_custkey AS VARCHAR) AS msg
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(msg, '[a-z0-9._%+-]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+        |                 '555-[0-9]+', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(msg, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(msg, '555-[0-9]+')) AS BIGINT) AS n_phones
+        |FROM m ORDER BY c_custkey""".stripMargin
   )
 }

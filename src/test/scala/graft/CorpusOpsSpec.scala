@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams: counts and short-doc guard") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(CorpusOps.wordNgrams(CorpusOps.words(col("t")), 3).as("ng"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty) // 2 words < n=3: guarded, no descending-sequence garbage
+    assert(out(2).isEmpty)
+  }
+
+  test("decontaminate: overlap counted on distinct ngrams only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", false),
+      (2L, "quick brown fox runs far away", false), // shares "quick brown fox"
+      (3L, "totally unrelated words here now", false),
+      (10L, "the quick brown fox sleeps", true) // benchmark doc
+    ).toDF("doc_id", "text", "bench")
+    val out = CorpusOps.decontaminate(docs, "doc_id", "text", col("bench"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L)) // doc1: "the quick brown","quick brown fox"; doc2: one
+  }
+
+  test("repetitionStats: exact fractions on a crafted doc") {
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(docs, "doc_id", "text").head()
+    assert(r.getAs[Double]("top_word_frac") == 0.75) // 'a' 3 of 4
+    assert(r.getAs[Double]("type_token_ratio") == 0.5) // 2 distinct of 4
+    // bigrams: "a a","a a","a b" → 2 distinct of 3
+    assert(math.abs(r.getAs[Double]("dup_bigram_frac") - (1.0 - 2.0 / 3.0)) < 1e-15)
+  }
+
+  test("piiRedact: emails then phones, global") {
+    val df = Seq("mail a.b@x.co and c@y.io or 555-123 then 555-9").toDF("t")
+      .select(CorpusOps.piiRedact(col("t")).as("r"),
+        CorpusOps.piiEmailCount(col("t")).as("e"),
+        CorpusOps.piiPhoneCount(col("t")).as("p"))
+    val row = df.head()
+    assert(row.getString(0) == "mail [EMAIL] and [EMAIL] or [PHONE] then [PHONE]")
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L)
+  }
+}
