@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.SearchQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.QuantizeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.SearchQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
       graft.queries.TpchQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.QuantizeQueries.oracleSql
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding compression operators: symmetric int8 quantization and
+  * product quantization (PQ) code assignment — the storage-side half of
+  * similarity search at 100 TB (a 64-dim float corpus shrinks 4× as int8
+  * and 32× as 8-byte PQ codes; candidate scans then run over codes, with
+  * exact re-rank only on survivors).
+  *
+  * Determinism contract (same rules as [[Similarity]]): every boundary
+  * decision (quantized value, nearest-centroid argmin) happens on
+  * floor-scaled integer arithmetic over identical IEEE doubles, never on
+  * engine-formatted decimals — so DuckDB reproduces Spark's codes
+  * bit-for-bit, and codes don't depend on partitioning or plan shape.
+  */
+object Quantize {
+
+  private val Scale = 1e12
+
+  /** Per-vector max |x| (double). */
+  def maxAbs(vd: Column): Column = array_max(transform(vd, x => abs(x)))
+
+  /** Symmetric int8 scale: maxabs/127, 0 for the all-zero vector. */
+  def int8Scale(vd: Column): Column = {
+    val m = maxAbs(vd)
+    when(m === 0.0, 0.0).otherwise(m / lit(127.0))
+  }
+
+  /** Quantized levels floor(x·127/maxabs) ∈ [-127, 127] as longs.
+    * Floor (not round): round() detours through decimal formatting and
+    * diverges between engines; floor of identical doubles is identical.
+    */
+  def int8Levels(vd: Column): Column = {
+    val m = maxAbs(vd)
+    transform(vd, x =>
+      when(m === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / m).cast("long")))
+  }
+
+  /** Total reconstruction error Σ_i floor(|x_i − q_i·scale|·1e12) as a
+    * long — an order-independent exact sum, comparable across engines.
+    */
+  def int8ReconError(vd: Column, qs: Column, scale: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), size(vd)), i =>
+        floor(abs(element_at(vd, i) - element_at(qs, i).cast("double") * scale) * lit(Scale))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Scaled exact squared L2 distance between a vector slice and a
+    * literal centroid: Σ floor((x−y)²·1e12) as a long.
+    */
+  def scaledSqDist(a: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(a, array(centroid.map(lit): _*),
+        (x, y) => floor((x - y) * (x - y) * lit(Scale)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** PQ code for one subspace: index of the nearest centroid (scaled-L2
+    * argmin, first-minimum = lowest index on ties). `centroids` are the
+    * m-th subvectors of the codebook rows, in codebook order.
+    */
+  def pqSubCode(sub: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => scaledSqDist(sub, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** All M PQ codes for a vector of dims = M · subDim, as an int array.
+    * codebook(k) is the k-th codebook vector (full dims); subvector m of
+    * row k is centroid k of subspace m. Codebook rows are driver-side
+    * constants (metadata scale — same pattern as IVF seeds), so this is
+    * a pure per-row expression: no shuffle, no UDF.
+    */
+  def pqCodes(vd: Column, codebook: Seq[Seq[Double]], m: Int): Column = {
+    require(codebook.nonEmpty && codebook.head.length % m == 0, "dims must divide into m subspaces")
+    val subDim = codebook.head.length / m
+    val codes = (0 until m).map { mi =>
+      val sub = slice(vd, mi * subDim + 1, subDim)
+      pqSubCode(sub, codebook.map(_.slice(mi * subDim, (mi + 1) * subDim)))
+    }
+    array(codes: _*)
+  }
+}

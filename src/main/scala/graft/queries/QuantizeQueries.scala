@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.Quantize
+
+/** Embedding-compression tier: int8 quantization + PQ code assignment
+  * over the embeddings table, both with exact DuckDB oracles (all
+  * boundary decisions in floor-scaled integer arithmetic — see
+  * [[graft.ops.Quantize]]). Array outputs are serialized to CSV strings
+  * in the final projection (driver's pandas compare can't sort arrays).
+  */
+object QuantizeQueries {
+
+  private val PqM = 8 // subspaces
+  private val PqK = 8 // centroids per subspace (= codebook rows)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> ((s: SparkSession, d: String) => {
+      val vd = col("embedding").cast("array<double>")
+      scan(s, d, "embeddings")
+        .withColumn("scale", Quantize.int8Scale(vd))
+        .withColumn("__q", Quantize.int8Levels(vd))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("__q"), x => x.cast("string")), ",").as("q_csv"),
+          Quantize.int8ReconError(vd, col("__q"), col("scale")).as("recon_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_embed_pq" -> ((s: SparkSession, d: String) => {
+      val emb = scan(s, d, "embeddings")
+      // codebook = the PqK smallest-id vectors (deterministic, no trained
+      // state; swap for k-means rows and nothing else changes)
+      val codebook = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(PqK).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val vd = col("embedding").cast("array<double>")
+      emb.select(col("vec_id"),
+          array_join(
+            transform(Quantize.pqCodes(vd, codebook, PqM), c => c.cast("string")),
+            ",").as("codes_csv"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |s AS (SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs FROM v),
+        |q AS (SELECT vec_id, vd, maxabs,
+        |        CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS scale,
+        |        list_transform(vd, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+        |                                     ELSE CAST(floor((x * 127.0) / maxabs) AS BIGINT) END) AS qs
+        |      FROM s)
+        |SELECT vec_id, scale, array_to_string(qs, ',') AS q_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vd) + 1), i ->
+        |    CAST(floor(abs(vd[i] - CAST(qs[i] AS DOUBLE) * scale) * 1000000000000.0) AS BIGINT)))
+        |    AS BIGINT) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_embed_pq" ->
+      s"""WITH cb AS (SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS k
+         |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |sub AS (SELECT CAST(m AS INT) AS m FROM range($PqM) t(m)),
+         |dists AS (SELECT e.vec_id, s.m, cb.k,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS d
+         |  FROM embeddings e, sub s, cb),
+         |best AS (SELECT vec_id, m, k,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+         |         FROM dists)
+         |SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes_csv
+         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  )
+}

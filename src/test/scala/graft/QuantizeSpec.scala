@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantize
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8: levels in [-127,127], reconstruction within one step, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: scale 0, levels 0
+    ).toDF("id", "v")
+    val vd = col("v").cast("array<double>")
+    val out = df.select(col("id"), Quantize.int8Scale(vd).as("s"),
+        Quantize.int8Levels(vd).as("q"),
+        Quantize.int8ReconError(vd, Quantize.int8Levels(vd), Quantize.int8Scale(vd)).as("err"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val s1 = r1.getDouble(1)
+    val q1 = r1.getSeq[Long](2)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(q1(1) == -127L) // the max-|x| element hits the rail exactly
+    // each |x - q·s| < s (floor quantization step), so total < 4·s·1e12
+    assert(r1.getLong(3) < (4 * s1 * 1e12).toLong)
+    val r2 = out(2L)
+    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Long](2).forall(_ == 0L) && r2.getLong(3) == 0L)
+  }
+
+  test("pq: codebook rows self-assign; ties break to lowest index") {
+    val codebook = Seq(Seq(0.0, 0.0, 1.0, 1.0), Seq(1.0, 1.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0))
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),  // = codebook row 0 → codes (0,0)
+      (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),  // = row 1 → (1,1)
+      (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f))   // sub0 ties rows 1,2 → 1; sub1 ties rows 0,2 → 0
+    ).toDF("id", "v")
+    val codes = df.select(col("id"), Quantize.pqCodes(col("v").cast("array<double>"), codebook, 2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 0))
+    assert(codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(1, 0))
+  }
+}
