@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.QuantizeQueries.queries
+      graft.queries.QuantizeQueries.queries ++
+      graft.queries.MergeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracleSql ++
       graft.queries.TpchQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
-      graft.queries.QuantizeQueries.oracleSql
+      graft.queries.QuantizeQueries.oracleSql ++
+      graft.queries.MergeQueries.oracleSql
 }

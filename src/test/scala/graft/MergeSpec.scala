@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(rows: (Long, Int, String)*) = rows.toDF("k", "ver", "val")
+
+  test("upsert: delta overwrites base per key, new keys insert, absent keys survive") {
+    val base = state((1L, 1, "a1"), (2L, 1, "b1"))
+    val delta = state((1L, 2, "a2"), (3L, 1, "c1"))
+    val out = Merge.upsert(base, delta, Seq("k"), Seq("ver"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2, "a2"), (2L, 1, "b1"), (3L, 1, "c1")))
+  }
+
+  test("upsert: associative — batched deltas equal one combined delta") {
+    val base = state((1L, 1, "a1"))
+    val d1 = state((1L, 2, "a2"), (2L, 1, "b1"))
+    val d2 = state((1L, 3, "a3"), (2L, 2, "b2"))
+    val stepwise = Merge.upsert(Merge.upsert(base, d1, Seq("k"), Seq("ver")), d2, Seq("k"), Seq("ver"))
+    val combined = Merge.upsert(base, d1.unionByName(d2), Seq("k"), Seq("ver"))
+    assert(stepwise.as[(Long, Int, String)].collect().toSet ==
+      combined.as[(Long, Int, String)].collect().toSet)
+  }
+
+  test("upsert: version ties resolved deterministically by remaining columns") {
+    val base = state((1L, 1, "x"))
+    val delta = state((1L, 1, "z"), (1L, 1, "y"))
+    val out = Merge.upsert(base, delta, Seq("k"), Seq("ver")).as[(Long, Int, String)].collect()
+    assert(out.toSeq == Seq((1L, 1, "z"))) // struct max totally orders all cols
+  }
+
+  test("scd2: contiguous intervals, one open-ended current row per key") {
+    val ch = state((1L, 1, "a"), (1L, 3, "b"), (1L, 7, "c"), (2L, 5, "z"))
+    val out = Merge.scd2(ch, Seq("k"), "ver", "val")
+      .select(col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Int, Option[Int], Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1, Some(3), false), (1L, 3, Some(7), false), (1L, 7, None, true),
+      (2L, 5, None, true)))
+  }
+}
