@@ -95,16 +95,18 @@ object StreamQueries {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.delete(p); () })
       }
-      val q = StreamOps.eventsStream(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.sinks.Sinks.write(batch,
-            graft.model.SinkSpec("parquet", out, mode = "append"))
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      StreamOps.withStreamParallelism(s) {
+        val q = StreamOps.eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(batch,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), graft.ops.ExactAgg.dsum(col("value")).as("sum_value"))
