@@ -18,14 +18,21 @@ object GraphQueries {
   private val SuppOffset = 1000000L
   private val PrIters = 3
 
+  /** Persisted so the identical edge-derivation subplan is served from
+    * the cache manager across the degree/triangle/(any future) graph
+    * queries — the per-part self-join is the expensive stage. */
   private def coSupply(s: SparkSession, d: String): DataFrame =
     Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared)
+      .persist()
 
   /** customer↔supplier bipartite, both directions; supplier ids offset so
     * the two key spaces never collide. */
   private def orderGraph(s: SparkSession, d: String): DataFrame = {
     val o = scan(s, d, "orders")
     val l = scan(s, d, "lineitem")
+    // NOT persisted: measured at sf0.1, caching cs costs more (blocking
+    // materialization, lost pipelining) than letting the two union
+    // branches recompute the distinct in parallel
     val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
     cs.select(col("c").as("src"), (col("s") + lit(SuppOffset)).as("dst"))
