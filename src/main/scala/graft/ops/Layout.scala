@@ -44,4 +44,88 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------- Hilbert curve
+
+  /** 2-D Hilbert index of (x, y) on a 2^bits × 2^bits grid — the
+    * strictly-better space-filling curve: consecutive indices are ALWAYS
+    * grid neighbors (Manhattan distance 1), so equal-size file chunks of
+    * a Hilbert-sorted table cover compact blobs with no Z-curve "seams"
+    * (a Z-order chunk can jump across the key space mid-chunk).
+    *
+    * Standard xy2d: walk quadrant bits high→low, accumulate s²·((3·rx)⊕ry),
+    * reflect+swap the frame each level (pure when/arith Columns, codegen'd).
+    * Keep `bits` modest (≤ 8): each level's reflect+swap references the
+    * previous level's x AND y in several branches, so after projection
+    * collapse the expression tree grows ~5× per level.
+    */
+  def hilbert2(aCol: Column, bCol: Column, bits: Int = 6): Column = {
+    var x = aCol.cast("long")
+    var y = bCol.cast("long")
+    var d = lit(0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0, when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0, when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** Driver-side twin of [[hilbert2]] for specs/coordination. */
+  def hilbert2Local(xIn: Long, yIn: Long, bits: Int = 6): Long = {
+    var (x, y, d) = (xIn, yIn, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** DuckDB spelling of [[hilbert2]]: a chain of CTEs (one per level, so
+    * the SQL stays LINEAR in `bits` — a single expression would expand
+    * exponentially through the reflect+swap). `src` must provide columns
+    * `hx`, `hy` plus whatever `keptCols` carries through; the final CTE
+    * `hfinal` exposes keptCols + `h`.
+    */
+  def sqlHilbert2Ctes(src: String, keptCols: Seq[String], bits: Int = 6): String = {
+    val kept = keptCols.mkString(", ")
+    val steps = (0 until bits).map { lvl =>
+      val s = 1L << (bits - 1 - lvl)
+      val (px, py, pd) = (s"x$lvl", s"y$lvl", s"d$lvl")
+      s"""h${lvl + 1} AS (SELECT $kept,
+         |  CASE WHEN ($py & $s) > 0 THEN $px
+         |       WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END AS x${lvl + 1},
+         |  CASE WHEN ($py & $s) > 0 THEN $py
+         |       WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END AS y${lvl + 1},
+         |  $pd + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)) AS d${lvl + 1}
+         |  FROM h$lvl)""".stripMargin
+    }
+    (s"h0 AS (SELECT $kept, CAST(hx AS BIGINT) AS x0, CAST(hy AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM $src)" +:
+      steps :+
+      s"hfinal AS (SELECT $kept, CAST(d$bits AS BIGINT) AS h FROM h$bits)").mkString(",\n")
+  }
+
+  /** Write `df` Hilbert-clustered on (aCol, bCol) — same recipe as
+    * [[writeZOrdered]] with the better curve. */
+  def writeHilbertOrdered(df: DataFrame, aCol: String, bCol: String,
+                          path: String, numFiles: Int, bits: Int = 6): Unit =
+    df.withColumn("__h", hilbert2(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
 }

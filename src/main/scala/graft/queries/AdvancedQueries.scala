@@ -91,6 +91,18 @@ object AdvancedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Hilbert clustering key over the same dims — the curve without
+    // Z-order's seams (consecutive keys are always grid neighbors; see
+    // HilbertSpec for the adjacency + locality comparison)
+    "q_hilbert" -> ((s: SparkSession, d: String) => {
+      val hx = pmod(col("c_nationkey").cast("long"), lit(64L))
+      val hy = pmod(floor(col("c_acctbal")).cast("long"), lit(64L))
+      scan(s, d, "customer")
+        .select(col("c_custkey"),
+          graft.ops.Layout.hilbert2(hx, hy, bits = 6).as("hkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // unpivot/melt: wide measure columns → long (measure, val) rows —
     // the normalization step feature-store pipelines run before
     // per-feature aggregation. Narrow op, no shuffle
@@ -161,6 +173,15 @@ object AdvancedQueries {
         bits = 10)
       s"""SELECT c_custkey, $zb AS zkey
          |FROM customer ORDER BY c_custkey""".stripMargin
+    },
+    "q_hilbert" -> {
+      val ctes = graft.ops.Layout.sqlHilbert2Ctes("msrc", Seq("c_custkey"), bits = 6)
+      s"""WITH msrc AS (SELECT c_custkey,
+         |  ((c_nationkey % 64) + 64) % 64 AS hx,
+         |  ((CAST(floor(c_acctbal) AS BIGINT) % 64) + 64) % 64 AS hy
+         |  FROM customer),
+         |$ctes
+         |SELECT c_custkey, h AS hkey FROM hfinal ORDER BY c_custkey""".stripMargin
     },
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, name AS measure, value AS val
