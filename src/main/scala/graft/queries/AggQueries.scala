@@ -157,6 +157,42 @@ object AggQueries {
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // higher central moments (variance/skewness/kurtosis) as a numerically
+    // careful TWO-PASS plan: exact-decimal mean first, then floor-scaled
+    // central sums against the broadcast mean. Spark's built-in skewness/
+    // kurtosis use a streaming one-pass update whose float accumulation is
+    // engine- and partition-order-specific — unusable under a bit-exact
+    // oracle; this shape is deterministic anywhere. No pow(): x^1.5 via
+    // sqrt(v)*v (libm pow is platform-dependent)
+    "q_agg_moments" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val means = l.groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sx"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), (col("sx") / col("n")).as("mean"), col("n"))
+      val dev = col("l_quantity") - col("mean")
+      val cm = l.join(broadcast(means), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsumScaled(dev * dev).as("m2s"),
+          dsumScaled(dev * dev * dev).as("m3s"),
+          dsumScaled(dev * dev * dev * dev).as("m4s"))
+      cm.join(means, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("mean"), col("n"),
+          (col("m2s") / col("n")).as("variance"),
+          ((col("m3s") / col("n")) /
+            (sqrt(col("m2s") / col("n")) * (col("m2s") / col("n")))).as("skewness"),
+          ((col("m4s") / col("n")) /
+            ((col("m2s") / col("n")) * (col("m2s") / col("n")))).as("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // contingency table (df.stat.crosstab — the DataFrame stat surface)
+    "q_crosstab" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy(col("l_returnflag_l_linestatus"))
     })
   )
 
@@ -235,6 +271,28 @@ object AggQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_bydate" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_agg_moments" ->
+      s"""WITH means AS (
+         |  SELECT l_returnflag, ${sqlDsum("l_quantity")} / COUNT(*) AS mean, COUNT(*) AS n
+         |  FROM lineitem GROUP BY l_returnflag),
+         |cm AS (
+         |  SELECT l.l_returnflag,
+         |    ${sqlDsumScaled("(l_quantity - mean) * (l_quantity - mean)")} AS m2s,
+         |    ${sqlDsumScaled("(l_quantity - mean) * (l_quantity - mean) * (l_quantity - mean)")} AS m3s,
+         |    ${sqlDsumScaled("(l_quantity - mean) * (l_quantity - mean) * (l_quantity - mean) * (l_quantity - mean)")} AS m4s
+         |  FROM lineitem l JOIN means m ON l.l_returnflag = m.l_returnflag
+         |  GROUP BY l.l_returnflag)
+         |SELECT c.l_returnflag, mean, n,
+         |  m2s / n AS variance,
+         |  (m3s / n) / (sqrt(m2s / n) * (m2s / n)) AS skewness,
+         |  (m4s / n) / ((m2s / n) * (m2s / n)) AS kurtosis
+         |FROM cm c JOIN means m ON c.l_returnflag = m.l_returnflag
+         |ORDER BY c.l_returnflag""".stripMargin,
+    "q_crosstab" ->
+      """SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
+        |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
+        |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -190,10 +190,87 @@ object SqlFunctionQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
+    // keys and bucket ids are built from
+    "q_bitwise" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and8"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("or12"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_ck"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bit_count(col("o_orderkey")).cast("int").as("nbits"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // higher-order array functions: filter / exists / transform+slice —
+    // the lambda surface (q_array_funcs covers aggregate/distinct/sort)
+    "q_array_hof" -> ((s: SparkSession, d: String) => {
+      val ws = split(trim(col("text")), "\\s+")
+      scan(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(ws, w => length(w) > 5)).as("n_long"),
+          exists(ws, w => w === "spark").as("has_spark"),
+          array_join(transform(slice(ws, 1, 3), w => upper(w)), "|").as("first3_upper"),
+          aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("total_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL parsing/normalization — the web-corpus key-extraction step
+    // (URLs synthesized from doc fields; parse_url does the dissection,
+    // the registered-domain tail via the same regex both engines run)
+    "q_url_parse" -> ((s: SparkSession, d: String) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"), lit("&v=2"))
+      scan(s, d, "documents")
+        .withColumn("__u", url)
+        .select(
+          col("doc_id"),
+          parse_url(col("__u"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("__u"), lit("HOST")).as("host"),
+          parse_url(col("__u"), lit("PATH")).as("path"),
+          parse_url(col("__u"), lit("QUERY"), lit("lang")).as("qlang"),
+          regexp_extract(parse_url(col("__u"), lit("HOST")),
+            "([^.]+\\.[^.]+)$", 1).as("reg_domain"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and8,
+        |  o_orderkey | 4096 AS or12,
+        |  xor(o_orderkey, o_custkey) AS xor_ck,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(o_orderkey) AS INT) AS nbits
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_hof" ->
+      raw"""WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(list_filter(ws, w -> len(w) > 5)) AS INT) AS n_long,
+           |  list_contains(ws, 'spark') AS has_spark,
+           |  array_to_string(list_transform(list_slice(ws, 1, 3), w -> upper(w)), '|') AS first3_upper,
+           |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS total_chars
+           |FROM w ORDER BY doc_id""".stripMargin,
+    "q_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        |    || '?lang=' || lang || '&v=2' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS qlang,
+        |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '([^.]+\.[^.]+)$', 1) AS reg_domain
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_sql_passthrough" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
