@@ -193,6 +193,16 @@ object AggQueries {
     "q_crosstab" -> ((s: SparkSession, d: String) => {
       scan(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
         .orderBy(col("l_returnflag_l_linestatus"))
+    }),
+
+    // string aggregation (group-concat): collected set sorted before the
+    // join so the concatenation is order-deterministic on any engine
+    "q_agg_stringagg" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("int").as("nk"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("nk"))
     })
   )
 
@@ -293,6 +303,11 @@ object AggQueries {
       """SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
         |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
         |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O"
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_stringagg" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin
   )
 }

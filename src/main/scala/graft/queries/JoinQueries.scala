@@ -29,6 +29,40 @@ object JoinQueries {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     }),
 
+    // full outer with BOTH dangling sides non-empty: customers under 800
+    // without a big order (right nulls) + big orders of custkey ≥ 800
+    // (left nulls)
+    "q_join_full" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").filter(col("c_custkey") < 800)
+      val bigOrders = scan(s, d, "orders").filter(col("o_totalprice") > 150000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // cross join (tiny dims — the only place a cross product is sane)
+    "q_join_cross" -> ((s: SparkSession, d: String) => {
+      val r = scan(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val n = scan(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          concat(col("r_name"), lit("/"), col("n_name")).as("pair"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // null-safe equality (<=> / IS NOT DISTINCT FROM): nation 3 nulled on
+    // both sides, so the null block matches null — the semantics a plain
+    // equi-join silently drops
+    "q_join_nullsafe" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey").cast("int"), lit(3)).as("cnk"))
+      val sup = scan(s, d, "supplier")
+        .select(col("s_suppkey"), nullif(col("s_nationkey").cast("int"), lit(3)).as("snk"))
+      c.join(sup, c("cnk") <=> sup("snk"))
+        .select(col("c_custkey"), col("s_suppkey"), col("cnk"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "q_join_semi" -> ((s: SparkSession, d: String) => {
       val c = scan(s, d, "customer")
       val bigOrders = scan(s, d, "orders").filter(col("o_totalprice") > 100000)
@@ -116,6 +150,22 @@ object JoinQueries {
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 50000) o
         |  ON c_custkey = o.o_custkey
         |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey < 800) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name || '/' || n_name AS pair
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT c_custkey, s_suppkey, cnk
+        |FROM (SELECT c_custkey, nullif(CAST(c_nationkey AS INT), 3) AS cnk FROM customer) c
+        |JOIN (SELECT s_suppkey, nullif(CAST(s_nationkey AS INT), 3) AS snk FROM supplier) s
+        |  ON c.cnk IS NOT DISTINCT FROM s.snk
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)

@@ -36,6 +36,20 @@ object SetOpQueries {
       val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
         .filter(col("nk") < 10)
       c.except(sup).orderBy(col("nk"))
+    }),
+
+    // multiset variants: EXCEPT ALL / INTERSECT ALL respect multiplicity
+    // (n_left − n_right / min(n_left, n_right) copies per value)
+    "q_set_except_all" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      c.exceptAll(sup).orderBy(col("nk"))
+    }),
+
+    "q_set_intersect_all" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = scan(s, d, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      c.intersectAll(sup).orderBy(col("nk"))
     })
   )
 
@@ -59,6 +73,16 @@ object SetOpQueries {
       """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |EXCEPT
         |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier WHERE s_nationkey < 10
+        |ORDER BY nk""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |EXCEPT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |INTERSECT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
         |ORDER BY nk""".stripMargin
   )
 }

@@ -85,6 +85,30 @@ object WindowQueries {
         .withColumn("n3", count(lit(1)).over(frame))
         .select(col("o_custkey"), col("o_orderkey"), col("sum3"), col("n3"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // time-series resample + forward-fill: high-value events (> 150)
+    // bucketed to days leave gaps; a generated day×type spine left-joins
+    // the sparse aggregate, missing counts become 0, and the last seen
+    // daily sum carries forward (last(ignoreNulls) over an ordered
+    // frame). The spine is dimension-sized — the fact table never feels
+    // the cross join
+    "q_ts_resample" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events").filter(col("value") > 150)
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), ExactAgg.dsum(col("value")).as("sum_value"))
+      val bounds = scan(s, d, "events")
+        .agg(date_trunc("day", min(col("ts"))).as("d0"), date_trunc("day", max(col("ts"))).as("d1"))
+      val spine = bounds.select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val types = scan(s, d, "events").select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_sum"))
+        .orderBy(col("day"), col("event_type"))
     })
   )
 
@@ -133,6 +157,21 @@ object WindowQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_ts_resample" ->
+      s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         |              COUNT(*) AS n, ${ExactAgg.sqlDsum("value")} AS sum_value
+         |            FROM events WHERE value > 150 GROUP BY 1, 2),
+         |b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+         |             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1 FROM events),
+         |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day FROM b),
+         |types AS (SELECT DISTINCT event_type FROM events),
+         |grid AS (SELECT day, event_type FROM spine CROSS JOIN types)
+         |SELECT g.day, g.event_type,
+         |  CAST(coalesce(e.n, 0) AS BIGINT) AS n,
+         |  last_value(e.sum_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+         |FROM grid g LEFT JOIN ev e ON g.day = e.day AND g.event_type = e.event_type
+         |ORDER BY g.day, g.event_type""".stripMargin
   )
 }
