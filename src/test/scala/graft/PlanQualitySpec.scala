@@ -93,4 +93,45 @@ class PlanQualitySpec extends SparkSpec {
       limit = 10))
     assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
   }
+
+  test("TPC-H Q5 snowflake: nation/region broadcast, no cartesian product") {
+    val plan = graft.queries.TpchQueries.queries("q_tpch_q5")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "snowflake join degenerated to a cross product")
+  }
+
+  test("TPC-H Q19 OR-of-ANDs still plans a hash join on the common equi-key") {
+    val plan = graft.queries.TpchQueries.queries("q_tpch_q19")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // the p_partkey=l_partkey conjunct is common to every disjunct, so
+    // Catalyst must extract it as the join key — a BroadcastNestedLoop
+    // here would be a 100 TB death sentence
+    assert(plan.contains("HashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "OR predicate fell off the hash join")
+  }
+
+  test("decontamination probes the benchmark set as a broadcast hash join") {
+    val df = graft.ops.CorpusOps.decontaminate(
+      scan(spark, sf001, "documents"), "doc_id", "text",
+      col("source") === "src0", n = 4)
+    val plan = df.queryExecution.executedPlan.toString()
+    // train side is the 100 TB side: it must stream map-side against the
+    // broadcast bench n-gram set, never shuffle on the raw n-gram string
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("latest-wins upsert partial-aggregates before the shuffle") {
+    val base = scan(spark, sf001, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val delta = scan(spark, sf001, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    val df = graft.ops.Merge.upsert(base, delta, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    df.collect()
+    // struct-max aggregates: two phases (partial below the exchange,
+    // final above) — the row_number-window formulation would show a
+    // Window + full-row shuffle instead. String check: AQE query stages
+    // hide their subtrees from TreeNode.collect, but print fully.
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"), plan.take(2000))
+    assert(!plan.contains("Window"), "upsert must not use a window")
+  }
 }
