@@ -63,6 +63,45 @@ object CorpusQueries {
       CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Vocabulary build + id encoding — the tokenizer-prep shape: rank the
+    // corpus vocabulary by frequency (stable tie-break on the word), keep
+    // the top 30 as the dictionary, re-encode each doc's first 12 words
+    // as ids (OOV → 0). Dictionary is broadcast-sized by construction;
+    // encoding is explode → broadcast-join → ordered re-assembly.
+    "q_vocab_encode" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = scan(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        posexplode(CorpusOps.words(col("text"))).as(Seq("pos", "w")))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+        .filter(col("id") <= 30)
+        .select(col("w"), col("id"))
+      words.filter(col("pos") < 12)
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), coalesce(col("id"), lit(0)).as("id")))),
+            e => e.getField("id").cast("string")), ",").as("ids_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Length-bucketed batch packing — the pre-training batcher: docs
+    // bucketed by word-count range, numbered deterministically inside
+    // each bucket, grouped into fixed-size batches. One window pass.
+    "q_batch_pack" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = size(CorpusOps.words(col("text")))
+      val bucket = floor(n / lit(50)).cast("long")
+      val w = Window.partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+      scan(s, d, "documents")
+        .select(col("doc_id"), n.cast("long").as("n_words"), bucket.as("len_bucket"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", floor((col("rn") - 1) / lit(8)).cast("long"))
+        .select(col("doc_id"), col("n_words"), col("len_bucket"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: emails/phones synthesized from customer fields (the corpus
     // tables contain none), then redacted + counted — the regex-scrub
     // semantics are what's under test.
@@ -155,6 +194,27 @@ object CorpusQueries {
            |  CAST(distinct_words AS DOUBLE) / CAST(total_words AS DOUBLE) AS type_token_ratio,
            |  1.0 - CAST(distinct_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE) AS dup_bigram_frac
            |FROM wstats JOIN bstats USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_encode" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |w AS (SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) - 1 AS INT) AS pos,
+           |        unnest(ws) AS wd FROM d),
+           |vocab AS (SELECT wd, CAST(row_number() OVER (ORDER BY count(*) DESC, wd) AS INT) AS id
+           |          FROM w GROUP BY wd QUALIFY id <= 30),
+           |enc AS (SELECT doc_id, pos, coalesce(v.id, 0) AS id
+           |        FROM w LEFT JOIN vocab v USING (wd) WHERE pos < 12)
+           |SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_batch_pack" ->
+      raw"""WITH s AS (SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+           |  FROM documents),
+           |b AS (SELECT doc_id, n_words, n_words // 50 AS len_bucket FROM s),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS rn FROM b)
+           |SELECT doc_id, n_words, CAST(len_bucket AS BIGINT) AS len_bucket,
+           |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
+           |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_pii" ->
       """WITH m AS (SELECT c_custkey,
