@@ -94,12 +94,15 @@ object AdvancedQueries {
     // Hilbert clustering key over the same dims — the curve without
     // Z-order's seams (consecutive keys are always grid neighbors; see
     // HilbertSpec for the adjacency + locality comparison)
+    // bits = 5 (32×32 grid): each extra bit level multiplies the
+    // reflect+swap expression tree ~5× — at 6 bits codegen compile alone
+    // cost ~3s; 5 bits keeps the same layout story at interactive cost
     "q_hilbert" -> ((s: SparkSession, d: String) => {
-      val hx = pmod(col("c_nationkey").cast("long"), lit(64L))
-      val hy = pmod(floor(col("c_acctbal")).cast("long"), lit(64L))
+      val hx = pmod(col("c_nationkey").cast("long"), lit(32L))
+      val hy = pmod(floor(col("c_acctbal")).cast("long"), lit(32L))
       scan(s, d, "customer")
         .select(col("c_custkey"),
-          graft.ops.Layout.hilbert2(hx, hy, bits = 6).as("hkey"))
+          graft.ops.Layout.hilbert2(hx, hy, bits = 5).as("hkey"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -175,10 +178,10 @@ object AdvancedQueries {
          |FROM customer ORDER BY c_custkey""".stripMargin
     },
     "q_hilbert" -> {
-      val ctes = graft.ops.Layout.sqlHilbert2Ctes("msrc", Seq("c_custkey"), bits = 6)
+      val ctes = graft.ops.Layout.sqlHilbert2Ctes("msrc", Seq("c_custkey"), bits = 5)
       s"""WITH msrc AS (SELECT c_custkey,
-         |  ((c_nationkey % 64) + 64) % 64 AS hx,
-         |  ((CAST(floor(c_acctbal) AS BIGINT) % 64) + 64) % 64 AS hy
+         |  ((c_nationkey % 32) + 32) % 32 AS hx,
+         |  ((CAST(floor(c_acctbal) AS BIGINT) % 32) + 32) % 32 AS hy
          |  FROM customer),
          |$ctes
          |SELECT c_custkey, h AS hkey FROM hfinal ORDER BY c_custkey""".stripMargin
