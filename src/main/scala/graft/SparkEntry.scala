@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.TpchQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.QuantizeQueries.queries ++
-      graft.queries.MergeQueries.queries
+      graft.queries.MergeQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -76,5 +77,6 @@ object SparkEntry {
       graft.queries.TpchQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.QuantizeQueries.oracleSql ++
-      graft.queries.MergeQueries.oracleSql
+      graft.queries.MergeQueries.oracleSql ++
+      graft.queries.QualityQueries.oracleSql
 }

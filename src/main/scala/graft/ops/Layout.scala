@@ -128,4 +128,37 @@ object Layout {
       .sortWithinPartitions(col("__h"))
       .drop("__h")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction (the OPTIMIZE maintenance op): rewrite a
+    * parquet directory into ~`targetFileBytes`-sized files, preserving
+    * rows exactly. Streaming sinks and incremental syncs accrete tiny
+    * files; at 100 TB an uncompacted table pays per-file open/footer cost
+    * on every scan and starves the scheduler with million-task stages.
+    * Writes to a temp sibling then swaps, so a crash never leaves the
+    * table half-rewritten.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val repart =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(numFiles)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    repart.write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(new java.net.URI(if (path.contains(":")) path else s"file:$path").getPath)
+    val tmpDir = new java.io.File(new java.net.URI(if (tmp.contains(":")) tmp else s"file:$tmp").getPath)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(fs)
+    require(tmpDir.renameTo(fs), s"compaction swap failed: $tmp -> $path")
+    numFiles.toLong
+  }
 }
