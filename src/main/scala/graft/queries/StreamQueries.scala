@@ -113,6 +113,22 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING sessionization: the same native session_window running
+    // under readStream — gap-merged session state maintained by the
+    // stateful operator across micro-batches. Complete mode (keeps all
+    // session state) fits this bounded-replay harness exactly like
+    // q_stream_tumbling; an unbounded deploy switches to append +
+    // watermark so closed sessions evict — same query otherwise
+    "q_stream_session" -> ((s: SparkSession, d: String) => {
+      val agg = StreamOps.eventsStream(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+      StreamOps.runToMemory(s, agg, "mem_stream_session", "complete")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -168,6 +184,25 @@ object StreamQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_stream_session" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR ts - prev_ts >= INTERVAL 6 HOUR
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_session_window" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,

@@ -87,6 +87,26 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // EWMA (α = 1/2) per user over the event-time-ordered value stream.
+    // Halving is EXACT in binary floating point, and both engines fold
+    // left-to-right over the same ordered list (Spark `aggregate` with
+    // the first element as init ≡ DuckDB `list_reduce`), so this
+    // inherently-sequential statistic still hash-matches bit-for-bit.
+    // A non-dyadic α would need the floor-scaling treatment instead
+    "q_ewma" -> ((s: SparkSession, d: String) => {
+      val evs = array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+      scan(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(evs.as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).as("n"),
+          aggregate(
+            slice(col("evs"), lit(2), size(col("evs")) - 1),
+            element_at(col("evs"), 1).getField("value"),
+            (acc, e) => acc / lit(2) + e.getField("value") / lit(2)).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
     // time-series resample + forward-fill: high-value events (> 150)
     // bucketed to days leave gaps; a generated day×type spine left-joins
     // the sparse aggregate, missing counts become 0, and the last seen
@@ -158,6 +178,12 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_ewma" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vals) AS INT) AS n,
+        |  list_reduce(vals, (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_ts_resample" ->
       s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          |              COUNT(*) AS n, ${ExactAgg.sqlDsum("value")} AS sum_value
