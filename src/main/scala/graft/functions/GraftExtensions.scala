@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
     ext.injectFunction(GraftExtensions.hex60Descriptor)
+    ext.injectFunction(GraftExtensions.hilbertDescriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -41,11 +42,21 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val hilbertDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_hilbert takes (x BIGINT, y BIGINT, bits INT)")
+      HilbertIndex(children(0), children(1), children(2))
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(jsToNumberDescriptor, hex60Descriptor).foreach { case (id, info, builder) =>
+    Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))
@@ -64,4 +75,10 @@ object GraftExtensions {
   /** Column-API entry point for the native hex60 (install first). */
   def graft_hex60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("graft_hex60", c)
+
+  /** Column-API entry point for the native Hilbert index (install first). */
+  def graft_hilbert(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                    bits: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("graft_hilbert", x, y,
+      org.apache.spark.sql.functions.lit(bits))
 }

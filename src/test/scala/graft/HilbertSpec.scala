@@ -40,6 +40,26 @@ class HilbertSpec extends SparkSpec {
     assert(zJumps > 0)
   }
 
+  test("native graft_hilbert expression: equals composed/local at full 16-bit resolution") {
+    graft.functions.GraftExtensions.install(spark)
+    // composed-Column form is infeasible at 16 bits (tree grows ~5×/level);
+    // the native loop isn't — check it against the driver twin on a
+    // deterministic point cloud, plus the full 4-bit grid vs the composed form
+    val pts = (0 until 2000).map { i =>
+      ((i * 40503L) % 65536L, (i * 10331L + 7) % 65536L)
+    }
+    val df = pts.toDF("x", "y").select(col("x"), col("y"),
+      graft.functions.GraftExtensions.graft_hilbert(col("x"), col("y"), 16).as("h"))
+    df.as[(Long, Long, Long)].collect().foreach { case (x, y, h) =>
+      assert(h == Layout.hilbert2Local(x, y, 16), s"native mismatch at ($x,$y)")
+    }
+    val grid = for (x <- 0 until side; y <- 0 until side) yield (x.toLong, y.toLong)
+    val both = grid.toDF("x", "y").select(
+      Layout.hilbert2(col("x"), col("y"), bits).as("composed"),
+      graft.functions.GraftExtensions.graft_hilbert(col("x"), col("y"), bits).as("native"))
+    assert(both.filter(col("composed") =!= col("native")).count() == 0)
+  }
+
   test("hilbert layout: equal chunks of the curve cover tighter boxes than Z-order") {
     // split each curve into 16 equal chunks; measure the bounding-box
     // semi-perimeter each chunk spans — the file-level locality a range-
