@@ -46,6 +46,17 @@ object ExactAgg {
   def sqlDsumScaled(expr: String, scale: Int = 6): String =
     s"CAST(SUM(CAST(floor(($expr) * 1e$scale) AS DECIMAL(38,0))) AS DOUBLE) / 1e$scale"
 
+  /** Windowed twin of [[dsumScaled]] — for LARGE computed doubles (≥ ~1e7,
+    * e.g. price²) inside window frames, where the decimal cast of
+    * [[dsumOver]] would hit the shortest-string rounding divergence. */
+  def dsumScaledOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                     scale: Int = 6): Column =
+    (sum(floor(c * math.pow(10, scale)).cast(DecimalType(38, 0))).over(w).cast("double") /
+      math.pow(10, scale))
+
+  def sqlDsumScaledOver(expr: String, over: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(floor(($expr) * 1e$scale) AS DECIMAL(38,0))) OVER $over AS DOUBLE) / 1e$scale"
+
   /** DuckDB spelling of dsum for oracle SQL. */
   def sqlDsum(expr: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"

@@ -87,6 +87,31 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // rolling population stddev over the trailing 4 orders (current + 3
+    // prior): the sums are exact decimals, the moment formula runs on
+    // identical doubles both sides
+    "q_win_rollstd" -> ((s: SparkSession, d: String) => {
+      val frame = perCustomer.rowsBetween(-3, 0)
+      val n = count(lit(1)).over(frame).cast("double")
+      val sx = ExactAgg.dsumOver(col("o_totalprice"), frame)
+      // price² is a computed double ~1e9+: floor-scaled, not decimal-cast
+      val sxx = ExactAgg.dsumScaledOver(col("o_totalprice") * col("o_totalprice"), frame, scale = 3)
+      scan(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sqrt(greatest(sxx / n - (sx / n) * (sx / n), lit(0.0))).as("roll_std"),
+          n.cast("long").as("n_window"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ratio-to-report: each order's share of its customer's exact total
+    "q_win_ratio" -> ((s: SparkSession, d: String) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+      scan(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") / ExactAgg.dsumOver(col("o_totalprice"), byCust)).as("share"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // EWMA (α = 1/2) per user over the event-time-ordered value stream.
     // Halving is EXACT in binary floating point, and both engines fold
     // left-to-right over the same ordered list (Spark `aggregate` with
@@ -178,6 +203,24 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_rollstd" -> {
+      val sx = "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)"
+      val n = "CAST(COUNT(*) OVER w AS DOUBLE)"
+      s"""SELECT o_custkey, o_orderkey,
+         |  sqrt(greatest(
+         |    ${ExactAgg.sqlDsumScaledOver("o_totalprice * o_totalprice", "w", 3)} / $n
+         |    - ($sx / $n) * ($sx / $n), 0.0)) AS roll_std,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+    },
+    "q_win_ratio" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |                      OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_ewma" ->
       """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
         |           FROM events GROUP BY user_id)
