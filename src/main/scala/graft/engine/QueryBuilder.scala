@@ -175,9 +175,22 @@ object QueryBuilder {
       df = df.filter(c.filters.map(filterToColumn).reduce(_ && _))
     if (c.transformations.nonEmpty)
       df = Transforms.applyAll(df, c.transformations)
-    // extensions: joins after filters/transforms (filters stay pushable
-    // to the left scan), windows after joins, aggregation last, HAVING
-    // on agg output
+    // extensions: sample/dedup clean the source before joins (so the
+    // joins see the reduced set), windows after joins, aggregation last,
+    // HAVING on agg output
+    c.sample.foreach { sp =>
+      require(sp.percent >= 0 && sp.percent <= 100, s"sample percent out of range: ${sp.percent}")
+      df = df.filter(
+        graft.ops.Dedup.hex60(md5(concat(lit(sp.salt + ":"),
+          col(sp.column).cast("string")).cast("binary"))) % 100 < sp.percent)
+    }
+    c.dedup.foreach { dd =>
+      require(dd.keys.nonEmpty, "dedup requires at least one key")
+      val payload = df.columns.toSeq.filterNot(dd.keys.contains)
+      df = df.groupBy(dd.keys.map(col): _*)
+        .agg(min(struct(payload.map(col): _*)).as("__s"))
+        .select(dd.keys.map(col) ++ payload.map(p => col(s"__s.$p").as(p)): _*)
+    }
     c.joins.foreach(j => df = applyJoin(spark, dir, df, j))
     c.windows.foreach(w => df = df.withColumn(
       Option(w.as).getOrElse(if (w.field == null) w.function else s"${w.function}_${w.field}"),

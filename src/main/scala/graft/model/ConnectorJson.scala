@@ -106,6 +106,11 @@ object ConnectorJson {
         .map(_.elements().asScala.map(parseTransformation).toSeq).getOrElse(Nil),
       joins = opt(root, "joins").map(_.elements().asScala.map(parseJoin).toSeq).getOrElse(Nil),
       groupBy = opt(root, "groupBy").map(parseGroupBy),
-      windows = opt(root, "windows").map(_.elements().asScala.map(parseWindow).toSeq).getOrElse(Nil))
+      windows = opt(root, "windows").map(_.elements().asScala.map(parseWindow).toSeq).getOrElse(Nil),
+      sample = opt(root, "sample").map(n => SampleSpec(
+        column = n.get("column").asText(),
+        percent = n.get("percent").asInt(),
+        salt = opt(n, "salt").map(_.asText()).getOrElse("graft"))),
+      dedup = opt(root, "dedup").map(n => DedupSpec(keys = strSeq(n.get("keys")))))
   }
 }

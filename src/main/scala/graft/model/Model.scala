@@ -93,6 +93,20 @@ final case class WindowFnSpec(
     offset: Int = 1                        // lag/lead distance
 )
 
+/** Declarative exact dedup — EXTENSION: keep ONE row per key,
+  * deterministically (the minimum remaining-column tuple — a groupBy
+  * struct-min, so it partial-aggregates map-side; `dropDuplicates`'s
+  * arbitrary-survivor semantics can never pass a bit-exact oracle).
+  */
+final case class DedupSpec(keys: Seq[String])
+
+/** Declarative reproducible sample — EXTENSION: keep rows whose salted
+  * content hash lands under `percent` of the bucket space. No RNG state:
+  * the same (salt, column) always selects the same rows on any engine,
+  * any partitioning, any cluster size.
+  */
+final case class SampleSpec(column: String, percent: Int, salt: String = "graft")
+
 /** The query half of a pipeline endpoint — reference src/types.ts:242-264.
   * `table` names a testdata parquet table (or any registered source path).
   * `joins`, `groupBy` and `windows` are extensions (SURVEY §7.1) — the
@@ -109,7 +123,9 @@ final case class Connector(
     transformations: Seq[Transformation] = Nil,
     joins: Seq[JoinSpec] = Nil,
     groupBy: Option[GroupBySpec] = None,
-    windows: Seq[WindowFnSpec] = Nil       // applied after joins, before groupBy
+    windows: Seq[WindowFnSpec] = Nil,      // applied after joins, before groupBy
+    sample: Option[SampleSpec] = None,     // applied after transforms, before dedup
+    dedup: Option[DedupSpec] = None        // applied before joins
 )
 
 /** A named queryable endpoint with default projection — reference

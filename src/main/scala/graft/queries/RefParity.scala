@@ -170,6 +170,22 @@ object RefParity {
       QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
     }),
 
+    // declarative sample + exact dedup, straight from JSON — the
+    // reference user's "clean this extract" config: reproducible salted
+    // hash-sample, then one deterministic survivor per (orderkey, line)
+    "q_connector_dedup" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "lineitem",
+          |  "sample": {"column": "l_orderkey", "percent": 40, "salt": "s42"},
+          |  "dedup": {"keys": ["l_orderkey", "l_linenumber"]},
+          |  "fields": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+          |  "sort": [{"field": "l_orderkey", "type": "asc"},
+          |           {"field": "l_linenumber", "type": "asc"}]
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    }),
+
     // declarative left join + projection (no aggregation): the other
     // extension shape, also via JSON
     "q_connector_join" -> ((spark: SparkSession, dir: String) => {
@@ -236,6 +252,18 @@ object RefParity {
       """SELECT c_custkey, c_name, n_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+    "q_connector_dedup" ->
+      s"""WITH sampled AS (
+         |  SELECT * FROM lineitem
+         |  WHERE ${DedupQueries.sqlHex60Public("md5('s42:' || CAST(l_orderkey AS VARCHAR))")} % 100 < 40),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+         |    ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+         |             l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+         |  FROM sampled)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |FROM dd WHERE rn = 1
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_connector_window" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INT) AS rn,

@@ -73,6 +73,26 @@ class ConnectorJsonSpec extends SparkSpec {
     assert(g.having == Seq(Filter("n", ">", 5L)))
   }
 
+  test("connector JSON parses sample and dedup specs; dedup keeps one row per key") {
+    val c = ConnectorJson.parse(
+      """{
+        |  "table": "lineitem",
+        |  "sample": {"column": "l_orderkey", "percent": 40, "salt": "s42"},
+        |  "dedup": {"keys": ["l_orderkey", "l_linenumber"]}
+        |}""".stripMargin)
+    assert(c.sample.contains(SampleSpec("l_orderkey", 40, "s42")))
+    assert(c.dedup.contains(DedupSpec(Seq("l_orderkey", "l_linenumber"))))
+    val df = graft.engine.QueryBuilder.build(spark, sf001, c)
+    import org.apache.spark.sql.functions._
+    val dupKeys = df.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys == 0, "dedup left duplicate keys")
+    // sampling is a strict, reproducible subset
+    val full = graft.engine.QueryBuilder.build(spark, sf001, c.copy(sample = None))
+    assert(df.count() < full.count())
+    assert(df.count() == graft.engine.QueryBuilder.build(spark, sf001, c).count())
+  }
+
   test("declarative broadcast join plans as BroadcastHashJoin") {
     val df = graft.engine.QueryBuilder.build(spark, sf001, Connector(
       "orders",
