@@ -113,6 +113,50 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING INCREMENTAL SYNC — the reference's whole reason to exist,
+    // end to end: the orders table staged as 3 files arrives as 3
+    // micro-batches (maxFilesPerTrigger=1); each batch UPSERTS into the
+    // parquet target via Merge.upsert with a temp-dir swap (crash-safe,
+    // like Layout.compact). Because latest-wins upsert is associative AND
+    // commutative, the final state is independent of batch order — the
+    // property that makes restart/replay safe on a real sync. Final
+    // target ≡ latest order per customer (same oracle as q_merge_upsert).
+    "q_stream_upsert" -> ((s: SparkSession, d: String) => {
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_upsert_src_$suffix"
+      val target = s"/tmp/graft_upsert_tgt_$suffix"
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      graft.engine.QueryBuilder.scan(s, d, "orders")
+        .repartition(3, col("o_orderkey"))
+        .write.mode("overwrite").parquet(stage)
+      rmTree(new java.io.File(target))
+      val keys = Seq("o_custkey")
+      val version = Seq("o_orderdate", "o_orderkey")
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val tgt = new java.io.File(target)
+            val merged =
+              if (tgt.exists()) graft.ops.Merge.upsert(s.read.parquet(target), batch, keys, version)
+              else graft.ops.Merge.latest(batch, keys, version)
+            val tmp = target + "__swap"
+            merged.write.mode("overwrite").parquet(tmp)
+            rmTree(tgt)
+            require(new java.io.File(tmp).renameTo(tgt), "upsert target swap failed")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(target).orderBy(col("o_custkey"))
+    }),
+
     // STREAMING sessionization: the same native session_window running
     // under readStream — gap-merged session state maintained by the
     // stateful operator across micro-batches. Complete mode (keeps all
@@ -184,6 +228,12 @@ object StreamQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_stream_session" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,
