@@ -195,6 +195,19 @@ object AggQueries {
         .orderBy(col("l_returnflag_l_linestatus"))
     }),
 
+    // skew-safe exact distinct count: two-phase (distinct pairs first,
+    // then count per key). COUNT(DISTINCT) over a skewed key funnels one
+    // key's whole value stream through one reducer; phase 1 here shuffles
+    // on (key, value) — the hot key's values spread across ALL reducers —
+    // and phase 2 counts tiny pre-deduped rows. Same exact answer
+    "q_agg_2phase_distinct" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // string aggregation (group-concat): collected set sorted before the
     // join so the concatenation is order-deterministic on any engine
     "q_agg_stringagg" -> ((s: SparkSession, d: String) => {
@@ -304,6 +317,10 @@ object AggQueries {
         |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
         |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_2phase_distinct" ->
+      """SELECT l_returnflag, COUNT(*) AS n_parts
+        |FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_stringagg" ->
       """SELECT CAST(c_nationkey AS INT) AS nk,
         |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,

@@ -63,6 +63,31 @@ object CorpusQueries {
       CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Content-defined chunking (CDC) for partial-overlap dedup: a word is
+    // a chunk BOUNDARY when its salted hash lands in 1/8 of the space —
+    // so chunk boundaries depend on content, not position, and two docs
+    // sharing a long passage produce identical chunk fingerprints even at
+    // different offsets (what fixed-size chunking can never do). Output:
+    // chunk fingerprints shared by ≥2 docs — the partial-duplication map.
+    "q_text_cdc" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chunks = scan(s, d, "documents")
+        .select(col("doc_id"), posexplode(CorpusOps.words(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_boundary",
+          when(Dedup.hex60(md5(concat(lit("cdc:"), col("w")).cast("binary"))) % 8 === 0, 1L)
+            .otherwise(0L))
+        .withColumn("chunk_idx", sum(col("is_boundary")).over(w))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(md5(array_join(array_sort(collect_list(struct(col("pos"), col("w"))))
+          .getField("w"), " ").cast("binary")).as("chunk_fp"))
+      chunks.groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk_fp"))
+    }),
+
     // Vocabulary build + id encoding — the tokenizer-prep shape: rank the
     // corpus vocabulary by frequency (stable tie-break on the word), keep
     // the top 30 as the dictionary, re-encode each doc's first 12 words
@@ -194,6 +219,24 @@ object CorpusQueries {
            |  CAST(distinct_words AS DOUBLE) / CAST(total_words AS DOUBLE) AS type_token_ratio,
            |  1.0 - CAST(distinct_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE) AS dup_bigram_frac
            |FROM wstats JOIN bstats USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_cdc" -> {
+      val boundary = DedupQueries.sqlHex60Public("md5('cdc:' || wd)")
+      raw"""WITH w AS (SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) - 1 AS INT) AS pos,
+           |             unnest(ws) AS wd
+           |           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)),
+           |b AS (SELECT doc_id, pos, wd,
+           |        CASE WHEN $boundary % 8 = 0 THEN 1 ELSE 0 END AS is_boundary
+           |      FROM w),
+           |c AS (SELECT *, SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_idx FROM b),
+           |ch AS (SELECT doc_id, chunk_idx,
+           |         md5(array_to_string(list(wd ORDER BY pos), ' ')) AS chunk_fp
+           |       FROM c GROUP BY doc_id, chunk_idx)
+           |SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM ch GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
+           |ORDER BY chunk_fp""".stripMargin
+    },
 
     "q_vocab_encode" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
