@@ -178,6 +178,99 @@ object TpchQueries {
         .limit(100)
     }),
 
+    // Q8 shape — national market share: NATION_1 suppliers' fraction of
+    // ASIA-customer revenue per year. Nested conditional share of an
+    // exact sum; nation dims broadcast twice (supplier + customer side).
+    "q_tpch_q8" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val o = scan(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = scan(s, d, "customer")
+      val sup = scan(s, d, "supplier")
+      val n1 = scan(s, d, "nation").select(
+        col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val n2 = scan(s, d, "nation").select(
+        col("n_nationkey").as("cust_nk"), col("n_regionkey").as("cust_rk"))
+      val r = scan(s, d, "region").filter(col("r_name") === "ASIA")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("supp_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("cust_nk"))
+        .join(broadcast(r), col("cust_rk") === r("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q13 shape — customer order-count distribution: LEFT join so
+    // zero-order customers land in the c_count=0 bucket, then a second
+    // aggregation over the first's output
+    "q_tpch_q13" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val o = scan(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q22 shape — "lapsed high-balance customers": scalar-subquery
+    // average (broadcast single row) + anti-join against RECENT orders
+    // (every customer has some order in this corpus; the 2000+ window
+    // keeps the anti-join non-trivially populated)
+    "q_tpch_q22" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val o = scan(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("int").as("nk"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("nk"))
+    }),
+
+    // Q15 shape — top supplier(s) by quarterly revenue: per-supplier
+    // exact revenue, global max as a broadcast scalar, equality join.
+    // Exact decimal sums make the double equality safe cross-engine
+    "q_tpch_q15" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = l.groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("mx"))
+      val sup = scan(s, d, "supplier")
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("mx"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17 shape — small-quantity-order revenue: the correlated per-part
+    // average expressed as its scale shape (pre-aggregated per-part avg
+    // joined back) rather than a re-executed correlated subquery
+    "q_tpch_q17" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val p = scan(s, d, "part").filter(col("p_brand") === "Brand#23")
+      val perPart = l.groupBy(col("l_partkey").as("avg_pk"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(perPart, l("l_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // Q19 shape — discounted revenue over an OR-of-ANDs join predicate.
     // The p_partkey=l_partkey equi-conjunct is common to every disjunct,
     // so Catalyst still plans a hash join with the OR as a post-filter.
@@ -286,6 +379,57 @@ object TpchQueries {
          |      HAVING ${sqlDsum("l_quantity")} > 300) big
          |  ON o_orderkey = big.l_orderkey
          |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${sqlDsum("CASE WHEN n1.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |    / ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |        ON c_custkey = o.o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q22" ->
+      s"""SELECT CAST(c_nationkey AS INT) AS nk, COUNT(*) AS numcust,
+         |  ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlDsum("c_acctbal")} / COUNT(*)
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c_nationkey ORDER BY nk""".stripMargin,
+    "q_tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |             FROM lineitem
+         |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |             GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      s"""WITH pp AS (SELECT l_partkey AS avg_pk,
+         |              ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty
+         |            FROM lineitem GROUP BY l_partkey)
+         |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS n
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN pp ON l_partkey = avg_pk
+         |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
     "q_tpch_q19" ->
       s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue, COUNT(*) AS n
          |FROM lineitem, part
