@@ -84,4 +84,17 @@ class ErrorPathSpec extends SparkSpec {
         "orders", windows = Seq(WindowFnSpec("row_number", partitionBy = Seq("o_custkey")))))
     }
   }
+
+  test("sample percent outside [0,100] is a plan-time error") {
+    intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector(
+        "orders", sample = Some(SampleSpec("o_orderkey", 150))))
+    }
+  }
+
+  test("dedup without keys is a plan-time error") {
+    intercept[IllegalArgumentException] {
+      QueryBuilder.build(spark, sf001, Connector("orders", dedup = Some(DedupSpec(Nil))))
+    }
+  }
 }
