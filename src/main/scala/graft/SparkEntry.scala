@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.QuantizeQueries.queries ++
       graft.queries.MergeQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -78,5 +79,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.QuantizeQueries.oracleSql ++
       graft.queries.MergeQueries.oracleSql ++
-      graft.queries.QualityQueries.oracleSql
+      graft.queries.QualityQueries.oracleSql ++
+      graft.queries.FunnelQueries.oracleSql
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+
+/** Event-analytics tier over the events table: ordered funnel conversion
+  * and weekly cohort retention — the product-analytics workloads an
+  * analytics engine is expected to run at warehouse scale. Both are
+  * chains of keyed aggregations/joins (every step shuffles on user_id,
+  * AQE coalesces the repeats) — no per-user state machines, no UDFs.
+  */
+object FunnelQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ordered funnel view → click → purchase with a 6-hour conversion
+    // window per step: each stage's timestamp must strictly follow the
+    // previous stage's AND land within the window (min-ts chaining, the
+    // standard unordered-log formulation); output = users per stage
+    "q_funnel" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      val win = expr("INTERVAL 6 HOURS")
+      def stageMin(tpe: String) = ev.filter(col("event_type") === tpe)
+      val v = stageMin("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = stageMin("click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = stageMin("purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val users = ev.select(col("user_id")).distinct()
+      users
+        .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+        .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+            coalesce(col("s3"), lit(0))).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // weekly cohort retention on the PURCHASE stream (first-any-event
+    // cohorts are degenerate here — every user is active from week 1):
+    // cohort = first purchase week; cell (cohort, k) = distinct cohort
+    // users purchasing again k weeks in
+    "q_cohort" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events").filter(col("event_type") === "purchase")
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("week")).distinct()
+      active.join(first, Seq("user_id"))
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage,
+        |  COUNT(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_cohort" ->
+      """WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM active a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
+  )
+}
