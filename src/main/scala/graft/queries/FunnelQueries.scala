@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder.scan
+import graft.ops.ExactAgg.{dsum, sqlDsum, sqlDsumScaled, sqlDsumScaledOver}
 
 /** Event-analytics tier over the events table: ordered funnel conversion
   * and weekly cohort retention — the product-analytics workloads an
@@ -56,6 +57,50 @@ object FunnelQueries {
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // two-sample A/B comparison (arm = user_id parity): means/variances
+    // from exact single-pass sums (value² < 1e7 keeps the decimal path
+    // safe), z-statistic on identical IEEE arithmetic both engines
+    "q_ab_test" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      val arm0 = pmod(col("user_id"), lit(2)) === 0
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      def dsumIf(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        dsum(when(c, v).otherwise(lit(0.0)))
+      ev.agg(
+          cnt(arm0).as("n0"), cnt(!arm0).as("n1"),
+          dsumIf(arm0, col("value")).as("sx0"), dsumIf(!arm0, col("value")).as("sx1"),
+          dsumIf(arm0, col("value") * col("value")).as("sxx0"),
+          dsumIf(!arm0, col("value") * col("value")).as("sxx1"))
+        .select(col("n0"), col("n1"),
+          (col("sx0") / col("n0")).as("mean0"),
+          (col("sx1") / col("n1")).as("mean1"),
+          ((col("sx0") / col("n0") - col("sx1") / col("n1")) /
+            sqrt((col("sxx0") / col("n0") - (col("sx0") / col("n0")) * (col("sx0") / col("n0"))) / col("n0") +
+              (col("sxx1") / col("n1") - (col("sx1") / col("n1")) * (col("sx1") / col("n1"))) / col("n1")))
+            .as("z_score"))
+    }),
+
+    // Pareto concentration: suppliers ranked by exact revenue, cumulative
+    // share of the total — the "how few keys carry 80%" skew diagnostic.
+    // The global window runs over the SUPPLIER aggregate (dimension-sized
+    // by construction), never the fact table
+    "q_pareto" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = scan(s, d, "lineitem")
+      val rev = l.groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      val w = Window.orderBy(col("revenue").desc, col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // revenue is a computed double ~1e7: floor-scaled, not decimal-cast
+      val total = rev.agg(graft.ops.ExactAgg.dsumScaled(col("revenue"), 3).as("total"))
+      rev.crossJoin(broadcast(total))
+        .withColumn("cum", graft.ops.ExactAgg.dsumScaledOver(col("revenue"), w, scale = 3))
+        .withColumn("cum_share", col("cum") / col("total"))
+        .filter(col("cum_share") <= 0.8)
+        .select(col("l_suppkey"), col("revenue"), col("cum_share"))
+        .orderBy(col("cum_share"))
     })
   )
 
@@ -79,6 +124,33 @@ object FunnelQueries {
         |       LEFT JOIN c ON u.user_id = c.user_id
         |       LEFT JOIN p ON u.user_id = p.user_id
         |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_ab_test" -> {
+      def d(cond: String, v: String) = sqlDsum(s"CASE WHEN $cond THEN $v ELSE 0.0 END")
+      s"""WITH a AS (SELECT
+         |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  ${d("user_id % 2 = 0", "value")} AS sx0,
+         |  ${d("user_id % 2 <> 0", "value")} AS sx1,
+         |  ${d("user_id % 2 = 0", "value * value")} AS sxx0,
+         |  ${d("user_id % 2 <> 0", "value * value")} AS sxx1
+         |  FROM events)
+         |SELECT n0, n1, sx0 / n0 AS mean0, sx1 / n1 AS mean1,
+         |  (sx0 / n0 - sx1 / n1) /
+         |  sqrt((sxx0 / n0 - (sx0 / n0) * (sx0 / n0)) / n0
+         |     + (sxx1 / n1 - (sx1 / n1) * (sx1 / n1)) / n1) AS z_score
+         |FROM a""".stripMargin
+    },
+    "q_pareto" ->
+      s"""WITH rev AS (SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |             FROM lineitem GROUP BY l_suppkey),
+         |t AS (SELECT ${sqlDsumScaled("revenue", 3)} AS total FROM rev),
+         |cum AS (SELECT l_suppkey, revenue,
+         |          ${sqlDsumScaledOver("revenue", "w", 3)} / total AS cum_share
+         |        FROM rev, t
+         |        WINDOW w AS (ORDER BY revenue DESC, l_suppkey
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT l_suppkey, revenue, cum_share FROM cum
+         |WHERE cum_share <= 0.8 ORDER BY cum_share""".stripMargin,
     "q_cohort" ->
       """WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
         |               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
