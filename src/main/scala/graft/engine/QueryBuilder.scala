@@ -190,10 +190,7 @@ object QueryBuilder {
     }
     c.dedup.foreach { dd =>
       require(dd.keys.nonEmpty, "dedup requires at least one key")
-      val payload = df.columns.toSeq.filterNot(dd.keys.contains)
-      df = df.groupBy(dd.keys.map(col): _*)
-        .agg(min(struct(payload.map(col): _*)).as("__s"))
-        .select(dd.keys.map(col) ++ payload.map(p => col(s"__s.$p").as(p)): _*)
+      df = graft.ops.Merge.keepExtremum(df, dd.keys, leading = Nil, takeMax = false)
     }
     c.joins.foreach(j => df = applyJoin(spark, dir, df, j))
     c.windows.foreach(w => df = df.withColumn(

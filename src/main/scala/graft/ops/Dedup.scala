@@ -164,12 +164,18 @@ object Dedup {
     * sign(Σ contributions). One groupBy, no per-bit explode, one shuffle.
     *
     * The ±1 counters are LANE-PACKED: counter_i = 2·Σbit_i − n, so only
-    * the raw bit sums are aggregated — 4 per long in 16-bit lanes (doc
-    * shingle counts < 2^16 keep lanes carry-free), 15 packed sums + one
-    * count instead of 60 separate aggregates. Same values bit-for-bit
-    * (2·cnt > n ⇔ the old signed counter > 0), but the aggregate buffer
-    * and its generated code shrink 4× — the 60-agg form spent more bench
-    * time in Janino than in data. Portable: bit i of the hash =
+    * the raw bit sums are aggregated — 4 per long in 16-bit lanes, 15
+    * packed sums + one count instead of 60 separate aggregates. Same
+    * values bit-for-bit (2·cnt > n ⇔ the old signed counter > 0), but the
+    * aggregate buffer and its generated code shrink 4× — the 60-agg form
+    * spent more bench time in Janino than in data.
+    *
+    * Validity bound: lanes stay carry-free while every per-doc bit count
+    * is < 2^16, and the TOP lane (scaled 2^48) additionally needs its
+    * count < 2^15 or the long sum overflows — which fails LOUDLY under
+    * ANSI mode. The silent-corruption regime (≥ 2^16 shingles in one doc
+    * without tripping the overflow first) is closed by an explicit
+    * raise_error guard below; docs that large must be chunked upstream. Portable: bit i of the hash =
     * (hexdigit(i/4+1) >> (i%4)) & 1 on both engines; the DuckDB oracle
     * keeps the plain 60-sum spelling. Shingle features (not words) so
     * near-identical word-order matters — word-set simhash degenerates on
@@ -190,7 +196,10 @@ object Dedup {
       val cnt = shiftright(col(s"p${i / 4}"), 16 * (i % 4)).bitwiseAND(65535)
       when(cnt * 2 > col("n"), lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    agged.select(col("doc_id"), sim.as("simhash"))
+    agged.select(col("doc_id"),
+      when(col("n") >= 65536L,
+        raise_error(lit("simhash: doc has >= 2^16 shingles — lane packing would corrupt; chunk the doc upstream")))
+        .otherwise(sim).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: block on the four 15-bit chunks of the

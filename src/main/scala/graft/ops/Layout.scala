@@ -77,22 +77,10 @@ object Layout {
     d
   }
 
-  /** Driver-side twin of [[hilbert2]] for specs/coordination. */
-  def hilbert2Local(xIn: Long, yIn: Long, bits: Int = 6): Long = {
-    var (x, y, d) = (xIn, yIn, 0L)
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s * s * ((3L * rx) ^ ry)
-      if (ry == 0) {
-        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
-        val t = x; x = y; y = t
-      }
-      s >>= 1
-    }
-    d
-  }
+  /** Driver-side twin of [[hilbert2]] — delegates to the native
+    * expression's shared loop so the two can never drift. */
+  def hilbert2Local(xIn: Long, yIn: Long, bits: Int = 6): Long =
+    graft.functions.HilbertIndex.compute(xIn, yIn, bits)
 
   /** DuckDB spelling of [[hilbert2]]: a chain of CTEs (one per level, so
     * the SQL stays LINEAR in `bits` — a single expression would expand
@@ -134,31 +122,36 @@ object Layout {
     * rows exactly. Streaming sinks and incremental syncs accrete tiny
     * files; at 100 TB an uncompacted table pays per-file open/footer cost
     * on every scan and starves the scheduler with million-task stages.
-    * Writes to a temp sibling then swaps, so a crash never leaves the
-    * table half-rewritten.
+    *
+    * Filesystem access goes through the Hadoop FileSystem API, so the
+    * same code compacts local dirs, HDFS and object stores. The swap is
+    * rename-old → rename-new → delete-old: data is NEVER deleted before
+    * the replacement is fully written, so a crash at any point leaves the
+    * table readable either at `path` or (worst case, between the two
+    * renames) intact under `path__old` for manual recovery — never gone,
+    * never half-rewritten.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               sortCols: Seq[String] = Nil): Long = {
-    val df = spark.read.parquet(path)
-    val totalBytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length).sum
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(target).getLength
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
     val repart =
       if (sortCols.nonEmpty)
         df.repartitionByRange(numFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(numFiles)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    repart.write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(new java.net.URI(if (path.contains(":")) path else s"file:$path").getPath)
-    val tmpDir = new java.io.File(new java.net.URI(if (tmp.contains(":")) tmp else s"file:$tmp").getPath)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(fs)
-    require(tmpDir.renameTo(fs), s"compaction swap failed: $tmp -> $path")
+    val tmp = new Path(path.stripSuffix("/") + "__compacting")
+    val old = new Path(path.stripSuffix("/") + "__old")
+    repart.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(target, old), s"compaction swap failed: $path -> $old")
+    require(fs.rename(tmp, target), s"compaction swap failed: $tmp -> $path")
+    fs.delete(old, true)
     numFiles.toLong
   }
 }

@@ -29,11 +29,23 @@ object Merge {
 
   /** Reduce a change set to its latest record per key (see [[upsert]] for
     * the plan-shape rationale). */
-  def latest(changes: DataFrame, keys: Seq[String], versionCols: Seq[String]): DataFrame = {
-    val payload = changes.columns.toSeq.filterNot(keys.contains)
-    val ordered = versionCols ++ payload.filterNot(versionCols.contains)
-    changes.groupBy(keys.map(col): _*)
-      .agg(max(struct(ordered.map(col): _*)).as("__s"))
+  def latest(changes: DataFrame, keys: Seq[String], versionCols: Seq[String]): DataFrame =
+    keepExtremum(changes, keys, leading = versionCols, takeMax = true)
+
+  /** The shared struct-extremum reducer: one surviving row per key — the
+    * one whose (leading..., remaining payload...) tuple is the max (or
+    * min). groupBy + struct extremum, so it partial-aggregates map-side;
+    * the full-tuple comparison makes the survivor deterministic even on
+    * leading-column ties. Serves both latest-wins upsert (max on version
+    * columns) and declarative dedup (min over the whole payload).
+    */
+  def keepExtremum(df: DataFrame, keys: Seq[String], leading: Seq[String],
+                   takeMax: Boolean): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(keys.contains)
+    val ordered = leading ++ payload.filterNot(leading.contains)
+    val s = struct(ordered.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg((if (takeMax) max(s) else min(s)).as("__s"))
       .select(keys.map(col) ++ ordered.map(c => col(s"__s.$c").as(c)): _*)
   }
 

@@ -41,13 +41,16 @@ object Quantize {
 
   /** Total reconstruction error Σ_i floor(|x_i − q_i·scale|·1e12) as a
     * long — an order-independent exact sum, comparable across engines.
+    * Guarded for the empty vector (sequence(1, 0) would count DOWN and
+    * index past the array — same pitfall CorpusOps.wordNgrams guards).
     */
   def int8ReconError(vd: Column, qs: Column, scale: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), size(vd)), i =>
-        floor(abs(element_at(vd, i) - element_at(qs, i).cast("double") * scale) * lit(Scale))
-          .cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    when(size(vd) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), size(vd)), i =>
+          floor(abs(element_at(vd, i) - element_at(qs, i).cast("double") * scale) * lit(Scale))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x))
 
   /** Scaled exact squared L2 distance between a vector slice and a
     * literal centroid: Σ floor((x−y)²·1e12) as a long.

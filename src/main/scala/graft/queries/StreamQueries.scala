@@ -122,17 +122,15 @@ object StreamQueries {
     // property that makes restart/replay safe on a real sync. Final
     // target ≡ latest order per customer (same oracle as q_merge_upsert).
     "q_stream_upsert" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
       val stage = s"/tmp/graft_upsert_src_$suffix"
       val target = s"/tmp/graft_upsert_tgt_$suffix"
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmTree)
-        f.delete(); ()
-      }
+      val fs = new Path(target).getFileSystem(s.sparkContext.hadoopConfiguration)
       graft.engine.QueryBuilder.scan(s, d, "orders")
         .repartition(3, col("o_orderkey"))
         .write.mode("overwrite").parquet(stage)
-      rmTree(new java.io.File(target))
+      fs.delete(new Path(target), true)
       val keys = Seq("o_custkey")
       val version = Seq("o_orderdate", "o_orderkey")
       val schema = s.read.parquet(stage).schema
@@ -141,14 +139,20 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val tgt = new java.io.File(target)
+            // same never-delete-before-replace swap as Layout.compact: a
+            // crash leaves the state at `target` or under `__old`, never gone
+            val tgt = new Path(target)
             val merged =
-              if (tgt.exists()) graft.ops.Merge.upsert(s.read.parquet(target), batch, keys, version)
+              if (fs.exists(tgt)) graft.ops.Merge.upsert(s.read.parquet(target), batch, keys, version)
               else graft.ops.Merge.latest(batch, keys, version)
-            val tmp = target + "__swap"
-            merged.write.mode("overwrite").parquet(tmp)
-            rmTree(tgt)
-            require(new java.io.File(tmp).renameTo(tgt), "upsert target swap failed")
+            val tmp = new Path(target + "__swap")
+            val old = new Path(target + "__old")
+            merged.write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(old, true)
+            if (fs.exists(tgt)) require(fs.rename(tgt, old), "upsert swap: target -> old failed")
+            require(fs.rename(tmp, tgt), "upsert swap: tmp -> target failed")
+            fs.delete(old, true)
+            ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
