@@ -186,6 +186,30 @@ object RefParity {
       QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
     }),
 
+    // the WHOLE declarative surface in one JSON config: filter → sample →
+    // dedup → broadcast join → window → projection → sort — what a
+    // reference user's full pipeline definition compiles to
+    "q_connector_full" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "orders",
+          |  "filters": [{"field": "o_totalprice", "operator": ">", "value": 1000.0}],
+          |  "sample": {"column": "o_orderkey", "percent": 50, "salt": "full"},
+          |  "dedup": {"keys": ["o_custkey"]},
+          |  "joins": [{"table": "customer", "leftOn": "o_custkey",
+          |             "rightOn": "c_custkey", "type": "left", "broadcast": true}],
+          |  "windows": [
+          |    {"function": "rank", "as": "price_rank",
+          |     "partitionBy": ["c_mktsegment"],
+          |     "orderBy": [{"field": "o_totalprice", "type": "desc"},
+          |                 {"field": "o_orderkey", "type": "asc"}]}
+          |  ],
+          |  "fields": ["o_custkey", "o_orderkey", "c_mktsegment", "o_totalprice", "price_rank"],
+          |  "sort": [{"field": "o_custkey", "type": "asc"}]
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    }),
+
     // declarative left join + projection (no aggregation): the other
     // extension shape, also via JSON
     "q_connector_join" -> ((spark: SparkSession, dir: String) => {
@@ -252,6 +276,20 @@ object RefParity {
       """SELECT c_custkey, c_name, n_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+    "q_connector_full" -> {
+      val samplePred = DedupQueries.sqlHex60Public("md5('full:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH f AS (SELECT * FROM orders WHERE o_totalprice > 1000.0),
+         |s AS (SELECT * FROM f WHERE $samplePred % 100 < 50),
+         |dd AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority) AS rn
+         |  FROM s) WHERE rn = 1),
+         |j AS (SELECT dd.*, c_mktsegment FROM dd LEFT JOIN customer ON o_custkey = c_custkey)
+         |SELECT o_custkey, o_orderkey, c_mktsegment, o_totalprice,
+         |  CAST(rank() OVER (PARTITION BY c_mktsegment
+         |                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+         |FROM j ORDER BY o_custkey""".stripMargin
+    },
     "q_connector_dedup" ->
       s"""WITH sampled AS (
          |  SELECT * FROM lineitem

@@ -221,6 +221,17 @@ object SqlFunctionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // cryptographic/content hash tier: md5 + sha256 (content addressing,
+    // cache keys) + integer hex encoding — lowercased on both engines
+    "q_hash_funcs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "customer")
+        .select(col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("h_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("h_sha256"),
+          lower(hex(col("c_custkey"))).as("key_hex"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // URL parsing/normalization — the web-corpus key-extraction step
     // (URLs synthesized from doc fields; parse_url does the dissection,
     // the registered-domain tail via the same regex both engines run)
@@ -259,6 +270,12 @@ object SqlFunctionQueries {
            |  array_to_string(list_transform(list_slice(ws, 1, 3), w -> upper(w)), '|') AS first3_upper,
            |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS total_chars
            |FROM w ORDER BY doc_id""".stripMargin,
+    "q_hash_funcs" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256,
+        |  lower(to_hex(c_custkey)) AS key_hex
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_url_parse" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)

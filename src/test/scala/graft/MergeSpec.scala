@@ -33,6 +33,17 @@ class MergeSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1, "z"))) // struct max totally orders all cols
   }
 
+  test("upsert: idempotent under batch replay (foreachBatch redelivery safety)") {
+    // a streaming sync may re-apply a batch after failure; latest-wins
+    // must make the replay a no-op
+    val base = state((1L, 1, "a1"), (2L, 2, "b2"))
+    val b = state((1L, 2, "a2"), (3L, 1, "c1"))
+    val once = Merge.upsert(base, b, Seq("k"), Seq("ver"))
+    val twice = Merge.upsert(once, b, Seq("k"), Seq("ver"))
+    assert(once.as[(Long, Int, String)].collect().toSet ==
+      twice.as[(Long, Int, String)].collect().toSet)
+  }
+
   test("scd2: contiguous intervals, one open-ended current row per key") {
     val ch = state((1L, 1, "a"), (1L, 3, "b"), (1L, 7, "c"), (2L, 5, "z"))
     val out = Merge.scd2(ch, Seq("k"), "ver", "val")
