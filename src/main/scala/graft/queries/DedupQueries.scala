@@ -77,6 +77,36 @@ object DedupQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("lang"))
+    }),
+
+    // WEIGHTED reproducible sampling: P(keep) ∝ n_chars (quality-weighted
+    // corpus mixing). Deterministic: the doc's hash bucket in [0, 1e6) is
+    // compared against floor(weight·1e6/max_weight) — identical floors of
+    // identical doubles on both engines, no RNG
+    "q_sample_weighted" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val maxW = docs.agg(max(col("n_chars")).as("max_chars"))
+      val bucket = Dedup.hex60(
+        md5(concat(lit("wt:"), col("doc_id").cast("string")).cast("binary"))) % 1000000L
+      docs.crossJoin(broadcast(maxW))
+        .filter(bucket < floor(col("n_chars").cast("double") * lit(1000000.0) /
+          col("max_chars").cast("double")))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-group CAP (corpus balancing: at most K docs per source), order
+    // decided by the content-free hash so the cap is reproducible — and
+    // enforced by the custom TopKPerKey operator, so each partition ships
+    // at most K candidates per source to the shuffle
+    "q_sample_capped" -> ((s: SparkSession, d: String) => {
+      val h = Dedup.hex60(
+        md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")))
+      val ranked = graft.plans.TopKPerKey.topKPerKey(
+        scan(s, d, "documents").withColumn("__h", h),
+        keyCols = Seq("source"), sorts = Seq(("__h", true), ("doc_id", true)), k = 10)
+      ranked.select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -195,6 +225,21 @@ object DedupQueries {
          |           THEN ${sqlHex60("md5('strat:' || doc_id::VARCHAR)")} % 10 < 5
          |           ELSE ${sqlHex60("md5('strat:' || doc_id::VARCHAR)")} % 10 < 1 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${sqlHex60("md5('wt:' || doc_id::VARCHAR)")} % 1000000 <
+         |  floor(CAST(n_chars AS DOUBLE) * 1000000.0 /
+         |        CAST((SELECT max(n_chars) FROM documents) AS DOUBLE))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_capped" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${sqlHex60("md5('cap:' || doc_id::VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql
