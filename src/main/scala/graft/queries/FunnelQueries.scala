@@ -89,8 +89,12 @@ object FunnelQueries {
     "q_pareto" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val l = scan(s, d, "lineitem")
+      // persisted: both the broadcast total and the windowed branch read
+      // rev, and it costs a full fact scan + groupBy per consumer (the
+      // aggregate itself is supplier-count-sized — cheap to cache)
       val rev = l.groupBy(col("l_suppkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .persist()
       val w = Window.orderBy(col("revenue").desc, col("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // revenue is a computed double ~1e7: floor-scaled, not decimal-cast
@@ -106,16 +110,18 @@ object FunnelQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      """WITH ev AS (SELECT user_id, event_type,
+        |              make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS t2
-        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
         |      WHERE e.event_type = 'click' AND e.ts > v.t1
         |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(e.ts) AS t3
-        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
         |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
         |        AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM events)
+        |u AS (SELECT DISTINCT user_id FROM ev)
         |SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
         |      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
         |      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage,

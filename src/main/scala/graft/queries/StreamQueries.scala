@@ -140,13 +140,19 @@ object StreamQueries {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             // same never-delete-before-replace swap as Layout.compact: a
-            // crash leaves the state at `target` or under `__old`, never gone
+            // crash leaves the state at `target` or under `__old`, never
+            // gone. The recovery preamble closes the replay hole: a batch
+            // redelivered after a crash BETWEEN the two renames would
+            // otherwise see no target, rebuild from itself alone, and
+            // delete the __old copy of all prior state
             val tgt = new Path(target)
+            val tmp = new Path(target + "__swap")
+            val old = new Path(target + "__old")
+            if (!fs.exists(tgt) && fs.exists(old))
+              require(fs.rename(old, tgt), "upsert recovery: old -> target failed")
             val merged =
               if (fs.exists(tgt)) graft.ops.Merge.upsert(s.read.parquet(target), batch, keys, version)
               else graft.ops.Merge.latest(batch, keys, version)
-            val tmp = new Path(target + "__swap")
-            val old = new Path(target + "__old")
             merged.write.mode("overwrite").parquet(tmp.toString)
             fs.delete(old, true)
             if (fs.exists(tgt)) require(fs.rename(tgt, old), "upsert swap: target -> old failed")

@@ -222,7 +222,8 @@ object WindowQueries {
         |                      OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_ewma" ->
-      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      """WITH g AS (SELECT user_id,
+        |             list(value ORDER BY epoch_us(ts), event_id) AS vals
         |           FROM events GROUP BY user_id)
         |SELECT user_id, CAST(len(vals) AS INT) AS n,
         |  list_reduce(vals, (acc, x) -> acc / 2 + x / 2) AS ewma

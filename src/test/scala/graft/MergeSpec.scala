@@ -40,8 +40,9 @@ class MergeSpec extends SparkSpec {
     val b = state((1L, 2, "a2"), (3L, 1, "c1"))
     val once = Merge.upsert(base, b, Seq("k"), Seq("ver"))
     val twice = Merge.upsert(once, b, Seq("k"), Seq("ver"))
-    assert(once.as[(Long, Int, String)].collect().toSet ==
-      twice.as[(Long, Int, String)].collect().toSet)
+    // sorted-seq compare (not a set): replay must not even duplicate rows
+    assert(once.as[(Long, Int, String)].collect().sorted.toSeq ==
+      twice.as[(Long, Int, String)].collect().sorted.toSeq)
   }
 
   test("scd2: contiguous intervals, one open-ended current row per key") {
