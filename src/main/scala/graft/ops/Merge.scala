@@ -49,6 +49,21 @@ object Merge {
       .select(keys.map(col) ++ ordered.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** Incremental view maintenance for ADDITIVE aggregates: merge a
+    * materialized (count, scaled-sum) state with a new delta batch's
+    * partial aggregate by summing per key — never re-reading history.
+    * Works because count and floor-scaled integer sums are commutative
+    * monoids (exact longs — the float-sum version would drift per merge
+    * order). At 100 TB this is the difference between touching the delta
+    * and re-scanning the table: state size ∝ keys, update cost ∝ delta.
+    */
+  def mergeAdditiveState(state: DataFrame, deltaAgg: DataFrame,
+                         keys: Seq[String], addCols: Seq[String]): DataFrame =
+    state.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(addCols.head)).as(addCols.head),
+        addCols.tail.map(c => sum(col(c)).as(c)): _*)
+
   /** SCD2 validity intervals from a change stream: each key's records
     * ordered by version become [valid_from, valid_to) rows, the last one
     * open-ended (is_current). One window pass, keyed shuffle only.

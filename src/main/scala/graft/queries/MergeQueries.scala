@@ -25,6 +25,29 @@ object MergeQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // incremental view maintenance: the per-customer (orders, revenue)
+    // view built by folding THREE yearly delta batches into the state via
+    // mergeAdditiveState — equals the from-scratch aggregate (the oracle)
+    // because exact long counters form a commutative monoid. Revenue kept
+    // as floor-scaled integer cents×10⁴ inside the state; one division at
+    // the read edge
+    "q_ivm_agg" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val cuts = Seq("1900-01-01", "1998-01-01", "2000-01-01", "9999-01-01")
+      val deltas = cuts.sliding(2).map { case Seq(lo, hi) =>
+        o.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * lit(1000000.0)).cast("long")).as("rev_scaled"))
+      }.toSeq
+      val state = deltas.reduce((st, delta) =>
+        graft.ops.Merge.mergeAdditiveState(st, delta, Seq("o_custkey"), Seq("n_orders", "rev_scaled")))
+      state.select(col("o_custkey"), col("n_orders"),
+          (col("rev_scaled").cast("double") / lit(1000000.0)).as("revenue"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_scd2_history" -> ((s: SparkSession, d: String) => {
       Merge.scd2(
           scan(s, d, "orders")
@@ -43,6 +66,11 @@ object MergeQueries {
         |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders) t
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_ivm_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS revenue
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
