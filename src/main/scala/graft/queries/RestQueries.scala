@@ -48,6 +48,20 @@ object RestQueries {
         .orderBy(col("id"))
     }),
 
+    // STREAMING ingest from the REST source (MicroBatchStream facet):
+    // AvailableNow drains what the API holds now through the same
+    // offset-range reader — the reference's "scheduled sync" as a real
+    // Structured Streaming source with a checkpointable row offset
+    "q_rest_stream" -> ((s: SparkSession, _: String) => {
+      val stream = s.readStream.format("graft.sources.rest.RestSource")
+        .option("schema", schemaDdl)
+        .option("url", StubServer.url("/rows"))
+        .option("itemsPerPage", "100")
+        .load()
+      graft.streaming.StreamOps.runToMemory(s, stream, "mem_rest_stream", "append")
+        .orderBy(col("id"))
+    }),
+
     // filter pushdown: the predicate compiles into f_id_gte/f_id_lte
     // query params, the server filters before paginating, and the engine
     // re-applies the residual — fetches ~60 rows instead of 250
@@ -77,6 +91,10 @@ object RestQueries {
         |WHERE i BETWEEN 100 AND 160 AND starts_with('Item' || i, 'Item1')
         |ORDER BY id""".stripMargin,
     "q_rest_parallel" ->
+      """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(1, 251)) AS i)
+        |ORDER BY id""".stripMargin,
+    "q_rest_stream" ->
       """SELECT i AS id, 'Item' || i AS name, CAST(i AS DOUBLE) * 0.5 AS value
         |FROM (SELECT unnest(range(1, 251)) AS i)
         |ORDER BY id""".stripMargin

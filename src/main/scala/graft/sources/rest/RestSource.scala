@@ -68,7 +68,7 @@ final class RestTable(schema: StructType, props: Map[String, String])
   override def name(): String = s"graft-rest:${props.getOrElse("url", "?")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(schema, props ++ options.asScala)
 }
@@ -179,6 +179,92 @@ final class RestScanBuilder(fullSchema: StructType, opts: Map[String, String])
             rp.startOffset, rp.endOffset)
         }
       }
+
+    /** STREAMING ingest facet (offset pagination only): the stream
+      * offset IS the REST row offset. Each trigger's latestOffset() is
+      * discovered by probing the endpoint with one-row pages (doubling +
+      * binary search: ~2·log₂N tiny requests, no data transferred), and
+      * the batch [start, end) rides the SAME offset-range partition/
+      * reader the parallel batch path uses. Under Trigger.AvailableNow
+      * this is exactly the reference's "scheduled sync": drain what the
+      * API holds now, checkpoint the row offset, stop — restart resumes
+      * from the committed offset, never re-pulling landed rows.
+      */
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+        import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+        require(opts.getOrElse("pagetype", "offset") == "offset",
+          "streaming REST ingest requires offset pagination (a cursor chain has no resumable position)")
+        private val probeCap = opts.getOrElse("streamproberows", "100000000").toLong
+        override def initialOffset(): SOffset = RestStreamOffset(0L)
+        override def latestOffset(): SOffset =
+          RestStreamOffset(RestProbe.countAvailable(opts("url"), filterQuery, probeCap))
+        override def deserializeOffset(json: String): SOffset = RestStreamOffset(json.toLong)
+        override def commit(end: SOffset): Unit = ()
+        override def stop(): Unit = ()
+        override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+          val s = start.asInstanceOf[RestStreamOffset].rows
+          val e = end.asInstanceOf[RestStreamOffset].rows
+          if (e <= s) Array.empty
+          else Array(RestPartition(opts, prunedSchema.toDDL, -1, filterQuery,
+            startOffset = s, endOffset = e))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+              val rp = p.asInstanceOf[RestPartition]
+              val schema = if (rp.schemaDdl.trim.isEmpty) new StructType()
+                else StructType.fromDDL(rp.schemaDdl)
+              new RestPartitionReader(rp.opts, schema, rp.limit, rp.filterQuery,
+                rp.startOffset, rp.endOffset)
+            }
+          }
+      }
+  }
+}
+
+/** Stream position = number of REST rows already ingested. */
+final case class RestStreamOffset(rows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = rows.toString
+}
+
+/** Row-count discovery for the streaming facet: find the smallest offset
+  * with an empty one-row page (= rows available) via doubling + binary
+  * search — O(log N) requests, O(1) data.
+  */
+private[graft] object RestProbe {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def pageSize(url: String, offset: Long, fq: String): Int = {
+    val sep = if (fq.isEmpty) "" else s"&$fq"
+    val conn = new java.net.URL(s"$url?limit=1&offset=$offset$sep").openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000); conn.setReadTimeout(10000)
+    if (conn.getResponseCode >= 400)
+      throw new java.io.IOException(s"stream probe HTTP ${conn.getResponseCode}")
+    val root = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    val d = root.get("data")
+    if (d == null) 0 else d.size()
+  }
+
+  def countAvailable(url: String, fq: String, cap: Long): Long = {
+    if (pageSize(url, 0L, fq) == 0) return 0L
+    // invariant: lo has a row (count ≥ lo+1), h is empty (count ≤ h)
+    var hi = 1L
+    var hiEmpty = false
+    while (!hiEmpty && hi < cap) {
+      if (pageSize(url, hi, fq) == 0) hiEmpty = true else hi *= 2
+    }
+    if (!hiEmpty) return cap
+    var lo = hi / 2
+    var h = hi
+    while (lo + 1 < h) {
+      val mid = lo + (h - lo) / 2
+      if (pageSize(url, mid, fq) > 0) lo = mid else h = mid
+    }
+    h
   }
 }
 

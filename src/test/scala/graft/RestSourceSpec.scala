@@ -199,6 +199,18 @@ class RestSourceSpec extends SparkSpec {
     assert(StubServer.rowsServed.get() == 61, s"served ${StubServer.rowsServed.get()}")
   }
 
+  test("streaming facet: probe finds the exact row count in O(log N) one-row requests") {
+    import graft.sources.rest.RestProbe
+    StubServer.requestCount.set(0)
+    val n = RestProbe.countAvailable(StubServer.url("/rows"), "", 100000000L)
+    assert(n == 250L, s"probe found $n rows")
+    // doubling to 256 (9 requests incl. offset 0) + binary search inside
+    // [128, 256) (~7) — far under a full 250-row page walk
+    assert(StubServer.requestCount.get() <= 20, s"probe used ${StubServer.requestCount.get()} requests")
+    // probe composes with pushed filters: counts only the filtered stream
+    assert(RestProbe.countAvailable(StubServer.url("/rows"), "f_id_lte=60", 100000000L) == 60L)
+  }
+
   test("download timeout keeps partial data (S4, src/index.ts:256-262)") {
     StubServer.requestCount.set(0)
     // each page takes ≥200ms; wall-clock budget of ~300ms admits the first
