@@ -48,6 +48,32 @@ object MergeQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // snapshot diff — the sync-validation op: classify every key across
+    // two table versions as added / removed / changed / unchanged via ONE
+    // full outer join on the key with md5 payload fingerprints (no
+    // column-by-column compare ships across the shuffle)
+    "q_table_diff" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      def snap(hi: String) = o.filter(col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select(col("o_custkey"),
+          // per-customer state fingerprint: latest order key + count
+          col("o_orderkey"), col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("last_key"))
+        .select(col("o_custkey"),
+          md5(concat_ws(":", col("n"), col("last_key")).cast("binary")).as("fp"))
+      val a = snap("1998-01-01").select(col("o_custkey"), col("fp").as("fp_a"))
+      val b = snap("2000-01-01").select(col("o_custkey"), col("fp").as("fp_b"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("status"))
+    }),
+
     "q_scd2_history" -> ((s: SparkSession, d: String) => {
       Merge.scd2(
           scan(s, d, "orders")
@@ -71,6 +97,21 @@ object MergeQueries {
         |  CAST(CAST(SUM(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS revenue
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_table_diff" ->
+      """WITH sa AS (SELECT o_custkey,
+        |              md5(CAST(count(*) AS VARCHAR) || ':' || CAST(max(o_orderkey) AS VARCHAR)) AS fp
+        |            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |            GROUP BY o_custkey),
+        |sb AS (SELECT o_custkey,
+        |         md5(CAST(count(*) AS VARCHAR) || ':' || CAST(max(o_orderkey) AS VARCHAR)) AS fp
+        |       FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |       GROUP BY o_custkey),
+        |d AS (SELECT CASE WHEN sa.fp IS NULL THEN 'added'
+        |             WHEN sb.fp IS NULL THEN 'removed'
+        |             WHEN sa.fp <> sb.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM sa FULL OUTER JOIN sb ON sa.o_custkey = sb.o_custkey)
+        |SELECT status, COUNT(*) AS n_keys FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
