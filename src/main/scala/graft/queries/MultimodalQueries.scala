@@ -37,6 +37,23 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // content-addressed chunk store census — the blob-dedup op: binary
+    // payloads split into fixed 64-byte chunks, each addressed by md5;
+    // the global (total, distinct, shared) census is the storage-dedup
+    // ratio a 100 TB media lake banks on. Pure per-row explode + one
+    // groupBy on the 128-bit address — linear, no pairwise compare
+    "q_multimodal_chunkstore" -> ((s: SparkSession, d: String) => {
+      val media = Multimodal.asMedia(scan(s, d, "documents"), "doc_id", "text")
+      val nChunks = ceil(length(col("payload")) / lit(64.0)).cast("int")
+      val chunks = media.select(explode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => md5(col("payload").substr(i * lit(64) + 1, lit(64))))).as("h"))
+      chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -74,6 +91,15 @@ object MultimodalQueries {
         |  CAST(length(resized) AS INT) AS resized_bytes,
         |  md5(resized) AS resized_md5
         |FROM r ORDER BY media_id""".stripMargin,
+    "q_multimodal_chunkstore" ->
+      """WITH f AS (SELECT text, CAST(ceil(length(text) / 64.0) AS INT) AS n FROM documents),
+        |cx AS (SELECT text, unnest(range(0, n)) AS i FROM f),
+        |c AS (SELECT md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS h FROM cx),
+        |g AS (SELECT h, count(*) AS c FROM c GROUP BY h)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM g""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS n_frames
