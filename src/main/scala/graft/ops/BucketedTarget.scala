@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Outcome of one incremental upsert batch: how many of the target's
+  * fixed hash-buckets were rewritten. `rewrittenFraction` < 1 is the
+  * delta-proportionality witness — untouched buckets are never read,
+  * merged or rewritten, so per-batch cost is ∝ |delta| × bucketSize,
+  * not ∝ |target|.
+  */
+final case class BucketUpsertStats(touchedBuckets: Int, totalBuckets: Int) {
+  def rewrittenFraction: Double = touchedBuckets.toDouble / totalBuckets
+}
+
+/** Delta-proportional incremental-sync target (the load side of the
+  * reference's `action: "sync"` flow, reference `src/types.ts:103`, at
+  * the scale where rewriting the whole destination per batch stops being
+  * an option).
+  *
+  * Layout: the parquet table lives as `numBuckets` FIXED hash-buckets of
+  * the upsert key — subdirectories `b0 … b{N-1}` with every row of a key
+  * in exactly one bucket (`pmod(hash(keys), N)`). A micro-batch then:
+  *
+  *   1. computes the delta's touched bucket ids (a distinct over ≤ N
+  *      small integers — metadata-scale),
+  *   2. reads ONLY those bucket directories, latest-wins-merges them
+  *      with the delta in one shuffle job ([[Merge.latest]], map-side
+  *      combinable), writing all rewritten buckets via one
+  *      `partitionBy` pass,
+  *   3. swaps each rewritten bucket in with the same
+  *      never-delete-before-replace rename dance as [[Layout.compact]]
+  *      — per bucket, so a crash at any point leaves every bucket
+  *      readable either in place or under `__old`.
+  *
+  * Untouched buckets are untouched files — byte-identical across the
+  * batch (asserted by `BucketedTargetSpec`). Replay is safe twice over:
+  * latest-wins upsert is associative, commutative AND idempotent, and
+  * [[recover]] heals any bucket a crash left mid-swap before the next
+  * merge reads it.
+  *
+  * On a 100 TB target, size `numBuckets` so a bucket is a few GB
+  * (e.g. 64k buckets): each sync then rewrites only the few GB that
+  * contain delta keys instead of the full table.
+  */
+final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
+                           keys: Seq[String], versionCols: Seq[String]) {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+
+  private val root = new Path(path)
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val BucketName = "^b([0-9]+)$".r
+
+  private def bucketDir(i: Int): Path = new Path(root, s"b$i")
+  private def bucketExpr = pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Heal buckets a crash left between the two swap renames: target dir
+    * missing but its `__old` copy present → rename back. Idempotent,
+    * O(numBuckets) namenode calls, run before every merge.
+    */
+  def recover(): Unit = (0 until numBuckets).foreach { i =>
+    val tgt = bucketDir(i)
+    val old = new Path(root, s"b${i}__old")
+    if (!fs.exists(tgt) && fs.exists(old))
+      require(fs.rename(old, tgt), s"bucket recovery failed: $old -> $tgt")
+  }
+
+  /** Latest-wins upsert of `delta` into the target, rewriting only the
+    * buckets whose keys the delta touches. Returns the rewritten-bucket
+    * count so callers (and specs) can assert delta-proportionality.
+    */
+  def upsert(delta: DataFrame): BucketUpsertStats = {
+    recover()
+    val d = delta.withColumn("__b", bucketExpr)
+    d.persist()
+    try {
+      val touched = d.select("__b").distinct().collect().map(_.getInt(0)).sorted
+      val existing = touched.map(bucketDir).filter(fs.exists).map(_.toString)
+      val base =
+        if (existing.nonEmpty)
+          spark.read.parquet(existing.toSeq: _*).withColumn("__b", bucketExpr)
+        else d.limit(0)
+      // __b is a pure function of the keys, so adding it to the grouping
+      // keys changes nothing semantically — it just survives the merge to
+      // drive the partitionBy write without a recompute.
+      val merged = Merge.latest(base.unionByName(d), keys :+ "__b", versionCols)
+      val tmp = new Path(root, "__swap")
+      merged.write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
+      touched.foreach { i =>
+        val src = new Path(tmp, s"__b=$i")
+        val tgt = bucketDir(i)
+        val old = new Path(root, s"b${i}__old")
+        fs.delete(old, true)
+        if (fs.exists(tgt)) require(fs.rename(tgt, old), s"bucket swap failed: $tgt -> $old")
+        require(fs.rename(src, tgt), s"bucket swap failed: $src -> $tgt")
+        fs.delete(old, true)
+      }
+      fs.delete(tmp, true)
+      BucketUpsertStats(touched.length, numBuckets)
+    } finally d.unpersist()
+  }
+
+  /** Read the current state: union of all bucket directories. Listed
+    * explicitly (never a recursive glob) so stray `__old`/`__swap`
+    * remnants of an in-flight batch are invisible to readers.
+    */
+  def read(): DataFrame = {
+    val dirs =
+      if (fs.exists(root))
+        fs.listStatus(root).collect {
+          case st if st.isDirectory && BucketName.findFirstIn(st.getPath.getName).isDefined =>
+            st.getPath.toString
+        }.sorted
+      else Array.empty[String]
+    require(dirs.nonEmpty, s"empty bucketed target at $path")
+    spark.read.parquet(dirs.toSeq: _*)
+  }
+}

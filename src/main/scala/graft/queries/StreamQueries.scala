@@ -115,12 +115,15 @@ object StreamQueries {
 
     // STREAMING INCREMENTAL SYNC — the reference's whole reason to exist,
     // end to end: the orders table staged as 3 files arrives as 3
-    // micro-batches (maxFilesPerTrigger=1); each batch UPSERTS into the
-    // parquet target via Merge.upsert with a temp-dir swap (crash-safe,
-    // like Layout.compact). Because latest-wins upsert is associative AND
-    // commutative, the final state is independent of batch order — the
-    // property that makes restart/replay safe on a real sync. Final
-    // target ≡ latest order per customer (same oracle as q_merge_upsert).
+    // micro-batches (maxFilesPerTrigger=1); each batch UPSERTS into a
+    // hash-bucketed parquet target (BucketedTarget) that reads, merges
+    // and rewrites ONLY the buckets the delta touches — per-batch cost
+    // ∝ |delta| × bucketSize, not ∝ |target|, with the same crash-safe
+    // never-delete-before-replace swap per bucket. Because latest-wins
+    // upsert is associative AND commutative, the final state is
+    // independent of batch order — the property that makes
+    // restart/replay safe on a real sync. Final target ≡ latest order
+    // per customer (same oracle as q_merge_upsert).
     "q_stream_upsert" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
@@ -131,40 +134,22 @@ object StreamQueries {
         .repartition(3, col("o_orderkey"))
         .write.mode("overwrite").parquet(stage)
       fs.delete(new Path(target), true)
-      val keys = Seq("o_custkey")
-      val version = Seq("o_orderdate", "o_orderkey")
+      val bt = new graft.ops.BucketedTarget(s, target, numBuckets = 8,
+        keys = Seq("o_custkey"), versionCols = Seq("o_orderdate", "o_orderkey"))
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            // same never-delete-before-replace swap as Layout.compact: a
-            // crash leaves the state at `target` or under `__old`, never
-            // gone. The recovery preamble closes the replay hole: a batch
-            // redelivered after a crash BETWEEN the two renames would
-            // otherwise see no target, rebuild from itself alone, and
-            // delete the __old copy of all prior state
-            val tgt = new Path(target)
-            val tmp = new Path(target + "__swap")
-            val old = new Path(target + "__old")
-            if (!fs.exists(tgt) && fs.exists(old))
-              require(fs.rename(old, tgt), "upsert recovery: old -> target failed")
-            val merged =
-              if (fs.exists(tgt)) graft.ops.Merge.upsert(s.read.parquet(target), batch, keys, version)
-              else graft.ops.Merge.latest(batch, keys, version)
-            merged.write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(old, true)
-            if (fs.exists(tgt)) require(fs.rename(tgt, old), "upsert swap: target -> old failed")
-            require(fs.rename(tmp, tgt), "upsert swap: tmp -> target failed")
-            fs.delete(old, true)
+            bt.upsert(batch)
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(target).orderBy(col("o_custkey"))
+      bt.read().orderBy(col("o_custkey"))
     }),
 
     // STREAMING sessionization: the same native session_window running

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.ops.{BucketedTarget, Merge}
+
+/** Delta-proportionality of the bucketed upsert target: a micro-batch
+  * touching a few keys must rewrite only the buckets holding those keys
+  * — every other bucket's files stay BYTE-IDENTICAL — while the merged
+  * state stays equal to the one-shot latest-wins reduction.
+  */
+class BucketedTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 16
+
+  private def fileBytes(dir: String): Map[String, (Long, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else
+      fs.listStatus(p).filter(_.isFile).map { st =>
+        val in = fs.open(st.getPath)
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, buf)
+        in.close()
+        st.getPath.getName -> (st.getLen, java.util.Arrays.hashCode(buf).toLong)
+      }.toMap
+  }
+
+  test("upsert rewrites only delta-touched buckets; untouched bucket files byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt").toString + "/t"
+    val bt = new BucketedTarget(spark, root, N, keys = Seq("k"), versionCols = Seq("v"))
+
+    val seed = spark.range(2000L).select(col("id").as("k"), lit(0L).as("v"),
+      concat(lit("seed"), col("id")).as("payload"))
+    val s0 = bt.upsert(seed)
+    assert(s0.touchedBuckets == N, "seed over 2000 keys should touch every bucket")
+
+    val before = (0 until N).map(i => i -> fileBytes(s"$root/b$i")).toMap
+
+    // delta: 3 keys → at most 3 buckets
+    val delta = Seq((7L, 1L, "new7"), (8L, 1L, "new8"), (9L, 1L, "new9"))
+      .toDF("k", "v", "payload")
+    val s1 = bt.upsert(delta)
+    assert(s1.touchedBuckets <= 3 && s1.touchedBuckets >= 1, s"got ${s1.touchedBuckets}")
+    assert(s1.rewrittenFraction < 1.0)
+
+    val touched = Seq(7L, 8L, 9L)
+      .map(k => Math.floorMod(seed.filter(col("k") === k).select(
+        pmod(hash(col("k")), lit(N))).as[Int].head(), N)).toSet
+    (0 until N).foreach { i =>
+      val after = fileBytes(s"$root/b$i")
+      if (touched.contains(i)) assert(after != before(i), s"touched bucket b$i not rewritten")
+      else assert(after == before(i), s"untouched bucket b$i changed")
+    }
+
+    // state == one-shot latest-wins over everything ever upserted
+    val expected = Merge.latest(seed.unionByName(delta), Seq("k"), Seq("v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
+
+    // replay idempotence: re-applying the same delta changes nothing
+    bt.upsert(delta)
+    assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
+  }
+
+  test("recover heals a bucket left mid-swap (target missing, __old present)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_rec").toString + "/t"
+    val bt = new BucketedTarget(spark, root, 4, keys = Seq("k"), versionCols = Seq("v"))
+    bt.upsert(Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two renames of some bucket that exists
+    val b = (0 until 4).find(i => fs.exists(new Path(s"$root/b$i"))).get
+    require(fs.rename(new Path(s"$root/b$b"), new Path(s"$root/b${b}__old")))
+    bt.recover()
+    assert(fs.exists(new Path(s"$root/b$b")) && !fs.exists(new Path(s"$root/b${b}__old")))
+    assert(bt.read().count() == 4)
+  }
+}
