@@ -17,6 +17,7 @@ object Verify {
       // events.parquet stores timestamp[ns]; read as long, normalized to
       // TimestampType in QueryBuilder.scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -197,8 +197,11 @@ object Dedup {
       when(cnt * 2 > col("n"), lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     agged.select(col("doc_id"),
-      when(col("n") >= 65536L,
-        raise_error(lit("simhash: doc has >= 2^16 shingles — lane packing would corrupt; chunk the doc upstream")))
+      // guard at 2^15, not 2^16: the top 2^48-scaled lane's SUM overflows
+      // the long at 32768 shingles, a regime otherwise caught only when
+      // ANSI mode is on — below 32768 every lane sum fits with room
+      when(col("n") >= 32768L,
+        raise_error(lit("simhash: doc has >= 2^15 shingles — lane packing would corrupt; chunk the doc upstream")))
         .otherwise(sim).as("simhash"))
   }
 

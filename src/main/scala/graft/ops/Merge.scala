@@ -38,6 +38,16 @@ object Merge {
     * the full-tuple comparison makes the survivor deterministic even on
     * leading-column ties. Serves both latest-wins upsert (max on version
     * columns) and declarative dedup (min over the whole payload).
+    *
+    * NULL-ORDERING CONTRACT: Spark's struct comparison sorts null fields
+    * LOWEST, i.e. every column compares as ASC NULLS FIRST / DESC NULLS
+    * LAST. With `takeMax = false` a null payload column therefore BEATS
+    * any non-null value on a tie of the preceding columns. Any SQL twin
+    * of this operator (DuckDB row_number formulations — see
+    * q_connector_dedup / q_connector_full) must spell `NULLS FIRST` on
+    * ascending tie-break columns, because DuckDB's ASC default is NULLS
+    * LAST and the survivor diverges the moment a nullable column decides
+    * the tie.
     */
   def keepExtremum(df: DataFrame, keys: Seq[String], leading: Seq[String],
                    takeMax: Boolean): DataFrame = {

@@ -45,9 +45,14 @@ object MultimodalQueries {
     "q_multimodal_chunkstore" -> ((s: SparkSession, d: String) => {
       val media = Multimodal.asMedia(scan(s, d, "documents"), "doc_id", "text")
       val nChunks = ceil(length(col("payload")) / lit(64.0)).cast("int")
-      val chunks = media.select(explode(transform(
-        sequence(lit(0), nChunks - 1),
-        i => md5(col("payload").substr(i * lit(64) + 1, lit(64))))).as("h"))
+      // empty-payload guard: sequence(0, -1) counts DOWN ([0, -1]), which
+      // would emit two md5("") chunks where the oracle's range(0, 0)
+      // emits none — same pitfall as CorpusOps.wordNgrams
+      val chunks = media.select(explode(
+        when(length(col("payload")) > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => md5(col("payload").substr(i * lit(64) + 1, lit(64)))))
+          .otherwise(array().cast("array<string>"))).as("h"))
       chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).as("n_chunks"),
           count(lit(1)).as("n_distinct"),

@@ -199,7 +199,8 @@ final class RestScanBuilder(fullSchema: StructType, opts: Map[String, String])
         private val probeCap = opts.getOrElse("streamproberows", "100000000").toLong
         override def initialOffset(): SOffset = RestStreamOffset(0L)
         override def latestOffset(): SOffset =
-          RestStreamOffset(RestProbe.countAvailable(opts("url"), filterQuery, probeCap))
+          RestStreamOffset(RestProbe.countAvailable(opts("url"), filterQuery, probeCap,
+            RestHttp.fromOpts(opts)))
         override def deserializeOffset(json: String): SOffset = RestStreamOffset(json.toLong)
         override def commit(end: SOffset): Unit = ()
         override def stop(): Unit = ()
@@ -230,39 +231,121 @@ final case class RestStreamOffset(rows: Long)
   override def json(): String = rows.toString
 }
 
+/** The shared HTTP request path: OAuth2 bearer fetch + refresh-on-401
+  * (once per call, without consuming a retry — reference
+  * adapters/hubspot/src/index.ts:300-335), bounded retry with interval
+  * (fetchData, src/index.ts:36-90), 429 Retry-After honored over the
+  * fixed interval (hubspot:506-510), If-Modified-Since watermark
+  * (xero:321-324). Used by BOTH the batch page reader and the streaming
+  * probe, so an authenticated or rate-limited endpoint behaves the same
+  * at latestOffset() as it does mid-scan.
+  */
+private[graft] final class RestHttp(oauthTokenUrl: String, maxRetries: Int,
+                                    retryIntervalMs: Long, modifiedAfter: String)
+    extends Serializable {
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private var bearerToken: String = null
+
+  private def fetchToken(): String = {
+    val conn = new java.net.URL(oauthTokenUrl).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000); conn.setReadTimeout(10000)
+    if (conn.getResponseCode >= 400)
+      throw new java.io.IOException(s"token endpoint HTTP ${conn.getResponseCode}")
+    val node = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    val tok = node.get("access_token")
+    if (tok == null || tok.isNull)
+      throw new java.io.IOException("token endpoint returned no access_token")
+    tok.asText()
+  }
+
+  /** GET `pageUrl`, returning the response body. `onRequest` fires at
+    * the start of every attempt (the reader hangs its rate-limit clock
+    * on it).
+    */
+  def get(pageUrl: String, onRequest: () => Unit = () => ()): String = {
+    var attempt = 0
+    var refreshedThisCall = false
+    var body: String = null
+    while (body == null) {
+      onRequest()
+      var retryAfterMs = -1L
+      try {
+        if (oauthTokenUrl != null && bearerToken == null) bearerToken = fetchToken()
+        val conn = new java.net.URL(pageUrl).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(10000)
+        if (bearerToken != null)
+          conn.setRequestProperty("Authorization", s"Bearer $bearerToken")
+        if (modifiedAfter != null)
+          conn.setRequestProperty("If-Modified-Since", modifiedAfter)
+        val code = conn.getResponseCode
+        if (code == 401 && oauthTokenUrl != null && !refreshedThisCall) {
+          refreshedThisCall = true
+          bearerToken = fetchToken() // refresh-on-401, then immediate retry
+        } else if (code >= 400) {
+          if (code == 429) {
+            val ra = conn.getHeaderField("Retry-After")
+            if (ra != null) retryAfterMs = ra.trim.toLong * 1000L
+          }
+          throw new java.io.IOException(s"HTTP $code")
+        } else {
+          body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        }
+      } catch {
+        case e: Exception if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(if (retryAfterMs >= 0) retryAfterMs else retryIntervalMs)
+        case e: Exception => throw e
+      }
+    }
+    body
+  }
+}
+
+private[graft] object RestHttp {
+  def fromOpts(opts: Map[String, String]): RestHttp =
+    new RestHttp(opts.getOrElse("oauthtokenurl", null),
+      opts.getOrElse("maxretries", "0").toInt,
+      opts.getOrElse("retryintervalms", "1000").toLong,
+      opts.getOrElse("modifiedafter", null))
+
+  /** Bare unauthenticated no-retry client (spec convenience). */
+  def anonymous: RestHttp = new RestHttp(null, 0, 1000L, null)
+}
+
 /** Row-count discovery for the streaming facet: find the smallest offset
   * with an empty one-row page (= rows available) via doubling + binary
-  * search — O(log N) requests, O(1) data.
+  * search — O(log N) requests, O(1) data. Requests ride the shared
+  * [[RestHttp]] path, so auth, retry and Retry-After behave exactly as
+  * they do on the batch read of the same source.
   */
 private[graft] object RestProbe {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def pageSize(url: String, offset: Long, fq: String): Int = {
+  private def pageSize(url: String, offset: Long, fq: String, http: RestHttp): Int = {
     val sep = if (fq.isEmpty) "" else s"&$fq"
-    val conn = new java.net.URL(s"$url?limit=1&offset=$offset$sep").openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(10000); conn.setReadTimeout(10000)
-    if (conn.getResponseCode >= 400)
-      throw new java.io.IOException(s"stream probe HTTP ${conn.getResponseCode}")
-    val root = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    val root = mapper.readTree(http.get(s"$url?limit=1&offset=$offset$sep"))
     val d = root.get("data")
     if (d == null) 0 else d.size()
   }
 
-  def countAvailable(url: String, fq: String, cap: Long): Long = {
-    if (pageSize(url, 0L, fq) == 0) return 0L
+  def countAvailable(url: String, fq: String, cap: Long,
+                     http: RestHttp = RestHttp.anonymous): Long = {
+    if (pageSize(url, 0L, fq, http) == 0) return 0L
     // invariant: lo has a row (count ≥ lo+1), h is empty (count ≤ h)
     var hi = 1L
     var hiEmpty = false
     while (!hiEmpty && hi < cap) {
-      if (pageSize(url, hi, fq) == 0) hiEmpty = true else hi *= 2
+      if (pageSize(url, hi, fq, http) == 0) hiEmpty = true else hi *= 2
     }
     if (!hiEmpty) return cap
     var lo = hi / 2
     var h = hi
     while (lo + 1 < h) {
       val mid = lo + (h - lo) / 2
-      if (pageSize(url, mid, fq) > 0) lo = mid else h = mid
+      if (pageSize(url, mid, fq, http) > 0) lo = mid else h = mid
     }
     h
   }
@@ -290,30 +373,12 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
   private val itemsPerPage = math.min(opts.getOrElse("itemsperpage", "100").toInt, maxItemsPerPage)
   private val totalLimit0 = opts.getOrElse("totallimit", "1000000").toLong // DEFAULT_CONFIG, src/index.ts:31-34
   private val totalLimit = if (pushedLimit >= 0) math.min(pushedLimit.toLong, totalLimit0) else totalLimit0
-  private val maxRetries = opts.getOrElse("maxretries", "0").toInt
-  private val retryIntervalMs = opts.getOrElse("retryintervalms", "1000").toLong
   private val timeoutMs = opts.getOrElse("timeoutms", "30000").toLong // src/index.ts:33
   private val minIntervalMs = opts.get("requestspersecond").map(r => (1000.0 / r.toDouble).toLong).getOrElse(0L)
-  // OAuth2: token endpoint URL; bearer fetched lazily, refreshed on 401
-  // (reference adapters/hubspot/src/index.ts:300-335, zoho:298-326)
-  private val oauthTokenUrl = opts.getOrElse("oauthtokenurl", null)
-  // incremental read watermark → If-Modified-Since on every data request
-  // (reference adapters/xero/src/index.ts:321-324 Modified After)
-  private val modifiedAfter = opts.getOrElse("modifiedafter", null)
-  private var bearerToken: String = null
-
-  private def fetchToken(): String = {
-    val conn = new java.net.URL(oauthTokenUrl).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(10000); conn.setReadTimeout(10000)
-    if (conn.getResponseCode >= 400)
-      throw new java.io.IOException(s"token endpoint HTTP ${conn.getResponseCode}")
-    val node = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
-    val tok = node.get("access_token")
-    if (tok == null || tok.isNull)
-      throw new java.io.IOException("token endpoint returned no access_token")
-    tok.asText()
-  }
+  // OAuth2 bearer + refresh-on-401, bounded retry, 429 Retry-After and
+  // If-Modified-Since all live in the shared RestHttp path (also used by
+  // the streaming probe)
+  private val http = RestHttp.fromOpts(opts)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val startedAt = System.currentTimeMillis()
@@ -348,47 +413,7 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
         else s"$url?limit=$pageLimit&offset=$cursor$fq"
       else s"$url?limit=$pageLimit&offset=$offset$fq"
 
-    // bounded retry (fetchData, src/index.ts:36-90), with two
-    // status-aware paths: 401 → refresh the OAuth bearer once and retry
-    // immediately without consuming a retry (hubspot:300-335); 429 →
-    // honor the server's Retry-After header over the fixed interval
-    // (hubspot:506-510)
-    var attempt = 0
-    var refreshedThisPage = false
-    var body: String = null
-    while (body == null) {
-      lastRequestAt = System.currentTimeMillis()
-      var retryAfterMs = -1L
-      try {
-        if (oauthTokenUrl != null && bearerToken == null) bearerToken = fetchToken()
-        val conn = new java.net.URL(pageUrl).openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        conn.setConnectTimeout(10000)
-        conn.setReadTimeout(10000)
-        if (bearerToken != null)
-          conn.setRequestProperty("Authorization", s"Bearer $bearerToken")
-        if (modifiedAfter != null)
-          conn.setRequestProperty("If-Modified-Since", modifiedAfter)
-        val code = conn.getResponseCode
-        if (code == 401 && oauthTokenUrl != null && !refreshedThisPage) {
-          refreshedThisPage = true
-          bearerToken = fetchToken() // refresh-on-401, then immediate retry
-        } else if (code >= 400) {
-          if (code == 429) {
-            val ra = conn.getHeaderField("Retry-After")
-            if (ra != null) retryAfterMs = ra.trim.toLong * 1000L
-          }
-          throw new java.io.IOException(s"HTTP $code")
-        } else {
-          body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-        }
-      } catch {
-        case e: Exception if attempt < maxRetries =>
-          attempt += 1
-          Thread.sleep(if (retryAfterMs >= 0) retryAfterMs else retryIntervalMs)
-        case e: Exception => throw e
-      }
-    }
+    val body = http.get(pageUrl, onRequest = () => lastRequestAt = System.currentTimeMillis())
 
     val root = mapper.readTree(body)
     val data = root.get("data")

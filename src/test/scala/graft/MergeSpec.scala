@@ -45,6 +45,24 @@ class MergeSpec extends SparkSpec {
       twice.as[(Long, Int, String)].collect().sorted.toSeq)
   }
 
+  test("keepExtremum: null payload sorts LOWEST (the documented NULLS FIRST contract)") {
+    // Spark struct ordering: null < any value. On a leading-column tie,
+    // min keeps the null payload, max keeps the non-null one — the
+    // contract any SQL oracle twin must spell as NULLS FIRST.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("ver", IntegerType),
+      StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 1, null), Row(1L, 1, "x"))), schema)
+    val mn = Merge.keepExtremum(df, Seq("k"), leading = Nil, takeMax = false)
+      .as[(Long, Int, Option[String])].collect().toSeq
+    val mx = Merge.keepExtremum(df, Seq("k"), leading = Nil, takeMax = true)
+      .as[(Long, Int, Option[String])].collect().toSeq
+    assert(mn == Seq((1L, 1, None)), s"min should keep the null payload, got $mn")
+    assert(mx == Seq((1L, 1, Some("x"))), s"max should keep the non-null payload, got $mx")
+  }
+
   test("scd2: contiguous intervals, one open-ended current row per key") {
     val ch = state((1L, 1, "a"), (1L, 3, "b"), (1L, 7, "c"), (2L, 5, "z"))
     val out = Merge.scd2(ch, Seq("k"), "ver", "val")
