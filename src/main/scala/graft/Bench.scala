@@ -40,10 +40,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // per-query detail first; the compact total line LAST so the driver's
-    // tail capture always parses it even if earlier output is truncated
-    println(s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val detailLine =
+      s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    // the compact total line FIRST — r3's capture window cut mid-way
+    // through the (long) detail line and lost the total entirely; detail
+    // after, and a full copy on disk so no capture window can lose it
+    println(totalLine)
+    println(detailLine)
+    try {
+      val w = new java.io.PrintWriter("tools/bench_last.json")
+      try { w.println(totalLine); w.println(detailLine) } finally w.close()
+    } catch { case _: Throwable => } // bench output must never fail on an unwritable CWD
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
     System.exit(0) // insurance: never let a leaked non-daemon thread stall the driver's round

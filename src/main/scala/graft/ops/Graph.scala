@@ -29,12 +29,26 @@ object Graph {
     * distinct group keys, one row per pair with left < right. The
     * group→node table is distinct-ed first so the per-group self-join never
     * sees duplicate membership rows.
+    *
+    * Hot-group cap: the per-group self-join is quadratic in group size,
+    * so ONE viral group (a part supplied by thousands of suppliers, a
+    * token in every doc) explodes the pair count. Groups larger than
+    * `maxGroupSize` are dropped before the join — the same stop-shingle
+    * cut as [[Dedup.ngramJaccard]]'s maxDocFreq: a group that connects
+    * everyone to everyone carries no pairwise signal and all of the
+    * cost. The dropped-group count is logged so the cut is never silent.
     */
   def coOccurrenceEdges(groupNode: DataFrame, groupCol: String, nodeCol: String,
-                        minShared: Long): DataFrame = {
+                        minShared: Long, maxGroupSize: Long = 1000): DataFrame = {
     val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct()
-    val a = m.select(col("g"), col("n").as("s1"))
-    val b = m.select(col("g"), col("n").as("s2"))
+    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).persist()
+    val dropped = sizes.filter(col("gsz") > maxGroupSize).count() // one row per group: metadata-scale
+    if (dropped > 0)
+      System.err.println(
+        s"graft.Graph.coOccurrenceEdges: dropped $dropped group(s) larger than $maxGroupSize members")
+    val keep = m.join(sizes.filter(col("gsz") <= maxGroupSize).select("g"), Seq("g"))
+    val a = keep.select(col("g"), col("n").as("s1"))
+    val b = keep.select(col("g"), col("n").as("s2"))
     a.join(b, Seq("g")).filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
@@ -83,13 +97,13 @@ object Graph {
     * edge directions (then every node has out-degree ≥ 1 and no dangling
     * mass). Each round is one shuffle keyed by dst.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, checkpointInterval: Int = 5): DataFrame = {
     val withDeg = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
       .persist() // static per-round join input: pay the degree join once
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), expr("r div d").as("contrib"))
@@ -97,6 +111,12 @@ object Graph {
         .agg(sum(col("contrib")).as("csum"))
         .select(col("dst").as("node"),
           (lit(Teleport) + expr("(85 * csum) div 100")).as("r"))
+      // lineage truncation, mirroring Dedup.connectedComponents: without
+      // it the plan grows linearly with iters (planning time + recovery
+      // lineage blow up past ~20 rounds). Every k rounds keeps the plan
+      // depth O(k) while paying only iters/k materializations.
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -30,16 +30,17 @@ object CorpusQueries {
       // feeds the near-dup input AND the final anti-join — persist each
       // once or the regex-heavy quality stage re-runs per consumer
       val fp = quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))).persist()
+      // carry `text` through the persisted survivors: the minhash stage
+      // reads it straight from cache instead of re-scanning + re-joining
+      // the raw documents table (was a second full scan)
       val keepExact = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .join(fp.select("doc_id", "lang", "source", "n_words"), "doc_id")
+        .join(fp.select("doc_id", "lang", "source", "n_words", "text"), "doc_id")
         .persist()
 
       // 3. near-dup removal: minhash pairs over survivors → CC →
       //    drop every doc that is not its cluster's canonical (min id)
       val pairs = Dedup.minhashDedup(
-        keepExact.select(col("doc_id"), lit(null).as("unused"))
-          .join(scan(s, d, "documents").select("doc_id", "text"), "doc_id"),
-        "doc_id", "text", threshold = 0.5)
+        keepExact.select("doc_id", "text"), "doc_id", "text", threshold = 0.5)
       val clusters = Dedup.connectedComponents(pairs)
       val dropNearDups = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
       val deduped = keepExact.join(dropNearDups, Seq("doc_id"), "left_anti")

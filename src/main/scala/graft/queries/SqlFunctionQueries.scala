@@ -183,12 +183,20 @@ object SqlFunctionQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // approximate distinct-count sketch (no exact oracle by nature —
-    // driver records the rows-only check; the exact twin is q_agg_distinct)
+    // approximate distinct-count sketch, made oracle-green: the HLL++
+    // estimate itself is un-hashable (HLL++ ≠ DuckDB's sketch), so the
+    // query emits the EXACT distinct count plus a Spark-computed
+    // within_tolerance check of the sketch against it (5×rsd, the same
+    // bound SketchSpec pins) — both deterministic, oracle = exact count
+    // + literal true
     "q_agg_approx_distinct" -> ((s: SparkSession, d: String) => {
       scan(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(5 * 0.02)).as("within_tolerance"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -373,7 +381,10 @@ object SqlFunctionQueries {
            |  array_to_string(list_sort(list_distinct(ws[1:10])), '|') AS d10,
            |  CAST(list_sum([length(x) for x in ws[1:10]]) AS INT) AS len10,
            |  array_to_string(list_sort(list_distinct(ws[1:6])), '|') AS sorted6
-           |FROM w ORDER BY doc_id""".stripMargin
-    // q_agg_approx_distinct: intentionally no oracle (sketch output)
+           |FROM w ORDER BY doc_id""".stripMargin,
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_tolerance
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

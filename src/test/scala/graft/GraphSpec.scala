@@ -36,6 +36,31 @@ class GraphSpec extends SparkSpec {
     assert(e1.toSet == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("coOccurrenceEdges: a viral group is dropped, not squared") {
+    // one group with 2000 members (≈2M pairs if joined) + one small group;
+    // the cap must cut the hot group so only the small group's pairs emerge
+    val hot = (1 to 2000).map(i => ("viral", s"n$i"))
+    val small = Seq(("g", "a"), ("g", "b"))
+    val m = (hot ++ small).toDF("grp", "node")
+    val e = Graph.coOccurrenceEdges(m, "grp", "node", 1L, maxGroupSize = 100)
+      .as[(String, String)].collect()
+    assert(e.toSet == Set(("a", "b")), s"hot-group pairs leaked: ${e.length} edges")
+  }
+
+  test("pageRank: 25 iterations complete with bounded plan depth (lineage truncation)") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val und = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(und, 25)
+    // without checkpointing, 25 chained rounds make the analyzed plan
+    // (and Janino input) grow linearly — the plan string alone is a fair
+    // proxy: it must reflect only the rounds since the last checkpoint
+    val planLines = r.queryExecution.optimizedPlan.toString.linesIterator.size
+    val shallow = Graph.pageRank(und, 2).queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines <= shallow * 4, s"plan depth grew with iters: $planLines lines vs 2-iter $shallow")
+    val rc = r.as[(Long, Long)].collect().toMap
+    assert(rc.values.toSet.size == 1 && math.abs(rc(1L) - Graph.Scale) <= 2L)
+  }
+
   test("pageRank: hub of an undirected star outranks leaves; regular graph stays uniform") {
     // undirected star: hub 1, leaves 2..5 — pass both edge directions
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
