@@ -30,7 +30,8 @@ final class PipelineRunner(spark: SparkSession, sourceDir: String,
 
   def run(p: PipelineSpec,
           onload: DataFrame => Unit = _ => (),
-          onbeforesend: DataFrame => Option[DataFrame] = df => Some(df)): RunResult = {
+          onbeforesend: DataFrame => Option[DataFrame] = df => Some(df),
+          onupload: () => Unit = () => ()): RunResult = {
     val events = scala.collection.mutable.ArrayBuffer[String]()
     def emit(t: String, msg: String, n: Option[Long] = None): Unit = {
       events += t
@@ -85,6 +86,7 @@ final class PipelineRunner(spark: SparkSession, sourceDir: String,
               }
               val n = obs.get("rows").asInstanceOf[Long]
               emit("load", s"written to ${sink.format}:${sink.path}", Some(n))
+              onupload() // post-load hook (pipeline.onupload?.(), src/index.ts:526)
               emit("complete", "pipeline complete", Some(n))
               RunResult(n, loaded = true, events.toSeq)
           }

@@ -43,7 +43,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `{"data": [{...}, ...], "nextOffset": "tok"?}` — nextOffset only in
   * cursor mode.
   *
-  * Options: url, schema (DDL, required), pageType=offset|cursor,
+  * Options: url, schema (DDL, required), pageType=offset|cursor|page|link
+  * (page = Zoho-style page-number arithmetic; link = GitHub-style Link
+  * rel="next" header chain),
   * itemsPerPage, maxItemsPerPage, totalLimit, maxRetries,
   * retryIntervalMs, requestsPerSecond, timeoutMs,
   * oauthTokenUrl (OAuth2 bearer fetch + refresh-on-401, O8),
@@ -245,6 +247,13 @@ private[graft] final class RestHttp(oauthTokenUrl: String, maxRetries: Int,
     extends Serializable {
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private var bearerToken: String = null
+  private var lastLinkHdr: String = null
+
+  /** `Link` response header of the last successful [[get]] (null if the
+    * server sent none) — the reader's link pageType parses rel="next"
+    * out of it, the way the reference's GitHub adapter does.
+    */
+  def lastLink: String = lastLinkHdr
 
   private def fetchToken(): String = {
     val conn = new java.net.URL(oauthTokenUrl).openConnection()
@@ -292,6 +301,7 @@ private[graft] final class RestHttp(oauthTokenUrl: String, maxRetries: Int,
           throw new java.io.IOException(s"HTTP $code")
         } else {
           body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          lastLinkHdr = conn.getHeaderField("Link")
         }
       } catch {
         case e: Exception if attempt < maxRetries =>
@@ -385,6 +395,10 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
   private var lastRequestAt = 0L
   private var offset = startOffset
   private var cursor: String = null
+  // link mode: next page number, server-driven via the Link header
+  // (reference adapters/github/src/index.ts:195-201)
+  private var nextPageNo: Long = 1L
+  private val LinkNext = """<[^>]+page=(\d+)[^>]*>;\s*rel="next"""".r
   private var exhausted = false
   private var emitted = 0L
   private var page: Iterator[com.fasterxml.jackson.databind.JsonNode] = Iterator.empty
@@ -407,11 +421,21 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
       else itemsPerPage
     if (pageLimit <= 0) { exhausted = true; return }
     val fq = if (filterQuery.isEmpty) "" else s"&$filterQuery"
-    val pageUrl =
-      if (pageType == "cursor")
+    val pageUrl = pageType match {
+      case "cursor" =>
         if (cursor == null) s"$url?limit=$pageLimit$fq"
         else s"$url?limit=$pageLimit&offset=$cursor$fq"
-      else s"$url?limit=$pageLimit&offset=$offset$fq"
+      case "page" =>
+        // page-number pagination, derived arithmetically from the row
+        // offset exactly as the reference does (adapters/zoho:393:
+        // page = floor(offset/limit) + 1)
+        s"$url?limit=$pageLimit&page=${offset / itemsPerPage + 1}$fq"
+      case "link" =>
+        // server-driven page chain: first page 1, then whatever the
+        // previous response's Link rel="next" said
+        s"$url?limit=$pageLimit&page=$nextPageNo$fq"
+      case _ => s"$url?limit=$pageLimit&offset=$offset$fq"
+    }
 
     val body = http.get(pageUrl, onRequest = () => lastRequestAt = System.currentTimeMillis())
 
@@ -423,6 +447,13 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
       val next = root.get("nextOffset")
       cursor = if (next == null || next.isNull) null else next.asText()
       if (cursor == null) exhausted = true // missing cursor stops (src/index.ts:273-282)
+    } else if (pageType == "link") {
+      // GitHub-style: absence of a Link rel="next" ends the chain
+      // (adapters/github/src/index.ts:195-201)
+      LinkNext.findFirstMatchIn(Option(http.lastLink).getOrElse("")) match {
+        case Some(m) => nextPageNo = m.group(1).toLong
+        case None    => exhausted = true
+      }
     } else {
       offset += pageLimit
       if (n < pageLimit) exhausted = true // short page stops

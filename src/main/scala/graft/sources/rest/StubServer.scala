@@ -106,7 +106,8 @@ object StubServer {
 
   private def handler(nRows: Long, cursorMode: Boolean, flaky: Boolean,
                       slow: Boolean = false, requireAuth: Boolean = false,
-                      with429: Boolean = false): HttpHandler =
+                      with429: Boolean = false, pageMode: Boolean = false,
+                      linkHeader: Boolean = false): HttpHandler =
     (ex: HttpExchange) => {
       requestCount.incrementAndGet()
       val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
@@ -140,6 +141,17 @@ object StubServer {
             val startTok = params.getOrElse("offset", Long.MinValue.toString).toLong
             val rest = all.dropWhile(_ < startTok)
             (rest.take(limit), rest.drop(limit).headOption)
+          } else if (pageMode) {
+            // page-number pagination (reference adapters/zoho: per_page +
+            // page params); /link-rows additionally advertises the next
+            // page in a Link response header (reference adapters/github)
+            val page = params.getOrElse("page", "1").toInt
+            val off = (page - 1) * limit
+            if (linkHeader && off + limit < all.size)
+              ex.getResponseHeaders.set("Link",
+                s"""<${url(ex.getRequestURI.getPath)}?limit=$limit&page=${page + 1}>; rel="next", """ +
+                  s"""<${url(ex.getRequestURI.getPath)}?limit=$limit&page=${(all.size + limit - 1) / limit}>; rel="last"""")
+            (all.slice(off, off + limit), None)
           } else {
             val off = params.getOrElse("offset", "0").toInt
             (all.slice(off, off + limit), None)
@@ -165,6 +177,10 @@ object StubServer {
       handler(nRows, cursorMode = false, flaky = false, requireAuth = true))
     server.createContext("/limited-rows",
       handler(nRows, cursorMode = false, flaky = false, with429 = true))
+    server.createContext("/page-rows",
+      handler(nRows, cursorMode = false, flaky = false, pageMode = true))
+    server.createContext("/link-rows",
+      handler(nRows, cursorMode = false, flaky = false, pageMode = true, linkHeader = true))
     // OAuth2 token endpoint: POST/GET → {"access_token": "tokN", ...}
     // (reference adapters/hubspot/src/index.ts:300-335 refresh flow)
     server.createContext("/oauth/token", (ex: HttpExchange) => {

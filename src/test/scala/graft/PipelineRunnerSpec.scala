@@ -52,6 +52,29 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("onupload fires after a successful load, not on veto or download-only (src/index.ts:526)") {
+    var uploads = 0
+    val runner = new PipelineRunner(spark, sf001)
+    // loaded run: hook fires once, after the data is on disk
+    val out = tmp()
+    runner.run(
+      PipelineSpec(source = Some(Connector("region", limit = 0)),
+        target = Some(SinkSpec("parquet", out))),
+      onupload = () => { assert(spark.read.parquet(out).count() == 5); uploads += 1 })
+    assert(uploads == 1)
+    // vetoed load: nothing was uploaded, hook must not fire
+    runner.run(
+      PipelineSpec(source = Some(Connector("region", limit = 0)),
+        target = Some(SinkSpec("parquet", tmp()))),
+      onbeforesend = _ => None,
+      onupload = () => uploads += 1)
+    assert(uploads == 1)
+    // download-only pipeline: no target, no upload, no hook
+    runner.run(PipelineSpec(source = Some(Connector("region", limit = 0))),
+      onupload = () => uploads += 1)
+    assert(uploads == 1)
+  }
+
   test("itemsPerBatch caps rows per written file (src/index.ts:479-524 → maxRecordsPerFile)") {
     val out = tmp()
     val runner = new PipelineRunner(spark, sf001)

@@ -35,6 +35,23 @@ class RestSourceSpec extends SparkSpec {
     assert(StubServer.requestCount.get() == 5) // 60×4 + 10, last page has no cursor
   }
 
+  test("page-number pagination (Zoho-style page arithmetic) reads all rows") {
+    StubServer.requestCount.set(0)
+    val rows = read("/page-rows", "pageType" -> "page", "itemsPerPage" -> "100").collect()
+    assert(rows.length == 250)
+    assert(rows.map(_.getLong(0)).toSet == (1L to 250L).toSet)
+    assert(StubServer.requestCount.get() == 3) // pages 1,2,3 — 3rd short → stop
+  }
+
+  test("Link-header pagination (GitHub-style rel=next chain) follows to the end") {
+    StubServer.requestCount.set(0)
+    val rows = read("/link-rows", "pageType" -> "link", "itemsPerPage" -> "60").collect()
+    assert(rows.length == 250)
+    assert(rows.map(_.getLong(0)).toSet == (1L to 250L).toSet)
+    // 60×4 + 10: the 5th response carries no rel="next" → stop
+    assert(StubServer.requestCount.get() == 5)
+  }
+
   test("limit pushdown stops the page loop early (src/index.ts:284-286)") {
     StubServer.requestCount.set(0)
     val n = read("/rows", "itemsPerPage" -> "50").limit(70).collect().length
