@@ -74,6 +74,48 @@ object Merge {
       .agg(sum(col(addCols.head)).as(addCols.head),
         addCols.tail.map(c => sum(col(c)).as(c)): _*)
 
+  /** IVM for MIN/MAX state under INSERTS: extrema form a commutative
+    * semigroup under least/greatest, so an insert batch folds into the
+    * state exactly like the additive case — one groupBy over state ∪
+    * delta partial-aggregate, cost ∝ delta. Both inputs carry
+    * (keys..., mn, mx).
+    */
+  def mergeExtremaState(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** IVM for MIN/MAX state under DELETES — the non-invertible case: a
+    * retraction can't be subtracted from an extremum, so the scalable
+    * contract is recompute-on-retract per key:
+    *
+    *  - a delete key whose deleted values lie STRICTLY inside the
+    *    state's (mn, mx) interval cannot move either extremum → state
+    *    row kept untouched, no base access;
+    *  - a delete key that touches its extremum (deleted min ≤ mn or
+    *    deleted max ≥ mx — ties included, since state keeps no
+    *    multiplicity) recomputes from `remaining` (the post-delete base)
+    *    restricted to JUST those keys — cost ∝ touched keys' rows, not
+    *    |base|;
+    *  - a key with no remaining rows drops out of the view.
+    */
+  def retractExtremaState(state: DataFrame, deletes: DataFrame, remaining: DataFrame,
+                          keys: Seq[String], valCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val delAgg = deletes.groupBy(kc: _*)
+      .agg(min(col(valCol)).as("__dmn"), max(col(valCol)).as("__dmx"))
+    // both branches read the classified state — materialize the small
+    // (one row per key) join once
+    val joined = state.join(delAgg, keys, "left").persist()
+    val interior = col("__dmn").isNull || (col("__dmn") > col("mn") && col("__dmx") < col("mx"))
+    val untouched = joined.filter(interior).select(kc :+ col("mn") :+ col("mx"): _*)
+    val touchedKeys = joined.filter(!interior).select(kc: _*)
+    val recomputed = remaining.join(touchedKeys, keys) // restrict BEFORE aggregating
+      .groupBy(kc: _*)
+      .agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    untouched.unionByName(recomputed)
+  }
+
   /** SCD2 validity intervals from a change stream: each key's records
     * ordered by version become [valid_from, valid_to) rows, the last one
     * open-ended (is_current). One window pass, keyed shuffle only.

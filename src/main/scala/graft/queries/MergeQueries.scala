@@ -48,6 +48,31 @@ object MergeQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // IVM beyond additive aggregates: per-customer MIN/MAX order value
+    // maintained through an INSERT batch (semigroup fold, cost ∝ delta)
+    // and then a DELETE batch (recompute-on-retract: only keys whose
+    // deleted values touch their extremum re-read their base rows —
+    // interior deletes keep state without any base access). Equals the
+    // from-scratch aggregate over the post-delete table (the oracle).
+    "q_ivm_minmax" -> ((s: SparkSession, d: String) => {
+      val oo = scan(s, d, "orders")
+      val o = oo.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val early = oo.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val late = oo.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      // 1. state from the initial load, 2. fold in the insert batch
+      val afterInserts = Merge.mergeExtremaState(agg(early), agg(late), Seq("o_custkey"))
+      // 3. delete batch: every 10th order retracts
+      val deletes = o.filter(col("o_orderkey") % 10 === 0)
+      val remaining = o.filter(col("o_orderkey") % 10 =!= 0)
+      Merge.retractExtremaState(afterInserts, deletes, remaining,
+          Seq("o_custkey"), "o_totalprice")
+        .orderBy(col("o_custkey"))
+    }),
+
     // snapshot diff — the sync-validation op: classify every key across
     // two table versions as added / removed / changed / unchanged via ONE
     // full outer join on the key with md5 payload fingerprints (no
@@ -97,6 +122,10 @@ object MergeQueries {
         |  CAST(CAST(SUM(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS revenue
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_ivm_minmax" ->
+      """SELECT o_custkey, min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_table_diff" ->
       """WITH sa AS (SELECT o_custkey,
         |              md5(CAST(count(*) AS VARCHAR) || ':' || CAST(max(o_orderkey) AS VARCHAR)) AS fp

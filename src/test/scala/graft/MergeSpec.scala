@@ -63,6 +63,29 @@ class MergeSpec extends SparkSpec {
     assert(mx == Seq((1L, 1, Some("x"))), s"max should keep the non-null payload, got $mx")
   }
 
+  test("retractExtremaState: interior delete keeps state; extremum delete recomputes; emptied key drops") {
+    // base per key: k1 -> {1,5,9}, k2 -> {2,8}, k3 -> {4}
+    val rows = Seq((1L, 1.0), (1L, 5.0), (1L, 9.0), (2L, 2.0), (2L, 8.0), (3L, 4.0))
+      .toDF("k", "v")
+    val state = rows.groupBy(col("k"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // deletes: k1's interior 5 (no extremum move), k2's max 8 (recompute),
+    // k3's only row (key vanishes)
+    val dels = Seq((1L, 5.0), (2L, 8.0), (3L, 4.0)).toDF("k", "v")
+    val remaining = rows.except(dels)
+    val out = Merge.retractExtremaState(state, dels, remaining, Seq("k"), "v")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1.0, 9.0), (2L, 2.0, 2.0)))
+  }
+
+  test("mergeExtremaState: insert batch folds into min/max state") {
+    val st = Seq((1L, 2.0, 7.0)).toDF("k", "mn", "mx")
+    val ins = Seq((1L, 1.0, 3.0), (2L, 5.0, 5.0)).toDF("k", "mn", "mx")
+    val out = Merge.mergeExtremaState(st, ins, Seq("k"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1.0, 7.0), (2L, 5.0, 5.0)))
+  }
+
   test("scd2: contiguous intervals, one open-ended current row per key") {
     val ch = state((1L, 1, "a"), (1L, 3, "b"), (1L, 7, "c"), (2L, 5, "z"))
     val out = Merge.scd2(ch, Seq("k"), "ver", "val")
