@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve gate: measure every registered query at two scale
+  * factors and flag super-linear growth — the operator-level version of
+  * the "would this survive a 100× scale-up" question, as a number
+  * instead of prose (SCALE.md's arguments become a measured check).
+  *
+  * Between sf0.01 and sf0.1 the data grows 10×; a well-shaped operator
+  * on local[32] should grow wall-clock well below that (partial
+  * aggregation, pruning and spare cores absorb most of it). A ratio
+  * far above the data growth means something is quadratic — a pair
+  * explosion, a hot group, an un-pruned scan — exactly the class of
+  * defect that kills at 100 TB while staying invisible in a
+  * single-scale bench.
+  *
+  * Usage: runMain graft.ScaleCurve [smallDir] [largeDir] [flagRatio]
+  * [nameRegex]. Emits the summary JSON line FIRST (same
+  * truncation-proofing as Bench), then per-query detail; sub-2s
+  * large-side queries are never flagged (timer noise, not a scale
+  * signal).
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val large = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val flagRatio = args.lift(2).map(_.toDouble).getOrElse(15.0)
+    val nameFilter = args.lift(3).map(_.r)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+    var errors = List.empty[String]
+    val rows = picked.flatMap { case (name, fn) =>
+      try {
+        // small first warms codegen/caches for the shared plan shape, so
+        // the large-side number isn't charged compile time
+        val ts = time(fn, small)
+        val tl = time(fn, large)
+        // noise floor on the denominator: sub-0.2s timings are scheduler
+        // jitter, and dividing by them manufactures fake ratios
+        val ratio = tl / math.max(ts, 0.2)
+        Some((name, ts, tl, ratio))
+      } catch {
+        case e: Throwable =>
+          errors ::= name
+          System.err.println(s"SCALECURVE ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+    }
+    val flagged = rows.filter { case (_, _, tl, r) => r > flagRatio && tl > 2.0 }
+    val summary =
+      s"""{"metric":"scalecurve","flag_ratio":$flagRatio,"n_queries":${rows.size},""" +
+        s""""n_flagged":${flagged.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""n_errors":${errors.size},"small":"$small","large":"$large"}"""
+    val detail = rows.map { case (n, ts, tl, r) =>
+      s""""$n":{"t_small":$ts,"t_large":$tl,"ratio":${math.rint(r * 100) / 100}}"""
+    }.mkString("{\"metric\":\"scalecurve_detail\",\"queries\":{", ",", "}}")
+    println(summary)
+    println(detail)
+    try {
+      val w = new java.io.PrintWriter("tools/scalecurve_last.json")
+      try { w.println(summary); w.println(detail) } finally w.close()
+    } catch { case _: Throwable => }
+    graft.sources.rest.StubServer.stop()
+    spark.stop()
+    if (flagged.nonEmpty) System.err.println(
+      s"SCALECURVE: ${flagged.size} super-linear queries: ${flagged.map(_._1).mkString(", ")}")
+    System.exit(0)
+  }
+}

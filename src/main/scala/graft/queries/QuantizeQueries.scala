@@ -41,6 +41,30 @@ object QuantizeQueries {
             transform(Quantize.pqCodes(vd, codebook, PqM), c => c.cast("string")),
             ",").as("codes_csv"))
         .orderBy(col("vec_id"))
+    }),
+
+    // PQ asymmetric-distance scan (ADC): the query vector's per-subspace
+    // distance to every centroid becomes an M×K lookup table (driver
+    // side, metadata scale); each corpus vector's distance is then just
+    // Σ_m lut[m][code_m] over its 8-byte PQ code — the scan never touches
+    // the raw embedding column. This is the candidate sweep of a
+    // 100 TB ANN index: 32× less I/O than the float scan, exact re-rank
+    // only on the shortlist.
+    "q_embed_adc" -> ((s: SparkSession, d: String) => {
+      val emb = scan(s, d, "embeddings")
+      val codebook = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(PqK).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      // query = the max-id vector (deterministic, not a codebook row)
+      val query = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id").desc).limit(1).collect()(0)
+        .getSeq[Float](1).map(_.toDouble).toSeq
+      val luts = Quantize.adcLuts(query, codebook, PqM)
+      val vd = col("embedding").cast("array<double>")
+      emb.select(col("vec_id"),
+          Quantize.adcDistance(Quantize.pqCodes(vd, codebook, PqM), luts).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(20)
     })
   )
 
@@ -73,6 +97,32 @@ object QuantizeQueries {
          |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
          |         FROM dists)
          |SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes_csv
-         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_embed_adc" ->
+      s"""WITH cb AS (SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS k
+         |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+         |qv AS (SELECT embedding AS q FROM embeddings ORDER BY vec_id DESC LIMIT 1),
+         |sub AS (SELECT CAST(m AS INT) AS m FROM range($PqM) t(m)),
+         |dists AS (SELECT e.vec_id, s.m, cb.k,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS d
+         |  FROM embeddings e, sub s, cb),
+         |best AS (SELECT vec_id, m, k,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+         |         FROM dists),
+         |lut AS (SELECT s.m, cb.k,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(qv.q[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(qv.q[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS ld
+         |  FROM qv, sub s, cb)
+         |SELECT b.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+         |FROM best b JOIN lut l ON l.m = b.m AND l.k = b.k
+         |WHERE b.rn = 1
+         |GROUP BY b.vec_id
+         |ORDER BY adc_dist, b.vec_id LIMIT 20""".stripMargin
   )
 }

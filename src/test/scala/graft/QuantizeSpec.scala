@@ -40,4 +40,24 @@ class QuantizeSpec extends SparkSpec {
     assert(codes(1L) == Seq(1, 1))
     assert(codes(2L) == Seq(1, 0))
   }
+
+  test("adc: LUT-sum distance equals direct sub-distance to the assigned centroids") {
+    // 2 subspaces of 2 dims, K=2 centroids; query off-grid
+    val codebook = Seq(Seq(0.0, 0.0, 1.0, 1.0), Seq(2.0, 2.0, 3.0, 3.0))
+    val query = Seq(0.5, 0.25, 2.5, 2.75)
+    val luts = Quantize.adcLuts(query, codebook, m = 2)
+    // lut(m)(k) must be the floor-scaled sq dist of the query sub to centroid k
+    assert(luts(0)(0) == (math.floor(0.25e12).toLong + math.floor(0.0625e12).toLong))
+    val df = Seq((1L, Seq(0.1f, 0.1f, 3.1f, 3.1f)), (2L, Seq(2.2f, 1.9f, 0.9f, 1.2f))).toDF("id", "v")
+    val vd = col("v").cast("array<double>")
+    val codes = Quantize.pqCodes(vd, codebook, 2)
+    val out = df.select(col("id"), codes.as("c"),
+        Quantize.adcDistance(codes, luts).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    // vector 1 assigns to centroids (0, 1); vector 2 to (1, 0)
+    assert(out.view.mapValues(_._1).toMap == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0)))
+    // ADC distance = sum of the query-to-assigned-centroid LUT entries
+    assert(out(1L)._2 == luts(0)(0) + luts(1)(1))
+    assert(out(2L)._2 == luts(0)(1) + luts(1)(0))
+  }
 }
