@@ -14,7 +14,8 @@ class EntrySpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os.diff(qs)}")
     assert(qs.size >= 90)
-    // rows-only queries are the intentional sketch exceptions
-    assert(qs.diff(os) == Set("q_agg_approx_distinct"), qs.diff(os).toString)
+    // every registered query is oracle-checked — no rows-only exceptions
+    // left (the HLL sketch emits exact count + within_tolerance instead)
+    assert(qs.diff(os).isEmpty, s"queries without oracles: ${qs.diff(os)}")
   }
 }
