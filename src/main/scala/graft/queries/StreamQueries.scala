@@ -168,6 +168,21 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
+    // event-time timeout — sessions emit ONLY once the watermark proves
+    // they can never grow (append semantics, state ∝ open sessions).
+    // The bounded replay's final no-data micro-batch advances the
+    // watermark to max(ts) and flushes everything closed by then, so the
+    // oracle is batch gaps-and-islands restricted to sessions with
+    // session_end + gap <= max(ts) — still-open tails stay in the store,
+    // exactly as a live deployment would leave them
+    "q_stream_session_custom" -> ((s: SparkSession, d: String) => {
+      val sessions = StreamOps.sessionizeCustomState(
+        s, StreamOps.eventsStream(s, d), gapSeconds = 6 * 3600)
+      StreamOps.runToMemory(s, sessions, "mem_stream_session_custom", "append")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -267,6 +282,29 @@ object StreamQueries {
         |       COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_session_custom" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > ${6 * 3600}::BIGINT * 1000000
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged),
+         |sess AS (
+         |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |         COUNT(*) AS n_events
+         |  FROM numbered GROUP BY user_id, session_idx),
+         |mx AS (SELECT max(ts) AS m FROM events)
+         |SELECT user_id, session_start, session_end, n_events
+         |FROM sess, mx
+         |WHERE epoch_us(session_end) + ${6 * 3600}::BIGINT * 1000000 <= epoch_us(m)
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       s"""WITH lagged AS (
          |  SELECT user_id, event_id, ts, value,

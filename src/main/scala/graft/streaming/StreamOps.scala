@@ -122,6 +122,78 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
 
+  /** Custom-state sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeout — the state-machine twin of `session_window` for
+    * when the emitted record needs logic the built-in can't express.
+    * Per-key state is the user's open sessions as merged
+    * (startMicros, endMicros, count) intervals; a session row is
+    * EMITTED only when the watermark passes its end + gap, i.e. when it
+    * can provably never grow again — exactly-once append semantics with
+    * state bounded by each user's open-session count, never by history.
+    *
+    * On a bounded replay the post-data no-data micro-batch advances the
+    * watermark to max(ts) and flushes every session that closed by then;
+    * sessions still within `gap` of the stream's end stay open in the
+    * store (exactly what a live deployment wants — they may still grow).
+    * The batch-SQL oracle is therefore sessionize(...) restricted to
+    * sessions with end + gap ≤ max(ts).
+    */
+  def sessionizeCustomState(spark: SparkSession, events: DataFrame,
+                            gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+
+    // merge sorted (start, end, n) pieces whose gaps are within gapUs
+    def merge(existing: Seq[(Long, Long, Long)], evts: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val pieces = (existing ++ evts.map(t => (t, t, 1L))).sortBy(p => (p._1, p._2))
+      pieces.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, p) =>
+        acc.lastOption match {
+          case Some(last) if p._1 - last._2 <= gapUs =>
+            acc.init :+ ((last._1, math.max(last._2, p._2), last._3 + p._3))
+          case _ => acc :+ p
+        }
+      }
+    }
+
+    // the watermark column must survive into the stateful operator's
+    // input, so carry ts alongside its micros twin
+    val typed = events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all =
+            if (state.hasTimedOut) state.get
+            else merge(state.getOption.getOrElse(Nil), rows.map(_._3).toSeq)
+          // closed = provably final: watermark passed end + gap
+          val (closed, open) = all.partition(s => s._2 + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake on the next watermark advance: the exact (micros)
+            // closed-test runs at invocation, so an ms-rounded timeout
+            // target could strand a session that closes exactly at the
+            // watermark; wm + 1ms is always legal (> current watermark)
+            // and re-arms itself while anything stays open
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          }
+          closed.sortBy(_._1).map { case (st, en, n) => (uid, st, en, n) }.iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the user's previous event exceeds `gapSeconds`. One
     * window pass + one groupBy, both keyed by user — two shuffles on the

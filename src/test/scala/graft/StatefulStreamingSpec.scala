@@ -46,6 +46,40 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessions: cross-batch merge, watermark-proven emission, open tail retained") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, event-time seconds)
+    val events = input.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val sessions = StreamOps.sessionizeCustomState(spark, events, gapSeconds = 10)
+    val q = sessions.writeStream
+      .format("memory").queryName("mem_fmgws_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1: user 1 opens a session {100, 105}
+    input.addData((1L, 100L), (1L, 105L))
+    q.processAllAvailable()
+    // batch 2: 112 is within the 10s gap of 105 — the session must merge
+    // ACROSS batches (state, not batch-local grouping); user 2's far event
+    // pushes the watermark to 1000 for the next batch
+    input.addData((1L, 112L), (2L, 1000L))
+    q.processAllAvailable()
+    // batch 3: watermark (1000) has passed 112+10 → user 1's session is
+    // provably final and must emit exactly once, as [100, 112] × 3 events
+    input.addData((2L, 2000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mem_fmgws_sessions")
+      .select(col("user_id"),
+        (unix_micros(col("session_start")) / 1000000L).cast("long"),
+        (unix_micros(col("session_end")) / 1000000L).cast("long"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 100L, 112L, 3L)), s"cross-batch session missing/wrong: $out")
+    assert(!out.exists(r => r._1 == 2L && r._2 == 2000L),
+      s"open tail (user 2 @2000) leaked before the watermark proved it final: $out")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: key re-emitted after eviction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
