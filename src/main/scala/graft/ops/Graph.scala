@@ -40,7 +40,10 @@ object Graph {
     */
   def coOccurrenceEdges(groupNode: DataFrame, groupCol: String, nodeCol: String,
                         minShared: Long, maxGroupSize: Long = 1000): DataFrame = {
-    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct()
+    // persisted: the distinct membership feeds both the size census and
+    // the capped join — without the cache it would be recomputed per
+    // consumer (a second full distinct over the input)
+    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().persist()
     val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).persist()
     val dropped = sizes.filter(col("gsz") > maxGroupSize).count() // one row per group: metadata-scale
     if (dropped > 0)
