@@ -188,6 +188,10 @@ object QueryBuilder {
         call_function("graft_hex60", md5(concat(lit(sp.salt + ":"),
           col(sp.column).cast("string")).cast("binary"))) % 100 < sp.percent)
     }
+    c.upsert.foreach { up =>
+      require(up.keys.nonEmpty, "upsert requires at least one key")
+      df = graft.ops.Merge.latest(df, up.keys, up.versionCols)
+    }
     c.dedup.foreach { dd =>
       require(dd.keys.nonEmpty, "dedup requires at least one key")
       df = graft.ops.Merge.keepExtremum(df, dd.keys, leading = Nil, takeMax = false)

@@ -111,6 +111,9 @@ object ConnectorJson {
         column = n.get("column").asText(),
         percent = n.get("percent").asInt(),
         salt = opt(n, "salt").map(_.asText()).getOrElse("graft"))),
+      upsert = opt(root, "upsert").map(n => UpsertSpec(
+        keys = strSeq(n.get("keys")),
+        versionCols = strSeq(n.get("versionCols")))),
       dedup = opt(root, "dedup").map(n => DedupSpec(keys = strSeq(n.get("keys")))))
   }
 }

@@ -100,6 +100,13 @@ final case class WindowFnSpec(
   */
 final case class DedupSpec(keys: Seq[String])
 
+/** Declarative latest-wins upsert reduction — EXTENSION: reduce a change
+  * set to its newest row per key (greatest (versionCols..., payload...)
+  * tuple — Merge.latest, map-side combinable), the query-side verb of
+  * the reference's `action: "sync"` destination merge.
+  */
+final case class UpsertSpec(keys: Seq[String], versionCols: Seq[String])
+
 /** Declarative reproducible sample — EXTENSION: keep rows whose salted
   * content hash lands under `percent` of the bucket space. No RNG state:
   * the same (salt, column) always selects the same rows on any engine,
@@ -125,6 +132,7 @@ final case class Connector(
     groupBy: Option[GroupBySpec] = None,
     windows: Seq[WindowFnSpec] = Nil,      // applied after joins, before groupBy
     sample: Option[SampleSpec] = None,     // applied after transforms, before dedup
+    upsert: Option[UpsertSpec] = None,     // applied after sample, before dedup
     dedup: Option[DedupSpec] = None        // applied before joins
 )
 

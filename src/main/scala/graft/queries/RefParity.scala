@@ -210,6 +210,21 @@ object RefParity {
       QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
     }),
 
+    // the reference's sync action as a declarative JSON verb: filter the
+    // change set, reduce to the latest row per key (upsert), project and
+    // sort — the whole incremental-sync read side in one config
+    "q_connector_sync" -> ((spark: SparkSession, dir: String) => {
+      val json =
+        """{
+          |  "table": "orders",
+          |  "filters": [{"field": "o_orderstatus", "operator": "!=", "value": "P"}],
+          |  "upsert": {"keys": ["o_custkey"], "versionCols": ["o_orderdate", "o_orderkey"]},
+          |  "fields": ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+          |  "sort": [{"field": "o_custkey", "type": "asc"}]
+          |}""".stripMargin
+      QueryBuilder.build(spark, dir, ConnectorJson.parse(json))
+    }),
+
     // declarative left join + projection (no aggregation): the other
     // extension shape, also via JSON
     "q_connector_join" -> ((spark: SparkSession, dir: String) => {
@@ -272,6 +287,12 @@ object RefParity {
          |GROUP BY c_mktsegment, o_orderstatus
          |HAVING COUNT(*) >= 10
          |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_connector_sync" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders WHERE o_orderstatus <> 'P') t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_connector_join" ->
       """SELECT c_custkey, c_name, n_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
