@@ -56,22 +56,35 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
   private def bucketExpr = pmod(hash(keys.map(col): _*), lit(numBuckets))
 
   /** Heal buckets a crash left between the two swap renames: target dir
-    * missing but its `__old` copy present → rename back. Idempotent,
-    * O(numBuckets) namenode calls, run before every merge.
+    * missing but its `__old` copy present → rename back. Idempotent.
+    * The FULL sweep is one directory listing (never numBuckets exists
+    * probes — at 64k buckets that would be 128k namenode calls); it runs
+    * once at construction to cover crash-restart. Per batch only the
+    * delta-touched buckets are re-checked ([[recoverBuckets]]) — within
+    * a session nothing else can be mid-swap.
     */
-  def recover(): Unit = (0 until numBuckets).foreach { i =>
+  def recover(): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath.getName).collect {
+        case n if n.endsWith("__old") => n.stripSuffix("__old").drop(1).toInt
+      }.foreach(recoverBucket)
+
+  private def recoverBucket(i: Int): Unit = {
     val tgt = bucketDir(i)
     val old = new Path(root, s"b${i}__old")
-    if (!fs.exists(tgt) && fs.exists(old))
+    if (fs.exists(old) && !fs.exists(tgt))
       require(fs.rename(old, tgt), s"bucket recovery failed: $old -> $tgt")
   }
+
+  private def recoverBuckets(touched: Array[Int]): Unit = touched.foreach(recoverBucket)
+
+  recover() // heal any crash-interrupted swap before the first read/merge
 
   /** Latest-wins upsert of `delta` into the target, rewriting only the
     * buckets whose keys the delta touches. Returns the rewritten-bucket
     * count so callers (and specs) can assert delta-proportionality.
     */
   def upsert(delta: DataFrame): BucketUpsertStats = {
-    recover()
     val d = delta.withColumn("__b", bucketExpr)
     d.persist()
     try {
@@ -80,6 +93,7 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
       // than a full-width distinct shuffle for ≤ numBuckets values
       val touched = d.agg(collect_set(col("__b"))).head()
         .getSeq[Int](0).sorted.toArray
+      recoverBuckets(touched) // namenode cost ∝ delta, like everything else here
       val existing = touched.map(bucketDir).filter(fs.exists).map(_.toString)
       val base =
         if (existing.nonEmpty)
