@@ -4,16 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     // warm the JVM/codegen/FS paths so the first timed query isn't
     // charged ~4s of session startup, and touch every table's footer so
     // per-query numbers measure the plan, not first-read of the file
@@ -47,12 +38,7 @@ object Bench {
     // the compact total line FIRST — r3's capture window cut mid-way
     // through the (long) detail line and lost the total entirely; detail
     // after, and a full copy on disk so no capture window can lose it
-    println(totalLine)
-    println(detailLine)
-    try {
-      val w = new java.io.PrintWriter("tools/bench_last.json")
-      try { w.println(totalLine); w.println(detailLine) } finally w.close()
-    } catch { case _: Throwable => } // bench output must never fail on an unwritable CWD
+    GraftSession.emitJsonLines("tools/bench_last.json", Seq(totalLine, detailLine))
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
     spark.stop()
     System.exit(0) // insurance: never let a leaked non-daemon thread stall the driver's round

@@ -28,16 +28,7 @@ object ScaleCurve {
     val flagRatio = args.lift(2).map(_.toDouble).getOrElse(15.0)
     val nameFilter = args.lift(3).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Double = {
@@ -74,12 +65,7 @@ object ScaleCurve {
     val detail = rows.map { case (n, ts, tl, r) =>
       s""""$n":{"t_small":$ts,"t_large":$tl,"ratio":${math.rint(r * 100) / 100}}"""
     }.mkString("{\"metric\":\"scalecurve_detail\",\"queries\":{", ",", "}}")
-    println(summary)
-    println(detail)
-    try {
-      val w = new java.io.PrintWriter("tools/scalecurve_last.json")
-      try { w.println(summary); w.println(detail) } finally w.close()
-    } catch { case _: Throwable => }
+    GraftSession.emitJsonLines("tools/scalecurve_last.json", Seq(summary, detail))
     graft.sources.rest.StubServer.stop()
     spark.stop()
     if (flagged.nonEmpty) System.err.println(

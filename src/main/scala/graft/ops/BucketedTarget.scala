@@ -72,8 +72,15 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
   private def recoverBucket(i: Int): Unit = {
     val tgt = bucketDir(i)
     val old = new Path(root, s"b${i}__old")
-    if (fs.exists(old) && !fs.exists(tgt))
-      require(fs.rename(old, tgt), s"bucket recovery failed: $old -> $tgt")
+    if (fs.exists(old)) {
+      if (!fs.exists(tgt))
+        require(fs.rename(old, tgt), s"bucket recovery failed: $old -> $tgt")
+      else
+        // target AND __old coexist only after a crash between the second
+        // rename and the cleanup delete — the target is complete, the
+        // __old copy is stale; drop it or it leaks a bucket per crash
+        fs.delete(old, true)
+    }
   }
 
   private def recoverBuckets(touched: Array[Int]): Unit = touched.foreach(recoverBucket)

@@ -37,9 +37,11 @@ object Graph {
     * cut as [[Dedup.ngramJaccard]]'s maxDocFreq: a group that connects
     * everyone to everyone carries no pairwise signal and all of the
     * cost. The dropped-group count is logged so the cut is never silent.
+    * The default is UNCAPPED — the cap changes results, so callers (and
+    * any SQL oracle twin) must opt in explicitly.
     */
   def coOccurrenceEdges(groupNode: DataFrame, groupCol: String, nodeCol: String,
-                        minShared: Long, maxGroupSize: Long = 1000): DataFrame = {
+                        minShared: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
     // persisted: the distinct membership feeds both the size census and
     // the capped join — without the cache it would be recomputed per
     // consumer (a second full distinct over the input)

@@ -22,7 +22,11 @@ object GraphQueries {
     * the cache manager across the degree/triangle/(any future) graph
     * queries — the per-part self-join is the expensive stage. */
   private def coSupply(s: SparkSession, d: String): DataFrame =
-    Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared)
+    // explicit hot-group cap: far above TPC-H's suppliers-per-part (~10)
+    // at any SF, so the DuckDB oracle (no cap) stays equivalent, while a
+    // pathological group can never square the join
+    Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared,
+        maxGroupSize = 100000)
       .persist()
 
   /** customer↔supplier bipartite, both directions; supplier ids offset so

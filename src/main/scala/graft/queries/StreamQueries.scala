@@ -303,7 +303,11 @@ object StreamQueries {
          |mx AS (SELECT max(ts) AS m FROM events)
          |SELECT user_id, session_start, session_end, n_events
          |FROM sess, mx
-         |WHERE epoch_us(session_end) + ${6 * 3600}::BIGINT * 1000000 <= epoch_us(m)
+         |-- Spark's watermark is millisecond-floored (EventTimeStats
+         |-- tracks ms), so the closed-set boundary must floor too or a
+         |-- session ending in the final sub-ms window would diverge
+         |WHERE epoch_us(session_end) + ${6 * 3600}::BIGINT * 1000000
+         |      <= (epoch_us(m) // 1000) * 1000
          |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       s"""WITH lagged AS (

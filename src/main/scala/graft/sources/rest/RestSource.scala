@@ -199,10 +199,13 @@ final class RestScanBuilder(fullSchema: StructType, opts: Map[String, String])
         require(opts.getOrElse("pagetype", "offset") == "offset",
           "streaming REST ingest requires offset pagination (a cursor chain has no resumable position)")
         private val probeCap = opts.getOrElse("streamproberows", "100000000").toLong
+        // one client per stream, not per trigger: RestHttp caches the
+        // OAuth bearer, so probes don't re-hit the token endpoint every
+        // micro-batch (refresh-on-401 still covers expiry)
+        private val probeHttp = RestHttp.fromOpts(opts)
         override def initialOffset(): SOffset = RestStreamOffset(0L)
         override def latestOffset(): SOffset =
-          RestStreamOffset(RestProbe.countAvailable(opts("url"), filterQuery, probeCap,
-            RestHttp.fromOpts(opts)))
+          RestStreamOffset(RestProbe.countAvailable(opts("url"), filterQuery, probeCap, probeHttp))
         override def deserializeOffset(json: String): SOffset = RestStreamOffset(json.toLong)
         override def commit(end: SOffset): Unit = ()
         override def stop(): Unit = ()
@@ -398,7 +401,10 @@ final class RestPartitionReader(opts: Map[String, String], schema: StructType, p
   // link mode: next page number, server-driven via the Link header
   // (reference adapters/github/src/index.ts:195-201)
   private var nextPageNo: Long = 1L
-  private val LinkNext = """<[^>]+page=(\d+)[^>]*>;\s*rel="next"""".r
+  // [?&] boundary: without it the greedy prefix would claim the LAST
+  // "page=" substring in the URL, so "?page=2&per_page=100" would parse
+  // per_page's 100 as the next page number
+  private val LinkNext = """<[^>]+[?&]page=(\d+)[^>]*>;\s*rel="next"""".r
   private var exhausted = false
   private var emitted = 0L
   private var page: Iterator[com.fasterxml.jackson.databind.JsonNode] = Iterator.empty

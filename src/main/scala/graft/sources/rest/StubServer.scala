@@ -147,10 +147,13 @@ object StubServer {
             // page in a Link response header (reference adapters/github)
             val page = params.getOrElse("page", "1").toInt
             val off = (page - 1) * limit
+            // GitHub's real parameter order — page BEFORE per_page — so a
+            // client regex that grabs the last "page=" digits would
+            // misparse per_page as the page number
             if (linkHeader && off + limit < all.size)
               ex.getResponseHeaders.set("Link",
-                s"""<${url(ex.getRequestURI.getPath)}?limit=$limit&page=${page + 1}>; rel="next", """ +
-                  s"""<${url(ex.getRequestURI.getPath)}?limit=$limit&page=${(all.size + limit - 1) / limit}>; rel="last"""")
+                s"""<${url(ex.getRequestURI.getPath)}?page=${page + 1}&per_page=$limit>; rel="next", """ +
+                  s"""<${url(ex.getRequestURI.getPath)}?page=${(all.size + limit - 1) / limit}&per_page=$limit>; rel="last"""")
             (all.slice(off, off + limit), None)
           } else {
             val off = params.getOrElse("offset", "0").toInt
