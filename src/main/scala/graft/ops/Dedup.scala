@@ -134,15 +134,22 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle → band → candidates →
     * exact-Jaccard verify ≥ threshold.
     */
+  /** Shingle table with 60-bit hashed ids — the join-friendly form every
+    * minhash consumer shares (16-byte rows instead of shingle strings:
+    * cheaper to cache and to join; Jaccard over hashed shingles ≡ over
+    * strings at 2^-60 collision odds).
+    */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3): DataFrame =
+    shingleTable(docs, idCol, textCol, k)
+      .select(col("doc_id"), hex60Native(docs, md5s(col("sh"))).as("sh"))
+
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, k: Int = 3,
                    numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     // the shingle table feeds banding + both sides of the verify join —
-    // materialize it ONCE, as hashed 60-bit ids (16-byte rows instead of
-    // shingle strings: cheaper to cache and to join; Jaccard over hashed
-    // shingles ≡ over strings at 2^-60 collision odds)
-    val sh = shingleTable(docs, idCol, textCol, k)
-      .select(col("doc_id"), hex60Native(docs, md5s(col("sh"))).as("sh")).persist()
+    // materialize it ONCE
+    val sh = hashedShingleTable(docs, idCol, textCol, k).persist()
     val cands = bandCandidates(minhashBands(sh, numSeeds, rowsPerBand))
     pairJaccard(cands, sh)
       .filter(col("jaccard") >= threshold)

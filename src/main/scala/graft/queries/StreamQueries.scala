@@ -168,6 +168,63 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING NEAR-DUP DETECTION — the ingest-time gate of a training
+    // corpus: new documents arrive as micro-batches and probe a STATIC
+    // MinHash-LSH index of the retained corpus (bands + hashed shingles,
+    // built once, persisted). Per batch: band the batch docs, equi-join
+    // band signatures against the index (never all-pairs), verify
+    // candidates with exact Jaccard, append confirmed dup pairs. At
+    // 100 TB the index side is a bucketed table and each micro-batch's
+    // cost is ∝ batch × collision rate — the same shape as the batch
+    // dedup, incrementalized. Oracle: the full-corpus minhash pipeline
+    // restricted to (new, indexed) pairs — per-doc signatures don't
+    // depend on the split, so the two computations must agree exactly.
+    "q_stream_neardup" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import graft.ops.Dedup
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_neardup_src_$suffix"
+      val out = s"/tmp/graft_neardup_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.filter(col("doc_id") % 5 === 0)
+        .repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+      val idxSh = Dedup.hashedShingleTable(idx, "doc_id", "text").persist()
+      val idxBands = Dedup.minhashBands(idxSh).persist()
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val bSh = Dedup.hashedShingleTable(batch, "doc_id", "text").persist()
+            try {
+              val cand = Dedup.minhashBands(bSh)
+                .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"))
+                .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("idx_doc")),
+                  Seq("band", "band_sig"))
+                .select(least(col("new_doc"), col("idx_doc")).as("doc_a"),
+                  greatest(col("new_doc"), col("idx_doc")).as("doc_b"))
+                .distinct()
+              val verified = Dedup.pairJaccard(cand, idxSh.unionByName(bSh))
+                .filter(col("jaccard") >= 0.5)
+                .select(col("doc_a"), col("doc_b"), col("jaccard"))
+              graft.sinks.Sinks.write(verified,
+                graft.model.SinkSpec("parquet", out, mode = "append"))
+            } finally bSh.unpersist()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      idxSh.unpersist()
+      idxBands.unpersist()
+      s.read.parquet(out).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
     // event-time timeout — sessions emit ONLY once the watermark proves
     // they can never grow (append semantics, state ∝ open sessions).
@@ -282,6 +339,11 @@ object StreamQueries {
         |       COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_neardup" ->
+      s"""WITH ${DedupQueries.minhashCtes}
+         |SELECT doc_a, doc_b, jaccard FROM pairsq
+         |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_stream_session_custom" ->
       s"""WITH lagged AS (
          |  SELECT user_id, event_id, ts,
