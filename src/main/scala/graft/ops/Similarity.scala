@@ -198,6 +198,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** The full production ANN stack in one plan — coarse prune →
+    * compressed-domain scan → exact re-rank:
+    *
+    *   1. IVF: probe only the `probes` cells nearest the query
+    *      (probes/numCells of the corpus read, cell-partitioned layout);
+    *   2. ADC: inside the probed cells, rank by PQ asymmetric distance —
+    *      Σ_m lut[m][code_m] over the 8-byte code column, no float
+    *      vector touched ([[Quantize.adcDistance]], 32× less I/O);
+    *   3. exact re-rank: the `shortlist` best ADC candidates get the
+    *      true scaled-integer cosine; top-k of those is the answer.
+    *
+    * Every boundary decision (cell argmax, code argmin, LUT entries,
+    * shortlist and final ranks) is floor-scaled integer or exact IEEE
+    * arithmetic shared with the driver twins — bit-reproducible on any
+    * partitioning, and DuckDB-provable end to end.
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, queryVecCol: String, k: Int,
+                 shortlist: Int = 50, numCells: Int = 16, probes: Int = 4,
+                 pqM: Int = 8, pqK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect()
+      .zipWithIndex.map { case (r: Row, i) => i -> r.getSeq[Float](1) }.toSeq
+    val codebook = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(pqK).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qv = query.select(col(queryVecCol)).head().getSeq[Float](0)
+    val qNorm = math.sqrt(scaledDotLocal(qv, qv).toDouble)
+    val probeCells = seeds.map { case (i, sv) => (cosineLocal(qv, sv), i) }
+      .sortBy { case (c, i) => (-c, i) }.take(probes).map(_._2)
+    val luts = Quantize.adcLuts(qv.map(_.toDouble).toSeq, codebook, pqM)
+    val vd = col(vecCol).cast("array<double>")
+    val pruned = corpus
+      .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
+      .withColumn("__cell", ivfCells(vecCol, "__n2", seeds))
+      .filter(col("__cell").isin(probeCells: _*))
+      .withColumn("adc_dist", Quantize.adcDistance(Quantize.pqCodes(vd, codebook, pqM), luts))
+    val short = pruned
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(shortlist)
+    short
+      .withColumn("cosine",
+        scaledDot(col(vecCol), array(qv.map(v => lit(v.toDouble)): _*)).cast("double") /
+          (sqrt(col("__n2").cast("double")) * lit(qNorm)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__cell").as("cell"), col("adc_dist"), col("cosine"))
+  }
+
   /** Embedding near-dup pairs within equality blocks (e.g. a cluster
     * label, language, or LSH bucket): pairwise cosine only inside each
     * block — never a global cross product.

@@ -43,6 +43,20 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 10)
     }),
 
+    // the FULL ANN index stack in one plan: IVF coarse prune (4 of 16
+    // cells) → PQ asymmetric-distance scan over 8-byte codes (no float
+    // vector touched) → exact cosine re-rank of the 50-candidate
+    // shortlist → top-10. At 100 TB: cell-partitioned layout reads 1/4
+    // of the files, the ADC scan reads 1/32 of the bytes, exact math
+    // touches 50 vectors
+    "q_sim_ivf_adc" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.ivfAdcTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        k = 10, shortlist = 50, numCells = 16, probes = 4)
+    }),
+
     // batched k-NN join: top-3 same-bucket neighbors for EVERY vector
     // with id < 25, in one bucketed equi-join + per-query re-rank
     "q_sim_knn" -> ((s: SparkSession, d: String) => {
@@ -204,6 +218,80 @@ object SimilarityQueries {
          |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id CROSS JOIN q CROSS JOIN j
          |  GROUP BY c.vec_id, c.cell)
          |SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
+         |  f.dot / (sqrt(ne.n2) * sqrt(nq.n2)) AS cosine
+         |FROM fdots f
+         |  JOIN norms ne ON ne.vec_id = f.vec_id
+         |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_sim_ivf_adc" -> {
+      val term = (a: String, b: String) =>
+        s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, vec_id, embedding
+         |  FROM (SELECT * FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16)),
+         |j AS (SELECT unnest(range(1, ${DIMS + 1})) AS j),
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(${term("embedding[j.j]", "embedding[j.j]")}) AS DOUBLE) AS n2
+         |  FROM embeddings CROSS JOIN j GROUP BY vec_id),
+         |adots AS (
+         |  SELECT e.vec_id, s.sidx,
+         |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM corpus e CROSS JOIN seeds s CROSS JOIN j
+         |  GROUP BY e.vec_id, s.sidx),
+         |acos AS (
+         |  SELECT d.vec_id, d.sidx, d.dot / (sqrt(ne.n2) * sqrt(ns.n2)) AS cos
+         |  FROM adots d
+         |    JOIN norms ne ON ne.vec_id = d.vec_id
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |assign AS (
+         |  SELECT vec_id, sidx AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+         |    FROM acos) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qdots AS (
+         |  SELECT s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY s.sidx),
+         |qcos AS (
+         |  SELECT d.sidx, d.dot / (sqrt(nq.n2) * sqrt(ns.n2)) AS cos
+         |  FROM qdots d
+         |    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |qprobe AS (SELECT sidx FROM qcos ORDER BY cos DESC, sidx LIMIT 4),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
+         |cb AS (SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS kk
+         |       FROM (SELECT * FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8)),
+         |sub AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+         |cdists AS (SELECT c.vec_id, c.cell, s.m, cb.kk,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS d
+         |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id, sub s, cb),
+         |cbest AS (SELECT vec_id, cell, m, kk,
+         |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, kk) AS rn
+         |          FROM cdists),
+         |lut AS (SELECT s.m, cb.kk,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS ld
+         |  FROM q, sub s, cb),
+         |adc AS (SELECT b.vec_id, b.cell, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+         |        FROM cbest b JOIN lut l ON l.m = b.m AND l.kk = b.kk
+         |        WHERE b.rn = 1 GROUP BY b.vec_id, b.cell),
+         |short AS (SELECT * FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |fdots AS (
+         |  SELECT sh.vec_id, sh.cell, sh.adc_dist,
+         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+         |  FROM short sh JOIN corpus e ON e.vec_id = sh.vec_id CROSS JOIN q CROSS JOIN j
+         |  GROUP BY sh.vec_id, sh.cell, sh.adc_dist)
+         |SELECT f.vec_id, CAST(f.cell AS INT) AS cell, f.adc_dist,
          |  f.dot / (sqrt(ne.n2) * sqrt(nq.n2)) AS cosine
          |FROM fdots f
          |  JOIN norms ne ON ne.vec_id = f.vec_id
