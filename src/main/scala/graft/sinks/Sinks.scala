@@ -26,6 +26,21 @@ object Sinks {
       case "json"    => batched.json(spec.path)
       case "orc"     => batched.orc(spec.path)
       case "jdbc"    => batched.format("jdbc").save()
+      // the reference's destination-upsert semantic as a declarative
+      // sink: latest-wins merge into a hash-bucketed parquet target that
+      // rewrites only the buckets this batch's keys touch (cost ∝ batch,
+      // crash-safe per-bucket swap — ops/BucketedTarget). Options:
+      // keys (csv, required), versionCols (csv), numBuckets (default 16)
+      case "upsert" =>
+        val keys = spec.options.getOrElse("keys",
+          throw new IllegalArgumentException("upsert sink requires a 'keys' option")
+        ).split(",").map(_.trim).toSeq
+        val versionCols = spec.options.get("versionCols")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        val numBuckets = spec.options.getOrElse("numBuckets", "16").toInt
+        new graft.ops.BucketedTarget(df.sparkSession, spec.path, numBuckets, keys, versionCols)
+          .upsert(df)
+        ()
       case other     => throw new IllegalArgumentException(s"unknown sink format '$other'")
     }
   }

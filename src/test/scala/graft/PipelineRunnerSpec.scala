@@ -75,6 +75,22 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(uploads == 1)
   }
 
+  test("upsert sink: missing keys is a plan-time error; merge is latest-wins across writes") {
+    import graft.sinks.Sinks
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Sinks.write(Seq((1L, 1L)).toDF("k", "v"), SinkSpec("upsert", tmp()))
+    }
+    val out = tmp()
+    val sink = SinkSpec("upsert", out,
+      options = Map("keys" -> "k", "versionCols" -> "v", "numBuckets" -> "4"))
+    Sinks.write(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p"), sink)
+    Sinks.write(Seq((1L, 2L, "a2")).toDF("k", "v", "p"), sink)
+    val got = new graft.ops.BucketedTarget(spark, out, 4, Seq("k"), Seq("v"))
+      .read().as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "a2"), (2L, 1L, "b")))
+  }
+
   test("itemsPerBatch caps rows per written file (src/index.ts:479-524 → maxRecordsPerFile)") {
     val out = tmp()
     val runner = new PipelineRunner(spark, sf001)
