@@ -65,6 +65,26 @@ class BucketedTargetSpec extends SparkSpec {
     assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
   }
 
+  test("property: any seeded batch sequence == one-shot latest-wins of the union") {
+    // the associativity/commutativity/idempotence claims, checked over
+    // randomized (but seeded — deterministic) batch splits with
+    // overlapping keys, duplicate versions and replayed batches
+    val rnd = new scala.util.Random(421)
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_prop").toString + "/t"
+    val bt = new BucketedTarget(spark, root, 8, keys = Seq("k"), versionCols = Seq("v"))
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    (1 to 5).foreach { b =>
+      val batch = Seq.fill(rnd.nextInt(40) + 10)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(5).toLong, s"b$b-${rnd.nextInt(1000)}"))
+      all ++= batch
+      bt.upsert(batch.toDF("k", "v", "p"))
+      if (rnd.nextBoolean()) bt.upsert(batch.toDF("k", "v", "p")) // replay
+    }
+    val expected = Merge.latest(all.toSeq.toDF("k", "v", "p"), Seq("k"), Seq("v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
+  }
+
   test("recover heals a bucket left mid-swap (target missing, __old present)") {
     val root = java.nio.file.Files.createTempDirectory("graft_bt_rec").toString + "/t"
     val bt = new BucketedTarget(spark, root, 4, keys = Seq("k"), versionCols = Seq("v"))

@@ -122,6 +122,30 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(removed > 0, "state store never evicted a row")
   }
 
+  test("custom-state sessions identical on HDFS-backed and RocksDB state stores") {
+    // flatMapGroupsWithState keeps arbitrary user state — pin that the
+    // large-state backend (RocksDB, spills to disk) produces the exact
+    // session set the default heap-backed store does
+    def run(name: String): Set[(Long, Long, Long)] =
+      StreamOps.runToMemory(spark,
+        StreamOps.sessionizeCustomState(spark, StreamOps.eventsStream(spark, sf001), 6 * 3600),
+        name, "append")
+        .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val heap = run("mem_sess_heap")
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("mem_sess_rocks")
+      assert(rocks == heap && heap.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streaming runs on the RocksDB state store (large-state backend)") {
     // the default HDFS-backed store keeps all state on the JVM heap; at
     // 100 TB-scale key cardinalities the RocksDB provider spills to
