@@ -286,8 +286,164 @@ object TpchQueries {
       l.join(p, l("l_partkey") === p("p_partkey") && (m1 || m2 || m3))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
+    }),
+
+    // Q2 shape — minimum-cost supplier: for each qualifying part, the
+    // EUROPE supplier(s) offering the regional minimum supply cost
+    // (correlated min expressed as per-part pre-agg + equality join back)
+    "q_tpch_q2" -> ((s: SparkSession, d: String) => {
+      val eurSup = scan(s, d, "supplier")
+        .join(scan(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(scan(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+      val offers = partsupp(s, d).join(eurSup, col("ps_suppkey") === col("s_suppkey"))
+      val p = scan(s, d, "part").filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+      val minCost = offers.groupBy(col("ps_partkey").as("mc_pk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      offers
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_pk"))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9 shape — product-type profit by nation and year:
+    // revenue minus derived supply cost, 6-way join
+    "q_tpch_q9" -> ((s: SparkSession, d: String) => {
+      val l = scan(s, d, "lineitem")
+      val p = scan(s, d, "part").filter(col("p_name").contains("widget"))
+      val o = scan(s, d, "orders")
+      val sup = scan(s, d, "supplier")
+      val n = scan(s, d, "nation")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(partsupp(s, d),
+          l("l_partkey") === col("ps_partkey") && l("l_suppkey") === col("ps_suppkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // Q11 shape — important stock identification: per-part inventory
+    // value of one nation's suppliers, kept where it exceeds a fraction
+    // of that nation's total (global total as a broadcast 1-row scalar).
+    // value magnitude reaches ~1e7 ⇒ floor-scaled exact sums
+    "q_tpch_q11" -> ((s: SparkSession, d: String) => {
+      val natSup = scan(s, d, "supplier")
+        .join(scan(s, d, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+      val ps = partsupp(s, d).join(natSup, col("ps_suppkey") === col("s_suppkey"))
+      val perPart = ps.groupBy(col("ps_partkey"))
+        .agg(dsumScaled(col("ps_supplycost") * col("ps_availqty")).as("value"))
+      val total = perPart.agg(dsum(col("value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("total_value") * 0.001)
+        .select(col("ps_partkey"), col("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // Q16 shape — parts/supplier relationship: distinct suppliers able
+    // to supply each (brand, type, size) combo, excluding flagged
+    // suppliers (synthetic stand-in for the complaints predicate:
+    // every 10th supplier key)
+    "q_tpch_q16" -> ((s: SparkSession, d: String) => {
+      val p = scan(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#2" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49))
+      val flagged = scan(s, d, "supplier")
+        .filter(pmod(col("s_suppkey"), lit(10)) === 0).select(col("s_suppkey"))
+      partsupp(s, d)
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q20 shape — potential part promotion: suppliers whose derived
+    // stock exceeds half of what they shipped of 'small …' parts in
+    // 1996, restricted to one nation
+    "q_tpch_q20" -> ((s: SparkSession, d: String) => {
+      val shipped = scan(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty_1996"))
+      val smallParts = scan(s, d, "part")
+        .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+      val excess = partsupp(s, d)
+        .join(smallParts, col("ps_partkey") === col("p_partkey"))
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("qty_1996") * 0.5)
+        .select(col("ps_suppkey")).distinct()
+      scan(s, d, "supplier")
+        .join(scan(s, d, "nation").filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Q21 shape — suppliers who kept orders waiting: the ONLY late
+    // supplier (ship > order date + 90 days — the synthetic schema has
+    // no commit/receipt dates) in a finished multi-supplier order.
+    // Per-order supplier/late-supplier counts replace the EXISTS /
+    // NOT EXISTS pair — one aggregation instead of two correlated probes
+    "q_tpch_q21" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders").filter(col("o_orderstatus") === "F")
+      val l = scan(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = l.groupBy(col("l_orderkey").as("po_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      val lateRows = l.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val sup = scan(s, d, "supplier")
+        .join(scan(s, d, "nation").filter(col("n_name") === "NATION_2"),
+          col("s_nationkey") === col("n_nationkey"))
+      lateRows
+        .join(perOrder, col("l_orderkey") === col("po_ok"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
   )
+
+  /** Derived partsupp: the synthetic testdata lacks the table, so BOTH
+    * engines derive the identical one — distinct (part, supplier) pairs
+    * from lineitem with hash-deterministic availqty/supplycost. All
+    * integer arithmetic on positive keys, so the derivations are
+    * bit-equal and every partsupp-dependent TPC-H shape becomes
+    * oracle-checkable.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    scan(s, d, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(9999)) + 1).cast("int"))
+      .withColumn("ps_supplycost",
+        pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 13, lit(100000)).cast("double") / 100.0)
+
+  /** DuckDB twin of [[partsupp]] for oracle CTEs. */
+  private val psCte =
+    """ps0 AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem),
+      |partsupp AS (SELECT ps_partkey, ps_suppkey,
+      |  CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS INT) AS ps_availqty,
+      |  CAST((ps_partkey * 7 + ps_suppkey * 13) % 100000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM ps0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q3" ->
@@ -436,6 +592,91 @@ object TpchQueries {
          |WHERE p_partkey = l_partkey
          |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
          |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
-         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "q_tpch_q2" ->
+      s"""WITH $psCte,
+         |eur AS (SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+         |        FROM partsupp
+         |        JOIN supplier ON ps_suppkey = s_suppkey
+         |        JOIN nation ON s_nationkey = n_nationkey
+         |        JOIN region ON n_regionkey = r_regionkey
+         |        WHERE r_name = 'EUROPE'),
+         |mc AS (SELECT ps_partkey AS mc_pk, min(ps_supplycost) AS min_cost
+         |       FROM eur GROUP BY ps_partkey)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+         |FROM eur
+         |JOIN part ON ps_partkey = p_partkey
+         |JOIN mc ON ps_partkey = mc_pk
+         |WHERE p_size <= 25 AND p_type = 'LARGE' AND ps_supplycost = min_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q_tpch_q9" ->
+      s"""WITH $psCte
+         |SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY n_name, o_year
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH $psCte,
+         |pp AS (SELECT ps_partkey, ${sqlDsumScaled("ps_supplycost * ps_availqty")} AS value
+         |       FROM partsupp
+         |       JOIN supplier ON ps_suppkey = s_suppkey
+         |       JOIN nation ON s_nationkey = n_nationkey
+         |       WHERE n_name = 'NATION_3'
+         |       GROUP BY ps_partkey)
+         |SELECT ps_partkey, value FROM pp
+         |WHERE value > (SELECT ${sqlDsum("value")} FROM pp) * 0.001
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q_tpch_q16" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      s"""WITH $psCte,
+         |shipped AS (SELECT l_partkey, l_suppkey, ${sqlDsum("l_quantity")} AS qty_1996
+         |            FROM lineitem
+         |            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |            GROUP BY l_partkey, l_suppkey),
+         |excess AS (SELECT DISTINCT ps_suppkey
+         |           FROM partsupp
+         |           JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+         |             ON ps_partkey = p_partkey
+         |           JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |           WHERE ps_availqty > qty_1996 * 0.5)
+         |SELECT s_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+         |ORDER BY s_name""".stripMargin,
+    "q_tpch_q21" ->
+      s"""WITH lw AS (SELECT l_orderkey, l_suppkey,
+         |              l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |            WHERE o_orderstatus = 'F'),
+         |per_order AS (SELECT l_orderkey AS po_ok,
+         |                COUNT(DISTINCT l_suppkey) AS n_supp,
+         |                COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+         |              FROM lw GROUP BY l_orderkey),
+         |late_rows AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lw WHERE late)
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM late_rows
+         |JOIN per_order ON l_orderkey = po_ok
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_2'
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }
