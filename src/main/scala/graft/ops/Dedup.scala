@@ -112,12 +112,22 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Per-doc shingle-set sizes — precompute (and persist) this once when
+    * calling [[pairJaccard]] repeatedly over a static corpus, so each
+    * call doesn't re-aggregate the full shingle table.
+    */
+  def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
   /** Exact Jaccard for given pairs over the shingle table. Touches only
     * candidate pairs: |A∩B| via a shingle-equi-join restricted to the
-    * pairs, |A∪B| = |A|+|B|-|A∩B|.
+    * pairs, |A∪B| = |A|+|B|-|A∩B|. Pass `precomputedSizes` when the
+    * corpus side is static (e.g. the streaming near-dup gate) — without
+    * it every call pays a full groupBy over `sh`.
     */
-  def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  def pairJaccard(pairs: DataFrame, sh: DataFrame,
+                  precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(shingleSizes(sh))
     val aSh = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val bSh = sh.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = pairs

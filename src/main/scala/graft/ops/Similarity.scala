@@ -219,12 +219,12 @@ object Similarity {
                  shortlist: Int = 50, numCells: Int = 16, probes: Int = 4,
                  pqM: Int = 8, pqK: Int = 8): DataFrame = {
     import org.apache.spark.sql.Row
+    require(pqK <= numCells, "codebook rows are reused from the seed collect: pqK <= numCells")
     val seeds = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(numCells).collect()
       .zipWithIndex.map { case (r: Row, i) => i -> r.getSeq[Float](1) }.toSeq
-    val codebook = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(pqK).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // both are "the K smallest-id vectors" — one driver collect serves both
+    val codebook = seeds.take(pqK).map(_._2.map(_.toDouble).toSeq)
     val qv = query.select(col(queryVecCol)).head().getSeq[Float](0)
     val qNorm = math.sqrt(scaledDotLocal(qv, qv).toDouble)
     val probeCells = seeds.map { case (i, sv) => (cosineLocal(qv, sv), i) }

@@ -193,6 +193,9 @@ object StreamQueries {
       val idx = docs.filter(col("doc_id") % 5 =!= 0)
       val idxSh = Dedup.hashedShingleTable(idx, "doc_id", "text").persist()
       val idxBands = Dedup.minhashBands(idxSh).persist()
+      // index doc sizes computed ONCE — without this every micro-batch
+      // re-aggregates the whole corpus shingle table for a few lookups
+      val idxSizes = Dedup.shingleSizes(idxSh).persist()
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
@@ -208,7 +211,8 @@ object StreamQueries {
                 .select(least(col("new_doc"), col("idx_doc")).as("doc_a"),
                   greatest(col("new_doc"), col("idx_doc")).as("doc_b"))
                 .distinct()
-              val verified = Dedup.pairJaccard(cand, idxSh.unionByName(bSh))
+              val verified = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
+                  precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
                 .filter(col("jaccard") >= 0.5)
                 .select(col("doc_a"), col("doc_b"), col("jaccard"))
               graft.sinks.Sinks.write(verified,
@@ -222,6 +226,7 @@ object StreamQueries {
       }
       idxSh.unpersist()
       idxBands.unpersist()
+      idxSizes.unpersist()
       s.read.parquet(out).orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -296,7 +296,9 @@ object TpchQueries {
         .join(scan(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
         .join(scan(s, d, "region").filter(col("r_name") === "EUROPE"),
           col("n_regionkey") === col("r_regionkey"))
-      val offers = partsupp(s, d).join(eurSup, col("ps_suppkey") === col("s_suppkey"))
+      // offers feeds BOTH the per-part min and the probe side — persist
+      // or the partsupp derivation + 3-way dim join runs twice
+      val offers = partsupp(s, d).join(eurSup, col("ps_suppkey") === col("s_suppkey")).persist()
       val p = scan(s, d, "part").filter(col("p_size") <= 25 && col("p_type") === "LARGE")
       val minCost = offers.groupBy(col("ps_partkey").as("mc_pk"))
         .agg(min(col("ps_supplycost")).as("min_cost"))
@@ -341,6 +343,7 @@ object TpchQueries {
       val ps = partsupp(s, d).join(natSup, col("ps_suppkey") === col("s_suppkey"))
       val perPart = ps.groupBy(col("ps_partkey"))
         .agg(dsumScaled(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        .persist() // consumed by the global total AND the filter branch
       val total = perPart.agg(dsum(col("value")).as("total_value"))
       perPart.crossJoin(broadcast(total))
         .filter(col("value") > col("total_value") * 0.001)
@@ -402,6 +405,7 @@ object TpchQueries {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .persist() // consumed by the per-order census AND the late-row probe
       val perOrder = l.groupBy(col("l_orderkey").as("po_ok"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))

@@ -32,6 +32,11 @@ object Sinks {
       // crash-safe per-bucket swap — ops/BucketedTarget). Options:
       // keys (csv, required), versionCols (csv), numBuckets (default 16)
       case "upsert" =>
+        // merge semantics are inherent: mode is ignored (the target is
+        // always latest-wins merged, never truncated) and the bucket
+        // layout owns file sizing, so a batch cap would be misleading
+        require(spec.itemsPerBatch == 0,
+          "upsert sink manages its own file layout; itemsPerBatch is not applicable")
         val keys = spec.options.getOrElse("keys",
           throw new IllegalArgumentException("upsert sink requires a 'keys' option")
         ).split(",").map(_.trim).toSeq

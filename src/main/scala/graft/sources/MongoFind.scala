@@ -67,12 +67,20 @@ object MongoFind {
     case "!=" => query.set(f.field, opNode("$ne", f.value)); ()
     case "in" | "not_in" =>
       val arr = mapper.createArrayNode()
+      // same type mapping as the scalar putValue path — stringifying a
+      // boolean/float/null element would make $in match nothing
+      def addElem(v: Any): Unit = v match {
+        case null       => arr.addNull()
+        case b: Boolean => arr.add(b)
+        case i: Int     => arr.add(i.toLong)
+        case l: Long    => arr.add(l)
+        case d: Double  => arr.add(d)
+        case fl: Float  => arr.add(fl.toDouble)
+        case other      => arr.add(String.valueOf(other))
+      }
       f.value match {
-        case vs: Seq[_] => vs.foreach {
-          case i: Int => arr.add(i.toLong); case l: Long => arr.add(l)
-          case d: Double => arr.add(d); case other => arr.add(String.valueOf(other))
-        }
-        case other => arr.add(String.valueOf(other))
+        case vs: Seq[_] => vs.foreach(addElem)
+        case other      => addElem(other)
       }
       val n = mapper.createObjectNode()
       n.set[ObjectNode](if (f.operator == "in") "$in" else "$nin", arr)
