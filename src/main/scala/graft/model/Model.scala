@@ -169,7 +169,7 @@ final case class PipelineSpec(
 final case class SinkSpec(
     format: String,                        // parquet|csv|json|jdbc|foreach
     path: String = null,
-    mode: String = "overwrite",
+    mode: String = "",                     // "" = format default (overwrite for file/jdbc; upsert sinks merge and REJECT an explicit overwrite)
     itemsPerBatch: Int = 0,                // 0 => no batch cap (reference src/index.ts:480-489)
     options: Map[String, String] = Map.empty
 )

@@ -51,6 +51,7 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
   private val root = new Path(path)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val BucketName = "^b([0-9]+)$".r
+  private val metaPath = new Path(root, "_graft_meta.json")
 
   private def bucketDir(i: Int): Path = new Path(root, s"b$i")
   private def bucketExpr = pmod(hash(keys.map(col): _*), lit(numBuckets))
@@ -85,13 +86,84 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
 
   private def recoverBuckets(touched: Array[Int]): Unit = touched.foreach(recoverBucket)
 
+  /** The layout is FIXED at first write: a later writer hashing the same
+    * key with a different `numBuckets` (or different keys) would route it
+    * to a different bucket dir, and `read()`'s union would silently
+    * return both versions — breaking latest-wins. So the first upsert
+    * persists (numBuckets, keys, versionCols, schema) to
+    * `_graft_meta.json` and every construction against an existing
+    * target validates its own parameters against it. Targets written
+    * before the meta file existed are covered by the bucket-id backstop:
+    * an on-disk `b{i}` with i >= numBuckets proves a layout mismatch.
+    */
+  private def validateOrThrowOnLayoutMismatch(): Unit = {
+    readMeta() match {
+      case Some(m) =>
+        def bad(field: String, disk: String, cons: String) = new IllegalArgumentException(
+          s"bucketed target layout mismatch at $path: on-disk $field=$disk, constructor $field=$cons " +
+            "(the layout is fixed at first write; construct with the persisted parameters)")
+        if (m.numBuckets != numBuckets) throw bad("numBuckets", m.numBuckets.toString, numBuckets.toString)
+        if (m.keys != keys) throw bad("keys", m.keys.mkString(","), keys.mkString(","))
+        if (m.versionCols != versionCols) throw bad("versionCols", m.versionCols.mkString(","), versionCols.mkString(","))
+      case None =>
+        val ids = listBucketIds()
+        if (ids.exists(_ >= numBuckets)) throw new IllegalArgumentException(
+          s"bucketed target layout mismatch at $path: found bucket b${ids.max} but numBuckets=$numBuckets")
+    }
+  }
+
+  private case class Meta(numBuckets: Int, keys: Seq[String],
+                          versionCols: Seq[String], schemaJson: String)
+
+  // hand-rolled JSON (flat strings + one int) — no jackson dependency in
+  // the hot path and the schema field is already JSON via StructType.json
+  private def writeMeta(schemaJson: String): Unit = {
+    def arr(xs: Seq[String]) = xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val body =
+      s"""{"numBuckets":$numBuckets,"keys":${arr(keys)},"versionCols":${arr(versionCols)},"schema":$schemaJson}"""
+    val out = fs.create(metaPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(): Option[Meta] =
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val txt = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+      // parse with Spark's bundled json4s (same artifact StructType.json uses)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(txt)
+      Some(Meta(
+        (j \ "numBuckets").extract[Int],
+        (j \ "keys").extract[Seq[String]],
+        (j \ "versionCols").extract[Seq[String]],
+        JsonMethods.compact(JsonMethods.render(j \ "schema"))))
+    }
+
+  private def listBucketIds(): Array[Int] =
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath.getName).collect {
+        case BucketName(i) => i.toInt
+      }
+    else Array.empty[Int]
+
   recover() // heal any crash-interrupted swap before the first read/merge
+  validateOrThrowOnLayoutMismatch()
 
   /** Latest-wins upsert of `delta` into the target, rewriting only the
     * buckets whose keys the delta touches. Returns the rewritten-bucket
     * count so callers (and specs) can assert delta-proportionality.
     */
   def upsert(delta: DataFrame): BucketUpsertStats = {
+    if (readMeta().isEmpty) writeMeta(delta.schema.json) // pin the layout at first write
     val d = delta.withColumn("__b", bucketExpr)
     d.persist()
     try {
@@ -134,7 +206,9 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
 
   /** Read the current state: union of all bucket directories. Listed
     * explicitly (never a recursive glob) so stray `__old`/`__swap`
-    * remnants of an in-flight batch are invisible to readers.
+    * remnants of an in-flight batch are invisible to readers. A target
+    * whose first batch matched zero rows (meta written, no buckets) reads
+    * as an EMPTY frame with the persisted schema — not an error.
     */
   def read(): DataFrame = {
     val dirs =
@@ -144,7 +218,15 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
             st.getPath.toString
         }.sorted
       else Array.empty[String]
-    require(dirs.nonEmpty, s"empty bucketed target at $path")
-    spark.read.parquet(dirs.toSeq: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs.toSeq: _*)
+    else readMeta() match {
+      case Some(m) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        throw new IllegalStateException(
+          s"empty bucketed target at $path: never written (no buckets, no _graft_meta.json)")
+    }
   }
 }

@@ -105,15 +105,22 @@ object Merge {
     val delAgg = deletes.groupBy(kc: _*)
       .agg(min(col(valCol)).as("__dmn"), max(col(valCol)).as("__dmx"))
     // both branches read the classified state — materialize the small
-    // (one row per key) join once
+    // (one row per key) join once, and release it before returning: the
+    // caller loops this per delete-batch, so a leaked persist here
+    // accumulates one cached join per batch for the life of the session
     val joined = state.join(delAgg, keys, "left").persist()
-    val interior = col("__dmn").isNull || (col("__dmn") > col("mn") && col("__dmx") < col("mx"))
-    val untouched = joined.filter(interior).select(kc :+ col("mn") :+ col("mx"): _*)
-    val touchedKeys = joined.filter(!interior).select(kc: _*)
-    val recomputed = remaining.join(touchedKeys, keys) // restrict BEFORE aggregating
-      .groupBy(kc: _*)
-      .agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
-    untouched.unionByName(recomputed)
+    try {
+      val interior = col("__dmn").isNull || (col("__dmn") > col("mn") && col("__dmx") < col("mx"))
+      val untouched = joined.filter(interior).select(kc :+ col("mn") :+ col("mx"): _*)
+      val touchedKeys = joined.filter(!interior).select(kc: _*)
+      val recomputed = remaining.join(touchedKeys, keys) // restrict BEFORE aggregating
+        .groupBy(kc: _*)
+        .agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+      // state is one row per key — localCheckpoint materializes it (so the
+      // unpersist below can't force a recompute) and truncates lineage,
+      // which a repeated IVM loop needs anyway (state = f(state) per batch)
+      untouched.unionByName(recomputed).localCheckpoint()
+    } finally joined.unpersist()
   }
 
   /** SCD2 validity intervals from a change stream: each key's records

@@ -15,7 +15,9 @@ import graft.model.SinkSpec
 object Sinks {
 
   def write(df: DataFrame, spec: SinkSpec): Unit = {
-    val writer = df.write.mode(spec.mode).options(spec.options)
+    val writer = df.write
+      .mode(if (spec.mode.isEmpty) "overwrite" else spec.mode)
+      .options(spec.options)
     val batched =
       if (spec.itemsPerBatch > 0)
         writer.option("maxRecordsPerFile", spec.itemsPerBatch.toLong)
@@ -32,9 +34,13 @@ object Sinks {
       // crash-safe per-bucket swap — ops/BucketedTarget). Options:
       // keys (csv, required), versionCols (csv), numBuckets (default 16)
       case "upsert" =>
-        // merge semantics are inherent: mode is ignored (the target is
-        // always latest-wins merged, never truncated) and the bucket
-        // layout owns file sizing, so a batch cap would be misleading
+        // merge semantics are inherent: the target is always latest-wins
+        // merged, never truncated — so an explicit overwrite/ignore mode
+        // must fail loudly rather than be silently reinterpreted as merge
+        require(spec.mode.isEmpty || spec.mode == "append",
+          s"upsert sink is always a latest-wins merge; mode='${spec.mode}' would be silently ignored " +
+            "(use mode='' or 'append', or a plain parquet sink for truncate-and-load)")
+        // the bucket layout owns file sizing, so a batch cap would be misleading
         require(spec.itemsPerBatch == 0,
           "upsert sink manages its own file layout; itemsPerBatch is not applicable")
         val keys = spec.options.getOrElse("keys",

@@ -86,7 +86,12 @@ object MongoFind {
       n.set[ObjectNode](if (f.operator == "in") "$in" else "$nin", arr)
       query.set(f.field, n); ()
     case "between" =>
-      val Seq(lo, hi) = f.value.asInstanceOf[Seq[Any]]
+      val bounds = f.value match {
+        case vs: Seq[_] if vs.size == 2 => vs
+        case other => throw new IllegalArgumentException(
+          s"between on '${f.field}' requires a [lo, hi] pair, got: $other")
+      }
+      val Seq(lo, hi) = bounds
       val n = mapper.createObjectNode()
       putValue(n, "$gte", lo); putValue(n, "$lte", hi)
       query.set(f.field, n); ()

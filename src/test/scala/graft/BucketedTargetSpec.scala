@@ -85,6 +85,51 @@ class BucketedTargetSpec extends SparkSpec {
     assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
   }
 
+  test("layout is pinned at first write: mismatched numBuckets/keys writer is rejected") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_meta").toString + "/t"
+    val bt = new BucketedTarget(spark, root, 8, keys = Seq("k"), versionCols = Seq("v"))
+    bt.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p"))
+    // a writer with the Sinks default 16 against an 8-bucket target must
+    // fail at construction, not silently double keys across bucket dirs
+    val e1 = intercept[IllegalArgumentException] {
+      new BucketedTarget(spark, root, 16, keys = Seq("k"), versionCols = Seq("v"))
+    }
+    assert(e1.getMessage.contains("numBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      new BucketedTarget(spark, root, 8, keys = Seq("p"), versionCols = Seq("v"))
+    }
+    assert(e2.getMessage.contains("keys"))
+    // matching parameters still construct and read fine
+    assert(new BucketedTarget(spark, root, 8, Seq("k"), Seq("v")).read().count() == 2)
+  }
+
+  test("pre-meta target backstop: on-disk bucket id >= numBuckets is a hard error") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_legacy").toString + "/t"
+    val bt = new BucketedTarget(spark, root, 8, keys = Seq("k"), versionCols = Seq("v"))
+    bt.upsert(spark.range(100L).select(col("id").as("k"), lit(1L).as("v")))
+    // simulate a target written before _graft_meta.json existed
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/_graft_meta.json"), false)
+    val e = intercept[IllegalArgumentException] {
+      new BucketedTarget(spark, root, 4, keys = Seq("k"), versionCols = Seq("v"))
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+  }
+
+  test("first batch matching zero rows leaves a readable EMPTY target") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_empty").toString + "/t"
+    val bt = new BucketedTarget(spark, root, 4, keys = Seq("k"), versionCols = Seq("v"))
+    val empty = Seq((1L, 1L, "x")).toDF("k", "v", "p").limit(0)
+    val stats = bt.upsert(empty)
+    assert(stats.touchedBuckets == 0)
+    val out = bt.read()
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    // and the target is still upsertable afterwards
+    bt.upsert(Seq((5L, 1L, "y")).toDF("k", "v", "p"))
+    assert(bt.read().count() == 1)
+  }
+
   test("recover heals a bucket left mid-swap (target missing, __old present)") {
     val root = java.nio.file.Files.createTempDirectory("graft_bt_rec").toString + "/t"
     val bt = new BucketedTarget(spark, root, 4, keys = Seq("k"), versionCols = Seq("v"))

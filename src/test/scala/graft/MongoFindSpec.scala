@@ -39,6 +39,13 @@ class MongoFindSpec extends AnyFunSuite {
     assert(q(Filter("a", "is_not_null", null)) == """{"a":{"$ne":null}}""")
   }
 
+  test("between with a malformed value is a clear error, not a MatchError") {
+    val e1 = intercept[IllegalArgumentException] { q(Filter("a", "between", 5L)) }
+    assert(e1.getMessage.contains("[lo, hi]"))
+    val e2 = intercept[IllegalArgumentException] { q(Filter("a", "between", Seq(1L, 2L, 3L))) }
+    assert(e2.getMessage.contains("[lo, hi]"))
+  }
+
   test("projection, sort, limit, skip assemble like the reference cursor chain") {
     val cmd = MongoFind.compile(Connector("t",
       fields = Seq("a", "b"),

@@ -81,6 +81,13 @@ class PipelineRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.write(Seq((1L, 1L)).toDF("k", "v"), SinkSpec("upsert", tmp()))
     }
+    // an explicit overwrite mode must fail loudly — the upsert sink is
+    // always a merge and would otherwise silently retain stale rows
+    val eMode = intercept[IllegalArgumentException] {
+      Sinks.write(Seq((1L, 1L)).toDF("k", "v"),
+        SinkSpec("upsert", tmp(), mode = "overwrite", options = Map("keys" -> "k")))
+    }
+    assert(eMode.getMessage.contains("latest-wins"))
     val out = tmp()
     val sink = SinkSpec("upsert", out,
       options = Map("keys" -> "k", "versionCols" -> "v", "numBuckets" -> "4"))
