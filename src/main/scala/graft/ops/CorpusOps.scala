@@ -96,6 +96,34 @@ object CorpusOps {
   val phonePattern = "555-[0-9]+"
 
   /** Redact emails then phones; global replace on both engines. */
+  /** Static data-mixing (domain re-weighting to a token budget): each
+    * domain keeps r_d = min(1, budget·w_d / T_d) of its rows, decided by
+    * the RNG-free per-row md5 predicate — u(id) = hex60(md5('mix:'||id))
+    * mod 1e6 < floor(budget·w_d·1e6 / T_d). Two passes over the corpus:
+    * one map-side-combinable per-domain token aggregate (broadcast back —
+    * domains are few), then a codegen'd filter. No RNG state, no shuffle
+    * of the corpus itself; re-running on any partitioning keeps the
+    * identical rows — the property a 100 TB mixing job needs for
+    * reproducible training sets.
+    *
+    * `weight` is a Column over the domain column (e.g. a when-chain);
+    * `tokens` the per-row token count. Output keeps every input column
+    * plus `toks`, `rate_ppm`, `keep`.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, domainCol: String,
+                    tokens: Column, budget: Double, weight: Column): DataFrame = {
+    val t = docs.withColumn("toks", tokens.cast("long"))
+    val totals = t.groupBy(col(domainCol)).agg(sum(col("toks")).as("__T"))
+    t.join(broadcast(totals), Seq(domainCol))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(lit(budget) * weight * lit(1000000.0) / col("__T").cast("double")).cast("long")))
+      .withColumn("keep",
+        Dedup.hex60(md5(concat(lit("mix:"), col(idCol).cast("string")).cast("binary")))
+          % 1000000 < col("rate_ppm"))
+      .drop("__T")
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

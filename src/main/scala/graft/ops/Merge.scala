@@ -123,6 +123,25 @@ object Merge {
     } finally joined.unpersist()
   }
 
+  /** Incremental JOIN maintenance — the classic delta rule for a
+    * materialized inner-join view J = A ⋈ B:
+    *
+    *   ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (insert-only deltas). Returned as the delta rows to append to the
+    * old view; J_new = J_old ∪ ΔJ. Cost ∝ |ΔA|·selectivity + |ΔB|·
+    * selectivity — never a re-join of the full base tables. At 100 TB
+    * both base sides are bucketed by the join keys, so each of the three
+    * delta joins is a co-located probe of only the buckets the delta
+    * touches; when a delta is small it broadcasts and the base is never
+    * shuffled at all.
+    */
+  def deltaJoin(aOld: DataFrame, dA: DataFrame, bOld: DataFrame, dB: DataFrame,
+                keys: Seq[String]): DataFrame =
+    dA.join(bOld, keys)
+      .unionByName(aOld.join(dB, keys))
+      .unionByName(dA.join(dB, keys))
+
   /** SCD2 validity intervals from a change stream: each key's records
     * ordered by version become [valid_from, valid_to) rows, the last one
     * open-ended (is_current). One window pass, keyed shuffle only.

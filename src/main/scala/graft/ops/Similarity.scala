@@ -147,6 +147,13 @@ object Similarity {
     scaledDotLocal(a, b).toDouble /
       (math.sqrt(scaledDotLocal(a, a).toDouble) * math.sqrt(scaledDotLocal(b, b).toDouble))
 
+  def scaledDotLocalD(a: Seq[Double], b: Seq[Double]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += math.floor(a(i) * b(i) * SCALE).toLong; i += 1 }
+    s
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (the K vectors with
     * the smallest ids act as centroids — no trained state to ship, no
     * RNG), every vector is assigned to its max-cosine centroid (ties →
@@ -161,16 +168,103 @@ object Similarity {
     * from `n2Col` once, so assignment costs 1 dot per (row, seed)
     * instead of 3.
     */
-  def ivfCells(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Float])]): Column = {
+  def ivfCells(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Float])]): Column =
+    cellsForCentroids(vecCol, n2Col,
+      seeds.map { case (i, sv) => i -> sv.map(_.toDouble) })
+
+  /** Same max-cosine assignment against driver-side DOUBLE centroids
+    * (k-means refinement produces fractional centroids that were never
+    * float vectors). Centroids ride the plan as literal arrays — at any
+    * scale this is a broadcast-free map-side pass.
+    */
+  def cellsForCentroids(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Double])]): Column = {
     val cosines = seeds.map { case (_, sv) =>
-      val seedNorm = math.sqrt(scaledDotLocal(sv, sv).toDouble)
-      scaledDot(col(vecCol), array(sv.map(v => lit(v.toDouble)): _*)).cast("double") /
+      val seedNorm = math.sqrt(scaledDotLocalD(sv, sv).toDouble)
+      scaledDot(col(vecCol), array(sv.map(lit): _*)).cast("double") /
         (sqrt(col(n2Col).cast("double")) * lit(seedNorm))
     }
     // each cosine evaluates exactly once into the array; array_position
     // returns the FIRST max (1-based) → lowest-index tie-break
     val cosArr = array(cosines: _*)
     (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
+  }
+
+  // ----------------------------------------- deterministic k-means (Lloyd)
+
+  private val MEAN_SCALE = 1e6
+
+  /** Distributed Lloyd iterations with NO randomness and NO float-sum
+    * nondeterminism: seeds are the k smallest-id vectors; each refinement
+    * assigns every vector to its max-cosine centroid (one codegen'd
+    * map-side pass — centroids are plan literals), then recomputes each
+    * centroid as the per-dimension mean via EXACT scaled-integer sums
+    * (Σ floor(x·1e6) as long — order-independent, so any partitioning of
+    * a 1000-executor sum gives the bit-identical centroid), collected at
+    * k×dims rows per round (metadata-scale, like the IVF seed collect).
+    * Cells that lose all members keep their previous centroid.
+    *
+    * Per round: one shuffle of k×dims grouped longs. The quadratic step
+    * k-means usually implies never happens on the executors — the argmax
+    * is against k literals.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, refinements: Int = 1): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.Row
+    var seeds: Seq[(Int, Seq[Double])] = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .zipWithIndex.map { case (r: Row, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq }.toSeq
+    (0 until refinements).foreach { _ =>
+      val sums = corpus
+        .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
+        .withColumn("__cell", cellsForCentroids(vecCol, "__n2", seeds))
+        .select(col("__cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(floor(col("__x") * lit(MEAN_SCALE)).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .collect() // ≤ k × dims rows
+      val byCellDim = sums.map(r =>
+        (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      seeds = seeds.map { case (i, old) =>
+        i -> old.indices.map { d =>
+          byCellDim.get((i, d)) match {
+            case Some((s, c)) => s.toDouble / (MEAN_SCALE * c)
+            case None         => old(d) // emptied cell keeps its centroid
+          }
+        }.toSeq
+      }
+    }
+    seeds
+  }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings, then
+    * inside each cluster mark every vector that has a ≥ tau cosine to a
+    * LOWER-id cluster-mate as a duplicate (greedy keep-first — the
+    * deterministic version of the SemDeDup prune rule). The pairwise step
+    * is cluster-scoped: cost Σ|cell|², never corpus², and at 100 TB the
+    * corpus is written partitioned by cell so the pair join is co-located.
+    * Output: (id, cell, is_dup) — filter !is_dup for the survivor set.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, refinements: Int, tau: Double): DataFrame = {
+    val seeds = kmeansCentroids(corpus, idCol, vecCol, k, refinements)
+    val assigned = corpus
+      .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
+      .withColumn("cell", cellsForCentroids(vecCol, "__n2", seeds))
+      .persist() // consumed three times: both pair sides + the output spine
+    val a = assigned.select(col("cell"), col(idCol).as("__aid"),
+      col(vecCol).as("__av"), col("__n2").as("__an"))
+    val b = assigned.select(col("cell"), col(idCol).as("__bid"),
+      col(vecCol).as("__bv"), col("__n2").as("__bn"))
+    val dups = a.join(b, "cell").filter(col("__aid") < col("__bid"))
+      .filter(scaledDot(col("__av"), col("__bv")).cast("double") /
+        (sqrt(col("__an").cast("double")) * sqrt(col("__bn").cast("double"))) >= tau)
+      .select(col("__bid").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .select(col(idCol), col("cell"), col("is_dup"))
   }
 
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -107,6 +107,27 @@ object DedupQueries {
         keyCols = Seq("source"), sorts = Seq(("__h", true), ("doc_id", true)), k = 10)
       ranked.select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // DOMAIN MIXING to a token budget: per-language keep-rate
+    // min(1, budget·w_lang / tokens_lang) derived FROM the data (one
+    // broadcast-back aggregate), rows kept by the RNG-free md5 predicate.
+    // fr's weight deliberately overshoots its corpus share so the rate
+    // caps at 1.0 — the upsample-rare-domain edge. Output: the realized
+    // mixture (per-lang kept rows/tokens + the ppm rate applied)
+    "q_mix_budget" -> ((s: SparkSession, d: String) => {
+      val w = when(col("lang") === "en", 0.40)
+        .when(col("lang") === "fr", 0.35)
+        .when(col("lang") === "de", 0.10)
+        .when(col("lang") === "es", 0.10)
+        .otherwise(0.05)
+      graft.ops.CorpusOps.mixtureSample(
+        scan(s, d, "documents"), "doc_id", "lang",
+        TextAnalysis.tokenCountWs(col("text")), budget = 12000.0, weight = w)
+        .filter(col("keep"))
+        .groupBy(col("lang"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -240,6 +261,26 @@ object DedupQueries {
          |      ORDER BY ${sqlHex60("md5('cap:' || doc_id::VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "q_mix_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS T FROM t GROUP BY lang),
+         |r AS (
+         |  SELECT lang,
+         |    LEAST(1000000, CAST(floor(12000.0 *
+         |      (CASE lang WHEN 'en' THEN 0.40 WHEN 'fr' THEN 0.35
+         |                 WHEN 'de' THEN 0.10 WHEN 'es' THEN 0.10 ELSE 0.05 END)
+         |      * 1000000.0 / CAST(T AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |  FROM tot)
+         |SELECT t.lang, r.rate_ppm, COUNT(*) AS n_kept, CAST(SUM(t.toks) AS BIGINT) AS toks_kept
+         |FROM t JOIN r ON r.lang = t.lang
+         |WHERE ${sqlHex60("md5('mix:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
+         |GROUP BY t.lang, r.rate_ppm
+         |ORDER BY t.lang""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql

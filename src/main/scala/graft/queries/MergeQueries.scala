@@ -73,6 +73,26 @@ object MergeQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // incremental JOIN maintenance: the orders⋈customer view maintained
+    // through one delta batch on EACH side via the delta rule
+    // ΔJ = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB; J_old ∪ ΔJ equals the
+    // from-scratch join of the updated tables (the oracle). Neither base
+    // table is ever re-joined whole — each term touches a delta
+    "q_ivm_join" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = scan(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val dA = o.filter(col("o_orderkey") % 10 === 0)
+      val bOld = c.filter(col("o_custkey") % 7 =!= 0)
+      val dB = c.filter(col("o_custkey") % 7 === 0)
+      val jOld = aOld.join(bOld, Seq("o_custkey"))
+      jOld.unionByName(Merge.deltaJoin(aOld, dA, bOld, dB, Seq("o_custkey")))
+        .orderBy(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("c_name"), col("c_acctbal"))
+    }),
+
     // snapshot diff — the sync-validation op: classify every key across
     // two table versions as added / removed / changed / unchanged via ONE
     // full outer join on the key with md5 payload fingerprints (no
@@ -126,6 +146,10 @@ object MergeQueries {
       """SELECT o_custkey, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_ivm_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal""".stripMargin,
     "q_table_diff" ->
       """WITH sa AS (SELECT o_custkey,
         |              md5(CAST(count(*) AS VARCHAR) || ':' || CAST(max(o_orderkey) AS VARCHAR)) AS fp

@@ -13,6 +13,8 @@ object SimilarityQueries {
 
   private val DIMS = 64
   private val LSH_PLANES = 6
+  private val KMEANS_K = 8
+  private val SEMDEDUP_TAU = 0.30
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact top-20 neighbors of vec 0
@@ -104,6 +106,29 @@ object SimilarityQueries {
         .withColumn("__bucket", Similarity.lshBucket(col("embedding"), DIMS))
       Similarity.blockedNearDup(withBucket, "vec_id", "embedding", "__bucket", threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // deterministic distributed k-means (1 Lloyd refinement over the
+    // 8 smallest-id seeds): final max-cosine cell per vector. Exact
+    // scaled-integer centroid sums make the centroids — and so every
+    // assignment — bit-identical on any partitioning
+    "q_kmeans_assign" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val seeds = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = KMEANS_K, refinements = 1)
+      e.withColumn("__n2", Similarity.scaledDot(col("embedding"), col("embedding")))
+        .select(col("vec_id"),
+          Similarity.cellsForCentroids("embedding", "__n2", seeds).as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: k-means cells + within-cell greedy keep-first prune at
+    // cosine >= 0.30 — the semantic twin of the MinHash/SimHash dedup
+    // tier (cluster-scoped pairwise, never corpus²)
+    "q_semdedup" -> ((s: SparkSession, d: String) => {
+      Similarity.semDedup(scan(s, d, "embeddings"), "vec_id", "embedding",
+        k = KMEANS_K, refinements = 1, tau = SEMDEDUP_TAU)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -149,7 +174,88 @@ object SimilarityQueries {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
        |  FROM ${src}_dots GROUP BY vec_id)""".stripMargin
 
+  /** DuckDB twin of Similarity.kmeansCentroids + cellsForCentroids (one
+    * refinement): seeds → assign0 → exact scaled-integer per-dim means →
+    * refined centroids (emptied cell keeps its seed) → assign1. Ends with
+    * `assign1(vec_id, cell)` and `norms(vec_id, n2)` in scope.
+    */
+  private def sqlKmeansCtes: String = {
+    val term = (a: String, b: String) =>
+      s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |j AS (SELECT unnest(range(1, ${DIMS + 1})) AS j),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, vec_id, embedding
+       |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $KMEANS_K)),
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(${term("embedding[j.j]", "embedding[j.j]")}) AS DOUBLE) AS n2
+       |  FROM corpus CROSS JOIN j GROUP BY vec_id),
+       |adots0 AS (
+       |  SELECT e.vec_id, s.sidx,
+       |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+       |  FROM corpus e CROSS JOIN seeds s CROSS JOIN j GROUP BY e.vec_id, s.sidx),
+       |acos0 AS (
+       |  SELECT d.vec_id, d.sidx, d.dot / (sqrt(ne.n2) * sqrt(ns.n2)) AS cos
+       |  FROM adots0 d
+       |    JOIN norms ne ON ne.vec_id = d.vec_id
+       |    JOIN seeds s ON s.sidx = d.sidx
+       |    JOIN norms ns ON ns.vec_id = s.vec_id),
+       |assign0 AS (
+       |  SELECT vec_id, sidx AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+       |    FROM acos0) WHERE rn = 1),
+       |msums AS (
+       |  SELECT a.cell, j.j,
+       |    CAST(SUM(CAST(floor(CAST(e.embedding[j.j] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS c
+       |  FROM corpus e JOIN assign0 a ON a.vec_id = e.vec_id CROSS JOIN j
+       |  GROUP BY a.cell, j.j),
+       |cent AS (
+       |  SELECT s.sidx, j.j,
+       |    COALESCE(CAST(m.s AS DOUBLE) / (1e6 * m.c), CAST(s.embedding[j.j] AS DOUBLE)) AS v
+       |  FROM seeds s CROSS JOIN j LEFT JOIN msums m ON m.cell = s.sidx AND m.j = j.j),
+       |centn AS (
+       |  SELECT sidx, CAST(SUM(${term("v", "v")}) AS DOUBLE) AS n2 FROM cent GROUP BY sidx),
+       |adots1 AS (
+       |  SELECT e.vec_id, c.sidx, CAST(SUM(${term("e.embedding[c.j]", "c.v")}) AS DOUBLE) AS dot
+       |  FROM corpus e CROSS JOIN cent c GROUP BY e.vec_id, c.sidx),
+       |acos1 AS (
+       |  SELECT d.vec_id, d.sidx, d.dot / (sqrt(ne.n2) * sqrt(cn.n2)) AS cos
+       |  FROM adots1 d
+       |    JOIN norms ne ON ne.vec_id = d.vec_id
+       |    JOIN centn cn ON cn.sidx = d.sidx),
+       |assign1 AS (
+       |  SELECT vec_id, sidx AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+       |    FROM acos1) WHERE rn = 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans_assign" ->
+      s"""WITH $sqlKmeansCtes
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM assign1 ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup" -> {
+      val term = (a: String, b: String) =>
+        s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
+      s"""WITH $sqlKmeansCtes,
+         |kpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ea.embedding AS va, eb.embedding AS vb
+         |  FROM assign1 a JOIN assign1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    JOIN corpus ea ON ea.vec_id = a.vec_id
+         |    JOIN corpus eb ON eb.vec_id = b.vec_id),
+         |kdots AS (
+         |  SELECT p.id_a, p.id_b, CAST(SUM(${term("p.va[t.j]", "p.vb[t.j]")}) AS DOUBLE) AS dot
+         |  FROM kpairs p CROSS JOIN j t GROUP BY p.id_a, p.id_b),
+         |dups AS (
+         |  SELECT DISTINCT p.id_b AS vec_id
+         |  FROM kdots p JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b
+         |  WHERE p.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= $SEMDEDUP_TAU)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assign1 a LEFT JOIN dups d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |pairs AS (

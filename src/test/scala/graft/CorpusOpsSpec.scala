@@ -36,6 +36,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dup_bigram_frac") - (1.0 - 2.0 / 3.0)) < 1e-15)
   }
 
+  test("mixtureSample: rate caps at 1e6 ppm, keep is deterministic and rate-bound") {
+    val docs = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "big" else "small", "w " * (if (i % 3 == 0) 50 else 5))
+    }.toDF("id", "domain", "text")
+    val toks = CorpusOps.words(col("text"))
+    val w = when(col("domain") === "big", 0.2).otherwise(0.8)
+    val out = CorpusOps.mixtureSample(docs, "id", "domain",
+      size(toks), budget = 2000.0, weight = w)
+    val rates = out.select(col("domain"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small: 200 docs × 5 toks = 1000; budget share 1600 > 1000 → capped
+    assert(rates("small") == 1000000L)
+    // big: 100 × 50 = 5000; 400/5000 = 0.08 → 80000 ppm
+    assert(rates("big") == 80000L)
+    // capped domain keeps everything; determinism across evaluations
+    val kept1 = out.filter(col("keep")).select(col("id")).collect().map(_.getLong(0)).toSet
+    val kept2 = out.filter(col("keep")).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2)
+    assert((1L to 300L).filter(i => i % 3 != 0).forall(kept1.contains))
+  }
+
   test("piiRedact: emails then phones, global") {
     val df = Seq("mail a.b@x.co and c@y.io or 555-123 then 555-9").toDF("t")
       .select(CorpusOps.piiRedact(col("t")).as("r"),

@@ -86,6 +86,24 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0, 7.0), (2L, 5.0, 5.0)))
   }
 
+  test("deltaJoin: seeded random splits satisfy J_old ∪ ΔJ == full join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val a = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(1000))).toDF("k", "av")
+    val b = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(100).toString)).toDF("k", "bv")
+    val full = a.join(b, Seq("k")).as[(Long, Int, String)].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    // any split of each side into (old, delta)
+    (1 to 3).foreach { s =>
+      val aOld = a.filter(col("av") % 3 =!= s % 3); val dA = a.filter(col("av") % 3 === s % 3)
+      val bOld = b.filter(col("k") % 2 === s % 2);  val dB = b.filter(col("k") % 2 =!= s % 2)
+      val maintained = aOld.join(bOld, Seq("k"))
+        .unionByName(Merge.deltaJoin(aOld, dA, bOld, dB, Seq("k")))
+        .as[(Long, Int, String)].collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(maintained == full, s"split $s diverged (multiset compare)")
+    }
+  }
+
   test("scd2: contiguous intervals, one open-ended current row per key") {
     val ch = state((1L, 1, "a"), (1L, 3, "b"), (1L, 7, "c"), (2L, 5, "z"))
     val out = Merge.scd2(ch, Seq("k"), "ver", "val")

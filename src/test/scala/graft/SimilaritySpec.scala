@@ -35,6 +35,37 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 65536))
   }
 
+  test("kmeansCentroids is partition-invariant (exact integer sums)") {
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, refinements = 2)
+    val c2 = Similarity.kmeansCentroids(emb.repartition(13), "vec_id", "embedding",
+      k = 4, refinements = 2)
+    assert(c1 == c2, "centroids must be bit-identical on any partitioning")
+    // refinement actually moved the centroids off the raw seed vectors
+    val seedsOnly = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, refinements = 0)
+    assert(c1 != seedsOnly)
+  }
+
+  test("semDedup: every dup has a lower-id cluster-mate at >= tau; survivors don't") {
+    val tau = 0.30
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      k = 4, refinements = 1, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    val byCell = out.groupBy(_._2)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    byCell.values.foreach { members =>
+      members.foreach { case (id, _, isDup) =>
+        val hasCloseEarlier = members.exists { case (other, _, _) =>
+          other < id && Similarity.cosineLocal(vecs(other), vecs(id)) >= tau
+        }
+        assert(hasCloseEarlier == isDup, s"vec $id flagged $isDup")
+      }
+    }
+    assert(out.exists(_._3) && out.exists(!_._3), "need both dups and survivors")
+  }
+
   test("ivfTopK results are a subset of brute-force ranking, identically scored") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val query = emb.filter(col("vec_id") === 0)
