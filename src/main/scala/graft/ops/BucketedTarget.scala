@@ -204,6 +204,24 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
     } finally d.unpersist()
   }
 
+  /** Point-lookup path: read ONLY the buckets the probe keys hash to —
+    * the serving-side payoff of the fixed hash layout (at 64k buckets a
+    * single-key lookup reads 1/64k of the table; no index structure to
+    * maintain). `probes` carries exactly the key columns; bucket ids are
+    * computed by the same in-plan expression the writer used (no
+    * driver-side hash twin to drift), then the rows are filtered by a
+    * broadcast semi-join against the probes.
+    */
+  def lookup(probes: DataFrame): DataFrame = {
+    require(probes.columns.toSeq == keys,
+      s"lookup probes must carry exactly the key columns $keys, got ${probes.columns.toSeq}")
+    val ids = probes.withColumn("__b", bucketExpr)
+      .agg(collect_set(col("__b"))).head().getSeq[Int](0)
+    val dirs = ids.map(bucketDir).filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) read().limit(0)
+    else spark.read.parquet(dirs: _*).join(broadcast(probes), keys, "left_semi")
+  }
+
   /** Read the current state: union of all bucket directories. Listed
     * explicitly (never a recursive glob) so stray `__old`/`__swap`
     * remnants of an in-flight batch are invisible to readers. A target

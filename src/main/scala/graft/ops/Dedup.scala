@@ -370,4 +370,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** PPJoin-style PREFIX-FILTER candidate generation — the other classic
+    * set-similarity blocker (vs. MinHash banding): each doc posts only
+    * its `r` globally RAREST shingles (doc-freq asc, shingle id asc as
+    * tie-break) to the inverted index; candidates are pairs sharing a
+    * rare shingle. Rarest-first bounds the posting lists by construction
+    * — a shingle in half the corpus never ranks inside anyone's prefix —
+    * so the quadratic per-posting-list cost of a naive inverted index is
+    * capped without the stop-shingle heuristic. The per-doc prune runs
+    * through [[graft.plans.TopKPerKey]], shipping ≤ r rows per doc per
+    * partition to the shuffle. Fixed `r` is the indexing-budget variant
+    * of the classic |d|-and-τ-derived prefix length: recall is bounded
+    * by the chance two similar docs share a rare shingle in BOTH
+    * prefixes — verify survivors with [[pairJaccard]] like every other
+    * candidate generator here.
+    */
+  def prefixFilterPairs(sh: DataFrame, r: Int): DataFrame = {
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = graft.plans.TopKPerKey.topKPerKey(
+      sh.join(freq, "sh"),
+      keyCols = Seq("doc_id"), sorts = Seq(("df", true), ("sh", true)), k = r)
+      .select(col("doc_id"), col("sh"))
+      .persist() // both sides of the candidate self-join
+    prefix.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
 }

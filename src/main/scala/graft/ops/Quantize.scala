@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding compression operators: symmetric int8 quantization and
@@ -117,4 +117,35 @@ object Quantize {
     luts.zipWithIndex.map { case (lut, mi) =>
       element_at(array(lut.map(lit): _*), element_at(codes, mi + 1) + 1)
     }.reduce(_ + _)
+
+  /** Per-dimension winsorization (outlier clipping) over the first
+    * `dims` embedding components — the feature-normalization pass before
+    * quantization (a single outlier otherwise stretches the int8 range
+    * and crushes resolution for every other value). Bounds are EXACT
+    * rank-selected order statistics — the value at 0-based sorted index
+    * floor(p·(n-1)) — so there is no interpolation arithmetic to diverge
+    * between engines and the result is partitioning-independent (equal
+    * values at the cut rank yield the same bound whatever their tie
+    * order). Two passes: a per-dimension sort (parallel across dims;
+    * at extreme scale swap the exact rank for a mergeable sketch, the
+    * clip pass is unchanged), then a broadcast join + codegen'd clip.
+    * Output: one row per (id, dim) with x, lo, hi, clipped.
+    */
+  def winsorize(emb: DataFrame, idCol: String, vecCol: String,
+                dims: Int, pLo: Double, pHi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = emb.select(col(idCol),
+      posexplode(slice(col(vecCol), 1, dims).cast("array<double>")).as(Seq("dim", "x")))
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"))
+    val cw = Window.partitionBy(col("dim"))
+    val bounds = x.select(col("dim"), col("x"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("dim"))
+      .agg(
+        min(when(col("rn") === floor(lit(pLo) * (col("cnt") - 1)), col("x"))).as("lo"),
+        min(when(col("rn") === floor(lit(pHi) * (col("cnt") - 1)), col("x"))).as("hi"))
+    x.join(broadcast(bounds), Seq("dim"))
+      .withColumn("clipped", least(greatest(col("x"), col("lo")), col("hi")))
+  }
 }

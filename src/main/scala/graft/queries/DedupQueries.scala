@@ -46,6 +46,19 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // PREFIX-FILTER near-dup (PPJoin family): candidates share one of
+    // each doc's 6 globally-rarest shingles, then exact-Jaccard verify —
+    // the third independent blocking strategy next to banding (minhash)
+    // and stop-shingle cut (ngram)
+    "q_dedup_prefix" -> ((s: SparkSession, d: String) => {
+      val sh = Dedup.hashedShingleTable(scan(s, d, "documents"), "doc_id", "text")
+        .persist()
+      Dedup.pairJaccard(Dedup.prefixFilterPairs(sh, r = 6), sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // pairs → clusters: connected components over the minhash near-dup
     // graph (keep-one-per-cluster is then a join + filter)
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
@@ -297,6 +310,29 @@ object DedupQueries {
          |  FROM chunked a JOIN chunked b ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_prefix" ->
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS sh FROM sh),
+         |freq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+         |pfx AS (SELECT doc_id, sh FROM (
+         |    SELECT s.doc_id, s.sh,
+         |      row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS rn
+         |    FROM shh s JOIN freq f ON f.sh = s.sh) t WHERE rn <= 6),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN shh a ON a.doc_id = c.doc_a
+         |              JOIN shh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |             JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->

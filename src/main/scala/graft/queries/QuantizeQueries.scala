@@ -17,6 +17,21 @@ object QuantizeQueries {
   private val PqK = 8 // centroids per subspace (= codebook rows)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-dimension winsorization at exact rank-selected p05/p95 — the
+    // outlier-clipping pass that protects the int8 range below; bounds
+    // are order statistics (no interpolation), clip is a broadcast join
+    "q_embed_winsorize" -> ((s: SparkSession, d: String) => {
+      Quantize.winsorize(scan(s, d, "embeddings"), "vec_id", "embedding",
+          dims = 4, pLo = 0.05, pHi = 0.95)
+        .groupBy(col("vec_id"))
+        .agg(
+          max(when(col("dim") === 0, col("clipped"))).as("c0"),
+          max(when(col("dim") === 1, col("clipped"))).as("c1"),
+          max(when(col("dim") === 2, col("clipped"))).as("c2"),
+          max(when(col("dim") === 3, col("clipped"))).as("c3"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_embed_quantize" -> ((s: SparkSession, d: String) => {
       val vd = col("embedding").cast("array<double>")
       scan(s, d, "embeddings")
@@ -69,6 +84,27 @@ object QuantizeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_winsorize" ->
+      """WITH x AS (
+        |  SELECT vec_id, j.j AS dim, CAST(embedding[j.j + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+        |r AS (
+        |  SELECT dim, x, row_number() OVER (PARTITION BY dim ORDER BY x) - 1 AS rn,
+        |         COUNT(*) OVER (PARTITION BY dim) AS cnt
+        |  FROM x),
+        |b AS (
+        |  SELECT dim,
+        |    MIN(CASE WHEN rn = CAST(floor(0.05 * (cnt - 1)) AS BIGINT) THEN x END) AS lo,
+        |    MIN(CASE WHEN rn = CAST(floor(0.95 * (cnt - 1)) AS BIGINT) THEN x END) AS hi
+        |  FROM r GROUP BY dim)
+        |SELECT x.vec_id,
+        |  MAX(CASE WHEN x.dim = 0 THEN LEAST(GREATEST(x.x, b.lo), b.hi) END) AS c0,
+        |  MAX(CASE WHEN x.dim = 1 THEN LEAST(GREATEST(x.x, b.lo), b.hi) END) AS c1,
+        |  MAX(CASE WHEN x.dim = 2 THEN LEAST(GREATEST(x.x, b.lo), b.hi) END) AS c2,
+        |  MAX(CASE WHEN x.dim = 3 THEN LEAST(GREATEST(x.x, b.lo), b.hi) END) AS c3
+        |FROM x JOIN b ON b.dim = x.dim
+        |GROUP BY x.vec_id ORDER BY x.vec_id""".stripMargin,
+
     "q_embed_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |s AS (SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs FROM v),

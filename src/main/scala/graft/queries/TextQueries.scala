@@ -89,6 +89,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
         .filter(col("n_docs") > 1)
         .orderBy(col("fp"))
+    }),
+
+    // hashed-feature LINEAR-MODEL scoring — the plan shape of a
+    // fastText-style quality classifier at corpus scale: per-token
+    // weights w(t) ∈ [-1, 1] looked up by hash (an honest stand-in for a
+    // trained weight table — a real model broadcasts its weights and the
+    // plan is otherwise identical), doc score = Σ w(t) / n. The weight
+    // sum is an exact integer fold inside one array expression: per-doc,
+    // map-side, shuffle-free — 100 TB scoring is a single codegen'd pass
+    "q_text_score" -> ((s: SparkSession, d: String) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val wsum = aggregate(
+        transform(toks, t =>
+          graft.ops.Dedup.hex60(md5(concat(lit("w:"), t).cast("binary"))) % 2001L - 1000L),
+        lit(0L), (acc, x) => acc + x)
+      scan(s, d, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_toks"), wsum.as("w_sum"))
+        .withColumn("score", col("w_sum").cast("double") / (lit(1000.0) * col("n_toks")))
+        .withColumn("keep", col("score") > 0.0)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -162,6 +182,18 @@ object TextQueries {
            |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
            |FROM documents
            |GROUP BY 1 HAVING COUNT(*) > 1
-           |ORDER BY fp""".stripMargin
+           |ORDER BY fp""".stripMargin,
+    "q_text_score" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           |    CAST(SUM(${DedupQueries.sqlHex60Public("md5('w:' || t)")} % 2001 - 1000) AS BIGINT) AS w_sum
+           |  FROM w GROUP BY doc_id)
+           |SELECT doc_id, n_toks, w_sum,
+           |  CAST(w_sum AS DOUBLE) / (1000.0 * n_toks) AS score,
+           |  (CAST(w_sum AS DOUBLE) / (1000.0 * n_toks) > 0.0) AS keep
+           |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -85,6 +85,26 @@ class BucketedTargetSpec extends SparkSpec {
     assert(bt.read().as[(Long, Long, String)].collect().toSet == expected)
   }
 
+  test("lookup reads only the probed keys' buckets and returns exactly their rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_lk").toString + "/t"
+    val bt = new BucketedTarget(spark, root, N, keys = Seq("k"), versionCols = Seq("v"))
+    bt.upsert(spark.range(2000L).select(col("id").as("k"), lit(1L).as("v"),
+      concat(lit("p"), col("id")).as("payload")))
+    val probes = Seq(7L, 8L, 9L).toDF("k")
+    val out = bt.lookup(probes)
+    assert(out.as[(Long, Long, String)].collect().toSet ==
+      Set((7L, 1L, "p7"), (8L, 1L, "p8"), (9L, 1L, "p9")))
+    // plan-level witness: every scanned file lives in a probed bucket dir
+    val probedDirs = Seq(7L, 8L, 9L).map(k =>
+      Math.floorMod(spark.range(1).select(pmod(hash(lit(k)), lit(N))).as[Int].head(), N))
+      .toSet.map((i: Int) => s"/b$i/")
+    val scanned = out.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(f => probedDirs.exists(f.contains)),
+      s"lookup scanned outside probed buckets: ${scanned.mkString(",")}")
+    // mismatched probe columns fail loudly
+    intercept[IllegalArgumentException] { bt.lookup(Seq(1L).toDF("wrong")) }
+  }
+
   test("layout is pinned at first write: mismatched numBuckets/keys writer is rejected") {
     val root = java.nio.file.Files.createTempDirectory("graft_bt_meta").toString + "/t"
     val bt = new BucketedTarget(spark, root, 8, keys = Seq("k"), versionCols = Seq("v"))
