@@ -23,9 +23,11 @@ object Bench {
     // driver-side slowdown). Family = first two name segments (q_dedup,
     // q_tpch, ...), which is exactly the sharing scope observed.
     def family(n: String): String = n.split("_").take(2).mkString("_")
+    val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
     var lastFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (lastFamily.nonEmpty && family(name) != lastFamily) spark.catalog.clearCache()
+      if (familyClear && lastFamily.nonEmpty && family(name) != lastFamily)
+        spark.catalog.clearCache()
       lastFamily = family(name)
       val t0 = System.nanoTime()
       // a broken query must fail LOUDLY, not benchmark as "fast"
