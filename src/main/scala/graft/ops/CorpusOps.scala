@@ -124,6 +124,43 @@ object CorpusOps {
       .drop("__T")
   }
 
+  /** Corpus-frequency boilerplate signal (the C4/FineWeb "common span"
+    * filter): an n-gram is boilerplate when it occurs in >= minDocFreq
+    * DISTINCT docs; each doc reports how many of its n-gram positions
+    * are covered by boilerplate grams. High boiler_frac = templated /
+    * mirrored content a training pipeline should drop.
+    *
+    * Scale shape: grams are 60-bit md5 hashes (shrinks the shuffle ~10×
+    * vs raw strings); doc-frequency is one groupBy over (doc, gram)
+    * partial counts; the probe back is an inverted-index LEFT SEMI join
+    * on the gram id — the boilerplate set is corpus-derived and can be
+    * huge, so it is NEVER broadcast (contrast decontaminate, whose bench
+    * set is eval-sized). Everything is equi-join/groupBy on a long key.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocFreq: Long): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(words(col(textCol)), n)).as("__gs"))
+      .select(col("doc_id"),
+        Dedup.hex60(md5(col("__gs").cast("binary"))).as("g"))
+    // per-(doc, gram) position counts — map-side combinable, and the
+    // single shuffled relation every later stage reuses
+    val perDocGram = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c")).persist()
+    val boiler = perDocGram.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("g"))
+    val totals = perDocGram.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
+    val hits = perDocGram.join(boiler, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("boiler_frac"))
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

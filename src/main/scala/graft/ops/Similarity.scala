@@ -361,4 +361,28 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Threshold RANGE search: every (corpus, query) pair with cosine >=
+    * tau — the retrieval dual of top-k. The query set is the small side
+    * by construction (eval probes, seed exemplars), so it is broadcast
+    * and the whole op is ONE map-side pass over the corpus: no shuffle,
+    * no corpus² — each corpus row is tested against every query with a
+    * codegen'd dot product and emitted only above the bound. (Top-k
+    * wants an index — ivfTopK; a range query must touch every corpus
+    * row anyway, so the scan IS the optimal plan; the win is keeping it
+    * shuffle-free.)
+    */
+  def rangeSearch(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      scaledDot(col(vecCol), col(vecCol)).as("__na"))
+    val q = queries.select(col(qidCol).as("id_b"), col(qvecCol).as("__vb"),
+      scaledDot(col(qvecCol), col(qvecCol)).as("__nb"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cosine", scaledDot(col("__va"), col("__vb")).cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

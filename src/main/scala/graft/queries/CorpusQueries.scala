@@ -128,6 +128,32 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style MERGE MINING — the first step of tokenizer training:
+    // count every adjacent symbol pair across the corpus and rank the
+    // merge candidates (the top pair is what a BPE trainer would merge
+    // first). One explode → one map-side-combinable groupBy; the rank
+    // order is total (count desc, pair asc) so the result is exact
+    "q_bpe_pairs" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(col("doc_id"),
+          explode(CorpusOps.wordNgrams(CorpusOps.words(col("text")), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)
+    }),
+
+    // Corpus-frequency BOILERPLATE filter signal: 3-grams present in >= 3
+    // distinct docs are boilerplate; per doc, the fraction of gram
+    // positions covered by them + the keep verdict. The within-corpus
+    // twin of decontaminate (whose reference set is external)
+    "q_text_boilerplate" -> ((s: SparkSession, d: String) => {
+      CorpusOps.boilerplateStats(scan(s, d, "documents"), "doc_id", "text",
+          n = 3, minDocFreq = 3)
+        .withColumn("keep", col("boiler_frac") < 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: emails/phones synthesized from customer fields (the corpus
     // tables contain none), then redacted + counted — the regex-scrub
     // semantics are what's under test.
@@ -259,6 +285,37 @@ object CorpusQueries {
            |SELECT doc_id, n_words, CAST(len_bucket AS BIGINT) AS len_bucket,
            |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
            |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |bg AS (SELECT doc_id,
+           |         unnest(list_transform(range(1, len(ws)),
+           |                i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS pair
+           |       FROM w)
+           |SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM bg GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q_text_boilerplate" -> {
+      val gh = DedupQueries.sqlHex60Public("md5(gs)")
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        unnest(list_transform(range(1, len(ws) - 1),
+           |               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gs
+           |      FROM w),
+           |gh AS (SELECT doc_id, $gh AS g FROM g),
+           |pdg AS (SELECT doc_id, g, count(*) AS c FROM gh GROUP BY doc_id, g),
+           |boiler AS (SELECT g FROM (SELECT g, count(*) AS df FROM pdg GROUP BY g)
+           |           WHERE df >= 3),
+           |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams FROM pdg GROUP BY doc_id),
+           |hits AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_boiler
+           |         FROM pdg WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_grams,
+           |  COALESCE(h.n_boiler, 0) AS n_boiler,
+           |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS boiler_frac,
+           |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) < 0.5 AS keep
+           |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     "q_text_pii" ->
       """WITH m AS (SELECT c_custkey,

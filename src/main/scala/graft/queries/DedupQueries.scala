@@ -122,6 +122,41 @@ object DedupQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Deterministic TRAIN/VAL/TEST split (80/10/10) by content-free
+    // hash — the assignment is a pure function of doc_id, so any
+    // cluster/run/partitioning reproduces the identical split, new docs
+    // never reshuffle old ones, and the three sets are disjoint by
+    // construction. Report: per-split doc/char counts + id range
+    "q_split_assign" -> ((s: SparkSession, d: String) => {
+      val b = Dedup.hex60(
+        md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary"))) % 100
+      val split = when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+      scan(s, d, "documents")
+        .withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"))
+    }),
+
+    // Hash-SHARD layout report: the writer-side balance check before
+    // sharding a corpus into N fixed output shards (shard = content-free
+    // hash of the key — co-locates re-runs, never depends on input
+    // order). share = each shard's byte fraction; a healthy layout is
+    // ~1/N everywhere — skew here means a hot shard at write time
+    "q_shard_balance" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val shard = Dedup.hex60(
+        md5(concat(lit("shard:"), col("doc_id").cast("string")).cast("binary"))) % 16
+      val per = docs.groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = docs.agg(sum(col("n_chars")).as("__total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share", col("chars").cast("double") / col("__total").cast("double"))
+        .select(col("shard"), col("n_docs"), col("chars"), col("share"))
+        .orderBy(col("shard"))
+    }),
+
     // DOMAIN MIXING to a token budget: per-language keep-rate
     // min(1, budget·w_lang / tokens_lang) derived FROM the data (one
     // broadcast-back aggregate), rows kept by the RNG-free md5 predicate.
@@ -274,6 +309,27 @@ object DedupQueries {
          |      ORDER BY ${sqlHex60("md5('cap:' || doc_id::VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      s"""WITH s AS (
+         |  SELECT *,
+         |    CASE WHEN ${sqlHex60("md5('split:' || doc_id::VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${sqlHex60("md5('split:' || doc_id::VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_shard_balance" ->
+      s"""WITH s AS (
+         |  SELECT ${sqlHex60("md5('shard:' || doc_id::VARCHAR)")} % 16 AS shard, n_chars
+         |  FROM documents),
+         |per AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |        FROM s GROUP BY shard)
+         |SELECT shard, n_docs, chars,
+         |  CAST(chars AS DOUBLE) / CAST((SELECT SUM(n_chars) FROM documents) AS DOUBLE) AS share
+         |FROM per ORDER BY shard""".stripMargin,
 
     "q_mix_budget" ->
       s"""WITH t AS (

@@ -108,6 +108,17 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // threshold RANGE search: all corpus vectors within cosine >= 0.25
+    // of ANY of the 5 query probes — the retrieval dual of top-k. The
+    // query side is broadcast; one shuffle-free map pass over the corpus
+    "q_sim_range" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.rangeSearch(
+        e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", tau = 0.25)
+        .orderBy(col("id_b"), col("id_a"))
+    }),
+
     // deterministic distributed k-means (1 Lloyd refinement over the
     // 8 smallest-id seeds): final max-cosine cell per vector. Exact
     // scaled-integer centroid sums make the centroids — and so every
@@ -404,6 +415,15 @@ object SimilarityQueries {
          |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
          |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
     },
+
+    "q_sim_range" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, q.vec_id AS id_b, a.embedding AS va, q.embedding AS vb
+         |  FROM embeddings a CROSS JOIN embeddings q
+         |  WHERE a.vec_id >= 5 AND q.vec_id < 5),
+         |$sqlCosineCtes
+         |SELECT id_a, id_b, cosine FROM cos
+         |WHERE cosine >= 0.25 ORDER BY id_b, id_a""".stripMargin,
 
     "q_sim_buckets" ->
       s"""WITH ${sqlBucketCte("embeddings")}

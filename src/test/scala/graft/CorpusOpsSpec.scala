@@ -57,6 +57,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert((1L to 300L).filter(i => i % 3 != 0).forall(kept1.contains))
   }
 
+  test("boilerplateStats: exact fractions, short docs excluded, no-hit docs zero") {
+    val docs = Seq(
+      (1L, "x y z a b"),       // grams: "x y z","y z a","z a b"
+      (2L, "x y z c d"),       // shares "x y z" with docs 1 and 3
+      (3L, "q x y z r"),       // contains "x y z" mid-doc
+      (4L, "u v w u v w u v"), // no gram shared with other docs
+      (5L, "one two")          // < 3 words → no grams → absent from output
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.boilerplateStats(docs, "doc_id", "text", n = 3, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("boiler_frac")))).toMap
+    // "x y z" appears in 3 distinct docs → boilerplate at minDocFreq=3
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(4L) == ((6L, 0L, 0.0))) // repeated within ONE doc: df=1, not boilerplate
+    assert(!out.contains(5L))
+  }
+
   test("piiRedact: emails then phones, global") {
     val df = Seq("mail a.b@x.co and c@y.io or 555-123 then 555-9").toDF("t")
       .select(CorpusOps.piiRedact(col("t")).as("r"),

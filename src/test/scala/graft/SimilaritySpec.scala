@@ -78,4 +78,27 @@ class SimilaritySpec extends SparkSpec {
       assert(!brute.contains(id) || brute(id) == c, s"vec $id scored differently")
     }
   }
+
+  test("rangeSearch: exhaustive above the bound, broadcast query side, no self-pairs") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.rangeSearch(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", tau = 0.2)
+    // exhaustive: every (corpus, query) cosine >= tau is present, none below
+    val qv = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val cv = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val expect = (for ((qid, q) <- qv; (cid, v) <- cv
+                       if Similarity.cosineLocal(q, v) >= 0.2)
+      yield (cid, qid)).toSet
+    val gotSet = got.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == expect)
+    assert(gotSet.forall { case (a, b) => a != b })
+    // plan: the query side must be broadcast — a shuffle here would be
+    // a corpus-sized exchange at 100 TB
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
+  }
 }
