@@ -34,11 +34,13 @@ object GraphQueries {
   private def orderGraph(s: SparkSession, d: String): DataFrame = {
     val o = scan(s, d, "orders")
     val l = scan(s, d, "lineitem")
-    // NOT persisted: measured at sf0.1, caching cs costs more (blocking
-    // materialization, lost pipelining) than letting the two union
-    // branches recompute the distinct in parallel
+    // persisted: pageRank materializes this through BOTH the edge side
+    // and the degree aggregate of its (persisted) withDeg input, and each
+    // of those reads both unionAll branches — 4 computations of the
+    // orders⋈lineitem join+distinct without the cache, 1 with it
     val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .persist()
     cs.select(col("c").as("src"), (col("s") + lit(SuppOffset)).as("dst"))
       .unionAll(cs.select((col("s") + lit(SuppOffset)).as("src"), col("c").as("dst")))
   }
