@@ -128,6 +128,26 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-style CONCAT-AND-CHOP packing manifest: docs are concatenated
+    // in deterministic order and chopped into fixed token windows; each
+    // doc reports the bin and in-bin offset where it STARTS (docs may
+    // span bins — that is the semantic). Packing is per-source so the
+    // cumulative sum never needs a global total order: at 100 TB each
+    // shard/source packs independently — one window pass, no global sort
+    "q_pack_budget" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scan(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+        .withColumn("__cum", sum(col("toks")).over(w))
+        .withColumn("bin", floor((col("__cum") - col("toks")) / lit(2048)).cast("long"))
+        .withColumn("bin_offset", ((col("__cum") - col("toks")) % lit(2048)).cast("long"))
+        .select(col("doc_id"), col("source"), col("toks"), col("bin"), col("bin_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE-style MERGE MINING — the first step of tokenizer training:
     // count every adjacent symbol pair across the corpus and rank the
     // merge candidates (the top pair is what a BPE trainer would merge
@@ -285,6 +305,18 @@ object CorpusQueries {
            |SELECT doc_id, n_words, CAST(len_bucket AS BIGINT) AS len_bucket,
            |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
            |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_pack_budget" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           |  FROM documents),
+           |c AS (SELECT *, SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+           |SELECT doc_id, source, toks,
+           |  CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+           |  CAST((cum - toks) % 2048 AS BIGINT) AS bin_offset
+           |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_bpe_pairs" ->
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),

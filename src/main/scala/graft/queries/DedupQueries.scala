@@ -67,6 +67,27 @@ object DedupQueries {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL MinHash-index maintenance: the retained corpus's band
+    // index is updated for a delete+insert delta WITHOUT re-hashing the
+    // unchanged corpus — departed ids leave by anti-join on the id,
+    // arrivals are banded alone. Per-doc signatures are independent, so
+    // maintained ≡ full recompute (the oracle recomputes from scratch on
+    // the final corpus); at 100 TB the update cost is ∝ |delta|, not
+    // |index|. Output: per-band entry + distinct-signature census
+    "q_index_maintain" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 10 =!= 1) // the indexed corpus
+      val dels = base.filter(col("doc_id") % 10 === 2).select(col("doc_id"))
+      val ins = docs.filter(col("doc_id") % 10 === 1) // arriving micro-batch
+      val baseBands = Dedup.minhashBands(Dedup.hashedShingleTable(base, "doc_id", "text"))
+      val maintained = baseBands
+        .join(dels, Seq("doc_id"), "left_anti")
+        .unionByName(Dedup.minhashBands(Dedup.hashedShingleTable(ins, "doc_id", "text")))
+      maintained.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_entries"), countDistinct(col("band_sig")).as("n_sigs"))
+        .orderBy(col("band"))
+    }),
+
     // deterministic hash-sampling: reproducible downsampling (md5-based,
     // no RNG state — identical on any cluster/run)
     "q_sample_hash" -> ((s: SparkSession, d: String) => {
@@ -309,6 +330,13 @@ object DedupQueries {
          |      ORDER BY ${sqlHex60("md5('cap:' || doc_id::VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "q_index_maintain" ->
+      s"""WITH corpus2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+         |${minhashCtesOver("corpus2")}
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_entries,
+         |  CAST(count(DISTINCT band_sig) AS BIGINT) AS n_sigs
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
 
     "q_split_assign" ->
       s"""WITH s AS (

@@ -35,6 +35,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // language-ID CONFUSION MATRIX — the eval loop for the classifier:
+    // labeled lang × predicted lang counts (one map pass + one tiny
+    // groupBy). Off-diagonal mass = where the n-gram heuristic fails
+    "q_langid_confusion" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(col("lang"), langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "q_text_langid" -> ((s: SparkSession, d: String) => {
       val df = scan(s, d, "documents")
       val scored = langScores(col("text")).foldLeft(df) { case (acc, (lang, score)) =>
@@ -114,6 +125,28 @@ object TextQueries {
 
   private val stopList = defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Shared DuckDB langid CTEs (`t` scores, `m` adds the max) + the
+    * argmax CASE — one spelling for the per-doc and confusion oracles.
+    */
+  private lazy val langidCtes: String = {
+    val markers = graft.ops.TextAnalysis.defaultMarkers
+    val scoreExprs = markers.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> list_contains($list, w))) AS score_$lang"
+    }.mkString(",\n    ")
+    val maxExpr = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    s"""t AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM documents),
+       |m AS (SELECT *, $maxExpr AS __mx FROM t)""".stripMargin
+  }
+
+  private lazy val langidCaseExpr: String =
+    graft.ops.TextAnalysis.defaultMarkers.map { case (l, _) =>
+      s"WHEN score_$l = __mx AND __mx > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+
   val oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
       """SELECT doc_id, n_chars,
@@ -140,27 +173,19 @@ object TextQueries {
          |    - abs(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
          |          / greatest(CAST(n_ws AS DOUBLE), 1.0) - 5.0) * 0.1 AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
-    "q_text_langid" -> {
-      val markers = graft.ops.TextAnalysis.defaultMarkers
-      val scoreExprs = markers.map { case (lang, ws) =>
-        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> list_contains($list, w))) AS score_$lang"
-      }.mkString(",\n    ")
-      val maxExpr = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
-      val caseExpr = markers.map { case (l, _) =>
-        s"WHEN score_$l = __mx AND __mx > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |    $scoreExprs
-         |  FROM documents),
-         |m AS (SELECT *, $maxExpr AS __mx FROM t)
-         |SELECT doc_id, lang, $caseExpr AS pred_lang,
+    "q_text_langid" ->
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang, $langidCaseExpr AS pred_lang,
          |  CAST(score_en AS BIGINT) AS score_en, CAST(score_de AS BIGINT) AS score_de,
          |  CAST(score_fr AS BIGINT) AS score_fr, CAST(score_es AS BIGINT) AS score_es,
          |  CAST(score_zh AS BIGINT) AS score_zh
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_langid_confusion" ->
+      s"""WITH $langidCtes,
+         |p AS (SELECT lang, $langidCaseExpr AS pred_lang FROM m)
+         |SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "q_text_levenshtein" ->
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS lev

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** MinHash band-index algebra: per-doc signatures are independent, so an
+  * index maintained incrementally (anti-join deletes, band only the
+  * arriving delta) must be row-identical to a full recompute over the
+  * final corpus — the invariant `q_index_maintain` exercises end-to-end
+  * against DuckDB, checked here on crafted edges (empty delta, delete-
+  * then-reinsert, repartitioned input).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bands(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashBands(Dedup.hashedShingleTable(df, "doc_id", "text"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "band", "band_sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("incremental band maintenance == full recompute") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"),
+      (4L, "cat dog bird fish lion tiger bear"),
+      (5L, "red green blue cyan magenta yellow")
+    ).toDF("doc_id", "text")
+    val base = docs.filter($"doc_id" <= 4)
+    val dels = Seq(2L).toDF("doc_id")
+    val ins = docs.filter($"doc_id" === 5)
+    val maintained = bands(base).join(dels, Seq("doc_id"), "left_anti")
+      .unionByName(bands(ins))
+    val recompute = bands(docs.filter($"doc_id" =!= 2))
+    assert(asSet(maintained) == asSet(recompute))
+    // delete-then-reinsert round-trips to the original index
+    val reinserted = maintained
+      .unionByName(bands(docs.filter($"doc_id" === 2)))
+      .join(Seq(5L).toDF("doc_id"), Seq("doc_id"), "left_anti")
+    assert(asSet(reinserted) == asSet(bands(base)))
+    // empty delta is a no-op, and partitioning never changes the result
+    val noop = bands(base)
+      .join(spark.emptyDataset[Long].toDF("doc_id"), Seq("doc_id"), "left_anti")
+    assert(asSet(noop) == asSet(bands(base.repartition(7))))
+  }
+}
