@@ -128,6 +128,39 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT DUPLICATED-SPAN detection (the substring-dedup signal of
+    // "Deduplicating Training Data Makes Language Models Better"): a
+    // 5-gram position is duplicated when its gram occurs in >= 2 distinct
+    // docs; consecutive duplicated positions merge into maximal spans
+    // (gaps-and-islands window). Per doc: span count, longest span in
+    // tokens, duplicated-position fraction — the "drop docs with long
+    // verbatim overlaps" filter. Grams ride as 60-bit hashes; every stage
+    // is an equi-join/groupBy on (doc, long) — no all-pairs anywhere
+    "q_text_dupspans" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = scan(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(CorpusOps.wordNgrams(CorpusOps.words(col("text")), 5)).as(Seq("pos", "gs")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Dedup.hex60(md5(col("gs").cast("binary"))).as("g"))
+        .persist()
+      val dupGrams = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("g"))
+      val dup = grams.join(dupGrams, Seq("g"), "left_semi")
+      val isl = dup.withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val spans = isl.groupBy(col("doc_id"), col("grp"))
+        .agg((count(lit(1)) + lit(4)).as("span_toks"))
+      val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), max(col("span_toks")).as("max_span_toks"),
+          sum(col("span_toks") - lit(4)).as("dup_grams"))
+        .join(tot, Seq("doc_id"))
+        .withColumn("dup_frac", col("dup_grams").cast("double") / col("n_grams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GPT-style CONCAT-AND-CHOP packing manifest: docs are concatenated
     // in deterministic order and chopped into fixed token windows; each
     // doc reports the bin and in-bin offset where it STARTS (docs may
@@ -305,6 +338,31 @@ object CorpusQueries {
            |SELECT doc_id, n_words, CAST(len_bucket AS BIGINT) AS len_bucket,
            |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
            |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_text_dupspans" -> {
+      val gh = DedupQueries.sqlHex60Public("md5(gs)")
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |gl AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+           |         i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS gs_list FROM w),
+           |gx AS (SELECT doc_id, CAST(unnest(range(1, len(gs_list) + 1)) - 1 AS BIGINT) AS pos,
+           |         unnest(gs_list) AS gs FROM gl),
+           |g AS (SELECT doc_id, pos, $gh AS g FROM gx),
+           |dfq AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+           |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (g) WHERE dfq.df >= 2),
+           |isl AS (SELECT doc_id, pos,
+           |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |        FROM dup),
+           |spans AS (SELECT doc_id, grp, CAST(count(*) + 4 AS BIGINT) AS span_toks
+           |          FROM isl GROUP BY doc_id, grp),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |          MAX(span_toks) AS max_span_toks,
+           |          CAST(SUM(span_toks - 4) AS BIGINT) AS dup_grams
+           |        FROM spans GROUP BY doc_id)
+           |SELECT a.doc_id, a.n_spans, a.max_span_toks, a.dup_grams, t.n_grams,
+           |  CAST(a.dup_grams AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS dup_frac
+           |FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id""".stripMargin
+    },
 
     "q_pack_budget" ->
       raw"""WITH t AS (SELECT doc_id, source,

@@ -108,6 +108,36 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LATE-INTERACTION (ColBERT-style) MaxSim retrieval: vectors are
+    // grouped into multi-vector "documents" (gid = vec_id mod 25); the
+    // query doc's ~20 vectors are broadcast, every corpus vector scores
+    // against each query vector in one map pass, and MaxSim(doc) =
+    // Σ_q max_d cos(q, d) — max per (doc, query-term), then a per-doc
+    // sum of floor-scaled longs (order-independent, so exact). Top-5
+    // docs. At 100 TB: broadcast query side, two map-side-combinable
+    // aggregations, no shuffle of the corpus vectors themselves
+    "q_sim_maxsim" -> ((s: SparkSession, d: String) => {
+      val DocMod = 25
+      val e = scan(s, d, "embeddings")
+        .withColumn("gid", col("vec_id") % DocMod)
+      val qv = e.filter(col("gid") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
+      val cv = e.filter(col("gid") =!= 0)
+        .select(col("gid"), col("embedding").as("cv"),
+          Similarity.scaledDot(col("embedding"), col("embedding")).as("cn"))
+      val maxPerTerm = cv.crossJoin(broadcast(qv))
+        .withColumn("cos", Similarity.scaledDot(col("cv"), col("qv")).cast("double") /
+          (sqrt(col("cn").cast("double")) * sqrt(col("qn").cast("double"))))
+        .groupBy(col("gid"), col("qid"))
+        .agg(max(col("cos")).as("mc"))
+      maxPerTerm.groupBy(col("gid"))
+        .agg(sum(floor(col("mc") * lit(1e12)).cast("long")).as("maxsim_scaled"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("maxsim_scaled").desc, col("gid"))
+        .limit(5)
+    }),
+
     // threshold RANGE search: all corpus vectors within cosine >= 0.25
     // of ANY of the 5 query probes — the retrieval dual of top-k. The
     // query side is broadcast; one shuffle-free map pass over the corpus
@@ -415,6 +445,19 @@ object SimilarityQueries {
          |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
          |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
     },
+
+    "q_sim_maxsim" ->
+      s"""WITH pairs AS (
+         |  SELECT c.vec_id AS id_a, q.vec_id AS id_b, c.embedding AS va, q.embedding AS vb
+         |  FROM embeddings c CROSS JOIN embeddings q
+         |  WHERE c.vec_id % 25 <> 0 AND q.vec_id % 25 = 0),
+         |$sqlCosineCtes,
+         |mx AS (SELECT id_a % 25 AS gid, id_b AS qid, MAX(cosine) AS mc
+         |       FROM cos GROUP BY id_a % 25, id_b)
+         |SELECT gid, CAST(SUM(CAST(floor(mc * 1e12) AS BIGINT)) AS BIGINT) AS maxsim_scaled,
+         |  COUNT(*) AS n_terms
+         |FROM mx GROUP BY gid
+         |ORDER BY maxsim_scaled DESC, gid LIMIT 5""".stripMargin,
 
     "q_sim_range" ->
       s"""WITH pairs AS (
