@@ -178,16 +178,26 @@ object Similarity {
     * scale this is a broadcast-free map-side pass.
     */
   def cellsForCentroids(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Double])]): Column = {
-    val cosines = seeds.map { case (_, sv) =>
+    // each cosine evaluates exactly once into the array; array_position
+    // returns the FIRST max (1-based) → lowest-index tie-break
+    val cosArr = centroidCosArr(vecCol, n2Col, seeds)
+    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
+  }
+
+  /** The max cosine itself — the value [[cellsForCentroids]] argmaxes.
+    * Low best-cosine = the vector sits far from every centroid: the
+    * embedding-space outlier signal.
+    */
+  def bestCentroidCosine(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Double])]): Column =
+    array_max(centroidCosArr(vecCol, n2Col, seeds))
+
+  private def centroidCosArr(vecCol: String, n2Col: String,
+                             seeds: Seq[(Int, Seq[Double])]): Column =
+    array(seeds.map { case (_, sv) =>
       val seedNorm = math.sqrt(scaledDotLocalD(sv, sv).toDouble)
       scaledDot(col(vecCol), array(sv.map(lit): _*)).cast("double") /
         (sqrt(col(n2Col).cast("double")) * lit(seedNorm))
-    }
-    // each cosine evaluates exactly once into the array; array_position
-    // returns the FIRST max (1-based) → lowest-index tie-break
-    val cosArr = array(cosines: _*)
-    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
-  }
+    }: _*)
 
   // ----------------------------------------- deterministic k-means (Lloyd)
 

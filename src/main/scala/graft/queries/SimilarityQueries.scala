@@ -15,6 +15,7 @@ object SimilarityQueries {
   private val LSH_PLANES = 6
   private val KMEANS_K = 8
   private val SEMDEDUP_TAU = 0.30
+  private val OUTLIER_TAU = 0.10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact top-20 neighbors of vec 0
@@ -163,6 +164,22 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // embedding OUTLIER detection — the curation step that prunes
+    // vectors far from every cluster centroid (mislabeled/garbage
+    // embeddings): best-centroid cosine below tau = outlier. Centroids
+    // are plan literals, so the whole scan is one map-side pass
+    "q_embed_outlier" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val seeds = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = KMEANS_K, refinements = 1)
+      e.withColumn("__n2", Similarity.scaledDot(col("embedding"), col("embedding")))
+        .select(col("vec_id"),
+          Similarity.cellsForCentroids("embedding", "__n2", seeds).as("cell"),
+          Similarity.bestCentroidCosine("embedding", "__n2", seeds).as("centroid_cos"))
+        .withColumn("is_outlier", col("centroid_cos") < OUTLIER_TAU)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup: k-means cells + within-cell greedy keep-first prune at
     // cosine >= 0.30 — the semantic twin of the MinHash/SimHash dedup
     // tier (cluster-scoped pairwise, never corpus²)
@@ -266,7 +283,7 @@ object SimilarityQueries {
        |    JOIN norms ne ON ne.vec_id = d.vec_id
        |    JOIN centn cn ON cn.sidx = d.sidx),
        |assign1 AS (
-       |  SELECT vec_id, sidx AS cell FROM (
+       |  SELECT vec_id, sidx AS cell, cos FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
        |    FROM acos1) WHERE rn = 1)""".stripMargin
   }
@@ -275,6 +292,12 @@ object SimilarityQueries {
     "q_kmeans_assign" ->
       s"""WITH $sqlKmeansCtes
          |SELECT vec_id, CAST(cell AS INT) AS cell FROM assign1 ORDER BY vec_id""".stripMargin,
+
+    "q_embed_outlier" ->
+      s"""WITH $sqlKmeansCtes
+         |SELECT vec_id, CAST(cell AS INT) AS cell, cos AS centroid_cos,
+         |  cos < $OUTLIER_TAU AS is_outlier
+         |FROM assign1 ORDER BY vec_id""".stripMargin,
 
     "q_semdedup" -> {
       val term = (a: String, b: String) =>
