@@ -154,6 +154,33 @@ object WindowQueries {
           coalesce(col("n"), lit(0L)).as("n"),
           last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_sum"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // time-series ANOMALY flags: daily event counts vs their own rolling
+    // 7-day window — spike iff squared deviation from the rolling mean
+    // exceeds k²·variance (k=2). sqrt-FREE on purpose: mean/variance come
+    // from exact integer rolling sums, and comparing (x-μ)² > k²σ²
+    // avoids the one operation whose rounding could differ. The day
+    // grain makes the global window tiny (state ∝ days, not events)
+    "q_ts_anomaly" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rsum", sum(col("cnt")).over(w))
+        .withColumn("rsumsq", sum(col("cnt") * col("cnt")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("mean", col("rsum").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("rsumsq").cast("double") -
+            col("rsum").cast("double") * col("rsum").cast("double") / col("n").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("is_spike",
+          (col("cnt").cast("double") - col("mean")) * (col("cnt").cast("double") - col("mean"))
+            > lit(4.0) * col("variance"))
+        .select(col("day"), col("cnt"), col("mean"), col("variance"), col("is_spike"))
+        .orderBy(col("day"))
     })
   )
 
@@ -228,6 +255,26 @@ object WindowQueries {
         |SELECT user_id, CAST(len(vals) AS INT) AS n,
         |  list_reduce(vals, (acc, x) -> acc / 2 + x / 2) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |r AS (SELECT day, cnt,
+        |        CAST(SUM(cnt) OVER w AS BIGINT) AS rsum,
+        |        CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS rsumsq,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS n
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT day, cnt,
+        |        CAST(rsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |        (CAST(rsumsq AS DOUBLE) -
+        |          CAST(rsum AS DOUBLE) * CAST(rsum AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE) AS variance
+        |      FROM r)
+        |SELECT day, cnt, mean, variance,
+        |  (CAST(cnt AS DOUBLE) - mean) * (CAST(cnt AS DOUBLE) - mean) > 4.0 * variance AS is_spike
+        |FROM m ORDER BY day""".stripMargin,
+
     "q_ts_resample" ->
       s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          |              COUNT(*) AS n, ${ExactAgg.sqlDsum("value")} AS sum_value
