@@ -230,6 +230,75 @@ object StreamQueries {
       s.read.parquet(out).orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STREAMING CORPUS INGEST, end to end — the flagship incremental
+    // training-data pipeline: new documents arrive as micro-batches;
+    // each batch is (1) quality-gated (word count + stopword signal),
+    // (2) near-dup-probed against the STATIC MinHash-LSH index of the
+    // retained corpus (band equi-join + exact-Jaccard verify — the
+    // q_stream_neardup gate), and (3) only the clean survivors are
+    // appended to the landing table. Every per-doc decision depends
+    // only on the doc and the static index, so batch slicing cannot
+    // change the result — the oracle recomputes the survivor set in one
+    // batch query over the full corpus. At 100 TB: per-batch cost ∝
+    // batch × collision rate; the index is a bucketed static table
+    "q_stream_corpus" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import graft.ops.{Dedup, TextAnalysis}
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scorpus_src_$suffix"
+      val out = s"/tmp/graft_scorpus_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.filter(col("doc_id") % 5 === 0)
+        .repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+      val idxSh = Dedup.hashedShingleTable(idx, "doc_id", "text").persist()
+      val idxBands = Dedup.minhashBands(idxSh).persist()
+      val idxSizes = Dedup.shingleSizes(idxSh).persist()
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val qual = batch
+              .withColumn("n_words", TextAnalysis.tokenCountWs(col("text")))
+              .withColumn("stop_ratio",
+                TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords))
+              .filter(col("n_words") >= 20 && col("stop_ratio") > 0.0)
+              .persist()
+            try {
+              val bSh = Dedup.hashedShingleTable(qual, "doc_id", "text").persist()
+              try {
+                val cand = Dedup.minhashBands(bSh)
+                  .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+                  .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")),
+                    Seq("band", "band_sig"))
+                  .select(col("doc_a"), col("doc_b")).distinct()
+                val dupNew = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
+                    precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
+                  .filter(col("jaccard") >= 0.5)
+                  .select(col("doc_a").as("doc_id")).distinct()
+                val survivors = qual.join(dupNew, Seq("doc_id"), "left_anti")
+                  .select(col("doc_id"), col("lang"), col("source"),
+                    col("n_words").cast("long").as("n_words"))
+                graft.sinks.Sinks.write(survivors,
+                  graft.model.SinkSpec("parquet", out, mode = "append"))
+              } finally bSh.unpersist()
+            } finally qual.unpersist()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      idxSh.unpersist()
+      idxBands.unpersist()
+      idxSizes.unpersist()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
+
     // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
     // event-time timeout — sessions emit ONLY once the watermark proves
     // they can never grow (append semantics, state ∝ open sessions).
@@ -349,6 +418,30 @@ object StreamQueries {
          |SELECT doc_a, doc_b, jaccard FROM pairsq
          |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_stream_corpus" -> {
+      val stopList = graft.ops.TextAnalysis.defaultStopwords
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      raw"""WITH ${DedupQueries.minhashCtes},
+           |qual AS (
+           |  SELECT doc_id, lang, source,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           |        w -> list_contains($stopList, w))) AS n_stop
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |q2 AS (
+           |  SELECT * FROM qual
+           |  WHERE n_words >= 20
+           |    AND CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) > 0.0),
+           |dups AS (
+           |  SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM pairsq WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0))
+           |SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_words
+           |FROM q2
+           |WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = q2.doc_id)
+           |ORDER BY doc_id""".stripMargin
+    },
     "q_stream_session_custom" ->
       s"""WITH lagged AS (
          |  SELECT user_id, event_id, ts,
