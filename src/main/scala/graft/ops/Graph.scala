@@ -103,28 +103,19 @@ object Graph {
     * mass). Each round is one shuffle keyed by dst.
     */
   def pageRank(edges: DataFrame, iters: Int, checkpointInterval: Int = 5): DataFrame = {
-    // The edge table is cached hash-partitioned on src — the static,
-    // big side. Degree lives in the NODE-sized table and rides into
-    // each round joined to ranks (node⋈node, tiny), so the edge table
-    // is never rewritten with per-row degree (the old edges⋈deg
-    // materialization cost as much as the whole iteration phase). Each
-    // round the src-partitioned cache is reused and only node-sized
-    // data is exchanged: per-round shuffle = ranks in + contributions
-    // out — the layout a real cluster keeps for iterative joins.
-    // partitioned AND sorted on the join key in the cache: each round's
-    // sort-merge join reuses both, so only the node-sized side is
-    // exchanged and sorted per round
-    val e = edges.repartition(col("src")).sortWithinPartitions(col("src")).persist()
-    // node-sized; cached so each round's ranks⋈deg join doesn't re-run
-    // the degree aggregate over the edge cache
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(Scale).as("r"))
+    // Static per-round join input cached ONCE with per-row degree: one
+    // join per round against node-sized ranks. (A two-join-per-round
+    // variant keeping degree in a node-sized side table benched ~25%
+    // slower under AQE — extra query stages cost more than the one-time
+    // edges⋈degree materialization saves.)
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .persist()
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
     for (i <- 1 to iters) {
-      val ranksWithDeg = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .select(col("node"), col("r"), col("d"))
-      ranks = e
-        .join(ranksWithDeg, e("src") === ranksWithDeg("node"))
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("csum"))
