@@ -243,6 +243,32 @@ object SqlFunctionQueries {
     // URL parsing/normalization — the web-corpus key-extraction step
     // (URLs synthesized from doc fields; parse_url does the dissection,
     // the registered-domain tail via the same regex both engines run)
+    // URL CANONICALIZATION + dedup — the crawl-frontier step that
+    // collapses trivially-different URLs before fetching: drop the
+    // fragment, lowercase scheme+host, strip leading www., strip the
+    // trailing path slash, remove utm_* tracking params. The canonical
+    // form is then an exact-dedup key (deterministic min-id survivor).
+    // Pure regex surgery spelled identically in both engines
+    "q_url_canonical" -> ((s: SparkSession, d: String) => {
+      val url = concat(lit("HTTPS://www."), col("source"), lit(".Example.COM/docs/"),
+        (col("doc_id") % 100).cast("string"), lit("/?utm_source=x&lang="), col("lang"),
+        lit("&utm_b=2#s"), col("doc_id").cast("string"))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val proto = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+      val path = rtrim(regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/")
+      val qClean = rtrim(
+        regexp_replace(regexp_extract(noFrag, "\\?(.*)$", 1), "utm_[^&]*&?", ""), "&")
+      val canon = concat(proto, lit("://"), host, path,
+        when(qClean =!= "", concat(lit("?"), qClean)).otherwise(lit("")))
+      scan(s, d, "documents")
+        .withColumn("canon", canon)
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canon"))
+    }),
+
     "q_url_parse" -> ((s: SparkSession, d: String) => {
       val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
         col("doc_id").cast("string"), lit("?lang="), col("lang"), lit("&v=2"))
@@ -284,6 +310,24 @@ object SqlFunctionQueries {
         |  sha256(c_name) AS h_sha256,
         |  lower(to_hex(c_custkey)) AS key_hex
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_url_canonical" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |  'HTTPS://www.' || source || '.Example.COM/docs/' || CAST(doc_id % 100 AS VARCHAR)
+           |    || '/?utm_source=x&lang=' || lang || '&utm_b=2#s' || CAST(doc_id AS VARCHAR) AS url
+           |  FROM documents),
+           |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+           |parts AS (SELECT doc_id,
+           |  lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS proto,
+           |  regexp_replace(lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', '') AS host,
+           |  rtrim(regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/') AS path,
+           |  rtrim(regexp_replace(regexp_extract(nf, '\?(.*)$$', 1), 'utm_[^&]*&?', '', 'g'), '&') AS q
+           |  FROM nf),
+           |c AS (SELECT doc_id,
+           |  proto || '://' || host || path ||
+           |    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon FROM parts)
+           |SELECT canon, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+           |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+
     "q_url_parse" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
