@@ -134,4 +134,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_max"), plan.take(2000))
     assert(!plan.contains("Window"), "upsert must not use a window")
   }
+
+  test("MaxSim broadcasts the query-side vectors — the corpus is never exchanged") {
+    val e = scan(spark, sf001, "embeddings").withColumn("gid", col("vec_id") % 25)
+    val qv = e.filter(col("gid") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        graft.ops.Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
+    val cv = e.filter(col("gid") =!= 0)
+      .select(col("gid"), col("embedding").as("cv"),
+        graft.ops.Similarity.scaledDot(col("embedding"), col("embedding")).as("cn"))
+    val scored = cv.crossJoin(broadcast(qv))
+      .withColumn("cos", graft.ops.Similarity.scaledDot(col("cv"), col("qv")).cast("double") /
+        (sqrt(col("cn").cast("double")) * sqrt(col("qn").cast("double"))))
+      .groupBy(col("gid"), col("qid")).agg(max(col("cos")).as("mc"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    // the per-(doc, term) max partial-aggregates map-side before the shuffle
+    assert(plan.contains("partial_max"), plan.take(2000))
+  }
+
+  test("global merge-candidate top-k plans as TakeOrderedAndProject") {
+    val df = graft.SparkEntry.queries("q_bpe_pairs")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-30 pairs must not global-sort: " + plan.take(2000))
+  }
 }
