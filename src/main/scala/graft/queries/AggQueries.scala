@@ -70,6 +70,42 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // exact MODE per group, deterministic tie-break (highest count, then
+    // smallest value) as a struct-max — two map-side-combinable
+    // aggregations, no window, no sort
+    "q_agg_mode" -> ((s: SparkSession, d: String) => {
+      val counts = scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), (-col("l_quantity")).as("negq"))).as("m"))
+        .select(col("l_returnflag"), col("m.cnt").as("mode_cnt"),
+          (-col("m.negq")).as("mode_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // equi-depth FEATURE BINNING: exact quartile boundaries from one
+    // broadcast-back aggregate, then bin assignment as a codegen'd
+    // when-chain — the ML featurization primitive (no per-row quantile
+    // state, no sampling)
+    "q_feature_bins" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val qs = o.agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+        percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+        percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+      o.crossJoin(broadcast(qs))
+        .withColumn("bin",
+          when(col("o_totalprice") < col("q1"), 0)
+            .when(col("o_totalprice") < col("q2"), 1)
+            .when(col("o_totalprice") < col("q3"), 2)
+            .otherwise(3).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // ROLLUP: hierarchical subtotals; null grouping rows ordered NULLS
     // FIRST on both sides (Spark's asc default; DuckDB needs it spelled)
     "q_agg_rollup" -> ((s: SparkSession, d: String) => {
@@ -249,6 +285,24 @@ object AggQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c)
+        |SELECT l_returnflag, cnt AS mode_cnt, l_quantity AS mode_qty
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_feature_bins" ->
+      """WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |                  quantile_cont(o_totalprice, 0.5) AS q2,
+        |                  quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+        |SELECT CAST(CASE WHEN o_totalprice < q1 THEN 0
+        |                 WHEN o_totalprice < q2 THEN 1
+        |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "q_agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
