@@ -14,6 +14,30 @@ import graft.ops.ExactAgg.{dsum, sqlDsum, sqlDsumScaled, sqlDsumScaledOver}
 object FunnelQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FIRST/LAST-TOUCH ATTRIBUTION: for every purchase, the earliest and
+    // the latest preceding view/click by the same user — one window pass
+    // over per-user event streams (ROWS … 1 PRECEDING; ignoreNulls picks
+    // the touch rows). The id and type windows share the null pattern,
+    // so both always come from the same touch row
+    "q_events_attribution" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("view", "click")
+      val tId = when(isTouch, col("event_id"))
+      val tType = when(isTouch, col("event_type"))
+      scan(s, d, "events")
+        .withColumn("first_touch_id", first(tId, ignoreNulls = true).over(w))
+        .withColumn("first_touch_type", first(tType, ignoreNulls = true).over(w))
+        .withColumn("last_touch_id", last(tId, ignoreNulls = true).over(w))
+        .withColumn("last_touch_type", last(tType, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("first_touch_id"), col("first_touch_type"),
+          col("last_touch_id"), col("last_touch_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // ordered funnel view → click → purchase with a 6-hour conversion
     // window per step: each stage's timestamp must strictly follow the
     // previous stage's AND land within the window (min-ts chaining, the
@@ -109,6 +133,25 @@ object FunnelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_type IN ('view', 'click') THEN event_id END AS tid,
+        |    CASE WHEN event_type IN ('view', 'click') THEN event_type END AS ttype
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, event_type,
+        |    first_value(tid IGNORE NULLS) OVER w AS first_touch_id,
+        |    first_value(ttype IGNORE NULLS) OVER w AS first_touch_type,
+        |    last_value(tid IGNORE NULLS) OVER w AS last_touch_id,
+        |    last_value(ttype IGNORE NULLS) OVER w AS last_touch_type
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, first_touch_id, first_touch_type,
+        |       last_touch_id, last_touch_type
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              make_timestamp(epoch_us(ts)) AS ts FROM events),

@@ -54,7 +54,16 @@ object GraphQueries {
 
     "q_graph_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.pageRank(orderGraph(s, d), PrIters)
-        .orderBy(col("r").desc, col("node")).limit(20))
+        .orderBy(col("r").desc, col("node")).limit(20)),
+
+    // connected components of the co-supply graph — the same min-label
+    // machinery as dedup cluster resolution, applied to a general edge
+    // list (supplier communities)
+    "q_graph_cc" -> ((s: SparkSession, d: String) =>
+      graft.ops.Dedup.connectedComponents(
+          coSupply(s, d).select(col("s1").as("doc_a"), col("s2").as("doc_b")))
+        .select(col("doc_id").as("node"), col("cluster").as("component"))
+        .orderBy(col("node")))
   )
 
   /** Shared DuckDB CTE: the thresholded co-supply edge list. */
@@ -83,6 +92,16 @@ object GraphQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_triangles
          |FROM g e1 JOIN g e2 ON e1.s2 = e2.s1
          |JOIN g e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2""".stripMargin,
+    "q_graph_cc" ->
+      s"""WITH RECURSIVE ${edgeCte.stripPrefix("WITH ")},
+         |edges AS (SELECT s1 AS a, s2 AS b FROM g UNION SELECT s2, s1 FROM g),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS node, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY node""".stripMargin,
+
     "q_graph_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
