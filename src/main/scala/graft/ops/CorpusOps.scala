@@ -139,6 +139,9 @@ object CorpusOps {
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocFreq: Long): DataFrame = {
+    require(n >= 1, s"boilerplateStats: n-gram size must be >= 1, got $n")
+    require(minDocFreq >= 1,
+      s"boilerplateStats: minDocFreq must be >= 1 (1 marks EVERY gram boilerplate), got $minDocFreq")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(wordNgrams(words(col(textCol)), n)).as("__gs"))
       .select(col("doc_id"),

@@ -192,12 +192,15 @@ object Similarity {
     array_max(centroidCosArr(vecCol, n2Col, seeds))
 
   private def centroidCosArr(vecCol: String, n2Col: String,
-                             seeds: Seq[(Int, Seq[Double])]): Column =
+                             seeds: Seq[(Int, Seq[Double])]): Column = {
+    // an empty centroid set would silently yield null cells downstream
+    require(seeds.nonEmpty, "centroid cosine: empty centroid set (corpus smaller than k?)")
     array(seeds.map { case (_, sv) =>
       val seedNorm = math.sqrt(scaledDotLocalD(sv, sv).toDouble)
       scaledDot(col(vecCol), array(sv.map(lit): _*)).cast("double") /
         (sqrt(col(n2Col).cast("double")) * lit(seedNorm))
     }: _*)
+  }
 
   // ----------------------------------------- deterministic k-means (Lloyd)
 
@@ -219,6 +222,8 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, refinements: Int = 1): Seq[(Int, Seq[Double])] = {
+    require(k >= 1, s"kmeansCentroids: k must be >= 1, got $k")
+    require(refinements >= 0, s"kmeansCentroids: refinements must be >= 0, got $refinements")
     import org.apache.spark.sql.Row
     var seeds: Seq[(Int, Seq[Double])] = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
