@@ -200,6 +200,31 @@ object SqlFunctionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approximate-percentile sketch, oracle-green the same way: the
+    // KLL-style estimate is an actual data element whose exact RANK we
+    // can bound — count(< ap)/n must not exceed 0.5+eps and
+    // count(<= ap)/n must reach 0.5-eps (two-sided so ties in the
+    // discrete quantity column can't fail a correct answer). The bound
+    // holds for ANY merge order of the sketch, so the boolean is
+    // deterministic even where the raw estimate isn't. Oracle = exact
+    // interpolated median + literal true
+    "q_agg_approx_pct" -> ((s: SparkSession, d: String) => {
+      val li = scan(s, d, "lineitem")
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("exact_median"),
+          expr("approx_percentile(l_quantity, 0.5, 100)").as("__ap"),
+          count(lit(1)).as("__n"))
+      li.join(broadcast(ap), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("exact_median"), col("__ap"), col("__n"))
+        .agg(sum(when(col("l_quantity") < col("__ap"), 1L).otherwise(0L)).as("__lt"),
+          sum(when(col("l_quantity") <= col("__ap"), 1L).otherwise(0L)).as("__le"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (col("__lt").cast("double") / col("__n").cast("double") <= lit(0.52) &&
+            col("__le").cast("double") / col("__n").cast("double") >= lit(0.48))
+            .as("within_tolerance"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
     // keys and bucket ids are built from
     "q_bitwise" -> ((s: SparkSession, d: String) => {
@@ -428,6 +453,11 @@ object SqlFunctionQueries {
            |FROM w ORDER BY doc_id""".stripMargin,
     "q_agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_tolerance
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_approx_pct" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median,
         |  true AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
