@@ -13,6 +13,42 @@ import graft.ops.{ExactAgg, Joins}
 object JoinQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SPATIAL GRID JOIN — radius search as a blocked equi-join: points
+    // land in 100×100 cells; each probe point explodes to its 3×3 cell
+    // neighborhood and equi-joins build points on the cell id, then an
+    // exact integer squared-distance verify keeps pairs within r=30.
+    // Never all-pairs: candidates ∝ points × local density, and the
+    // cell id is the partition key a 100 TB point table would be laid
+    // out on. Every pair matches in exactly one (build-cell) block, so
+    // no distinct is needed. Coordinates are synthesized hash grids
+    // (the tables carry no geometry) — the join shape is what's under
+    // test, and all arithmetic stays in exact longs
+    "q_geo_join" -> ((s: SparkSession, d: String) => {
+      val pts = scan(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 1000).as("x"),
+        (col("c_custkey") * 104729 % 1000).as("y"))
+      val withCell = pts
+        .withColumn("cx", expr("x div 100"))
+        .withColumn("cy", expr("y div 100"))
+      val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx).cast("long").as("dx"), lit(dy).cast("long").as("dy"))
+      val probe = withCell
+        .withColumn("off", explode(array(offsets: _*)))
+        .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+          (col("cx") + col("off.dx")).as("cx"), (col("cy") + col("off.dy")).as("cy"))
+      val build = withCell.select(col("id").as("id_b"),
+        col("x").as("xb"), col("y").as("yb"), col("cx"), col("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("dist2") <= 900)
+        .select(col("id_a"), col("id_b"), col("dist2"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_join_inner" -> ((s: SparkSession, d: String) => {
       val o = scan(s, d, "orders")
       val c = scan(s, d, "customer")
@@ -141,6 +177,22 @@ object JoinQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_geo_join" ->
+      """WITH p AS (SELECT c_custkey AS id, (c_custkey * 7919) % 1000 AS x,
+        |             (c_custkey * 104729) % 1000 AS y FROM customer),
+        |c AS (SELECT *, x // 100 AS cx, y // 100 AS cy FROM p),
+        |o AS (SELECT a.dx, b.dy
+        |      FROM (SELECT unnest(range(-1, 2)) AS dx) a,
+        |           (SELECT unnest(range(-1, 2)) AS dy) b),
+        |probe AS (SELECT id AS id_a, x AS xa, y AS ya, cx + dx AS cx, cy + dy AS cy
+        |          FROM c CROSS JOIN o),
+        |j AS (SELECT pr.id_a, b.id AS id_b,
+        |        (pr.xa - b.x) * (pr.xa - b.x) + (pr.ya - b.y) * (pr.ya - b.y) AS dist2
+        |      FROM probe pr JOIN c b ON pr.cx = b.cx AND pr.cy = b.cy
+        |      WHERE pr.id_a < b.id)
+        |SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+        |FROM j WHERE dist2 <= 900 ORDER BY id_a, id_b""".stripMargin,
+
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
