@@ -172,6 +172,21 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // robust dispersion: MAD = median(|x − median(x)|) — the outlier
+    // threshold that survives heavy tails (stddev doesn't). Two exact
+    // interpolated-percentile passes; the tiny per-group median table
+    // broadcasts back for the deviation pass
+    "q_agg_mad" -> ((s: SparkSession, d: String) => {
+      val li = scan(s, d, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("med"))
+        .agg(percentile(abs(col("l_quantity") - col("med")), lit(0.5)).as("mad"))
+        .select(col("l_returnflag"), col("med"), col("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // deterministic stddev/variance twin (built-ins accumulate doubles)
     "q_agg_stddev" -> ((s: SparkSession, d: String) => {
       scan(s, d, "lineitem")
@@ -285,6 +300,14 @@ object AggQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, m.med,
+        |  quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin,
+
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
         |           FROM lineitem GROUP BY 1, 2),
