@@ -222,11 +222,10 @@ object StreamQueries {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        // index caches released even when the stream fails mid-batch
+        try q.awaitTermination()
+        finally { idxSh.unpersist(); idxBands.unpersist(); idxSizes.unpersist() }
       }
-      idxSh.unpersist()
-      idxBands.unpersist()
-      idxSizes.unpersist()
       s.read.parquet(out).orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -291,11 +290,10 @@ object StreamQueries {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        // index caches released even when the stream fails mid-batch
+        try q.awaitTermination()
+        finally { idxSh.unpersist(); idxBands.unpersist(); idxSizes.unpersist() }
       }
-      idxSh.unpersist()
-      idxBands.unpersist()
-      idxSizes.unpersist()
       s.read.parquet(out).orderBy(col("doc_id"))
     }),
 
