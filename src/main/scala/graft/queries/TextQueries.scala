@@ -89,6 +89,40 @@ object TextQueries {
         .limit(30)
     }),
 
+    // COUNT-MIN SKETCH, computed relationally and EXACTLY deterministic:
+    // each of 3 hash rows buckets every token into 64 cells; a cell is an
+    // order-independent SUM, and a token's estimate is the MIN over its 3
+    // cells — so unlike most sketches the whole structure is bit-stable
+    // under any partitioning and fully oracle-checkable, including the
+    // CMS invariant estimate >= exact (never_under is literally asserted
+    // per row). The 192-cell table is what a 100 TB stream would keep as
+    // its frequency state (vs the unbounded exact token table)
+    "q_text_cms" -> ((s: SparkSession, d: String) => {
+      val CmsRows = 3
+      val CmsW = 64
+      def bucket(i: Int, tok: org.apache.spark.sql.Column) =
+        graft.ops.Dedup.hex60(md5(concat(lit(s"cms$i:"), tok).cast("binary"))) % CmsW
+      val tokens = scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "").persist()
+      val cells = tokens
+        .select(explode(array((0 until CmsRows).map(i =>
+          struct(lit(i).as("i"), bucket(i, col("token")).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.i").as("i"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cell"))
+      val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc).limit(10)
+      top.select(col("token"), col("exact_cnt"),
+          explode(array((0 until CmsRows).map(i =>
+            struct(lit(i).as("i"), bucket(i, col("token")).as("b"))): _*)).as("rb"))
+        .select(col("token"), col("exact_cnt"), col("rb.i").as("i"), col("rb.b").as("b"))
+        .join(cells, Seq("i", "b"))
+        .groupBy(col("token"), col("exact_cnt"))
+        .agg(min(col("cell")).as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     // fingerprint clusters: md5 over the 5-word normalized prefix, keep
     // clusters with >1 member (group sizes, not pairs — scales linearly).
     // Prefix (not whole-text) fingerprint so the query exercises real
@@ -201,6 +235,31 @@ object TextQueries {
            |WHERE token <> ''
            |GROUP BY token
            |ORDER BY cnt DESC, token ASC LIMIT 30""".stripMargin,
+    "q_text_cms" -> {
+      def b(i: Int) = DedupQueries.sqlHex60Public(s"md5('cms$i:' || token)") + " % 64"
+      raw"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           |  FROM documents),
+           |tk AS (SELECT token FROM toks WHERE token <> ''),
+           |rb AS (
+           |  SELECT token, 0 AS i, ${b(0)} AS bk FROM tk
+           |  UNION ALL SELECT token, 1, ${b(1)} FROM tk
+           |  UNION ALL SELECT token, 2, ${b(2)} FROM tk),
+           |cells AS (SELECT i, bk, CAST(count(*) AS BIGINT) AS cell FROM rb GROUP BY i, bk),
+           |top AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tk
+           |        GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10),
+           |est AS (
+           |  SELECT t.token, t.exact_cnt, MIN(c.cell) AS cms_est
+           |  FROM top t
+           |  JOIN (SELECT token, 0 AS i, ${b(0)} AS bk FROM top
+           |        UNION ALL SELECT token, 1, ${b(1)} FROM top
+           |        UNION ALL SELECT token, 2, ${b(2)} FROM top) tb ON tb.token = t.token
+           |  JOIN cells c ON c.i = tb.i AND c.bk = tb.bk
+           |  GROUP BY t.token, t.exact_cnt)
+           |SELECT token, exact_cnt, cms_est, cms_est >= exact_cnt AS never_under
+           |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
+    },
+
     "q_text_fingerprint" ->
       raw"""SELECT md5(array_to_string(
            |         (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,
