@@ -184,8 +184,11 @@ object CorpusQueries {
     // BPE-style MERGE MINING — the first step of tokenizer training:
     // count every adjacent symbol pair across the corpus and rank the
     // merge candidates (the top pair is what a BPE trainer would merge
-    // first). One explode → one map-side-combinable groupBy; the rank
-    // order is total (count desc, pair asc) so the result is exact
+    // first). One explode → one groupBy; `cnt` partial-aggregates
+    // map-side, while `n_docs` (countDistinct) costs a two-phase
+    // distinct expansion on (pair, doc_id) — the per-pair doc breadth is
+    // worth that second round. Rank order is total (count desc, pair
+    // asc) so the result is exact
     "q_bpe_pairs" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
         .select(col("doc_id"),

@@ -235,7 +235,8 @@ object SimilarityQueries {
   /** DuckDB twin of Similarity.kmeansCentroids + cellsForCentroids (one
     * refinement): seeds → assign0 → exact scaled-integer per-dim means →
     * refined centroids (emptied cell keeps its seed) → assign1. Ends with
-    * `assign1(vec_id, cell)` and `norms(vec_id, n2)` in scope.
+    * `assign1(vec_id, cell, cos)` (cos = the winning centroid cosine —
+    * the outlier oracle reads it) and `norms(vec_id, n2)` in scope.
     */
   private def sqlKmeansCtes: String = {
     val term = (a: String, b: String) =>

@@ -136,19 +136,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("MaxSim broadcasts the query-side vectors — the corpus is never exchanged") {
-    val e = scan(spark, sf001, "embeddings").withColumn("gid", col("vec_id") % 25)
-    val qv = e.filter(col("gid") === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        graft.ops.Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
-    val cv = e.filter(col("gid") =!= 0)
-      .select(col("gid"), col("embedding").as("cv"),
-        graft.ops.Similarity.scaledDot(col("embedding"), col("embedding")).as("cn"))
-    val scored = cv.crossJoin(broadcast(qv))
-      .withColumn("cos", graft.ops.Similarity.scaledDot(col("cv"), col("qv")).cast("double") /
-        (sqrt(col("cn").cast("double")) * sqrt(col("qn").cast("double"))))
-      .groupBy(col("gid"), col("qid")).agg(max(col("cos")).as("mc"))
-    scored.collect()
-    val plan = scored.queryExecution.executedPlan.toString()
+    // assert on the REGISTERED query so a restructure of q_sim_maxsim
+    // cannot silently regress the plan this test pins
+    val df = graft.SparkEntry.queries("q_sim_maxsim")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan.take(2000))
     // the per-(doc, term) max partial-aggregates map-side before the shuffle
