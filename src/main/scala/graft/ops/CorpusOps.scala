@@ -32,13 +32,25 @@ object CorpusOps {
     * train is the 100 TB side — so it is broadcast and the whole op is one
     * linear scan + map-side hash probe + one groupBy on doc id. No
     * shuffle of the n-gram explosion itself. (If the bench set ever
-    * outgrew broadcast, the same plan works as a shuffled equi-join on a
-    * 64-bit n-gram hash.)
+    * outgrew broadcast, the same plan works as a shuffled equi-join on the
+    * same 64-bit n-gram hash.) Grams ride as 64-bit xxhash64 ids from the
+    * moment they leave the explode — the distinct, the broadcast and the
+    * join key are all longs (~10× smaller than raw gram strings) — and
+    * the explosion is persisted so the scan + explode run ONCE for both
+    * the bench and train branches instead of twice. xxhash64 (not the
+    * md5-based hex60 of the sibling operators) because it is codegen'd
+    * and ~free per row, and nothing here needs a DuckDB-twin hash: the
+    * hash values never reach the output, and the oracle joins on RAW
+    * gram strings — deliberately, so a hash collision that changed any
+    * overlap count would FAIL the oracle instead of being mirrored by it
+    * (64-bit collision odds at any realistic gram count: negligible).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isBench: Column, n: Int): DataFrame = {
     val ng = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
-      explode(wordNgrams(words(col(textCol)), n)).as("g"))
+      explode(wordNgrams(words(col(textCol)), n)).as("__gs"))
+      .select(col("doc_id"), col("is_bench"), xxhash64(col("__gs")).as("g"))
+      .persist()
     val bench = ng.filter(col("is_bench")).select(col("g")).distinct()
     val train = ng.filter(!col("is_bench")).select(col("doc_id"), col("g")).distinct()
     train.join(broadcast(bench), Seq("g"))
@@ -153,14 +165,18 @@ object CorpusOps {
     val boiler = perDocGram.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
-      .select(col("g"))
-    val totals = perDocGram.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
-    val hits = perDocGram.join(boiler, Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+      .select(col("g"), lit(true).as("__b"))
+    // ONE doc-keyed aggregation: the boiler flag rides along on a left
+    // join (boiler is groupBy-distinct per g, so no row multiplication)
+    // and n_grams / n_boiler come out of the same groupBy — vs the
+    // previous totals-aggregate + semi-join-aggregate + doc-keyed outer
+    // join, which shuffled perDocGram by doc_id twice
+    perDocGram.join(boiler, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        coalesce(sum(when(col("__b"), col("c"))), lit(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") /
           col("n_grams").cast("double")).as("boiler_frac"))
   }
 

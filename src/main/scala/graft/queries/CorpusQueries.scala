@@ -269,6 +269,9 @@ object CorpusQueries {
            |ORDER BY doc_id""".stripMargin
     },
 
+    // oracle joins on RAW gram strings while the engine joins on
+    // xxhash64 ids — intentionally NOT mirrored: a hash collision that
+    // altered any overlap count would show up here as a mismatch
     "q_decontaminate" ->
       raw"""WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents),
            |ng AS (SELECT doc_id, source,

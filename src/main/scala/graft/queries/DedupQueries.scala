@@ -73,7 +73,9 @@ object DedupQueries {
     // arrivals are banded alone. Per-doc signatures are independent, so
     // maintained ≡ full recompute (the oracle recomputes from scratch on
     // the final corpus); at 100 TB the update cost is ∝ |delta|, not
-    // |index|. Output: per-band entry + distinct-signature census
+    // |index|. Output: the full maintained index, row by row — every
+    // (doc, band) entry and its signature must equal the from-scratch
+    // rebuild, not just per-band cardinalities
     "q_index_maintain" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
       val base = docs.filter(col("doc_id") % 10 =!= 1) // the indexed corpus
@@ -83,9 +85,8 @@ object DedupQueries {
       val maintained = baseBands
         .join(dels, Seq("doc_id"), "left_anti")
         .unionByName(Dedup.minhashBands(Dedup.hashedShingleTable(ins, "doc_id", "text")))
-      maintained.groupBy(col("band"))
-        .agg(count(lit(1)).as("n_entries"), countDistinct(col("band_sig")).as("n_sigs"))
-        .orderBy(col("band"))
+      maintained.select(col("doc_id"), col("band"), col("band_sig"))
+        .orderBy(col("doc_id"), col("band"))
     }),
 
     // deterministic hash-sampling: reproducible downsampling (md5-based,
@@ -334,9 +335,8 @@ object DedupQueries {
     "q_index_maintain" ->
       s"""WITH corpus2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
          |${minhashCtesOver("corpus2")}
-         |SELECT band, CAST(count(*) AS BIGINT) AS n_entries,
-         |  CAST(count(DISTINCT band_sig) AS BIGINT) AS n_sigs
-         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+         |SELECT doc_id, band, band_sig
+         |FROM bands ORDER BY doc_id, band""".stripMargin,
 
     "q_split_assign" ->
       s"""WITH s AS (

@@ -37,7 +37,13 @@ object GraphQueries {
     // persisted: pageRank materializes this through BOTH the edge side
     // and the degree aggregate of its (persisted) withDeg input, and each
     // of those reads both unionAll branches — 4 computations of the
-    // orders⋈lineitem join+distinct without the cache, 1 with it
+    // orders⋈lineitem join+distinct without the cache, 1 with it.
+    // Round-6 A/B (two runs each, cold): persisted 6.5 s vs unpersisted
+    // 6.6/6.7 s — indistinguishable at sf0.1 local, so the 100 TB shape
+    // (never recompute a large join 4×) wins the tie. The r4→r5
+    // "pagerank regression" did not reproduce under a fixed measurement
+    // protocol; it was bench-context noise, which the two-run Bench
+    // minimum now suppresses.
     val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
       .persist()

@@ -102,15 +102,21 @@ object TextQueries {
       val CmsW = 64
       def bucket(i: Int, tok: org.apache.spark.sql.Column) =
         graft.ops.Dedup.hex60(md5(concat(lit(s"cms$i:"), tok).cast("binary"))) % CmsW
-      val tokens = scan(s, d, "documents")
+      // exact per-token counts FIRST (the one shuffle the query already
+      // needs for `top`), then the 3 md5 buckets are computed over
+      // DISTINCT tokens and the cells SUM those counts — md5 cost is
+      // 3×vocabulary instead of 3×token-instances, and the explode that
+      // reaches the cell groupBy is vocabulary-sized, not corpus-sized
+      val tokCnt = scan(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-        .filter(col("token") =!= "").persist()
-      val cells = tokens
-        .select(explode(array((0 until CmsRows).map(i =>
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")).persist()
+      val cells = tokCnt
+        .select(col("exact_cnt"), explode(array((0 until CmsRows).map(i =>
           struct(lit(i).as("i"), bucket(i, col("token")).as("b"))): _*)).as("rb"))
         .groupBy(col("rb.i").as("i"), col("rb.b").as("b"))
-        .agg(count(lit(1)).as("cell"))
-      val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("exact_cnt")).as("cell"))
+      val top = tokCnt
         .orderBy(col("exact_cnt").desc, col("token").asc).limit(10)
       top.select(col("token"), col("exact_cnt"),
           explode(array((0 until CmsRows).map(i =>

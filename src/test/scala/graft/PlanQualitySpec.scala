@@ -119,6 +119,15 @@ class PlanQualitySpec extends SparkSpec {
     // train side is the 100 TB side: it must stream map-side against the
     // broadcast bench n-gram set, never shuffle on the raw n-gram string
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // and the join/distinct key must be the 64-bit gram HASH, not the
+    // raw gram string — the distinct's shuffle payload is a long, ~10×
+    // smaller than the gram text at corpus scale
+    val joinKeyType = df.queryExecution.analyzed.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.get.references.head.dataType
+    }
+    assert(joinKeyType.contains(org.apache.spark.sql.types.LongType),
+      s"decontaminate join key is not the hashed long: $joinKeyType")
   }
 
   test("latest-wins upsert partial-aggregates before the shuffle") {
