@@ -78,6 +78,36 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0, 9.0), (2L, 2.0, 2.0)))
   }
 
+  test("retractExtremaState: N-batch IVM loop stays correct and leaks no per-batch persists") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = (1 to 400).map(i => ((i % 20).toLong, i.toDouble)).toDF("k", "v").persist()
+    var state = rows.groupBy(col("k")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    var remaining = rows.toDF()
+    val batches = 5
+    for (b <- 1 to batches) {
+      val dels = remaining.filter(col("v") % 7.0 === b.toDouble)
+      remaining = remaining.filter(!(col("v") % 7.0 === b.toDouble))
+      state = Merge.retractExtremaState(state, dels, remaining, Seq("k"), "v")
+      state.count() // materialize per batch, as a streaming IVM caller would
+    }
+    // semantics: after N delete batches the maintained state equals a
+    // from-scratch recompute over the surviving base
+    val expect = remaining.groupBy(col("k"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(state.as[(Long, Double, Double)].collect().toSet == expect)
+    // storage: the only residency growth is the bounded one-localCheckpoint-
+    // per-batch state chain (+1 for `rows` above), reclaimed by the context
+    // cleaner as superseded states go out of scope. A leaked per-batch
+    // persist inside retractExtremaState (its `joined` working set) would
+    // register a SECOND rdd per batch and trip this bound.
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= batches + 1,
+      s"$leaked persisted RDDs accumulated over $batches batches (bound: ${batches + 1})")
+    rows.unpersist()
+  }
+
   test("mergeExtremaState: insert batch folds into min/max state") {
     val st = Seq((1L, 2.0, 7.0)).toDF("k", "mn", "mx")
     val ins = Seq((1L, 1.0, 3.0), (2L, 5.0, 5.0)).toDF("k", "mn", "mx")

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Bench regression gate (dev tooling, NOT part of the Scala library).
+
+Diffs two bench result files per query and flags regressions. Accepts
+either format:
+  - tools/bench_local_r*.json / tools/bench_last.json: JSON-lines with a
+    {"metric":"detail","queries":{...}} line
+  - BENCH_r*.json (driver capture): object whose "tail" string contains
+    the truncated per-query map — parsed best-effort for whatever query
+    names survived the capture window
+
+Usage: python3 tools/bench_diff.py <old> <new> [ratio=1.5] [floor_sec=0.5]
+
+A query is flagged only when BOTH (a) new/old >= ratio and (b) new time
+>= floor_sec — sub-floor queries are pure harness noise. Since round 6,
+Bench emits the MIN of two independent runs per query, so a flagged
+ratio is by construction reproduced (both runs of the new code exceeded
+it); the two-run rule is built into the numbers, not this script.
+Exit code 1 when any regression is flagged (CI-style).
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    txt = open(path).read()
+    # JSON-lines detail format
+    for line in txt.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric":"detail"' in line:
+            return json.loads(line)["queries"]
+    # driver capture: whole object with optional "tail" fragment
+    try:
+        obj = json.loads(txt)
+        if isinstance(obj, dict):
+            if "queries" in obj:
+                return obj["queries"]
+            if "queries_sec" in obj:
+                return obj["queries_sec"]
+            if "tail" in obj:
+                return {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(r'"(q_\w+)":([0-9.]+)', obj["tail"])
+                }
+    except json.JSONDecodeError:
+        pass
+    raise SystemExit(f"unrecognized bench format: {path}")
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    old, new = load(old_path), load(new_path)
+    common = sorted(set(old) & set(new))
+    print(f"comparing {len(common)} common queries "
+          f"({len(new) - len(common)} new-only, {len(old) - len(common)} old-only)")
+    flagged, improved = [], []
+    for q in common:
+        o, n = old[q], new[q]
+        if n >= floor and o > 0 and n / o >= ratio:
+            flagged.append((n / o, q, o, n))
+        elif o >= floor and n > 0 and o / n >= ratio:
+            improved.append((o / n, q, o, n))
+    for r, q, o, n in sorted(improved, reverse=True):
+        print(f"  IMPROVED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
+    for r, q, o, n in sorted(flagged, reverse=True):
+        print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower)")
+    tot_o = sum(old[q] for q in common)
+    tot_n = sum(new[q] for q in common)
+    print(f"common-set total: {tot_o:.1f}s -> {tot_n:.1f}s")
+    print(f"{len(flagged)} regression(s) flagged (ratio>={ratio}, floor={floor}s)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
