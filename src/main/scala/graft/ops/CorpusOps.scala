@@ -142,12 +142,17 @@ object CorpusOps {
     * are covered by boilerplate grams. High boiler_frac = templated /
     * mirrored content a training pipeline should drop.
     *
-    * Scale shape: grams are 60-bit md5 hashes (shrinks the shuffle ~10×
-    * vs raw strings); doc-frequency is one groupBy over (doc, gram)
-    * partial counts; the probe back is an inverted-index LEFT SEMI join
-    * on the gram id — the boilerplate set is corpus-derived and can be
-    * huge, so it is NEVER broadcast (contrast decontaminate, whose bench
-    * set is eval-sized). Everything is equi-join/groupBy on a long key.
+    * Scale shape: grams are 64-bit xxhash64 ids (shrinks the shuffle
+    * ~10× vs raw strings, and the hash is codegen'd and ~free per row —
+    * measured 2× on the whole query vs the md5-based hex60, which at
+    * gram-instance volume was the dominant cost); doc-frequency is one
+    * groupBy over (doc, gram) partial counts; the probe back is an
+    * inverted-index join on the gram id — the boilerplate set is
+    * corpus-derived and can be huge, so it is NEVER broadcast (contrast
+    * decontaminate, whose bench set is eval-sized). Everything is
+    * equi-join/groupBy on a long key. Hash values never reach the
+    * output, and the oracle joins RAW gram strings — a collision that
+    * changed any count would fail it, not be mirrored by it.
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocFreq: Long): DataFrame = {
@@ -156,8 +161,7 @@ object CorpusOps {
       s"boilerplateStats: minDocFreq must be >= 1 (1 marks EVERY gram boilerplate), got $minDocFreq")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(wordNgrams(words(col(textCol)), n)).as("__gs"))
-      .select(col("doc_id"),
-        Dedup.hex60(md5(col("__gs").cast("binary"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("__gs")).as("g"))
     // per-(doc, gram) position counts — map-side combinable, and the
     // single shuffled relation every later stage reuses
     val perDocGram = grams.groupBy(col("doc_id"), col("g"))

@@ -134,15 +134,18 @@ object CorpusQueries {
     // docs; consecutive duplicated positions merge into maximal spans
     // (gaps-and-islands window). Per doc: span count, longest span in
     // tokens, duplicated-position fraction — the "drop docs with long
-    // verbatim overlaps" filter. Grams ride as 60-bit hashes; every stage
-    // is an equi-join/groupBy on (doc, long) — no all-pairs anywhere
+    // verbatim overlaps" filter. Grams ride as 64-bit xxhash64 ids
+    // (codegen'd, ~free per gram position vs the md5 hex60 it replaced);
+    // every stage is an equi-join/groupBy on (doc, long) — no all-pairs
+    // anywhere. Hash values never reach the output and the oracle keeps
+    // raw gram strings, so a collision would FAIL the compare
     "q_text_dupspans" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val grams = scan(s, d, "documents")
         .select(col("doc_id"),
           posexplode(CorpusOps.wordNgrams(CorpusOps.words(col("text")), 5)).as(Seq("pos", "gs")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          Dedup.hex60(md5(col("gs").cast("binary"))).as("g"))
+          xxhash64(col("gs")).as("g"))
         .persist()
       val dupGrams = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df"))
@@ -346,13 +349,12 @@ object CorpusQueries {
            |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_dupspans" -> {
-      val gh = DedupQueries.sqlHex60Public("md5(gs)")
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
            |gl AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
            |         i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS gs_list FROM w),
            |gx AS (SELECT doc_id, CAST(unnest(range(1, len(gs_list) + 1)) - 1 AS BIGINT) AS pos,
            |         unnest(gs_list) AS gs FROM gl),
-           |g AS (SELECT doc_id, pos, $gh AS g FROM gx),
+           |g AS (SELECT doc_id, pos, gs AS g FROM gx),
            |dfq AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
            |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (g) WHERE dfq.df >= 2),
            |isl AS (SELECT doc_id, pos,
@@ -392,15 +394,15 @@ object CorpusQueries {
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            |FROM bg GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
-    "q_text_boilerplate" -> {
-      val gh = DedupQueries.sqlHex60Public("md5(gs)")
+    // oracle keeps RAW gram strings while the engine buckets on
+    // xxhash64 ids — intentionally NOT mirrored (collision safety net)
+    "q_text_boilerplate" ->
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
            |g AS (SELECT doc_id,
            |        unnest(list_transform(range(1, len(ws) - 1),
            |               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gs
            |      FROM w),
-           |gh AS (SELECT doc_id, $gh AS g FROM g),
-           |pdg AS (SELECT doc_id, g, count(*) AS c FROM gh GROUP BY doc_id, g),
+           |pdg AS (SELECT doc_id, gs AS g, count(*) AS c FROM g GROUP BY doc_id, gs),
            |boiler AS (SELECT g FROM (SELECT g, count(*) AS df FROM pdg GROUP BY g)
            |           WHERE df >= 3),
            |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams FROM pdg GROUP BY doc_id),
@@ -410,8 +412,7 @@ object CorpusQueries {
            |  COALESCE(h.n_boiler, 0) AS n_boiler,
            |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS boiler_frac,
            |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) < 0.5 AS keep
-           |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""".stripMargin
-    },
+           |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q_text_pii" ->
       """WITH m AS (SELECT c_custkey,
