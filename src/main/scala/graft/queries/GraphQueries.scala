@@ -16,6 +16,11 @@ object GraphQueries {
 
   private val MinShared = 145L
   private val SuppOffset = 1000000L
+  // 3 rounds, mirrored by the oracle's i1/i2/i3 CTE chain. Round-6 cost
+  // breakdown (warm TimeOne, sf0.1): graph build + withDeg
+  // materialization ≈ 4.3 s, each round ≈ 0.7 s — the build's two
+  // edge-sized persists are the cost, and the A/B above shows dropping
+  // either doesn't help. Iteration cost is linear and small.
   private val PrIters = 3
 
   /** Persisted so the identical edge-derivation subplan is served from
