@@ -136,6 +136,40 @@ object CorpusOps {
       .drop("__T")
   }
 
+  /** TEMPERATURE-SMOOTHED mixture (the multilingual-rebalancing shape of
+    * mBERT/XLM-R/mT5 exponent-smoothed sampling, α = 0.5): domain weights
+    * w_d ∝ isqrt(T_d) instead of ∝ T_d, so low-resource domains are
+    * upsampled relative to their raw share. Keep rate r_d =
+    * min(1, budget·w_d / T_d), decided per row by the same RNG-free md5
+    * predicate as [[mixtureSample]].
+    *
+    * Numerics are cross-engine exact BY CONSTRUCTION: the smoothed weight
+    * uses floor(sqrt(T)) — sqrt is IEEE-correctly-rounded on both engines
+    * and exact on BIGINT-scale inputs — so the normalizer Z = Σ isqrt(T)
+    * is an INTEGER sum (order-independent, unlike a float Σ√T which would
+    * vary in the last ULP with aggregation order), and the per-row rate
+    * expression is a fixed-order scalar both engines round identically.
+    * Same scale shape as mixtureSample: one per-domain aggregate
+    * broadcast back + a codegen'd filter; the corpus never shuffles.
+    */
+  def temperatureMixture(docs: DataFrame, idCol: String, domainCol: String,
+                         tokens: Column, budget: Double): DataFrame = {
+    val t = docs.withColumn("toks", tokens.cast("long"))
+    val totals = t.groupBy(col(domainCol)).agg(sum(col("toks")).as("__T"))
+      .withColumn("__sq", floor(sqrt(col("__T").cast("double"))).cast("long"))
+    val z = totals.agg(sum(col("__sq")).as("__Z")) // exact integer normalizer
+    t.join(broadcast(totals), Seq(domainCol))
+      .crossJoin(broadcast(z)) // 1-row scalar — the allowed broadcast-1-row shape
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(lit(budget) * col("__sq").cast("double") / col("__Z").cast("double")
+            * lit(1000000.0) / col("__T").cast("double")).cast("long")))
+      .withColumn("keep",
+        Dedup.hex60(md5(concat(lit("mixa:"), col(idCol).cast("string")).cast("binary")))
+          % 1000000 < col("rate_ppm"))
+      .drop("__T", "__sq", "__Z")
+  }
+
   /** Corpus-frequency boilerplate signal (the C4/FineWeb "common span"
     * filter): an n-gram is boilerplate when it occurs in >= minDocFreq
     * DISTINCT docs; each doc reports how many of its n-gram positions

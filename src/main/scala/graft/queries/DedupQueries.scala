@@ -198,6 +198,21 @@ object DedupQueries {
         .groupBy(col("lang"), col("rate_ppm"))
         .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // TEMPERATURE-SMOOTHED mixture (α = 0.5): domain weights ∝ isqrt of
+    // the domain's token mass — the mBERT/XLM-R low-resource upsampling
+    // shape, with integer-sqrt weights so both engines agree bit-exactly
+    // (see CorpusOps.temperatureMixture). Output: realized per-lang
+    // mixture + the ppm rate applied
+    "q_mix_alpha" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.temperatureMixture(
+        scan(s, d, "documents"), "doc_id", "lang",
+        TextAnalysis.tokenCountWs(col("text")), budget = 12000.0)
+        .filter(col("keep"))
+        .groupBy(col("lang"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -376,6 +391,27 @@ object DedupQueries {
          |SELECT t.lang, r.rate_ppm, COUNT(*) AS n_kept, CAST(SUM(t.toks) AS BIGINT) AS toks_kept
          |FROM t JOIN r ON r.lang = t.lang
          |WHERE ${sqlHex60("md5('mix:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
+         |GROUP BY t.lang, r.rate_ppm
+         |ORDER BY t.lang""".stripMargin,
+
+    "q_mix_alpha" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS T,
+         |               CAST(floor(sqrt(CAST(SUM(toks) AS DOUBLE))) AS BIGINT) AS sq
+         |        FROM t GROUP BY lang),
+         |z AS (SELECT CAST(SUM(sq) AS BIGINT) AS Z FROM tot),
+         |r AS (
+         |  SELECT lang,
+         |    LEAST(1000000, CAST(floor(12000.0 * CAST(sq AS DOUBLE) / CAST(Z AS DOUBLE)
+         |      * 1000000.0 / CAST(T AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |  FROM tot, z)
+         |SELECT t.lang, r.rate_ppm, COUNT(*) AS n_kept, CAST(SUM(t.toks) AS BIGINT) AS toks_kept
+         |FROM t JOIN r ON r.lang = t.lang
+         |WHERE ${sqlHex60("md5('mixa:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
          |GROUP BY t.lang, r.rate_ppm
          |ORDER BY t.lang""".stripMargin,
 

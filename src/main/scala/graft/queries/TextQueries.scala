@@ -129,6 +129,28 @@ object TextQueries {
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
+    // CROSS-SOURCE OVERLAP MATRIX — corpus forensics: which crawl
+    // sources mirror each other's content? For every source pair, the
+    // number of prefix fingerprints present in BOTH. Scale shape: one
+    // distinct + one groupBy on the fingerprint; source pairs are
+    // expanded IN-ROW from the per-fp sorted source set (bounded by the
+    // source vocabulary, a handful) — no fp self-join, so a viral
+    // fingerprint shared by every source can never square a join
+    "q_source_overlap" -> ((s: SparkSession, d: String) => {
+      val fps = scan(s, d, "documents")
+        .select(prefixFingerprint(col("text"), 5).as("fp"), col("source"))
+        .distinct()
+      val sets = fps.groupBy(col("fp"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+      sets.select(explode(flatten(transform(col("ss"), (a, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+            struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // fingerprint clusters: md5 over the 5-word normalized prefix, keep
     // clusters with >1 member (group sizes, not pairs — scales linearly).
     // Prefix (not whole-text) fingerprint so the query exercises real
@@ -266,6 +288,18 @@ object TextQueries {
            |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
     },
 
+    // oracle pairs via fp self-join (clearer SQL); the engine's in-row
+    // expansion over the sorted source set is pair-for-pair equivalent
+    "q_source_overlap" ->
+      raw"""WITH f AS (
+           |  SELECT DISTINCT md5(array_to_string(
+           |           (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,
+           |         source
+           |  FROM documents)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST(COUNT(*) AS BIGINT) AS n_shared
+           |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_fingerprint" ->
       raw"""SELECT md5(array_to_string(
            |         (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,

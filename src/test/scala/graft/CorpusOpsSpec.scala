@@ -57,6 +57,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert((1L to 300L).filter(i => i % 3 != 0).forall(kept1.contains))
   }
 
+  test("temperatureMixture: alpha=0.5 upsamples the low-resource domain, exact integer rates") {
+    // big: 100 docs × 50 toks = 5000; small: 200 × 5 = 1000
+    val docs = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "big" else "small", "w " * (if (i % 3 == 0) 50 else 5))
+    }.toDF("id", "domain", "text")
+    val out = CorpusOps.temperatureMixture(docs, "id", "domain",
+      size(CorpusOps.words(col("text"))), budget = 2000.0)
+    val rates = out.select(col("domain"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // isqrt weights: sq(big)=floor(√5000)=70, sq(small)=floor(√1000)=31, Z=101
+    // big:   floor(2000·70/101·1e6/5000)  = 277227 ppm
+    // small: floor(2000·31/101·1e6/1000)  = 613861 ppm
+    assert(rates("big") == 277227L, s"big rate: ${rates("big")}")
+    assert(rates("small") == 613861L, s"small rate: ${rates("small")}")
+    // α-smoothing property: vs proportional budget share (w_d = T_d/ΣT),
+    // the LOW-resource domain's rate must be strictly higher and the
+    // high-resource domain's strictly lower
+    val propSmall = math.floor(2000.0 * 1000 / 6000 * 1e6 / 1000).toLong // 333333
+    val propBig = math.floor(2000.0 * 5000 / 6000 * 1e6 / 5000).toLong   // 333333
+    assert(rates("small") > propSmall && rates("big") < propBig)
+    // determinism: same keep set on re-evaluation
+    val k1 = out.filter(col("keep")).select(col("id")).collect().map(_.getLong(0)).toSet
+    val k2 = out.filter(col("keep")).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty)
+  }
+
   test("boilerplateStats: exact fractions, short docs excluded, no-hit docs zero") {
     val docs = Seq(
       (1L, "x y z a b"),       // grams: "x y z","y z a","z a b"
