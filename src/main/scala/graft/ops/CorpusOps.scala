@@ -160,10 +160,15 @@ object CorpusOps {
     val z = totals.agg(sum(col("__sq")).as("__Z")) // exact integer normalizer
     t.join(broadcast(totals), Seq(domainCol))
       .crossJoin(broadcast(z)) // 1-row scalar — the allowed broadcast-1-row shape
+      // T = 0 (a domain whose docs are all empty) would make the rate
+      // 0/0 = NaN → null after the long cast; such a domain has nothing
+      // to keep, so pin its rate to 0 explicitly
       .withColumn("rate_ppm",
-        least(lit(1000000L),
-          floor(lit(budget) * col("__sq").cast("double") / col("__Z").cast("double")
-            * lit(1000000.0) / col("__T").cast("double")).cast("long")))
+        when(col("__T") > 0L,
+          least(lit(1000000L),
+            floor(lit(budget) * col("__sq").cast("double") / col("__Z").cast("double")
+              * lit(1000000.0) / col("__T").cast("double")).cast("long")))
+          .otherwise(0L))
       .withColumn("keep",
         Dedup.hex60(md5(concat(lit("mixa:"), col(idCol).cast("string")).cast("binary")))
           % 1000000 < col("rate_ppm"))

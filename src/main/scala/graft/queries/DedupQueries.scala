@@ -27,6 +27,28 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CONTENT-LEVEL SOURCE MIRROR RATE: verified near-dup pairs
+    // (MinHash-LSH + exact Jaccard) attributed to their source pair —
+    // the evidence-grade companion of q_source_overlap's fingerprint
+    // census: "source X republishes source Y" shows up as a heavy
+    // off-diagonal cell. Pair volume ∝ duplicates (not corpus); the two
+    // source lookups are dimension joins; the matrix is sources². In the
+    // bench family the shingle/band subplans are cache-shared with the
+    // other q_dedup_* queries
+    "q_source_neardup" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // SimHash signatures per doc (60-bit, shingle features)
     "q_dedup_simhash_sig" -> ((s: SparkSession, d: String) => {
       Dedup.simhash(scan(s, d, "documents"), "doc_id", "text")
@@ -306,6 +328,16 @@ object DedupQueries {
 
     "q_dedup_minhash" -> s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, jaccard FROM pairsq ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_source_neardup" ->
+      s"""WITH $minhashCtes,
+         |sp AS (SELECT da.source AS sa, db.source AS sb
+         |       FROM pairsq p
+         |       JOIN documents da ON da.doc_id = p.doc_a
+         |       JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,

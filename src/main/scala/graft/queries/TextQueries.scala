@@ -129,6 +129,23 @@ object TextQueries {
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
+    // METADATA LABEL-NOISE AUDIT — per source, how often the declared
+    // `lang` disagrees with the n-gram language detector: the "is this
+    // crawl's metadata trustworthy" QA gate a corpus pipeline runs
+    // before using declared labels for mixture decisions. One codegen'd
+    // map pass + a source-sized groupBy — nothing shuffles but the
+    // per-source partial counts
+    "q_label_noise" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .withColumn("pred_lang", langId(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") =!= col("lang"), 1L).otherwise(0L)).as("n_mismatch"))
+        .withColumn("mismatch_rate",
+          col("n_mismatch").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // CROSS-SOURCE OVERLAP MATRIX — corpus forensics: which crawl
     // sources mirror each other's content? For every source pair, the
     // number of prefix fingerprints present in BOTH. Scale shape: one
@@ -198,7 +215,7 @@ object TextQueries {
     }.mkString(",\n    ")
     val maxExpr = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
     s"""t AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, source,
        |    $scoreExprs
        |  FROM documents),
        |m AS (SELECT *, $maxExpr AS __mx FROM t)""".stripMargin
@@ -248,6 +265,15 @@ object TextQueries {
          |p AS (SELECT lang, $langidCaseExpr AS pred_lang FROM m)
          |SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_label_noise" ->
+      s"""WITH $langidCtes,
+         |p AS (SELECT source, lang, $langidCaseExpr AS pred_lang FROM m)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mismatch_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "q_text_levenshtein" ->
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS lev
