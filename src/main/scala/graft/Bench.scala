@@ -24,7 +24,9 @@ object Bench {
     // q_tpch, ...), which is exactly the sharing scope observed.
     def family(n: String): String = n.split("_").take(2).mkString("_")
     val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
-    def runAll(): Seq[(String, Double)] = {
+    // per run: (name, elapsed, succeeded) — a failed attempt's elapsed
+    // must never become the query's benchmark number via the min below
+    def runAll(): Seq[(String, Double, Boolean)] = {
       var lastFamily = ""
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         if (familyClear && lastFamily.nonEmpty && family(name) != lastFamily)
@@ -32,12 +34,13 @@ object Bench {
         lastFamily = family(name)
         val t0 = System.nanoTime()
         // a broken query must fail LOUDLY, not benchmark as "fast"
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             errors += name
             System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     // two full passes, caches cleared between them, per-query MINIMUM
@@ -48,13 +51,20 @@ object Bench {
     // the harness itself — a number is only believed when it happens
     // twice, and for a deterministic plan the lower observation is the
     // one closer to the plan's true cost.
-    val nRuns = sys.env.getOrElse("BENCH_RUNS", "2").toInt
+    val nRuns = math.max(1, sys.env.getOrElse("BENCH_RUNS", "2").toInt)
     val runs = (1 to nRuns).map { r =>
       if (r > 1) spark.catalog.clearCache()
       runAll()
     }
-    val results = runs.head.map { case (name, _) =>
-      name -> runs.map(_.toMap.apply(name)).min
+    val runMaps = runs.map(_.map { case (n, t, ok) => n -> (t, ok) }.toMap)
+    val results = runs.head.map { case (name, _, _) =>
+      // min over SUCCESSFUL attempts only — a transient failure's fast
+      // fail time would otherwise be archived as a phantom improvement
+      // (and the next honest round flagged as its regression). A query
+      // that failed in every run keeps its elapsed but is in `errors`.
+      val times = runMaps.map(_.apply(name))
+      val good = times.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

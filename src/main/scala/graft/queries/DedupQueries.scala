@@ -438,8 +438,10 @@ object DedupQueries {
          |z AS (SELECT CAST(SUM(sq) AS BIGINT) AS Z FROM tot),
          |r AS (
          |  SELECT lang,
-         |    LEAST(1000000, CAST(floor(12000.0 * CAST(sq AS DOUBLE) / CAST(Z AS DOUBLE)
-         |      * 1000000.0 / CAST(T AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |    CASE WHEN T > 0 THEN
+         |      LEAST(1000000, CAST(floor(12000.0 * CAST(sq AS DOUBLE) / CAST(Z AS DOUBLE)
+         |        * 1000000.0 / CAST(T AS DOUBLE)) AS BIGINT))
+         |    ELSE 0 END AS rate_ppm
          |  FROM tot, z)
          |SELECT t.lang, r.rate_ppm, COUNT(*) AS n_kept, CAST(SUM(t.toks) AS BIGINT) AS toks_kept
          |FROM t JOIN r ON r.lang = t.lang

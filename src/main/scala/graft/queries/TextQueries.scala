@@ -156,6 +156,10 @@ object TextQueries {
     "q_source_overlap" -> ((s: SparkSession, d: String) => {
       val fps = scan(s, d, "documents")
         .select(prefixFingerprint(col("text"), 5).as("fp"), col("source"))
+        // a NULL fingerprint (null text) must not form a "shared" group:
+        // the oracle's fp self-join never matches NULL = NULL, so pin the
+        // same semantics here rather than let groupBy keep the null group
+        .filter(col("fp").isNotNull)
         .distinct()
       val sets = fps.groupBy(col("fp"))
         .agg(array_sort(collect_set(col("source"))).as("ss"))
