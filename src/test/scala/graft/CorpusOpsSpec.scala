@@ -83,6 +83,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(k1 == k2 && k1.nonEmpty)
   }
 
+  test("temperatureMixture: zero-token domain gets rate 0, never NaN") {
+    val docs = Seq(
+      (1L, "full", "a b c d"),
+      (2L, "empty", ""), // whole domain has zero tokens
+      (3L, "empty", " ")
+    ).toDF("id", "domain", "text")
+    val toks = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(CorpusOps.words(col("text"))))
+    val out = CorpusOps.temperatureMixture(docs, "id", "domain", toks, budget = 10.0)
+    val rates = out.select(col("domain"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("empty") == 0L, s"zero-token domain rate: ${rates("empty")}")
+    assert(rates("full") > 0L)
+    assert(out.filter(col("domain") === "empty" && col("keep")).count() == 0)
+  }
+
   test("boilerplateStats: exact fractions, short docs excluded, no-hit docs zero") {
     val docs = Seq(
       (1L, "x y z a b"),       // grams: "x y z","y z a","z a b"
