@@ -130,6 +130,22 @@ class PlanQualitySpec extends SparkSpec {
       s"decontaminate join key is not the hashed long: $joinKeyType")
   }
 
+  test("source-overlap matrix plans with NO join — pairs expand in-row") {
+    val plan = graft.queries.TextQueries.queries("q_source_overlap")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // the design claim: a viral fingerprint shared by every source can
+    // never square a join, because there IS no fingerprint join — pairs
+    // come from the per-fp sorted source set inside the row
+    assert(!plan.contains("Join"), s"unexpected join in q_source_overlap:\n${plan.take(2000)}")
+  }
+
+  test("source mirror-rate attributes pairs via hash/broadcast joins, never nested-loop") {
+    val plan = graft.queries.DedupQueries.queries("q_source_neardup")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in q_source_neardup:\n${plan.take(2000)}")
+  }
+
   test("latest-wins upsert partial-aggregates before the shuffle") {
     val base = scan(spark, sf001, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val delta = scan(spark, sf001, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
