@@ -31,7 +31,18 @@ final class PipelineRunner(spark: SparkSession, sourceDir: String,
   def run(p: PipelineSpec,
           onload: DataFrame => Unit = _ => (),
           onbeforesend: DataFrame => Option[DataFrame] = df => Some(df),
-          onupload: () => Unit = () => ()): RunResult = {
+          onupload: () => Unit = () => ()): RunResult =
+    // O7 guaranteed cleanup (src/index.ts:537-552) extended to STORAGE:
+    // any op-internal persist acquired while building/running this
+    // pipeline (dedup shingle tables, decontamination n-gram caches, ...)
+    // is released when the run returns or throws — a long-lived runner
+    // invoking corpus ops in sequence holds no storage across runs.
+    graft.ops.CacheScope.scoped { runInScope(p, onload, onbeforesend, onupload) }
+
+  private def runInScope(p: PipelineSpec,
+          onload: DataFrame => Unit,
+          onbeforesend: DataFrame => Option[DataFrame],
+          onupload: () => Unit): RunResult = {
     val events = scala.collection.mutable.ArrayBuffer[String]()
     def emit(t: String, msg: String, n: Option[Long] = None): Unit = {
       events += t

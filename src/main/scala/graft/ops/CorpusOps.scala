@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import CacheScope.ScopedPersist
 
 /** Corpus-hygiene operators for training-data pipelines: benchmark
   * decontamination, Gopher-style repetition signals, and PII scrubbing.
@@ -50,7 +51,7 @@ object CorpusOps {
     val ng = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
       explode(wordNgrams(words(col(textCol)), n)).as("__gs"))
       .select(col("doc_id"), col("is_bench"), xxhash64(col("__gs")).as("g"))
-      .persist()
+      .scopedPersist()
     val bench = ng.filter(col("is_bench")).select(col("g")).distinct()
     val train = ng.filter(!col("is_bench")).select(col("doc_id"), col("g")).distinct()
     train.join(broadcast(bench), Seq("g"))
@@ -204,7 +205,7 @@ object CorpusOps {
     // per-(doc, gram) position counts — map-side combinable, and the
     // single shuffled relation every later stage reuses
     val perDocGram = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c")).persist()
+      .agg(count(lit(1)).as("c")).scopedPersist()
     val boiler = perDocGram.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
@@ -221,6 +222,47 @@ object CorpusOps {
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
         (col("n_boiler").cast("double") /
           col("n_grams").cast("double")).as("boiler_frac"))
+  }
+
+  /** CROSS-SOURCE OVERLAP MATRIX: for every source pair, the number of
+    * fingerprints present in BOTH sources. Input is any (fp, source)
+    * relation; NULL fingerprints are excluded (a null text must not form
+    * a "shared" group — SQL's fp self-join never matches NULL = NULL).
+    *
+    * Scale shape: one distinct + one groupBy on the fingerprint; source
+    * pairs expand IN-ROW from the per-fp sorted source set — no fp
+    * self-join, so a viral fingerprint can never square a join. The
+    * in-row expansion is quadratic in the number of distinct sources
+    * sharing a fingerprint, so it gets the same hot-group cap as
+    * `Graph.coOccurrenceEdges`: fingerprints shared by more than
+    * `maxSources` sources are DROPPED before the expansion (at
+    * open-domain source cardinality a viral fp would otherwise build an
+    * S²-struct array in a single row). The cut is never silent — the
+    * dropped-fp count rides an `observe` metric on the same action
+    * (scale-free, unlike a second counting pass over the corpus): pass
+    * an [[Observation]] to read it programmatically, or watch the
+    * default-named CollectMetrics node from a QueryExecutionListener.
+    */
+  def sourceOverlap(fps: DataFrame, fpCol: String, sourceCol: String,
+                    maxSources: Int = 64,
+                    obs: Option[Observation] = None): DataFrame = {
+    require(maxSources >= 2, s"sourceOverlap: maxSources must be >= 2, got $maxSources")
+    val sets = fps.select(col(fpCol).as("fp"), col(sourceCol).as("source"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val dropMetric =
+      coalesce(sum(when(size(col("ss")) > maxSources, 1L)), lit(0L)).as("n_dropped_fps")
+    val watched = obs.fold(sets.observe("source_overlap_drops", dropMetric))(
+      o => sets.observe(o, dropMetric))
+    watched.filter(size(col("ss")) <= maxSources)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   def piiRedact(c: Column): Column =

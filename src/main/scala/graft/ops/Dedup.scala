@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheScope.ScopedPersist
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. The reference has no dedup
@@ -159,7 +160,7 @@ object Dedup {
                    numSeeds: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     // the shingle table feeds banding + both sides of the verify join —
     // materialize it ONCE
-    val sh = hashedShingleTable(docs, idCol, textCol, k).persist()
+    val sh = hashedShingleTable(docs, idCol, textCol, k).scopedPersist()
     val cands = bandCandidates(minhashBands(sh, numSeeds, rowsPerBand))
     pairJaccard(cands, sh)
       .filter(col("jaccard") >= threshold)
@@ -229,7 +230,7 @@ object Dedup {
   def simhashPairs(sims0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
     // both self-join branches read the signatures — compute them once
-    val sims = sims0.persist()
+    val sims = sims0.scopedPersist()
     val chunked = sims.withColumn("chunk", explode(array((0 until 4).map(j =>
       struct(lit(j).as("j"), shiftright(col("simhash"), 15 * j).bitwiseAND(32767).as("c"))): _*)))
     val a = chunked.select(col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -266,12 +267,12 @@ object Dedup {
                           forceDistributed: Boolean = false): DataFrame = {
     // the union below reads pairs twice — materialize the (possibly very
     // expensive) pair pipeline once before symmetrizing
-    val pairs = pairs0.persist()
+    val pairs = pairs0.scopedPersist()
     val nPairs = pairs.count()
     if (!forceDistributed && nPairs <= smallGraphEdgeThreshold) return unionFindLocal(pairs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
+      .distinct().scopedPersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var converged = false
@@ -353,7 +354,7 @@ object Dedup {
       .select(col("doc_id"), hex60Native(docs, md5s(col("sh"))).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
     // both self-join branches + sizes read this — materialize once
-    val shF = sh.join(rare.select("sh"), "sh").persist()
+    val shF = sh.join(rare.select("sh"), "sh").scopedPersist()
     // |A∩B| falls directly out of the inverted-index self-join (each
     // shared shingle contributes one row) — no candidate materialization
     // + re-join pass, which at sf0.1 was 3× the whole pipeline's cost
@@ -392,7 +393,7 @@ object Dedup {
       sh.join(freq, "sh"),
       keyCols = Seq("doc_id"), sorts = Seq(("df", true), ("sh", true)), k = r)
       .select(col("doc_id"), col("sh"))
-      .persist() // both sides of the candidate self-join
+      .scopedPersist() // both sides of the candidate self-join
     prefix.select(col("sh"), col("doc_id").as("doc_a"))
       .join(prefix.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))

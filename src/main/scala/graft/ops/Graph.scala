@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheScope.ScopedPersist
 
 /** Distributed graph operators over edge DataFrames — the iterative-join
   * (Pregel-style) patterns a training-data pipeline needs for link-graph
@@ -45,8 +46,8 @@ object Graph {
     // persisted: the distinct membership feeds both the size census and
     // the capped join — without the cache it would be recomputed per
     // consumer (a second full distinct over the input)
-    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().persist()
-    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).persist()
+    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().scopedPersist()
+    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).scopedPersist()
     val dropped = sizes.filter(col("gsz") > maxGroupSize).count() // one row per group: metadata-scale
     if (dropped > 0)
       System.err.println(
@@ -86,7 +87,7 @@ object Graph {
       .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
       .filter(col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .persist() // reused as wedge legs AND closing probe — one materialization
+      .scopedPersist() // reused as wedge legs AND closing probe — one materialization
     val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
     val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
     val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
@@ -110,7 +111,7 @@ object Graph {
     // edges⋈degree materialization saves.)
     val withDeg = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
-      .persist()
+      .scopedPersist()
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale).as("r"))
     for (i <- 1 to iters) {

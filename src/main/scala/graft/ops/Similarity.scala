@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheScope.ScopedPersist
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -266,7 +267,7 @@ object Similarity {
     val assigned = corpus
       .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
       .withColumn("cell", cellsForCentroids(vecCol, "__n2", seeds))
-      .persist() // consumed three times: both pair sides + the output spine
+      .scopedPersist() // consumed three times: both pair sides + the output spine
     val a = assigned.select(col("cell"), col(idCol).as("__aid"),
       col(vecCol).as("__av"), col("__n2").as("__an"))
     val b = assigned.select(col("cell"), col(idCol).as("__bid"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.{CorpusOps, Dedup, TextAnalysis}
 
@@ -29,13 +30,13 @@ object CorpusQueries {
       // fp feeds BOTH the min-id groupBy and the join back; keepExact
       // feeds the near-dup input AND the final anti-join — persist each
       // once or the regex-heavy quality stage re-runs per consumer
-      val fp = quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))).persist()
+      val fp = quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))).scopedPersist()
       // carry `text` through the persisted survivors: the minhash stage
       // reads it straight from cache instead of re-scanning + re-joining
       // the raw documents table (was a second full scan)
       val keepExact = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .join(fp.select("doc_id", "lang", "source", "n_words", "text"), "doc_id")
-        .persist()
+        .scopedPersist()
 
       // 3. near-dup removal: minhash pairs over survivors → CC →
       //    drop every doc that is not its cluster's canonical (min id)
@@ -146,7 +147,7 @@ object CorpusQueries {
           posexplode(CorpusOps.wordNgrams(CorpusOps.words(col("text")), 5)).as(Seq("pos", "gs")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           xxhash64(col("gs")).as("g"))
-        .persist()
+        .scopedPersist()
       val dupGrams = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select(col("g"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.ExactAgg.{dsum, sqlDsum, sqlDsumScaled, sqlDsumScaledOver}
 
@@ -118,7 +119,7 @@ object FunnelQueries {
       // aggregate itself is supplier-count-sized — cheap to cache)
       val rev = l.groupBy(col("l_suppkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .persist()
+        .scopedPersist()
       val w = Window.orderBy(col("revenue").desc, col("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // revenue is a computed double ~1e7: floor-scaled, not decimal-cast

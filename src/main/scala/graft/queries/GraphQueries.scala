@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.Graph
 
@@ -32,7 +33,7 @@ object GraphQueries {
     // pathological group can never square the join
     Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared,
         maxGroupSize = 100000)
-      .persist()
+      .scopedPersist()
 
   /** customer↔supplier bipartite, both directions; supplier ids offset so
     * the two key spaces never collide. */
@@ -51,7 +52,7 @@ object GraphQueries {
     // minimum now suppresses.
     val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-      .persist()
+      .scopedPersist()
     cs.select(col("c").as("src"), (col("s") + lit(SuppOffset)).as("dst"))
       .unionAll(cs.select((col("s") + lit(SuppOffset)).as("src"), col("c").as("dst")))
   }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.TextAnalysis._
 
@@ -9,6 +10,14 @@ import graft.ops.TextAnalysis._
   * DuckDB oracle spelling the same deterministic formula.
   */
 object TextQueries {
+
+  /** Hot-group cap for q_source_overlap: fingerprints shared by more
+    * distinct sources than this are dropped before the in-row pair
+    * expansion (shared by the Scala plan and the oracle SQL so the two
+    * can't drift). 64 is far above the testdata's source vocabulary but
+    * bounds the expansion at 64² structs per row at open-domain scale.
+    */
+  val OverlapMaxSources = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> ((s: SparkSession, d: String) => {
@@ -110,7 +119,7 @@ object TextQueries {
       val tokCnt = scan(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
         .filter(col("token") =!= "")
-        .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")).persist()
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")).scopedPersist()
       val cells = tokCnt
         .select(col("exact_cnt"), explode(array((0 until CmsRows).map(i =>
           struct(lit(i).as("i"), bucket(i, col("token")).as("b"))): _*)).as("rb"))
@@ -150,25 +159,16 @@ object TextQueries {
     // sources mirror each other's content? For every source pair, the
     // number of prefix fingerprints present in BOTH. Scale shape: one
     // distinct + one groupBy on the fingerprint; source pairs are
-    // expanded IN-ROW from the per-fp sorted source set (bounded by the
-    // source vocabulary, a handful) — no fp self-join, so a viral
-    // fingerprint shared by every source can never square a join
+    // expanded IN-ROW from the per-fp sorted source set — no fp
+    // self-join, and fps shared by more than OverlapMaxSources sources
+    // are dropped (hot-group cap + observe'd drop count — see
+    // CorpusOps.sourceOverlap) so a viral fingerprint at open-domain
+    // source cardinality can't build an S²-struct row either
     "q_source_overlap" -> ((s: SparkSession, d: String) => {
-      val fps = scan(s, d, "documents")
-        .select(prefixFingerprint(col("text"), 5).as("fp"), col("source"))
-        // a NULL fingerprint (null text) must not form a "shared" group:
-        // the oracle's fp self-join never matches NULL = NULL, so pin the
-        // same semantics here rather than let groupBy keep the null group
-        .filter(col("fp").isNotNull)
-        .distinct()
-      val sets = fps.groupBy(col("fp"))
-        .agg(array_sort(collect_set(col("source"))).as("ss"))
-        .filter(size(col("ss")) >= 2)
-      sets.select(explode(flatten(transform(col("ss"), (a, i) =>
-          transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
-            struct(a.as("source_a"), b.as("source_b")))))).as("p"))
-        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
-        .agg(count(lit(1)).as("n_shared"))
+      graft.ops.CorpusOps.sourceOverlap(
+        scan(s, d, "documents")
+          .select(prefixFingerprint(col("text"), 5).as("fp"), col("source")),
+        "fp", "source", maxSources = OverlapMaxSources)
         .orderBy(col("source_a"), col("source_b"))
     }),
 
@@ -319,16 +319,21 @@ object TextQueries {
     },
 
     // oracle pairs via fp self-join (clearer SQL); the engine's in-row
-    // expansion over the sorted source set is pair-for-pair equivalent
+    // expansion over the sorted source set is pair-for-pair equivalent.
+    // The hot-group cap is mirrored: fps shared by more than
+    // OverlapMaxSources distinct sources are excluded on both sides
     "q_source_overlap" ->
       raw"""WITH f AS (
            |  SELECT DISTINCT md5(array_to_string(
            |           (string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp,
            |         source
-           |  FROM documents)
+           |  FROM documents),
+           |g AS (SELECT fp FROM f GROUP BY fp
+           |      HAVING COUNT(*) BETWEEN 2 AND $OverlapMaxSources)
            |SELECT a.source AS source_a, b.source AS source_b,
            |  CAST(COUNT(*) AS BIGINT) AS n_shared
            |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+           |JOIN g ON g.fp = a.fp
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_fingerprint" ->
       raw"""SELECT md5(array_to_string(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.ExactAgg._
 
@@ -298,7 +299,7 @@ object TpchQueries {
           col("n_regionkey") === col("r_regionkey"))
       // offers feeds BOTH the per-part min and the probe side — persist
       // or the partsupp derivation + 3-way dim join runs twice
-      val offers = partsupp(s, d).join(eurSup, col("ps_suppkey") === col("s_suppkey")).persist()
+      val offers = partsupp(s, d).join(eurSup, col("ps_suppkey") === col("s_suppkey")).scopedPersist()
       val p = scan(s, d, "part").filter(col("p_size") <= 25 && col("p_type") === "LARGE")
       val minCost = offers.groupBy(col("ps_partkey").as("mc_pk"))
         .agg(min(col("ps_supplycost")).as("min_cost"))
@@ -343,7 +344,7 @@ object TpchQueries {
       val ps = partsupp(s, d).join(natSup, col("ps_suppkey") === col("s_suppkey"))
       val perPart = ps.groupBy(col("ps_partkey"))
         .agg(dsumScaled(col("ps_supplycost") * col("ps_availqty")).as("value"))
-        .persist() // consumed by the global total AND the filter branch
+        .scopedPersist() // consumed by the global total AND the filter branch
       val total = perPart.agg(dsum(col("value")).as("total_value"))
       perPart.crossJoin(broadcast(total))
         .filter(col("value") > col("total_value") * 0.001)
@@ -405,7 +406,7 @@ object TpchQueries {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .persist() // consumed by the per-order census AND the late-row probe
+        .scopedPersist() // consumed by the per-order census AND the late-row probe
       val perOrder = l.groupBy(col("l_orderkey").as("po_ok"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
@@ -445,7 +446,7 @@ object TpchQueries {
       // manager makes the distinct-over-lineitem run once per session
       // (the bench family cache holds it for the whole q_tpch_* family)
       // instead of once per consumer
-      .persist()
+      .scopedPersist()
 
   /** DuckDB twin of [[partsupp]] for oracle CTEs. */
   private val psCte =

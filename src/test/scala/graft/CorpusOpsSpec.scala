@@ -27,6 +27,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L)) // doc1: "the quick brown","quick brown fox"; doc2: one
   }
 
+  test("sourceOverlap: viral fingerprint is capped, drop count observed, small groups kept") {
+    // one fp shared by 1000 sources (the open-domain viral case), one by 3
+    val viral = (1 to 1000).map(i => ("fpV", s"host$i"))
+    val small = Seq(("fpS", "a"), ("fpS", "b"), ("fpS", "c"),
+      ("fpS", "a"), // duplicate (fp, source) row — must not double-count
+      (null.asInstanceOf[String], "a"), (null.asInstanceOf[String], "b")) // null fp: no group
+    val fps = (viral ++ small).toDF("fp", "source")
+    val obs = new org.apache.spark.sql.Observation()
+    val out = CorpusOps.sourceOverlap(fps, "fp", "source", maxSources = 64, obs = Some(obs))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the viral fp contributes NO pairs (1000 > 64 → dropped, not 499500 structs in one row)
+    assert(out == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+    // and the cut is not silent: exactly one dropped fp is observed
+    assert(obs.get("n_dropped_fps") == 1L)
+  }
+
   test("repetitionStats: exact fractions on a crafted doc") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = CorpusOps.repetitionStats(docs, "doc_id", "text").head()

@@ -137,6 +137,49 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(elapsedMs >= 100, s"elapsed ${elapsedMs}ms")
   }
 
+  test("O7 storage cleanup: a sequence of corpus ops through the runner releases every op-internal persist") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{CorpusOps, Dedup}
+    // drop cache entries left by earlier suites (shared session): an
+    // UNMATERIALIZED entry over the same plan (e.g. PlanQualitySpec's
+    // un-scoped decontaminate) would otherwise claim ownership — the
+    // scope correctly declines to release a cache it didn't acquire, but
+    // this test's baseline must then not blame the scope for it
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var sawCachedDuringRun = false
+    val runner = new PipelineRunner(spark, sf001)
+    // six ops whose internals persist (shingle tables, n-gram explosions,
+    // per-(doc,gram) counts, signature/pair relations) — the exact leak
+    // class a long-lived runner used to accumulate across runs
+    val ops: Seq[DataFrame => DataFrame] = Seq(
+      d => CorpusOps.decontaminate(d, "doc_id", "text", col("source") === "src0", 4),
+      d => CorpusOps.boilerplateStats(d, "doc_id", "text", 3, 3L),
+      d => Dedup.minhashDedup(d, "doc_id", "text"),
+      d => Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "text")),
+      d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.8, k = 3, maxDocFreq = 100),
+      d => Dedup.connectedComponents(Dedup.minhashDedup(d, "doc_id", "text")))
+    ops.foreach { op =>
+      val res = runner.run(
+        PipelineSpec(source = Some(Connector("documents", limit = 0)),
+          target = Some(SinkSpec("parquet", tmp()))),
+        onbeforesend = df => Some(op(df)),
+        // onupload fires inside the run's scope, after the sink action:
+        // the op's persists must be LIVE here (the cache is load-bearing,
+        // not skipped) — this keeps the release assertion non-vacuous
+        onupload = () => {
+          if (spark.sparkContext.getPersistentRDDs.size > before.size) sawCachedDuringRun = true
+        })
+      assert(res.loaded)
+    }
+    assert(sawCachedDuringRun,
+      "no op-internal persist was ever live during a run — the release assertion would be vacuous")
+    val leaked = spark.sparkContext.getPersistentRDDs -- before
+    assert(leaked.isEmpty, s"${leaked.size} persisted RDD(s) survived the runs: " +
+      leaked.map { case (id, r) => s"$id name=${r.name} rdd=${r.toString}" }.mkString("; "))
+  }
+
   test("load failure retries then succeeds within maxRetries") {
     val out = tmp()
     // a sink path that fails first by pointing at an existing FILE, then

@@ -140,10 +140,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("source mirror-rate attributes pairs via hash/broadcast joins, never nested-loop") {
-    val plan = graft.queries.DedupQueries.queries("q_source_neardup")(spark, sf001)
+    val plan = graft.queries.DedupQueries.queries("q_dedup_source_mirror")(spark, sf001)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"non-equi join in q_source_neardup:\n${plan.take(2000)}")
+      s"non-equi join in q_dedup_source_mirror:\n${plan.take(2000)}")
   }
 
   test("latest-wins upsert partial-aggregates before the shuffle") {
