@@ -132,8 +132,10 @@ object Joins {
     val n = math.max(dim.count(), 1L)
     val bf = dim.stat.bloomFilter(dimKey, n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    // native codegen'd probe (functions/BloomMightContainLong) — the
+    // boxed-UDF version it replaces broke whole-stage codegen on the
+    // fact scan; null keys yield null ≡ dropped by the filter
+    fact.filter(graft.functions.BloomMightContainLong.probe(bc, col(factKey).cast("long")))
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
 

@@ -13,4 +13,15 @@ object GraftPlanShim {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
   }
+
+  /** Expression ↔ Column bridge (`ExpressionUtils` is `private[sql]`) —
+    * for expressions whose constructor takes non-Expression arguments
+    * (e.g. a Broadcast handle) and so can't go through the function
+    * registry like Hex60/JsToNumber do.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

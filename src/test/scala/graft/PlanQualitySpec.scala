@@ -146,6 +146,16 @@ class PlanQualitySpec extends SparkSpec {
       s"non-equi join in q_dedup_source_mirror:\n${plan.take(2000)}")
   }
 
+  test("bloom-prefiltered semi-join probes via the native expression, no ScalaUDF in the plan") {
+    val plan = graft.queries.JoinQueries.queries("q_join_bloom")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // the probe must be the codegen'd expression — a boxed Scala UDF
+    // would print as UDF(...) and break whole-stage codegen on the scan
+    assert(!plan.contains("UDF"), s"ScalaUDF in q_join_bloom plan:\n${plan.take(2000)}")
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"native bloom probe missing from q_join_bloom plan:\n${plan.take(2000)}")
+  }
+
   test("latest-wins upsert partial-aggregates before the shuffle") {
     val base = scan(spark, sf001, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val delta = scan(spark, sf001, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
