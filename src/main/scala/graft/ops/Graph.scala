@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import CacheScope.ScopedPersist
 
 /** Distributed graph operators over edge DataFrames — the iterative-join
@@ -108,9 +109,28 @@ object Graph {
     // join per round against node-sized ranks. (A two-join-per-round
     // variant keeping degree in a node-sized side table benched ~25%
     // slower under AQE — extra query stages cost more than the one-time
-    // edges⋈degree materialization saves.)
+    // degree materialization saves.)
+    //
+    // The degree rides a WINDOW over src, not a groupBy+self-join: one
+    // exchange computes it AND leaves the cached relation
+    // hash-partitioned and SORTED by src — so every round's sort-merge
+    // join against ranks reuses the cached layout and exchanges/sorts
+    // only the node-sized ranks side. (The previous groupBy+join build
+    // broadcast the degree under AQE, which left the cache with the
+    // edge side's incidental partitioning and re-sorted the full edge
+    // relation every round — visible as a per-round `Sort [src]` over
+    // the InMemoryTableScan.) r7 A/B, cold TimeOne at sf0.1, three runs
+    // each: old 6.1 s vs new 6.2/6.8/7.3 s — indistinguishable at local
+    // scale, where the 3 edge sorts cost ~0.1 s each; kept because the
+    // per-round plan is strictly smaller (zero edge-sized exchanges or
+    // sorts per round — only the inherent contrib shuffle keyed by dst),
+    // which is what survives when edges are 10^6× bigger. The remaining
+    // cold cost is the build's two inherent shuffles (pair distinct,
+    // window by src) plus per-round planning/codegen fixed overhead —
+    // the structural floor at this SF.
     val withDeg = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .select(col("src"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("d"))
       .scopedPersist()
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale).as("r"))

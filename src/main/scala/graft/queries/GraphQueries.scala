@@ -21,7 +21,11 @@ object GraphQueries {
   // breakdown (warm TimeOne, sf0.1): graph build + withDeg
   // materialization ≈ 4.3 s, each round ≈ 0.7 s — the build's two
   // edge-sized persists are the cost, and the A/B above shows dropping
-  // either doesn't help. Iteration cost is linear and small.
+  // either doesn't help. Iteration cost is linear and small. Round 7
+  // re-shaped withDeg to a window build (see Graph.pageRank): cold total
+  // unchanged at sf0.1 (structural floor — the two inherent build
+  // shuffles + per-round planning overhead), but rounds no longer sort
+  // the edge relation, the part that matters at real scale.
   private val PrIters = 3
 
   /** Persisted so the identical edge-derivation subplan is served from
