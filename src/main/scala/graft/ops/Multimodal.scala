@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * typed metadata, decode/feature-extract as partition-wise typed
   * pipelines, frame sampling as in-plan binary slicing.
   *
-  * The actual codec call is STUBBED (this container ships no image/audio
-  * libraries): [[decodeStub]] derives deterministic pseudo-features from
-  * the bytes, so the Spark-side contract — schema, Encoders, partition
-  * batching, feature shape — is real and oracle-testable, and swapping in
-  * a JNI/library decoder changes one function. At 100 TB the payloads
+  * Two decode tiers: [[decodePpm]] is a REAL byte-level decoder for the
+  * P6 PPM format (header parse incl. comments + exact channel sums) —
+  * the honest end-to-end proof of the decode seam; [[decodeStub]] stands
+  * in for codecs this container can't ship (JPEG/PNG/audio), deriving
+  * deterministic pseudo-features from the bytes so the Spark-side
+  * contract — schema, Encoders, partition batching, feature shape — is
+  * real and oracle-testable, and swapping in a JNI/library decoder
+  * changes one function. At 100 TB the payloads
   * stay columnar binary (parquet/ORC binary columns read lazily), decode
   * runs data-local per partition, and nothing round-trips the driver.
   */
@@ -60,6 +63,84 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(decodeStub).toDF()
+  }
+
+  /** Parsed image: dimensions + exact per-channel byte sums (integer —
+    * cross-engine hashable; means are a trailing division away).
+    */
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+                              maxval: Int, n_pixels: Long,
+                              r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL decoder for binary P6 PPM (netpbm): parse the header — magic,
+    * `#` comments, whitespace-separated width/height/maxval — then fold
+    * the raw RGB triplets into exact per-channel sums. This is genuine
+    * byte-level decoding of a public image format (the one codec a
+    * zero-dependency container can decode honestly); a JPEG/PNG decoder
+    * drops into the same `Iterator[MediaRow] => Iterator[ImageStats]`
+    * seam. Malformed payloads fail LOUDLY (task error), not as nulls —
+    * a corrupt-blob quarantine belongs upstream of decode.
+    */
+  def decodePpm(rows: Iterator[MediaRow]): Iterator[ImageStats] = rows.map { r =>
+    val b = r.payload
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"not a P6 PPM: media ${r.media_id}")
+    var i = 2
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more) {
+        while (i < b.length && (b(i) == '\n' || b(i) == ' ' || b(i) == '\t' || b(i) == '\r')) i += 1
+        if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"bad PPM header at byte $i: media ${r.media_id}")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
+    val n = w.toLong * h
+    require(b.length - i >= n * 3, s"truncated PPM raster: media ${r.media_id}")
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var p = 0L
+    while (p < n) {
+      rs += b(i) & 0xff; gs += b(i + 1) & 0xff; bs += b(i + 2) & 0xff
+      i += 3; p += 1
+    }
+    ImageStats(r.media_id, w, h, mv, n, rs, gs, bs)
+  }
+
+  /** Image-stats pipeline over PPM payloads — same narrow no-shuffle
+    * mapPartitions shape as [[extractFeatures]], real decode.
+    */
+  def extractImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePpm).toDF()
+  }
+
+  /** Deterministic P6 fixture per id: w = 1 + id%8, h = 1 + id%5,
+    * maxval 255, raster byte j = (id·31 + j) mod 256 — an analytic
+    * formula a SQL oracle reproduces without any binary parsing, so the
+    * REAL parser above is checked against independently-computed stats.
+    * (A `# synthetic` comment line exercises the header's comment path
+    * on every row.)
+    */
+  def syntheticPpm(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 1 + (id % 8).toInt
+      val h = 1 + (id % 5).toInt
+      val header = s"P6\n# synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h * 3)(j => ((id * 31 + j) % 256).toByte)
+      MediaRow(id, "image/x-portable-pixmap", header ++ px)
+    }.toDF()
   }
 
   /** STUB "resize": deterministic byte-level downsample — keep every

@@ -59,6 +59,18 @@ object MultimodalQueries {
           sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_shared"))
     }),
 
+    // REAL image decode end-to-end: deterministic P6 PPM fixtures
+    // (header with a comment line + analytic raster formula) parsed by
+    // the genuine byte-level decoder (Multimodal.decodePpm); the oracle
+    // recomputes dimensions and exact channel sums from the same formula
+    // WITHOUT parsing — so a parser bug (offset, comment handling,
+    // channel order) can't be mirrored
+    "q_multimodal_ppm" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractImageStats(
+        Multimodal.syntheticPpm(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -105,6 +117,27 @@ object MultimodalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
         |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
         |FROM g""".stripMargin,
+    // the oracle NEVER parses bytes: width/height and per-channel sums
+    // come straight from the fixture formula (w = 1 + id%8, h = 1 + id%5,
+    // raster byte j = (id*31 + j) mod 256; channel = j mod 3)
+    "q_multimodal_ppm" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INT) AS width,
+        |    CAST(1 + doc_id % 5 AS INT) AS height
+        |  FROM documents),
+        |j AS (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height * 3)) AS j
+        |      FROM px),
+        |v AS (SELECT doc_id, width, height, j, (doc_id * 31 + j) % 256 AS v FROM j)
+        |SELECT doc_id AS media_id, width, height, 255 AS maxval,
+        |  CAST(width AS BIGINT) * height AS n_pixels,
+        |  CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS n_frames
