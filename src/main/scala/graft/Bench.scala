@@ -13,7 +13,6 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
-    var errors = Set.empty[String]
     // cache policy: identical persisted subplans (e.g. the hashed shingle
     // table) are intentionally shared across queries of the same FAMILY
     // via the cache manager (round-1 methodology), but a family's caches
@@ -36,7 +35,6 @@ object Bench {
         // a broken query must fail LOUDLY, not benchmark as "fast"
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
-            errors += name
             System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
@@ -66,14 +64,20 @@ object Bench {
       val good = times.collect { case (t, true) => t }
       name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
+    // errors = NO valid measurement exists (failed in every run); a
+    // transient one-run failure with a good min is `flaky`, reported
+    // separately so bench_last.json consumers can tell the two apart
+    val byName = runs.head.map(_._1)
+    val errors = byName.filter(n => runMaps.forall(!_(n)._2)).toSet
+    val flaky = byName.filter(n => !errors.contains(n) && runMaps.exists(!_(n)._2)).toSet
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runTotals = runs.map(r => math.round(r.map(_._2).sum * 1000) / 1000.0)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
     val detailLine =
-      s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // The driver's capture window keeps only the LAST ~2000 chars of
     // stdout: r3 printed detail last (total truncated away), r4 printed
     // total first (also outside the window) — both rounds parsed null.

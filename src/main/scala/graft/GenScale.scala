@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the scale-curve gate: replicate
+  * an existing SF directory `factor`× with RESEEDED keys, so the gate
+  * can span sf0.1 → sf1 (100× against sf0.01) without touching the
+  * read-only driver testdata.
+  *
+  * Reseeding rules (replica k ∈ [0, factor)):
+  *  - every primary key is offset by k · (max(key)+1) of its table, and
+  *    every foreign key by the SAME offset as the key it references —
+  *    joins match exactly within a replica, never across, so join
+  *    selectivity and group sizes are preserved while row counts scale
+  *    linearly (the property a scale GATE needs: cost should scale with
+  *    data, not with replica count artifacts);
+  *  - region/nation are TPC-H-style fixed dimensions — copied, not
+  *    replicated;
+  *  - `documents.text` gets every token suffixed with the replica tag
+  *    for k > 0: within-replica duplicate/shingle structure is identical
+  *    to the source, but replicas are NOT near-dups of each other —
+  *    without this, every doc would gain factor-1 near-identical copies
+  *    and pair counts would grow quadratically in `factor`, a property
+  *    of the synthetic data rather than of the operators under test;
+  *  - events keep their timestamps (windows get linearly denser — the
+  *    realistic read) and embeddings keep their vectors (ids reseed).
+  *
+  * Usage: runMain graft.GenScale <srcDir> <outDir> [factor]
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    generate(spark, src, out, factor)
+    spark.stop()
+    System.exit(0)
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] $t written")
+    }
+    def keySpace(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    // fixed dimensions: copy
+    write("region", read("region"))
+    write("nation", read("nation"))
+
+    val customer = read("customer"); val cOff = keySpace(customer, "c_custkey")
+    val supplier = read("supplier"); val sOff = keySpace(supplier, "s_suppkey")
+    val part = read("part"); val pOff = keySpace(part, "p_partkey")
+    val orders = read("orders"); val oOff = keySpace(orders, "o_orderkey")
+
+    // cross-join each table with the replica index k and offset keys;
+    // column order is preserved so the output schema ≡ the source schema
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame = {
+      val ks = spark.range(factor).select(col("id").as("__k"))
+      val cols = df.columns.map { c =>
+        offsets.get(c) match {
+          case Some(off) => (col(c) + col("__k") * off).as(c)
+          case None => col(c)
+        }
+      }
+      df.crossJoin(broadcast(ks)).select(cols.toIndexedSeq: _*)
+    }
+
+    write("customer", replicate(customer, Map("c_custkey" -> cOff)))
+    write("supplier", replicate(supplier, Map("s_suppkey" -> sOff)))
+    write("part", replicate(part, Map("p_partkey" -> pOff)))
+    write("orders", replicate(orders, Map("o_orderkey" -> oOff, "o_custkey" -> cOff)))
+    write("lineitem", replicate(read("lineitem"),
+      Map("l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)))
+
+    val events = read("events")
+    write("events", replicate(events, Map(
+      "event_id" -> keySpace(events, "event_id"),
+      "user_id" -> keySpace(events, "user_id"))))
+
+    val docs = read("documents")
+    val dOff = keySpace(docs, "doc_id")
+    val ks = spark.range(factor).select(col("id").as("__k"))
+    // k = 0 keeps the source text verbatim; k > 0 suffixes every token
+    // with the replica tag so replicas share no shingles with each other
+    // (see scaladoc); empty/null docs stay as-is
+    val tag = concat(lit("·r"), col("__k"))
+    val newText = when(col("text").isNull || col("__k") === 0 || trim(col("text")) === "",
+      col("text"))
+      .otherwise(concat_ws(" ",
+        transform(split(trim(col("text")), "\\s+"), w => concat(w, tag))))
+    val docCols = docs.columns.map {
+      case "doc_id" => (col("doc_id") + col("__k") * dOff).as("doc_id")
+      case "text" => newText.as("text")
+      case "n_chars" => when(col("text").isNull, col("n_chars"))
+        .otherwise(length(newText).cast("long")).as("n_chars")
+      case c => col(c)
+    }
+    write("documents", docs.crossJoin(broadcast(ks)).select(docCols.toIndexedSeq: _*))
+
+    val emb = read("embeddings")
+    write("embeddings", replicate(emb, Map("vec_id" -> keySpace(emb, "vec_id"))))
+  }
+}

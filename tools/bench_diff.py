@@ -16,7 +16,12 @@ A query is flagged only when BOTH (a) new/old >= ratio and (b) new time
 Bench emits the MIN of two independent runs per query, so a flagged
 ratio is by construction reproduced (both runs of the new code exceeded
 it); the two-run rule is built into the numbers, not this script.
-Exit code 1 when any regression is flagged (CI-style).
+
+The detail line's errors array gates too: a query that FAILED in the new
+run has no valid measurement — its elapsed is a time-to-crash, so it is
+reported as ERRORED (never as IMPROVED) and fails the gate exactly like
+a regression. Exit code 1 when any regression OR errored common query is
+found (CI-style).
 """
 import json
 import re
@@ -24,25 +29,28 @@ import sys
 
 
 def load(path):
+    """Returns (queries: {name: sec}, errors: set[name])."""
     txt = open(path).read()
     # JSON-lines detail format
     for line in txt.splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric":"detail"' in line:
-            return json.loads(line)["queries"]
+            d = json.loads(line)
+            return d["queries"], set(d.get("errors", []))
     # driver capture: whole object with optional "tail" fragment
     try:
         obj = json.loads(txt)
         if isinstance(obj, dict):
+            errs = set(obj.get("errors", []))
             if "queries" in obj:
-                return obj["queries"]
+                return obj["queries"], errs
             if "queries_sec" in obj:
-                return obj["queries_sec"]
+                return obj["queries_sec"], errs
             if "tail" in obj:
                 return {
                     m.group(1): float(m.group(2))
                     for m in re.finditer(r'"(q_\w+)":([0-9.]+)', obj["tail"])
-                }
+                }, errs
     except json.JSONDecodeError:
         pass
     raise SystemExit(f"unrecognized bench format: {path}")
@@ -52,12 +60,17 @@ def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
-    old, new = load(old_path), load(new_path)
+    (old, old_errs), (new, new_errs) = load(old_path), load(new_path)
     common = sorted(set(old) & set(new))
     print(f"comparing {len(common)} common queries "
           f"({len(new) - len(common)} new-only, {len(old) - len(common)} old-only)")
+    # a query errored in the new run has no valid measurement: its fast
+    # fail time must not pass (or even flatter) the gate
+    errored = [q for q in common if q in new_errs]
     flagged, improved = [], []
     for q in common:
+        if q in new_errs or q in old_errs:
+            continue  # no valid (pair of) measurements to compare
         o, n = old[q], new[q]
         if n >= floor and o > 0 and n / o >= ratio:
             flagged.append((n / o, q, o, n))
@@ -67,11 +80,15 @@ def main():
         print(f"  IMPROVED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
     for r, q, o, n in sorted(flagged, reverse=True):
         print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower)")
-    tot_o = sum(old[q] for q in common)
-    tot_n = sum(new[q] for q in common)
-    print(f"common-set total: {tot_o:.1f}s -> {tot_n:.1f}s")
-    print(f"{len(flagged)} regression(s) flagged (ratio>={ratio}, floor={floor}s)")
-    sys.exit(1 if flagged else 0)
+    for q in errored:
+        print(f"  ERRORED {q}: failed in the new run — no valid measurement")
+    ok = set(common) - new_errs - old_errs
+    tot_o = sum(old[q] for q in ok)
+    tot_n = sum(new[q] for q in ok)
+    print(f"common-set total (valid both sides): {tot_o:.1f}s -> {tot_n:.1f}s")
+    print(f"{len(flagged)} regression(s), {len(errored)} errored "
+          f"(ratio>={ratio}, floor={floor}s)")
+    sys.exit(1 if (flagged or errored) else 0)
 
 
 if __name__ == "__main__":
