@@ -103,7 +103,26 @@ object GenScale {
     }
     write("documents", docs.crossJoin(broadcast(ks)).select(docCols.toIndexedSeq: _*))
 
+    // embeddings: ids reseed AND vectors ROTATE (circular dim shift by
+    // 7k, norm- and distribution-preserving) for k > 0 — replicating
+    // identical vectors would give every vector factor-1 exact twins,
+    // inflating near-dup/ANN pair counts quadratically in `factor` (the
+    // r7 gate measured 50-75× at factor 10): a data artifact, not an
+    // operator property. Rotated replicas decorrelate (cosine ≈ a
+    // random pair's) while per-dim marginals stay realistic.
     val emb = read("embeddings")
-    write("embeddings", replicate(emb, Map("vec_id" -> keySpace(emb, "vec_id"))))
+    val vOff = keySpace(emb, "vec_id")
+    val ksV = spark.range(factor).select(col("id").as("__k"))
+    val dim = size(col("embedding"))
+    val sh = (col("__k") * lit(7) % dim).cast("int")
+    val rotated = when(col("__k") === 0 || dim <= lit(1), col("embedding"))
+      .otherwise(concat(slice(col("embedding"), sh + 1, dim - sh),
+        slice(col("embedding"), lit(1), sh)))
+    val embCols = emb.columns.map {
+      case "vec_id" => (col("vec_id") + col("__k") * vOff).as("vec_id")
+      case "embedding" => rotated.as("embedding")
+      case c => col(c)
+    }
+    write("embeddings", emb.crossJoin(broadcast(ksV)).select(embCols.toIndexedSeq: _*))
   }
 }

@@ -22,12 +22,23 @@ object JoinQueries {
     // out on. Every pair matches in exactly one (build-cell) block, so
     // no distinct is needed. Coordinates are synthesized hash grids
     // (the tables carry no geometry) — the join shape is what's under
-    // test, and all arithmetic stays in exact longs
+    // test, and all arithmetic stays in exact longs.
+    // The world size M GROWS with the point count (M ∝ √N, pinned to
+    // 1000 at sf0.01's 1500 customers so the oracle is unchanged):
+    // a FIXED world means 10× points = 10× density = 100× pairs — the
+    // r7 100× gate measured exactly that (64× wall-clock) — while a
+    // √N world keeps density, pairs-per-cell and output linear in N,
+    // which is how a real ingest behaves (more data covers more world,
+    // it doesn't stack on the same square)
     "q_geo_join" -> ((s: SparkSession, d: String) => {
-      val pts = scan(s, d, "customer").select(
+      val cust = scan(s, d, "customer")
+      val world = cust.agg(
+        floor(lit(1000.0) * sqrt(count(lit(1)).cast("double") / lit(1500.0)))
+          .cast("long").as("__m"))
+      val pts = cust.crossJoin(broadcast(world)).select(
         col("c_custkey").as("id"),
-        (col("c_custkey") * 7919 % 1000).as("x"),
-        (col("c_custkey") * 104729 % 1000).as("y"))
+        (col("c_custkey") * 7919 % col("__m")).as("x"),
+        (col("c_custkey") * 104729 % col("__m")).as("y"))
       val withCell = pts
         .withColumn("cx", expr("x div 100"))
         .withColumn("cy", expr("y div 100"))
@@ -177,9 +188,13 @@ object JoinQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // world size mirrors the engine: M = floor(1000·sqrt(N/1500)) —
+    // 1000 exactly at sf0.01
     "q_geo_join" ->
-      """WITH p AS (SELECT c_custkey AS id, (c_custkey * 7919) % 1000 AS x,
-        |             (c_custkey * 104729) % 1000 AS y FROM customer),
+      """WITH m AS (SELECT CAST(floor(1000.0 * sqrt(COUNT(*) / 1500.0)) AS BIGINT) AS m
+        |           FROM customer),
+        |p AS (SELECT c_custkey AS id, (c_custkey * 7919) % m.m AS x,
+        |             (c_custkey * 104729) % m.m AS y FROM customer CROSS JOIN m),
         |c AS (SELECT *, x // 100 AS cx, y // 100 AS cy FROM p),
         |o AS (SELECT a.dx, b.dy
         |      FROM (SELECT unnest(range(-1, 2)) AS dx) a,

@@ -92,10 +92,26 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // embedding near-dup pairs, blocked by label
+    // embedding near-dup pairs, blocked by label — the SemDeDup shape:
+    // exact pairwise cosine WITHIN blocks. A fixed label vocabulary
+    // makes blocks corpus-fraction-sized (Σ n_b² = N²/L — the r7 100×
+    // gate measured 50×), so blocks SUB-DIVIDE adaptively: the block
+    // key is (label, sign-sketch) with the sketch plane count p chosen
+    // as the smallest p with 500·2^p ≥ N — block count scales with the
+    // corpus exactly like SemDeDup scales its cluster count. p = 0 at
+    // sf0.01 (≤500 vectors), so the oracle there is bit-identical to
+    // plain label blocking; recall loss at larger SFs is the standard
+    // LSH trade the _lsh sibling already makes. The count() is a
+    // metadata-scale driver action (cf. bloom's dim.count()).
     "q_dedup_embed" -> ((s: SparkSession, d: String) => {
-      Similarity.blockedNearDup(scan(s, d, "embeddings"),
-        "vec_id", "embedding", "label", threshold = 0.35)
+      val emb = scan(s, d, "embeddings")
+      val n = emb.count()
+      var p = 0
+      while (p < 16 && (500L << p) < n) p += 1
+      val sketch = if (p == 0) lit(0L) else Similarity.lshBucket(col("embedding"), DIMS, p)
+      val blk = concat_ws("_", col("label").cast("string"), sketch.cast("string"))
+      Similarity.blockedNearDup(emb.withColumn("__b", blk),
+        "vec_id", "embedding", "__b", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -116,12 +132,18 @@ object SimilarityQueries {
     // Σ_q max_d cos(q, d) — max per (doc, query-term), then a per-doc
     // sum of floor-scaled longs (order-independent, so exact). Top-5
     // docs. At 100 TB: broadcast query side, two map-side-combinable
-    // aggregations, no shuffle of the corpus vectors themselves
+    // aggregations, no shuffle of the corpus vectors themselves.
+    // The query side is pinned to an ABSOLUTE id range (eval-suite-
+    // sized), not a corpus fraction: the r7 100× gate caught the
+    // unpinned version going quadratic (query side grew with the
+    // corpus → broadcast×scan = SF², 75× wall-clock for 10× data).
+    // vec_id < 500 covers every sf0.01 query vector, so the oracle is
+    // unchanged; at any larger SF the query set stays fixed.
     "q_sim_maxsim" -> ((s: SparkSession, d: String) => {
       val DocMod = 25
       val e = scan(s, d, "embeddings")
         .withColumn("gid", col("vec_id") % DocMod)
-      val qv = e.filter(col("gid") === 0)
+      val qv = e.filter(col("gid") === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
       val cv = e.filter(col("gid") =!= 0)
@@ -474,7 +496,7 @@ object SimilarityQueries {
       s"""WITH pairs AS (
          |  SELECT c.vec_id AS id_a, q.vec_id AS id_b, c.embedding AS va, q.embedding AS vb
          |  FROM embeddings c CROSS JOIN embeddings q
-         |  WHERE c.vec_id % 25 <> 0 AND q.vec_id % 25 = 0),
+         |  WHERE c.vec_id % 25 <> 0 AND q.vec_id % 25 = 0 AND q.vec_id < 500),
          |$sqlCosineCtes,
          |mx AS (SELECT id_a % 25 AS gid, id_b AS qid, MAX(cosine) AS mc
          |       FROM cos GROUP BY id_a % 25, id_b)
@@ -529,11 +551,37 @@ object SimilarityQueries {
          |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
 
+    // adaptive plane count p mirrors the engine: smallest p in [0,16]
+    // with 500·2^p >= count; p = 0 at sf0.01 → sketch 0 for every row →
+    // plain label blocking, bit-identical to the pre-r7 oracle
     "q_dedup_embed" ->
-      s"""WITH pairs AS (
+      s"""WITH pl AS (
+         |  SELECT COALESCE(MIN(i), 16) AS p
+         |  FROM (SELECT unnest(range(0, 17)) AS i) i,
+         |       (SELECT COUNT(*) AS n FROM embeddings) n
+         |  WHERE 500 * (CAST(1 AS BIGINT) << i) >= n.n),
+         |sk_terms AS (
+         |  SELECT e.vec_id, i.i,
+         |    CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) *
+         |      (CASE WHEN strpos('0123456789abcdef',
+         |              substring(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1 >= 8
+         |            THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT) AS t
+         |  FROM embeddings e
+         |    CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl))) AS i) i
+         |    CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS j) j),
+         |sk_dots AS (SELECT vec_id, i, SUM(t) AS dot FROM sk_terms GROUP BY vec_id, i),
+         |sk AS (
+         |  SELECT e.vec_id, COALESCE(d.bucket, 0) AS bucket
+         |  FROM embeddings e LEFT JOIN (
+         |    SELECT vec_id,
+         |      CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
+         |    FROM sk_dots GROUP BY vec_id) d ON d.vec_id = e.vec_id),
+         |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
          |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  JOIN sk sa ON sa.vec_id = a.vec_id
+         |  JOIN sk sb ON sb.vec_id = b.vec_id AND sb.bucket = sa.bucket),
          |$sqlCosineCtes
          |SELECT id_a, id_b, cosine FROM cos
          |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,

@@ -26,13 +26,28 @@ object StreamOps {
     * table root).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val streamDir = Paths.get(
       s"/tmp/graft_stream_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, src)
+    Files.createDirectories(streamDir)
+    // the source may be a single parquet FILE (driver testdata) or a
+    // DIRECTORY of part files (Spark-written, e.g. GenScale's sf1): the
+    // file-stream source doesn't recurse into subdirectories, so link
+    // part files individually in the directory case
+    val parts: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList
+        } finally s.close()
+      } else Seq(src)
+    parts.foreach { p =>
+      val link = streamDir.resolve(
+        if (parts.size == 1) "events.parquet" else p.getFileName.toString)
+      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+    }
     val staticSchema = spark.read.parquet(src.toString).schema
     spark.readStream
       .schema(staticSchema)
