@@ -125,6 +125,32 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    // query vector, the top-3 most similar vectors with a DIFFERENT
+    // label (similar-but-wrong = the negatives that teach an embedding
+    // model the most). Query side is an absolute id range (eval-sized,
+    // the r7 scale rule); corpus scores map-side against the broadcast
+    // queries and the per-query top-k ships through the custom
+    // TopKPerKey physical operator — at most k rows per (partition,
+    // query) reach the shuffle, never the full score matrix.
+    "q_sim_hardneg" -> ((s: SparkSession, d: String) => {
+      val emb = scan(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"),
+          Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("cosine",
+          Similarity.scaledDot(col("embedding"), col("qv")).cast("double") /
+            (sqrt(Similarity.scaledDot(col("embedding"), col("embedding")).cast("double")) *
+              sqrt(col("qn").cast("double"))))
+        .select(col("qid"), col("vec_id"), col("cosine"))
+      graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("qid"), sorts = Seq(("cosine", false), ("vec_id", true)), k = 3)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    }),
+
     // LATE-INTERACTION (ColBERT-style) MaxSim retrieval: vectors are
     // grouped into multi-vector "documents" (gid = vec_id mod 25); the
     // query doc's ~20 vectors are broadcast, every corpus vector scores
@@ -491,6 +517,18 @@ object SimilarityQueries {
          |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
          |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
     },
+
+    "q_sim_hardneg" ->
+      s"""WITH pairs AS (
+         |  SELECT c.vec_id AS id_a, q.vec_id AS id_b, c.embedding AS va, q.embedding AS vb
+         |  FROM embeddings c JOIN embeddings q
+         |    ON q.vec_id < 5 AND c.label <> q.label),
+         |$sqlCosineCtes,
+         |r AS (SELECT id_b AS qid, id_a AS vec_id, cosine,
+         |        row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) AS rn
+         |      FROM cos)
+         |SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
 
     "q_sim_maxsim" ->
       s"""WITH pairs AS (

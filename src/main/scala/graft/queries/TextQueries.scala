@@ -138,6 +138,56 @@ object TextQueries {
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
+    // CORPUS-LM FLUENCY SCORE — the CCNet/KenLM filtering-stage shape:
+    // a bigram LM is "trained" on the corpus itself (prefix + bigram
+    // instance counts), and each doc is scored by its mean INVERSE
+    // conditional probability Σ floor(1e6·c(prev)/c(prev,w)) / n —
+    // high score = rare continuations = disfluent/garbled text, the
+    // docs a perplexity filter drops. All-integer scoring (the floor
+    // is exact `div` on both engines; the final mean is one division
+    // of exact longs), so the oracle is bit-exact — no cross-engine
+    // ln()/log() drift, which is why this isn't spelled as log-perplexity.
+    // Scale shape: per-(doc,gram) counts combine map-side; the two LM
+    // count tables aggregate from that same persisted relation; grams
+    // ride as xxhash64 longs (the boilerplate/decontaminate pattern)
+    // while the oracle joins RAW strings — a collision fails the
+    // compare instead of hiding in it.
+    "q_text_lmscore" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      // zip_with over two slices, NOT transform+element_at: element_at
+      // inside a lambda re-evaluates the split expression per ELEMENT
+      // (no subexpression elimination across lambda scopes — measured
+      // 9.3 s cold at sf0.1, O(tokens²) splitting per doc); zip_with
+      // evaluates each slice argument once per row — 4.7 s cold, 2×
+      val bigrams = when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("p"), b.as("w"))))
+        .otherwise(array().cast("array<struct<p:string,w:string>>"))
+      val inst = scan(s, d, "documents")
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), xxhash64(col("b.p")).as("g1"),
+          xxhash64(col("b.p"), col("b.w")).as("g2"))
+      val perDoc = inst.groupBy(col("doc_id"), col("g1"), col("g2"))
+        .agg(count(lit(1)).as("c")).scopedPersist()
+      // both LM tables derive from the VOCABULARY-sized bigram census —
+      // c1(prefix) = Σ c2 over its bigrams — so the per-bigram rate is
+      // built with vocab-sized shuffles and the instance-sized perDoc
+      // relation is joined exactly ONCE (an earlier spelling joined the
+      // instance relation against both count tables)
+      val cnt2 = perDoc.groupBy(col("g1"), col("g2")).agg(sum(col("c")).as("c2"))
+      val cnt1 = cnt2.groupBy(col("g1")).agg(sum(col("c2")).as("c1"))
+      val rate = cnt2.join(cnt1, Seq("g1"))
+        .select(col("g2"), expr("(1000000 * c1) div c2").as("inv"))
+      perDoc.join(rate, Seq("g2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("inv")).as("score_sum"))
+        .withColumn("avg_inv_p",
+          col("score_sum").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // METADATA LABEL-NOISE AUDIT — per source, how often the declared
     // `lang` disagrees with the n-gram language detector: the "is this
     // crawl's metadata trustworthy" QA gate a corpus pipeline runs
@@ -317,6 +367,30 @@ object TextQueries {
            |SELECT token, exact_cnt, cms_est, cms_est >= exact_cnt AS never_under
            |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
     },
+
+    // raw-string bigram joins; `//` is DuckDB's floor division, exact
+    // on the positive BIGINTs here like Spark's `div`
+    "q_text_lmscore" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |bgidx AS (
+           |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+           |  FROM w WHERE len(ws) >= 2),
+           |bg AS (SELECT doc_id, ws[i] AS p, ws[i+1] AS wd FROM bgidx),
+           |inst AS (SELECT doc_id, p, wd, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+           |cnt2 AS (SELECT p, wd, CAST(SUM(c) AS BIGINT) AS c2 FROM inst GROUP BY 1, 2),
+           |cnt1 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS c1 FROM inst GROUP BY 1),
+           |sc AS (
+           |  SELECT i.doc_id, CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(i.c * ((1000000 * cnt1.c1) // cnt2.c2)) AS BIGINT) AS score_sum
+           |  FROM inst i
+           |    JOIN cnt2 ON cnt2.p = i.p AND cnt2.wd = i.wd
+           |    JOIN cnt1 ON cnt1.p = i.p
+           |  GROUP BY i.doc_id)
+           |SELECT doc_id, n_bigrams, score_sum,
+           |  CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_inv_p
+           |FROM sc ORDER BY doc_id""".stripMargin,
 
     // oracle pairs via fp self-join (clearer SQL); the engine's in-row
     // expansion over the sorted source set is pair-for-pair equivalent.

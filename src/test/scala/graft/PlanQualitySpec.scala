@@ -146,6 +146,18 @@ class PlanQualitySpec extends SparkSpec {
       s"non-equi join in q_dedup_source_mirror:\n${plan.take(2000)}")
   }
 
+  test("hard-negative mining: broadcast query side + TopKPerKey physical operator") {
+    val plan = graft.queries.SimilarityQueries.queries("q_sim_hardneg")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // corpus scores map-side against broadcast queries; the per-query
+    // top-k ships through the custom operator, never a Window over the
+    // full score matrix
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("TopKPerKey"), s"TopKPerKey operator missing:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"Window fallback in hardneg plan:\n${plan.take(2000)}")
+  }
+
   test("bloom-prefiltered semi-join probes via the native expression, no ScalaUDF in the plan") {
     val plan = graft.queries.JoinQueries.queries("q_join_bloom")(spark, sf001)
       .queryExecution.executedPlan.toString()
