@@ -53,8 +53,15 @@ object CorpusOps {
       .select(col("doc_id"), col("is_bench"), xxhash64(col("__gs")).as("g"))
       .scopedPersist()
     val bench = ng.filter(col("is_bench")).select(col("g")).distinct()
-    val train = ng.filter(!col("is_bench")).select(col("doc_id"), col("g")).distinct()
-    train.join(broadcast(bench), Seq("g"))
+    // broadcast-probe FIRST, distinct AFTER: the map-side hash probe drops
+    // every non-overlapping gram instance before anything shuffles, so the
+    // distinct's exchange carries only the (tiny) overlap set instead of
+    // the whole train-side gram explosion — same distinct-pair semantics,
+    // shuffle shrunk by the overlap fraction (at 100 TB: orders of
+    // magnitude)
+    ng.filter(!col("is_bench")).select(col("doc_id"), col("g"))
+      .join(broadcast(bench), Seq("g"))
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
   }
