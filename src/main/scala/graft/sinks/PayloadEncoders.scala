@@ -1,0 +1,104 @@
+package graft.sinks
+
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import org.apache.spark.sql.Row
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-service upload payload encoders (SURVEY §2.1 K4) — the byte-level
+  * encodings the reference's Gmail and Stripe adapters apply to each
+  * upload item before the HTTP POST. These are pure functions of the row:
+  * the transport (`Sinks.foreachBatchSink`'s send hook) stays generic,
+  * and the encodings are golden-tested against vectors produced by the
+  * reference's own logic.
+  *
+  *  - Gmail (adapters/gmail/src/index.ts:326-330): an RFC-2822-shaped
+  *    `To:`/`Subject:` header block + blank line + body, UTF-8 encoded,
+  *    then base64url WITHOUT padding (standard base64 with `+`→`-`,
+  *    `/`→`_`, trailing `=` stripped — exactly the reference's regex
+  *    chain, not RFC 4648 §5 directly).
+  *  - Stripe (adapters/stripe/src/index.ts:197-217 `appendObject`,
+  *    434-478 upload): `application/x-www-form-urlencoded` with
+  *    Rails/Stripe bracket expansion — arrays become `k[0]`, `k[1]`…,
+  *    nested objects `k[sub]`, recursively; null/undefined leaves are
+  *    skipped; scalars are stringified with JavaScript `String(...)`
+  *    semantics (integral doubles print with no decimal point). Both
+  *    keys and values are percent-encoded by the WHATWG urlencoded
+  *    serializer, which `URLEncoder.encode(…, UTF-8)` matches
+  *    byte-for-byte (space→`+`, alnum and `*-._` kept, uppercase hex).
+  */
+object PayloadEncoders {
+
+  /** Base64url without padding, via the reference's exact substitution
+    * chain (gmail/src/index.ts:329-330). */
+  def base64Url(bytes: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(bytes)
+      .replace('+', '-').replace('/', '_').replaceAll("=+$", "")
+
+  /** The Gmail `raw` message field for one (to, subject, body) item
+    * (gmail/src/index.ts:326-330). */
+  def gmailRawMessage(to: String, subject: String, body: String): String =
+    base64Url(s"To: $to\r\nSubject: $subject\r\n\r\n$body"
+      .getBytes(StandardCharsets.UTF_8))
+
+  /** WHATWG urlencoded-serializer component encoding (= what
+    * `URLSearchParams.toString()` applies to each key and value). */
+  private def component(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  def formUrlEncode(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => s"${component(k)}=${component(v)}" }.mkString("&")
+
+  /** JavaScript `String(number)` for the numeric types a form item can
+    * carry: integral doubles drop the decimal point (`String(100)` is
+    * "100", never "100.0"). Exotic magnitudes (|x| ≥ 1e21, where JS
+    * switches to exponent notation) are outside the encoder's contract —
+    * Stripe amounts are integer cents. */
+  private def jsNumberString(v: Any): String = v match {
+    case d: Double if d.isWhole && math.abs(d) < 1e21 => d.toLong.toString
+    case f: Float if f.isWhole && math.abs(f) < 1e21f => f.toLong.toString
+    case other => other.toString
+  }
+
+  /** Flatten one upload item to ordered (bracketed-key, value) pairs,
+    * mirroring the reference's type dispatch: the TOP level appends only
+    * strings/numbers/booleans and recurses into objects
+    * (stripe/src/index.ts:448-456); NESTED levels also stringify any
+    * other non-null scalar (`String(propertyValue)`, index.ts:213-215).
+    * Null leaves are skipped at every level; empty containers contribute
+    * nothing. Scala carriers for "object": Row (schema order), Map
+    * (iteration order), Seq/Array (by index) — insertion order is the
+    * contract, as `Object.entries` is in JS. */
+  def stripeFormPairs(item: Seq[(String, Any)]): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    def appendNested(name: String, v: Any): Unit = v match {
+      case null => ()
+      case seq: Seq[_]      => seq.zipWithIndex.foreach { case (x, i) => appendNested(s"$name[$i]", x) }
+      case arr: Array[_]    => arr.zipWithIndex.foreach { case (x, i) => appendNested(s"$name[$i]", x) }
+      case m: Map[_, _]     => m.foreach { case (k, x) => appendNested(s"$name[$k]", x) }
+      case r: Row =>
+        r.schema.fieldNames.zipWithIndex.foreach { case (f, i) => appendNested(s"$name[$f]", r.get(i)) }
+      case n @ (_: Double | _: Float) => out += name -> jsNumberString(n)
+      case other            => out += name -> other.toString
+    }
+    item.foreach {
+      case (_, null) => ()
+      case (k, v: String) => out += k -> v
+      case (k, n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float | _: java.math.BigDecimal)) =>
+        out += k -> jsNumberString(n)
+      case (k, b: Boolean) => out += k -> b.toString
+      case (k, obj @ (_: Seq[_] | _: Array[_] | _: Map[_, _] | _: Row)) => appendNested(k, obj)
+      case _ => () // non-encodable top-level type: skipped, as JS typeof dispatch does
+    }
+    out.toSeq
+  }
+
+  /** One upload item → the POST body string the Stripe adapter sends. */
+  def stripeFormEncode(item: Seq[(String, Any)]): String =
+    formUrlEncode(stripeFormPairs(item))
+
+  /** A DataFrame row as an upload item: field order is schema order,
+    * nested structs/arrays/maps recurse via [[stripeFormPairs]]. */
+  def stripeFormEncode(row: Row): String =
+    stripeFormEncode(row.schema.fieldNames.toSeq.map(f => f -> row.get(row.fieldIndex(f))))
+}

@@ -56,6 +56,31 @@ object Sinks {
     }
   }
 
+  /** Gmail send-upload (K4): the adapter POSTs ONE message per item, each
+    * encoded to the `{"raw": <base64url MIME>}` field
+    * (adapters/gmail/src/index.ts:325-337) — modeled as itemsPerBatch=1
+    * over the generic retrying batcher, with [[PayloadEncoders]] carrying
+    * the byte encoding and `post` the transport hook. Expects columns
+    * `to`, `subject`, `body`. */
+  def gmailUploadSink(df: DataFrame, maxRetries: Int = 0, retryIntervalMs: Long = 0)(
+      post: String => Unit): Unit =
+    foreachBatchSink(df, itemsPerBatch = 1, maxRetries, retryIntervalMs) { batch =>
+      val r = batch.head
+      post(PayloadEncoders.gmailRawMessage(
+        r.getAs[String]("to"), r.getAs[String]("subject"), r.getAs[String]("body")))
+    }
+
+  /** Stripe create-upload (K4): the adapter accepts exactly one product
+    * per upload call and form-encodes it with bracket expansion
+    * (adapters/stripe/src/index.ts:438-457) — modeled as one
+    * form-encoded POST per row; nested structs/arrays/maps in the row
+    * expand to `k[0]`/`k[sub]` keys. */
+  def stripeUploadSink(df: DataFrame, maxRetries: Int = 0, retryIntervalMs: Long = 0)(
+      post: String => Unit): Unit =
+    foreachBatchSink(df, itemsPerBatch = 1, maxRetries, retryIntervalMs) { batch =>
+      post(PayloadEncoders.stripeFormEncode(batch.head))
+    }
+
   /** Custom upload sink: executor-side batches of `itemsPerBatch` rows,
     * each attempted up to maxRetries+1 times with retryIntervalMs backoff
     * (reference per-batch retry loop, src/index.ts:495-517). `send` is
