@@ -238,6 +238,21 @@ object DedupQueries {
         .groupBy(col("lang"), col("rate_ppm"))
         .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // DSIR IMPORTANCE SELECTION (Xie et al. 2023 hashed-n-gram data
+    // selection): raw (non-English-labeled) docs scored by the
+    // fixed-point likelihood ratio of the 256-bucket hashed-unigram
+    // target vs raw distributions, then kept in score order up to a
+    // 5000-token budget. Census + per-doc profile fold from one
+    // persisted (doc, bucket) relation; the weight table is 256 rows
+    // broadcast; the budget prefix is the distributed range-partitioned
+    // cumsum (no single-task global window) — see CorpusOps.dsirSelect
+    "q_mix_dsir" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.dsirSelect(
+        scan(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, tokenBudget = 5000L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -428,6 +443,35 @@ object DedupQueries {
          |WHERE ${sqlHex60("md5('mix:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
          |GROUP BY t.lang, r.rate_ppm
          |ORDER BY t.lang""".stripMargin,
+
+    // `//` is DuckDB floor division = Spark `div` on the non-negative
+    // BIGINTs here; the window cumsum is the oracle spelling of the
+    // engine's distributed two-phase prefix (same global order, same sum)
+    "q_mix_dsir" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang = 'en' AS is_t,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, is_t, ${sqlHex60("md5('dsir:' || t)")} % 256 AS b
+         |       FROM w WHERE t <> ''),
+         |pdb AS (SELECT doc_id, is_t, b, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2, 3),
+         |census AS (SELECT b,
+         |    CAST(SUM(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN NOT is_t THEN c ELSE 0 END) AS BIGINT) AS cr
+         |  FROM pdb GROUP BY b),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t,
+         |               CAST(SUM(cr) AS BIGINT) AS tot_r FROM census),
+         |wt AS (SELECT b, CAST((10000 * ((10000 * (ct + 1)) // (tot_t + 256)))
+         |    // greatest((10000 * (cr + 1)) // (tot_r + 256), 1) AS BIGINT) AS llr
+         |  FROM census, tot),
+         |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |    CAST(SUM(c * llr) AS BIGINT) AS llr_sum
+         |  FROM pdb JOIN wt USING (b) WHERE NOT is_t GROUP BY doc_id),
+         |sel AS (SELECT doc_id, n_toks, llr_sum // n_toks AS score,
+         |    CAST(SUM(n_toks) OVER (ORDER BY llr_sum // n_toks DESC, doc_id) AS BIGINT) AS cum_toks
+         |  FROM sc)
+         |SELECT doc_id, n_toks, score, cum_toks
+         |FROM sel WHERE cum_toks <= 5000 ORDER BY doc_id""".stripMargin,
 
     "q_mix_alpha" ->
       s"""WITH t AS (

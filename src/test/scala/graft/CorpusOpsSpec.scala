@@ -27,6 +27,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L)) // doc1: "the quick brown","quick brown fox"; doc2: one
   }
 
+  test("dsirSelect: budget prefix is exact and invariant under input partitioning") {
+    // target docs establish the "wanted" distribution; raw docs that share
+    // the target's vocabulary must outscore the unrelated ones
+    val target = (1 to 5).map(i => (100L + i, "alpha beta gamma delta", true))
+    val similar = (1 to 4).map(i => (i.toLong, "alpha beta gamma epsilon", false))
+    val noise = (5 to 8).map(i => (i.toLong, s"zeta$i eta$i theta$i iota$i kappa$i", false))
+    val docs = (target ++ similar ++ noise).toDF("doc_id", "text", "is_t")
+    val out = CorpusOps.dsirSelect(docs, "doc_id", "text", col("is_t"),
+      buckets = 64, tokenBudget = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 4-token docs, 12-token budget → exactly the 3 best-scoring raw docs,
+    // which must be target-vocabulary docs, with an exact running total
+    assert(out.map(_._1).toSet.subsetOf(similar.map(_._1).toSet), out.toSeq.toString)
+    assert(out.map(_._3).sorted.toSeq == Seq(4L, 8L, 12L), out.toSeq.toString)
+    // the two-phase distributed prefix must be a pure function of the
+    // global (score, id) order: any input partitioning → same selection
+    val out2 = CorpusOps.dsirSelect(docs.repartition(7), "doc_id", "text", col("is_t"),
+      buckets = 64, tokenBudget = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("sourceOverlap: viral fingerprint is capped, drop count observed, small groups kept") {
     // one fp shared by 1000 sources (the open-domain viral case), one by 3
     val viral = (1 to 1000).map(i => ("fpV", s"host$i"))

@@ -130,6 +130,28 @@ class PlanQualitySpec extends SparkSpec {
       s"decontaminate join key is not the hashed long: $joinKeyType")
   }
 
+  test("DSIR selection: broadcast weight table, range-partitioned prefix, no whole-corpus single-partition window") {
+    val df = graft.queries.DedupQueries.queries("q_mix_dsir")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the 256-row weight table and the partition-offset table must both
+    // ride broadcast joins — the corpus-sized relations never re-shuffle
+    // for them
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the budget cut is the two-phase prefix: the doc-level running sum
+    // must be computed under a rangepartitioning exchange (per-partition,
+    // keyed by __pid), never as one global single-partition window over
+    // the scored corpus
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val docLevelGlobal = windows.exists(w =>
+      w.partitionSpec.isEmpty &&
+        w.child.references.map(_.name).exists(_ == "doc_id"))
+    assert(!docLevelGlobal,
+      "doc-level window has an empty partition spec — single-task global sort at scale")
+  }
+
   test("source-overlap matrix plans with NO join — pairs expand in-row") {
     val plan = graft.queries.TextQueries.queries("q_source_overlap")(spark, sf001)
       .queryExecution.executedPlan.toString()
