@@ -198,6 +198,30 @@ object SimilarityQueries {
         .orderBy(col("id_b"), col("id_a"))
     }),
 
+    // SEMANTIC DECONTAMINATION — the embedding-space complement of the
+    // n-gram q_decontaminate (model cards run both: surface overlap AND
+    // near-semantic overlap with the eval suite). Train vectors whose
+    // cosine to ANY benchmark vector clears tau are flagged, with hit
+    // count, max similarity, and the nearest benchmark id (ties → min
+    // id, via an order-independent struct max). Scale shape: the bench
+    // side is an ABSOLUTE id range (eval-suite-sized at any SF — the
+    // q_sim_maxsim 100×-gate lesson) and broadcasts; the corpus makes
+    // one shuffle-free pass + a doc-keyed aggregate. If the bench set
+    // ever outgrew broadcast, pre-block both sides by lshBucket and the
+    // same plan runs as a bucketed equi-join
+    "q_decontaminate_sem" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.rangeSearch(
+        e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", tau = 0.30)
+        .groupBy(col("id_a").as("vec_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          max(col("cosine")).as("max_sim"),
+          (-max(struct(col("cosine").as("c"), (-col("id_b")).as("nid")))
+            .getField("nid")).as("nearest_bench"))
+        .orderBy(col("vec_id"))
+    }),
+
     // deterministic distributed k-means (1 Lloyd refinement over the
     // 8 smallest-id seeds): final max-cosine cell per vector. Exact
     // scaled-integer centroid sums make the centroids — and so every
@@ -542,6 +566,24 @@ object SimilarityQueries {
          |  COUNT(*) AS n_terms
          |FROM mx GROUP BY gid
          |ORDER BY maxsim_scaled DESC, gid LIMIT 5""".stripMargin,
+
+    // argmax spelled as a max-sim equi-join + MIN(id_b) — pair-for-pair
+    // the engine's struct-max tie-break (max cosine, then min bench id)
+    "q_decontaminate_sem" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, q.vec_id AS id_b, a.embedding AS va, q.embedding AS vb
+         |  FROM embeddings a CROSS JOIN embeddings q
+         |  WHERE a.vec_id >= 20 AND q.vec_id < 20),
+         |$sqlCosineCtes,
+         |hits AS (SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.30),
+         |agg AS (SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(cosine) AS max_sim
+         |        FROM hits GROUP BY id_a),
+         |arg AS (SELECT h.id_a, MIN(h.id_b) AS nearest_bench
+         |        FROM hits h JOIN agg a ON a.id_a = h.id_a AND h.cosine = a.max_sim
+         |        GROUP BY h.id_a)
+         |SELECT a.id_a AS vec_id, a.n_hits, a.max_sim, g.nearest_bench
+         |FROM agg a JOIN arg g ON g.id_a = a.id_a
+         |ORDER BY vec_id""".stripMargin,
 
     "q_sim_range" ->
       s"""WITH pairs AS (
