@@ -358,6 +358,73 @@ object CorpusOps {
       .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"))
   }
 
+  /** BPE MERGE TRAINING — `rounds` greedy merge steps of byte-pair
+    * encoding over the corpus word vocabulary (the tokenizer-TRAINING
+    * loop; `q_bpe_pairs` is the one-shot census this iterates). Each
+    * round: count adjacent symbol pairs weighted by word frequency, pick
+    * the most frequent (ties → lexicographically smallest pair), merge
+    * it greedily left-to-right in every word, repeat.
+    *
+    * The symbol sequence rides as a DELIMITED STRING — every symbol
+    * wrapped in its own U+0001 pair ("␁a␁␁b␁…") — so the greedy
+    * left-to-right merge is exactly ONE literal string replacement:
+    * replace("␁p1␁␁p2␁" → "␁p1p2␁"). Left-to-right non-overlapping
+    * replace-all IS greedy BPE semantics ("aaa" + (a,a) → [aa, a]), the
+    * per-symbol delimiter pairs make adjacent matches share no
+    * characters ("abab" merges BOTH pairs in one pass), and a pattern
+    * can never match inside a merged symbol because symbol interiors
+    * contain no delimiter. Both engines' replace() scan left-to-right,
+    * so the oracle is bit-exact. Vocabulary is restricted to /[a-z]+/
+    * word shapes (the standard letters-only pre-tokenization split; it
+    * also guarantees U+0001 never collides with symbol text).
+    *
+    * Scale shape: everything after the word census is VOCABULARY-sized
+    * (the HF-tokenizers trainer shape — count words once, train on the
+    * vocab), persisted once; each round is one map-side-combinable pair
+    * census plus a 1-row argmax collect (metadata-scale, like
+    * kmeansCentroids' seed collect). The chosen merges are driver
+    * state by construction — that IS the model being trained.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val Sep = "\u0001"
+    val vocab = docs.select(explode(words(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"))
+      .scopedPersist()
+    var cur = vocab
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(trim(col("s"), Sep), java.util.regex.Pattern.quote(Sep + Sep))
+      val pairs = when(size(syms) >= 2,
+        zip_with(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("p1"), b.as("p2"))))
+        .otherwise(array().cast("array<struct<p1:string,p2:string>>"))
+      val top = cur.select(col("c"), explode(pairs).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol: nothing left to merge
+      else {
+        val (p1, p2, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        out += ((r, p1, p2, cnt))
+        // regex replace-all of the QUOTED literal — same left-to-right
+        // non-overlapping scan as a plain replace on both engines
+        cur = cur.select(col("c"), regexp_replace(col("s"),
+          java.util.regex.Pattern.quote(s"$Sep$p1$Sep$Sep$p2$Sep"),
+          s"$Sep$p1$p2$Sep").as("s"))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "sym_left", "sym_right", "freq")
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

@@ -203,6 +203,16 @@ object CorpusQueries {
         .limit(30)
     }),
 
+    // BPE TOKENIZER TRAINING — 3 greedy merge rounds over the word
+    // vocabulary (q_bpe_pairs iterated: census → argmax → in-row greedy
+    // merge via one delimited-string replacement → repeat). Everything
+    // after the word census is vocabulary-sized; each round's argmax is
+    // a 1-row collect — the merges ARE the trained model. See
+    // CorpusOps.bpeTrain for why left-to-right replace-all is exactly
+    // greedy BPE on both engines
+    "q_bpe_merge" -> ((s: SparkSession, d: String) =>
+      CorpusOps.bpeTrain(scan(s, d, "documents"), "text", rounds = 3)),
+
     // Corpus-frequency BOILERPLATE filter signal: 3-grams present in >= 3
     // distinct docs are boilerplate; per doc, the fraction of gram
     // positions covered by them + the keep verdict. The within-corpus
@@ -394,6 +404,38 @@ object CorpusQueries {
            |SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            |FROM bg GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    // 3 unrolled merge rounds; U+0001 is the symbol delimiter (words are
+    // /[a-z]+/ so it can never collide). replace() is left-to-right
+    // non-overlapping on both engines = greedy BPE (CorpusOps.bpeTrain)
+    "q_bpe_merge" -> {
+      val SEP = "\u0001"
+      val base =
+        s"""v0 AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           |    regexp_replace(w, '(.)', '$SEP\\1$SEP', 'g') AS s
+           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)
+           |  WHERE regexp_full_match(w, '[a-z]+')
+           |  GROUP BY w)""".stripMargin
+      def round(r: Int) =
+        s"""sy$r AS (SELECT c, string_split(trim(s, '$SEP'), '$SEP$SEP') AS a FROM v${r - 1}),
+           |px$r AS (SELECT c, a, unnest(range(1, len(a))) AS i FROM sy$r WHERE len(a) >= 2),
+           |pc$r AS (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
+           |         FROM px$r GROUP BY 1, 2),
+           |m$r AS (SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+           |v$r AS (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
+           |                          '$SEP' || m.p1 || m.p2 || '$SEP') AS s
+           |        FROM v${r - 1}, m$r m)""".stripMargin
+      s"""WITH $base,
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS step, p1 AS sym_left, p2 AS sym_right, cnt AS freq FROM m1
+         |  UNION ALL SELECT 2, p1, p2, cnt FROM m2
+         |  UNION ALL SELECT 3, p1, p2, cnt FROM m3)
+         |ORDER BY step""".stripMargin
+    },
 
     // oracle keeps RAW gram strings while the engine buckets on
     // xxhash64 ids — intentionally NOT mirrored (collision safety net)

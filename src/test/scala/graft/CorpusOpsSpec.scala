@@ -27,6 +27,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L)) // doc1: "the quick brown","quick brown fox"; doc2: one
   }
 
+  test("bpeTrain: greedy left-to-right merges, argmax tie-break, weighted census") {
+    // "aaa"×3 + "ab"×2 → round1 (a,a) cnt 6; greedy makes "aaa" [aa,a]
+    // (NOT [aa,aa]), so round2 sees (aa,a) cnt 3; round3 picks up (a,b)
+    val docs = Seq("aaa aaa aaa ab ab").toDF("text")
+    val out = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L), (3, "a", "b", 2L)))
+  }
+
+  test("bpeTrain: adjacent occurrences both merge in one pass; exhaustion stops early") {
+    // "abab"×2: round1 (a,b) cnt 4 → BOTH pairs merge in the same round
+    // ([ab,ab], not [ab,a,b]) so round2 is (ab,ab); after that every
+    // word is one symbol and round3 has no pairs → 2 rows, not 3
+    val docs = Seq("abab abab").toDF("text")
+    val out = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
+  }
+
   test("dsirSelect: budget prefix is exact and invariant under input partitioning") {
     // target docs establish the "wanted" distribution; raw docs that share
     // the target's vocabulary must outscore the unrelated ones
