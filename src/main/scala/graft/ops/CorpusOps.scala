@@ -326,9 +326,14 @@ object CorpusOps {
           % buckets.toLong).as("b"))
     val perDocB = inst.groupBy(col("doc_id"), col("is_t"), col("b"))
       .agg(count(lit(1)).as("c")).scopedPersist()
+    // persisted: the buckets-row relation feeds BOTH the totals
+    // aggregate and the crossJoin left side — without it the full
+    // perDocB aggregation pass runs twice (Spark does not dedup the two
+    // uncached census subtrees)
     val census = perDocB.groupBy(col("b"))
       .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
         sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
+      .scopedPersist()
     val totals = census.agg(sum(col("ct")).as("tot_t"), sum(col("cr")).as("tot_r"))
     val wt = census.crossJoin(broadcast(totals)) // 1-row scalar shape
       .select(col("b"), expr(

@@ -49,14 +49,53 @@ object PayloadEncoders {
   def formUrlEncode(pairs: Seq[(String, String)]): String =
     pairs.map { case (k, v) => s"${component(k)}=${component(v)}" }.mkString("&")
 
-  /** JavaScript `String(number)` for the numeric types a form item can
-    * carry: integral doubles drop the decimal point (`String(100)` is
-    * "100", never "100.0"). Exotic magnitudes (|x| ≥ 1e21, where JS
-    * switches to exponent notation) are outside the encoder's contract —
-    * Stripe amounts are integer cents. */
+  /** JavaScript `String(double)` per ECMA-262 Number::toString: the
+    * shortest round-trip digit string, plain decimal for exponents in
+    * (-7, 21], exponent notation (`1e+21`, `5e-7`) outside. Java's
+    * `Double.toString` produces the same shortest digits but flips to
+    * scientific notation at 1e7/1e-3 — this reformats those digits to
+    * the JS thresholds, so `String(12345678.5)` is "12345678.5" (not
+    * "1.23456785E7") and `String(1e19)` is the full 20-digit integer
+    * (no `toLong` saturation). Golden-tested against Node `String()`. */
+  private[graft] def jsDoubleString(d: Double): String = {
+    if (d == 0.0) return "0" // JS String(-0) is "0"
+    if (d.isNaN || d.isInfinite) return d.toString // "NaN"/"Infinity" match JS
+    val neg = d < 0
+    val s = math.abs(d).toString
+    val (mant, e10) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digitsRaw = mant.replace(".", "")
+    val intLen = if (dot == -1) mant.length else dot
+    val lead = digitsRaw.indexWhere(_ != '0')
+    val digits = digitsRaw.substring(lead).reverse.dropWhile(_ == '0').reverse
+    val n = intLen - lead + e10 // value = 0.<digits> × 10^n
+    val k = digits.length
+    val core =
+      if (n >= 1 && n <= 21) {
+        if (k <= n) digits + "0" * (n - k)
+        else digits.substring(0, n) + "." + digits.substring(n)
+      } else if (n >= -5 && n <= 0) {
+        "0." + "0" * (-n) + digits
+      } else {
+        val exp = n - 1
+        val m = if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        m + "e" + (if (exp >= 0) "+" + exp.toString else exp.toString)
+      }
+    if (neg) "-" + core else core
+  }
+
+  /** JS `String(number)` for the numeric types a form item can carry.
+    * Floats go through their shortest float repr first (so 0.1f encodes
+    * "0.1", not the raw widening 0.100000001…); DecimalType values strip
+    * trailing scale zeros (a DecimalType(10,2) 1999 encodes "1999", not
+    * "1999.00" — JSON numbers carry no scale). */
   private def jsNumberString(v: Any): String = v match {
-    case d: Double if d.isWhole && math.abs(d) < 1e21 => d.toLong.toString
-    case f: Float if f.isWhole && math.abs(f) < 1e21f => f.toLong.toString
+    case d: Double => jsDoubleString(d)
+    case f: Float  => jsDoubleString(f.toString.toDouble)
+    case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
     case other => other.toString
   }
 
@@ -66,9 +105,13 @@ object PayloadEncoders {
     * (stripe/src/index.ts:448-456); NESTED levels also stringify any
     * other non-null scalar (`String(propertyValue)`, index.ts:213-215).
     * Null leaves are skipped at every level; empty containers contribute
-    * nothing. Scala carriers for "object": Row (schema order), Map
-    * (iteration order), Seq/Array (by index) — insertion order is the
-    * contract, as `Object.entries` is in JS. */
+    * nothing. Scala carriers for "object": Row (schema order — the
+    * carrier to prefer, always deterministic), Seq/Array (by index), Map
+    * (its iteration order; `Object.entries` insertion order holds for
+    * Scala's specialized ≤4-entry Maps and for `ListMap` — pass a
+    * `ListMap` or a Row when an object has more than 4 keys and key
+    * order must match the reference byte-for-byte, since a general
+    * immutable HashMap does not iterate in insertion order). */
   def stripeFormPairs(item: Seq[(String, Any)]): Seq[(String, String)] = {
     val out = ArrayBuffer.empty[(String, String)]
     def appendNested(name: String, v: Any): Unit = v match {
@@ -78,7 +121,7 @@ object PayloadEncoders {
       case m: Map[_, _]     => m.foreach { case (k, x) => appendNested(s"$name[$k]", x) }
       case r: Row =>
         r.schema.fieldNames.zipWithIndex.foreach { case (f, i) => appendNested(s"$name[$f]", r.get(i)) }
-      case n @ (_: Double | _: Float) => out += name -> jsNumberString(n)
+      case n @ (_: Double | _: Float | _: java.math.BigDecimal) => out += name -> jsNumberString(n)
       case other            => out += name -> other.toString
     }
     item.foreach {

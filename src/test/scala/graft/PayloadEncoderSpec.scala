@@ -59,6 +59,33 @@ class PayloadEncoderSpec extends SparkSpec {
       "neg" -> -12.5)) == "s=&neg=-12.5")
   }
 
+  test("jsDoubleString matches Node String(number) across the ECMA notation thresholds") {
+    // every expected string below is Node's String(v) output, verbatim
+    val vectors = Seq[(Double, String)](
+      1999.0 -> "1999", 75.5 -> "75.5", -12.5 -> "-12.5", 0.0 -> "0", -0.0 -> "0",
+      12345678.5 -> "12345678.5",     // Java would print 1.23456785E7
+      1e7 -> "10000000", 0.1 -> "0.1", 123.456 -> "123.456",
+      1e-4 -> "0.0001",               // Java would print 1.0E-4
+      0.000001234 -> "0.000001234", -0.000001 -> "-0.000001",
+      1e-7 -> "1e-7", 1.5e-7 -> "1.5e-7", 5e-7 -> "5e-7",
+      1e19 -> "10000000000000000000", // toLong would saturate here
+      1.2345678901234567e19 -> "12345678901234567000",
+      9007199254740993.0 -> "9007199254740992",
+      1e21 -> "1e+21", 1.5e22 -> "1.5e+22")
+    for ((v, want) <- vectors)
+      assert(PayloadEncoders.jsDoubleString(v) == want,
+        s"String($v): got ${PayloadEncoders.jsDoubleString(v)}, want $want")
+  }
+
+  test("decimal and float columns encode like JS numbers, not like their Java toString") {
+    // DecimalType scale must not leak ("1999.00" would diverge from the
+    // reference's String(1999) and Stripe's integer-cents contract)
+    assert(PayloadEncoders.stripeFormEncode(Seq(
+      "amount" -> new java.math.BigDecimal("1999.00"),
+      "rate" -> new java.math.BigDecimal("0.0750"),
+      "f" -> 0.1f)) == "amount=1999&rate=0.075&f=0.1")
+  }
+
   test("stripe form encoding over a Spark Row: struct fields in schema order, arrays by index") {
     val tierType = StructType(Seq(
       StructField("up_to", IntegerType), StructField("unit_amount", IntegerType)))
