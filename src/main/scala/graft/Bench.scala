@@ -13,6 +13,30 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
+    // fixed headline subset: reported in the summary line below, and doubles
+    // as the untimed warmup slice — it spans every operator family's hot path
+    val headline = Seq(
+      "q_agg_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+      "q_dedup_ngram", "q_corpus_clean", "q_decontaminate",
+      "q_sim_topk", "q_sim_ivf", "q_sim_ivf_adc", "q_sim_knn",
+      "q_embed_quantize", "q_embed_pq",
+      "q_stream_tumbling", "q_stream_upsert", "q_stream_neardup",
+      "q_graph_pagerank", "q_graph_triangles",
+      "q_text_gopher", "q_text_bm25", "q_topk_per_key", "q_join_star", "q_agg_rollup")
+    // Untimed warmup slice (r7 finding: run_totals [279, 152] — the first
+    // timed pass paid ~1.8x in C2-compile/GC ramp-up, so single-round
+    // run-total comparisons depended on run 2 being clean). One pass over
+    // the headline queries (~30 s) walks every hot code path — parquet scan,
+    // hash agg, sort-merge + broadcast join, window, the dedup/sim/graph
+    // operators — before any timed number is taken. BENCH_WARMUP=0 skips.
+    if (sys.env.getOrElse("BENCH_WARMUP", "1") != "0") {
+      val reg = SparkEntry.queries
+      headline.foreach { n =>
+        reg.get(n).foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      }
+      spark.catalog.clearCache()
+    }
     // cache policy: identical persisted subplans (e.g. the hashed shingle
     // table) are intentionally shared across queries of the same FAMILY
     // via the cache manager (round-1 methodology), but a family's caches
@@ -55,21 +79,21 @@ object Bench {
       runAll()
     }
     val runMaps = runs.map(_.map { case (n, t, ok) => n -> (t, ok) }.toMap)
-    val results = runs.head.map { case (name, _, _) =>
-      // min over SUCCESSFUL attempts only — a transient failure's fast
-      // fail time would otherwise be archived as a phantom improvement
-      // (and the next honest round flagged as its regression). A query
-      // that failed in every run keeps its elapsed but is in `errors`.
-      val times = runMaps.map(_.apply(name))
-      val good = times.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
-    }
     // errors = NO valid measurement exists (failed in every run); a
     // transient one-run failure with a good min is `flaky`, reported
     // separately so bench_last.json consumers can tell the two apart
     val byName = runs.head.map(_._1)
     val errors = byName.filter(n => runMaps.forall(!_(n)._2)).toSet
     val flaky = byName.filter(n => !errors.contains(n) && runMaps.exists(!_(n)._2)).toSet
+    // min over SUCCESSFUL attempts only — a transient failure's fast
+    // fail time would otherwise be archived as a phantom improvement
+    // (and the next honest round flagged as its regression). A query that
+    // failed in every run has NO valid measurement: it appears ONLY in
+    // `errors`, never in the queries map or totals — its time-to-crash is
+    // not a number any consumer should ever sum or diff.
+    val results = runs.head.collect { case (name, _, _) if !errors.contains(name) =>
+      name -> runMaps.map(_.apply(name)).collect { case (t, true) => t }.min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runTotals = runs.map(r => math.round(r.map(_._2).sum * 1000) / 1000.0)
@@ -84,15 +108,6 @@ object Bench {
     // So the FINAL line must itself be a complete parseable JSON object
     // small enough to fit in the window: total + a fixed headline subset
     // of per-query times (full 197-query detail is ~8 KB and cannot fit).
-    val headline = Seq(
-      "q_agg_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
-      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
-      "q_dedup_ngram", "q_corpus_clean", "q_decontaminate",
-      "q_sim_topk", "q_sim_ivf", "q_sim_ivf_adc", "q_sim_knn",
-      "q_embed_quantize", "q_embed_pq",
-      "q_stream_tumbling", "q_stream_upsert", "q_stream_neardup",
-      "q_graph_pagerank", "q_graph_triangles",
-      "q_text_gopher", "q_text_bm25", "q_topk_per_key", "q_join_star", "q_agg_rollup")
     val rmap = results.toMap
     val headQs = headline.flatMap(k => rmap.get(k).map(v => s"\"$k\":${math.round(v * 1000) / 1000.0}"))
       .mkString("{", ",", "}")

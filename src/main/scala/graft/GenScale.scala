@@ -78,10 +78,17 @@ object GenScale {
     write("lineitem", replicate(read("lineitem"),
       Map("l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)))
 
+    // user_id is a FOREIGN key into customer (q_stream_static_join joins
+    // it to c_custkey, q_join_asof to o_custkey) — it must shift by the
+    // REFERENCED key's space (cOff), not its own: replica-k events then
+    // join replica-k customers/orders, preserving the invariant that
+    // joins match exactly within a replica, never across. (Events cover
+    // a prefix of the user space, so within each replica the covered
+    // fraction — and every join's selectivity — is unchanged.)
     val events = read("events")
     write("events", replicate(events, Map(
       "event_id" -> keySpace(events, "event_id"),
-      "user_id" -> keySpace(events, "user_id"))))
+      "user_id" -> cOff)))
 
     val docs = read("documents")
     val dOff = keySpace(docs, "doc_id")

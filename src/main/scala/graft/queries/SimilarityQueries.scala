@@ -104,7 +104,13 @@ object SimilarityQueries {
     // LSH trade the _lsh sibling already makes. The count() is a
     // metadata-scale driver action (cf. bloom's dim.count()).
     "q_dedup_embed" -> ((s: SparkSession, d: String) => {
-      val emb = scan(s, d, "embeddings")
+      // label.isNotNull: concat_ws SKIPS null args, so a NULL label would
+      // otherwise degenerate the block key to the sketch alone and pair
+      // null-label vectors with each other — while the oracle's
+      // a.label = b.label join can never match NULLs. No-op on current
+      // data (labels are total) but keeps engine/oracle NULL semantics
+      // aligned by construction.
+      val emb = scan(s, d, "embeddings").filter(col("label").isNotNull)
       val n = emb.count()
       var p = 0
       while (p < 16 && (500L << p) < n) p += 1

@@ -37,6 +37,17 @@ class GenScaleSpec extends SparkSpec {
       .join(spark.read.parquet(s"$sf001/orders.parquet"),
         col("l_orderkey") === col("o_orderkey")).count()
     assert(l.join(o, l("l_orderkey") === o("o_orderkey")).count() == 2 * small)
+    // events.user_id references customer (the r7 advice finding): it must
+    // shift by cOff so replica-k events join replica-k customers. Orphan
+    // count and events↔customer selectivity must be replica-invariant.
+    val e = spark.read.parquet(s"$out/events.parquet")
+    val (e0, c0) = (spark.read.parquet(s"$sf001/events.parquet"),
+      spark.read.parquet(s"$sf001/customer.parquet"))
+    val orphans0 = e0.join(c0, e0("user_id") === c0("c_custkey"), "left_anti").count()
+    assert(e.join(c, e("user_id") === c("c_custkey"), "left_anti").count() == 2 * orphans0)
+    val hits0 = e0.join(c0, e0("user_id") === c0("c_custkey")).count()
+    assert(e.join(c, e("user_id") === c("c_custkey")).count() == 2 * hits0,
+      "events↔customer join must double exactly, never cross replicas")
   }
 
   test("replica payloads are decorrelated: tagged doc tokens, rotated embeddings") {

@@ -17,6 +17,17 @@ Bench emits the MIN of two independent runs per query, so a flagged
 ratio is by construction reproduced (both runs of the new code exceeded
 it); the two-run rule is built into the numbers, not this script.
 
+Family-aware (round 8): queries cache-share persisted intermediates
+within a bench family (first two '_'-segments of the name — the unit at
+which Bench clears caches). Which member pays the shared build is an
+artifact of alphabetical order, so adding/renaming a family member moves
+seconds between slots without any real regression (r7: the
+q_dedup_source_mirror rename landed the shingle build on q_dedup_ngram,
+1.9x "slower", while the dedup family TOTAL fell 4.1 s). A per-query
+flag whose family total did NOT regress by >= ratio is therefore
+reported as an ATTRIBUTION SHIFT (informational, exit 0); only flags
+whose family total also regressed are REGRESSED (exit 1).
+
 The detail line's errors array gates too: a query that FAILED in the new
 run has no valid measurement — its elapsed is a time-to-crash, so it is
 reported as ERRORED (never as IMPROVED) and fails the gate exactly like
@@ -56,6 +67,17 @@ def load(path):
     raise SystemExit(f"unrecognized bench format: {path}")
 
 
+def family(q):
+    """Cache-sharing unit: first two '_'-segments ('q_dedup_ngram' -> 'q_dedup').
+
+    Must mirror graft.Bench's family() — the boundary at which the bench
+    clears caches, hence the unit within which persisted intermediates are
+    shared and per-slot attribution can shift.
+    """
+    parts = q.split("_")
+    return "_".join(parts[:2]) if len(parts) > 2 else q
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
@@ -65,29 +87,51 @@ def main():
     print(f"comparing {len(common)} common queries "
           f"({len(new) - len(common)} new-only, {len(old) - len(common)} old-only)")
     # a query errored in the new run has no valid measurement: its fast
-    # fail time must not pass (or even flatter) the gate
-    errored = [q for q in common if q in new_errs]
-    flagged, improved = [], []
+    # fail time must not pass (or even flatter) the gate. Since round 8,
+    # Bench omits always-failing queries from the queries map entirely
+    # (they exist only in `errors`), so detection goes through the errors
+    # array, not the common-key intersection.
+    errored = sorted(q for q in new_errs if q in old or q in new)
+    # family totals over queries valid on both sides; computed over the FULL
+    # registry on each side (not just common) so a member added on one side
+    # still lands in its family's total — that asymmetry is exactly the
+    # attribution-shift case this exists to adjudicate.
+    fam_o, fam_n = {}, {}
+    for q, t in old.items():
+        if q not in old_errs:
+            fam_o[family(q)] = fam_o.get(family(q), 0.0) + t
+    for q, t in new.items():
+        if q not in new_errs:
+            fam_n[family(q)] = fam_n.get(family(q), 0.0) + t
+    flagged, shifted, improved = [], [], []
     for q in common:
         if q in new_errs or q in old_errs:
             continue  # no valid (pair of) measurements to compare
         o, n = old[q], new[q]
         if n >= floor and o > 0 and n / o >= ratio:
-            flagged.append((n / o, q, o, n))
+            f = family(q)
+            fo, fn = fam_o.get(f, o), fam_n.get(f, n)
+            fam_regressed = fn >= floor and fo > 0 and fn / fo >= ratio
+            (flagged if fam_regressed else shifted).append((n / o, q, o, n, f, fo, fn))
         elif o >= floor and n > 0 and o / n >= ratio:
             improved.append((o / n, q, o, n))
     for r, q, o, n in sorted(improved, reverse=True):
         print(f"  IMPROVED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
-    for r, q, o, n in sorted(flagged, reverse=True):
-        print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower)")
+    for r, q, o, n, f, fo, fn in sorted(shifted, reverse=True):
+        print(f"  SHIFTED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x) but family "
+              f"{f} total {fo:.1f}s -> {fn:.1f}s — intra-family cache "
+              f"attribution, not a regression")
+    for r, q, o, n, f, fo, fn in sorted(flagged, reverse=True):
+        print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower); "
+              f"family {f} total {fo:.1f}s -> {fn:.1f}s")
     for q in errored:
         print(f"  ERRORED {q}: failed in the new run — no valid measurement")
     ok = set(common) - new_errs - old_errs
     tot_o = sum(old[q] for q in ok)
     tot_n = sum(new[q] for q in ok)
     print(f"common-set total (valid both sides): {tot_o:.1f}s -> {tot_n:.1f}s")
-    print(f"{len(flagged)} regression(s), {len(errored)} errored "
-          f"(ratio>={ratio}, floor={floor}s)")
+    print(f"{len(flagged)} regression(s), {len(shifted)} attribution shift(s), "
+          f"{len(errored)} errored (ratio>={ratio}, floor={floor}s)")
     sys.exit(1 if (flagged or errored) else 0)
 
 
