@@ -430,6 +430,122 @@ object CorpusOps {
     out.toSeq.toDF("step", "sym_left", "sym_right", "freq")
   }
 
+  /** BPE ENCODE — apply a TRAINED merge table to the corpus (the step a
+    * training run actually ships; Sennrich et al. 2016 §3; reference
+    * analogue: the split/replace transform pair, src/utils/transform.ts:
+    * 79-101, is the schema). Merges apply in TRAINING RANK ORDER, each as
+    * the same delimited-string left-to-right replace-all that bpeTrain
+    * used — encode replays training exactly, so encode(train(corpus))
+    * round-trips the training vocabulary by construction.
+    *
+    * Symbol ids are deterministic model metadata: 'a'..'z' -> 1..26,
+    * merge step r -> 26 + r (symbol text = left || right). 0 is reserved
+    * for OOV and never produced for in-alphabet words.
+    *
+    * Scale shape (the q_text_cms lesson): the merge chain — K nested
+    * regexp_replace calls, all codegen'd — runs once per DISTINCT word
+    * (vocabulary-sized, like the trainer), and token instances get their
+    * id arrays by broadcast-joining the encoded vocabulary back to the
+    * (doc, pos, word) stream. The merge table itself is driver state
+    * (K rows) folded into the expression — nothing corpus-sized ships.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], maxWords: Int = Int.MaxValue): DataFrame = {
+    val toks = bpeWordStream(docs, idCol, textCol, maxWords)
+    val vocab = toks.select(col("w")).distinct()
+      .withColumn("ids", bpeEncodeIds(col("w"), merges))
+    toks.join(broadcast(vocab), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("r"), col("ids")))),
+        e => e.getField("ids"))).as("token_ids"))
+  }
+
+  /** The eligible-word stream shared by encode and its oracle: lowercased
+    * whitespace words restricted to the /[a-z]+/ training alphabet, ranked
+    * per doc by original position, first `maxWords` kept. */
+  private def bpeWordStream(docs: DataFrame, idCol: String, textCol: String,
+                            maxWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol),
+        posexplode(words(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("r") <= maxWords)
+      .select(col(idCol), col("r"), col("w"))
+  }
+
+  /** word -> array<int> of BPE token ids under the trained merge chain. */
+  def bpeEncodeIds(word: Column, merges: Seq[(String, String)]): Column = {
+    val Sep = ""
+    val init = regexp_replace(word, "(.)", s"$Sep$$1$Sep")
+    val merged = merges.foldLeft(init) { case (s, (p1, p2)) =>
+      // quoted-literal replace-all: identical left-to-right non-overlapping
+      // greedy scan on both engines (see bpeTrain); p1/p2 are [a-z]+ so the
+      // replacement string needs no escaping
+      regexp_replace(s,
+        java.util.regex.Pattern.quote(s"$Sep$p1$Sep$Sep$p2$Sep"),
+        s"$Sep$p1$p2$Sep")
+    }
+    val syms = split(trim(merged, Sep), java.util.regex.Pattern.quote(Sep + Sep))
+    // text -> id is FIRST-wins: two steps can mint the same symbol text
+    // ((a,bc) then (ab,c) both yield 'abc') and the delimited string can't
+    // tell them apart — the oracle's CASE chain takes the first match, so
+    // the map must too (reverse.toMap keeps the earliest step for a dup key)
+    val mergedIds = merges.zipWithIndex.reverse
+      .map { case ((p1, p2), i) => (p1 + p2, 27 + i) }.toMap
+    val idOf: Column => Column =
+      if (mergedIds.isEmpty) sym => ascii(sym) - lit(96)
+      else sym => coalesce(element_at(typedLit(mergedIds), sym), ascii(sym) - lit(96))
+    transform(syms, idOf)
+  }
+
+  /** Cross-doc exact-substring dedup with REMOVAL semantics (the shape of
+    * Lee et al. 2022's ExactSubstr deduplication, adapted from suffix-array
+    * maximal matches to the repo's 5-gram-run approximation): a token
+    * position is duplicated iff one of the n-grams covering it appears in
+    * >= 2 distinct docs AND this doc is not the gram's canonical witness
+    * (min doc id — exactly one occurrence of every duplicated run
+    * survives). Emits (id, cleaned_text, n_removed_chars, n_removed_toks)
+    * for EVERY input doc; cleaned_text is the surviving tokens joined by
+    * single spaces, and n_removed_chars is measured against the same
+    * whitespace-normalized rendering so both engines count identically.
+    *
+    * Scale shape: one gram census shuffle (map-side-combinable), one
+    * covered-index anti-join, one per-doc reassembly — every stage is
+    * token-instance-bound, no per-token driver work, no all-pairs
+    * anything. Grams are xxhash64'd (the oracle keeps raw strings — the
+    * usual collision safety net).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val toks = base.select(col(idCol), posexplode(col("ws")).as(Seq("idx", "tok")))
+    val grams = base.select(col(idCol),
+        posexplode(wordNgrams(col("ws"), n)).as(Seq("pos", "gs")))
+      .select(col(idCol), col("pos"), xxhash64(col("gs")).as("g"))
+    val census = grams.groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("windoc"))
+      .filter(col("df") >= 2)
+    val rm = grams.join(census, Seq("g"))
+      .filter(col(idCol) =!= col("windoc"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+    val kept = toks.join(rm, Seq(idCol, "idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+        e => e.getField("tok")), " ").as("cleaned_text"))
+    val nRm = rm.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed_toks"))
+    docs.select(col(idCol), array_join(words(col(textCol)), " ").as("norm"))
+      .join(kept, Seq(idCol), "left")
+      .join(nRm, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        (length(col("norm")) - length(coalesce(col("cleaned_text"), lit(""))))
+          .cast("long").as("n_removed_chars"),
+        coalesce(col("n_removed_toks"), lit(0L)).as("n_removed_toks"))
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

@@ -227,15 +227,26 @@ object Dedup {
     * signature (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
     * then verify hamming ≤ maxHamming via bit_count(xor).
     */
-  def simhashPairs(sims0: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** `blockCols`: optional cheap exact pre-partition keys (language,
+    * length band, source) composed INTO the chunk equi-join — the
+    * documented web-scale fix for the fixed-2^15-bucket pigeonhole bound
+    * (SCALE.md): candidates only form within a block, so the N²/2^15
+    * term becomes Σ(N_block²)/2^15. Semantics shrink accordingly (pairs
+    * across blocks are by definition not candidates); the default is the
+    * unblocked operator, unchanged. */
+  def simhashPairs(sims0: DataFrame, maxHamming: Int = 3,
+                   blockCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
     // both self-join branches read the signatures — compute them once
     val sims = sims0.scopedPersist()
     val chunked = sims.withColumn("chunk", explode(array((0 until 4).map(j =>
       struct(lit(j).as("j"), shiftright(col("simhash"), 15 * j).bitwiseAND(32767).as("c"))): _*)))
-    val a = chunked.select(col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk"))
+    val keys = "chunk" +: blockCols
+    val a = chunked.select(keys.map(col) ++
+      Seq(col("doc_id").as("doc_a"), col("simhash").as("sim_a")): _*)
+    val b = chunked.select(keys.map(col) ++
+      Seq(col("doc_id").as("doc_b"), col("simhash").as("sim_b")): _*)
+    a.join(b, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

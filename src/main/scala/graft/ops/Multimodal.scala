@@ -143,6 +143,105 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Parsed audio: format fields + exact per-channel sample sums
+    * (integer — cross-engine hashable, like [[ImageStats]]).
+    */
+  final case class WavStats(media_id: Long, n_channels: Int, sample_rate: Int,
+                            bits_per_sample: Int, n_frames: Long,
+                            ch0_sum: Long, ch1_sum: Long)
+
+  /** REAL decoder for RIFF/WAV 16-bit PCM (the second public format the
+    * container can decode honestly — proves the decode seam generalizes
+    * beyond one codec): walk the RIFF chunk list (ids + little-endian
+    * u32 sizes, unknown chunks SKIPPED with even-byte padding, exactly
+    * per spec), parse `fmt ` (PCM only), fold the `data` samples into
+    * exact per-channel sums. Malformed payloads fail loudly, like
+    * [[decodePpm]].
+    */
+  def decodeWav(rows: Iterator[MediaRow]): Iterator[WavStats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def id4(i: Int): String = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 12 && id4(0) == "RIFF" && id4(8) == "WAVE",
+      s"not a RIFF/WAVE payload: media ${r.media_id}")
+    var i = 12
+    var (nCh, rate, bits, align) = (0, 0, 0, 0)
+    var nFrames = 0L
+    var (s0, s1) = (0L, 0L)
+    var seenFmt = false
+    while (i + 8 <= b.length) {
+      val cid = id4(i); val sz = u32(i + 4).toInt
+      val body = i + 8
+      cid match {
+        case "fmt " =>
+          require(u16(body) == 1, s"not PCM (fmt ${u16(body)}): media ${r.media_id}")
+          nCh = u16(body + 2); rate = u32(body + 4).toInt
+          align = u16(body + 12); bits = u16(body + 14)
+          require(bits == 16, s"only 16-bit PCM supported: media ${r.media_id}")
+          seenFmt = true
+        case "data" =>
+          require(seenFmt, s"data chunk before fmt: media ${r.media_id}")
+          require(body + sz <= b.length, s"truncated data chunk: media ${r.media_id}")
+          nFrames = sz.toLong / align
+          var j = 0
+          while (j < sz / 2) {
+            val v = u16(body + 2 * j).toShort.toLong // LE signed 16-bit
+            if (j % nCh == 0) s0 += v else s1 += v
+            j += 1
+          }
+        case _ => // unknown chunk (LIST, JUNK, ...): skip body + pad
+      }
+      i = body + sz + (sz & 1) // RIFF chunks pad to even length
+    }
+    require(seenFmt, s"no fmt chunk: media ${r.media_id}")
+    WavStats(r.media_id, nCh, rate, bits, nFrames, s0, s1)
+  }
+
+  /** Deterministic WAV fixture per id: channels = 1 + id%2, rate =
+    * 8000 + (id%4)·1000, frames = 4 + id%16, sample j =
+    * ((id·37 + j·13) mod 4001) − 2000 (fits int16) — analytic, so the
+    * oracle recomputes the stats WITHOUT parsing. A junk `LIST` chunk
+    * sits between `fmt ` and `data` to exercise the skip path on every
+    * row.
+    */
+  def syntheticWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val nCh = 1 + (id % 2).toInt
+      val rate = 8000 + (id % 4).toInt * 1000
+      val frames = 4 + (id % 16).toInt
+      val nSamp = frames * nCh
+      val dataSz = nSamp * 2
+      val bb = java.nio.ByteBuffer.allocate(12 + 24 + 14 + 8 + dataSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 14 + 8 + dataSz)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(nCh.toShort).putInt(rate)
+        .putInt(rate * nCh * 2).putShort((nCh * 2).toShort).putShort(16)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(6)
+        .put("junk! ".getBytes("US-ASCII")) // even size: no pad byte
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSz)
+      var j = 0
+      while (j < nSamp) {
+        bb.putShort((((id * 37 + j * 13) % 4001) - 2000).toShort); j += 1
+      }
+      MediaRow(id, "audio/wav", bb.array())
+    }.toDF()
+  }
+
+  /** Audio-stats pipeline over WAV payloads — the same narrow
+    * no-shuffle mapPartitions shape as [[extractImageStats]].
+    */
+  def extractWavStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeWav).toDF()
+  }
+
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and
     * rescales pixels here; the plumbing — binary in, smaller binary out,

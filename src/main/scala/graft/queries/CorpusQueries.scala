@@ -165,6 +165,15 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring dedup with REMOVAL semantics (Lee et al. 2022's
+    // ExactSubstr, on the repo's 5-gram-run approximation): q_text_dupspans
+    // FINDS the duplicated runs; this produces the cleaned corpus — one
+    // canonical occurrence (min doc_id) survives, every other doc cuts
+    // the covered tokens. See CorpusOps.removeDupSpans for the shape.
+    "q_text_dupspans_rm" -> ((s: SparkSession, d: String) =>
+      CorpusOps.removeDupSpans(scan(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // GPT-style CONCAT-AND-CHOP packing manifest: docs are concatenated
     // in deterministic order and chopped into fixed token windows; each
     // doc reports the bin and in-bin offset where it STARTS (docs may
@@ -213,6 +222,24 @@ object CorpusQueries {
     "q_bpe_merge" -> ((s: SparkSession, d: String) =>
       CorpusOps.bpeTrain(scan(s, d, "documents"), "text", rounds = 3)),
 
+    // BPE ENCODE — the ship step of the tokenizer loop: train the 3-merge
+    // model (same deterministic loop as q_bpe_merge; the merge table is
+    // driver-side model metadata by construction), then apply it to every
+    // token instance. The merge chain runs once per DISTINCT word
+    // (vocabulary-sized, codegen'd nested replaces); instances get their
+    // id arrays via a broadcast join back to the (doc, rank, word) stream
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), _.cast("string")), ",").as("ids_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-frequency BOILERPLATE filter signal: 3-grams present in >= 3
     // distinct docs are boilerplate; per doc, the fraction of gram
     // positions covered by them + the keep verdict. The within-corpus
@@ -240,6 +267,35 @@ object CorpusQueries {
   )
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared BPE-training replay for the q_bpe_merge / q_bpe_encode
+    * oracles: v0 = U+0001-delimited word census; each round r censuses
+    * adjacent symbol pairs, picks the argmax (CTE m$r), and replays the
+    * greedy merge (v$r). U+0001 can never collide with /[a-z]+/ words. */
+  private val BpeSep = "\u0001"
+  private val bpeTrainCtes: String = {
+    val SEP = BpeSep
+    val base =
+      s"""v0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+         |    regexp_replace(w, '(.)', '$SEP\\1$SEP', 'g') AS s
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)
+         |  WHERE regexp_full_match(w, '[a-z]+')
+         |  GROUP BY w)""".stripMargin
+    def round(r: Int) =
+      s"""sy$r AS (SELECT c, string_split(trim(s, '$SEP'), '$SEP$SEP') AS a FROM v${r - 1}),
+         |px$r AS (SELECT c, a, unnest(range(1, len(a))) AS i FROM sy$r WHERE len(a) >= 2),
+         |pc$r AS (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
+         |         FROM px$r GROUP BY 1, 2),
+         |m$r AS (SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |v$r AS (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
+         |                          '$SEP' || m.p1 || m.p2 || '$SEP') AS s
+         |        FROM v${r - 1}, m$r m)""".stripMargin
+    s"""$base,
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_corpus_clean" -> {
@@ -383,6 +439,35 @@ object CorpusQueries {
            |FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id""".stripMargin
     },
 
+    // removal twin of q_text_dupspans — same census over RAW gram strings
+    // (engine buckets on xxhash64: collision safety net), min-doc witness,
+    // covered-index cut, char delta against the normalized rendering
+    "q_text_dupspans_rm" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |gl AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+           |         i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS gs_list FROM w),
+           |g AS (SELECT doc_id, CAST(unnest(range(1, len(gs_list) + 1)) - 1 AS BIGINT) AS pos,
+           |        unnest(gs_list) AS g FROM gl),
+           |cen AS (SELECT g, count(DISTINCT doc_id) AS df, MIN(doc_id) AS windoc
+           |        FROM g GROUP BY g),
+           |rmp AS (SELECT DISTINCT gg.doc_id, gg.pos + u.i AS idx
+           |        FROM g gg JOIN cen USING (g), range(0, 5) AS u(i)
+           |        WHERE cen.df >= 2 AND gg.doc_id <> cen.windoc),
+           |rml AS (SELECT doc_id, list(idx) AS rmidx,
+           |          CAST(count(*) AS BIGINT) AS n_removed_toks
+           |        FROM rmp GROUP BY doc_id),
+           |base AS (SELECT doc_id, ws, array_to_string(ws, ' ') AS norm FROM w),
+           |cl AS (SELECT b.doc_id,
+           |        COALESCE(array_to_string(list_filter(b.ws,
+           |          (x, i) -> NOT list_contains(COALESCE(r.rmidx, []), CAST(i - 1 AS BIGINT))),
+           |          ' '), '') AS cleaned_text,
+           |        b.norm, CAST(COALESCE(r.n_removed_toks, 0) AS BIGINT) AS n_removed_toks
+           |       FROM base b LEFT JOIN rml r USING (doc_id))
+           |SELECT doc_id, cleaned_text,
+           |  CAST(length(norm) - length(cleaned_text) AS BIGINT) AS n_removed_chars,
+           |  n_removed_toks
+           |FROM cl ORDER BY doc_id""".stripMargin,
+
     "q_pack_budget" ->
       raw"""WITH t AS (SELECT doc_id, source,
            |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -408,33 +493,42 @@ object CorpusQueries {
     // 3 unrolled merge rounds; U+0001 is the symbol delimiter (words are
     // /[a-z]+/ so it can never collide). replace() is left-to-right
     // non-overlapping on both engines = greedy BPE (CorpusOps.bpeTrain)
-    "q_bpe_merge" -> {
-      val SEP = "\u0001"
-      val base =
-        s"""v0 AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
-           |    regexp_replace(w, '(.)', '$SEP\\1$SEP', 'g') AS s
-           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)
-           |  WHERE regexp_full_match(w, '[a-z]+')
-           |  GROUP BY w)""".stripMargin
-      def round(r: Int) =
-        s"""sy$r AS (SELECT c, string_split(trim(s, '$SEP'), '$SEP$SEP') AS a FROM v${r - 1}),
-           |px$r AS (SELECT c, a, unnest(range(1, len(a))) AS i FROM sy$r WHERE len(a) >= 2),
-           |pc$r AS (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
-           |         FROM px$r GROUP BY 1, 2),
-           |m$r AS (SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
-           |v$r AS (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
-           |                          '$SEP' || m.p1 || m.p2 || '$SEP') AS s
-           |        FROM v${r - 1}, m$r m)""".stripMargin
-      s"""WITH $base,
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "q_bpe_merge" ->
+      s"""WITH $bpeTrainCtes
          |SELECT * FROM (
          |  SELECT 1 AS step, p1 AS sym_left, p2 AS sym_right, cnt AS freq FROM m1
          |  UNION ALL SELECT 2, p1, p2, cnt FROM m2
          |  UNION ALL SELECT 3, p1, p2, cnt FROM m3)
-         |ORDER BY step""".stripMargin
+         |ORDER BY step""".stripMargin,
+
+    // ENCODE replay: retrain the same 3 merges (m1..m3 CTEs), then apply
+    // them per DISTINCT word in rank order (nested replace = the same
+    // left-to-right greedy scan) and map symbol text -> id with a
+    // FIRST-wins CASE chain, exactly as CorpusOps.bpeEncodeIds does
+    "q_bpe_encode" -> {
+      val S = BpeSep
+      s"""WITH $bpeTrainCtes,
+         |wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+         |tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk WHERE regexp_full_match(ws[pos], '[a-z]+')),
+         |vw AS (SELECT DISTINCT w FROM tok),
+         |encw AS (SELECT w,
+         |    string_split(trim(
+         |      replace(replace(replace(regexp_replace(w, '(.)', '$S\\1$S', 'g'),
+         |        '$S' || m1.p1 || '$S$S' || m1.p2 || '$S', '$S' || m1.p1 || m1.p2 || '$S'),
+         |        '$S' || m2.p1 || '$S$S' || m2.p2 || '$S', '$S' || m2.p1 || m2.p2 || '$S'),
+         |        '$S' || m3.p1 || '$S$S' || m3.p2 || '$S', '$S' || m3.p1 || m3.p2 || '$S'),
+         |      '$S'), '$S$S') AS syms,
+         |    m1.p1 || m1.p2 AS t1, m2.p1 || m2.p2 AS t2, m3.p1 || m3.p2 AS t3
+         |  FROM vw, m1, m2, m3),
+         |eid AS (SELECT w, list_transform(syms, y -> CAST(
+         |    CASE WHEN y = t1 THEN 27 WHEN y = t2 THEN 28 WHEN y = t3 THEN 29
+         |         ELSE ascii(y) - 96 END AS VARCHAR)) AS ids FROM encw),
+         |agg AS (SELECT t.doc_id, flatten(list(e.ids ORDER BY t.pos)) AS tids
+         |        FROM tok t JOIN eid e USING (w) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
+         |  array_to_string(tids, ',') AS ids_csv
+         |FROM agg ORDER BY doc_id""".stripMargin
     },
 
     // oracle keeps RAW gram strings while the engine buckets on

@@ -71,6 +71,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio decode end-to-end: deterministic RIFF/WAV 16-bit PCM
+    // fixtures (fmt + junk LIST chunk + data, analytic sample formula)
+    // parsed by the genuine chunk-walking decoder (Multimodal.decodeWav);
+    // the oracle recomputes format fields and exact per-channel sums
+    // from the same formula WITHOUT parsing — a parser bug (endianness,
+    // chunk skip, channel interleave) can't be mirrored
+    "q_multimodal_wav" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractWavStats(
+        Multimodal.syntheticWav(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -136,6 +148,30 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses bytes: channels/rate/frames and exact
+    // per-channel sums come straight from the fixture formula
+    // (c = 1 + id%2, rate = 8000 + (id%4)*1000, nf = 4 + id%16,
+    // sample j = ((id*37 + j*13) mod 4001) - 2000, channel = j mod c)
+    "q_multimodal_wav" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |    CAST(8000 + (doc_id % 4) * 1000 AS INT) AS sample_rate,
+        |    CAST(4 + doc_id % 16 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |j AS (SELECT doc_id, n_channels, sample_rate, n_frames,
+        |        unnest(range(0, n_frames * n_channels)) AS j
+        |      FROM f),
+        |v AS (SELECT doc_id, n_channels, sample_rate, n_frames, j,
+        |        (doc_id * 37 + j * 13) % 4001 - 2000 AS v
+        |      FROM j)
+        |SELECT doc_id AS media_id, n_channels, sample_rate,
+        |  16 AS bits_per_sample, n_frames,
+        |  CAST(SUM(CASE WHEN j % n_channels = 0 THEN v ELSE 0 END) AS BIGINT) AS ch0_sum,
+        |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
+        |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
 
     "q_multimodal_frames" ->

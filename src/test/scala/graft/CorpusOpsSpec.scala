@@ -46,6 +46,91 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
   }
 
+  test("bpeEncode: applies trained merges in rank order, ids flattened per doc") {
+    // "aaa"×3, "ab"×3, "ba"×1 → round 1 (a,a)=6; round 2 ties (aa,a)=3
+    // vs (a,b)=3 and p1-asc tie-break picks (a,b); round 3 (aa,a).
+    // "aaa" segments to [aaa] (id 29 = step 3), "ab" to [ab] (id 28)
+    val docs = Seq((1L, "aaa aaa aaa ab ab"), (2L, "ab ba")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "a")))
+    val out = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[Int])].collect()
+    assert(out(0) == ((1L, Seq(29, 29, 29, 28, 28))))
+    assert(out(1) == ((2L, Seq(28, 2, 1)))) // "ba" has no (b,a) merge → letters
+  }
+
+  test("bpeEncode: encode(train(corpus)) round-trips every vocabulary word") {
+    // every id sequence must decode (via the trained merge table) back to
+    // its word, and every multi-char symbol id must be a trained step
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran"),
+      (2L, "then that other cat ran on and on"),
+      (3L, "a dog and a cat and another dog")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrain(docs, "text", rounds = 5)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val symText: Map[Int, String] =
+      (1 to 26).map(i => i -> ('a' + i - 1).toChar.toString).toMap ++
+        merges.zipWithIndex.map { case ((p1, p2), i) => (27 + i) -> (p1 + p2) }
+    val vocab = docs.select(explode(CorpusOps.words(lower(col("text")))).as("w"))
+      .distinct().select(col("w"), CorpusOps.bpeEncodeIds(col("w"), merges).as("ids"))
+      .as[(String, Seq[Int])].collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { case (w, ids) =>
+      assert(ids.map(symText).mkString == w, s"decode mismatch for '$w'")
+      assert(ids.forall(id => id >= 1 && id < 27 + merges.length))
+    }
+  }
+
+  test("bpeEncodeIds: duplicated merged-symbol text resolves FIRST-wins") {
+    // (b,c) then (a,bc) then (ab,c): steps 2 and 3 both mint text "abc";
+    // the delimited string can't tell them apart, so text->id must take
+    // the EARLIEST step (id 28), matching the oracle's CASE chain
+    val merges = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+    val out = Seq("abc").toDF("w")
+      .select(CorpusOps.bpeEncodeIds(col("w"), merges).as("ids"))
+      .as[Seq[Int]].collect().head
+    assert(out == Seq(28))
+  }
+
+  test("bpeEncode: maxWords keeps the first N eligible words only") {
+    val docs = Seq((1L, "aa bb X7 cc dd")).toDF("doc_id", "text") // X7 ineligible
+    val out = CorpusOps.bpeEncode(docs, "doc_id", "text", Nil, maxWords = 2)
+      .as[(Long, Seq[Int])].collect().head
+    assert(out == ((1L, Seq(1, 1, 2, 2)))) // aa bb; cc/dd beyond the cap
+  }
+
+  test("removeDupSpans: min-doc witness keeps one occurrence, others cut covered tokens") {
+    val docs = Seq(
+      (1L, "one two three four five six alpha beta"),
+      (2L, "zzz one two three four five six qqq rrr sss ttt"),
+      (3L, "totally different words in this third doc"),
+      // within-doc repetition only: df counts DISTINCT docs, so untouched
+      (4L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    val out = CorpusOps.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // doc 1 is the canonical witness for the shared run: unchanged
+    assert(out(0) == ((1L, "one two three four five six alpha beta", 0L, 0L)))
+    // doc 2's grams at pos 1,2 are duplicated -> tokens 1..6 cut
+    assert(out(1) == ((2L, "zzz qqq rrr sss ttt",
+      "zzz one two three four five six qqq rrr sss ttt".length - "zzz qqq rrr sss ttt".length, 6L)))
+    assert(out(2)._2 == "totally different words in this third doc" && out(2)._3 == 0L)
+    assert(out(3)._2 == "p q r s t p q r s t" && out(3)._4 == 0L)
+  }
+
+  test("removeDupSpans: fully-duplicated doc empties; every input doc is emitted") {
+    val docs = Seq(
+      (10L, "a b c d e"), // exactly one 5-gram, canonical
+      (20L, "a b c d e"), // same run -> everything cut
+      (30L, "xx yy")).toDF("doc_id", "text") // < n tokens: no grams, kept
+    val out = CorpusOps.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.length == 3)
+    assert(out(0) == ((10L, "a b c d e", 0L, 0L)))
+    assert(out(1) == ((20L, "", 9L, 5L)))
+    assert(out(2) == ((30L, "xx yy", 0L, 0L)))
+  }
+
   test("dsirSelect: budget prefix is exact and invariant under input partitioning") {
     // target docs establish the "wanted" distribution; raw docs that share
     // the target's vocabulary must outscore the unrelated ones

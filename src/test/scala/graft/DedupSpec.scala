@@ -45,4 +45,21 @@ class DedupSpec extends SparkSpec {
       .join(spark.emptyDataset[Long].toDF("doc_id"), Seq("doc_id"), "left_anti")
     assert(asSet(noop) == asSet(bands(base.repartition(7))))
   }
+
+  test("simhashPairs blockCols: candidates confined to a block, default unchanged") {
+    // identical signatures (hamming 0) in DIFFERENT languages vs a true
+    // same-language near-pair — the block key must cut the former only
+    val sims = Seq(
+      (1L, 0x0F0F0F0FL, "en"), (2L, 0x0F0F0F0FL, "de"), // cross-block twin
+      (3L, 0x70F0F0F0L, "en"), (4L, 0x70F0F0F1L, "en")  // in-block, hamming 1
+    ).toDF("doc_id", "simhash", "lang")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val unblocked = pairSet(Dedup.simhashPairs(sims))
+    assert(unblocked == Set((1L, 2L), (3L, 4L)))
+    val blocked = pairSet(Dedup.simhashPairs(sims, blockCols = Seq("lang")))
+    assert(blocked == Set((3L, 4L))) // the cross-language twin never forms
+    // candidate volume drops, recall within a block is untouched
+    assert(blocked.size < unblocked.size)
+  }
 }
