@@ -43,10 +43,26 @@ object StreamOps {
           s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList
         } finally s.close()
       } else Seq(src)
+    // a REGENERATED source (same dir path, new part-file names) leaves
+    // stale links behind: dangling ones pass a follow-links exists()
+    // check but fail creation, and live-but-wrong ones would feed the
+    // stream old data — sweep dangling links, then link with a
+    // no-follow check and retarget on mismatch
+    locally {
+      val ls = Files.list(streamDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toList.foreach { l =>
+          if (Files.isSymbolicLink(l) && !Files.exists(l)) Files.delete(l)
+        }
+      } finally ls.close()
+    }
     parts.foreach { p =>
       val link = streamDir.resolve(
         if (parts.size == 1) "events.parquet" else p.getFileName.toString)
-      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+      if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != p) Files.delete(link)
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, p)
     }
     val staticSchema = spark.read.parquet(src.toString).schema
     spark.readStream

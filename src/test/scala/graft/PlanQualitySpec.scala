@@ -190,6 +190,26 @@ class PlanQualitySpec extends SparkSpec {
       s"native bloom probe missing from q_join_bloom plan:\n${plan.take(2000)}")
   }
 
+  test("BPE encode: vocabulary-sized broadcast back-join, no sort-merge on the token stream") {
+    val df = graft.ops.CorpusOps.bpeEncode(
+      scan(spark, sf001, "documents"), "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")))
+    val plan = df.queryExecution.executedPlan.toString()
+    // the id arrays reach token INSTANCES via a broadcast of the encoded
+    // DISTINCT-word vocabulary — the corpus-sized side must never
+    // exchange on the word string
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("exact-substring removal: census + anti-join, no nested-loop or cartesian anywhere") {
+    val df = graft.ops.CorpusOps.removeDupSpans(
+      scan(spark, sf001, "documents"), "doc_id", "text", n = 5)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("latest-wins upsert partial-aggregates before the shuffle") {
     val base = scan(spark, sf001, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val delta = scan(spark, sf001, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))

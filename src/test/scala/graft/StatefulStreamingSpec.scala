@@ -11,6 +11,29 @@ import graft.streaming.StreamOps
 class StatefulStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("eventsStream staging survives a REGENERATED source (dangling links swept, retargeted)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_regen_test")
+    val tbl = root.resolve("events.parquet")
+    // generation 1: single-file layout
+    Files.copy(Paths.get(s"$sf001/events.parquet"), tbl)
+    StreamOps.eventsStream(spark, root.toString) // stages the symlink
+    // regenerate: same table path, DIRECTORY layout with a new part name
+    Files.delete(tbl)
+    Files.createDirectories(tbl)
+    Files.copy(Paths.get(s"$sf001/events.parquet"),
+      tbl.resolve("part-00000-regen-c000.snappy.parquet"))
+    // the old link now dangles — restaging must neither throw nor leave it
+    StreamOps.eventsStream(spark, root.toString)
+    val staged = Paths.get(s"/tmp/graft_stream_${Integer.toHexString(root.toString.hashCode)}")
+    val ls = Files.list(staged)
+    val links = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toList
+    } finally ls.close()
+    assert(links.nonEmpty && links.forall(Files.exists(_)), s"dangling links remain: $links")
+  }
+
   test("mapGroupsWithState running per-user counts equal the batch groupBy") {
     val events = StreamOps.eventsStream(spark, sf001)
       .select(col("user_id").as[Long], col("value").as[Double])
