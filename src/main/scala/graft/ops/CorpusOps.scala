@@ -501,6 +501,22 @@ object CorpusOps {
     transform(syms, idOf)
   }
 
+  /** BPE DECODE — the inverse of [[bpeEncodeIds]]: token ids back to
+    * text. Ids are pure model metadata ('a'..'z' = 1..26, merge step r =
+    * 26+r with symbol text left||right), so decoding is one broadcast
+    * id→text map folded into a codegen'd transform + concat — no joins,
+    * no shuffle beyond whatever the caller already has. Unknown ids
+    * decode to the empty string (OOV id 0 included) rather than
+    * corrupting neighbors.
+    */
+  def bpeDecodeText(ids: Column, merges: Seq[(String, String)]): Column = {
+    val symText: Map[Int, String] =
+      (1 to 26).map(i => i -> ('a' + i - 1).toChar.toString).toMap ++
+        merges.zipWithIndex.map { case ((p1, p2), i) => (27 + i) -> (p1 + p2) }
+    concat_ws("", transform(ids,
+      id => coalesce(element_at(typedLit(symText), id), lit(""))))
+  }
+
   /** Cross-doc exact-substring dedup with REMOVAL semantics (the shape of
     * Lee et al. 2022's ExactSubstr deduplication, adapted from suffix-array
     * maximal matches to the repo's 5-gram-run approximation): a token

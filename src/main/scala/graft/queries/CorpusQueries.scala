@@ -165,6 +165,24 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ENCODE -> DECODE round-trip through the full BPE machinery. The
+    // oracle is deliberately INDEPENDENT of BPE: it just concatenates
+    // each doc's eligible words — so a bug anywhere in train, encode,
+    // the merge table, or decode hash-mismatches instead of mirroring
+    "q_bpe_roundtrip" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(CorpusOps.bpeDecodeText(col("token_ids"), merges), lit(""))
+            .as("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-substring dedup with REMOVAL semantics (Lee et al. 2022's
     // ExactSubstr, on the repo's 5-gram-run approximation): q_text_dupspans
     // FINDS the duplicated runs; this produces the cleaned corpus — one
@@ -438,6 +456,14 @@ object CorpusQueries {
            |  CAST(a.dup_grams AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS dup_frac
            |FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id""".stripMargin
     },
+
+    // BPE-free replay: the round-trip oracle never touches merges —
+    // eligible words concatenated IS what decode(encode(doc)) must equal
+    "q_bpe_roundtrip" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+           |e AS (SELECT doc_id, list_filter(ws, x -> regexp_full_match(x, '[a-z]+')) AS ew FROM w)
+           |SELECT doc_id, COALESCE(array_to_string(ew, ''), '') AS decoded
+           |FROM e ORDER BY doc_id""".stripMargin,
 
     // removal twin of q_text_dupspans — same census over RAW gram strings
     // (engine buckets on xxhash64: collision safety net), min-doc witness,

@@ -82,6 +82,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeDecodeText inverts bpeEncodeIds; unknown ids decode to empty, not garbage") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val out = Seq("the", "tht").toDF("w")
+      .select(CorpusOps.bpeDecodeText(
+        CorpusOps.bpeEncodeIds(col("w"), merges), merges).as("d"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("the", "tht"))
+    val oov = Seq(Seq(28, 0, 99, 1)).toDF("ids")
+      .select(CorpusOps.bpeDecodeText(col("ids"), merges).as("d"))
+      .as[String].collect().head
+    assert(oov == "thea") // 28="the", 0/99 skipped, 1="a"
+  }
+
   test("bpeEncodeIds: duplicated merged-symbol text resolves FIRST-wins") {
     // (b,c) then (a,bc) then (ab,c): steps 2 and 3 both mint text "abc";
     // the delimited string can't tell them apart, so text->id must take
