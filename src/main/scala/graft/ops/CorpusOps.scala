@@ -562,6 +562,78 @@ object CorpusOps {
         coalesce(col("n_removed_toks"), lit(0L)).as("n_removed_toks"))
   }
 
+  /** T5-style span corruption manifest (Raffel et al. 2020 §3.1.4's
+    * denoising objective, as a DATA-PIPELINE op): deterministically
+    * sample ~15% of each doc's tokens in spans (start every ~`startMod`
+    * tokens, span length `minSpan`..`minSpan+spanMods-1`, overlaps
+    * merged), replace each span with an ordinal `<extra_id_k>` sentinel
+    * in the corrupted input, and emit the masked spans (sentinel +
+    * tokens) as the target — the (inputs, targets) pair a denoising
+    * pretrain run consumes.
+    *
+    * Sampling is a PURE INTEGER formula of (doc id, position) — not an
+    * engine hash — so the oracle replays it bit-for-bit and the
+    * manifest is reproducible across engines and runs. Every stage is
+    * token-instance-bound: one anti-join for survivors, gaps-and-islands
+    * for span assembly, per-doc ordered reassembly (the q_vocab_encode
+    * shape); nothing is corpus-quadratic.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  startMod: Int = 20, minSpan: Int = 2, spanMods: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val toks = base.select(col(idCol), size(col("ws")).as("n"),
+      posexplode(col("ws")).as(Seq("idx", "tok")))
+    // span starts + lengths: small-integer arithmetic only (no overflow
+    // under ANSI; identical in DuckDB)
+    val starts = toks
+      .filter(((col(idCol) % 100003L) * 31 + col("idx") * 17 + 7) % startMod === 0)
+      .select(col(idCol), col("idx"),
+        (lit(minSpan) + (col(idCol) + col("idx")) % spanMods).as("len"), col("n"))
+    val masked = starts.select(col(idCol),
+        explode(sequence(col("idx"),
+          least(col("idx") + col("len") - 1, col("n") - 1))).as("idx"))
+      .distinct().scopedPersist() // feeds islands AND the survivor anti-join
+    val isl = masked.withColumn("grp",
+      col("idx") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("idx"))))
+    val spans = isl.groupBy(col(idCol), col("grp"))
+      .agg(min(col("idx")).as("s"), max(col("idx")).as("e"))
+      .withColumn("k",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("s"))) - 1)
+      .scopedPersist() // sentinel rows + target assembly both read it
+    val sentinel = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+    // corrupted input: surviving tokens keyed by their index, sentinels
+    // keyed by their span start (the start token is masked, so keys
+    // never collide), one ordered reassembly per doc
+    val pieces = toks.join(masked, Seq(idCol, "idx"), "left_anti")
+      .select(col(idCol), col("idx").as("key"), col("tok").as("piece"))
+      .unionByName(spans.select(col(idCol), col("s").as("key"), sentinel.as("piece")))
+    val corrupted = pieces.groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("key"), col("piece")))),
+        e => e.getField("piece")), " ").as("corrupted"))
+    // target: per span, sentinel + its masked tokens; per doc, spans in order
+    val spanToks = isl.join(toks.select(col(idCol), col("idx"), col("tok")), Seq(idCol, "idx"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+        e => e.getField("tok")), " ").as("body"))
+    val target = spans.join(spanToks, Seq(idCol, "grp"))
+      .select(col(idCol), col("k"), col("s"), concat(sentinel, lit(" "), col("body")).as("piece"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        array_join(transform(array_sort(collect_list(struct(col("k"), col("piece")))),
+          e => e.getField("piece")), " ").as("target"))
+    val nMasked = masked.groupBy(col(idCol)).agg(count(lit(1)).as("n_masked"))
+    docs.select(col(idCol), array_join(words(col(textCol)), " ").as("norm"))
+      .join(corrupted, Seq(idCol), "left")
+      .join(target, Seq(idCol), "left")
+      .join(nMasked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("corrupted"), col("norm")).as("corrupted"),
+        coalesce(col("target"), lit("")).as("target"))
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

@@ -192,6 +192,15 @@ object CorpusQueries {
       CorpusOps.removeDupSpans(scan(s, d, "documents"), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // T5-style span-corruption manifest (denoising pretrain inputs):
+    // ~15% of tokens masked in merged spans, <extra_id_k> sentinels in
+    // the corrupted input, masked spans as the target. Sampling is a
+    // pure integer formula of (doc_id, position) so the oracle replays
+    // it bit-for-bit — see CorpusOps.spanCorrupt
+    "q_mask_spans" -> ((s: SparkSession, d: String) =>
+      CorpusOps.spanCorrupt(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // GPT-style CONCAT-AND-CHOP packing manifest: docs are concatenated
     // in deterministic order and chopped into fixed token windows; each
     // doc reports the bin and in-bin offset where it STARTS (docs may
@@ -493,6 +502,53 @@ object CorpusQueries {
            |  CAST(length(norm) - length(cleaned_text) AS BIGINT) AS n_removed_chars,
            |  n_removed_toks
            |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // formula replay: span starts/lengths recomputed from the same
+    // small-integer arithmetic, islands merged, sentinels by ordinal
+    "q_mask_spans" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           |        unnest(range(1, len(ws) + 1)) - 1 AS idx, ws FROM w),
+           |tok AS (SELECT doc_id, n, idx, ws[CAST(idx + 1 AS INT)] AS tok FROM t),
+           |st AS (SELECT doc_id, idx, 2 + (doc_id + idx) % 3 AS len, n FROM tok
+           |       WHERE ((doc_id % 100003) * 31 + idx * 17 + 7) % 20 = 0),
+           |mk AS (SELECT DISTINCT doc_id, idx + u.i AS midx
+           |       FROM st, range(0, 4) AS u(i)
+           |       WHERE u.i < st.len AND idx + u.i <= n - 1),
+           |isl AS (SELECT doc_id, midx,
+           |          midx - row_number() OVER (PARTITION BY doc_id ORDER BY midx) AS grp
+           |        FROM mk),
+           |sp AS (SELECT doc_id, grp, MIN(midx) AS s, MAX(midx) AS e
+           |       FROM isl GROUP BY doc_id, grp),
+           |spk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS k
+           |        FROM sp),
+           |pieces AS (
+           |  SELECT tok.doc_id, idx AS key, tok AS piece FROM tok
+           |  WHERE NOT EXISTS (SELECT 1 FROM mk
+           |                    WHERE mk.doc_id = tok.doc_id AND mk.midx = tok.idx)
+           |  UNION ALL
+           |  SELECT doc_id, s AS key, '<extra_id_' || k || '>' FROM spk),
+           |corr AS (SELECT doc_id, array_to_string(list(piece ORDER BY key), ' ') AS corrupted
+           |         FROM pieces GROUP BY doc_id),
+           |sptk AS (SELECT i.doc_id, i.grp,
+           |           array_to_string(list(tok.tok ORDER BY i.midx), ' ') AS body
+           |         FROM isl i JOIN tok ON tok.doc_id = i.doc_id AND tok.idx = i.midx
+           |         GROUP BY i.doc_id, i.grp),
+           |tgt AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |          array_to_string(list('<extra_id_' || s.k || '> ' || b.body ORDER BY s.k), ' ') AS target
+           |        FROM spk s JOIN sptk b ON b.doc_id = s.doc_id AND b.grp = s.grp
+           |        GROUP BY s.doc_id),
+           |nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked FROM mk GROUP BY doc_id),
+           |base AS (SELECT doc_id, array_to_string(ws, ' ') AS norm FROM w)
+           |SELECT b.doc_id,
+           |  COALESCE(nm.n_masked, 0) AS n_masked,
+           |  COALESCE(tgt.n_spans, 0) AS n_spans,
+           |  COALESCE(corr.corrupted, b.norm) AS corrupted,
+           |  COALESCE(tgt.target, '') AS target
+           |FROM base b LEFT JOIN corr USING (doc_id)
+           |LEFT JOIN tgt ON tgt.doc_id = b.doc_id
+           |LEFT JOIN nm ON nm.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin,
 
     "q_pack_budget" ->
       raw"""WITH t AS (SELECT doc_id, source,

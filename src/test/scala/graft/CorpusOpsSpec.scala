@@ -144,6 +144,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) == ((30L, "xx yy", 0L, 0L)))
   }
 
+  test("spanCorrupt: formula-predicted spans, ordinal sentinels, targets carry the masked tokens") {
+    // doc_id 0: starts where (idx*17 + 7) % 20 == 0 -> idx 9 hits
+    // (9*17+7 = 160); len = 2 + (0+9)%3 = 2 -> mask idx 9,10
+    val toks = (0 until 14).map(i => s"w$i")
+    val docs = Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusOps.spanCorrupt(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String, String)].collect().head
+    assert(out._2 == 2L && out._3 == 1L)
+    val expectedCorrupted =
+      (toks.take(9) ++ Seq("<extra_id_0>") ++ toks.drop(11)).mkString(" ")
+    assert(out._4 == expectedCorrupted)
+    assert(out._5 == "<extra_id_0> w9 w10")
+  }
+
+  test("spanCorrupt invariants: reconstruction, masking bounds, unmasked docs unchanged") {
+    val docs = Seq(
+      (1L, (0 until 60).map(i => s"t$i").mkString(" ")),
+      (2L, "only three words"), // short doc may mask nothing
+      (3L, "")).toDF("doc_id", "text")
+    val out = CorpusOps.spanCorrupt(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String, String)].collect()
+    assert(out.length == 3) // every doc emitted
+    val norms = Map(1L -> (0 until 60).map(i => s"t$i").mkString(" "),
+      2L -> "only three words", 3L -> "")
+    out.foreach { case (id, nMasked, nSpans, corrupted, target) =>
+      // sentinel sequences agree between input and target, and splicing
+      // each target body back over its sentinel reconstructs the doc
+      // exactly (doc tokens here never collide with the sentinel shape)
+      val sent = "<extra_id_\\d+>".r
+      val sentinels = sent.findAllIn(corrupted).toSeq
+      assert(sentinels == sent.findAllIn(target).toSeq)
+      assert(sentinels.length == nSpans)
+      if (nMasked == 0) assert(target.isEmpty && nSpans == 0)
+      // keep EMPTY bodies (an empty-text doc's lone "" token can be
+      // masked, giving a sentinel with an empty span body)
+      val bodies = target.split("<extra_id_\\d+>", -1).toSeq.drop(1).map(_.trim)
+      assert(bodies.length == nSpans, s"doc $id bodies=$bodies")
+      var spliced = corrupted
+      sentinels.zip(bodies).foreach { case (sk, body) => spliced = spliced.replace(sk, body) }
+      assert(spliced == norms(id), s"doc $id: '$spliced' != '${norms(id)}'")
+    }
+    // the long doc must actually be masked at roughly the target rate
+    val (_, nMasked1, _, _, _) = out(0)
+    assert(nMasked1 >= 3 && nMasked1 <= 60 * 4 / 10, s"rate off: $nMasked1/60")
+  }
+
   test("dsirSelect: budget prefix is exact and invariant under input partitioning") {
     // target docs establish the "wanted" distribution; raw docs that share
     // the target's vocabulary must outscore the unrelated ones
