@@ -64,6 +64,17 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // SimHash pairs with a cheap exact PRE-PARTITION key composed into
+    // the chunk join (blockCols — the web-scale Σ(N_block²)/2^15 shape,
+    // SCALE.md): same operator, candidates confined to a language
+    "q_dedup_simhash_blocked" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val sims = Dedup.simhash(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Dedup.simhashPairs(sims, blockCols = Seq("lang"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // exact n-gram Jaccard similarity join (inverted index + DF cap)
     "q_dedup_ngram" -> ((s: SparkSession, d: String) => {
       Dedup.ngramJaccard(scan(s, d, "documents"), "doc_id", "text",
@@ -509,6 +520,24 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sim_a, b.simhash AS sim_b
          |  FROM chunked a JOIN chunked b ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same census, candidates additionally confined to a.lang = b.lang —
+    // mirrors simhashPairs(blockCols = Seq("lang")) exactly
+    "q_dedup_simhash_blocked" ->
+      s"""$simhashSql,
+         |simsl AS (SELECT s.doc_id, s.simhash, d.lang
+         |          FROM sims s JOIN documents d USING (doc_id)),
+         |chunked AS (
+         |  SELECT doc_id, simhash, lang, t.j, (simhash >> (15*t.j)) & 32767 AS c
+         |  FROM simsl CROSS JOIN (SELECT unnest(range(0,4)) AS j) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM chunked a JOIN chunked b
+         |    ON a.j = b.j AND a.c = b.c AND a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
