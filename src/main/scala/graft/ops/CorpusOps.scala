@@ -535,11 +535,15 @@ object CorpusOps {
     * usual collision safety net).
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2, s"removeDupSpans: n-gram width must be >= 2, got $n")
     val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
     val toks = base.select(col(idCol), posexplode(col("ws")).as(Seq("idx", "tok")))
+    // read twice (census + covered-index join) — persist, or the
+    // explode+hash subplan runs once per consumer
     val grams = base.select(col(idCol),
         posexplode(wordNgrams(col("ws"), n)).as(Seq("pos", "gs")))
       .select(col(idCol), col("pos"), xxhash64(col("gs")).as("g"))
+      .scopedPersist()
     val census = grams.groupBy(col("g"))
       .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("windoc"))
       .filter(col("df") >= 2)
@@ -580,6 +584,10 @@ object CorpusOps {
     */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
                   startMod: Int = 20, minSpan: Int = 2, spanMods: Int = 3): DataFrame = {
+    require(startMod >= 1 && minSpan >= 1 && spanMods >= 1,
+      s"spanCorrupt: startMod/minSpan/spanMods must be >= 1, got $startMod/$minSpan/$spanMods")
+    // NOTE for oracle authors: the q_mask_spans SQL replay enumerates
+    // span offsets with range(0, 4) — widen it if minSpan+spanMods-1 > 4
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
     val toks = base.select(col(idCol), size(col("ws")).as("n"),

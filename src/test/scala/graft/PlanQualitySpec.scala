@@ -210,6 +210,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("span corruption: equi-joins only — no nested-loop or cartesian anywhere") {
+    val df = graft.ops.CorpusOps.spanCorrupt(
+      scan(spark, sf001, "documents"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("latest-wins upsert partial-aggregates before the shuffle") {
     val base = scan(spark, sf001, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val delta = scan(spark, sf001, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
