@@ -32,7 +32,15 @@ object Bench {
     // operators — before any timed number is taken. BENCH_WARMUP=0 skips.
     if (sys.env.getOrElse("BENCH_WARMUP", "1") != "0") {
       val reg = SparkEntry.queries
+      // same family-boundary cache discipline as the timed runs below:
+      // without it the warmup accumulates EVERY family's persisted
+      // intermediates at once — the exact storage-footprint condition
+      // the family-clear policy exists to prevent
+      var lastWarmFamily = ""
       headline.foreach { n =>
+        val fam = n.split("_").take(2).mkString("_")
+        if (lastWarmFamily.nonEmpty && fam != lastWarmFamily) spark.catalog.clearCache()
+        lastWarmFamily = fam
         reg.get(n).foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
       spark.catalog.clearCache()

@@ -590,8 +590,12 @@ object CorpusOps {
     // span offsets with range(0, 4) — widen it if minSpan+spanMods-1 > 4
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    // the corpus-wide token explosion feeds THREE consumers (starts,
+    // the survivor anti-join, span-body assembly) — persist it, or the
+    // split+explode subplan runs once per consumer
     val toks = base.select(col(idCol), size(col("ws")).as("n"),
       posexplode(col("ws")).as(Seq("idx", "tok")))
+      .scopedPersist()
     // span starts + lengths: small-integer arithmetic only (no overflow
     // under ANSI; identical in DuckDB)
     val starts = toks

@@ -172,18 +172,24 @@ object Multimodal {
     var (s0, s1) = (0L, 0L)
     var seenFmt = false
     while (i + 8 <= b.length) {
-      val cid = id4(i); val sz = u32(i + 4).toInt
+      val cid = id4(i); val szL = u32(i + 4)
       val body = i + 8
+      // a size field >= 2^31 would wrap negative under .toInt and stall
+      // the cursor — malformed payloads must FAIL, not spin
+      require(szL <= b.length - body,
+        s"chunk '$cid' size $szL overruns payload: media ${r.media_id}")
+      val sz = szL.toInt
       cid match {
         case "fmt " =>
           require(u16(body) == 1, s"not PCM (fmt ${u16(body)}): media ${r.media_id}")
           nCh = u16(body + 2); rate = u32(body + 4).toInt
           align = u16(body + 12); bits = u16(body + 14)
           require(bits == 16, s"only 16-bit PCM supported: media ${r.media_id}")
+          require(nCh == 1 || nCh == 2,
+            s"per-channel sums are defined for mono/stereo only, got $nCh channels: media ${r.media_id}")
           seenFmt = true
         case "data" =>
           require(seenFmt, s"data chunk before fmt: media ${r.media_id}")
-          require(body + sz <= b.length, s"truncated data chunk: media ${r.media_id}")
           nFrames = sz.toLong / align
           var j = 0
           while (j < sz / 2) {

@@ -314,7 +314,10 @@ object CorpusQueries {
          |px$r AS (SELECT c, a, unnest(range(1, len(a))) AS i FROM sy$r WHERE len(a) >= 2),
          |pc$r AS (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
          |         FROM px$r GROUP BY 1, 2),
-         |m$r AS (SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |m$r AS ((SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1)
+         |        UNION ALL
+         |        (SELECT '', '', CAST(0 AS BIGINT)
+         |         WHERE (SELECT count(*) FROM pc$r) = 0)),
          |v$r AS (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
          |                          '$SEP' || m.p1 || m.p2 || '$SEP') AS s
          |        FROM v${r - 1}, m$r m)""".stripMargin
@@ -581,6 +584,7 @@ object CorpusQueries {
          |  SELECT 1 AS step, p1 AS sym_left, p2 AS sym_right, cnt AS freq FROM m1
          |  UNION ALL SELECT 2, p1, p2, cnt FROM m2
          |  UNION ALL SELECT 3, p1, p2, cnt FROM m3)
+         |WHERE sym_left <> ''
          |ORDER BY step""".stripMargin,
 
     // ENCODE replay: retrain the same 3 merges (m1..m3 CTEs), then apply

@@ -57,7 +57,16 @@ object MongoFindInterpreter {
       if (v.isNull) col(field).isNotNull
       else col(field).isNull || col(field) =!= litOf(v)
     case "$in"  => inList(field, v)
-    case "$nin" => !inList(field, v) || col(field).isNull
+    case "$nin" =>
+      // Mongo: a null/missing field matches $nin UNLESS null is itself
+      // in the list (null "equals" null in find matching)
+      val elems = v.elements.asScala.toSeq
+      val (nulls, vals) = elems.partition(_.isNull)
+      val inVals =
+        if (vals.isEmpty) lit(false)
+        else vals.map(x => col(field) === litOf(x)).reduce(_ || _)
+      val nonNullMiss = col(field).isNotNull && !inVals
+      if (nulls.nonEmpty) nonNullMiss else nonNullMiss || col(field).isNull
     case "$regex" => col(field).rlike(v.asText)
     case other => throw new IllegalArgumentException(
       s"unsupported find operator '$other' on field '$field'")

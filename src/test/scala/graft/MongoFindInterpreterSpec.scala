@@ -42,6 +42,15 @@ class MongoFindInterpreterSpec extends SparkSpec {
       == Seq(1L, 3L))
   }
 
+  test("$nin with null IN the list excludes null fields (null equals null in find matching)") {
+    // {qty: {$nin: [null, 10]}}: doc 4 (qty null) must NOT match — null
+    // is in the list — while plain $nin without null still matches it
+    assert(run(Connector("t", filters =
+      Seq(Filter("qty", "not_in", Seq(null, 10L))))).sorted == Seq(2L, 3L, 5L))
+    assert(run(Connector("t", filters =
+      Seq(Filter("qty", "in", Seq(null, 10L))))).sorted == Seq(1L, 4L))
+  }
+
   test("between, regex quoting, and null checks execute") {
     assert(run(Connector("t", filters = Seq(Filter("qty", "between", Seq(15L, 25L))))).sorted
       == Seq(2L, 5L))

@@ -90,8 +90,11 @@ def main():
     # fail time must not pass (or even flatter) the gate. Since round 8,
     # Bench omits always-failing queries from the queries map entirely
     # (they exist only in `errors`), so detection goes through the errors
-    # array, not the common-key intersection.
-    errored = sorted(q for q in new_errs if q in old or q in new)
+    # array, not the common-key intersection — and EVERY new-run error
+    # gates, including a query that errors on both sides (absent from
+    # both maps) or a brand-new failing query: a broken query must fail
+    # the gate every round until fixed, not only the round it broke.
+    errored = sorted(new_errs)
     # family totals over queries valid on both sides; computed over the FULL
     # registry on each side (not just common) so a member added on one side
     # still lands in its family's total — that asymmetry is exactly the
@@ -111,8 +114,15 @@ def main():
         if n >= floor and o > 0 and n / o >= ratio:
             f = family(q)
             fo, fn = fam_o.get(f, o), fam_n.get(f, n)
-            fam_regressed = fn >= floor and fo > 0 and fn / fo >= ratio
-            (flagged if fam_regressed else shifted).append((n / o, q, o, n, f, fo, fn))
+            # an attribution SHIFT means the query's extra time MOVED
+            # within its cache-sharing family (family total roughly
+            # conserved): at least half the query's increase must be
+            # offset elsewhere in the family. If the family total grew
+            # by most of the query's delta, nothing offset it — the
+            # slowdown is real and gates, even when the family is too
+            # large for its own ratio to trip.
+            is_shift = (fn - fo) < 0.5 * (n - o)
+            (shifted if is_shift else flagged).append((n / o, q, o, n, f, fo, fn))
         elif o >= floor and n > 0 and o / n >= ratio:
             improved.append((o / n, q, o, n))
     for r, q, o, n in sorted(improved, reverse=True):
