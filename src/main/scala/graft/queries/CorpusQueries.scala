@@ -53,6 +53,20 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PER-DOMAIN CONTRIBUTION CAP — the mixture-hygiene rule that stops
+    // any one source from dominating the corpus: keep each source's K
+    // best docs (here: longest, deterministic id tie-break) through the
+    // custom TopKPerKey physical operator, so at 100 TB the map-side
+    // bounded heaps ship <= partitions*sources*K rows to the shuffle
+    // instead of the whole corpus (contrast the window-twin oracle)
+    "q_corpus_cap" -> ((s: SparkSession, d: String) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        scan(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        keyCols = Seq("source"),
+        sorts = Seq(("n_chars", false), ("doc_id", true)),
+        k = 25)
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))),
+
     // Benchmark decontamination: docs from source 'src0' are the held-out
     // eval suite; flag every train doc sharing a 4-gram with it.
     "q_decontaminate" -> ((s: SparkSession, d: String) =>
@@ -468,6 +482,16 @@ object CorpusQueries {
            |  CAST(a.dup_grams AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS dup_frac
            |FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id""".stripMargin
     },
+
+    "q_corpus_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars
+        |FROM ranked WHERE rn <= 25
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
 
     // BPE-free replay: the round-trip oracle never touches merges —
     // eligible words concatenated IS what decode(encode(doc)) must equal
