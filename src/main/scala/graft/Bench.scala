@@ -30,6 +30,11 @@ object Bench {
     // the headline queries (~30 s) walks every hot code path — parquet scan,
     // hash agg, sort-merge + broadcast join, window, the dedup/sim/graph
     // operators — before any timed number is taken. BENCH_WARMUP=0 skips.
+    // family = the cache-sharing unit (first two name segments); must
+    // stay in sync with tools/bench_diff.py's family(). BENCH_FAMILY_CLEAR
+    // governs BOTH the warmup and the timed runs.
+    def family(n: String): String = n.split("_").take(2).mkString("_")
+    val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
     if (sys.env.getOrElse("BENCH_WARMUP", "1") != "0") {
       val reg = SparkEntry.queries
       // same family-boundary cache discipline as the timed runs below:
@@ -38,9 +43,9 @@ object Bench {
       // the family-clear policy exists to prevent
       var lastWarmFamily = ""
       headline.foreach { n =>
-        val fam = n.split("_").take(2).mkString("_")
-        if (lastWarmFamily.nonEmpty && fam != lastWarmFamily) spark.catalog.clearCache()
-        lastWarmFamily = fam
+        if (familyClear && lastWarmFamily.nonEmpty && family(n) != lastWarmFamily)
+          spark.catalog.clearCache()
+        lastWarmFamily = family(n)
         reg.get(n).foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
       spark.catalog.clearCache()
@@ -53,8 +58,6 @@ object Bench {
     // earlier family (GC pressure was the prime suspect in the r4
     // driver-side slowdown). Family = first two name segments (q_dedup,
     // q_tpch, ...), which is exactly the sharing scope observed.
-    def family(n: String): String = n.split("_").take(2).mkString("_")
-    val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
     // per run: (name, elapsed, succeeded) — a failed attempt's elapsed
     // must never become the query's benchmark number via the min below
     def runAll(): Seq[(String, Double, Boolean)] = {

@@ -181,6 +181,7 @@ object Multimodal {
       val sz = szL.toInt
       cid match {
         case "fmt " =>
+          require(sz >= 16, s"fmt chunk too short ($sz < 16): media ${r.media_id}")
           require(u16(body) == 1, s"not PCM (fmt ${u16(body)}): media ${r.media_id}")
           nCh = u16(body + 2); rate = u32(body + 4).toInt
           align = u16(body + 12); bits = u16(body + 14)

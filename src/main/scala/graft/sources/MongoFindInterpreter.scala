@@ -18,8 +18,10 @@ import scala.jdk.CollectionConverters._
   * assembles find→project→sort→limit→skip; the matching rules are the
   * server's):
   *  - `{f: null}` / `{$eq: null}` match null AND missing → `isNull`
-  *  - `$ne v` and `$nin [..]` match documents where the field is null
-  *    (Mongo: absent-or-different), unlike SQL `<>`
+  *  - `$ne v` matches documents where the field is null (Mongo:
+  *    absent-or-different), unlike SQL `<>`; `$nin [..]` does too
+  *    UNLESS null is itself in the list (null equals null in find
+  *    matching, so an absent field is then "in" the list)
   *  - range operators ($gt/$gte/$lt/$lte) never match null (BSON type
   *    bracketing) — SQL null-propagation coincides, no special case
   *  - `$regex` is find-anywhere (Java regex `find()` ≡ Spark RLIKE)
@@ -38,13 +40,19 @@ object MongoFindInterpreter {
     else if (n.isFloatingPointNumber) lit(n.doubleValue)
     else lit(n.asText)
 
-  private def inList(field: String, arr: JsonNode): Column = {
-    val elems = arr.elements.asScala.toSeq
-    val (nulls, vals) = elems.partition(_.isNull)
-    val base =
+  /** (non-null-element membership predicate, list-contains-null) —
+    * the shared pieces $in and $nin combine with opposite null rules. */
+  private def listParts(field: String, arr: JsonNode): (Column, Boolean) = {
+    val (nulls, vals) = arr.elements.asScala.toSeq.partition(_.isNull)
+    val inVals =
       if (vals.isEmpty) lit(false)
       else vals.map(v => col(field) === litOf(v)).reduce(_ || _)
-    if (nulls.nonEmpty) base || col(field).isNull else base
+    (inVals, nulls.nonEmpty)
+  }
+
+  private def inList(field: String, arr: JsonNode): Column = {
+    val (inVals, hasNull) = listParts(field, arr)
+    if (hasNull) inVals || col(field).isNull else inVals
   }
 
   private def opPredicate(field: String, op: String, v: JsonNode): Column = op match {
@@ -60,13 +68,9 @@ object MongoFindInterpreter {
     case "$nin" =>
       // Mongo: a null/missing field matches $nin UNLESS null is itself
       // in the list (null "equals" null in find matching)
-      val elems = v.elements.asScala.toSeq
-      val (nulls, vals) = elems.partition(_.isNull)
-      val inVals =
-        if (vals.isEmpty) lit(false)
-        else vals.map(x => col(field) === litOf(x)).reduce(_ || _)
+      val (inVals, hasNull) = listParts(field, v)
       val nonNullMiss = col(field).isNotNull && !inVals
-      if (nulls.nonEmpty) nonNullMiss else nonNullMiss || col(field).isNull
+      if (hasNull) nonNullMiss else nonNullMiss || col(field).isNull
     case "$regex" => col(field).rlike(v.asText)
     case other => throw new IllegalArgumentException(
       s"unsupported find operator '$other' on field '$field'")

@@ -23,16 +23,20 @@ which Bench clears caches). Which member pays the shared build is an
 artifact of alphabetical order, so adding/renaming a family member moves
 seconds between slots without any real regression (r7: the
 q_dedup_source_mirror rename landed the shingle build on q_dedup_ngram,
-1.9x "slower", while the dedup family TOTAL fell 4.1 s). A per-query
-flag whose family total did NOT regress by >= ratio is therefore
-reported as an ATTRIBUTION SHIFT (informational, exit 0); only flags
-whose family total also regressed are REGRESSED (exit 1).
+1.9x "slower", while the dedup family TOTAL fell 4.1 s). A per-query flag is an
+ATTRIBUTION SHIFT (informational, exit 0) only when the family total is
+roughly CONSERVED — at least half of the query's own increase is offset
+elsewhere in its family (family_delta < 0.5 * query_delta). If the
+family total grew by most of the query's delta, nothing offset it: the
+slowdown is real and the flag is REGRESSED (exit 1), even when the
+family is too large for its own total to trip the ratio.
 
-The detail line's errors array gates too: a query that FAILED in the new
-run has no valid measurement — its elapsed is a time-to-crash, so it is
-reported as ERRORED (never as IMPROVED) and fails the gate exactly like
-a regression. Exit code 1 when any regression OR errored common query is
-found (CI-style).
+The detail line's errors array gates too: EVERY query in the new run's
+errors list has no valid measurement (its elapsed is a time-to-crash),
+so it is reported as ERRORED and fails the gate — including a query that
+errors on BOTH sides (absent from both queries maps) or a brand-new
+failing query; a broken query fails the gate every round until fixed.
+Exit code 1 when any regression OR errored query is found (CI-style).
 """
 import json
 import re
