@@ -19,6 +19,44 @@ object TextQueries {
     */
   val OverlapMaxSources = 64
 
+  /** Per-doc corpus-LM fluency scores (CCNet/KenLM shape; bit-exact
+    * integer inverse-probability) — shared by q_text_lmscore and the
+    * perplexity-tier manifest q_text_ppl_buckets. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+      import graft.ops.CacheScope.ScopedPersist
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      // zip_with over two slices, NOT transform+element_at: element_at
+      // inside a lambda re-evaluates the split expression per ELEMENT
+      // (no subexpression elimination across lambda scopes — measured
+      // 9.3 s cold at sf0.1, O(tokens²) splitting per doc); zip_with
+      // evaluates each slice argument once per row — 4.7 s cold, 2×
+      val bigrams = when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("p"), b.as("w"))))
+        .otherwise(array().cast("array<struct<p:string,w:string>>"))
+      val inst = scan(s, d, "documents")
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), xxhash64(col("b.p")).as("g1"),
+          xxhash64(col("b.p"), col("b.w")).as("g2"))
+      val perDoc = inst.groupBy(col("doc_id"), col("g1"), col("g2"))
+        .agg(count(lit(1)).as("c")).scopedPersist()
+      // both LM tables derive from the VOCABULARY-sized bigram census —
+      // c1(prefix) = Σ c2 over its bigrams — so the per-bigram rate is
+      // built with vocab-sized shuffles and the instance-sized perDoc
+      // relation is joined exactly ONCE (an earlier spelling joined the
+      // instance relation against both count tables)
+      val cnt2 = perDoc.groupBy(col("g1"), col("g2")).agg(sum(col("c")).as("c2"))
+      val cnt1 = cnt2.groupBy(col("g1")).agg(sum(col("c2")).as("c1"))
+      val rate = cnt2.join(cnt1, Seq("g1"))
+        .select(col("g2"), expr("(1000000 * c1) div c2").as("inv"))
+      perDoc.join(rate, Seq("g2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("inv")).as("score_sum"))
+        .withColumn("avg_inv_p",
+          col("score_sum").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
@@ -152,39 +190,28 @@ object TextQueries {
     // ride as xxhash64 longs (the boilerplate/decontaminate pattern)
     // while the oracle joins RAW strings — a collision fails the
     // compare instead of hiding in it.
-    "q_text_lmscore" -> ((s: SparkSession, d: String) => {
-      import graft.ops.CacheScope.ScopedPersist
-      val ws = split(trim(lower(col("text"))), "\\s+")
-      // zip_with over two slices, NOT transform+element_at: element_at
-      // inside a lambda re-evaluates the split expression per ELEMENT
-      // (no subexpression elimination across lambda scopes — measured
-      // 9.3 s cold at sf0.1, O(tokens²) splitting per doc); zip_with
-      // evaluates each slice argument once per row — 4.7 s cold, 2×
-      val bigrams = when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("p"), b.as("w"))))
-        .otherwise(array().cast("array<struct<p:string,w:string>>"))
-      val inst = scan(s, d, "documents")
-        .select(col("doc_id"), explode(bigrams).as("b"))
-        .select(col("doc_id"), xxhash64(col("b.p")).as("g1"),
-          xxhash64(col("b.p"), col("b.w")).as("g2"))
-      val perDoc = inst.groupBy(col("doc_id"), col("g1"), col("g2"))
-        .agg(count(lit(1)).as("c")).scopedPersist()
-      // both LM tables derive from the VOCABULARY-sized bigram census —
-      // c1(prefix) = Σ c2 over its bigrams — so the per-bigram rate is
-      // built with vocab-sized shuffles and the instance-sized perDoc
-      // relation is joined exactly ONCE (an earlier spelling joined the
-      // instance relation against both count tables)
-      val cnt2 = perDoc.groupBy(col("g1"), col("g2")).agg(sum(col("c")).as("c2"))
-      val cnt1 = cnt2.groupBy(col("g1")).agg(sum(col("c2")).as("c1"))
-      val rate = cnt2.join(cnt1, Seq("g1"))
-        .select(col("g2"), expr("(1000000 * c1) div c2").as("inv"))
-      perDoc.join(rate, Seq("g2"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          sum(col("c") * col("inv")).as("score_sum"))
-        .withColumn("avg_inv_p",
-          col("score_sum").cast("double") / col("n_bigrams").cast("double"))
+    "q_text_lmscore" -> ((s: SparkSession, d: String) =>
+      lmScores(s, d).orderBy(col("doc_id"))),
+
+    // CCNet-style PERPLEXITY TIERS (head / middle / tail thirds per
+    // language, fluent docs first): the bucketing CCNet uses to keep
+    // head+middle and route tail to re-filtering. Rank = exact integer
+    // score ratio with doc_id tie-break -> deterministic ntile(3).
+    // Scale note: the ntile window sorts DOC-level rows per language —
+    // fine through sf1 (1.5x at the 10x gate) but a hot language is one
+    // reducer's sort at web scale; the drop-in fix there is broadcast
+    // tercile THRESHOLDS (approx quantiles) + a map-side bucket assign,
+    // traded here for the exact, engine-agnostic ntile the oracle pins
+    "q_text_ppl_buckets" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tier = ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_inv_p"), col("doc_id")))
+      lmScores(s, d)
+        .join(scan(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("tier", tier)
+        .select(col("doc_id"), col("lang"),
+          when(col("tier") === 1, "head").when(col("tier") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -257,6 +284,27 @@ object TextQueries {
   )
 
   private val stopList = defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared corpus-LM CTE chain (through `sc`: per-doc n_bigrams +
+    * integer score_sum) — q_text_lmscore / q_text_ppl_buckets oracles. */
+  private lazy val lmCtes: String =
+    raw"""w AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         |  FROM documents),
+         |bgidx AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |  FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[i] AS p, ws[i+1] AS wd FROM bgidx),
+         |inst AS (SELECT doc_id, p, wd, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |cnt2 AS (SELECT p, wd, CAST(SUM(c) AS BIGINT) AS c2 FROM inst GROUP BY 1, 2),
+         |cnt1 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS c1 FROM inst GROUP BY 1),
+         |sc AS (
+         |  SELECT i.doc_id, CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(i.c * ((1000000 * cnt1.c1) // cnt2.c2)) AS BIGINT) AS score_sum
+         |  FROM inst i
+         |    JOIN cnt2 ON cnt2.p = i.p AND cnt2.wd = i.wd
+         |    JOIN cnt1 ON cnt1.p = i.p
+         |  GROUP BY i.doc_id)""".stripMargin
 
   /** Shared DuckDB langid CTEs (`t` scores, `m` adds the max) + the
     * argmax CASE — one spelling for the per-doc and confusion oracles.
@@ -371,26 +419,25 @@ object TextQueries {
     // raw-string bigram joins; `//` is DuckDB's floor division, exact
     // on the positive BIGINTs here like Spark's `div`
     "q_text_lmscore" ->
-      raw"""WITH w AS (
-           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-           |  FROM documents),
-           |bgidx AS (
-           |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-           |  FROM w WHERE len(ws) >= 2),
-           |bg AS (SELECT doc_id, ws[i] AS p, ws[i+1] AS wd FROM bgidx),
-           |inst AS (SELECT doc_id, p, wd, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
-           |cnt2 AS (SELECT p, wd, CAST(SUM(c) AS BIGINT) AS c2 FROM inst GROUP BY 1, 2),
-           |cnt1 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS c1 FROM inst GROUP BY 1),
-           |sc AS (
-           |  SELECT i.doc_id, CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
-           |    CAST(SUM(i.c * ((1000000 * cnt1.c1) // cnt2.c2)) AS BIGINT) AS score_sum
-           |  FROM inst i
-           |    JOIN cnt2 ON cnt2.p = i.p AND cnt2.wd = i.wd
-           |    JOIN cnt1 ON cnt1.p = i.p
-           |  GROUP BY i.doc_id)
-           |SELECT doc_id, n_bigrams, score_sum,
-           |  CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_inv_p
-           |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, score_sum,
+         |  CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_inv_p
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // tier replay: same deterministic rank (exact score ratio, doc_id
+    // tie-break) -> ntile(3) per language, standard SQL bucket sizing
+    // on both engines
+    "q_text_ppl_buckets" ->
+      s"""WITH $lmCtes,
+         |scl AS (SELECT sc.doc_id, d.lang,
+         |          CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_inv_p
+         |        FROM sc JOIN documents d USING (doc_id)),
+         |t AS (SELECT doc_id, lang,
+         |        ntile(3) OVER (PARTITION BY lang ORDER BY avg_inv_p, doc_id) AS tier
+         |      FROM scl)
+         |SELECT doc_id, lang,
+         |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // oracle pairs via fp self-join (clearer SQL); the engine's in-row
     // expansion over the sorted source set is pair-for-pair equivalent.
