@@ -410,4 +410,63 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme; no reference
+    * analogue, training-pipeline extension tier). Word k-grams are taken
+    * WITH position (unlike [[shingles]], which set-dedups), hashed to
+    * dialect-portable 60-bit ids, and position p is selected iff its
+    * hash equals the minimum over the trailing w-window [p-w+1, p].
+    * Each window's rightmost minimum satisfies this rule at its own
+    * position, so the selection contains the classic
+    * rightmost-min-per-window set (plus the leading partial windows) —
+    * same ~2/(w+1) expected density, same locality guarantee: every w
+    * consecutive gram positions yield ≥1 selected fingerprint, so any
+    * shared run of w+k-1 words surfaces through the fingerprint
+    * equi-join regardless of its offset in either doc.
+    *
+    * 100 TB: the window min is PARTITIONED BY doc (per-doc sort inside
+    * the doc-keyed shuffle — no global ordering), and every downstream
+    * consumer joins on the selected ~2/(w+1) subset, so the wide stages
+    * see a (w+1)/2-fold smaller relation than a full inverted index.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow needs k>=1, w>=1 (got k=$k, w=$w)")
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val grams = docs
+      .filter(size(ws) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(k))))))
+      .withColumnRenamed("col", "gram")
+    val hashed = grams.select(col("doc_id"), col("pos"),
+      hex60Native(grams, md5s(col("gram"))).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("__wmin", min(col("h")).over(win))
+      .filter(col("h") === col("__wmin"))
+      .select(col("doc_id"), col("h").as("fp"))
+      .distinct()
+  }
+
+  /** Winnowing near-dup candidate pairs: inverted index over the
+    * winnowed fingerprint set, doc-frequency-capped like [[ngramJaccard]]
+    * (fingerprints in more than `maxDocFreq` docs are boilerplate, not
+    * dedup evidence), keeping pairs sharing ≥ `minShared` fingerprints.
+    * Cost is the winnowed index (≈ 2/(w+1) of the gram instances), not
+    * the full gram table — the point of winnowing as a blocker.
+    */
+  def winnowPairs(fp: DataFrame, minShared: Long = 3, maxDocFreq: Long = 64): DataFrame = {
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+    val f = fp.join(rare.select("fp"), "fp").scopedPersist() // both self-join sides
+    f.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(f.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -264,8 +264,44 @@ object DedupQueries {
         scan(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 256, tokenBudget = 5000L)
         .orderBy(col("doc_id"))
+    }),
+
+    // WINNOWING (MOSS) FINGERPRINT CENSUS: per-doc count of selected
+    // fingerprints — the index-size budget a winnowing-based dedup pays
+    // (~2/(w+1) of gram instances; see Dedup.winnowFingerprints). The
+    // fingerprint relation is persisted and byte-identical to
+    // q_dedup_winnow's, so the family cache shares the expensive
+    // gram-hash-window stage between the two
+    "q_dedup_winnow_fp" -> ((s: SparkSession, d: String) => {
+      winnowFp(s, d)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WINNOWING NEAR-DUP CANDIDATES: pairs sharing >= 3 selected
+    // fingerprints through the doc-frequency-capped inverted index —
+    // the positional counterpart of q_dedup_minhash (catches long
+    // shared RUNS at any offset rather than whole-doc set similarity)
+    "q_dedup_winnow" -> ((s: SparkSession, d: String) => {
+      Dedup.winnowPairs(winnowFp(s, d), minShared = WINNOW_MIN_SHARED,
+          maxDocFreq = WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  // winnowing constants shared by the Scala pipeline and the oracle SQL
+  private val WINNOW_K = 4
+  private val WINNOW_W = 8
+  private val WINNOW_MIN_SHARED = 3L
+  private val WINNOW_MAX_DF = 64L
+
+  /** The shared winnowed fingerprint relation (persisted; identical
+    * logical plan across both winnow queries → family cache hit, the
+    * staticNearDupIndex pattern).
+    */
+  private def winnowFp(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowFingerprints(scan(s, d, "documents"), "doc_id", "text",
+      k = WINNOW_K, w = WINNOW_W).persist()
 
   // ---- oracle SQL builders (same constants as the Scala ops) ----
 
@@ -580,6 +616,42 @@ object DedupQueries {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
          |             JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_winnow_fp" ->
+      s"""WITH $winnowFpCtes
+         |SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_winnow" ->
+      s"""WITH $winnowFpCtes,
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+         |         WHERE df <= $WINNOW_MAX_DF),
+         |f AS (SELECT p.doc_id, p.fp FROM fp p JOIN rare r ON p.fp = r.fp),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_shared FROM pairs
+         |WHERE n_shared >= $WINNOW_MIN_SHARED
          |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  /** DuckDB spelling of Dedup.winnowFingerprints, ending in
+    * `fp(doc_id, fp)` — positional k-grams, md5→60-bit ids, trailing
+    * w-window min selection. Same constants as the Scala pipeline.
+    */
+  private lazy val winnowFpCtes: String = {
+    val k = WINNOW_K; val w = WINNOW_W
+    raw"""w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         |gl AS (SELECT doc_id, list_transform(range(1, len(ws) - ${k - 2}),
+         |         i -> array_to_string(list_slice(ws, i, i + ${k - 1}), ' ')) AS gs
+         |       FROM w WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, CAST(unnest(range(1, len(gs) + 1)) AS BIGINT) AS pos,
+         |        unnest(gs) AS gram FROM gl),
+         |h AS (SELECT doc_id, pos, ${sqlHex60("md5(gram)")} AS h FROM g),
+         |sel AS (SELECT doc_id, h, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin FROM h),
+         |fp AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE h = wmin)""".stripMargin
+  }
 }

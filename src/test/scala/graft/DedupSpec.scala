@@ -62,4 +62,29 @@ class DedupSpec extends SparkSpec {
     // candidate volume drops, recall within a block is untouched
     assert(blocked.size < unblocked.size)
   }
+
+  test("winnowing: coverage guarantee, density, and offset-invariant run detection") {
+    // 40 distinct words → 37 4-gram positions per doc
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val shifted = "pre1 pre2 pre3 pre4 pre5 " + words // same run, different offset
+    val unrelated = (0 until 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, shifted), (3L, unrelated)).toDF("doc_id", "text")
+    val k = 4; val w = 8
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val perDoc = fp.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // coverage: every w consecutive positions select >= 1 fingerprint,
+    // so a doc with n gram positions has >= n/w and (selection is a
+    // trailing-window min) <= n fingerprints; density ~2/(w+1)
+    assert(perDoc(1L) >= 37 / w && perDoc(1L) <= 37)
+    // offset invariance: doc 2 contains doc 1's entire word run shifted
+    // by 5 — every fingerprint of doc 1 whose window lies inside the
+    // shared run must also be selected in doc 2 modulo the w-window
+    // boundary, so the pair share is large while unrelated share is 0
+    val pairs = Dedup.winnowPairs(fp, minShared = 3, maxDocFreq = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // determinism: repartitioning never changes the fingerprint set
+    val fp2 = Dedup.winnowFingerprints(docs.repartition(7), "doc_id", "text", k, w)
+    assert(fp.as[(Long, Long)].collect().toSet == fp2.as[(Long, Long)].collect().toSet)
+  }
 }
