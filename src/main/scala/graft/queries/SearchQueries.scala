@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder.scan
 
@@ -51,29 +51,42 @@ object SearchQueries {
     // signal. Per-term weights are floor-scaled to integers (1e9) before
     // the per-doc sum, so the distributed summation is order-independent
     // and hash-matches DuckDB exactly
-    "q_text_bm25" -> ((s: SparkSession, d: String) => {
-      val k1 = 1.2
-      val b = 0.75
-      val terms = Seq("spark", "window")
-      val docs = scan(s, d, "documents")
-      val nDocs = docs.count() // metadata-scale driver constants
-      val words = docs
-        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      val nWords = words.count()
-      val avgdl = nWords.toDouble / nDocs.toDouble
-      val dl = words.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
-      val ws = words.filter(col("term").isin(terms: _*))
-      val dfq = ws.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      val tf = ws.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-      val sat = (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-      tf.join(dfq, "term").join(dl, "doc_id")
-        .withColumn("w9", floor(idf * sat * lit(1e9)).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("w9")).as("score_x9"))
+    "q_text_bm25" -> ((s: SparkSession, d: String) =>
+      bm25Scored(s, d)
         .orderBy(col("score_x9").desc, col("doc_id"))
-        .limit(50)
+        .limit(50)),
+
+    // RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009):
+    // the standard hybrid-retrieval combiner — one lexical arm (the BM25
+    // integer scores above), one vector arm (brute cosine vs query
+    // vector 0, the q_sim_topk shape), each truncated to its top-100,
+    // fused by Σ floor(1e6/(60+rank)). Ranks come from a row_number over
+    // an ALREADY-LIMITED 100-row relation (the blessed tiny-side window
+    // — never a global window over the corpus), and the fused score is
+    // an exact integer, so the result hash-matches DuckDB with no
+    // floating-point fusion drift. Docs present in only one arm keep a
+    // null rank on the other (full outer join), contributing 0.
+    "q_text_rrf" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = scan(s, d, "embeddings")
+      val lex = bm25Scored(s, d)
+        .orderBy(col("score_x9").desc, col("doc_id")).limit(RRF_N)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("score_x9").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val vec = graft.ops.Similarity.bruteTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = RRF_N)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      def contrib(r: Column): Column =
+        coalesce(floor(lit(1000000.0) / (lit(RRF_K) + r)), lit(0L))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_x6", contrib(col("r_lex")) + contrib(col("r_vec")))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf_x6"))
+        .orderBy(col("rrf_x6").desc, col("doc_id"))
+        .limit(20)
     }),
 
     // cross-modal: documents joined to their embedding rows
@@ -86,6 +99,38 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  // RRF constants shared by the Scala pipeline and the oracle SQL
+  private val RRF_K = 60 // the standard k=60 damping from the RRF paper
+  private val RRF_N = 100 // per-arm candidate depth
+
+  /** Per-doc BM25 integer scores (doc_id, n_terms, score_x9) — the body
+    * shared by q_text_bm25 (ranked list) and q_text_rrf (lexical arm).
+    * See the q_text_bm25 comment for the rational-idf / integer-weight
+    * rationale.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val terms = Seq("spark", "window")
+    val docs = scan(s, d, "documents")
+    val nDocs = docs.count() // metadata-scale driver constants
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val nWords = words.count()
+    val avgdl = nWords.toDouble / nDocs.toDouble
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val ws = words.filter(col("term").isin(terms: _*))
+    val dfq = ws.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tf = ws.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(dfq, "term").join(dl, "doc_id")
+      .withColumn("w9", floor(idf * sat * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w9")).as("score_x9"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_text_termstats" ->
@@ -112,33 +157,65 @@ object SearchQueries {
            |SELECT doc_id, score FROM scored WHERE n_terms = 2
            |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "q_text_bm25" ->
-      raw"""WITH w AS (
-           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-           |  FROM documents),
-           |consts AS (
-           |  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
-           |         ((SELECT COUNT(*)::DOUBLE FROM w)
-           |          / (SELECT COUNT(*)::DOUBLE FROM documents)) AS avgdl),
-           |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
-           |f AS (SELECT doc_id, term FROM w WHERE term IN ('spark', 'window')),
-           |dfreq AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM f GROUP BY term),
-           |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM f GROUP BY doc_id, term),
-           |weighted AS (
-           |  SELECT tf.doc_id,
-           |    CAST(floor(
-           |      ((c.n_docs - d.df + 0.5) / (d.df + 0.5))
-           |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
-           |      * 1e9) AS BIGINT) AS w9
-           |  FROM tf
-           |    JOIN dfreq d ON tf.term = d.term
-           |    JOIN dl l ON l.doc_id = tf.doc_id
-           |    CROSS JOIN consts c)
-           |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(w9) AS BIGINT) AS score_x9
-           |FROM weighted GROUP BY doc_id
-           |ORDER BY score_x9 DESC, doc_id LIMIT 50""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score_x9 FROM scored
+         |ORDER BY score_x9 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_text_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lexr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_x9 DESC, doc_id) AS INT) AS r_lex
+         |  FROM (SELECT doc_id, score_x9 FROM scored
+         |        ORDER BY score_x9 DESC, doc_id LIMIT $RRF_N)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id AS id_a, 0 AS id_b, e.embedding AS va, q.qv AS vb
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |${SimilarityQueries.sqlCosineCtes},
+         |vecr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS r_vec
+         |  FROM (SELECT id_a AS doc_id, cosine FROM cos
+         |        ORDER BY cosine DESC, id_a LIMIT $RRF_N)),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         |    COALESCE(CAST(floor(1000000.0 / ($RRF_K + l.r_lex)) AS BIGINT), 0)
+         |    + COALESCE(CAST(floor(1000000.0 / ($RRF_K + v.r_vec)) AS BIGINT), 0) AS rrf_x6
+         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, r_lex, r_vec, rrf_x6 FROM fused
+         |ORDER BY rrf_x6 DESC, doc_id LIMIT 20""".stripMargin,
     "q_multimodal_join" ->
       """SELECT doc_id, lang, label, n_chars, CAST(len(embedding) AS INT) AS dims
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB spelling of [[bm25Scored]], ending in
+    * `scored(doc_id, n_terms, score_x9)` — shared by the q_text_bm25 and
+    * q_text_rrf oracles so the two can't drift.
+    */
+  private lazy val bm25Ctes: String =
+    raw"""w AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |consts AS (
+         |  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+         |         ((SELECT COUNT(*)::DOUBLE FROM w)
+         |          / (SELECT COUNT(*)::DOUBLE FROM documents)) AS avgdl),
+         |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+         |f AS (SELECT doc_id, term FROM w WHERE term IN ('spark', 'window')),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM f GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM f GROUP BY doc_id, term),
+         |weighted AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(
+         |      ((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
+         |      * 1e9) AS BIGINT) AS w9
+         |  FROM tf
+         |    JOIN dfreq d ON tf.term = d.term
+         |    JOIN dl l ON l.doc_id = tf.doc_id
+         |    CROSS JOIN consts c),
+         |scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(w9) AS BIGINT) AS score_x9
+         |  FROM weighted GROUP BY doc_id)""".stripMargin
 }

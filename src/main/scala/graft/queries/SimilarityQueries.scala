@@ -274,7 +274,7 @@ object SimilarityQueries {
     * arithmetic as Similarity.scaledDot), as CTEs over a per-row lateral
     * range join (j = 1..dims).
     */
-  private def sqlCosineCtes: String =
+  private[queries] def sqlCosineCtes: String =
     s"""terms AS (
        |  SELECT p.id_a, p.id_b,
        |    CAST(floor(CAST(p.va[t.j] AS DOUBLE) * CAST(p.vb[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tab,
