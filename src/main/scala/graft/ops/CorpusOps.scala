@@ -110,6 +110,47 @@ object CorpusOps {
         (lit(1.0) - col("distinct_bigrams").cast("double") / col("total_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
+  /** Gopher-style quality-filter DECISION (Rae et al. 2021 §A1.1 shape:
+    * a conjunction of document-level bounds; thresholds re-calibrated to
+    * this corpus so every rule discriminates). Emits one row per doc
+    * with the five violation flags (1 = rule violated) and the composite
+    * `keep` — the census consumers aggregate, and the pipeline's actual
+    * filter is `keep = 1`. Rules:
+    * word count ∈ [30, 90]; mean word length ∈ [3.9, 5.0]; type-token
+    * ratio ≥ 0.35; duplicate-bigram fraction ≤ 0.08; top-word fraction
+    * ≤ 0.12. Every signal is a within-doc statistic — one shuffle-free
+    * codegen'd map pass (the [[repetitionStats]] fold pattern), and
+    * every ratio is an exact-integer division, so the flags are
+    * bit-identical on both oracle sides.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+                   keepCols: Seq[String] = Nil): DataFrame = {
+    val ws = words(col(textCol))
+    val flag = (c: Column) => when(c, 0).otherwise(1)
+    docs.select(col(idCol).as("doc_id") +: keepCols.map(col) :+
+        ws.as("__ws") :+ wordNgrams(ws, 2).as("__bg"): _*)
+      .filter(size(col("__bg")) > 0)
+      .select(col("doc_id") +: keepCols.map(col) :+
+        size(col("__ws")).cast("long").as("wc") :+
+        (aggregate(col("__ws"), lit(0L), (a, x) => a + length(x)).cast("double")
+          / size(col("__ws")).cast("double")).as("mwl") :+
+        (size(array_distinct(col("__ws"))).cast("double")
+          / size(col("__ws")).cast("double")).as("ttr") :+
+        (lit(1.0) - size(array_distinct(col("__bg"))).cast("double")
+          / size(col("__bg")).cast("double")).as("dbf") :+
+        (maxRunLength(array_sort(col("__ws"))).cast("double")
+          / size(col("__ws")).cast("double")).as("twf"): _*)
+      .select(col("doc_id") +: keepCols.map(col) :+
+        flag(col("wc").between(30L, 90L)).as("bad_wc") :+
+        flag(col("mwl").between(3.9, 5.0)).as("bad_mwl") :+
+        flag(col("ttr") >= 0.35).as("bad_ttr") :+
+        flag(col("dbf") <= 0.08).as("bad_dbf") :+
+        flag(col("twf") <= 0.12).as("bad_twf"): _*)
+      .withColumn("keep",
+        when(col("bad_wc") + col("bad_mwl") + col("bad_ttr")
+          + col("bad_dbf") + col("bad_twf") === 0, 1).otherwise(0))
+  }
+
   /** Portable PII patterns (identical Java-regex / DuckDB-RE2 semantics:
     * plain character classes, greedy +, no lookaround). */
   val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+"

@@ -79,6 +79,46 @@ object CorpusQueries {
       CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // GOPHER FILTER DECISION: the composite keep/drop verdict the stats
+    // above feed (CorpusOps.gopherFilter — five within-doc rules, one
+    // shuffle-free map pass), aggregated to the per-source quality
+    // census a pipeline operator reads before a mixing decision
+    "q_text_gopher_filter" -> ((s: SparkSession, d: String) =>
+      CorpusOps.gopherFilter(scan(s, d, "documents"), "doc_id", "text",
+          keepCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"),
+          sum("bad_wc").as("n_bad_wc"), sum("bad_mwl").as("n_bad_mwl"),
+          sum("bad_ttr").as("n_bad_ttr"), sum("bad_dbf").as("n_bad_dbf"),
+          sum("bad_twf").as("n_bad_twf"))
+        .orderBy(col("source"))),
+
+    // VOCABULARY GROWTH BY SOURCE (the Heaps-law census behind "does
+    // source S add anything new?"): each distinct BIGRAM is attributed
+    // to its alphabetically-first source; per source, the distinct and
+    // total bigram mass plus the NEW bigrams it contributes and the
+    // cumulative vocabulary in source order. (Bigrams, not unigrams —
+    // the synthetic corpus draws from a ~31-word lexicon, so unigram
+    // novelty is a degenerate all-in-the-first-source curve; the ~900
+    // bigram combinations actually spread.) Two map-side-combinable
+    // groupBys over the gram stream; the running sum is a window over
+    // the ~20-row source dimension, never the corpus
+    "q_text_vocab_growth" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = scan(s, d, "documents").select(col("source"),
+        explode(CorpusOps.wordNgrams(
+          split(trim(lower(col("text"))), "\\s+"), 2)).as("term"))
+      val perSource = terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val firstSrc = perSource.groupBy("term").agg(min(col("source")).as("source"))
+      val newTerms = firstSrc.groupBy("source").agg(count(lit(1)).as("n_new_terms"))
+      perSource.groupBy("source")
+        .agg(count(lit(1)).as("n_distinct_terms"), sum("cnt").as("n_tokens"))
+        .join(newTerms, Seq("source"), "left")
+        .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+        .withColumn("cum_vocab", sum("n_new_terms").over(Window.orderBy("source")))
+        .orderBy(col("source"))
+    }),
+
     // Content-defined chunking (CDC) for partial-overlap dedup: a word is
     // a chunk BOUNDARY when its salted hash lands in 1/8 of the space —
     // so chunk boundaries depend on content, not position, and two docs
@@ -419,6 +459,66 @@ object CorpusQueries {
            |  CAST(distinct_words AS DOUBLE) / CAST(total_words AS DOUBLE) AS type_token_ratio,
            |  1.0 - CAST(distinct_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE) AS dup_bigram_frac
            |FROM wstats JOIN bstats USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher_filter" ->
+      raw"""WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |wx AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+           |wc AS (SELECT doc_id, wd, count(*) AS c FROM wx GROUP BY doc_id, wd),
+           |wstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+           |             CAST(sum(c) AS BIGINT) AS total_words,
+           |             CAST(count(*) AS BIGINT) AS distinct_words
+           |           FROM wc GROUP BY doc_id),
+           |mw AS (SELECT doc_id,
+           |         CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+           |           / CAST(len(ws) AS DOUBLE) AS mwl FROM w),
+           |bgx AS (SELECT doc_id,
+           |          unnest(list_transform(range(1, len(ws)),
+           |                 i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+           |        FROM w),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY doc_id, g),
+           |bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+           |             CAST(count(*) AS BIGINT) AS distinct_bigrams
+           |           FROM bgc GROUP BY doc_id),
+           |flags AS (
+           |  SELECT w.doc_id, w.source,
+           |    CASE WHEN s.total_words BETWEEN 30 AND 90 THEN 0 ELSE 1 END AS bad_wc,
+           |    CASE WHEN m.mwl BETWEEN 3.9 AND 5.0 THEN 0 ELSE 1 END AS bad_mwl,
+           |    CASE WHEN CAST(s.distinct_words AS DOUBLE) / CAST(s.total_words AS DOUBLE) >= 0.35
+           |         THEN 0 ELSE 1 END AS bad_ttr,
+           |    CASE WHEN 1.0 - CAST(b.distinct_bigrams AS DOUBLE) / CAST(b.total_bigrams AS DOUBLE) <= 0.08
+           |         THEN 0 ELSE 1 END AS bad_dbf,
+           |    CASE WHEN CAST(s.top_cnt AS DOUBLE) / CAST(s.total_words AS DOUBLE) <= 0.12
+           |         THEN 0 ELSE 1 END AS bad_twf
+           |  FROM w JOIN wstats s USING (doc_id) JOIN mw m USING (doc_id)
+           |         JOIN bstats b USING (doc_id)),
+           |k AS (SELECT *, CASE WHEN bad_wc + bad_mwl + bad_ttr + bad_dbf + bad_twf = 0
+           |                     THEN 1 ELSE 0 END AS keep FROM flags)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(keep) AS BIGINT) AS n_keep,
+           |  CAST(sum(bad_wc) AS BIGINT) AS n_bad_wc,
+           |  CAST(sum(bad_mwl) AS BIGINT) AS n_bad_mwl,
+           |  CAST(sum(bad_ttr) AS BIGINT) AS n_bad_ttr,
+           |  CAST(sum(bad_dbf) AS BIGINT) AS n_bad_dbf,
+           |  CAST(sum(bad_twf) AS BIGINT) AS n_bad_twf
+           |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_vocab_growth" ->
+      raw"""WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws
+           |           FROM documents),
+           |t AS (SELECT source,
+           |        unnest(list_transform(range(1, len(ws)),
+           |               i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS term
+           |      FROM w),
+           |ps AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),
+           |fs AS (SELECT term, min(source) AS source FROM ps GROUP BY term),
+           |nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new_terms FROM fs GROUP BY source),
+           |ss AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           |         CAST(sum(cnt) AS BIGINT) AS n_tokens FROM ps GROUP BY source)
+           |SELECT s.source, s.n_distinct_terms, s.n_tokens,
+           |  COALESCE(n.n_new_terms, 0) AS n_new_terms,
+           |  CAST(sum(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY s.source) AS BIGINT) AS cum_vocab
+           |FROM ss s LEFT JOIN nt n USING (source)
+           |ORDER BY s.source""".stripMargin,
 
     "q_text_cdc" -> {
       val boundary = DedupQueries.sqlHex60Public("md5('cdc:' || wd)")

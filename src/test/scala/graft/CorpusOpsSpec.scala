@@ -319,6 +319,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains(5L))
   }
 
+  test("gopherFilter: each rule fires independently; clean doc keeps") {
+    // 40 distinct 4-char words: wc=40 ∈ [30,90], mwl=4.0, ttr=1.0,
+    // dbf=0.0, twf=1/40 — passes every rule
+    val clean = (0 until 40).map(i => f"w$i%03d").mkString(" ")
+    val short = (0 until 10).map(i => f"w$i%03d").mkString(" ")   // wc=10 < 30
+    val longw = (0 until 40).map(i => f"wording$i%03d").mkString(" ") // mwl=10
+    // one word 60 times + 10 fillers: wc=70, ttr=11/70≈0.16 < 0.35,
+    // twf=60/70≈0.86 > 0.12, dbf≈0.84 > 0.08 — three rules fire at once
+    val repet = (Seq.fill(60)("dup0") ++ (0 until 10).map(i => f"w$i%03d")).mkString(" ")
+    val docs = Seq((1L, clean), (2L, short), (3L, longw), (4L, repet))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id", "bad_wc", "bad_mwl", "bad_ttr", "bad_dbf", "bad_twf", "keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0, 0, 0, 0, 0, 1)))
+    assert(out(2L)._2 == 1 && out(2L)._7 == 0) // short: bad_wc fires
+    assert(out(3L)._3 == 1 && out(3L)._7 == 0) // long words: bad_mwl fires
+    val r4 = out(4L)
+    assert(r4._4 == 1 && r4._5 == 1 && r4._6 == 1 && r4._7 == 0) // ttr+dbf+twf
+  }
+
   test("piiRedact: emails then phones, global") {
     val df = Seq("mail a.b@x.co and c@y.io or 555-123 then 555-9").toDF("t")
       .select(CorpusOps.piiRedact(col("t")).as("r"),
