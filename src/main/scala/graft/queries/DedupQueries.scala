@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
@@ -285,6 +285,57 @@ object DedupQueries {
     "q_dedup_winnow" -> ((s: SparkSession, d: String) => {
       Dedup.winnowPairs(winnowFp(s, d), minShared = WINNOW_MIN_SHARED,
           maxDocFreq = WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ASYMMETRIC CONTAINMENT (Broder 1997's containment coefficient
+    // over the winnowed fingerprint sets): |fpA ∩ fpB| / |fpA| —
+    // catches "A is a chunk of B" (quotes, excerpts, page-in-page),
+    // which symmetric Jaccard under-scores when |B| >> |A|. Same capped
+    // inverted index as q_dedup_winnow; denominators are the UNCAPPED
+    // per-doc fingerprint sizes (the doc's true sketch mass). The
+    // persisted fingerprint relation is plan-identical across the three
+    // winnow queries — one family cache build
+    "q_dedup_containment" -> ((s: SparkSession, d: String) => {
+      val fp = winnowFp(s, d)
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WINNOW_MAX_DF)
+      val f = fp.join(rare.select("fp"), "fp")
+      val inter = f.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(f.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("cont_a", col("n_shared").cast("double") / col("na").cast("double"))
+        .withColumn("cont_b", col("n_shared").cast("double") / col("nb").cast("double"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .select("doc_a", "doc_b", "n_shared", "cont_a", "cont_b")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // TRAIN/TEST SPLIT LEAKAGE AUDIT (the Lee et al. 2022 finding that
+    // motivated corpus dedup: near-dups straddling the split boundary
+    // leak eval answers into training). Verified MinHash near-dup pairs
+    // (same params as q_dedup_minhash — the persisted shingle/band
+    // subplans are plan-identical, so the family cache pays the pair
+    // pipeline once) tagged with each side's hash-split assignment
+    // (same predicate as q_split_assign); emitted pairs are exactly the
+    // cross-split ones a pipeline must quarantine
+    "q_dedup_split_leakage" -> ((s: SparkSession, d: String) => {
+      def splitOf(c: Column): Column = {
+        val b = Dedup.hex60(
+          md5(concat(lit("split:"), c.cast("string")).cast("binary"))) % 100
+        when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+      }
+      Dedup.minhashDedup(scan(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+        .withColumn("split_a", splitOf(col("doc_a")))
+        .withColumn("split_b", splitOf(col("doc_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
@@ -634,7 +685,41 @@ object DedupQueries {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, n_shared FROM pairs
          |WHERE n_shared >= $WINNOW_MIN_SHARED
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $winnowFpCtes,
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+         |         WHERE df <= $WINNOW_MAX_DF),
+         |f AS (SELECT p.doc_id, p.fp FROM fp p JOIN rare r ON p.fp = r.fp),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+         |scored AS (
+         |  SELECT i.doc_a, i.doc_b, i.n_shared,
+         |    CAST(i.n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+         |    CAST(i.n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |               JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, n_shared, cont_a, cont_b FROM scored
+         |WHERE greatest(cont_a, cont_b) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_split_leakage" -> {
+      val splitCase =
+        s"""CASE WHEN ${sqlHex60("md5('split:' || doc_id::VARCHAR)")} % 100 < 80 THEN 'train'
+           |     WHEN ${sqlHex60("md5('split:' || doc_id::VARCHAR)")} % 100 < 90 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH $minhashCtes,
+         |splits AS (SELECT doc_id, $splitCase AS split FROM documents)
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+         |FROM pairsq p JOIN splits sa ON sa.doc_id = p.doc_a
+         |              JOIN splits sb ON sb.doc_id = p.doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    }
   )
 
   /** DuckDB spelling of Dedup.winnowFingerprints, ending in

@@ -89,6 +89,29 @@ object SearchQueries {
         .limit(20)
     }),
 
+    // TF-IDF KEYWORD EXTRACTION: top-5 terms per doc by the log-free
+    // tf·(N/df) weight (floor-scaled to integer — same monotone ranking,
+    // bit-exact cross-engine), selected through the TopKPerKey PHYSICAL
+    // operator: partial per-partition heaps prune to ≤5 rows per doc per
+    // partition BEFORE the shuffle — a window rank would shuffle the
+    // whole (doc, term) relation and keep every row until the filter
+    "q_text_keywords" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val nDocs = docs.count() // metadata-scale plan constant
+      val words = docs
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = words.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(dfq, "term")
+        .withColumn("tfidf_x9",
+          floor(col("tf").cast("double")
+            * (lit(nDocs.toDouble) / col("df").cast("double")) * lit(1e9)).cast("long"))
+      graft.plans.TopKPerKey.topKPerKey(scored,
+          keyCols = Seq("doc_id"), sorts = Seq(("tfidf_x9", false), ("term", true)), k = 5)
+        .select(col("doc_id"), col("term"), col("tfidf_x9"))
+        .orderBy(col("doc_id"), col("tfidf_x9").desc, col("term"))
+    }),
+
     // cross-modal: documents joined to their embedding rows
     "q_multimodal_join" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
@@ -186,7 +209,24 @@ object SearchQueries {
     "q_multimodal_join" ->
       """SELECT doc_id, lang, label, n_chars, CAST(len(embedding) AS INT) AS dims
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_keywords" ->
+      raw"""WITH n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+           |w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    CAST(floor(CAST(tf.tf AS DOUBLE) * (n.n_docs / CAST(d.df AS DOUBLE)) * 1e9)
+           |      AS BIGINT) AS tfidf_x9
+           |  FROM tf JOIN dfq d ON tf.term = d.term CROSS JOIN n),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY tfidf_x9 DESC, term) AS rn FROM scored)
+           |SELECT doc_id, term, tfidf_x9 FROM r WHERE rn <= 5
+           |ORDER BY doc_id, tfidf_x9 DESC, term""".stripMargin
   )
 
   /** DuckDB spelling of [[bm25Scored]], ending in
