@@ -132,20 +132,28 @@ object QueryBuilder {
     else grouped
   }
 
-  /** Scan a named testdata table: `$dir/$table.parquet`.
-    *
-    * events.ts is stored as parquet TIMESTAMP(NANOS) which Spark reads as
-    * long under spark.sql.legacy.parquet.nanosAsLong; normalize it to
-    * TimestampType (microsecond precision — matches DuckDB's cast of a
-    * nanos timestamp to its default micros timestamp).
+  /** Normalize an events-style `ts` column to TIMESTAMP (LTZ, micros) —
+    * the invariant every downstream consumer (windows, watermarks,
+    * unix_micros sessionization) relies on. The driver's generator has
+    * shipped ts as parquet TIMESTAMP(NANOS) (read as long under
+    * spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
+    * without a UTC flag (read as TIMESTAMP_NTZ); accept all three
+    * representations so a testdata regeneration can't strand the ts
+    * consumers. Values are identical either way under the pinned UTC
+    * session timezone (matches DuckDB's naive-timestamp reading).
     */
-  def scan(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$table.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
-  }
+
+  /** Scan a named testdata table: `$dir/$table.parquet`. */
+  def scan(spark: SparkSession, dir: String, table: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$table.parquet"))
 
   /** Endpoint-resolved build: empty Connector.fields takes the
     * endpoint's defaultFields (reference src/index.ts:96-109 getEndpoint

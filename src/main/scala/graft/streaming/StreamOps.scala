@@ -65,10 +65,10 @@ object StreamOps {
         Files.createSymbolicLink(link, p)
     }
     val staticSchema = spark.read.parquet(src.toString).schema
-    spark.readStream
-      .schema(staticSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.engine.QueryBuilder.normalizeTs(
+      spark.readStream
+        .schema(staticSchema)
+        .parquet(streamDir.toString))
   }
 
   /** Stateful-operator parallelism for streams. Distinct from the batch
