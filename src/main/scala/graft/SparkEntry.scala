@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.QuantizeQueries.queries ++
       graft.queries.MergeQueries.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.FunnelQueries.queries
+      graft.queries.FunnelQueries.queries ++
+      graft.queries.EntityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -80,5 +81,6 @@ object SparkEntry {
       graft.queries.QuantizeQueries.oracleSql ++
       graft.queries.MergeQueries.oracleSql ++
       graft.queries.QualityQueries.oracleSql ++
-      graft.queries.FunnelQueries.oracleSql
+      graft.queries.FunnelQueries.oracleSql ++
+      graft.queries.EntityQueries.oracleSql
 }
