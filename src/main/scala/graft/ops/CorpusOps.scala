@@ -313,6 +313,35 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-doc n-gram NOVELTY — the fraction of a doc's distinct k-grams
+    * whose global first occurrence (min doc id over the whole corpus) is
+    * this doc. The memorization-risk / marginal-value census: a doc
+    * whose grams all first appeared elsewhere adds nothing the model
+    * hasn't seen (novelty 0 — the limit case of an exact duplicate);
+    * curation pipelines rank arriving data by it (cf. the span-level
+    * twin, ExactSubstr's duplicated-span fraction).
+    *
+    * Exact arithmetic: counts are longs, the ratio is floor-permille
+    * integer division. Scale: the distinct (doc, gram-hash) relation is
+    * instance-sized; first-owner is ONE map-side-combinable min per
+    * gram; the join back is keyed by the 60-bit gram hash — the same
+    * shape (and cost) as the inverted-index probes of boilerplate/
+    * termstats. The gram relation feeds both sides — persisted once.
+    */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    val grams = Dedup.hashedShingleTable(docs, idCol, textCol, k).scopedPersist()
+    val firstOwner = grams.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOwner, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("n_novel * 1000 div n_grams").cast("long"))
+  }
+
   /** DSIR-style importance SELECTION (the hashed-n-gram data-selection
     * scheme of Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every RAW doc by how much its hashed

@@ -311,6 +311,34 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware survivor selection over a near-dup pair relation —
+    * the keep-BEST-of-cluster policy production dedup pipelines use in
+    * place of keep-first (a near-dup cluster's members differ in
+    * truncation and boilerplate; keeping the highest-quality member
+    * preserves more signal than keeping the lowest id). Pairs →
+    * [[connectedComponents]] → per-cluster argmax of (`quality`,
+    * lowest id) via an order-independent struct max; unmatched docs pass
+    * through as their own singleton cluster. `quality` must be an exact
+    * (integer) expression so the argmax is engine-portable.
+    *
+    * Scale: one left join of docs against the cluster labels (labels ∝
+    * duplicates, not corpus) + one map-side-combinable groupBy. Returns
+    * (cluster, survivor_id, best_q, n_members).
+    */
+  def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       quality: Column): DataFrame = {
+    val cc = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol).as("doc_id"), quality.cast("long").as("q"))
+      .join(cc.select(col(idCol).as("doc_id"), col("cluster")), Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("__m"))
+      .select(col("cluster"), (-col("__m.nid")).as("survivor_id"),
+        col("__m.q").as("best_q"), col("n_members"))
+  }
+
   /** Driver-side min-label union-find for graphs under the threshold.
     * Union keeps the smaller root, so find() yields the component's min
     * id directly — identical output to the distributed propagation.

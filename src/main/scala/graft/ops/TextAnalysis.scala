@@ -55,6 +55,17 @@ object TextAnalysis {
       punctRatio(text) * lit(4.0) -
       abs(avgWordLen(text) - lit(5.0)) * lit(0.1)
 
+  /** Integer quality score — the exact-arithmetic twin of
+    * [[qualityScore]] for consumers that must COMPARE qualities
+    * engine-portably (survivor argmax in quality-aware dedup): 2× the
+    * stopword hit count minus the punctuation count. Monotone in the
+    * same signals, but a total order DuckDB replays bit-for-bit — no
+    * IEEE tie hazards in the argmax.
+    */
+  def qualityScoreInt(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordCount(text, stopwords).cast("long") * 2 -
+      regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("long")
+
   /** Language-ID by marker-word hits: score(lang) = count of tokens in
     * that language's marker list; predict the argmax, ties broken by list
     * order, zero hits → "und". A real n-gram model would replace the

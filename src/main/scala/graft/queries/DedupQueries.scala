@@ -103,6 +103,19 @@ object DedupQueries {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // QUALITY-AWARE survivor selection: keep the best-quality member of
+    // each near-dup cluster (integer quality — exact argmax), not the
+    // lowest id; singletons pass through. Same pair pipeline as
+    // q_dedup_minhash/clusters — the family cache pays it once
+    "q_dedup_survivor" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+      Dedup.qualitySurvivors(docs, "doc_id", pairs,
+        TextAnalysis.qualityScoreInt(col("text")))
+        .orderBy(col("cluster"))
+    }),
+
     // INCREMENTAL MinHash-index maintenance: the retained corpus's band
     // index is updated for a delete+insert delta WITHOUT re-hashing the
     // unchanged corpus — departed ids leave by anti-join on the id,
@@ -376,6 +389,16 @@ object DedupQueries {
       |              JOIN shh B ON B.doc_id = c.doc_b AND B.sh = A.sh
       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
+  /** DuckDB spelling of TextAnalysis.qualityScoreInt over `text`:
+    * 2 × stopword hits − punctuation count, all-BIGINT.
+    */
+  private val qualityIntSql: String = {
+    val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    raw"""(2 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+         |      w -> list_contains($stopList, w)))
+         |  - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')))""".stripMargin
+  }
+
   /** DuckDB spelling of Dedup.hex60: first 15 md5 hex digits → 60-bit
     * bigint via digit-arithmetic (portable; no engine hex parsing).
     */
@@ -386,6 +409,14 @@ object DedupQueries {
 
   /** sqlHex60 for reuse from other query families. */
   def sqlHex60Public(h: String): String = sqlHex60(h)
+
+  /** Shingle + 60-bit-hash CTEs (ending in `shh(doc_id, sh)`) for reuse
+    * from other query families — the SQL twin of
+    * `Dedup.hashedShingleTable`.
+    */
+  def hashedShingleCtesPublic(src: String): String =
+    s"""${shingleCtesOver(src)},
+       |shh AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS sh FROM sh)""".stripMargin
 
   /** Full minhash pipeline as CTEs over any (doc_id, text) relation,
     * ending in `pairsq(doc_a, doc_b, jaccard)`.
@@ -466,6 +497,33 @@ object DedupQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivor" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairsq
+         |  UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |ql AS (SELECT doc_id, $qualityIntSql AS q FROM documents),
+         |labeled AS (
+         |  SELECT ql.doc_id, ql.q, coalesce(l.cluster, ql.doc_id) AS cluster
+         |  FROM ql LEFT JOIN lab l ON l.doc_id = ql.doc_id),
+         |ent AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |               max(q) AS best_q
+         |        FROM labeled GROUP BY cluster),
+         |surv AS (SELECT l.cluster, min(l.doc_id) AS survivor_id
+         |         FROM labeled l JOIN ent e
+         |           ON e.cluster = l.cluster AND l.q = e.best_q
+         |         GROUP BY l.cluster)
+         |SELECT e.cluster AS cluster, s.survivor_id, CAST(e.best_q AS BIGINT) AS best_q,
+         |       e.n_members
+         |FROM ent e JOIN surv s ON s.cluster = e.cluster
+         |ORDER BY e.cluster""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents

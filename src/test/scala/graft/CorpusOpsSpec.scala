@@ -341,6 +341,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r4._4 == 1 && r4._5 == 1 && r4._6 == 1 && r4._7 == 0) // ttr+dbf+twf
   }
 
+  test("gramNovelty: first-owner attribution, exact duplicate scores 0") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // grams: abc bcd cde — all first here
+      (2L, "a b c d e"),        // exact dup of 1 → novelty 0
+      (3L, "a b c x y z"),      // abc seen (doc 1); bcx cxy xyz novel → 3/4
+      (4L, "p q r")             // single novel gram → 1/1
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.gramNovelty(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_permille"))).toMap
+    assert(out(1L) == ((3L, 3L, 1000L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((4L, 3L, 750L)))
+    assert(out(4L) == ((1L, 1L, 1000L)))
+    // partitioning never changes the census
+    val re = CorpusOps.gramNovelty(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == out.map { case (id, (g, n, p)) => (id, g, n, p) }.toSet)
+  }
+
   test("piiRedact: emails then phones, global") {
     val df = Seq("mail a.b@x.co and c@y.io or 555-123 then 555-9").toDF("t")
       .select(CorpusOps.piiRedact(col("t")).as("r"),

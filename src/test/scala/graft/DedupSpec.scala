@@ -87,4 +87,21 @@ class DedupSpec extends SparkSpec {
     val fp2 = Dedup.winnowFingerprints(docs.repartition(7), "doc_id", "text", k, w)
     assert(fp.as[(Long, Long)].collect().toSet == fp2.as[(Long, Long)].collect().toSet)
   }
+
+  test("qualitySurvivors: best-of-cluster argmax, tie -> min id, singleton pass-through") {
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // cluster {1,2,3}: best q=9, tie 2 vs 3 -> 2
+      (4L, -2L),                    // singleton, negative quality fine
+      (5L, 0L), (6L, 7L)            // cluster {5,6}: survivor 6
+    ).toDF("doc_id", "q0")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.qualitySurvivors(docs, "doc_id", pairs, col("q0")).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("survivor_id"), r.getAs[Long]("best_q"),
+          r.getAs[Long]("n_members"))).toMap
+    assert(out == Map(
+      1L -> ((2L, 9L, 3L)),
+      4L -> ((4L, -2L, 1L)),
+      5L -> ((6L, 7L, 2L))))
+  }
 }
