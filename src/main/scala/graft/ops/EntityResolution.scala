@@ -122,20 +122,18 @@ object EntityResolution {
   def blockKey(name: Column, len: Int): Column =
     substring(regexp_replace(name, "[^0-9]", ""), -len, len)
 
-  /** Candidate pairs via the blocked self-join, each carrying the exact
-    * agreement vector and its integer Fellegi–Sunter score. One shuffle
-    * keyed by (nation, blk); block sizes are O(1) by construction.
-    */
-  def candidates(records: DataFrame, suffix: Int): DataFrame = {
-    val blocked = records.withColumn("blk", blockKey(col("name"), suffix))
-    def side(p: String) = blocked.select(
+  private def blockedSide(records: DataFrame, suffix: Int, p: String): DataFrame =
+    records.withColumn("blk", blockKey(col("name"), suffix)).select(
       col("rec_id").as(s"${p}id"), col("name").as(s"${p}name"),
       col("nation"), col("segment").as(s"${p}seg"),
       col("bal_cents").as(s"${p}bal"), col("blk"))
-    val joined = side("a_").join(side("b_"), Seq("nation", "blk"))
-      .filter(col("a_id") < col("b_id"))
+
+  /** Agreement vector + integer score over an a_/b_-prefixed joined pair
+    * relation — the one scoring definition every entry point shares.
+    */
+  private def scored(joined: DataFrame): DataFrame =
     joined.select(
-      col("a_id").as("rec_a"), col("b_id").as("rec_b"),
+      col("a_id"), col("b_id"),
       when(levenshtein(lower(col("a_name")), lower(col("b_name"))) <= 1, 1)
         .otherwise(0).as("name_agree"),
       when(abs(col("a_bal") - col("b_bal")) <= balTolCents, 1).otherwise(0).as("bal_agree"),
@@ -144,7 +142,46 @@ object EntityResolution {
       .withColumn("score",
         col("name_agree") * wName + col("bal_agree") * wBal +
           col("seg_agree") * wSeg + lit(wNation))
-  }
+
+  /** Candidate pairs via the blocked self-join, each carrying the exact
+    * agreement vector and its integer Fellegi–Sunter score. One shuffle
+    * keyed by (nation, blk); block sizes are O(1) by construction.
+    */
+  def candidates(records: DataFrame, suffix: Int): DataFrame =
+    scored(blockedSide(records, suffix, "a_")
+        .join(blockedSide(records, suffix, "b_"), Seq("nation", "blk"))
+        .filter(col("a_id") < col("b_id")))
+      .withColumnRenamed("a_id", "rec_a").withColumnRenamed("b_id", "rec_b")
+
+  /** Cross-relation scoring: every (clean, arriving) pair sharing a
+    * block, scored by the same definition as [[candidates]] — the
+    * incremental-linkage probe (a micro-batch of arriving records
+    * against the static system-of-record side). No id-order filter: the
+    * two relations are disjoint by construction.
+    */
+  def scoreAcross(clean: DataFrame, arriving: DataFrame, suffix: Int): DataFrame =
+    scored(blockedSide(clean, suffix, "a_")
+        .join(blockedSide(arriving, suffix, "b_"), Seq("nation", "blk")))
+      .withColumnRenamed("a_id", "clean_id").withColumnRenamed("b_id", "arriving_id")
+
+  /** The agreement/score SQL column list over aliases `a`/`b` — the one
+    * scoring definition in SQL, mirroring [[scored]].
+    */
+  private def agreeSql: String =
+    s"""    CASE WHEN levenshtein(lower(a.name), lower(b.name)) <= 1 THEN 1 ELSE 0 END AS name_agree,
+       |    CASE WHEN abs(a.bal_cents - b.bal_cents) <= $balTolCents THEN 1 ELSE 0 END AS bal_agree,
+       |    CASE WHEN a.segment IS NOT NULL AND b.segment IS NOT NULL AND a.segment = b.segment
+       |         THEN 1 ELSE 0 END AS seg_agree,
+       |    CASE WHEN levenshtein(lower(a.name), lower(b.name)) <= 1 THEN $wName ELSE 0 END +
+       |    CASE WHEN abs(a.bal_cents - b.bal_cents) <= $balTolCents THEN $wBal ELSE 0 END +
+       |    CASE WHEN a.segment IS NOT NULL AND b.segment IS NOT NULL AND a.segment = b.segment
+       |         THEN $wSeg ELSE 0 END + $wNation AS score""".stripMargin
+
+  /** The `blocked` CTE body: records + their block key. */
+  def blockedSql(suffixSql: String): String =
+    s"""blocked AS (
+       |  SELECT *, right(regexp_replace(name, '[^0-9]', '', 'g'), $suffixSql) AS blk
+       |  FROM records)""".stripMargin
 
   /** Shared SQL: blocking + candidates + agreement vector + score, as
     * CTEs ending in `scored(rec_a, rec_b, name_agree, bal_agree,
@@ -152,21 +189,26 @@ object EntityResolution {
     * suffix length (see [[suffixLenSql]]).
     */
   def candidatesSql(suffixSql: String): String =
-    s"""blocked AS (
-       |  SELECT *, right(regexp_replace(name, '[^0-9]', '', 'g'), $suffixSql) AS blk
-       |  FROM records),
+    s"""${blockedSql(suffixSql)},
        |scored AS (
        |  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
-       |    CASE WHEN levenshtein(lower(a.name), lower(b.name)) <= 1 THEN 1 ELSE 0 END AS name_agree,
-       |    CASE WHEN abs(a.bal_cents - b.bal_cents) <= $balTolCents THEN 1 ELSE 0 END AS bal_agree,
-       |    CASE WHEN a.segment IS NOT NULL AND b.segment IS NOT NULL AND a.segment = b.segment
-       |         THEN 1 ELSE 0 END AS seg_agree,
-       |    CASE WHEN levenshtein(lower(a.name), lower(b.name)) <= 1 THEN $wName ELSE 0 END +
-       |    CASE WHEN abs(a.bal_cents - b.bal_cents) <= $balTolCents THEN $wBal ELSE 0 END +
-       |    CASE WHEN a.segment IS NOT NULL AND b.segment IS NOT NULL AND a.segment = b.segment
-       |         THEN $wSeg ELSE 0 END + $wNation AS score
+       |$agreeSql
        |  FROM blocked a JOIN blocked b
        |    ON a.nation = b.nation AND a.blk = b.blk AND a.rec_id < b.rec_id)""".stripMargin
+
+  /** SQL twin of [[scoreAcross]] with the clean (even) side as `a` and
+    * the arriving dirty (odd) side as `b`: CTEs ending in
+    * `crossed(clean_id, arriving_id, name_agree, bal_agree, seg_agree,
+    * score)`.
+    */
+  def crossScoreSql(suffixSql: String): String =
+    s"""${blockedSql(suffixSql)},
+       |crossed AS (
+       |  SELECT a.rec_id AS clean_id, b.rec_id AS arriving_id,
+       |$agreeSql
+       |  FROM blocked a JOIN blocked b
+       |    ON a.nation = b.nation AND a.blk = b.blk
+       |   AND a.rec_id % 2 = 0 AND b.rec_id % 2 = 1)""".stripMargin
 
   /** Matched pairs: candidates at or above the threshold. */
   def matches(cands: DataFrame): DataFrame =

@@ -51,6 +51,79 @@ object EntityQueries {
       val (recs, len) = records(s, d)
       golden(recs, matches(candidates(recs, len)))
         .orderBy(col("entity_id"))
+    }),
+
+    // matcher EVALUATION against the constructed ground truth (the twin
+    // pairs 2k/2k+1): tp/fp/fn and exact-ppm precision/recall — the
+    // threshold-tuning loop every linkage deployment runs
+    "q_er_eval" -> ((s: SparkSession, d: String) => {
+      val (recs, len) = records(s, d)
+      val m = matches(candidates(recs, len))
+      val stats = m.agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(when(col("rec_a") % 2 === 0 && col("rec_b") === col("rec_a") + 1, 1L)
+          .otherwise(0L)).cast("long").as("tp"))
+      val truth = recs.agg(expr("CAST(count(1) / 2 AS BIGINT)").as("n_truth"))
+      stats.crossJoin(truth).select(
+        col("tp"),
+        (col("n_matched") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("tp * 1000000 div greatest(n_matched, 1)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(n_truth, 1)").as("recall_ppm"))
+    }),
+
+    // blocking census — the shuffle pre-flight audit: block-size
+    // distribution and the candidate-pair mass each size contributes
+    // (the O(1)-expected-block-size claim, MEASURED per run)
+    "q_er_blocks" -> ((s: SparkSession, d: String) => {
+      val (recs, len) = records(s, d)
+      recs.withColumn("blk", blockKey(col("name"), len))
+        .groupBy(col("nation"), col("blk"))
+        .agg(count(lit(1)).as("block_size"))
+        .groupBy(col("block_size"))
+        .agg(count(lit(1)).as("n_blocks"))
+        .withColumn("n_cand_pairs",
+          expr("n_blocks * (block_size * (block_size - 1) div 2)"))
+        .orderBy(col("block_size"))
+    }),
+
+    // STREAMING incremental linkage: dirty records arrive as
+    // micro-batches and are scored against the STATIC clean
+    // (system-of-record) side — per-record decisions depend only on the
+    // record + the static side, so batch slicing can't change the
+    // result (oracle recomputes in one batch query). The 100 TB shape:
+    // per-batch cost ∝ batch × block density, never ∝ corpus
+    "q_stream_er" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val (recs, len) = records(s, d)
+      // static side persisted across micro-batches (cache-manager reuse,
+      // bounded by the bench's family-boundary clear)
+      val clean = recs.filter(col("rec_id") % 2 === 0).persist()
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_er_src_$suffix"
+      val out = s"/tmp/graft_er_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      recs.filter(col("rec_id") % 2 === 1)
+        .repartition(2, col("rec_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      graft.streaming.StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val m = scoreAcross(clean, batch, len)
+              .filter(col("score") >= matchThreshold)
+              .select(col("clean_id"), col("arriving_id"), col("score"))
+            graft.sinks.Sinks.write(m,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).orderBy(col("clean_id"), col("arriving_id"))
     })
   )
 
@@ -95,6 +168,37 @@ object EntityQueries {
          |SELECT e.entity_id, r.name AS canonical_name, r.nation,
          |       e.merged_segment, e.best_bal_cents, e.n_records
          |FROM entity e JOIN records r ON r.rec_id = e.entity_id
-         |ORDER BY entity_id""".stripMargin
+         |ORDER BY entity_id""".stripMargin,
+
+    "q_er_eval" ->
+      s"""WITH $erCtes,
+         |m AS (SELECT rec_a, rec_b FROM scored WHERE score >= $matchThreshold),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+         |  CAST(coalesce(SUM(CASE WHEN rec_a % 2 = 0 AND rec_b = rec_a + 1
+         |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+         |  FROM m),
+         |tr AS (SELECT CAST(count(*) // 2 AS BIGINT) AS n_truth FROM records)
+         |SELECT tp, n_matched - tp AS fp, n_truth - tp AS fn,
+         |  CAST(tp * 1000000 // greatest(n_matched, 1) AS BIGINT) AS precision_ppm,
+         |  CAST(tp * 1000000 // greatest(n_truth, 1) AS BIGINT) AS recall_ppm
+         |FROM st, tr""".stripMargin,
+
+    "q_er_blocks" ->
+      s"""WITH ${EntityResolution.dirtyRecordsSql},
+         |${EntityResolution.blockedSql(suffixSql)},
+         |sizes AS (SELECT nation, blk, CAST(count(*) AS BIGINT) AS block_size
+         |          FROM blocked GROUP BY nation, blk),
+         |census AS (SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks
+         |           FROM sizes GROUP BY block_size)
+         |SELECT block_size, n_blocks,
+         |  CAST(n_blocks * (block_size * (block_size - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM census ORDER BY block_size""".stripMargin,
+
+    "q_stream_er" ->
+      s"""WITH ${EntityResolution.dirtyRecordsSql},
+         |${EntityResolution.crossScoreSql(suffixSql)}
+         |SELECT clean_id, arriving_id, score FROM crossed
+         |WHERE score >= $matchThreshold
+         |ORDER BY clean_id, arriving_id""".stripMargin
   )
 }

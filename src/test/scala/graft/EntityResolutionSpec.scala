@@ -99,6 +99,25 @@ class EntityResolutionSpec extends SparkSpec {
     assert(g.filter(col("n_records") =!= 1).count() == 0)
   }
 
+  test("scoreAcross == self-join candidates restricted to clean x dirty") {
+    val recs = dirtyRecords(customers)
+    val clean = recs.filter(col("rec_id") % 2 === 0)
+    val dirty = recs.filter(col("rec_id") % 2 === 1)
+    val across = scoreAcross(clean, dirty, suffix = 2)
+      .filter(col("score") >= matchThreshold)
+      .select("clean_id", "arriving_id", "score")
+      .as[(Long, Long, Int)].collect().toSet
+    // the self-join path, restricted to (even, odd) pairs in either order
+    val self = matches(candidates(recs, suffix = 2))
+      .select("rec_a", "rec_b", "score").as[(Long, Long, Int)].collect()
+      .flatMap { case (a, b, sc) =>
+        if (a % 2 == 0 && b % 2 == 1) Some((a, b, sc))
+        else if (a % 2 == 1 && b % 2 == 0) Some((b, a, sc))
+        else None
+      }.toSet
+    assert(across == self && across.nonEmpty)
+  }
+
   test("block key is stable under case corruption, adaptive length steps at caps") {
     val df = Seq(("Customer#000000123", "CUSTOMER#000000123"))
       .toDF("clean", "flipped")
