@@ -313,6 +313,40 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Data-constrained EPOCH ALLOCATION (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models" shape): under a token
+    * budget of `budgetX` × the corpus, give each domain a
+    * temperature-flattened target share (α = 0.5 via integer sqrt, the
+    * same exact arithmetic as [[temperatureMixture]]) and convert it to
+    * a REPEAT count over the domain's own tokens, capped at
+    * `maxEpochsX1000`/1000 epochs (the paper's ~4-epoch
+    * diminishing-returns rail). The planning table every
+    * data-constrained run derives before training: how many times each
+    * source is repeated.
+    *
+    * Exact integer arithmetic throughout (milli-epoch fixed point;
+    * budget-first division keeps every intermediate ≤ total·budgetX —
+    * safe past 10¹⁴ tokens). Scale: one combinable groupBy to the
+    * domain dimension; everything after is dimension-sized.
+    */
+  def epochAllocation(docs: DataFrame, domainCol: String, tokens: Column,
+                      budgetX: Long = 2L, maxEpochsX1000: Long = 4000L): DataFrame = {
+    require(budgetX >= 1, s"epochAllocation: budgetX must be >= 1, got $budgetX")
+    require(maxEpochsX1000 >= 1000,
+      s"epochAllocation: maxEpochsX1000 must allow >= 1 epoch, got $maxEpochsX1000")
+    val totals = docs.select(col(domainCol), tokens.cast("long").as("__t"))
+      .groupBy(col(domainCol)).agg(sum(col("__t")).as("n_tokens"))
+      .withColumn("__sq", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val z = totals.agg(sum(col("n_tokens")).as("__total"), sum(col("__sq")).as("__Z"))
+    totals.crossJoin(broadcast(z)) // 1-row scalar — the allowed shape
+      .withColumn("target_tokens", expr(s"(__total * $budgetX div __Z) * __sq"))
+      .withColumn("epochs_x1000", least(lit(maxEpochsX1000),
+        expr("target_tokens * 1000 div greatest(n_tokens, 1)")))
+      .withColumn("alloc_tokens", expr("epochs_x1000 * n_tokens div 1000"))
+      .select(col(domainCol), col("n_tokens"), col("target_tokens"),
+        col("epochs_x1000"), col("alloc_tokens"))
+  }
+
   /** Per-doc n-gram NOVELTY — the fraction of a doc's distinct k-grams
     * whose global first occurrence (min doc id over the whole corpus) is
     * this doc. The memorization-risk / marginal-value census: a doc

@@ -264,6 +264,18 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff 2023): per-lang
+    // repeat counts under a 2x-corpus token budget — α=0.5 flattened
+    // target shares converted to milli-epoch repeats, capped at 4
+    // epochs. Exact integer milli-epochs; dimension-sized after one
+    // combinable groupBy (see CorpusOps.epochAllocation)
+    "q_mix_epochs" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.epochAllocation(
+        scan(s, d, "documents"), "lang",
+        TextAnalysis.tokenCountWs(col("text")), budgetX = 2L)
+        .orderBy(col("lang"))
+    }),
+
     // DSIR IMPORTANCE SELECTION (Xie et al. 2023 hashed-n-gram data
     // selection): raw (non-English-labeled) docs scored by the
     // fixed-point likelihood ratio of the 256-bucket hashed-unigram
@@ -651,6 +663,28 @@ object DedupQueries {
          |WHERE ${sqlHex60("md5('mixa:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
          |GROUP BY t.lang, r.rate_ppm
          |ORDER BY t.lang""".stripMargin,
+
+    "q_mix_epochs" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |               CAST(floor(sqrt(CAST(SUM(toks) AS DOUBLE))) AS BIGINT) AS sq
+         |        FROM t GROUP BY lang),
+         |z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         |             CAST(SUM(sq) AS BIGINT) AS Z FROM tot),
+         |r AS (SELECT lang, n_tokens,
+         |        CAST((total * 2 // Z) * sq AS BIGINT) AS target_tokens
+         |      FROM tot, z),
+         |e AS (SELECT lang, n_tokens, target_tokens,
+         |        CAST(LEAST(4000, target_tokens * 1000 // greatest(n_tokens, 1)) AS BIGINT)
+         |          AS epochs_x1000
+         |      FROM r)
+         |SELECT lang, n_tokens, target_tokens, epochs_x1000,
+         |  CAST(epochs_x1000 * n_tokens // 1000 AS BIGINT) AS alloc_tokens
+         |FROM e ORDER BY lang""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql

@@ -341,6 +341,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r4._4 == 1 && r4._5 == 1 && r4._6 == 1 && r4._7 == 0) // ttr+dbf+twf
   }
 
+  test("epochAllocation: cap binds the tiny domain, zero-token domain allocates 0") {
+    val docs = Seq(
+      ("big", 100L), ("big", 100L), ("big", 100L), ("big", 100L), // 400 tokens
+      ("small", 4L),                                              // 4 tokens
+      ("empty", 0L)
+    ).toDF("domain", "toks")
+    val out = CorpusOps.epochAllocation(docs, "domain", col("toks"), budgetX = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs_x1000"), r.getAs[Long]("alloc_tokens"))).toMap
+    // sq: big=20, small=2, empty=0 → Z=22; budget = 808 // 22 = 36 per sq unit
+    assert(out("big") == ((400L, 720L, 1800L, 720L)))   // 1.8 epochs, uncapped
+    assert(out("small") == ((4L, 72L, 4000L, 16L)))      // 18x demand → capped at 4.0
+    assert(out("empty") == ((0L, 0L, 0L, 0L)))           // nothing to repeat
+    // allocation never exceeds the cap x own tokens
+    assert(out.values.forall { case (n, _, e, a) => e <= 4000L && a <= 4L * n })
+  }
+
   test("gramNovelty: first-owner attribution, exact duplicate scores 0") {
     val docs = Seq(
       (1L, "a b c d e"),        // grams: abc bcd cde — all first here

@@ -250,4 +250,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-30 pairs must not global-sort: " + plan.take(2000))
   }
+
+  test("ER candidates: blocked equi-join on (nation, blk), never nested-loop") {
+    import graft.ops.EntityResolution
+    val recs = EntityResolution.dirtyRecords(scan(spark, sf001, "customer"))
+    val df = EntityResolution.candidates(recs, suffix = 2)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the levenshtein/abs agreement predicates must stay POST-join
+    // projections over the (nation, blk) equi-join — a planner that saw
+    // them as join conditions would fall back to nested-loop
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("nation") && plan.contains("blk"), plan.take(2000))
+  }
 }
