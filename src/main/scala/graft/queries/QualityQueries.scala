@@ -39,6 +39,21 @@ object QualityQueries {
         .agg(count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // DISTRIBUTION-DRIFT census (the ingest monitor): order totals of
+    // the pre-1995 snapshot vs everything after, binned into 16 fixed
+    // [0, 600k) bins, floor-ppm shares and the per-bin |Δshare| whose
+    // half-sum is the exact total-variation distance — TVD, not
+    // PSI/KL, so no ln() and both engines agree bit-for-bit
+    "q_dq_drift" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val cut = lit("1995-01-01").cast("date")
+      graft.ops.Drift.driftCensus(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
+        .orderBy(col("bin"))
     })
   )
 
@@ -63,6 +78,25 @@ object QualityQueries {
       """SELECT l_orderkey, l_linenumber, COUNT(*) AS n_copies
         |FROM lineitem GROUP BY l_orderkey, l_linenumber
         |HAVING COUNT(*) > 1
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_dq_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(15, GREATEST(0,
+        |           CAST(floor((o_totalprice - 0.0) / 37500.0) AS INTEGER))) AS BIGINT) AS bin,
+        |         o_orderdate < DATE '1995-01-01' AS is_base
+        |  FROM orders),
+        |h AS (SELECT bin,
+        |        CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS n_base,
+        |        CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_cur
+        |      FROM b GROUP BY bin),
+        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |             CAST(SUM(n_cur) AS BIGINT) AS tc FROM h)
+        |SELECT bin, n_base, n_cur,
+        |  CAST(n_base * 1000000 // greatest(tb, 1) AS BIGINT) AS base_ppm,
+        |  CAST(n_cur * 1000000 // greatest(tc, 1) AS BIGINT) AS cur_ppm,
+        |  CAST(abs(n_base * 1000000 // greatest(tb, 1)
+        |         - n_cur * 1000000 // greatest(tc, 1)) AS BIGINT) AS diff_ppm
+        |FROM h, t ORDER BY bin""".stripMargin
   )
 }

@@ -309,6 +309,49 @@ object StreamQueries {
       s.read.parquet(out).orderBy(col("doc_id"))
     }),
 
+    // STREAMING drift monitor — the incremental form of q_dq_drift:
+    // each arriving micro-batch contributes ONLY its nBins-row
+    // histogram (the additive unit — histograms of disjoint slices sum
+    // to their union's), appended to a landing table; the census
+    // re-sums persisted histograms against the static baseline and
+    // NEVER rescans either data side. Bin edges are constants, so the
+    // merged result is bit-identical to the one-shot census — the
+    // oracle is exactly q_dq_drift's query. At 100 TB: per-batch cost ∝
+    // batch, census cost ∝ nBins × batches
+    "q_stream_drift" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import graft.ops.Drift
+      val o = graft.engine.QueryBuilder.scan(s, d, "orders")
+      val cut = lit("1995-01-01").cast("date")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sdrift_src_$suffix"
+      val out = s"/tmp/graft_sdrift_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      o.filter(col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice")
+        .repartition(2, col("o_orderkey")).write.mode("overwrite").parquet(stage)
+      val baseHist = Drift.histogram(o.filter(col("o_orderdate") < cut),
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              Drift.histogram(batch, col("o_totalprice"),
+                lo = 0.0, hi = 600000.0, nBins = 16),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val curHist = s.read.parquet(out).groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      Drift.censusOfHists(baseHist, curHist).orderBy(col("bin"))
+    }),
+
     // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
     // event-time timeout — sessions emit ONLY once the watermark proves
     // they can never grow (append semantics, state ∝ open sessions).
@@ -346,6 +389,10 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // additive histograms: the merged incremental census is bit-identical
+    // to the one-shot census, so the oracle IS q_dq_drift's query
+    "q_stream_drift" -> QualityQueries.oracleSql("q_dq_drift"),
+
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
          |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
