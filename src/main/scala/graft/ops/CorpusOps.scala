@@ -358,13 +358,19 @@ object CorpusOps {
     * Exact arithmetic: counts are longs, the ratio is floor-permille
     * integer division. Scale: the distinct (doc, gram-hash) relation is
     * instance-sized; first-owner is ONE map-side-combinable min per
-    * gram; the join back is keyed by the 60-bit gram hash — the same
-    * shape (and cost) as the inverted-index probes of boilerplate/
-    * termstats. The gram relation feeds both sides — persisted once.
+    * gram; the join back is keyed by the gram hash — the same shape
+    * (and cost) as the inverted-index probes of boilerplate/termstats.
+    * The gram id is xxhash64 (JOIN-KEY-ONLY — it never reaches the
+    * output, so the codegen'd hash applies; the boilerplate pattern,
+    * measured ~2× whole-query vs md5-hex60 at gram-instance volume) and
+    * the oracle groups RAW gram strings — a collision that changed any
+    * count would FAIL the compare, not be mirrored by it. The gram
+    * relation feeds both sides — persisted once.
     */
   def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
-    val grams = Dedup.hashedShingleTable(docs, idCol, textCol, k).scopedPersist()
+    val grams = Dedup.shingleTable(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).scopedPersist()
     val firstOwner = grams.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstOwner, "sh")

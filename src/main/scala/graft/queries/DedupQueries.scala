@@ -422,13 +422,13 @@ object DedupQueries {
   /** sqlHex60 for reuse from other query families. */
   def sqlHex60Public(h: String): String = sqlHex60(h)
 
-  /** Shingle + 60-bit-hash CTEs (ending in `shh(doc_id, sh)`) for reuse
-    * from other query families — the SQL twin of
-    * `Dedup.hashedShingleTable`.
+  /** Raw word-shingle CTEs (ending in `sh(doc_id, sh)`) for reuse from
+    * other query families — the SQL twin of `Dedup.shingleTable`,
+    * UNHASHED: consumers whose engine side hashes join-key-only verify
+    * against the raw strings, so a collision fails the compare instead
+    * of being mirrored by it.
     */
-  def hashedShingleCtesPublic(src: String): String =
-    s"""${shingleCtesOver(src)},
-       |shh AS (SELECT doc_id, ${sqlHex60("md5(sh)")} AS sh FROM sh)""".stripMargin
+  def rawShingleCtesPublic(src: String): String = shingleCtesOver(src)
 
   /** Full minhash pipeline as CTEs over any (doc_id, text) relation,
     * ending in `pairsq(doc_a, doc_b, jaccard)`.

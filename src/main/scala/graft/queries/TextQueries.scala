@@ -376,13 +376,16 @@ object TextQueries {
          |SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
+    // engine joins on xxhash64 gram ids (join-key-only); the oracle
+    // groups the RAW gram strings, so a hash collision that changed any
+    // count would fail the compare rather than be mirrored by it
     "q_text_novelty" ->
-      s"""WITH ${DedupQueries.hashedShingleCtesPublic("documents")},
-         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM shh GROUP BY sh),
+      s"""WITH ${DedupQueries.rawShingleCtesPublic("documents")},
+         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
          |per AS (
          |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |  FROM shh s JOIN fo f ON f.sh = s.sh
+         |  FROM sh s JOIN fo f ON f.sh = s.sh
          |  GROUP BY s.doc_id)
          |SELECT doc_id, n_grams, n_novel,
          |  CAST(n_novel * 1000 // n_grams AS BIGINT) AS novelty_permille
