@@ -37,6 +37,31 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 10, numPlanes = LSH_PLANES)
     }),
 
+    // ANN EVAL LOOP: recall@10 of the LSH-bucketed index against the
+    // brute-force ground truth (both orders deterministic: cosine DESC,
+    // id ASC) — the accuracy/cost dial every approximate index ships
+    // with; exact-ppm like the matcher eval (q_er_eval) and the langid
+    // confusion matrix
+    "q_sim_recall" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val query = e.filter(col("vec_id") === 0)
+      val brute = Similarity.bruteTopK(
+        corpus, "vec_id", "embedding", query, "embedding", k = 10)
+        .select(col("vec_id"))
+      def arm(name: String, ids: DataFrame) =
+        brute.join(ids.select(col("vec_id")), "vec_id")
+          .agg(count(lit(1)).cast("long").as("n_hits"))
+          .select(lit(name).as("index_kind"), lit(10L).as("k"), col("n_hits"),
+            expr("n_hits * 1000000 div 10").as("recall_ppm"))
+      arm("ivf", Similarity.ivfTopK(
+          corpus, "vec_id", "embedding", query, "embedding", k = 10))
+        .unionAll(arm("lsh", Similarity.lshTopK(
+          corpus, "vec_id", "embedding", DIMS, query, "embedding",
+          k = 10, numPlanes = LSH_PLANES)))
+        .orderBy(col("index_kind"))
+    }),
+
     // IVF-style ANN: deterministic coarse quantizer (16 smallest-id
     // vectors as centroids), probe the 2 nearest cells, exact re-rank
     "q_sim_ivf" -> ((s: SparkSession, d: String) => {
@@ -367,7 +392,7 @@ object SimilarityQueries {
        |    FROM acos1) WHERE rn = 1)""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_kmeans_assign" ->
       s"""WITH $sqlKmeansCtes
          |SELECT vec_id, CAST(cell AS INT) AS cell FROM assign1 ORDER BY vec_id""".stripMargin,
@@ -684,4 +709,28 @@ object SimilarityQueries {
          |SELECT id_a, id_b, cosine FROM cos
          |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** Recall oracle: each arm IS that index's own oracle query (nested as
+    * a subquery), so the eval can never drift from what the index
+    * queries actually return; the ground truth is the brute oracle at
+    * k=10.
+    */
+  private lazy val recallOracleSql: String = {
+    val brute10 = baseOracles("q_sim_topk").replace("LIMIT 20", "LIMIT 10")
+    s"""WITH brute AS (SELECT vec_id FROM ($brute10)),
+       |lsha AS (SELECT vec_id FROM (${baseOracles("q_sim_lsh")})),
+       |ivfa AS (SELECT vec_id FROM (${baseOracles("q_sim_ivf")})),
+       |hits AS (
+       |  SELECT 'ivf' AS index_kind, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM brute JOIN ivfa USING (vec_id)
+       |  UNION ALL
+       |  SELECT 'lsh', CAST(count(*) AS BIGINT)
+       |  FROM brute JOIN lsha USING (vec_id))
+       |SELECT index_kind, CAST(10 AS BIGINT) AS k, n_hits,
+       |  CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm
+       |FROM hits ORDER BY index_kind""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] =
+    baseOracles + ("q_sim_recall" -> recallOracleSql)
 }
