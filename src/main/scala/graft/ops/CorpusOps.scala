@@ -360,17 +360,16 @@ object CorpusOps {
     * instance-sized; first-owner is ONE map-side-combinable min per
     * gram; the join back is keyed by the gram hash — the same shape
     * (and cost) as the inverted-index probes of boilerplate/termstats.
-    * The gram id is xxhash64 (JOIN-KEY-ONLY — it never reaches the
-    * output, so the codegen'd hash applies; the boilerplate pattern,
-    * measured ~2× whole-query vs md5-hex60 at gram-instance volume) and
-    * the oracle groups RAW gram strings — a collision that changed any
-    * count would FAIL the compare, not be mirrored by it. The gram
-    * relation feeds both sides — persisted once.
+    * The gram relation is the SAME hashed shingle table the minhash
+    * family persists (plan-identical → cache-manager hit when run in
+    * the dedup family, the q_dedup_source_mirror precedent); the hash
+    * never reaches the output and the oracle groups RAW gram strings —
+    * a collision that changed any count would FAIL the compare, not be
+    * mirrored by it.
     */
   def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
-    val grams = Dedup.shingleTable(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).scopedPersist()
+    val grams = Dedup.hashedShingleTable(docs, idCol, textCol, k).scopedPersist()
     val firstOwner = grams.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstOwner, "sh")

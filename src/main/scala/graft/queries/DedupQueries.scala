@@ -103,6 +103,16 @@ object DedupQueries {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // per-doc n-gram NOVELTY: fraction of a doc's distinct 3-grams whose
+    // global first occurrence (min doc id) is this doc — the
+    // memorization-risk / marginal-value census (floor-permille exact).
+    // In the dedup family so the plan-identical hashed shingle table is
+    // a cache hit off the persisted minhash pipeline
+    "q_dedup_novelty" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.gramNovelty(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // QUALITY-AWARE survivor selection: keep the best-quality member of
     // each near-dup cluster (integer quality — exact argmax), not the
     // lowest id; singletons pass through. Same pair pipeline as
@@ -422,13 +432,6 @@ object DedupQueries {
   /** sqlHex60 for reuse from other query families. */
   def sqlHex60Public(h: String): String = sqlHex60(h)
 
-  /** Raw word-shingle CTEs (ending in `sh(doc_id, sh)`) for reuse from
-    * other query families — the SQL twin of `Dedup.shingleTable`,
-    * UNHASHED: consumers whose engine side hashes join-key-only verify
-    * against the raw strings, so a collision fails the compare instead
-    * of being mirrored by it.
-    */
-  def rawShingleCtesPublic(src: String): String = shingleCtesOver(src)
 
   /** Full minhash pipeline as CTEs over any (doc_id, text) relation,
     * ending in `pairsq(doc_a, doc_b, jaccard)`.
@@ -509,6 +512,21 @@ object DedupQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // engine joins on hashed gram ids (join-key-only); the oracle groups
+    // the RAW gram strings, so a hash collision that changed any count
+    // would fail the compare rather than be mirrored by it
+    "q_dedup_novelty" ->
+      s"""WITH ${shingleCtesOver("documents")},
+         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+         |per AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh s JOIN fo f ON f.sh = s.sh
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_grams, n_novel,
+         |  CAST(n_novel * 1000 // n_grams AS BIGINT) AS novelty_permille
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     "q_dedup_survivor" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -93,14 +93,6 @@ object TextQueries {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
-    // per-doc n-gram NOVELTY: fraction of a doc's distinct 3-grams whose
-    // global first occurrence (min doc id) is this doc — the
-    // memorization-risk / marginal-value census (floor-permille exact)
-    "q_text_novelty" -> ((s: SparkSession, d: String) => {
-      graft.ops.CorpusOps.gramNovelty(scan(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-
     "q_text_langid" -> ((s: SparkSession, d: String) => {
       val df = scan(s, d, "documents")
       val scored = langScores(col("text")).foldLeft(df) { case (acc, (lang, score)) =>
@@ -376,20 +368,6 @@ object TextQueries {
          |SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
-    // engine joins on xxhash64 gram ids (join-key-only); the oracle
-    // groups the RAW gram strings, so a hash collision that changed any
-    // count would fail the compare rather than be mirrored by it
-    "q_text_novelty" ->
-      s"""WITH ${DedupQueries.rawShingleCtesPublic("documents")},
-         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
-         |per AS (
-         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |  FROM sh s JOIN fo f ON f.sh = s.sh
-         |  GROUP BY s.doc_id)
-         |SELECT doc_id, n_grams, n_novel,
-         |  CAST(n_novel * 1000 // n_grams AS BIGINT) AS novelty_permille
-         |FROM per ORDER BY doc_id""".stripMargin,
 
     "q_label_noise" ->
       s"""WITH $langidCtes,
