@@ -65,6 +65,37 @@ object ProfileQueries {
     "q_endpoint_defaults" -> ((s: SparkSession, d: String) => {
       QueryBuilder.buildFromEndpoint(s, d, endpoints, "customers",
         Connector(table = null, sort = Seq(Sort.asc("c_custkey")), limit = 0))
+    }),
+
+    // SMALL-FILE COMPACTION planner (the Delta/Iceberg OPTIMIZE shape):
+    // census the per-source "files" of the corpus (n_docs, bytes), then
+    // bin-pack them into merge groups of ~total/6 bytes by
+    // largest-first sequential fill — group = floor(cumsum_before /
+    // target), the first-fit-decreasing approximation whose group size
+    // is bounded by target + max_file. The windows here run over the
+    // FILE MANIFEST (#files rows — metadata-scale, exactly what a real
+    // table service bin-packs on the driver), never over the data; the
+    // only data-sized work is the one map-side-combinable census
+    "q_profile_compaction" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = scan(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val fill = Window.orderBy(col("bytes").desc, col("source").asc)
+      val planned = m
+        .withColumn("cum_before", coalesce(
+          sum(col("bytes")).over(fill.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("total", sum(col("bytes")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("grp", expr("cum_before div (total div 6 + 1)").cast("int"))
+      val byGrp = Window.partitionBy(col("grp"))
+      planned
+        .withColumn("grp_bytes", sum(col("bytes")).over(byGrp))
+        .withColumn("grp_files", count(lit(1)).over(byGrp))
+        .select(col("source"), col("n_docs"), col("bytes"), col("grp"),
+          col("grp_bytes"), col("grp_files"))
+        .orderBy(col("grp"), col("bytes").desc, col("source"))
     })
   )
 
@@ -91,6 +122,20 @@ object ProfileQueries {
         |FROM c""".stripMargin,
     "q_endpoint_defaults" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_profile_compaction" ->
+      """WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                  CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY source),
+        |c AS (SELECT *,
+        |        COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, source ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |        SUM(bytes) OVER () AS total
+        |      FROM m),
+        |g AS (SELECT *, CAST(cum_before // (total // 6 + 1) AS INT) AS grp FROM c)
+        |SELECT source, n_docs, bytes, grp,
+        |  CAST(SUM(bytes) OVER (PARTITION BY grp) AS BIGINT) AS grp_bytes,
+        |  CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_files
+        |FROM g ORDER BY grp, bytes DESC, source""".stripMargin
   )
 }

@@ -54,6 +54,43 @@ object QualityQueries {
         o.filter(col("o_orderdate") >= cut),
         col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
         .orderBy(col("bin"))
+    }),
+
+    // K-ANONYMITY census (Sweeney 2002) over customer quasi-identifiers
+    // (mktsegment, nationkey, acctbal-band): ONE rollup pass computes the
+    // equivalence classes of the whole generalization ladder at once —
+    // rung 0 = full QI tuple, each higher rung drops the next-most-
+    // identifying column (exactly ROLLUP's nesting), rung 3 = fully
+    // suppressed. Per rung: class count, smallest class, rows in classes
+    // below k=5 and their floor-ppm share. Map-side combinable; the
+    // re-aggregation input is class-count-sized, not row-sized
+    "q_dq_kanon" -> ((s: SparkSession, d: String) => {
+      val k = 5
+      val c = scan(s, d, "customer").select(
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val classes = c.rollup(col("seg"), col("nat"), col("band"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("seg")) * 4 + grouping(col("nat")) * 2
+            + grouping(col("band"))).as("gid"))
+      classes.groupBy(col("gid"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min(col("n")).as("min_class_size"),
+          sum(when(col("n") < k, col("n")).otherwise(lit(0L))).as("n_at_risk"),
+          sum(col("n")).as("n_rows"))
+        .select(
+          when(col("gid") === 0, "seg+nation+band")
+            .when(col("gid") === 1, "seg+nation")
+            .when(col("gid") === 3, "seg")
+            .otherwise("suppressed").as("qi_level"),
+          col("gid").cast("int").as("rung"),
+          col("n_classes").cast("long").as("n_classes"),
+          col("min_class_size").cast("long").as("min_class_size"),
+          col("n_at_risk").cast("long").as("n_at_risk"),
+          expr("n_at_risk * 1000000 div n_rows").as("risk_ppm"),
+          (col("min_class_size") >= k).as("k_anonymous"))
+        .orderBy(col("rung"))
     })
   )
 
@@ -97,6 +134,25 @@ object QualityQueries {
         |  CAST(n_cur * 1000000 // greatest(tc, 1) AS BIGINT) AS cur_ppm,
         |  CAST(abs(n_base * 1000000 // greatest(tb, 1)
         |         - n_cur * 1000000 // greatest(tc, 1)) AS BIGINT) AS diff_ppm
-        |FROM h, t ORDER BY bin""".stripMargin
+        |FROM h, t ORDER BY bin""".stripMargin,
+
+    "q_dq_kanon" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |           FROM customer),
+        |cl AS (SELECT seg, nat, band, COUNT(*) AS n,
+        |              GROUPING(seg) * 4 + GROUPING(nat) * 2 + GROUPING(band) AS gid
+        |       FROM c GROUP BY ROLLUP(seg, nat, band)),
+        |r AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |             CAST(MIN(n) AS BIGINT) AS min_class_size,
+        |             CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS n_at_risk,
+        |             CAST(SUM(n) AS BIGINT) AS n_rows
+        |      FROM cl GROUP BY gid)
+        |SELECT CASE gid WHEN 0 THEN 'seg+nation+band' WHEN 1 THEN 'seg+nation'
+        |                WHEN 3 THEN 'seg' ELSE 'suppressed' END AS qi_level,
+        |  CAST(gid AS INT) AS rung, n_classes, min_class_size, n_at_risk,
+        |  CAST(n_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm,
+        |  min_class_size >= 5 AS k_anonymous
+        |FROM r ORDER BY rung""".stripMargin
   )
 }

@@ -25,4 +25,25 @@ class CompactionSpec extends SparkSpec {
     // no leftover temp dir
     assert(!new java.io.File(base + "__compacting").exists())
   }
+
+  test("compaction planner: covers every file, groups bounded by target + max file") {
+    val rows = graft.queries.ProfileQueries.queries("q_profile_compaction")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bytes"),
+        r.getAs[Int]("grp"), r.getAs[Long]("grp_bytes"), r.getAs[Long]("grp_files")))
+    assert(rows.map(_._1).distinct.length == rows.length, "a file was planned twice")
+    val total = rows.map(_._2).sum
+    val target = total / 6 + 1
+    val maxFile = rows.map(_._2).max
+    val byGrp = rows.groupBy(_._3)
+    byGrp.foreach { case (g, members) =>
+      // the emitted group totals must be the true member sums...
+      assert(members.head._4 == members.map(_._2).sum, s"grp $g bytes inconsistent")
+      assert(members.head._5 == members.length.toLong, s"grp $g file count inconsistent")
+      // ...and sequential-fill bounds every group by target + one file
+      assert(members.head._4 <= target + maxFile, s"grp $g overflows the bin bound")
+    }
+    assert(byGrp.values.map(_.head._4).sum == total, "group totals don't cover the table")
+  }
 }
