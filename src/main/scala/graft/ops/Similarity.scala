@@ -134,6 +134,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe): candidate (x, y) cross-side pairs from a
+    * shared-LSH-bucket equi-join (at 100 TB both sides live bucket-
+    * partitioned, so candidates are co-located — never the all-pairs
+    * cross product), each side's k-NN lists and their mean similarity
+    * computed over the SAME candidate set, then pairs kept only if
+    * MUTUAL (x ∈ kNN(y) ∧ y ∈ kNN(x)) with margin =
+    * cos(x,y) / ((avg_k(x) + avg_k(y)) / 2) > 1. All margin arithmetic
+    * is scaled-integer (floor(cos·1e12), integer avg, floor-ppm ratio) —
+    * order-independent and bit-equal on any engine; candidates are
+    * pre-filtered to cos > 0 so every denominator is positive (margin
+    * mining only ever considers positive-similarity neighbors).
+    * Candidate generation is one bucketed join; both top-k passes ride
+    * the TopKPerKey partial/final operator (≤ k rows per key cross the
+    * shuffle); the per-side averages are k-row aggregates.
+    */
+  def bitextMine(xs: DataFrame, xIdCol: String, xVecCol: String,
+                 ys: DataFrame, yIdCol: String, yVecCol: String,
+                 dims: Int, k: Int, numPlanes: Int = 16): DataFrame = {
+    val xb = xs.select(col(xIdCol).as("x_id"), col(xVecCol).as("__xv"),
+      lshBucket(col(xVecCol), dims, numPlanes).as("__b"))
+    val yb = ys.select(col(yIdCol).as("y_id"), col(yVecCol).as("__yv"),
+      lshBucket(col(yVecCol), dims, numPlanes).as("__b"))
+    val cand = xb.join(yb, Seq("__b"))
+      .withColumn("cosine", cosine(col("__xv"), col("__yv")))
+      .filter(col("cosine") > 0)
+      .withColumn("cs", floor(col("cosine") * lit(SCALE)).cast("long"))
+      .select(col("x_id"), col("y_id"), col("cosine"), col("cs"))
+      .scopedPersist() // consumed by both directions' top-k below
+    val topX = graft.plans.TopKPerKey.topKPerKey(cand,
+      keyCols = Seq("x_id"), sorts = Seq(("cosine", false), ("y_id", true)), k = k)
+    val topY = graft.plans.TopKPerKey.topKPerKey(cand,
+      keyCols = Seq("y_id"), sorts = Seq(("cosine", false), ("x_id", true)), k = k)
+    val avgX = topX.groupBy(col("x_id"))
+      .agg(expr("sum(cs) div count(1)").as("__ax"))
+    val avgY = topY.groupBy(col("y_id"))
+      .agg(expr("sum(cs) div count(1)").as("__ay"))
+    topX.join(topY.select(col("x_id"), col("y_id")), Seq("x_id", "y_id"))
+      .join(avgX, Seq("x_id"))
+      .join(avgY, Seq("y_id"))
+      .withColumn("margin_ppm", expr("(cs * 2000000) div (__ax + __ay)"))
+      .filter(col("margin_ppm") > 1000000L)
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("x_id"), col("y_id"))
+  }
+
   /** Driver-side twins of scaledDot/cosine — same IEEE double ops and
     * floor-scaling, so coordination decisions made on the driver (e.g.
     * IVF probe selection) agree bit-for-bit with in-plan arithmetic.

@@ -321,6 +321,33 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER FERTILITY census (chars per token, by language) — the
+    // dial every multilingual tokenizer ships with: a BPE trained on
+    // this corpus compresses languages unevenly, and fertility is how
+    // you see it. Reuses the trained 3-merge model; per-doc char mass
+    // comes from a shuffle-free HOF fold over the SAME eligible-word
+    // stream ENCODE consumes (cheap length() in the lambda — nothing
+    // hash-heavy, the q_mix_dsir lesson); floor-ppm ratio is integer
+    "q_bpe_fertility" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
+      val chars = docs.select(col("doc_id"), col("lang"),
+        aggregate(
+          filter(CorpusOps.words(lower(col("text"))), w => w.rlike("^[a-z]+$")),
+          lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_chars_bpe"))
+      chars.join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars_bpe")).as("n_chars"))
+        .withColumn("chars_per_token_ppm", expr("n_chars * 1000000 div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus-frequency BOILERPLATE filter signal: 3-grams present in >= 3
     // distinct docs are boilerplate; per doc, the fraction of gram
     // positions covered by them + the keep verdict. The within-corpus
@@ -354,6 +381,28 @@ object CorpusQueries {
     * adjacent symbol pairs, picks the argmax (CTE m$r), and replays the
     * greedy merge (v$r). U+0001 can never collide with /[a-z]+/ words. */
   private val BpeSep = "\u0001"
+
+  /** Shared ENCODE-side CTEs: the eligible word stream (wl/tk/tok), the
+    * distinct vocabulary (vw), and the per-word merged symbol list
+    * (encw) - used by the q_bpe_encode and q_bpe_fertility oracles.
+    */
+  private lazy val bpeEncWordCtes: String = {
+    val S = BpeSep
+    s"""wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+       |tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+       |tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk WHERE regexp_full_match(ws[pos], '[a-z]+')),
+       |vw AS (SELECT DISTINCT w FROM tok),
+       |encw AS (SELECT w,
+       |    string_split(trim(
+       |      replace(replace(replace(regexp_replace(w, '(.)', '$S\\1$S', 'g'),
+       |        '$S' || m1.p1 || '$S$S' || m1.p2 || '$S', '$S' || m1.p1 || m1.p2 || '$S'),
+       |        '$S' || m2.p1 || '$S$S' || m2.p2 || '$S', '$S' || m2.p1 || m2.p2 || '$S'),
+       |        '$S' || m3.p1 || '$S$S' || m3.p2 || '$S', '$S' || m3.p1 || m3.p2 || '$S'),
+       |      '$S'), '$S$S') AS syms,
+       |    m1.p1 || m1.p2 AS t1, m2.p1 || m2.p2 AS t2, m3.p1 || m3.p2 AS t3
+       |  FROM vw, m1, m2, m3)""".stripMargin
+  }
+
   private val bpeTrainCtes: String = {
     val SEP = BpeSep
     val base =
@@ -715,22 +764,9 @@ object CorpusQueries {
     // them per DISTINCT word in rank order (nested replace = the same
     // left-to-right greedy scan) and map symbol text -> id with a
     // FIRST-wins CASE chain, exactly as CorpusOps.bpeEncodeIds does
-    "q_bpe_encode" -> {
-      val S = BpeSep
+    "q_bpe_encode" ->
       s"""WITH $bpeTrainCtes,
-         |wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
-         |tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
-         |tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk WHERE regexp_full_match(ws[pos], '[a-z]+')),
-         |vw AS (SELECT DISTINCT w FROM tok),
-         |encw AS (SELECT w,
-         |    string_split(trim(
-         |      replace(replace(replace(regexp_replace(w, '(.)', '$S\\1$S', 'g'),
-         |        '$S' || m1.p1 || '$S$S' || m1.p2 || '$S', '$S' || m1.p1 || m1.p2 || '$S'),
-         |        '$S' || m2.p1 || '$S$S' || m2.p2 || '$S', '$S' || m2.p1 || m2.p2 || '$S'),
-         |        '$S' || m3.p1 || '$S$S' || m3.p2 || '$S', '$S' || m3.p1 || m3.p2 || '$S'),
-         |      '$S'), '$S$S') AS syms,
-         |    m1.p1 || m1.p2 AS t1, m2.p1 || m2.p2 AS t2, m3.p1 || m3.p2 AS t3
-         |  FROM vw, m1, m2, m3),
+         |$bpeEncWordCtes,
          |eid AS (SELECT w, list_transform(syms, y -> CAST(
          |    CASE WHEN y = t1 THEN 27 WHEN y = t2 THEN 28 WHEN y = t3 THEN 29
          |         ELSE ascii(y) - 96 END AS VARCHAR)) AS ids FROM encw),
@@ -738,8 +774,23 @@ object CorpusQueries {
          |        FROM tok t JOIN eid e USING (w) GROUP BY t.doc_id)
          |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
          |  array_to_string(tids, ',') AS ids_csv
-         |FROM agg ORDER BY doc_id""".stripMargin
-    },
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // FERTILITY census replay: same retrain + per-word merge chain; only
+    // the symbol COUNT per word matters, aggregated to the language
+    "q_bpe_fertility" ->
+      s"""WITH $bpeTrainCtes,
+         |$bpeEncWordCtes,
+         |wtok AS (SELECT w, len(syms) AS n_sym FROM encw),
+         |per AS (SELECT t.doc_id, CAST(SUM(s.n_sym) AS BIGINT) AS n_tokens,
+         |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+         |        FROM tok t JOIN wtok s USING (w) GROUP BY t.doc_id)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(p.n_chars) * 1000000 // SUM(p.n_tokens) AS BIGINT) AS chars_per_token_ppm
+         |FROM per p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // oracle keeps RAW gram strings while the engine buckets on
     // xxhash64 ids — intentionally NOT mirrored (collision safety net)

@@ -414,7 +414,7 @@ object DedupQueries {
   /** DuckDB spelling of TextAnalysis.qualityScoreInt over `text`:
     * 2 × stopword hits − punctuation count, all-BIGINT.
     */
-  private val qualityIntSql: String = {
+  private[queries] val qualityIntSql: String = {
     val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     raw"""(2 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
          |      w -> list_contains($stopList, w)))

@@ -290,6 +290,52 @@ object SimilarityQueries {
       Similarity.semDedup(scan(s, d, "embeddings"), "vec_id", "embedding",
         k = KMEANS_K, refinements = 1, tau = SEMDEDUP_TAU)
         .orderBy(col("vec_id"))
+    }),
+
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): mine aligned
+    // en↔de document pairs from the embedding space — mutual bucketed
+    // kNN with ratio-margin > 1, all margin math scaled-integer. The
+    // candidate generator is the same co-locatable bucket equi-join as
+    // q_sim_knn; the two top-k passes ride the TopKPerKey operator
+    "q_sim_bitext" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val lang = scan(s, d, "documents").select(col("doc_id"), col("lang"))
+      val tagged = e.join(lang, e("vec_id") === lang("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("lang"))
+      Similarity.bitextMine(
+        tagged.filter(col("lang") === "en"), "vec_id", "embedding",
+        tagged.filter(col("lang") === "de"), "vec_id", "embedding",
+        DIMS, k = 4, numPlanes = LSH_PLANES)
+    }),
+
+    // CLUSTER-BALANCED diversity selection: the best m=5 docs per
+    // k-means cell by integer quality — the "cover every mode, keep the
+    // best of each" curation step (SemDeDup's selection dual: instead of
+    // dropping near-dups inside a cluster, keep each cluster's top
+    // slice). Candidates are pruned to ≤ m per cell per partition by
+    // TopKPerKey BEFORE the shuffle; the rank window runs over ≤ m·K
+    // survivor rows
+    "q_mix_cluster" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val docs = scan(s, d, "documents")
+      val seeds = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = KMEANS_K, refinements = 1)
+      val assigned = e
+        .withColumn("__n2", Similarity.scaledDot(col("embedding"), col("embedding")))
+        .select(col("vec_id"),
+          Similarity.cellsForCentroids("embedding", "__n2", seeds).as("cell"))
+      val scored = assigned.join(
+        docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScoreInt(col("text")).as("q")),
+        assigned("vec_id") === col("doc_id"))
+      val top = graft.plans.TopKPerKey.topKPerKey(
+        scored.select(col("cell"), col("doc_id"), col("q")),
+        keyCols = Seq("cell"), sorts = Seq(("q", false), ("doc_id", true)), k = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("q").desc, col("doc_id").asc)
+      top.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("cell"), col("rank"), col("doc_id"), col("q"))
+        .orderBy(col("cell"), col("rank"))
     })
   )
 
@@ -707,7 +753,48 @@ object SimilarityQueries {
          |    JOIN embeddings_buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket),
          |$sqlCosineCtes
          |SELECT id_a, id_b, cosine FROM cos
-         |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_bitext" ->
+      s"""WITH ${sqlBucketCte("embeddings", LSH_PLANES)},
+         |tag AS (SELECT e.vec_id, e.embedding, d.lang, b.bucket
+         |        FROM embeddings e
+         |          JOIN documents d ON d.doc_id = e.vec_id
+         |          JOIN embeddings_buckets b ON b.vec_id = e.vec_id),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
+         |  FROM tag x JOIN tag y ON x.bucket = y.bucket
+         |  WHERE x.lang = 'en' AND y.lang = 'de'),
+         |$sqlCosineCtes,
+         |cand AS (SELECT id_a AS x_id, id_b AS y_id, cosine,
+         |                CAST(floor(cosine * 1e12) AS BIGINT) AS cs
+         |         FROM cos WHERE cosine > 0),
+         |tx AS (SELECT * FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rn FROM cand)
+         |       WHERE rn <= 4),
+         |ty AS (SELECT * FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS rn FROM cand)
+         |       WHERE rn <= 4),
+         |ax AS (SELECT x_id, SUM(cs) // COUNT(*) AS a FROM tx GROUP BY x_id),
+         |ay AS (SELECT y_id, SUM(cs) // COUNT(*) AS a FROM ty GROUP BY y_id),
+         |mut AS (SELECT t.x_id, t.y_id, t.cosine, t.cs
+         |        FROM tx t JOIN ty ON ty.x_id = t.x_id AND ty.y_id = t.y_id)
+         |SELECT m.x_id, m.y_id, m.cosine,
+         |  CAST((m.cs * 2000000) // (ax.a + ay.a) AS BIGINT) AS margin_ppm
+         |FROM mut m JOIN ax ON ax.x_id = m.x_id JOIN ay ON ay.y_id = m.y_id
+         |WHERE (m.cs * 2000000) // (ax.a + ay.a) > 1000000
+         |ORDER BY margin_ppm DESC, m.x_id, m.y_id""".stripMargin,
+
+    "q_mix_cluster" ->
+      s"""WITH $sqlKmeansCtes,
+         |ql AS (SELECT doc_id, ${DedupQueries.qualityIntSql} AS q FROM documents),
+         |j2 AS (SELECT a.cell, q.doc_id, q.q
+         |       FROM assign1 a JOIN ql q ON q.doc_id = a.vec_id),
+         |rk AS (SELECT *, row_number() OVER
+         |         (PARTITION BY cell ORDER BY q DESC, doc_id) AS rank FROM j2)
+         |SELECT CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank,
+         |       doc_id, CAST(q AS BIGINT) AS q
+         |FROM rk WHERE rank <= 5 ORDER BY cell, rank""".stripMargin
   )
 
   /** Recall oracle: each arm IS that index's own oracle query (nested as

@@ -389,4 +389,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(row.getString(0) == "mail [EMAIL] and [EMAIL] or [PHONE] then [PHONE]")
     assert(row.getLong(1) == 2L && row.getLong(2) == 2L)
   }
+
+  test("bpe fertility: per-lang masses tie out to the encode census; ratio bounded") {
+    val fert = graft.queries.CorpusQueries.queries("q_bpe_fertility")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fert.nonEmpty)
+    // every token is >= 1 char, so chars/token >= 1 (ppm >= 1e6); merges
+    // only ever shorten, so fertility stays below the longest word
+    assert(fert.forall(_._5 >= 1000000L), s"fertility below 1 char/token: $fert")
+    assert(fert.forall(t => t._3 >= t._2), "fewer tokens than docs")
+    // Σ tokens over langs == Σ per-doc tokens from the encode query
+    val encTotal = graft.queries.CorpusQueries.queries("q_bpe_encode")(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(fert.map(_._3).sum == encTotal, "fertility token mass != encode token mass")
+  }
 }

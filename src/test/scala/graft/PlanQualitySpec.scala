@@ -180,6 +180,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"Window fallback in hardneg plan:\n${plan.take(2000)}")
   }
 
+  test("bitext mining: bucketed equi-join candidates + TopKPerKey, no cartesian") {
+    val plan = graft.queries.SimilarityQueries.queries("q_sim_bitext")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // candidates must come from the bucket equi-join — a nested-loop
+    // here is the all-pairs N² shape this operator exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs candidate generation in q_sim_bitext:\n${plan.take(2000)}")
+    assert(plan.contains("TopKPerKey"), s"TopKPerKey missing:\n${plan.take(2000)}")
+  }
+
+  test("cluster-balanced selection prunes through TopKPerKey before ranking") {
+    val plan = graft.queries.SimilarityQueries.queries("q_mix_cluster")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), s"TopKPerKey missing:\n${plan.take(2000)}")
+  }
+
   test("bloom-prefiltered semi-join probes via the native expression, no ScalaUDF in the plan") {
     val plan = graft.queries.JoinQueries.queries("q_join_bloom")(spark, sf001)
       .queryExecution.executedPlan.toString()

@@ -101,4 +101,51 @@ class SimilaritySpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
   }
+
+  test("bitextMine: mutual-kNN + margin>1 keeps dominant pairs, drops weak/asymmetric ones") {
+    import spark.implicits._
+    // componentwise ±1 multiplication by plane 0's sign row is an
+    // isometry (cosines unchanged) that parks every vector in the
+    // dot>0 bucket of a 1-plane LSH — the whole set is one candidate
+    // block, so the margin semantics are tested without bucket loss
+    val s0 = Similarity.signRow(0, 4)
+    def mk(w: Seq[Double]): Seq[Float] =
+      w.zip(s0).map { case (a, s) => (a * s).toFloat }
+    val xs = Seq(10L -> mk(Seq(1.0, 0.0, 0.0, 0.0)),
+                 20L -> mk(Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val ys = Seq(101L -> mk(Seq(0.9, 0.1, 0.0, 0.0)),
+                 102L -> mk(Seq(0.6, 0.55, 0.0, 0.0)),
+                 103L -> mk(Seq(0.1, 0.9, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(xs, "vec_id", "embedding",
+        ys, "vec_id", "embedding", dims = 4, k = 2, numPlanes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // x1↔y1 and x2↔y3 dominate their neighbor lists (margin > 1);
+    // (x1,y2)/(x2,y2) are mutual but below-average → filtered
+    assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 101L), (20L, 103L)),
+      s"wrong mined pairs: ${got.mkString(",")}")
+    assert(got.forall(_._3 > 1000000L))
+  }
+
+  test("q_mix_cluster: per-cell cap of 5 and exactly the naive best-by-quality slice") {
+    val got = graft.queries.SimilarityQueries.queries("q_mix_cluster")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = got.groupBy(_._1)
+    assert(byCell.values.forall(_.length <= 5))
+    // naive recompute: full assignment + quality sort per cell
+    val e = graft.engine.QueryBuilder.scan(spark, sf001, "embeddings")
+    val docs = graft.engine.QueryBuilder.scan(spark, sf001, "documents")
+    val seeds = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, refinements = 1)
+    val cells = e.withColumn("__n2", Similarity.scaledDot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), Similarity.cellsForCentroids("embedding", "__n2", seeds).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val quality = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScoreInt(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = cells.toSeq.map { case (id, cell) => (cell, id, quality(id)) }
+      .groupBy(_._1).flatMap { case (cell, members) =>
+        members.sortBy(m => (-m._3, m._2)).take(5).zipWithIndex
+          .map { case ((c, id, q), i) => (c, i + 1, id, q) }
+      }.toSet
+    assert(got.toSet == naive, "engine selection differs from naive per-cell slice")
+  }
 }
