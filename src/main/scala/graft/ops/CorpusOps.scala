@@ -347,6 +347,43 @@ object CorpusOps {
         col("epochs_x1000"), col("alloc_tokens"))
   }
 
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): water-filling budget allocation with a hard
+    * per-language epoch cap. Languages are visited in ASCENDING corpus
+    * size; each receives min(cap·n_l, fair share of the remaining
+    * budget over the remaining languages) — small languages are
+    * up-sampled to the cap and never beyond it, head languages absorb
+    * the slack. All integer arithmetic (Long floor division), so the
+    * allocation is bit-deterministic and replayable as a recursive SQL
+    * over the same census.
+    *
+    * Scale: the census is ONE map-side-combinable groupBy; the
+    * water-filling loop is inherently sequential over the
+    * language DIMENSION (L rows — driver metadata, the same class as
+    * kmeans seeds and IVF probe selection), never over the data.
+    */
+  def unimaxAllocation(docs: DataFrame, domainCol: String, tokens: Column,
+                       budgetX: Long = 1L, maxEpochs: Long = 2L): DataFrame = {
+    require(budgetX >= 1, s"unimaxAllocation: budgetX must be >= 1, got $budgetX")
+    require(maxEpochs >= 1, s"unimaxAllocation: maxEpochs must be >= 1, got $maxEpochs")
+    val census = docs.select(col(domainCol).cast("string").as("__d"), tokens.cast("long").as("__t"))
+      .groupBy(col("__d")).agg(sum(col("__t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (d, n) => (n, d) } // ascending size, name tie-break
+    val total = census.map(_._2).sum
+    var rem = total * budgetX
+    val alloc = census.zipWithIndex.map { case ((d, n), i) =>
+      val fair = rem / (census.length - i) // positive Long division = floor
+      val a = math.min(maxEpochs * n, fair)
+      rem -= a
+      (d, n, a, if (n > 0) a * 1000000L / n else 0L)
+    }
+    val sess = docs.sparkSession
+    import sess.implicits._
+    alloc.toSeq.toDF(domainCol, "n_tokens", "alloc_tokens", "epochs_ppm")
+  }
+
   /** Per-doc n-gram NOVELTY — the fraction of a doc's distinct k-grams
     * whose global first occurrence (min doc id over the whole corpus) is
     * this doc. The memorization-risk / marginal-value census: a doc

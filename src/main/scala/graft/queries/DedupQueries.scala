@@ -286,6 +286,19 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // UNIMAX language sampling (Chung 2023): water-filling the 1x-corpus
+    // token budget over languages ascending by size with a 2-epoch cap —
+    // small languages up-sample to the cap, never beyond; the head
+    // language absorbs the slack. The sequential loop runs over the
+    // 5-row language census (driver metadata); integer math replayed by
+    // the oracle's recursive CTE (see CorpusOps.unimaxAllocation)
+    "q_mix_unimax" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.unimaxAllocation(
+        scan(s, d, "documents"), "lang",
+        TextAnalysis.tokenCountWs(col("text")), budgetX = 1L, maxEpochs = 2L)
+        .orderBy(col("lang"))
+    }),
+
     // DSIR IMPORTANCE SELECTION (Xie et al. 2023 hashed-n-gram data
     // selection): raw (non-English-labeled) docs scored by the
     // fixed-point likelihood ratio of the 256-bucket hashed-unigram
@@ -703,6 +716,31 @@ object DedupQueries {
          |SELECT lang, n_tokens, target_tokens, epochs_x1000,
          |  CAST(epochs_x1000 * n_tokens // 1000 AS BIGINT) AS alloc_tokens
          |FROM e ORDER BY lang""".stripMargin,
+
+    // the water-filling loop replayed as a recursive CTE over the
+    // size-ascending language census — same Long floor division
+    "q_mix_unimax" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS n FROM t GROUP BY lang),
+         |ord AS (SELECT lang, n,
+         |          CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+         |          CAST(COUNT(*) OVER () AS BIGINT) AS L,
+         |          CAST(SUM(n) OVER () AS BIGINT) AS B
+         |        FROM tot),
+         |rec(i, rem, lang, n, alloc) AS (
+         |  SELECT CAST(0 AS BIGINT), (SELECT B FROM ord LIMIT 1),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  UNION ALL
+         |  SELECT o.i, r.rem - LEAST(2 * o.n, r.rem // (o.L - r.i)),
+         |         o.lang, o.n, LEAST(2 * o.n, r.rem // (o.L - r.i))
+         |  FROM rec r JOIN ord o ON o.i = r.i + 1)
+         |SELECT lang, n AS n_tokens, alloc AS alloc_tokens,
+         |  CAST(alloc * 1000000 // greatest(n, 1) AS BIGINT) AS epochs_ppm
+         |FROM rec WHERE i > 0 ORDER BY lang""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql

@@ -91,6 +91,49 @@ object QualityQueries {
           expr("n_at_risk * 1000000 div n_rows").as("risk_ppm"),
           (col("min_class_size") >= k).as("k_anonymous"))
         .orderBy(col("rung"))
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN propagation manifest: a deletion request for
+    // a customer set must cascade through every table that references it
+    // (orders → their lineitems; events by user). One broadcast of the
+    // forget set, one flagged pass per table — at 100 TB the tombstone
+    // sets ride broadcast/bloom semi-joins, the fact tables are scanned
+    // once each, and the output is the 4-row audit a compliance job logs
+    "q_dq_forget" -> ((s: SparkSession, d: String) => {
+      val cust = scan(s, d, "customer")
+      val orders = scan(s, d, "orders")
+      val del = cust.filter(col("c_custkey") % 97 === 3)
+        .select(col("c_custkey").as("__k"))
+      val odel = orders.join(broadcast(del), col("o_custkey") === col("__k"), "left_semi")
+        .select(col("o_orderkey").as("__k"))
+      def audit(name: String, df: DataFrame, key: String, dels: DataFrame) =
+        df.join(broadcast(dels), col(key) === col("__k"), "left_outer")
+          .agg(
+            sum(when(col("__k").isNotNull, 1L).otherwise(0L)).cast("long").as("n_delete"),
+            sum(when(col("__k").isNull, 1L).otherwise(0L)).cast("long").as("n_keep"))
+          .select(lit(name).as("table_name"), col("n_delete"), col("n_keep"))
+      audit("customer", cust, "c_custkey", del)
+        .unionAll(audit("events", scan(s, d, "events"), "user_id", del))
+        .unionAll(audit("lineitem", scan(s, d, "lineitem"), "l_orderkey", odel))
+        .unionAll(audit("orders", orders, "o_custkey", del))
+        .orderBy(col("table_name"))
+    }),
+
+    // TABLE CHECKSUM manifest — the replication/copy audit: per source,
+    // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
+    // checksum (bit_xor over per-row md5-hex60) — two table copies match
+    // iff their manifests match, with no sort and no row shipping. One
+    // map-side-combinable pass (xor is associative+commutative)
+    "q_dq_checksum" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text")).cast("binary"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor60"),
+          sum(col("n_chars")).as("n_bytes"))
+        .orderBy(col("source"))
     })
   )
 
@@ -153,6 +196,37 @@ object QualityQueries {
         |  CAST(gid AS INT) AS rung, n_classes, min_class_size, n_at_risk,
         |  CAST(n_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm,
         |  min_class_size >= 5 AS k_anonymous
-        |FROM r ORDER BY rung""".stripMargin
+        |FROM r ORDER BY rung""".stripMargin,
+
+    "q_dq_forget" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 3),
+        |odel AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'customer' AS table_name,
+        |  CAST(count(*) FILTER (WHERE c_custkey IN (SELECT c_custkey FROM del)) AS BIGINT) AS n_delete,
+        |  CAST(count(*) FILTER (WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT) AS n_keep
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events',
+        |  CAST(count(*) FILTER (WHERE user_id IN (SELECT c_custkey FROM del)) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE user_id NOT IN (SELECT c_custkey FROM del)) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST(count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM odel)) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM odel)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM del)) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT)
+        |FROM orders
+        |ORDER BY table_name""".stripMargin,
+
+    "q_dq_checksum" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(${DedupQueries.sqlHex60Public("md5(doc_id::VARCHAR || ':' || text)")}) AS BIGINT) AS xor60,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

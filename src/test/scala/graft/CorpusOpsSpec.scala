@@ -403,4 +403,19 @@ class CorpusOpsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
     assert(fert.map(_._3).sum == encTotal, "fertility token mass != encode token mass")
   }
+
+  test("unimaxAllocation: hand-computed water-filling with cap") {
+    import spark.implicits._
+    // one doc per language carrying its whole token mass via n
+    val docs = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "n")
+    val got = CorpusOps.unimaxAllocation(docs, "lang", col("n"),
+        budgetX = 1L, maxEpochs = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // B=1110: a gets min(20, 1110/3=370)=20; b gets min(200, 1090/2=545)=200;
+    // c absorbs the remaining 890 (0.89 epochs)
+    assert(got == Set(("a", 10L, 20L, 2000000L), ("b", 100L, 200L, 2000000L),
+      ("c", 1000L, 890L, 890000L)), s"got $got")
+    // conservation: capped languages at exactly cap, budget fully spent here
+    assert(got.toSeq.map(_._3).sum == 1110L)
+  }
 }

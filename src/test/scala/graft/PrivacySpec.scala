@@ -44,4 +44,54 @@ class PrivacySpec extends SparkSpec {
     // the fully-suppressed rung is one class holding every row
     assert(rungs(7)._1 == 1L && rungs(7)._3 == 0L)
   }
+
+  test("forget manifest: cascades are referentially exact and cover every row") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.QualityQueries.queries("q_dq_forget")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = graft.engine.QueryBuilder.scan(spark, d, "customer")
+    val orders = graft.engine.QueryBuilder.scan(spark, d, "orders")
+    val delKeys = cust.filter(col("c_custkey") % 97 === 3)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val delOrders = orders.collect()
+      .filter(r => delKeys.contains(r.getAs[Long]("o_custkey")))
+      .map(r => r.getAs[Long]("o_orderkey")).toSet
+    val liKeys = graft.engine.QueryBuilder.scan(spark, d, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(got("customer")._1 == delKeys.size.toLong)
+    assert(got("orders")._1 == delOrders.size.toLong)
+    assert(got("lineitem")._1 == liKeys.count(delOrders.contains).toLong)
+    // delete + keep covers each table exactly
+    got.foreach { case (t, (nd, nk)) =>
+      val total = t match {
+        case "customer" => cust.count(); case "orders" => orders.count()
+        case "lineitem" => liKeys.length.toLong
+        case "events" => graft.engine.QueryBuilder.scan(spark, d, "events").count()
+      }
+      assert(nd + nk == total, s"$t: $nd + $nk != $total")
+    }
+  }
+
+  test("table checksum is partition/order-invariant and content-sensitive") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), col("n_chars"),
+        graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text")).cast("binary"))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor60"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.engine.QueryBuilder.scan(spark, d, "documents")
+    val base = manifest(docs)
+    assert(manifest(docs.repartition(17)) == base, "checksum not partition-invariant")
+    // flipping one row's text must change exactly that source's checksum
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit("X"))).otherwise(col("text")))
+    val changedSrc = docs.filter(col("doc_id") === 0).select("source").head().getString(0)
+    val m = manifest(mutated)
+    assert(m(changedSrc) != base(changedSrc), "checksum blind to a content change")
+    assert((m - changedSrc) == (base - changedSrc), "unrelated sources changed")
+  }
 }
