@@ -119,6 +119,39 @@ object MergeQueries {
         .orderBy(col("status"))
     }),
 
+    // INCREMENTALLY-MAINTAINED table-checksum manifest: because xor is
+    // its own inverse, the q_dq_checksum manifest is exactly maintainable
+    // under BOTH inserts and deletes without touching the base — new
+    // manifest = base ⊕ deleted-rows manifest ⊕ inserted-rows manifest,
+    // counts/bytes additive. Cost ∝ |delta|; the oracle recomputes the
+    // manifest from scratch on the post-delta corpus
+    "q_ivm_checksum" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      def manifest(df: DataFrame) = df.select(col("source"), col("n_chars"),
+          graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text")).cast("binary"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+          sum(col("n_chars")).as("b"))
+      val m0 = manifest(docs.filter(col("doc_id") % 10 =!= 1)) // indexed base
+      val md = manifest(docs.filter(col("doc_id") % 10 === 2)) // departing batch
+      val mi = manifest(docs.filter(col("doc_id") % 10 === 1)) // arriving batch
+      def nz(c: String) = coalesce(col(c), lit(0L))
+      m0.select(col("source"), col("n").as("n0"), col("x").as("x0"), col("b").as("b0"))
+        .join(md.select(col("source"), col("n").as("nd"), col("x").as("xd"), col("b").as("bd")),
+          Seq("source"), "full_outer")
+        .join(mi.select(col("source"), col("n").as("ni"), col("x").as("xi"), col("b").as("bi")),
+          Seq("source"), "full_outer")
+        .select(col("source"),
+          (nz("n0") - nz("nd") + nz("ni")).cast("long").as("n_rows"),
+          nz("x0").bitwiseXOR(nz("xd")).bitwiseXOR(nz("xi")).cast("long").as("xor60"),
+          (nz("b0") - nz("bd") + nz("bi")).cast("long").as("n_bytes"))
+        // a source whose rows ALL departed maintains to (0, 0, 0) —
+        // drop it like the recompute would
+        .filter(col("n_rows") > 0)
+        .orderBy(col("source"))
+    }),
+
     "q_scd2_history" -> ((s: SparkSession, d: String) => {
       Merge.scd2(
           scan(s, d, "orders")
@@ -131,6 +164,14 @@ object MergeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // from-scratch recompute over the post-delta corpus (base minus the
+    // %2 deletes plus the %1 inserts = everything but %2)
+    "q_ivm_checksum" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(${DedupQueries.sqlHex60Public("md5(doc_id::VARCHAR || ':' || text)")}) AS BIGINT) AS xor60,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id % 10 <> 2
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_merge_upsert" ->
       """SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

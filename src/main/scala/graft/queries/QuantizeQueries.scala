@@ -80,6 +80,35 @@ object QuantizeQueries {
           Quantize.adcDistance(Quantize.pqCodes(vd, codebook, PqM), luts).as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
+    }),
+
+    // JOHNSON-LINDENSTRAUSS projection (Achlioptas 2003's database-
+    // friendly ±1 variant): 64 dims → 16 through the deterministic
+    // hyperplane sign matrix (the same md5-derived planes LSH uses —
+    // no shipped state), plus the distortion census every dimension-
+    // reduction deploy runs: original vs projected cosine over a
+    // consecutive-id pair sample, floor-ppm error. The projection is a
+    // map-only pass (16 scaled-integer dots per row, codegen'd); the
+    // census join is over the eval-sized sample, never corpus²
+    "q_embed_jl" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Similarity
+      val emb = scan(s, d, "embeddings").filter(col("vec_id") < 101)
+      val proj = emb.select(col("vec_id"), col("embedding"),
+        array((0 until 16).map(i => Similarity.scaledDot(col("embedding"),
+          array(Similarity.signRow(i, 64).map(lit): _*))): _*).as("p"))
+      def pd(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double") / lit(1e12))
+      val a = proj.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"), pd(col("p")).as("pa"))
+      val b = proj.select((col("vec_id") - 1).as("id_a"),
+        col("embedding").as("vb"), pd(col("p")).as("pb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"),
+          Similarity.cosine(col("va"), col("vb")).as("cos_full"),
+          Similarity.cosine(col("pa"), col("pb")).as("cos_jl"))
+        .withColumn("err_ppm",
+          floor(abs(col("cos_full") - col("cos_jl")) * lit(1e6)).cast("long"))
+        .orderBy(col("id_a"))
     })
   )
 
@@ -159,6 +188,40 @@ object QuantizeQueries {
          |FROM best b JOIN lut l ON l.m = b.m AND l.k = b.k
          |WHERE b.rn = 1
          |GROUP BY b.vec_id
-         |ORDER BY adc_dist, b.vec_id LIMIT 20""".stripMargin
+         |ORDER BY adc_dist, b.vec_id LIMIT 20""".stripMargin,
+
+    // same md5-sign plane replay as the LSH bucket oracle; projected
+    // cosines ride the identical floor(x·y·1e12) machinery over the
+    // 16 derived components
+    "q_embed_jl" ->
+      s"""WITH ej AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 101),
+         |jt AS (
+         |  SELECT e.vec_id, i.i,
+         |    CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) *
+         |      (CASE WHEN strpos('0123456789abcdef',
+         |              substring(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1 >= 8
+         |            THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT) AS t
+         |  FROM ej e
+         |    CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+         |    CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+         |p AS (SELECT vec_id, i, CAST(SUM(t) AS DOUBLE) / 1e12 AS pv
+         |      FROM jt GROUP BY vec_id, i),
+         |pp AS (SELECT a.vec_id AS id_a, a.i, a.pv AS x, b.pv AS y
+         |       FROM p a JOIN p b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+         |       WHERE a.vec_id < 100),
+         |ps AS (SELECT id_a,
+         |         CAST(SUM(CAST(floor(x * y * 1e12) AS BIGINT)) AS DOUBLE) AS dot,
+         |         CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) AS na,
+         |         CAST(SUM(CAST(floor(y * y * 1e12) AS BIGINT)) AS DOUBLE) AS nb
+         |       FROM pp GROUP BY id_a),
+         |cjl AS (SELECT id_a, dot / (sqrt(na) * sqrt(nb)) AS cos_jl FROM ps),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+         |          FROM ej a JOIN ej b ON b.vec_id = a.vec_id + 1
+         |          WHERE a.vec_id < 100),
+         |${SimilarityQueries.sqlCosineCtes}
+         |SELECT c.id_a, c.id_b, c.cosine AS cos_full, j.cos_jl,
+         |  CAST(floor(abs(c.cosine - j.cos_jl) * 1e6) AS BIGINT) AS err_ppm
+         |FROM cos c JOIN cjl j ON j.id_a = c.id_a
+         |ORDER BY c.id_a""".stripMargin
   )
 }

@@ -143,4 +143,34 @@ class MergeSpec extends SparkSpec {
       (1L, 1, Some(3), false), (1L, 3, Some(7), false), (1L, 7, None, true),
       (2L, 5, None, true)))
   }
+
+  test("checksum manifest maintenance round-trips: delete ⊕ reinsert = identity") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.engine.QueryBuilder.scan(spark, d, "documents")
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("text")).cast("binary"))).as("h"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = manifest(docs)
+    val delta = manifest(docs.filter(col("doc_id") % 10 === 2))
+    // apply the delete, then re-apply the same batch as an insert
+    val after = base.map { case (s, (n, x)) =>
+      val (nd, xd) = delta.getOrElse(s, (0L, 0L))
+      s -> (n - nd + nd, x ^ xd ^ xd)
+    }
+    assert(after == base, "xor maintenance is not an involution")
+    // and the maintained query itself equals a from-scratch recompute
+    val maintained = graft.queries.MergeQueries.queries("q_ivm_checksum")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val recompute = docs.filter(col("doc_id") % 10 =!= 2)
+      .select(col("source"), col("n_chars"),
+        graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text")).cast("binary"))).as("h"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"),
+        expr("bit_xor(h)").as("x"), sum("n_chars").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(maintained == recompute, "maintained manifest != from-scratch recompute")
+  }
 }

@@ -60,4 +60,23 @@ class QuantizeSpec extends SparkSpec {
     assert(out(1L)._2 == luts(0)(0) + luts(1)(1))
     assert(out(2L)._2 == luts(0)(1) + luts(1)(0))
   }
+
+  test("JL projection: valid cosines, exact full-dim arithmetic, useful distortion") {
+    val rows = graft.queries.QuantizeQueries.queries("q_embed_jl")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, cf, cj, _) =>
+      math.abs(cf) <= 1.0000001 && math.abs(cj) <= 1.0000001 })
+    // the full-dim side must be the exact scaledDot cosine
+    val emb = graft.engine.QueryBuilder.scan(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (ida, cf, _, _) =>
+      assert(cf == graft.ops.Similarity.cosineLocal(emb(ida), emb(ida + 1)), s"pair $ida")
+    }
+    // 16 random ±1 planes preserve cosine to well under 0.5 on average
+    val meanErr = rows.map(_._4).sum / rows.length
+    assert(meanErr < 500000L, s"mean distortion $meanErr ppm — projection broken")
+  }
 }
