@@ -352,6 +352,49 @@ object StreamQueries {
       Drift.censusOfHists(baseHist, curHist).orderBy(col("bin"))
     }),
 
+    // STREAMING manifest maintenance — the q_dq_checksum audit kept
+    // current while data lands: each micro-batch emits its PARTIAL
+    // manifest (count/xor/bytes per source — xor partials merge by xor,
+    // counts add, so the merge is exact and order-free), the final
+    // read-side merge equals the batch manifest over everything
+    // ingested. At 100 TB this is how a copy audit actually runs: no
+    // re-scan of landed data, per-batch cost ∝ batch
+    "q_stream_checksum" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_schksum_src_$suffix"
+      val out = s"/tmp/graft_schksum_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = batch.select(col("source"), col("n_chars"),
+                graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+                  lit(":"), col("text")).cast("binary"))).as("h"))
+              .groupBy(col("source"))
+              .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+                sum(col("n_chars")).as("b"))
+            graft.sinks.Sinks.write(part,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n_rows"),
+          expr("bit_xor(x)").as("xor60"),
+          sum(col("b")).cast("long").as("n_bytes"))
+        .orderBy(col("source"))
+    }),
+
     // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
     // event-time timeout — sessions emit ONLY once the watermark proves
     // they can never grow (append semantics, state ∝ open sessions).
@@ -392,6 +435,8 @@ object StreamQueries {
     // additive histograms: the merged incremental census is bit-identical
     // to the one-shot census, so the oracle IS q_dq_drift's query
     "q_stream_drift" -> QualityQueries.oracleSql("q_dq_drift"),
+    // the merged streaming manifest must equal the batch audit exactly
+    "q_stream_checksum" -> QualityQueries.oracleSql("q_dq_checksum"),
 
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
