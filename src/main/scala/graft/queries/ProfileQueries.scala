@@ -67,6 +67,33 @@ object ProfileQueries {
         Connector(table = null, sort = Seq(Sort.asc("c_custkey")), limit = 0))
     }),
 
+    // PARTITION-KEY ADVISOR — the table-layout decision a 100 TB write
+    // runs once: for each candidate partitioning (lang / source /
+    // lang×source), the partition count, size extremes, and max/avg
+    // skew in floor-ppm, all from ONE cube pass (each rollup level IS
+    // one candidate's partition census). High skew ⇒ hot partitions;
+    // too many tiny partitions ⇒ the small-file problem the compaction
+    // planner below exists to fix
+    "q_profile_partition_advisor" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val classes = docs.cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("lang")) * 2 + grouping(col("source"))).as("gid"))
+        .filter(col("gid") < 3)
+      classes.groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_partitions"),
+          min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+          sum(col("n")).as("total"))
+        .select(
+          when(col("gid") === 0, "lang+source")
+            .when(col("gid") === 1, "source").otherwise("lang").as("candidate"),
+          col("n_partitions").cast("long").as("n_partitions"),
+          col("min_rows").cast("long").as("min_rows"),
+          col("max_rows").cast("long").as("max_rows"),
+          expr("max_rows * n_partitions * 1000000 div total").as("skew_ppm"))
+        .orderBy(col("candidate"))
+    }),
+
     // SMALL-FILE COMPACTION planner (the Delta/Iceberg OPTIMIZE shape):
     // census the per-source "files" of the corpus (n_docs, bytes), then
     // bin-pack them into merge groups of ~total/6 bytes by
@@ -123,6 +150,20 @@ object ProfileQueries {
     "q_endpoint_defaults" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_profile_partition_advisor" ->
+      """WITH cl AS (SELECT lang, source, COUNT(*) AS n,
+        |              GROUPING(lang) * 2 + GROUPING(source) AS gid
+        |            FROM documents GROUP BY CUBE(lang, source)),
+        |r AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+        |             CAST(MIN(n) AS BIGINT) AS min_rows,
+        |             CAST(MAX(n) AS BIGINT) AS max_rows,
+        |             CAST(SUM(n) AS BIGINT) AS total
+        |      FROM cl WHERE gid < 3 GROUP BY gid)
+        |SELECT CASE gid WHEN 0 THEN 'lang+source' WHEN 1 THEN 'source'
+        |                ELSE 'lang' END AS candidate,
+        |  n_partitions, min_rows, max_rows,
+        |  CAST(max_rows * n_partitions * 1000000 // total AS BIGINT) AS skew_ppm
+        |FROM r ORDER BY candidate""".stripMargin,
     "q_profile_compaction" ->
       """WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |                  CAST(SUM(n_chars) AS BIGINT) AS bytes
