@@ -119,6 +119,58 @@ object QualityQueries {
         .orderBy(col("table_name"))
     }),
 
+    // DECLARATIVE CONSTRAINT SUITE (the Deequ/dbt-tests shape): the
+    // suite is data (case-class rules); the engine folds all row-scoped
+    // checks into ONE codegen'd aggregation, uniqueness into one
+    // combinable groupBy, and the FK into one anti-join — never a job
+    // per rule (see ops/Constraints.scala)
+    "q_dq_constraints" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Constraints
+      import graft.ops.Constraints._
+      Constraints.report(scan(s, d, "lineitem"), Seq(
+          Check.notNull("l_orderkey"),
+          Check.inRange("l_quantity", 1, 30),
+          Check.inSet("l_returnflag", Seq("A", "N", "R")),
+          Check.matches("l_linestatus", "^[OF]$"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("l_orderkey", scan(s, d, "orders"), "o_orderkey", "orders")))
+        .orderBy(col("rule"))
+    }),
+
+    // ROW-LEVEL QUARANTINE (dead-letter split): the same suite's
+    // row-scoped checks stamp every row with a violation BITMAP in one
+    // map pass; clean rows flow on, the rest carry a machine-readable
+    // reason. Census by bitmap — which rule COMBINATIONS fire together
+    "q_dq_quarantine" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Constraints
+      import graft.ops.Constraints.Check
+      Constraints.rowAudit(scan(s, d, "lineitem"), Seq(
+          Check.notNull("l_orderkey"),                     // bit 0
+          Check.inRange("l_quantity", 1, 30),              // bit 1
+          Check.inSet("l_returnflag", Seq("A", "N", "R")), // bit 2
+          Check.inRange("l_discount", 0.0, 0.05)))         // bit 3
+        .groupBy(col("violation_bits"), col("is_clean"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("violation_bits"))
+    }),
+
+    // JOIN-SIZE PRE-FLIGHT: exact predicted cardinality of
+    // lineitem ⋈ orders from the two key-count relations — Σ na·nb over
+    // matching keys, plus the hottest key's share (the AQE-style skew
+    // diagnostic, runnable BEFORE committing to the shuffle). Both
+    // count relations are map-side-combinable and key-sized
+    "q_profile_join_size" -> ((s: SparkSession, d: String) => {
+      val a = scan(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("na"))
+      val b = scan(s, d, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+      a.join(b, "k").select((col("na") * col("nb")).as("prod"))
+        .agg(sum(col("prod")).cast("long").as("est_rows"),
+          count(lit(1)).as("n_match_keys"),
+          max(col("prod")).cast("long").as("max_key_rows"))
+        .withColumn("hot_key_ppm", expr("max_key_rows * 1000000 div est_rows"))
+    }),
+
     // TABLE CHECKSUM manifest — the replication/copy audit: per source,
     // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
     // checksum (bit_xor over per-row md5-hex60) — two table copies match
@@ -222,6 +274,64 @@ object QualityQueries {
         |  CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT)
         |FROM orders
         |ORDER BY table_name""".stripMargin,
+
+    "q_dq_constraints" ->
+      """WITH rep AS (
+        |  SELECT 'not_null:l_orderkey' AS rule,
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range:l_quantity',
+        |    CAST(count(*) FILTER (WHERE NOT (l_quantity IS NULL
+        |      OR (l_quantity >= 1 AND l_quantity <= 30))) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set:l_returnflag',
+        |    CAST(count(*) FILTER (WHERE NOT (l_returnflag IS NULL
+        |      OR l_returnflag IN ('A', 'N', 'R'))) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'regex:l_linestatus',
+        |    CAST(count(*) FILTER (WHERE NOT (l_linestatus IS NULL
+        |      OR regexp_matches(l_linestatus, '^[OF]$'))) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey+l_linenumber',
+        |    CAST(COALESCE((SELECT SUM(n - 1) FROM (
+        |      SELECT COUNT(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber) t WHERE n > 1), 0) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'fk:l_orderkey->orders.o_orderkey',
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_violations = 0 AS pass
+        |FROM rep ORDER BY rule""".stripMargin,
+
+    "q_dq_quarantine" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN NOT (l_quantity IS NULL
+        |          OR (l_quantity >= 1 AND l_quantity <= 30)) THEN 2 ELSE 0 END
+        |  + CASE WHEN NOT (l_returnflag IS NULL
+        |          OR l_returnflag IN ('A', 'N', 'R')) THEN 4 ELSE 0 END
+        |  + CASE WHEN NOT (l_discount IS NULL
+        |          OR (l_discount >= 0.0 AND l_discount <= 0.05)) THEN 8 ELSE 0 END
+        |    AS violation_bits
+        |  FROM lineitem)
+        |SELECT CAST(violation_bits AS BIGINT) AS violation_bits,
+        |  violation_bits = 0 AS is_clean, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM b GROUP BY violation_bits ORDER BY violation_bits""".stripMargin,
+
+    "q_profile_join_size" ->
+      """WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1),
+        |j AS (SELECT a.na * b.nb AS prod FROM a JOIN b USING (k))
+        |SELECT CAST(SUM(prod) AS BIGINT) AS est_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_match_keys,
+        |  CAST(MAX(prod) AS BIGINT) AS max_key_rows,
+        |  CAST(MAX(prod) * 1000000 // SUM(prod) AS BIGINT) AS hot_key_ppm
+        |FROM j""".stripMargin,
 
     "q_dq_checksum" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
