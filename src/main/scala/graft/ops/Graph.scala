@@ -151,4 +151,27 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded-depth BFS over a directed edge relation (pass both
+    * directions for undirected graphs): returns (node, depth) with
+    * depth = hop distance from the nearest seed, seeds at 0. Each
+    * round joins ONLY the newest layer (rows at depth i-1) against the
+    * edges and min-merges — per-round cost ∝ frontier × degree, never
+    * paths^depth. The groupBy keeps the working set ≤ one row per
+    * reached node, so `maxDepth` rounds cost maxDepth bounded joins.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, seedCol: String,
+          maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"bfs: maxDepth must be >= 0, got $maxDepth")
+    var best = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("depth"))
+    for (i <- 1 to maxDepth) {
+      val next = best.filter(col("depth") === (i - 1).toLong)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("depth"))
+      best = best.unionAll(next).groupBy(col("node"))
+        .agg(min(col("depth")).as("depth"))
+    }
+    best
+  }
 }

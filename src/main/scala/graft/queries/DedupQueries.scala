@@ -286,6 +286,31 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // LSH BANDING RECALL EVAL — the S-curve check every MinHash deploy
+    // runs: on an eval slice (doc_id < 100, all shared-shingle pairs =
+    // the COMPLETE truth set, since J>0 requires a shared shingle),
+    // compare the banding pipeline's verified pairs against the exact
+    // Jaccard>=0.5 ground truth. found ⊆ truth by construction (the
+    // verify step is exact), so recall_ppm is the banding's candidate
+    // recall — the number that says whether 12 seeds x 3 rows/band is
+    // enough before scaling the index out
+    "q_dedup_lsh_recall" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents").filter(col("doc_id") < 100)
+      val sh = Dedup.hashedShingleTable(docs, "doc_id", "text").scopedPersist()
+      val sharedPairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val truth = Dedup.pairJaccard(sharedPairs, sh).filter(col("jaccard") >= 0.5)
+      val found = Dedup.pairJaccard(
+          Dedup.bandCandidates(Dedup.minhashBands(sh)), sh)
+        .filter(col("jaccard") >= 0.5)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found"))) // 1-row scalars
+        .select(col("n_truth").cast("long"), col("n_found").cast("long"),
+          expr("n_found * 1000000 div greatest(n_truth, 1)").as("recall_ppm"))
+    }),
+
     // UNIMAX language sampling (Chung 2023): water-filling the 1x-corpus
     // token budget over languages ascending by size with a 2-epoch cap —
     // small languages up-sample to the cap, never beyond; the head
@@ -716,6 +741,27 @@ object DedupQueries {
          |SELECT lang, n_tokens, target_tokens, epochs_x1000,
          |  CAST(epochs_x1000 * n_tokens // 1000 AS BIGINT) AS alloc_tokens
          |FROM e ORDER BY lang""".stripMargin,
+
+    // same banding pipeline CTEs over the eval slice; the truth side
+    // re-derives exact Jaccard for EVERY shared-shingle pair
+    "q_dedup_lsh_recall" ->
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |${minhashCtesOver("ev")},
+         |truthp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |           FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |tinter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |           FROM truthp p JOIN shh A ON A.doc_id = p.doc_a
+         |                         JOIN shh B ON B.doc_id = p.doc_b AND B.sh = A.sh
+         |           GROUP BY p.doc_a, p.doc_b),
+         |truth AS (SELECT i.doc_a, i.doc_b
+         |          FROM tinter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |                        JOIN sizes sb ON sb.doc_id = i.doc_b
+         |          WHERE CAST(i.inter AS DOUBLE)
+         |                / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsq) AS n_found,
+         |       CAST((SELECT COUNT(*) FROM pairsq) * 1000000
+         |            // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm""".stripMargin,
 
     // the water-filling loop replayed as a recursive CTE over the
     // size-ascending language census — same Long floor division

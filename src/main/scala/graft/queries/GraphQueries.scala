@@ -79,7 +79,25 @@ object GraphQueries {
       graft.ops.Dedup.connectedComponents(
           coSupply(s, d).select(col("s1").as("doc_a"), col("s2").as("doc_b")))
         .select(col("doc_id").as("node"), col("cluster").as("component"))
-        .orderBy(col("node")))
+        .orderBy(col("node"))),
+
+    // BOUNDED-DEPTH BFS (3 hops from the %10 seed suppliers): the
+    // frontier-join traversal shape — each round joins ONLY the
+    // newest layer (rows at depth i-1) against the edge relation and
+    // min-merges, so per-round cost ∝ frontier × degree, never
+    // paths^depth (contrast the oracle's recursive CTE, which
+    // enumerates every ≤3-hop path and min-aggregates at the end —
+    // fine at oracle scale, fatal at 100 TB). Same cached symmetric
+    // edge relation as the family's other queries
+    "q_graph_bfs" -> ((s: SparkSession, d: String) => {
+      val base = coSupply(s, d)
+      val edges = base.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionAll(base.select(col("s2").as("src"), col("s1").as("dst")))
+        .scopedPersist()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 10 === 0)
+      Graph.bfs(edges, seeds, "node", maxDepth = 3).orderBy(col("node"))
+    })
   )
 
   /** Shared DuckDB CTE: the thresholded co-supply edge list. */
@@ -117,6 +135,21 @@ object GraphQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS node, least(src, min(dst)) AS component
          |FROM reach GROUP BY src ORDER BY node""".stripMargin,
+
+    // path-enumerating recursive twin of the engine's frontier BFS:
+    // UNION (set semantics) + depth<3 bound keeps it finite; MIN(depth)
+    // at the end = BFS layering
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE ${edgeCte.stripPrefix("WITH ")},
+         |e AS (SELECT s1 AS src, s2 AS dst FROM g UNION SELECT s2, s1 FROM g),
+         |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0),
+         |walk(node, depth) AS (
+         |  SELECT node, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+         |  WHERE w.depth < 3)
+         |SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "q_graph_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s

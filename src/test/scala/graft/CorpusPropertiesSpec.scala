@@ -80,4 +80,56 @@ class CorpusPropertiesSpec extends SparkSpec {
     val blocked = pairs(Dedup.simhashPairs(sims, blockCols = Seq("lang")))
     assert(blocked.subsetOf(unblocked))
   }
+
+  test("property: unimax allocation conserves budget, respects the cap, fills ascending") {
+    val censusGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 100000L)))
+    for (seed <- Seq(3L, 21L, 77L, 123L)) {
+      val ns = sample(censusGen, seed).zipWithIndex
+        .map { case (n, i) => (s"l$i", n) }
+      val docs = ns.toDF("lang", "n")
+      val out = CorpusOps.unimaxAllocation(docs, "lang", col("n"),
+          budgetX = 1L, maxEpochs = 2L)
+        .as[(String, Long, Long, Long)].collect()
+      val total = ns.map(_._2).sum
+      val byLang = ns.toMap
+      // per-language: never above the cap, never negative
+      out.foreach { case (l, n, a, ppm) =>
+        assert(n == byLang(l))
+        assert(a >= 0L && a <= 2L * n, s"seed $seed: $l alloc $a over cap")
+        assert(ppm <= 2000000L)
+      }
+      // conservation: never exceeds the budget...
+      val spent = out.map(_._3).sum
+      assert(spent <= total, s"seed $seed: overspent $spent > $total")
+      // ...and if any language is BELOW its cap, the budget is exhausted
+      // up to integer-division remainders (one unit per language)
+      if (out.exists { case (_, n, a, _) => a < 2L * n })
+        assert(total - spent < out.length.toLong,
+          s"seed $seed: left ${total - spent} unspent with slack available")
+    }
+  }
+
+  test("property: checksum xor-merge of a random partition of rows equals the whole") {
+    // split rows into arbitrary batches; merging per-batch (count, xor)
+    // partials must equal the single-pass manifest — the invariant
+    // q_stream_checksum/q_ivm_checksum stand on
+    val rowsGen = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 1000000L); w <- wordGen; b <- Gen.choose(0, 3)
+    } yield (id, w, b))
+    for (seed <- Seq(5L, 55L)) {
+      val rows = sample(rowsGen, seed).distinctBy(_._1)
+      def manifest(part: Seq[(Long, String, Int)]): (Long, Long) = {
+        val hs = part.toDF("doc_id", "text", "b")
+          .select(Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text")).cast("binary"))).as("h"))
+          .as[Long].collect()
+        (hs.length.toLong, hs.foldLeft(0L)(_ ^ _))
+      }
+      val whole = manifest(rows)
+      val batches = rows.grouped(17).toSeq.map(manifest)
+      val merged = (batches.map(_._1).sum, batches.map(_._2).foldLeft(0L)(_ ^ _))
+      assert(merged == whole, s"seed $seed: partial merge diverged")
+    }
+  }
 }

@@ -4,6 +4,27 @@ import org.apache.spark.sql.functions._
 import graft.ops.Graph
 
 class GraphSpec extends SparkSpec {
+
+  test("bfs: layered depths on a path with a cycle and an unreachable node") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 0→1→2→3→1 (cycle back), 9→9 self-loop island; undirected not required
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (9L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.ops.Graph.bfs(edges, seeds, "node", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9 is unreachable from 0; the cycle must not lower settled depths
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $got")
+    // depth cap: with maxDepth=1 only the first layer appears
+    val g1 = graft.ops.Graph.bfs(edges, seeds, "node", maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(0L -> 0L, 1L -> 1L))
+    // multiple seeds: nearest seed wins
+    val g2 = graft.ops.Graph.bfs(edges, Seq(0L, 3L).toDF("node"), "node", maxDepth = 3)
+      .filter(col("node") === 1L).collect().head.getLong(1)
+    assert(g2 == 1L)
+  }
   import spark.implicits._
 
   test("triangleCount: known graphs") {
