@@ -168,4 +168,42 @@ object Joins {
       .filter(col(leftValue) >= col(lo) && col(leftValue) <= col(hi))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs (l, r) with [lLo,lHi] ∩ [rLo,rHi] ≠ ∅
+    * (both endpoints inclusive, numeric columns, distinct names across
+    * the two sides). Generalizes [[rangeJoin]] from point-in-interval to
+    * interval-interval — the shape of "which shipments were in flight
+    * during which promo windows" / overlapping-session joins.
+    *
+    * Plan: both sides explode to the bins their interval covers and the
+    * join is an equi-join on the bin — shuffle-partitionable, never the
+    * BroadcastNestedLoopJoin a bare conjunction of inequalities gets.
+    * A pair whose overlap spans several bins would surface once per
+    * shared bin, so the residual keeps only the bin containing the
+    * overlap's LEFT EDGE max(lLo, rLo): every overlapping pair survives
+    * in exactly one bin — dedup by construction, no distinct shuffle.
+    * Cost: each row duplicates to O(len/binWidth + 1) bin copies; pick
+    * binWidth ≈ the typical interval length so that stays O(1).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(left, lLo, lHi)
+      .join(binned(right, rLo, rHi), Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") ===
+        floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

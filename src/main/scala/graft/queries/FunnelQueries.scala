@@ -130,6 +130,48 @@ object FunnelQueries {
         .filter(col("cum_share") <= 0.8)
         .select(col("l_suppkey"), col("revenue"), col("cum_share"))
         .orderBy(col("cum_share"))
+    }),
+
+    // MARKET-BASKET association mining (Agrawal 1994's support/lift,
+    // minus the apriori iteration — pairs only): brand pairs bought in
+    // the same order, with ppm support and lift. The pair expansion is
+    // IN-ROW over each order's sorted distinct-brand array (orders hold
+    // ~4 items ⇒ ~6 pairs — cost linear in orders, never an all-pairs
+    // or a fact×fact self-join shuffle); counts are one combinable
+    // groupBy; the brand marginals and the order total are
+    // dimension-sized broadcasts. Lift is factored
+    // ((n_pair·1e6 div n_a) · N) div n_b so every intermediate stays
+    // under ~1e16 even at 10¹² orders — overflow-safe at 100 TB, and
+    // the oracle replays the same factoring bit-for-bit. The ppm
+    // support threshold is scale-invariant (a count threshold would
+    // silently admit everything at 10× data)
+    "q_basket_pairs" -> ((s: SparkSession, d: String) => {
+      val lab = scan(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(scan(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
+      val baskets = lab.groupBy(col("okey"))
+        .agg(array_sort(collect_set(col("item"))).as("items"))
+        .scopedPersist()
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
+      val itemCounts = baskets.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val pairCounts = baskets
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.item_a").as("item_a"), col("pr.item_b").as("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairCounts
+        .join(broadcast(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a"))), Seq("item_a"))
+        .join(broadcast(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("item_a"), col("item_b"), col("n_pair"),
+          expr("n_pair * 1000000 div n_orders").as("support_ppm"),
+          expr("((n_pair * 1000000 div n_a) * n_orders) div n_b").as("lift_ppm"))
+        .filter(col("support_ppm") >= 1000)
+        .orderBy(col("item_a"), col("item_b"))
     })
   )
 
@@ -211,6 +253,23 @@ object FunnelQueries {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM active a JOIN first f ON a.user_id = f.user_id
         |GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH lab AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+        |             FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM lab),
+        |ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM lab GROUP BY item),
+        |pc AS (SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |       FROM lab a JOIN lab b ON a.okey = b.okey AND a.item < b.item
+        |       GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_pair,
+        |  CAST(n_pair * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        |  CAST(((n_pair * 1000000 // ia.n_item) * n_orders) // ib.n_item AS BIGINT) AS lift_ppm
+        |FROM pc CROSS JOIN n
+        |  JOIN ic ia ON ia.item = item_a
+        |  JOIN ic ib ON ib.item = item_b
+        |WHERE n_pair * 1000000 // n_orders >= 1000
+        |ORDER BY item_a, item_b""".stripMargin
   )
 }

@@ -184,6 +184,33 @@ object JoinQueries {
         rightPayload = Seq("o_orderkey", "o_totalprice"),
         tiebreak = "o_orderkey"
       ).orderBy(col("event_id"))
+    }),
+
+    // Interval-OVERLAP join (Joins.intervalJoin — interval×interval,
+    // not point-in-range like q_join_range): order fulfillment windows
+    // [orderdate, orderdate + 5..24 days] against 25 two-week promo
+    // windows. Both sides bin at 16 days and equi-join on the bin; the
+    // left-edge-bin residual keeps each overlapping pair exactly once
+    // (no distinct). At 100 TB the fact side duplicates to ≤2 bin
+    // copies and the join shuffles on the bin key; here the 25-window
+    // side broadcasts and the fact never shuffles at all
+    "q_join_interval" -> ((s: SparkSession, d: String) => {
+      val day0 = lit("1992-01-01").cast("date")
+      val li = scan(s, d, "orders").select(
+        col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), day0).cast("long").as("ls"))
+        .withColumn("lr",
+          col("ls") + floor(col("o_totalprice")).cast("long") % 20L + 5L)
+      val w = scan(s, d, "nation").select(
+        col("n_nationkey").as("w_id"),
+        (datediff(lit("1996-01-01").cast("date"), day0).cast("long")
+          + col("n_nationkey") * 10L).as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + lit(13L))
+      Joins.intervalJoin(li, "ls", "lr", w, "w_lo", "w_hi", binWidth = 16L)
+        .groupBy(col("w_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          ExactAgg.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("w_id"))
     })
   )
 
@@ -272,6 +299,21 @@ object JoinQueries {
         |SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_interval" ->
+      s"""WITH li AS (SELECT o_totalprice,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS ls
+         |  FROM orders),
+         |li2 AS (SELECT o_totalprice, ls,
+         |    ls + CAST(floor(o_totalprice) AS BIGINT) % 20 + 5 AS lr FROM li),
+         |w AS (SELECT n_nationkey AS w_id,
+         |    datediff('day', DATE '1992-01-01', DATE '1996-01-01')
+         |      + n_nationkey * 10 AS w_lo
+         |  FROM nation),
+         |w2 AS (SELECT w_id, w_lo, w_lo + 13 AS w_hi FROM w)
+         |SELECT w_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${ExactAgg.sqlDsum("o_totalprice")} AS total_price
+         |FROM li2 JOIN w2 ON ls <= w_hi AND w_lo <= lr
+         |GROUP BY w_id ORDER BY w_id""".stripMargin
   )
 }

@@ -123,6 +123,48 @@ object ProfileQueries {
         .select(col("source"), col("n_docs"), col("bytes"), col("grp"),
           col("grp_bytes"), col("grp_files"))
         .orderBy(col("grp"), col("bytes").desc, col("source"))
+    }),
+
+    // COLUMN LINEAGE (ops/Lineage.scala): walk the analyzed plan of a
+    // representative join+filter+agg report and resolve every output
+    // column to the (source table, source column) leaves it references
+    // — plan metadata only, driver-side, O(plan) regardless of data
+    // size. The oracle is the hand-derived lineage as a VALUES table:
+    // if the walker mis-propagates through Project/Aggregate/Join, the
+    // hash gate catches it
+    "q_profile_lineage" -> ((s: SparkSession, d: String) => {
+      val report = scan(s, d, "customer")
+        .join(scan(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderstatus") =!= "X")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          max(col("c_acctbal") + col("o_totalprice")).as("max_combined"))
+        .select(col("c_mktsegment").as("segment"), col("revenue"),
+          col("n_orders"), col("max_combined"))
+      val rows = graft.ops.Lineage.columnLineage(report)
+      s.createDataFrame(rows).toDF("out_col", "src_table", "src_col")
+        .orderBy(col("out_col"), col("src_table"), col("src_col"))
+    }),
+
+    // PII-PROPAGATION audit (Lineage.piiFlow): the lineage walk joined
+    // against a declared sensitive-column register — every edge of a
+    // derived report flagged is_pii when its source leaf is sensitive.
+    // `contact` embeds c_name (PII) and c_mktsegment (not): the audit
+    // must flag exactly the c_name edge, proving taint tracking is
+    // per-EDGE, not per-output-column
+    "q_profile_pii_flow" -> ((s: SparkSession, d: String) => {
+      val pii = Set("customer" -> "c_name", "customer" -> "c_address",
+        "customer" -> "c_acctbal")
+      val report = scan(s, d, "orders")
+        .join(scan(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          concat(col("c_name"), lit(" <"), col("c_mktsegment"), lit(">")).as("contact"),
+          col("o_totalprice").as("amount"))
+      val rows = graft.ops.Lineage.piiFlow(report, pii)
+      s.createDataFrame(rows).toDF("out_col", "src_table", "src_col", "is_pii")
+        .orderBy(col("out_col"), col("src_table"), col("src_col"))
     })
   )
 
@@ -177,6 +219,23 @@ object ProfileQueries {
         |SELECT source, n_docs, bytes, grp,
         |  CAST(SUM(bytes) OVER (PARTITION BY grp) AS BIGINT) AS grp_bytes,
         |  CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_files
-        |FROM g ORDER BY grp, bytes DESC, source""".stripMargin
+        |FROM g ORDER BY grp, bytes DESC, source""".stripMargin,
+    "q_profile_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('max_combined', 'customer', 'c_acctbal'),
+        |  ('max_combined', 'orders', 'o_totalprice'),
+        |  ('n_orders', 'orders', 'o_orderkey'),
+        |  ('revenue', 'orders', 'o_totalprice'),
+        |  ('segment', 'customer', 'c_mktsegment'))
+        |AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
+    "q_profile_pii_flow" ->
+      """SELECT * FROM (VALUES
+        |  ('amount', 'orders', 'o_totalprice', false),
+        |  ('contact', 'customer', 'c_mktsegment', false),
+        |  ('contact', 'customer', 'c_name', true),
+        |  ('o_orderkey', 'orders', 'o_orderkey', false))
+        |AS t(out_col, src_table, src_col, is_pii)
+        |ORDER BY out_col, src_table, src_col""".stripMargin
   )
 }

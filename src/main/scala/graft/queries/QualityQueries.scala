@@ -171,6 +171,47 @@ object QualityQueries {
         .withColumn("hot_key_ppm", expr("max_key_rows * 1000000 div est_rows"))
     }),
 
+    // PSEUDONYMIZED-EXPORT audit (ops/Pseudonym.scala): customer and
+    // orders stamp c_custkey/o_custkey with the same keyed-hash token in
+    // independent map-only passes (no mapping table, no extra shuffle);
+    // the audit proves per segment that (a) the token is injective here
+    // (n_tokens = n_customers — a collision would silently merge two
+    // identities) and (b) the token join reproduces the raw-key join
+    // exactly (n_orders_tok = n_orders_raw), plus an order-independent
+    // xor checksum of the token set for replica comparison
+    "q_dq_pseudonym" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Pseudonym
+      val salt = "epoch1"
+      val ct = scan(s, d, "customer").select(
+        col("c_mktsegment").as("segment"),
+        col("c_custkey"),
+        Pseudonym.token(col("c_custkey"), salt).as("tok"))
+      val ot = scan(s, d, "orders").select(
+        col("o_custkey"), Pseudonym.token(col("o_custkey"), salt).as("otok"))
+      val base = ct.groupBy(col("segment")).agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("tok")).as("n_tokens"),
+        expr("bit_xor(tok)").as("tokens_xor"))
+      val viaTok = ot.join(ct, col("otok") === col("tok"))
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_orders_tok"))
+      val viaRaw = scan(s, d, "orders").join(ct, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_orders_raw"))
+      base.join(viaTok, Seq("segment")).join(viaRaw, Seq("segment"))
+        .orderBy(col("segment"))
+    }),
+
+    // ε-DP NOISY-COUNT release (ops/DpRelease.scala): per-segment
+    // customer counts + two-sided geometric noise (the discrete
+    // Laplace; sensitivity-1 counts ⇒ ε-DP exactly, all-integer so no
+    // float-Laplace leak). The draw is the keyed group hash pushed
+    // through a precomputed inverse-CDF threshold table, unrolled into
+    // one codegen'd projection — and inlined into the oracle, so the
+    // release is bit-exact replayable (same salt ⇒ same release)
+    "q_dq_dpcount" -> ((s: SparkSession, d: String) =>
+      graft.ops.DpRelease.noisyCount(
+        scan(s, d, "customer"), "c_mktsegment", salt = "release1", eps = 1.0)
+        .orderBy(col("grp"))),
+
     // TABLE CHECKSUM manifest — the replication/copy audit: per source,
     // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
     // checksum (bit_xor over per-row md5-hex60) — two table copies match
@@ -332,6 +373,35 @@ object QualityQueries {
         |  CAST(MAX(prod) AS BIGINT) AS max_key_rows,
         |  CAST(MAX(prod) * 1000000 // SUM(prod) AS BIGINT) AS hot_key_ppm
         |FROM j""".stripMargin,
+
+    "q_dq_pseudonym" ->
+      s"""WITH ct AS (SELECT c_mktsegment AS segment, c_custkey,
+         |  ${DedupQueries.sqlHex60Public("md5('epoch1:' || c_custkey::VARCHAR)")} AS tok
+         |  FROM customer),
+         |ot AS (SELECT o_custkey,
+         |  ${DedupQueries.sqlHex60Public("md5('epoch1:' || o_custkey::VARCHAR)")} AS otok
+         |  FROM orders),
+         |base AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(tok) AS BIGINT) AS tokens_xor
+         |  FROM ct GROUP BY segment),
+         |vt AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders_tok
+         |  FROM ot JOIN ct ON otok = tok GROUP BY segment),
+         |vr AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders_raw
+         |  FROM orders JOIN ct ON o_custkey = c_custkey GROUP BY segment)
+         |SELECT segment, n_customers, n_tokens, tokens_xor, n_orders_tok, n_orders_raw
+         |FROM base JOIN vt USING (segment) JOIN vr USING (segment)
+         |ORDER BY segment""".stripMargin,
+
+    "q_dq_dpcount" ->
+      s"""WITH thr(k, t) AS (VALUES ${graft.ops.DpRelease.sqlThresholdRows(1.0)}),
+         |c AS (SELECT c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  ${DedupQueries.sqlHex60Public("md5('release1:' || c_mktsegment)")} AS u
+         |  FROM customer GROUP BY c_mktsegment)
+         |SELECT grp, CAST(GREATEST(
+         |    n_true + (SELECT COUNT(*) FROM thr WHERE t <= u) - 65, 0) AS BIGINT)
+         |  AS n_noisy
+         |FROM c ORDER BY grp""".stripMargin,
 
     "q_dq_checksum" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -181,6 +181,34 @@ object WindowQueries {
             > lit(4.0) * col("variance"))
         .select(col("day"), col("cnt"), col("mean"), col("variance"), col("is_spike"))
         .orderBy(col("day"))
+    }),
+
+    // CUSUM change-point detection (Page 1954) over daily event counts
+    // — the SEQUENTIAL drift detector (q_dq_drift's TVD census compares
+    // two fixed snapshots; CUSUM accumulates evidence day by day and is
+    // what a monitoring job runs). The recursion
+    // S⁺_t = max(0, S⁺_{t-1} + (x_t − k − slack)) is NOT a built-in
+    // window function, but it telescopes: with prefix sum P_t of the
+    // drifts, S⁺_t = P_t − min(0, min_{j≤t} P_j) — two exact-integer
+    // running windows, no recursion, engine-portable. The reference
+    // level k is the series' own global mean (floor), slack = k/20 (5%);
+    // both windows run over the DAY-grain series (state ∝ days, not
+    // events — the q_ts_anomaly precedent). Alarm: S⁺ > 8·slack
+    "q_ts_cusum" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val ref = daily.agg(expr("sum(cnt) div count(1)").as("k"))
+        .withColumn("slack", greatest(expr("k div 20"), lit(1L)))
+      val run = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(ref))
+        .withColumn("drift", col("cnt") - col("k") - col("slack"))
+        .withColumn("p", sum(col("drift")).over(run))
+        .withColumn("s_plus", col("p") - least(lit(0L), min(col("p")).over(run)))
+        .withColumn("is_alarm", col("s_plus") > col("slack") * 8L)
+        .select(col("day"), col("cnt"), col("s_plus"), col("is_alarm"))
+        .orderBy(col("day"))
     })
   )
 
@@ -274,6 +302,24 @@ object WindowQueries {
         |SELECT day, cnt, mean, variance,
         |  (CAST(cnt AS DOUBLE) - mean) * (CAST(cnt AS DOUBLE) - mean) > 4.0 * variance AS is_spike
         |FROM m ORDER BY day""".stripMargin,
+
+    "q_ts_cusum" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |ref AS (SELECT CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS k,
+        |               CAST(GREATEST(SUM(cnt) // COUNT(*) // 20, 1) AS BIGINT) AS slack
+        |        FROM daily),
+        |p AS (SELECT day, cnt, k, slack,
+        |        CAST(SUM(cnt - k - slack) OVER w AS BIGINT) AS p
+        |      FROM daily CROSS JOIN ref
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT day, cnt, slack,
+        |        CAST(p - LEAST(0, MIN(p) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s_plus
+        |      FROM p)
+        |SELECT day, cnt, s_plus, s_plus > slack * 8 AS is_alarm
+        |FROM s ORDER BY day""".stripMargin,
 
     "q_ts_resample" ->
       s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

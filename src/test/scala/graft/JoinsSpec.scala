@@ -33,6 +33,33 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq("b"))
   }
 
+  test("intervalJoin: equals naive overlap join, each pair exactly once") {
+    // intervals wide enough to span 3+ bins at binWidth=4 — the
+    // left-edge-bin residual must still emit each overlapping pair once
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 35L), (4L, 40L, 41L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 8L, 25L), (20L, 34L, 50L), (30L, 11L, 19L))
+      .toDF("bid", "b_lo", "b_hi")
+    val got = Joins.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 4L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, s"got=$got naive=$naive")
+    assert(got.size == got.toSet.size, s"duplicate pairs: $got")
+    // pin the expected pairs: endpoints are inclusive (3 touches 20 at
+    // b=10's hi=25 ∩ [20,35]; 4's [40,41] ∩ [34,50])
+    assert(got.toSet == Set((1L, 10L), (3L, 10L), (3L, 20L), (4L, 20L)))
+  }
+
+  test("intervalJoin: point intervals and exact endpoint touch match inclusively") {
+    val a = Seq((1L, 5L, 5L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((1L, 5L, 5L), (2L, 6L, 9L)).toDF("bid", "b_lo", "b_hi")
+    val got = Joins.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("rangeJoin: inclusive bounds, intervals spanning multiple bins") {
     val pts = Seq((1, 0.0), (2, 5.0), (3, 10.0), (4, 10.5), (5, 99.0)).toDF("id", "v")
     val ivs = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("name", "lo", "hi")

@@ -226,6 +226,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("interval-overlap join plans a bin equi-join, never a nested-loop") {
+    // the naive spelling (conjunction of inequalities) would plan a
+    // BroadcastNestedLoopJoin; the binned rewrite must keep a hash join
+    val df = graft.queries.JoinQueries.queries("q_join_interval")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("HashJoin"), plan.take(2000))
+  }
+
   test("span corruption: equi-joins only — no nested-loop or cartesian anywhere") {
     val df = graft.ops.CorpusOps.spanCorrupt(
       scan(spark, sf001, "documents"), "doc_id", "text")

@@ -94,4 +94,64 @@ class PrivacySpec extends SparkSpec {
     assert(m(changedSrc) != base(changedSrc), "checksum blind to a content change")
     assert((m - changedSrc) == (base - changedSrc), "unrelated sources changed")
   }
+
+  test("pseudonym: injective on testdata keys, join-preserving, salt-rotating") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Pseudonym
+    val d = "/root/testdata/sf0.001"
+    val cust = graft.engine.QueryBuilder.scan(spark, d, "customer")
+    val orders = graft.engine.QueryBuilder.scan(spark, d, "orders")
+    // injectivity: distinct tokens == distinct keys (a collision would
+    // silently merge two identities)
+    val ct = cust.select(col("c_custkey"),
+      Pseudonym.token(col("c_custkey"), "e1").as("tok"))
+    val Array(nKeys, nToks) = ct
+      .agg(countDistinct(col("c_custkey")), countDistinct(col("tok")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nKeys == nToks, s"token collision: $nKeys keys -> $nToks tokens")
+    // FK-join preservation: orders x customer via token == via raw key
+    val ot = orders.select(Pseudonym.token(col("o_custkey"), "e1").as("otok"))
+    val viaTok = ot.join(ct, col("otok") === col("tok")).count()
+    val viaRaw = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(viaTok == viaRaw, s"token join $viaTok != raw join $viaRaw")
+    // determinism: a second stamping pass produces identical tokens
+    val again = cust.select(Pseudonym.token(col("c_custkey"), "e1").as("tok2"))
+    assert(ct.join(again, col("tok") === col("tok2")).count() == nKeys)
+    // salt rotation: epochs are unlinkable — no token survives rotation
+    val rotated = cust.select(Pseudonym.token(col("c_custkey"), "e2").as("tok2"))
+    assert(ct.join(rotated, col("tok") === col("tok2")).count() == 0L,
+      "rotated epoch shares tokens with the old epoch")
+  }
+
+  test("DP release: threshold-table inverse CDF, bounded noise, deterministic replay") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DpRelease
+    val thr = DpRelease.thresholds(1.0)
+    assert(thr.size == 2 * DpRelease.B + 1)
+    assert(thr.head._2 == 0L, "CDF strictly below -B must be 0")
+    assert(thr.map(_._2) == thr.map(_._2).sorted, "thresholds not monotone")
+    assert(thr.last._2 < (1L << 60))
+    // the engine's noise must equal a driver-side replay of the same
+    // table for every group, and stay within the [-B, B] support
+    val d = "/root/testdata/sf0.001"
+    val cust = graft.engine.QueryBuilder.scan(spark, d, "customer")
+    val got = DpRelease.noisyCount(cust, "c_mktsegment", "release1", 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueCounts = cust.groupBy(col("c_mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCounts.foreach { case (seg, n) =>
+      val u = cust.sparkSession.range(1)
+        .select(DpRelease.uniform(lit(seg), "release1")).head().getLong(0)
+      val noise = thr.count(_._2 <= u) - (DpRelease.B + 1)
+      assert(math.abs(noise) <= DpRelease.B)
+      assert(got(seg) == math.max(n + noise, 0L), s"$seg: engine != replay")
+    }
+    // same salt ⇒ identical release; fresh salt ⇒ a different draw
+    val again = DpRelease.noisyCount(cust, "c_mktsegment", "release1", 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got, "release not deterministic under a fixed salt")
+    val fresh = DpRelease.noisyCount(cust, "c_mktsegment", "release2", 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fresh != got, "independent salts produced the identical draw (improbable)")
+  }
 }
