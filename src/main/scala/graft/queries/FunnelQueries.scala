@@ -172,6 +172,27 @@ object FunnelQueries {
           expr("((n_pair * 1000000 div n_a) * n_orders) div n_b").as("lift_ppm"))
         .filter(col("support_ppm") >= 1000)
         .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // BEHAVIOR TRANSITION MATRIX (first-order Markov census): for each
+    // consecutive event pair in a user's stream, count (from → to) and
+    // row-normalize to ppm — the Sankey/flow diagram and the base of
+    // Markov-chain attribution. ONE window pass over per-user streams
+    // (the q_events_attribution shuffle shape); the normalizing window
+    // runs over the |types|² transition matrix, not the events
+    "q_events_markov" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = scan(s, d, "events")
+        .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("dst_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("p_ppm",
+          expr("n * 1000000 div sum(n) over (partition by src_type)"))
+        .select(col("src_type"), col("dst_type"), col("n"), col("p_ppm"))
+        .orderBy(col("src_type"), col("dst_type"))
     })
   )
 
@@ -270,6 +291,17 @@ object FunnelQueries {
         |  JOIN ic ia ON ia.item = item_a
         |  JOIN ic ib ON ib.item = item_b
         |WHERE n_pair * 1000000 // n_orders >= 1000
-        |ORDER BY item_a, item_b""".stripMargin
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_events_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |c AS (SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY src_type, dst_type""".stripMargin
   )
 }

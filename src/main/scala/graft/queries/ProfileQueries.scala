@@ -165,6 +165,70 @@ object ProfileQueries {
       val rows = graft.ops.Lineage.piiFlow(report, pii)
       s.createDataFrame(rows).toDF("out_col", "src_table", "src_col", "is_pii")
         .orderBy(col("out_col"), col("src_table"), col("src_col"))
+    }),
+
+    // SCAN-ONCE CORRELATION MATRIX: Pearson r for every pair of three
+    // lineitem measures from ONE codegen'd aggregation (count + 9
+    // moment sums) — never a pass per pair, the only shape that
+    // survives a 100 TB profile job. Sums are exact order-independent
+    // scaled decimals (ExactAgg.dsumScaled — per-row double products
+    // are IEEE-identical cross-engine, the dsum(l_extendedprice·(1−d))
+    // precedent); the closed-form r from those sums is a fixed chain of
+    // IEEE double ops, so both engines agree bit-for-bit with NO
+    // tolerance. The 1-row moment relation explodes to 3 pair rows
+    // in-plan (no driver round-trip)
+    "q_profile_corr" -> ((s: SparkSession, d: String) => {
+      import graft.ops.ExactAgg.dsumScaled
+      val li = scan(s, d, "lineitem").select(
+        col("l_quantity").as("x1"),
+        col("l_extendedprice").as("x2"),
+        col("l_discount").as("x3"))
+      val m = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsumScaled(col("x1"), 4).as("s1"), dsumScaled(col("x2"), 4).as("s2"),
+        dsumScaled(col("x3"), 4).as("s3"),
+        dsumScaled(col("x1") * col("x1"), 4).as("s11"),
+        dsumScaled(col("x2") * col("x2"), 4).as("s22"),
+        dsumScaled(col("x3") * col("x3"), 4).as("s33"),
+        dsumScaled(col("x1") * col("x2"), 4).as("s12"),
+        dsumScaled(col("x1") * col("x3"), 4).as("s13"),
+        dsumScaled(col("x2") * col("x3"), 4).as("s23"))
+      def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        expr(s"(n * $sxy - $sx * $sy) / sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy))")
+      m.select(explode(array(
+          struct(lit("l_quantity").as("col_x"), lit("l_extendedprice").as("col_y"),
+            r("s1", "s2", "s11", "s22", "s12").as("pearson_r")),
+          struct(lit("l_quantity").as("col_x"), lit("l_discount").as("col_y"),
+            r("s1", "s3", "s11", "s33", "s13").as("pearson_r")),
+          struct(lit("l_extendedprice").as("col_x"), lit("l_discount").as("col_y"),
+            r("s2", "s3", "s22", "s33", "s23").as("pearson_r")))).as("p"))
+        .select(col("p.col_x"), col("p.col_y"), col("p.pearson_r"))
+        .orderBy(col("col_x"), col("col_y"))
+    }),
+
+    // CHI-SQUARE INDEPENDENCE profile of two categoricals (priority ×
+    // status): one combinable groupBy builds the contingency table; the
+    // marginal windows run over the |A|×|B| cells, never the fact rows.
+    // Expected counts multiply AS DOUBLES (long·long marginal products
+    // would overflow past ~10¹⁹ cell-pairs at warehouse scale); every
+    // double op is IEEE-deterministic, so the oracle hash-matches
+    "q_profile_chisq" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = scan(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("np", sum(col("n")).over(Window.partitionBy(col("pr"))).cast("double"))
+        .withColumn("ns", sum(col("n")).over(Window.partitionBy(col("st"))).cast("double"))
+        .withColumn("nt", sum(col("n")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double"))
+        .withColumn("expected", col("np") * col("ns") / col("nt"))
+        .withColumn("contrib",
+          (col("n").cast("double") - col("expected")) * (col("n").cast("double") - col("expected"))
+            / col("expected"))
+        .select(col("pr"), col("st"), col("n"), col("expected"), col("contrib"))
+        .orderBy(col("pr"), col("st"))
     })
   )
 
@@ -236,6 +300,44 @@ object ProfileQueries {
         |  ('contact', 'customer', 'c_name', true),
         |  ('o_orderkey', 'orders', 'o_orderkey', false))
         |AS t(out_col, src_table, src_col, is_pii)
-        |ORDER BY out_col, src_table, src_col""".stripMargin
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
+    "q_profile_corr" -> {
+      def ds(e: String) = graft.ops.ExactAgg.sqlDsumScaled(e, 4)
+      def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        s"(n * $sxy - $sx * $sy) / sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy))"
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${ds("l_quantity")} AS s1, ${ds("l_extendedprice")} AS s2,
+         |  ${ds("l_discount")} AS s3,
+         |  ${ds("l_quantity * l_quantity")} AS s11,
+         |  ${ds("l_extendedprice * l_extendedprice")} AS s22,
+         |  ${ds("l_discount * l_discount")} AS s33,
+         |  ${ds("l_quantity * l_extendedprice")} AS s12,
+         |  ${ds("l_quantity * l_discount")} AS s13,
+         |  ${ds("l_extendedprice * l_discount")} AS s23
+         |  FROM lineitem)
+         |SELECT * FROM (
+         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         |    ${r("s1", "s2", "s11", "s22", "s12")} AS pearson_r FROM m
+         |  UNION ALL
+         |  SELECT 'l_quantity', 'l_discount',
+         |    ${r("s1", "s3", "s11", "s33", "s13")} FROM m
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', 'l_discount',
+         |    ${r("s2", "s3", "s22", "s33", "s23")} FROM m)
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+    "q_profile_chisq" ->
+      """WITH c AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |w AS (SELECT pr, st, n,
+        |        CAST(SUM(n) OVER (PARTITION BY pr) AS DOUBLE) AS np,
+        |        CAST(SUM(n) OVER (PARTITION BY st) AS DOUBLE) AS ns,
+        |        CAST(SUM(n) OVER () AS DOUBLE) AS nt
+        |      FROM c)
+        |SELECT pr, st, n, np * ns / nt AS expected,
+        |  (CAST(n AS DOUBLE) - np * ns / nt) * (CAST(n AS DOUBLE) - np * ns / nt)
+        |    / (np * ns / nt) AS contrib
+        |FROM w ORDER BY pr, st""".stripMargin
   )
 }
