@@ -249,6 +249,97 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeWav).toDF()
   }
 
+  /** Parsed JPEG header facts (metadata-only decode — dimensions come
+    * from the SOF segment without touching entropy-coded data, the way
+    * real ingest sizes images without a full decode).
+    */
+  final case class JpegDims(media_id: Long, height: Int, width: Int,
+                            n_components: Int, is_progressive: Boolean,
+                            n_skipped: Int)
+
+  /** REAL decoder for the JPEG marker stream (third public format —
+    * big-endian segment walk, vs RIFF's little-endian chunk walk):
+    * after SOI, each segment is FF-marker + u16 BE length (length
+    * includes itself); walk and SKIP segments until a SOF0–SOF3 frame
+    * header, then read precision / height / width / component count.
+    * Malformed payloads (lost marker alignment, truncated segment,
+    * length inconsistent with component count) fail loudly, like
+    * [[decodePpm]] and [[decodeWav]].
+    */
+  def decodeJpegHeader(rows: Iterator[MediaRow]): Iterator[JpegDims] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+      s"not a JPEG (no SOI): media ${r.media_id}")
+    @annotation.tailrec
+    def walk(i: Int, skipped: Int): JpegDims = {
+      require(i + 4 <= b.length, s"ran past payload before SOF: media ${r.media_id}")
+      require(u8(i) == 0xff, s"marker alignment lost at byte $i: media ${r.media_id}")
+      val m = u8(i + 1)
+      val len = u16be(i + 2)
+      require(len >= 2 && i + 2 + len <= b.length,
+        s"segment 0x${m.toHexString} length $len overruns payload: media ${r.media_id}")
+      if (m >= 0xc0 && m <= 0xc3) {
+        require(u8(i + 4) == 8, s"only 8-bit precision supported: media ${r.media_id}")
+        val h = u16be(i + 5); val w = u16be(i + 7); val nc = u8(i + 9)
+        require(len == 8 + 3 * nc,
+          s"SOF length $len inconsistent with $nc components: media ${r.media_id}")
+        JpegDims(r.media_id, h, w, nc, is_progressive = m == 0xc2, n_skipped = skipped)
+      } else {
+        require(m != 0xd8 && m != 0xd9, s"unexpected SOI/EOI before SOF: media ${r.media_id}")
+        walk(i + 2 + len, skipped + 1)
+      }
+    }
+    walk(2, 0)
+  }
+
+  /** Deterministic JPEG fixture per id: h = 16 + id%240, w = 32 +
+    * id%200, components = 3 when id even else 1, baseline SOF0 except
+    * progressive SOF2 when id%3 = 0; before the SOF sit a JFIF APP0, a
+    * COM of 1 + id%9 bytes, and a second COM when id is odd — so the
+    * variable-length skip path runs on every row and n_skipped =
+    * 2 + id%2. Analytic, so the oracle recomputes every output WITHOUT
+    * parsing a byte.
+    */
+  def syntheticJpeg(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val h = 16 + (id % 240).toInt
+      val w = 32 + (id % 200).toInt
+      val nc = if (id % 2 == 0) 3 else 1
+      val sof = if (id % 3 == 0) 0xc2 else 0xc0
+      val m = 1 + (id % 9).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      u8(0xff); u8(0xd8)                        // SOI
+      u8(0xff); u8(0xe0); u16(16)               // APP0 JFIF
+      out.write("JFIF".getBytes("US-ASCII")); u8(0)
+      u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+      u8(0xff); u8(0xfe); u16(2 + m)            // COM, variable length
+      (0 until m).foreach(j => u8('a' + ((id + j) % 26).toInt))
+      if (id % 2 == 1) {                        // second COM for odd ids
+        u8(0xff); u8(0xfe); u16(3); u8('z')
+      }
+      u8(0xff); u8(sof); u16(8 + 3 * nc)        // SOF0/SOF2
+      u8(8); u16(h); u16(w); u8(nc)
+      (0 until nc).foreach { c => u8(c + 1); u8(0x11); u8(0) }
+      u8(0xff); u8(0xd9)                        // EOI
+      MediaRow(id, "image/jpeg", out.toByteArray)
+    }.toDF()
+  }
+
+  /** JPEG-dimension pipeline — same narrow no-shuffle mapPartitions
+    * shape as [[extractImageStats]] / [[extractWavStats]].
+    */
+  def extractJpegDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeJpegHeader).toDF()
+  }
+
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and
     * rescales pixels here; the plumbing — binary in, smaller binary out,

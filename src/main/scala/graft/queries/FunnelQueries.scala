@@ -193,6 +193,31 @@ object FunnelQueries {
           expr("n * 1000000 div sum(n) over (partition by src_type)"))
         .select(col("src_type"), col("dst_type"), col("n"), col("p_ppm"))
         .orderBy(col("src_type"), col("dst_type"))
+    }),
+
+    // CONVERSION-LATENCY distribution: first view → first subsequent
+    // purchase per user, hour-bucketed histogram with cumulative ppm —
+    // the "how long does conversion take" complement to q_funnel's
+    // "how many convert". Two user-keyed aggregations (AQE reuses the
+    // shuffle); the cumulative window runs over the ~hour-count
+    // histogram, never the events. All-integer (seconds → floor hours,
+    // floor ppm)
+    "q_funnel_latency" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("ts") >= col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
+        .select(expr("(unix_timestamp(tp) - unix_timestamp(tv)) div 3600").as("delta_hr"))
+      val hist = conv.groupBy(col("delta_hr")).agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum(col("n_users")).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_ppm",
+          expr("sum(n_users) over (order by delta_hr rows between unbounded preceding and current row) * 1000000 div n_total"))
+        .select(col("delta_hr"), col("n_users"), col("cum_ppm"))
+        .orderBy(col("delta_hr"))
     })
   )
 
@@ -302,6 +327,23 @@ object FunnelQueries {
         |      FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2)
         |SELECT src_type, dst_type, n,
         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS p_ppm
-        |FROM c ORDER BY src_type, dst_type""".stripMargin
+        |FROM c ORDER BY src_type, dst_type""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |cv AS (SELECT e.user_id, tv, MIN(e.ts) AS tp
+        |       FROM events e JOIN fv USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= tv
+        |       GROUP BY e.user_id, tv),
+        |dh AS (SELECT date_diff('second', tv, tp) // 3600 AS delta_hr FROM cv),
+        |h AS (SELECT CAST(delta_hr AS BIGINT) AS delta_hr,
+        |             CAST(COUNT(*) AS BIGINT) AS n_users FROM dh GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM h)
+        |SELECT delta_hr, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY delta_hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // n_total
+        |    AS BIGINT) AS cum_ppm
+        |FROM h CROSS JOIN t ORDER BY delta_hr""".stripMargin
   )
 }

@@ -83,6 +83,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image-metadata decode: deterministic JPEG marker streams
+    // (JFIF APP0 + 1–2 variable-length COM segments + SOF0/SOF2) parsed
+    // by the genuine big-endian segment walker
+    // (Multimodal.decodeJpegHeader) — the metadata-only sizing pass a
+    // real ingest runs without decoding entropy data; the oracle
+    // recomputes dimensions/flags from the fixture formula WITHOUT
+    // parsing a byte
+    "q_multimodal_jpeg" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractJpegDims(
+        Multimodal.syntheticJpeg(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -173,6 +186,15 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
         |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 240 AS INT) AS height,
+        |  CAST(32 + doc_id % 200 AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS n_components,
+        |  doc_id % 3 = 0 AS is_progressive,
+        |  CAST(2 + doc_id % 2 AS INT) AS n_skipped
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

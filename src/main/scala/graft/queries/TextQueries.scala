@@ -280,6 +280,30 @@ object TextQueries {
         .withColumn("score", col("w_sum").cast("double") / (lit(1000.0) * col("n_toks")))
         .withColumn("keep", col("score") > 0.0)
         .orderBy(col("doc_id"))
+    }),
+
+    // READABILITY census (Flesch–Kincaid grade, Kincaid 1975): per-doc
+    // grade from three regexp counts (words, sentence terminators,
+    // vowel-group syllable proxy — the classic heuristic), rolled up
+    // per source. One codegen'd map pass over the corpus + one
+    // combinable aggregate; the grade is a fixed IEEE chain over exact
+    // integer counts, floored to milli — grades can be NEGATIVE for
+    // trivial text, so ratios use floor(double /), never integer div
+    "q_text_readability" -> ((s: SparkSession, d: String) => {
+      val words = size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+      val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+      val syls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+      val grade = floor((lit(0.39) * words.cast("double") / sents.cast("double")
+        + lit(11.8) * syls.cast("double") / words.cast("double")
+        - lit(15.59)) * 1000.0).cast("long")
+      scan(s, d, "documents")
+        .select(col("source"), grade.as("grade_milli"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("cast(floor(sum(grade_milli) / count(1)) as long)").as("avg_grade_milli"),
+          min(col("grade_milli")).as("min_grade_milli"),
+          max(col("grade_milli")).as("max_grade_milli"))
+        .orderBy(col("source"))
     })
   )
 
@@ -475,6 +499,24 @@ object TextQueries {
            |SELECT doc_id, n_toks, w_sum,
            |  CAST(w_sum AS DOUBLE) / (1000.0 * n_toks) AS score,
            |  (CAST(w_sum AS DOUBLE) / (1000.0 * n_toks) > 0.0) AS keep
-           |FROM s ORDER BY doc_id""".stripMargin
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      raw"""WITH g AS (
+           |  SELECT source,
+           |    CAST(floor((0.39 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+           |      + 11.8 * CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)
+           |      - 15.59) * 1000.0) AS BIGINT) AS grade_milli
+           |  FROM (
+           |    SELECT source,
+           |      CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS w,
+           |      CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+           |      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+           |    FROM documents))
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(floor(SUM(grade_milli) / COUNT(*)) AS BIGINT) AS avg_grade_milli,
+           |  CAST(MIN(grade_milli) AS BIGINT) AS min_grade_milli,
+           |  CAST(MAX(grade_milli) AS BIGINT) AS max_grade_milli
+           |FROM g GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -209,6 +209,38 @@ object WindowQueries {
         .withColumn("is_alarm", col("s_plus") > col("slack") * 8L)
         .select(col("day"), col("cnt"), col("s_plus"), col("is_alarm"))
         .orderBy(col("day"))
+    }),
+
+    // FORECAST BACKTEST (model-selection census): one-step-ahead naive
+    // (x_{t-1}) vs seasonal-naive (x_{t-7}) baselines over the daily
+    // series, scored by milli-MAE and milli-bias on the days where both
+    // have a forecast — the which-baseline-wins report every
+    // forecasting deploy starts from (Hyndman's "never skip the naive
+    // baseline"). Lags and error sums are exact integers over the
+    // day-grain series; each method is scored on the SAME eval days so
+    // the comparison is apples-to-apples
+    "q_ts_forecast" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day"))
+      val scored = daily
+        .withColumn("f_naive", lag(col("cnt"), 1).over(w))
+        .withColumn("f_seasonal", lag(col("cnt"), 7).over(w))
+        .filter(col("f_naive").isNotNull && col("f_seasonal").isNotNull)
+      scored.select(lit("naive_1").as("method"),
+          (col("cnt") - col("f_naive")).as("err"))
+        .unionAll(scored.select(lit("seasonal_7").as("method"),
+          (col("cnt") - col("f_seasonal")).as("err")))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_days"),
+          // floor(double-division), NOT integer div: bias can be
+          // negative, and Spark's `div` truncates toward zero where
+          // DuckDB's `//` floors — floor() of the IEEE quotient is the
+          // one spelling both engines agree on for signed values
+          expr("floor(sum(abs(err)) * 1000 / count(1))").cast("long").as("mae_milli"),
+          expr("floor(sum(err) * 1000 / count(1))").cast("long").as("bias_milli"))
+        .orderBy(col("method"))
     })
   )
 
@@ -320,6 +352,23 @@ object WindowQueries {
         |      FROM p)
         |SELECT day, cnt, s_plus, s_plus > slack * 8 AS is_alarm
         |FROM s ORDER BY day""".stripMargin,
+
+    "q_ts_forecast" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |l AS (SELECT day, cnt,
+        |        lag(cnt, 1) OVER (ORDER BY day) AS f_naive,
+        |        lag(cnt, 7) OVER (ORDER BY day) AS f_seasonal
+        |      FROM daily),
+        |s AS (SELECT * FROM l WHERE f_naive IS NOT NULL AND f_seasonal IS NOT NULL),
+        |e AS (SELECT 'naive_1' AS method, cnt - f_naive AS err FROM s
+        |      UNION ALL
+        |      SELECT 'seasonal_7', cnt - f_seasonal FROM s)
+        |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(floor(SUM(abs(err)) * 1000 / COUNT(*)) AS BIGINT) AS mae_milli,
+        |  CAST(floor(SUM(err) * 1000 / COUNT(*)) AS BIGINT) AS bias_milli
+        |FROM e GROUP BY method ORDER BY method""".stripMargin,
 
     "q_ts_resample" ->
       s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
