@@ -212,6 +212,37 @@ object QualityQueries {
         scan(s, d, "customer"), "c_mktsegment", salt = "release1", eps = 1.0)
         .orderBy(col("grp"))),
 
+    // ROW-LEVEL SECURITY audit (ops/RowPolicy.scala): three roles'
+    // policies (data, not code) compiled into filter+mask plans over
+    // customer; the audit proves per role WHAT each view exposes —
+    // visible rows, an order-independent xor of the visible keys, and
+    // an xor over the (masked or raw) name column, which differs
+    // between roles seeing the same rows iff masking is applied and
+    // role-scoped. The filter is a plain Catalyst predicate, so RLS
+    // participates in pushdown/pruning (asserted in PlanQualitySpec)
+    "q_dq_rls" -> ((s: SparkSession, d: String) => {
+      import graft.ops.RowPolicy, graft.ops.RowPolicy.Policy
+      val salt = "rls1"
+      val cust = scan(s, d, "customer")
+      val policies = Seq(
+        Policy("analyst_eu", "c_nationkey < 10", Seq("c_name")),
+        Policy("analyst_us", "c_nationkey >= 10 AND c_mktsegment = 'BUILDING'", Seq("c_name")),
+        Policy("auditor", "true", Seq.empty))
+      policies.map { p =>
+        RowPolicy.enforce(cust, p, salt)
+          // hashes whatever the view exposes: the raw name for auditor,
+          // the role-salted token string for analysts — same rows,
+          // different masks ⇒ different names_xor
+          .select(col("c_custkey"), graft.ops.Dedup.hex60(
+            md5(col("c_name").cast("string").cast("binary"))).as("h"))
+          .agg(count(lit(1)).as("n_visible"),
+            expr("bit_xor(c_custkey)").as("keys_xor"),
+            expr("bit_xor(h)").as("names_xor"))
+          .select(lit(p.role).as("role"), col("n_visible"),
+            col("keys_xor"), col("names_xor"))
+      }.reduce(_ unionAll _).orderBy(col("role"))
+    }),
+
     // TABLE CHECKSUM manifest — the replication/copy audit: per source,
     // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
     // checksum (bit_xor over per-row md5-hex60) — two table copies match
@@ -402,6 +433,29 @@ object QualityQueries {
          |    n_true + (SELECT COUNT(*) FROM thr WHERE t <= u) - 65, 0) AS BIGINT)
          |  AS n_noisy
          |FROM c ORDER BY grp""".stripMargin,
+
+    "q_dq_rls" -> {
+      def h60(e: String) = DedupQueries.sqlHex60Public(e)
+      s"""WITH eu AS (SELECT c_custkey,
+         |    CAST(${h60("md5('rls1/analyst_eu:' || c_name)")} AS VARCHAR) AS name_v
+         |  FROM customer WHERE c_nationkey < 10),
+         |us AS (SELECT c_custkey,
+         |    CAST(${h60("md5('rls1/analyst_us:' || c_name)")} AS VARCHAR) AS name_v
+         |  FROM customer WHERE c_nationkey >= 10 AND c_mktsegment = 'BUILDING'),
+         |au AS (SELECT c_custkey, c_name AS name_v FROM customer)
+         |SELECT 'analyst_eu' AS role, CAST(COUNT(*) AS BIGINT) AS n_visible,
+         |  CAST(bit_xor(c_custkey) AS BIGINT) AS keys_xor,
+         |  CAST(bit_xor(${h60("md5(name_v)")}) AS BIGINT) AS names_xor FROM eu
+         |UNION ALL
+         |SELECT 'analyst_us', CAST(COUNT(*) AS BIGINT),
+         |  CAST(bit_xor(c_custkey) AS BIGINT),
+         |  CAST(bit_xor(${h60("md5(name_v)")}) AS BIGINT) FROM us
+         |UNION ALL
+         |SELECT 'auditor', CAST(COUNT(*) AS BIGINT),
+         |  CAST(bit_xor(c_custkey) AS BIGINT),
+         |  CAST(bit_xor(${h60("md5(name_v)")}) AS BIGINT) FROM au
+         |ORDER BY role""".stripMargin
+    },
 
     "q_dq_checksum" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -395,6 +395,55 @@ object StreamQueries {
         .orderBy(col("source"))
     }),
 
+    // STREAMING-MAINTAINED CUSUM: each micro-batch appends its per-day
+    // partial counts (day counts are additive, so partials merge
+    // exactly); the change-point statistic is computed on the merged
+    // day-grain series with the SAME telescoped windows as q_ts_cusum —
+    // the monitoring deploy: ingest maintains the cheap additive state,
+    // the detector reruns on the (constant-size) series each tick.
+    // Oracle = the batch detector's oracle, so incremental ≡ batch is
+    // gate-checked, the q_stream_checksum pattern
+    "q_stream_cusum" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scusum_src_$suffix"
+      val out = s"/tmp/graft_scusum_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = batch.groupBy(date_trunc("day", col("ts")).as("day"))
+              .agg(count(lit(1)).as("n"))
+            graft.sinks.Sinks.write(part,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      import org.apache.spark.sql.expressions.Window
+      val daily = s.read.parquet(out)
+        .groupBy(col("day")).agg(sum(col("n")).cast("long").as("cnt"))
+      val ref = daily.agg(expr("sum(cnt) div count(1)").as("k"))
+        .withColumn("slack", greatest(expr("k div 20"), lit(1L)))
+      val run = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(ref))
+        .withColumn("drift", col("cnt") - col("k") - col("slack"))
+        .withColumn("p", sum(col("drift")).over(run))
+        .withColumn("s_plus", col("p") - least(lit(0L), min(col("p")).over(run)))
+        .withColumn("is_alarm", col("s_plus") > col("slack") * 8L)
+        .select(col("day"), col("cnt"), col("s_plus"), col("is_alarm"))
+        .orderBy(col("day"))
+    }),
+
     // CUSTOM-STATE streaming sessionization: flatMapGroupsWithState with
     // event-time timeout — sessions emit ONLY once the watermark proves
     // they can never grow (append semantics, state ∝ open sessions).
@@ -437,6 +486,7 @@ object StreamQueries {
     "q_stream_drift" -> QualityQueries.oracleSql("q_dq_drift"),
     // the merged streaming manifest must equal the batch audit exactly
     "q_stream_checksum" -> QualityQueries.oracleSql("q_dq_checksum"),
+    "q_stream_cusum" -> WindowQueries.oracleSql("q_ts_cusum"),
 
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,

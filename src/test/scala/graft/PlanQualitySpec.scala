@@ -226,6 +226,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("row-level security policy filter is pushed to the parquet scan") {
+    import graft.ops.RowPolicy, graft.ops.RowPolicy.Policy
+    val view = RowPolicy.enforce(scan(spark, sf001, "customer"),
+      Policy("analyst_eu", "c_nationkey < 10", Seq("c_name")), "rls1")
+    val plan = view.queryExecution.executedPlan.toString()
+    // enforced-at-the-source: the role predicate must reach the reader,
+    // not run as a post-scan filter only
+    assert(plan.contains("PushedFilters: [IsNotNull(c_nationkey), LessThan(c_nationkey,10)]")
+      || plan.contains("LessThan(c_nationkey,10)"), plan.take(2000))
+  }
+
   test("interval-overlap join plans a bin equi-join, never a nested-loop") {
     // the naive spelling (conjunction of inequalities) would plan a
     // BroadcastNestedLoopJoin; the binned rewrite must keep a hash join

@@ -123,6 +123,31 @@ class PrivacySpec extends SparkSpec {
       "rotated epoch shares tokens with the old epoch")
   }
 
+  test("RLS: predicate filters rows, masks are role-scoped, auditor sees raw") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.RowPolicy, graft.ops.RowPolicy.Policy
+    val d = "/root/testdata/sf0.001"
+    val cust = graft.engine.QueryBuilder.scan(spark, d, "customer")
+    val eu = RowPolicy.enforce(cust, Policy("eu", "c_nationkey < 10", Seq("c_name")), "s1")
+    val eu2 = RowPolicy.enforce(cust, Policy("eu2", "c_nationkey < 10", Seq("c_name")), "s1")
+    val open = RowPolicy.enforce(cust, Policy("all", "true", Seq.empty), "s1")
+    // row predicate enforced
+    assert(eu.filter(col("c_nationkey") >= 10).count() == 0)
+    assert(eu.count() == cust.filter(col("c_nationkey") < 10).count())
+    // mask applied: no raw name survives in the masked view
+    val rawNames = cust.select("c_name").distinct()
+    assert(eu.select("c_name").distinct()
+      .join(rawNames, Seq("c_name"), "left_semi").count() == 0)
+    // deterministic within a role (joinable), unlinkable across roles
+    val a = eu.select(col("c_custkey"), col("c_name").as("m1"))
+    val b = eu2.select(col("c_custkey").as("k2"), col("c_name").as("m2"))
+    val joined = a.join(b, col("c_custkey") === col("k2"))
+    assert(joined.filter(col("m1") === col("m2")).count() == 0,
+      "different roles share mask tokens")
+    // auditor view is the identity
+    assert(open.exceptAll(cust).count() == 0 && cust.exceptAll(open).count() == 0)
+  }
+
   test("DP release: threshold-table inverse CDF, bounded noise, deterministic replay") {
     import org.apache.spark.sql.functions._
     import graft.ops.DpRelease
