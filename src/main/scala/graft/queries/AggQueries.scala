@@ -267,6 +267,28 @@ object AggQueries {
         .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
           countDistinct(col("c_mktsegment")).as("n_segments"))
         .orderBy(col("nk"))
+    }),
+
+    // IQR OUTLIER CENSUS (Tukey fences): per-segment quartiles in one
+    // aggregate, 1.5·IQR fences, then the broadcast-back pass counts
+    // fence-breakers — the boxplot diagnostic as a two-pass census
+    // (quantile state per group, then one codegen'd scan; never per-row
+    // quantile windows). Spark `percentile` ≡ DuckDB `quantile_cont`
+    // exactly (the q_agg_median precedent), fence arithmetic is IEEE
+    "q_agg_iqr" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      val q = c.groupBy(col("c_mktsegment"))
+        .agg(percentile(col("c_acctbal"), lit(0.25)).as("q1"),
+          percentile(col("c_acctbal"), lit(0.75)).as("q3"))
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      c.join(broadcast(q), Seq("c_mktsegment"))
+        .groupBy(col("c_mktsegment"), col("q1"), col("q3"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") < col("lo") || col("c_acctbal") > col("hi"), 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -402,6 +424,20 @@ object AggQueries {
       """SELECT CAST(c_nationkey AS INT) AS nk,
         |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
-        |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin,
+    "q_agg_iqr" ->
+      """WITH q AS (SELECT c_mktsegment,
+        |             quantile_cont(c_acctbal, 0.25) AS q1,
+        |             quantile_cont(c_acctbal, 0.75) AS q3
+        |           FROM customer GROUP BY 1),
+        |f AS (SELECT c_mktsegment, q1, q3,
+        |        q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT c.c_mktsegment, q1, q3, lo, hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE c_acctbal < lo OR c_acctbal > hi) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) FILTER (WHERE c_acctbal < lo OR c_acctbal > hi) * 1000000
+        |    // COUNT(*) AS BIGINT) AS outlier_ppm
+        |FROM customer c JOIN f USING (c_mktsegment)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY c.c_mktsegment""".stripMargin
   )
 }

@@ -160,6 +160,27 @@ object MergeQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
           col("valid_to"), col("is_current"))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
+    // SCD2 POINT-IN-TIME LOOKUP (the Kimball type-2 dimension join):
+    // each event picks the history version whose validity interval
+    // covers its timestamp — ts ∈ [valid_from, valid_to), open-ended
+    // current row. Because per-key intervals PARTITION the timeline
+    // (zero-length rows from same-date ties match nothing), every
+    // event matches at most one version. The join is equi on the key
+    // with the interval residual — blocked by key, never all-pairs
+    "q_scd2_asof" -> ((s: SparkSession, d: String) => {
+      val hist = Merge.scd2(
+        scan(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        Seq("o_custkey"), "o_orderdate", "o_orderkey")
+      scan(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+        .join(hist, col("user_id") === col("o_custkey")
+          && col("ts") >= col("valid_from")
+          && (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey"), col("valid_from"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -213,6 +234,18 @@ object MergeQueries {
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |                          ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         |FROM orders
-        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT e.event_id, e.user_id, e.ts, h.o_orderkey, h.valid_from
+        |FROM events e JOIN h ON e.user_id = h.o_custkey
+        |  AND e.ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -62,6 +62,40 @@ object PipelineQueries {
       new graft.ops.BucketedTarget(s, out, 8,
         Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
         .read().orderBy(col("o_custkey"))
+    }),
+
+    // WRITE–AUDIT–PUBLISH landing (ops/Wap.scala): the batch stages,
+    // the constraint suite audits the STAGED FILES, and only a green
+    // audit swaps staging into the published path. The query reads the
+    // PUBLISHED table back and emits its manifest (count + content
+    // xor) alongside the audit tally — the oracle recomputes the same
+    // manifest from the source, which only matches if publish really
+    // landed the full audited batch. Failure path (no publish, old
+    // table intact) is spec'd in PipelineRunnerSpec
+    "q_pipeline_wap" -> ((s: SparkSession, d: String) => {
+      import graft.ops.{Constraints, Wap}
+      import graft.ops.Constraints.Check
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_wap_stage_$suffix"
+      val pub = s"/tmp/graft_wap_pub_$suffix"
+      val data = graft.engine.QueryBuilder.scan(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      val res = Wap.publish(data, Seq(
+          Check.notNull("l_orderkey"),
+          Check.inRange("l_quantity", 1, 50),
+          Check.inSet("l_returnflag", Seq("A", "N", "R"))),
+        stage, pub)
+      val audit = res.report.agg(
+        count(lit(1)).as("n_rules"),
+        sum(col("pass").cast("long")).cast("long").as("n_passed"))
+      s.read.parquet(pub)
+        .select(graft.ops.Dedup.hex60(md5(concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"), lit(":"),
+          floor(col("l_quantity")).cast("long").cast("string")).cast("binary"))).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor60"))
+        .crossJoin(broadcast(audit))
+        .withColumn("published", lit(res.published))
     })
   )
 
@@ -77,6 +111,13 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders) t
-        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_pipeline_wap" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(${DedupQueries.sqlHex60Public(
+              "md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR || ':' || CAST(floor(l_quantity) AS BIGINT)::VARCHAR)")}) AS BIGINT) AS xor60,
+         |  CAST(3 AS BIGINT) AS n_rules, CAST(3 AS BIGINT) AS n_passed,
+         |  true AS published
+         |FROM lineitem""".stripMargin
   )
 }

@@ -180,6 +180,25 @@ class PipelineRunnerSpec extends SparkSpec {
       leaked.map { case (id, r) => s"$id name=${r.name} rdd=${r.toString}" }.mkString("; "))
   }
 
+  test("WAP: green audit publishes; red audit leaves the old table untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Constraints, Wap}
+    import graft.ops.Constraints.Check
+    val stage = tmp(); val pub = tmp()
+    val nation = graft.engine.QueryBuilder.scan(spark, sf001, "nation")
+    // batch 1: rules pass -> published
+    val r1 = Wap.publish(nation, Seq(Check.notNull("n_nationkey")), stage, pub)
+    assert(r1.published)
+    assert(spark.read.parquet(pub).count() == nation.count())
+    // batch 2: a failing rule -> NOT published, batch 1 still readable
+    val r2 = Wap.publish(nation, Seq(
+      Check.inRange("n_regionkey", 0, 1)), stage, pub) // most nations violate
+    assert(!r2.published)
+    assert(r2.report.filter(!col("pass")).count() == 1)
+    assert(spark.read.parquet(pub).count() == nation.count(),
+      "failed audit must leave the published table intact")
+  }
+
   test("load failure retries then succeeds within maxRetries") {
     val out = tmp()
     // a sink path that fails first by pointing at an existing FILE, then
