@@ -206,6 +206,24 @@ object ProfileQueries {
         .orderBy(col("col_x"), col("col_y"))
     }),
 
+    // POISSON-BOOTSTRAP confidence interval (Chamandy 2012 — Google's
+    // distributed bootstrap): 32 resamples of mean(acctbal) from ONE
+    // scan — per-row Poisson(1) weights come from the keyed-hash
+    // inverse-CDF threshold table (no resampling shuffle, no data
+    // movement; B weighted sums in one combinable aggregation), the CI
+    // is the [2nd, 31st] order statistic of the 32 resample means.
+    // Deterministic end-to-end: the thresholds are inlined into the
+    // oracle, so the ERROR BAR itself is bit-exact reproducible
+    "q_profile_bootstrap" -> ((s: SparkSession, d: String) => {
+      val c = scan(s, d, "customer")
+      graft.ops.Bootstrap.bootstrapMeans(c, col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long"), b = 32, salt = "boot1")
+        .select(col("n"),
+          floor(col("sx") * 10.0 / col("n")).cast("long").as("mean_milli"),
+          floor(element_at(col("means"), 2) * 10.0).cast("long").as("ci_lo_milli"),
+          floor(element_at(col("means"), 31) * 10.0).cast("long").as("ci_hi_milli"))
+    }),
+
     // CHI-SQUARE INDEPENDENCE profile of two categoricals (priority ×
     // status): one combinable groupBy builds the contingency table; the
     // marginal windows run over the |A|×|B| cells, never the fact rows.
@@ -326,6 +344,26 @@ object ProfileQueries {
          |    ${r("s2", "s3", "s22", "s33", "s23")} FROM m)
          |ORDER BY col_x, col_y""".stripMargin
     },
+    "q_profile_bootstrap" -> {
+      val u = DedupQueries.sqlHex60Public(
+        "md5('boot1/' || bi::VARCHAR || ':' || c_custkey::VARCHAR)")
+      s"""WITH b AS (SELECT unnest(range(0, 32)) AS bi),
+         |w AS (SELECT bi,
+         |        CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
+         |        CAST(${graft.ops.Bootstrap.sqlWeightExpr(u)} AS BIGINT) AS w
+         |      FROM customer CROSS JOIN b),
+         |m AS (SELECT bi, SUM(w) AS sw, SUM(w * x) AS swx FROM w GROUP BY bi),
+         |s AS (SELECT list_sort(list(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))) AS means
+         |      FROM m),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sx
+         |      FROM customer)
+         |SELECT n, CAST(floor(sx * 10.0 / n) AS BIGINT) AS mean_milli,
+         |  CAST(floor(means[2] * 10.0) AS BIGINT) AS ci_lo_milli,
+         |  CAST(floor(means[31] * 10.0) AS BIGINT) AS ci_hi_milli
+         |FROM t CROSS JOIN s""".stripMargin
+    },
+
     "q_profile_chisq" ->
       """WITH c AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
         |             CAST(COUNT(*) AS BIGINT) AS n

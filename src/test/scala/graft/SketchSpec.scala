@@ -45,4 +45,27 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(rankOfApprox - n / 2) <= tol,
       s"approx median $approx has rank $rankOfApprox, target ${n / 2} ± $tol of $n")
   }
+
+  test("Poisson bootstrap: unit-mean weights, bracketing CI, deterministic") {
+    import graft.ops.Bootstrap
+    // threshold table: monotone, starts at 0, stays under 2^60
+    assert(Bootstrap.thresholds.head == 0L)
+    assert(Bootstrap.thresholds == Bootstrap.thresholds.sorted)
+    assert(Bootstrap.thresholds.last < (1L << 60))
+    val cust = scan(spark, sf001, "customer")
+    // per-resample weight mass ≈ n (Poisson(1) has mean 1): within 15%
+    val n = cust.count()
+    val w0 = cust.select(Bootstrap.weight(col("c_custkey"), 0, "t").as("w"))
+    val mass = w0.agg(sum(col("w"))).head().getLong(0)
+    assert(math.abs(mass - n) <= n * 15 / 100, s"weight mass $mass vs n $n")
+    assert(w0.filter(col("w") < 0).count() == 0)
+    // the CI brackets the point estimate, and the whole row is
+    // deterministic across reruns
+    def run() = graft.queries.ProfileQueries.queries("q_profile_bootstrap")(spark, sf001)
+      .head()
+    val r = run()
+    val (mean, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] does not bracket $mean")
+    assert(run() == r, "bootstrap CI not deterministic across reruns")
+  }
 }
