@@ -218,6 +218,35 @@ object FunnelQueries {
           expr("sum(n_users) over (order by delta_hr rows between unbounded preceding and current row) * 1000000 div n_total"))
         .select(col("delta_hr"), col("n_users"), col("cum_ppm"))
         .orderBy(col("delta_hr"))
+    }),
+
+    // RFM SEGMENTATION (Hughes 1994 — the classic CRM segmentation):
+    // per customer recency/frequency/monetary, quintiled by
+    // deterministic ntile (metric + custkey tie-break, identical
+    // semantics both engines), censused into the ≤125 segment cells.
+    // The per-customer aggregate is one combinable pass; the quintile
+    // windows run on the CUSTOMER DIMENSION (not the fact table) —
+    // at jumbo dimension sizes the bin assignment would switch to the
+    // broadcast-quantile-boundaries shape of q_feature_bins
+    "q_rfm" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders")
+      val maxd = o.agg(max(col("o_orderdate")).as("dmax"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"),
+          sum(floor(col("o_totalprice") * 100)).cast("long").as("m_cents"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("r_days",
+          datediff(col("dmax").cast("date"), col("last_order").cast("date")).cast("long"))
+      rfm
+        .withColumn("r_q", ntile(5).over(Window.orderBy(col("r_days").asc, col("o_custkey"))))
+        .withColumn("f_q", ntile(5).over(Window.orderBy(col("f").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(5).over(Window.orderBy(col("m_cents").desc, col("o_custkey"))))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m_cents")).cast("long").as("cell_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
     })
   )
 
@@ -344,6 +373,26 @@ object FunnelQueries {
         |  CAST(SUM(n_users) OVER (ORDER BY delta_hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // n_total
         |    AS BIGINT) AS cum_ppm
-        |FROM h CROSS JOIN t ORDER BY delta_hr""".stripMargin
+        |FROM h CROSS JOIN t ORDER BY delta_hr""".stripMargin,
+
+    "q_rfm" ->
+      """WITH m AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+        |rfm AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |          CAST(COUNT(*) AS BIGINT) AS f,
+        |          CAST(SUM(floor(o_totalprice * 100)) AS BIGINT) AS m_cents
+        |        FROM orders GROUP BY o_custkey),
+        |rd AS (SELECT o_custkey, f, m_cents,
+        |         CAST(datediff('day', CAST(last_order AS DATE), CAST(dmax AS DATE)) AS BIGINT) AS r_days
+        |       FROM rfm CROSS JOIN m),
+        |q AS (SELECT
+        |        ntile(5) OVER (ORDER BY r_days ASC, o_custkey) AS r_q,
+        |        ntile(5) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+        |        ntile(5) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q,
+        |        m_cents
+        |      FROM rd)
+        |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(m_cents) AS BIGINT) AS cell_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
   )
 }

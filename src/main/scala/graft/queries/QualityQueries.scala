@@ -243,6 +243,66 @@ object QualityQueries {
       }.reduce(_ unionAll _).orderBy(col("role"))
     }),
 
+    // SOURCE-vs-DERIVED RECONCILIATION: o_totalprice against the sum
+    // recomputed from the order's lineitems — the header/detail audit
+    // every finance warehouse runs after load. One combinable groupBy
+    // on the detail side, one join on the header key, exact
+    // floor-scaled cent diffs bucketed into a census (match /
+    // near / off-by-more + headers with no details at all)
+    "q_dq_reconcile" -> ((s: SparkSession, d: String) => {
+      val detail = scan(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+          .cast("long").as("detail_cents"))
+      scan(s, d, "orders")
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("header_cents"))
+        .join(detail, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        // mismatch magnitude binned by DIGIT COUNT of the cent diff —
+        // an order-of-magnitude histogram with no log() (length of the
+        // integer's decimal string is exact on both engines)
+        .select(when(col("detail_cents").isNull, "no_details")
+          .when(col("header_cents") === col("detail_cents"), "exact")
+          .otherwise(concat(lit("diff_digits_"),
+            length(abs(col("header_cents") - col("detail_cents")).cast("string"))))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    }),
+
+    // PARTITION-GAP census (ingest completeness): the daily event spine
+    // from min to max day, zero-days counted and the LONGEST gap run
+    // measured via gaps-and-islands on the day index — the check a
+    // backfill scheduler runs before declaring a table current. All
+    // windows run on the day-grain spine (constant size in data)
+    "q_dq_gaps" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      // the audited slice is the SPARSE high-value purchases (so real
+      // gaps exist); the spine spans the whole table's time range
+      val daily = scan(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 250)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = scan(s, d, "events")
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val filled = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.orderBy(col("day"))
+      val runs = filled
+        .withColumn("idx", row_number().over(w))
+        .filter(col("n") === 0)
+        .withColumn("grp", col("idx") - row_number().over(w))
+        .groupBy(col("grp")).agg(count(lit(1)).as("run_len"))
+      val gapStats = runs.agg(
+        coalesce(max(col("run_len")), lit(0L)).cast("long").as("longest_gap"),
+        count(lit(1)).as("n_gap_runs"))
+      filled.agg(count(lit(1)).as("n_days"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).cast("long").as("n_empty_days"))
+        .crossJoin(broadcast(gapStats))
+    }),
+
     // TABLE CHECKSUM manifest — the replication/copy audit: per source,
     // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
     // checksum (bit_xor over per-row md5-hex60) — two table copies match
@@ -456,6 +516,43 @@ object QualityQueries {
          |  CAST(bit_xor(${h60("md5(name_v)")}) AS BIGINT) FROM au
          |ORDER BY role""".stripMargin
     },
+
+    "q_dq_reconcile" ->
+      """WITH det AS (SELECT l_orderkey,
+        |    CAST(SUM(floor(l_extendedprice * (1.0 - l_discount) * 100)) AS BIGINT) AS detail_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |b AS (SELECT CASE
+        |    WHEN detail_cents IS NULL THEN 'no_details'
+        |    WHEN CAST(floor(o_totalprice * 100) AS BIGINT) = detail_cents THEN 'exact'
+        |    ELSE 'diff_digits_' || length(CAST(
+        |      abs(CAST(floor(o_totalprice * 100) AS BIGINT) - detail_cents) AS VARCHAR))
+        |    END AS bucket
+        |  FROM orders LEFT JOIN det ON o_orderkey = l_orderkey)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_dq_gaps" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM events
+        |               WHERE event_type = 'purchase' AND value > 250 GROUP BY 1),
+        |b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+        |             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1 FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |          FROM b),
+        |filled AS (SELECT s.day, COALESCE(d.n, 0) AS n
+        |           FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        |idxd AS (SELECT day, n, row_number() OVER (ORDER BY day) AS idx FROM filled),
+        |z AS (SELECT idx, idx - row_number() OVER (ORDER BY day) AS grp
+        |      FROM idxd WHERE n = 0),
+        |runs AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS run_len FROM z GROUP BY grp),
+        |g AS (SELECT CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS longest_gap,
+        |             CAST(COUNT(*) AS BIGINT) AS n_gap_runs FROM runs),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |             CAST(COUNT(*) FILTER (WHERE n = 0) AS BIGINT) AS n_empty_days
+        |      FROM filled)
+        |SELECT n_days, n_empty_days, longest_gap, n_gap_runs
+        |FROM t CROSS JOIN g""".stripMargin,
 
     "q_dq_checksum" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
