@@ -220,6 +220,24 @@ object FunnelQueries {
         .orderBy(col("delta_hr"))
     }),
 
+    // PATH MINING: the top-20 most-travelled 3-step event sequences —
+    // the product-flow (Sankey) report, one window pass over per-user
+    // streams (two leads share the attribution shuffle), one
+    // combinable path count, and the global top-k plans as
+    // TakeOrderedAndProject (never a full sort)
+    "q_events_paths" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      scan(s, d, "events")
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // RFM SEGMENTATION (Hughes 1994 — the classic CRM segmentation):
     // per customer recency/frequency/monetary, quintiled by
     // deterministic ntile (metric + custkey tie-break, identical
@@ -374,6 +392,16 @@ object FunnelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // n_total
         |    AS BIGINT) AS cum_ppm
         |FROM h CROSS JOIN t ORDER BY delta_hr""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_rfm" ->
       """WITH m AS (SELECT MAX(o_orderdate) AS dmax FROM orders),

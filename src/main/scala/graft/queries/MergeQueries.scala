@@ -162,6 +162,25 @@ object MergeQueries {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
 
+    // CDC NET-EFFECT APPLY: collapse an insert/update/delete change log
+    // to final state — latest record per key wins (Merge.latest's
+    // struct-max, map-side combinable), and a last-op DELETE removes
+    // the key entirely. The op stream is synthesized from orders
+    // (orderkey is the monotone change sequence); the census of
+    // surviving ops rides the same pass. This is the Debezium-feed
+    // apply step; cost ∝ changes, one combinable groupBy
+    "q_merge_cdc" -> ((s: SparkSession, d: String) => {
+      val log = scan(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 3 === 0, "I")
+          .otherwise("U").as("op"))
+      Merge.latest(log, Seq("o_custkey"), Seq("o_orderkey"))
+        .filter(col("op") =!= "D")
+        .select(col("o_custkey"), col("o_orderkey"), col("op"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // SCD2 POINT-IN-TIME LOOKUP (the Kimball type-2 dimension join):
     // each event picks the history version whose validity interval
     // covers its timestamp — ts ∈ [valid_from, valid_to), open-ended
@@ -235,6 +254,17 @@ object MergeQueries {
         |                          ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         |FROM orders
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_merge_cdc" ->
+      """WITH log AS (SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END AS op
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderkey DESC) AS rn
+        |      FROM log)
+        |SELECT o_custkey, o_orderkey, op FROM r
+        |WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey""".stripMargin,
 
     "q_scd2_asof" ->
       """WITH h AS (
