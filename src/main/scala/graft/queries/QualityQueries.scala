@@ -11,6 +11,12 @@ import graft.engine.QueryBuilder.scan
   */
 object QualityQueries {
 
+  /** Benford first-digit expectation in ppm — log10(1 + 1/d) computed
+    * once here and inlined into BOTH plans (no engine runs log10).
+    */
+  private val benfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1 + 1.0 / d) * 1e6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // orphan-FK audit: each check is an anti-join counted into one
     // (check_name, n_violations) report row; checks union lazily so the
@@ -303,6 +309,31 @@ object QualityQueries {
         .crossJoin(broadcast(gapStats))
     }),
 
+    // BENFORD'S-LAW first-digit census (the fraud-analytics screen):
+    // leading digit taken from the INTEGER part's decimal string (a
+    // double's string form differs across engines; a long's never
+    // does), observed ppm share vs the Benford expectation — the
+    // expectation constants are computed ONCE on the driver and
+    // inlined into both plans, so no log10() runs in either engine
+    "q_dq_benford" -> ((s: SparkSession, d: String) => {
+      val digitPpm = benfordPpm.foldLeft(lit(null).cast("long")) { case (acc, (dig, ppm)) =>
+        when(col("digit") === dig, ppm).otherwise(acc)
+      }
+      val counts = scan(s, d, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n * 1000000 div n_total"))
+        .withColumn("benford_ppm", digitPpm)
+        .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+        .select(col("digit"), col("n"), col("share_ppm"),
+          col("benford_ppm"), col("dev_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // TABLE CHECKSUM manifest — the replication/copy audit: per source,
     // the row count, byte mass, and an ORDER-INDEPENDENT 60-bit content
     // checksum (bit_xor over per-row md5-hex60) — two table copies match
@@ -553,6 +584,19 @@ object QualityQueries {
         |      FROM filled)
         |SELECT n_days, n_empty_days, longest_gap, n_gap_runs
         |FROM t CROSS JOIN g""".stripMargin,
+
+    "q_dq_benford" ->
+      s"""WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |             CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+         |e(digit, benford_ppm) AS (VALUES ${benfordPpm.map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")})
+         |SELECT c.digit, n,
+         |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |  benford_ppm,
+         |  CAST(abs(n * 1000000 // n_total - benford_ppm) AS BIGINT) AS dev_ppm
+         |FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
+         |ORDER BY c.digit""".stripMargin,
 
     "q_dq_checksum" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -211,6 +211,52 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // OHLC RESAMPLING (financial bars): per-day open/high/low/close of
+    // order totals — open/close via min_by/max_by on the UNIQUE intraday
+    // sequence key (o_orderkey), so the bar is deterministic on both
+    // engines without any window sort; one combinable aggregation
+    "q_ts_ohlc" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(
+          min_by(col("o_totalprice"), col("o_orderkey")).as("open_px"),
+          max(col("o_totalprice")).as("high_px"),
+          min(col("o_totalprice")).as("low_px"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("close_px"),
+          count(lit(1)).as("n_trades"),
+          ExactAgg.dsum(col("o_totalprice")).as("volume"))
+        .orderBy(col("day"))
+    }),
+
+    // MANN–KENDALL TREND TEST (Mann 1945; the standard nonparametric
+    // monotone-trend detector): S = Σ sign(x_j − x_i) over day pairs
+    // i<j — exact integers via a self-join on the DAY-GRAIN series
+    // (pairs ∝ days², constant in data size at fixed history; ~7M
+    // pairs even for a decade of days). Tie-corrected variance kept
+    // ×18 in integers; only the final z divides/sqrts in IEEE doubles
+    "q_ts_trend" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("day").as("da"), col("cnt").as("ca"))
+      val b = daily.select(col("day").as("db"), col("cnt").as("cb"))
+      val sPairs = a.join(b, col("da") < col("db"))
+        .agg(sum(signum(col("cb") - col("ca")).cast("long")).as("s_stat"))
+      val ties = daily.groupBy(col("cnt")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).cast("long").as("tie18"))
+      val nRow = daily.agg(count(lit(1)).as("n_days"))
+      sPairs.crossJoin(broadcast(nRow)).crossJoin(broadcast(ties))
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) - col("tie18"))
+        .withColumn("z",
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var18").cast("double") / 18.0))
+        .select(col("n_days"), col("s_stat"), col("var18"), col("z"),
+          (abs(col("z")) > 1.96).as("has_trend"))
+    }),
+
     // FORECAST BACKTEST (model-selection census): one-step-ahead naive
     // (x_{t-1}) vs seasonal-naive (x_{t-7}) baselines over the daily
     // series, scored by milli-MAE and milli-bias on the days where both
@@ -352,6 +398,38 @@ object WindowQueries {
         |      FROM p)
         |SELECT day, cnt, s_plus, s_plus > slack * 8 AS is_alarm
         |FROM s ORDER BY day""".stripMargin,
+
+    "q_ts_ohlc" ->
+      s"""SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |  min_by(o_totalprice, o_orderkey) AS open_px,
+         |  MAX(o_totalprice) AS high_px,
+         |  MIN(o_totalprice) AS low_px,
+         |  max_by(o_totalprice, o_orderkey) AS close_px,
+         |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+         |  ${ExactAgg.sqlDsum("o_totalprice")} AS volume
+         |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_ts_trend" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |sp AS (SELECT CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+        |                            WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |       FROM daily a JOIN daily b ON a.day < b.day),
+        |ti AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+        |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY cnt)),
+        |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |v AS (SELECT s_stat, n_days,
+        |        n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+        |      FROM sp CROSS JOIN nr CROSS JOIN ti)
+        |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |  (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        ELSE 0.0 END) / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z,
+        |  abs((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        ELSE 0.0 END) / sqrt(CAST(var18 AS DOUBLE) / 18.0)) > 1.96 AS has_trend
+        |FROM v""".stripMargin,
 
     "q_ts_forecast" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
