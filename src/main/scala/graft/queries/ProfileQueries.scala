@@ -224,6 +224,27 @@ object ProfileQueries {
           floor(element_at(col("means"), 31) * 10.0).cast("long").as("ci_hi_milli"))
     }),
 
+    // GROUPED OLS (price ~ quantity per return flag): slope/intercept/
+    // R² in closed form from the same scan-once moment sums as
+    // q_profile_corr — grouped regression never needs an iterative
+    // solver or a pass per group; exact decimal sums, IEEE closed form
+    "q_profile_regression" -> ((s: SparkSession, d: String) => {
+      import graft.ops.ExactAgg.dsumScaled
+      val m = scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsumScaled(col("l_quantity"), 4).as("sx"),
+          dsumScaled(col("l_extendedprice"), 4).as("sy"),
+          dsumScaled(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+          dsumScaled(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"),
+          dsumScaled(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"))
+      m.select(col("l_returnflag"),
+          expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").as("beta"),
+          expr("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n").as("alpha"),
+          expr("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))").as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CHI-SQUARE INDEPENDENCE profile of two categoricals (priority ×
     // status): one combinable groupBy builds the contingency table; the
     // marginal windows run over the |A|×|B| cells, never the fact rows.
@@ -362,6 +383,22 @@ object ProfileQueries {
          |  CAST(floor(means[2] * 10.0) AS BIGINT) AS ci_lo_milli,
          |  CAST(floor(means[31] * 10.0) AS BIGINT) AS ci_hi_milli
          |FROM t CROSS JOIN s""".stripMargin
+    },
+
+    "q_profile_regression" -> {
+      def ds(e: String) = graft.ops.ExactAgg.sqlDsumScaled(e, 4)
+      s"""WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,
+         |  ${ds("l_quantity * l_quantity")} AS sxx,
+         |  ${ds("l_extendedprice * l_extendedprice")} AS syy,
+         |  ${ds("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha,
+         |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         |FROM m ORDER BY l_returnflag""".stripMargin
     },
 
     "q_profile_chisq" ->

@@ -106,4 +106,56 @@ class PropertySpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("CUSUM telescoping ≡ the sequential recursion (20 random series)") {
+    // S⁺_t = max(0, S⁺_{t-1} + d_t) must equal P_t − min(0, min_{j≤t} P_j)
+    // — the identity q_ts_cusum's window form rests on
+    val rnd = new Random(7)
+    (1 to 20).foreach { _ =>
+      val d = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(21) - 10L)
+      val recursive = d.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+      val prefix = d.scanLeft(0L)(_ + _).tail
+      val telescoped = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefix.take(i + 1).min)
+      }
+      assert(recursive == telescoped, s"series $d")
+    }
+  }
+
+  test("intervalJoin ≡ naive overlap filter on random interval sets (10 configs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(13)
+    (1 to 10).foreach { i =>
+      def mk(n: Int) = Seq.tabulate(n) { k =>
+        val lo = rnd.nextInt(200).toLong
+        (k.toLong, lo, lo + rnd.nextInt(30))
+      }
+      val a = mk(rnd.nextInt(30) + 5).toDF("aid", "a_lo", "a_hi")
+      val b = mk(rnd.nextInt(30) + 5).toDF("bid", "b_lo", "b_hi")
+      val bw = rnd.nextInt(20) + 1L
+      val got = graft.ops.Joins.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bw)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      val naive = a.crossJoin(b)
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == naive.sorted, s"config $i binWidth $bw")
+      assert(got.size == got.toSet.size, s"config $i produced duplicate pairs")
+    }
+  }
+
+  test("JPEG header decoder round-trips random dimensions and component counts") {
+    val rnd = new Random(99)
+    import spark.implicits._
+    val ids = Seq.fill(40)(rnd.nextInt(100000).toLong).distinct.toDF("id")
+    import graft.ops.Multimodal
+    val dims = Multimodal.extractJpegDims(Multimodal.syntheticJpeg(ids, "id"))
+      .as[Multimodal.JpegDims].collect()
+    dims.foreach { j =>
+      val id = j.media_id
+      assert(j.height == 16 + (id % 240).toInt && j.width == 32 + (id % 200).toInt)
+      assert(j.n_components == (if (id % 2 == 0) 3 else 1))
+      assert(j.n_skipped == 2 + (id % 2).toInt)
+    }
+  }
 }
