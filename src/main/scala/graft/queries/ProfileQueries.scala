@@ -245,6 +245,85 @@ object ProfileQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // FUNCTIONAL-DEPENDENCY / CANDIDATE-KEY discovery (TANE's distinct-
+    // count pruning test, Huhtala 1999): A→B holds iff |π_A| = |π_{A,B}|,
+    // and A is a key iff |π_A| = |R| — so the WHOLE candidate lattice
+    // slice checks in ONE scan of multiple count-distincts (Catalyst
+    // Expand; never a job per candidate). surplus = extra dependent
+    // combinations (the g1-style violation mass); strength_ppm =
+    // floor(det·1e6/ext) so an approximate FD is graded, not just
+    // rejected. "→ *" rows are key checks (ext = row count).
+    "q_profile_fds" -> ((s: SparkSession, d: String) => {
+      val m = scan(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("cd_ok"),
+        countDistinct(col("o_custkey"), col("o_orderdate")).as("cd_cust_date"),
+        countDistinct(col("o_orderkey"), col("o_custkey")).as("cd_ok_cust"),
+        countDistinct(col("o_custkey")).as("cd_cust"),
+        countDistinct(col("o_custkey"), col("o_orderpriority")).as("cd_cust_prio"),
+        countDistinct(col("o_orderdate")).as("cd_date"),
+        countDistinct(col("o_orderdate"), col("o_orderstatus")).as("cd_date_status"),
+        countDistinct(col("o_orderstatus")).as("cd_status"),
+        countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("cd_status_prio"))
+      def cand(name: String, det: String, ext: String) =
+        struct(lit(name).as("candidate"), col(det).as("det_groups"), col(ext).as("ext_groups"))
+      m.select(explode(array(
+          cand("o_orderkey -> *", "cd_ok", "n_rows"),
+          cand("o_custkey,o_orderdate -> *", "cd_cust_date", "n_rows"),
+          cand("o_orderkey -> o_custkey", "cd_ok", "cd_ok_cust"),
+          cand("o_custkey -> o_orderpriority", "cd_cust", "cd_cust_prio"),
+          cand("o_orderdate -> o_orderstatus", "cd_date", "cd_date_status"),
+          cand("o_orderstatus -> o_orderpriority", "cd_status", "cd_status_prio"))).as("c"))
+        .select(col("c.candidate").as("candidate"),
+          col("c.det_groups").as("det_groups"),
+          col("c.ext_groups").as("ext_groups"),
+          (col("c.ext_groups") - col("c.det_groups")).as("surplus"),
+          (col("c.ext_groups") === col("c.det_groups")).as("holds"),
+          floor(col("c.det_groups") * lit(1000000L) / col("c.ext_groups")).as("strength_ppm"))
+        .orderBy(col("candidate"))
+    }),
+
+    // INCLUSION-DEPENDENCY (foreign-key candidate) discovery — the SINDY
+    // shape (Kruse 2015): every (child, parent) candidate's values union
+    // into ONE tagged relation, one (pair, value)-keyed combinable
+    // aggregation marks each distinct value child-side/parent-side, and
+    // the per-pair rollup counts child values missing from the parent.
+    // Cost: one shuffle over Σ per-pair distinct keys — never a join per
+    // candidate, no side broadcast; containment_ppm grades partial FKs
+    // (an orphan census) instead of just rejecting them.
+    "q_profile_inds" -> ((s: SparkSession, d: String) => {
+      def side(t: String, c: String, pair: String, child: Boolean) =
+        scan(s, d, t).select(lit(pair).as("pair"), col(c).cast("long").as("v"),
+          lit(if (child) 1L else 0L).as("is_child"))
+      val tagged =
+        side("lineitem", "l_orderkey", "lineitem.l_orderkey < orders.o_orderkey", child = true)
+          .unionAll(side("orders", "o_orderkey", "lineitem.l_orderkey < orders.o_orderkey", child = false))
+          .unionAll(side("orders", "o_custkey", "orders.o_custkey < customer.c_custkey", child = true))
+          .unionAll(side("customer", "c_custkey", "orders.o_custkey < customer.c_custkey", child = false))
+          .unionAll(side("customer", "c_custkey", "customer.c_custkey < orders.o_custkey", child = true))
+          .unionAll(side("orders", "o_custkey", "customer.c_custkey < orders.o_custkey", child = false))
+          .unionAll(side("lineitem", "l_suppkey", "lineitem.l_suppkey < supplier.s_suppkey", child = true))
+          .unionAll(side("supplier", "s_suppkey", "lineitem.l_suppkey < supplier.s_suppkey", child = false))
+          .unionAll(side("events", "user_id", "events.user_id < customer.c_custkey", child = true))
+          .unionAll(side("customer", "c_custkey", "events.user_id < customer.c_custkey", child = false))
+          // the reversed direction is the orphan census: orders no
+          // lineitem ever references are "missing" children here
+          .unionAll(side("orders", "o_orderkey", "orders.o_orderkey < lineitem.l_orderkey", child = true))
+          .unionAll(side("lineitem", "l_orderkey", "orders.o_orderkey < lineitem.l_orderkey", child = false))
+      tagged
+        .groupBy(col("pair"), col("v"))
+        .agg(max(col("is_child")).as("in_child"),
+          max(lit(1L) - col("is_child")).as("in_parent"))
+        .groupBy(col("pair"))
+        .agg(sum(col("in_child")).as("child_distinct"),
+          sum(col("in_child") * (lit(1L) - col("in_parent"))).as("missing"))
+        .select(col("pair"), col("child_distinct"), col("missing"),
+          (col("missing") === lit(0L)).as("contained"),
+          floor((col("child_distinct") - col("missing")) * lit(1000000L)
+            / col("child_distinct")).as("containment_ppm"))
+        .orderBy(col("pair"))
+    }),
+
     // CHI-SQUARE INDEPENDENCE profile of two categoricals (priority ×
     // status): one combinable groupBy builds the contingency table; the
     // marginal windows run over the |A|×|B| cells, never the fact rows.
@@ -400,6 +479,58 @@ object ProfileQueries {
          |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    "q_profile_fds" ->
+      """WITH m AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS cd_ok,
+        |  COUNT(DISTINCT (o_custkey, o_orderdate)) AS cd_cust_date,
+        |  COUNT(DISTINCT (o_orderkey, o_custkey)) AS cd_ok_cust,
+        |  COUNT(DISTINCT o_custkey) AS cd_cust,
+        |  COUNT(DISTINCT (o_custkey, o_orderpriority)) AS cd_cust_prio,
+        |  COUNT(DISTINCT o_orderdate) AS cd_date,
+        |  COUNT(DISTINCT (o_orderdate, o_orderstatus)) AS cd_date_status,
+        |  COUNT(DISTINCT o_orderstatus) AS cd_status,
+        |  COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS cd_status_prio
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'o_orderkey -> *' AS candidate, cd_ok AS det_groups, n_rows AS ext_groups FROM m
+        |  UNION ALL SELECT 'o_custkey,o_orderdate -> *', cd_cust_date, n_rows FROM m
+        |  UNION ALL SELECT 'o_orderkey -> o_custkey', cd_ok, cd_ok_cust FROM m
+        |  UNION ALL SELECT 'o_custkey -> o_orderpriority', cd_cust, cd_cust_prio FROM m
+        |  UNION ALL SELECT 'o_orderdate -> o_orderstatus', cd_date, cd_date_status FROM m
+        |  UNION ALL SELECT 'o_orderstatus -> o_orderpriority', cd_status, cd_status_prio FROM m)
+        |SELECT candidate, det_groups, ext_groups,
+        |  ext_groups - det_groups AS surplus,
+        |  ext_groups = det_groups AS holds,
+        |  CAST(FLOOR(det_groups * 1000000 / ext_groups) AS BIGINT) AS strength_ppm
+        |FROM c ORDER BY candidate""".stripMargin,
+
+    "q_profile_inds" ->
+      """WITH u AS (
+        |  SELECT pair, v, is_child FROM (
+        |    SELECT 'lineitem.l_orderkey < orders.o_orderkey' AS pair, CAST(l_orderkey AS BIGINT) AS v, 1 AS is_child FROM lineitem
+        |    UNION ALL SELECT 'lineitem.l_orderkey < orders.o_orderkey', CAST(o_orderkey AS BIGINT), 0 FROM orders
+        |    UNION ALL SELECT 'orders.o_custkey < customer.c_custkey', CAST(o_custkey AS BIGINT), 1 FROM orders
+        |    UNION ALL SELECT 'orders.o_custkey < customer.c_custkey', CAST(c_custkey AS BIGINT), 0 FROM customer
+        |    UNION ALL SELECT 'customer.c_custkey < orders.o_custkey', CAST(c_custkey AS BIGINT), 1 FROM customer
+        |    UNION ALL SELECT 'customer.c_custkey < orders.o_custkey', CAST(o_custkey AS BIGINT), 0 FROM orders
+        |    UNION ALL SELECT 'lineitem.l_suppkey < supplier.s_suppkey', CAST(l_suppkey AS BIGINT), 1 FROM lineitem
+        |    UNION ALL SELECT 'lineitem.l_suppkey < supplier.s_suppkey', CAST(s_suppkey AS BIGINT), 0 FROM supplier
+        |    UNION ALL SELECT 'events.user_id < customer.c_custkey', CAST(user_id AS BIGINT), 1 FROM events
+        |    UNION ALL SELECT 'events.user_id < customer.c_custkey', CAST(c_custkey AS BIGINT), 0 FROM customer
+        |    UNION ALL SELECT 'orders.o_orderkey < lineitem.l_orderkey', CAST(o_orderkey AS BIGINT), 1 FROM orders
+        |    UNION ALL SELECT 'orders.o_orderkey < lineitem.l_orderkey', CAST(l_orderkey AS BIGINT), 0 FROM lineitem)),
+        |per_value AS (SELECT pair, v, MAX(is_child) AS in_child,
+        |    MAX(1 - is_child) AS in_parent
+        |  FROM u GROUP BY pair, v),
+        |per_pair AS (SELECT pair,
+        |    CAST(SUM(in_child) AS BIGINT) AS child_distinct,
+        |    CAST(SUM(in_child * (1 - in_parent)) AS BIGINT) AS missing
+        |  FROM per_value GROUP BY pair)
+        |SELECT pair, child_distinct, missing,
+        |  missing = 0 AS contained,
+        |  CAST(FLOOR((child_distinct - missing) * 1000000 / child_distinct) AS BIGINT) AS containment_ppm
+        |FROM per_pair ORDER BY pair""".stripMargin,
 
     "q_profile_chisq" ->
       """WITH c AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
