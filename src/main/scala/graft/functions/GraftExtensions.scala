@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jsToNumberDescriptor)
     ext.injectFunction(GraftExtensions.hex60Descriptor)
     ext.injectFunction(GraftExtensions.hilbertDescriptor)
+    ext.injectFunction(GraftExtensions.kmvDescriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -52,11 +53,27 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val kmvDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv_distinct"),
+    new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kmv_distinct takes (hash BIGINT, k INT literal)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv_distinct k must be an integer literal, got $other")
+      }
+      KmvDistinct(children.head, k)
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor).foreach { case (id, info, builder) =>
+    Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))

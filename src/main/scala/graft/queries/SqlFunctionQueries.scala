@@ -200,6 +200,26 @@ object SqlFunctionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // KMV distinct sketch (functions/KmvDistinct.scala, a native
+    // TypedImperativeAggregate) — the DETERMINISTIC mergeable sketch:
+    // unlike HLL++ above (oracle-checkable only through a tolerance
+    // boolean), KMV is a pure function of the input's distinct set with
+    // integer-only estimate arithmetic, so DuckDB replays the k smallest
+    // 60-bit hashes per group and hash-matches the ESTIMATE itself
+    "q_agg_kmv" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftExtensions.install(s)
+      scan(s, d, "orders")
+        .withColumn("hv", graft.ops.Dedup.hex60(
+          md5(concat(lit("kmv:"), col("o_custkey").cast("string")).cast("binary"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(call_function("graft_kmv_distinct", col("hv"), lit(32)).as("kmv_estimate"),
+          countDistinct(col("o_custkey")).as("exact_distinct"))
+        .select(col("o_orderpriority"), col("kmv_estimate"), col("exact_distinct"),
+          floor(abs(col("kmv_estimate") - col("exact_distinct")) * lit(1000000L)
+            / col("exact_distinct")).as("err_ppm"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // approximate-percentile sketch, oracle-green the same way: the
     // KLL-style estimate is an actual data element whose exact RANK we
     // can bound — count(< ap)/n must not exceed 0.5+eps and
@@ -459,6 +479,26 @@ object SqlFunctionQueries {
     "q_agg_approx_pct" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median,
         |  true AS within_tolerance
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_kmv" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('kmv:' || CAST(o_custkey AS VARCHAR))")
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority AS prio, $hv AS hv FROM orders),
+         |r AS (SELECT prio, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY hv) AS rn,
+         |    COUNT(*) OVER (PARTITION BY prio) AS cnt FROM h),
+         |k AS (SELECT prio, MAX(cnt) AS cnt,
+         |    MAX(CASE WHEN rn = 32 THEN hv END) AS z32 FROM r GROUP BY prio),
+         |e AS (SELECT o_orderpriority AS prio,
+         |    COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1)
+         |SELECT k.prio AS o_orderpriority,
+         |  CASE WHEN k.cnt < 32 THEN k.cnt
+         |       ELSE CAST(31::HUGEINT * 1152921504606846976::HUGEINT // k.z32 AS BIGINT)
+         |  END AS kmv_estimate,
+         |  e.exact_distinct,
+         |  CAST(FLOOR(ABS(kmv_estimate - e.exact_distinct) * 1000000
+         |    / e.exact_distinct) AS BIGINT) AS err_ppm
+         |FROM k JOIN e ON k.prio = e.prio ORDER BY o_orderpriority""".stripMargin
+    }
   )
 }
