@@ -287,6 +287,109 @@ object WindowQueries {
           expr("floor(sum(abs(err)) * 1000 / count(1))").cast("long").as("mae_milli"),
           expr("floor(sum(err) * 1000 / count(1))").cast("long").as("bias_milli"))
         .orderBy(col("method"))
+    }),
+
+    // CLASSICAL SEASONAL DECOMPOSITION (one-iteration STL shape,
+    // Cleveland 1990 simplified to moving averages): over the daily
+    // series, trend = centered 7-day moving average (only where the
+    // full window exists), seasonal = per-weekday mean of the
+    // detrended series, remainder = the rest. Everything stays in
+    // exact integers until ONE final division per component: the
+    // 7-day window carries the integer sum (trend = sum/7.0), the
+    // detrended series is kept ×7 (7·cnt − trend7, integer), and the
+    // weekday means divide integer sums once — so both engines
+    // compute identical IEEE doubles with no ordered double
+    // accumulation anywhere. Weekday comes from portable date
+    // arithmetic (days since a fixed Monday, mod 7), not the
+    // engine-specific dayofweek numbering. State ∝ days, not events
+    "q_ts_stl" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("dow", pmod(datediff(col("day").cast("date"),
+          lit("1992-01-06").cast("date")), lit(7)).cast("long"))
+        .withColumn("t7", sum(col("cnt")).over(w7))
+        .withColumn("nw", count(lit(1)).over(w7))
+        .withColumn("trend",
+          when(col("nw") === 7, col("t7").cast("double") / lit(7.0)))
+        .withColumn("detr7",
+          when(col("nw") === 7, lit(7L) * col("cnt") - col("t7")))
+      val seasonal = t.filter(col("detr7").isNotNull)
+        .groupBy(col("dow"))
+        .agg(sum(col("detr7")).as("s_num"),
+          (lit(7L) * count(lit(1))).as("s_den"))
+        .withColumn("seasonal",
+          col("s_num").cast("double") / col("s_den").cast("double"))
+        .select(col("dow"), col("seasonal"))
+      t.join(broadcast(seasonal), Seq("dow"), "left")
+        .select(col("day"), col("cnt"), col("dow"), col("trend"), col("seasonal"),
+          (col("cnt").cast("double") - col("trend") - col("seasonal")).as("remainder"))
+        .orderBy(col("day"))
+    }),
+
+    // AUTOCORRELATION FUNCTION r_1..r_7 (the seasonality/memory
+    // diagnostic every forecasting pipeline runs first): with the
+    // standard estimator r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², both
+    // sides are kept EXACT by scaling out the rational mean μ = S/n:
+    // n²·num_k = n²·Σx_t·x_{t+k} − n·S·Σ(x_t+x_{t+k}) + m_k·S² and
+    // n²·den = n²·Q − n·S² are pure bigint (S, Q = global sum /
+    // sum-of-squares), so r_k is ONE double division. All 7 lags come
+    // from a single window pass stacked to (lag, x, xl) rows — one
+    // scan, one tiny shuffle. Bigint headroom: day-grain keeps
+    // n²·Σxy ≲ 10¹⁷ even at sf1 ×100 (switch the sums to
+    // DECIMAL(38,0) if the series ever leaves day grain)
+    "q_ts_acf" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day"))
+      val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+      }
+      val stacked = lagged.select(col("cnt"),
+        expr("stack(7, 1L, l1, 2L, l2, 3L, l3, 4L, l4, 5L, l5, 6L, l6, 7L, l7) AS (lag, xl)"))
+        .filter(col("xl").isNotNull)
+      val globals = daily.agg(
+        count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+      stacked.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cnt") * col("xl")).as("sxy"),
+          sum(col("cnt") + col("xl")).as("sxpy"))
+        .crossJoin(broadcast(globals))
+        .select(col("lag"), col("n_pairs"),
+          ((col("n") * col("n") * col("sxy") - col("n") * col("s") * col("sxpy")
+            + col("n_pairs") * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("q") - col("n") * col("s") * col("s")).cast("double"))
+            .as("r"))
+        .orderBy(col("lag"))
+    }),
+
+    // THEIL–SEN ROBUST TREND (Sen 1968; the median-of-pairwise-slopes
+    // estimator — immune to the outlier days that wreck OLS): per
+    // event_type daily series, slope over every day pair i<j as ONE
+    // IEEE division of exact integers (Δcnt / Δdays), then the exact
+    // median (the q_agg_median percentile path — both engines
+    // interpolate identically). Pairs ∝ days² per type — constant in
+    // data volume at fixed history, the same bound as q_ts_trend's
+    // Mann–Kendall pass (which tests trend EXISTENCE; this estimates
+    // its magnitude — the two ship together)
+    "q_ts_theilsen" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("da"), col("cnt").as("ca"))
+      val b = daily.select(col("event_type").as("et_b"), col("day").as("db"), col("cnt").as("cb"))
+      a.join(b, col("event_type") === col("et_b") && col("da") < col("db"))
+        .withColumn("slope",
+          (col("cb") - col("ca")).cast("double")
+            / datediff(col("db").cast("date"), col("da").cast("date")).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          percentile(col("slope"), lit(0.5)).as("slope_med"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -462,6 +565,65 @@ object WindowQueries {
          |  last_value(e.sum_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
          |FROM grid g LEFT JOIN ev e ON g.day = e.day AND g.event_type = e.event_type
-         |ORDER BY g.day, g.event_type""".stripMargin
+         |ORDER BY g.day, g.event_type""".stripMargin,
+
+    "q_ts_stl" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT day, cnt,
+        |        CAST((CAST(day AS DATE) - DATE '1992-01-06') % 7 AS BIGINT) AS dow,
+        |        CAST(SUM(cnt) OVER w AS BIGINT) AS t7,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS nw
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, cnt, dow,
+        |         CASE WHEN nw = 7 THEN CAST(t7 AS DOUBLE) / 7.0 END AS trend,
+        |         CASE WHEN nw = 7 THEN 7 * cnt - t7 END AS detr7
+        |       FROM t),
+        |se AS (SELECT dow,
+        |         CAST(SUM(detr7) AS DOUBLE) / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+        |       FROM t2 WHERE detr7 IS NOT NULL GROUP BY dow)
+        |SELECT t2.day, t2.cnt, t2.dow, t2.trend, se.seasonal,
+        |  CAST(t2.cnt AS DOUBLE) - t2.trend - se.seasonal AS remainder
+        |FROM t2 LEFT JOIN se ON t2.dow = se.dow
+        |ORDER BY t2.day""".stripMargin,
+
+    "q_ts_acf" ->
+      ("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |l AS (SELECT cnt,
+        |""".stripMargin
+        + (1 to 7).map(k => s"        lag(cnt, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+        + "\n      FROM daily),\n"
+        + "st AS (\n"
+        + (1 to 7).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag, cnt, l$k AS xl FROM l WHERE l$k IS NOT NULL")
+          .mkString("\n  UNION ALL\n")
+        + "),\n"
+        + """g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+        |             CAST(SUM(cnt * cnt) AS BIGINT) AS q FROM daily),
+        |p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(cnt * xl) AS BIGINT) AS sxy,
+        |        CAST(SUM(cnt + xl) AS BIGINT) AS sxpy
+        |      FROM st GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  CAST(n * n * sxy - n * s * sxpy + n_pairs * s * s AS DOUBLE)
+        |    / CAST(n * n * q - n * s * s AS DOUBLE) AS r
+        |FROM p CROSS JOIN g ORDER BY lag""".stripMargin),
+
+    "q_ts_theilsen" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type,
+        |         CAST(b.cnt - a.cnt AS DOUBLE)
+        |           / CAST(CAST(b.day AS DATE) - CAST(a.day AS DATE) AS DOUBLE) AS slope
+        |       FROM daily a JOIN daily b
+        |         ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(slope, 0.5) AS slope_med
+        |FROM pr GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
