@@ -712,6 +712,32 @@ object CorpusOps {
         coalesce(col("n_removed_toks"), lit(0L)).as("n_removed_toks"))
   }
 
+  /** RAG-STYLE CHUNKING with overlap: split each doc into `size`-char
+    * windows every `stride` chars (overlap = size − stride), the
+    * retrieval-index preprocessing step every RAG/embedding pipeline
+    * runs before embedding. Chunk count is a closed-form ceil —
+    * n = ⌈(len − size)/stride⌉ + 1, floor 1 — so the op is ONE
+    * map-side sequence-explode + substring per row: no shuffle, no
+    * state, output ∝ input × (size/stride). The last chunk is the
+    * natural short tail (substring clamps); chunk ids and starts are
+    * per-doc ordinals, so downstream embedding joins are (doc_id,
+    * chunk_id)-keyed.
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"chunkText: need 1 <= stride <= size, got size=$size stride=$stride")
+    docs.select(col(idCol), col(textCol).as("t"), length(col(textCol)).cast("long").as("len"))
+      .withColumn("n_chunks",
+        when(col("len") <= size, lit(1L))
+          .otherwise(expr(s"(len - $size + $stride - 1) div $stride + 1")))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (lit(1L) + col("chunk_id") * stride).as("chunk_start"),
+        expr(s"substring(t, cast(1 + chunk_id * $stride as int), $size)").as("chunk_text"))
+  }
+
   /** T5-style span corruption manifest (Raffel et al. 2020 §3.1.4's
     * denoising objective, as a DATA-PIPELINE op): deterministically
     * sample ~15% of each doc's tokens in spans (start every ~`startMod`

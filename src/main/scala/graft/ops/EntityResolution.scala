@@ -239,4 +239,62 @@ object EntityResolution {
       .select(col("entity_id"), col("canonical_name"), col("nation"),
         col("merged_segment"), col("best_bal_cents"), col("n_records"))
   }
+
+  /** EDIT-DISTANCE SIMILARITY JOIN via q-gram prefix filtering (the
+    * Ed-Join family — Gravano et al. 2001's q-gram count bound, Xiao et
+    * al. VLDB'08's prefix filter): all pairs with levenshtein ≤ `d`,
+    * WITHOUT the N² cross join.
+    *
+    * Why it's sound: one edit destroys at most q of a string's
+    * positional q-grams, so ed(s,t) ≤ d ⟹ the gram MULTISETS differ by
+    * ≤ q·d elements per side ⟹ under ANY global total order on grams,
+    * the (q·d+1)-smallest grams of s and of t must share an element
+    * (the classic prefix-filter lemma with overlap bound
+    * τ = |G(s)| − q·d). Multisets become sets by tagging each gram with
+    * its occurrence index. The order used is (global frequency asc,
+    * gram) — rarest-first, which is also what makes it FAST: candidate
+    * volume is Σ over PREFIX grams of freq², and prefixes
+    * systematically avoid the hot grams ("Customer#" here, stopword
+    * shingles in a corpus) that would square a naive gram join.
+    *
+    * Contract: strings shorter than q·(d+1) chars have fewer than
+    * q·d+1 grams and are excluded (callers filter; at that length the
+    * residual cross join is metadata-scale anyway).
+    *
+    * Scale: gram census + rank join shuffle by gram (combinable
+    * counts), per-string prefix selection is one window by id, the
+    * candidate join touches only rare grams, and the final verify runs
+    * levenshtein on candidates only. No driver materialization.
+    */
+  def editJoin(records: DataFrame, idCol: String, strCol: String,
+               d: Int, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(d >= 1 && q >= 2, s"editJoin: need d >= 1, q >= 2, got d=$d q=$q")
+    val prefixLen = q * d + 1
+    val base = records
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= q * (d + 1))
+    val grams = base.select(col("id"),
+        posexplode(expr(s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
+      .withColumnRenamed("col", "gram")
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
+      .select(col("id"), concat_ws("#", col("gram"), col("occ")).as("gk"))
+    val census = grams.groupBy(col("gk")).agg(count(lit(1)).as("freq"))
+    val prefix = grams.join(census, Seq("gk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("freq"), col("gk"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("gk"))
+    val cands = prefix.join(prefix.select(col("id").as("id_b"), col("gk")), Seq("gk"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .filter(abs(length(col("sa")) - length(col("sb"))) <= d)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

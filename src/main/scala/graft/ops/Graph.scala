@@ -63,6 +63,40 @@ object Graph {
       .select(col("s1"), col("s2"))
   }
 
+  /** Node-similarity census (Jaccard over shared group memberships — the
+    * common-neighbor link-prediction score): for node pairs sharing ≥
+    * `minShared` groups, J = |Γa ∩ Γb| / |Γa ∪ Γb| in floor-ppm (exact
+    * rational — positive integer `div` agrees with DuckDB's `//`).
+    *
+    * Same scale spine as [[coOccurrenceEdges]]: candidate pairs are
+    * Σ_g deg(g)² bounded by the hot-group cap (a group everyone belongs
+    * to predicts nothing and would square the join), the pair census is
+    * map-side combinable, and degrees join back node-sized. The
+    * membership/size subplans are built with identical expressions to
+    * coOccurrenceEdges so the cache manager serves one persisted copy
+    * across the whole graph family.
+    */
+  def nodeJaccard(groupNode: DataFrame, groupCol: String, nodeCol: String,
+                  minShared: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
+    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().scopedPersist()
+    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).scopedPersist()
+    val keep = m.join(sizes.filter(col("gsz") <= maxGroupSize).select("g"), Seq("g"))
+      .scopedPersist()
+    // degrees over the KEPT membership, so common ≤ min(d1, d2) holds
+    // and the union denominator can never go nonpositive
+    val deg = keep.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val a = keep.select(col("g"), col("n").as("s1"))
+    val b = keep.select(col("g"), col("n").as("s2"))
+    a.join(b, Seq("g")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minShared)
+      .join(deg.select(col("n").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("n").as("s2"), col("d").as("d2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"), col("d1"), col("d2"),
+        expr("common * 1000000 div (d1 + d2 - common)").as("jaccard_ppm"))
+  }
+
   /** Degree histogram of an undirected edge list (s1 < s2 per row). */
   def degreeHistogram(edges: DataFrame): DataFrame = {
     val ends = edges.select(col("s1").as("n")).unionAll(edges.select(col("s2").as("n")))

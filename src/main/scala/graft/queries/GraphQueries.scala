@@ -97,7 +97,18 @@ object GraphQueries {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 10 === 0)
       Graph.bfs(edges, seeds, "node", maxDepth = 3).orderBy(col("node"))
-    })
+    }),
+
+    // LINK-PREDICTION census: Jaccard similarity of supplier part
+    // portfolios (common-neighbors over the part↔supplier bipartite) —
+    // the "suppliers most like this one" score. Top 50 by similarity,
+    // key-complete tie-break; the op itself is graded by the minShared
+    // support floor, not the limit (see Graph.nodeJaccard for the
+    // hot-group-cap scale bound)
+    "q_graph_jaccard" -> ((s: SparkSession, d: String) =>
+      Graph.nodeJaccard(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
+          minShared = 120L, maxGroupSize = 100000)
+        .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2")).limit(50))
   )
 
   /** Shared DuckDB CTE: the thresholded co-supply edge list. */
@@ -114,6 +125,16 @@ object GraphQueries {
        |GROUP BY u.dst""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_jaccard" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY s),
+        |pr AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        |       GROUP BY a.s, b.s HAVING count(*) >= 120)
+        |SELECT pr.s1, pr.s2, pr.common, d1.d AS d1, d2.d AS d2,
+        |  CAST(pr.common * 1000000 // (d1.d + d2.d - pr.common) AS BIGINT) AS jaccard_ppm
+        |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
+        |ORDER BY jaccard_ppm DESC, pr.s1, pr.s2 LIMIT 50""".stripMargin,
     "q_graph_degree" ->
       s"""$edgeCte,
          |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree

@@ -347,6 +347,40 @@ object ProfileQueries {
             / col("expected"))
         .select(col("pr"), col("st"), col("n"), col("expected"), col("contrib"))
         .orderBy(col("pr"), col("st"))
+    }),
+
+    // CATEGORICAL IMBALANCE PROFILE (feature-selection census): per
+    // column — Gini impurity 1 − Σp², top-value share, distinct ratio.
+    // Gini instead of Shannon entropy ON PURPOSE: entropy needs log(),
+    // which is libm-dependent and breaks the bit-exact oracle (the
+    // same reason Drift.scala uses TVD, not KL), while Gini is pure
+    // rational arithmetic — bigint sums and ONE IEEE division. The
+    // stack() unpivot reads each table ONCE for all its columns (never
+    // a job per column — the q_profile shape), counts are map-side
+    // combinable, and the census the ratios run over is |columns| ×
+    // |distinct values| — tiny. N² fits bigint to ~3×10⁹ rows per
+    // census; shard by date or move to DECIMAL(38) past that
+    "q_profile_gini" -> ((s: SparkSession, d: String) => {
+      val fromOrders = scan(s, d, "orders").select(expr(
+        "stack(2, 'orders.o_orderstatus', o_orderstatus, " +
+          "'orders.o_orderpriority', o_orderpriority) AS (col_name, v)"))
+      val fromLineitem = scan(s, d, "lineitem").select(expr(
+        "stack(2, 'lineitem.l_returnflag', l_returnflag, " +
+          "'lineitem.l_linestatus', l_linestatus) AS (col_name, v)"))
+      fromOrders.unionAll(fromLineitem)
+        .groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sumc2"),
+          max(col("c")).as("max_c"))
+        .select(col("col_name"), col("n"), col("n_distinct"),
+          ((col("n") * col("n") - col("sumc2")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("gini"),
+          expr("max_c * 1000000 div n").as("top_share_ppm"),
+          expr("n_distinct * 1000000 div n").as("distinct_ppm"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -544,6 +578,26 @@ object ProfileQueries {
         |SELECT pr, st, n, np * ns / nt AS expected,
         |  (CAST(n AS DOUBLE) - np * ns / nt) * (CAST(n AS DOUBLE) - np * ns / nt)
         |    / (np * ns / nt) AS contrib
-        |FROM w ORDER BY pr, st""".stripMargin
+        |FROM w ORDER BY pr, st""".stripMargin,
+
+    "q_profile_gini" ->
+      """WITH u AS (SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        |           UNION ALL
+        |           SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+        |           UNION ALL
+        |           SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+        |           UNION ALL
+        |           SELECT 'lineitem.l_linestatus', l_linestatus FROM lineitem),
+        |c AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+        |g AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(SUM(c * c) AS BIGINT) AS sumc2,
+        |        CAST(MAX(c) AS BIGINT) AS max_c
+        |      FROM c GROUP BY col_name)
+        |SELECT col_name, n, n_distinct,
+        |  CAST(n * n - sumc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini,
+        |  CAST(max_c * 1000000 // n AS BIGINT) AS top_share_ppm,
+        |  CAST(n_distinct * 1000000 // n AS BIGINT) AS distinct_ppm
+        |FROM g ORDER BY col_name""".stripMargin
   )
 }

@@ -304,7 +304,15 @@ object TextQueries {
           min(col("grade_milli")).as("min_grade_milli"),
           max(col("grade_milli")).as("max_grade_milli"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // RAG chunking: 120-char windows every 90 chars (25% overlap) —
+    // the retrieval-index preprocessing pass; map-only, no shuffle
+    // (see CorpusOps.chunkText)
+    "q_text_chunks" -> ((s: SparkSession, d: String) =>
+      graft.ops.CorpusOps.chunkText(scan(s, d, "documents"), "doc_id", "text",
+          size = 120, stride = 90)
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   private val stopList = defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -517,6 +525,20 @@ object TextQueries {
            |  CAST(floor(SUM(grade_milli) / COUNT(*)) AS BIGINT) AS avg_grade_milli,
            |  CAST(MIN(grade_milli) AS BIGINT) AS min_grade_milli,
            |  CAST(MAX(grade_milli) AS BIGINT) AS max_grade_milli
-           |FROM g GROUP BY source ORDER BY source""".stripMargin
+           |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        CASE WHEN len <= 120 THEN 1
+        |             ELSE (len - 120 + 90 - 1) // 90 + 1 END AS n_chunks
+        |      FROM b),
+        |e AS (SELECT doc_id, text,
+        |        CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(1 + chunk_id * 90 AS BIGINT) AS chunk_start,
+        |  substring(text, CAST(1 + chunk_id * 90 AS INTEGER), 120) AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
   )
 }
