@@ -266,6 +266,42 @@ object EntityResolution {
     * candidate join touches only rare grams, and the final verify runs
     * levenshtein on candidates only. No driver materialization.
     */
+  /** EDIT-DISTANCE SIMILARITY JOIN for d=1 via DELETION NEIGHBORHOODS
+    * (FastSS, Bocek et al. 2007): ed(s,t) ≤ 1 ⟺ s and t share a member
+    * of their 1-deletion families D(x) = {x} ∪ {x minus one char}
+    * (substitution: delete the differing position from both; insert/
+    * delete: the shorter string IS a member of the longer one's family).
+    * Sharing a variant only bounds ed ≤ 2, so candidates still verify
+    * with exact levenshtein.
+    *
+    * Why this exists alongside [[editJoin]]: prefix filtering's
+    * candidate volume is Σ freq² over PREFIX grams, which degrades on
+    * low-gram-entropy corpora (ids/names = constant prefix + short
+    * number: the q·d+1 rarest grams still land ~15 strings per bucket).
+    * Deletion blocking's buckets are the strings one edit apart from a
+    * shared variant — candidate volume ≈ the ed ≤ 2 pair count itself,
+    * the information-theoretic floor. Cost: (len+1)× row expansion
+    * (like shingling) and ONE equi-join — no census, no rank windows.
+    * d=1 only (d-deletion families grow |s|^d; use editJoin past that).
+    */
+  def deletionJoin(records: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = records.select(col(idCol).as("id"), col(strCol).as("s"))
+    // i = 0 keeps the string itself; i in 1..len deletes position i
+    val variants = base.select(col("id"),
+        explode(expr("transform(sequence(0, length(s)), " +
+          "i -> if(i = 0, s, concat(substring(s, 1, i - 1), substring(s, i + 1))))")).as("v"))
+      .distinct() // D(s) is a SET: dup variants (e.g. runs of one char) pair once
+    val cands = variants.join(variants.select(col("id").as("id_b"), col("v")), Seq("v"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def editJoin(records: DataFrame, idCol: String, strCol: String,
                d: Int, q: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -126,15 +126,19 @@ object EntityQueries {
       s.read.parquet(out).orderBy(col("clean_id"), col("arriving_id"))
     }),
 
-    // EDIT-DISTANCE SIMILARITY JOIN (Ed-Join, q=3, d=1) over customer
-    // names: every pair within one edit, found via rarest-first q-gram
-    // prefix filtering instead of the oracle's N² cross join — see
-    // EntityResolution.editJoin for the lemma and the 100 TB cost
-    // shape. ~19.5k true pairs at sf0.01 ("Customer#…" ids one digit
-    // apart), all of which the prefix filter must recover exactly
+    // EDIT-DISTANCE SIMILARITY JOIN (d=1) over customer names: every
+    // pair within one edit, WITHOUT the oracle's N² cross join. Engine
+    // = FastSS deletion-neighborhood blocking, picked by measurement:
+    // this corpus is constant-prefix + short number, i.e. low gram
+    // entropy, where Ed-Join's q-gram prefix filter (the general-
+    // purpose alternative, EntityResolution.editJoin, spec-proven in
+    // EditJoinSpec) pays Σ freq² over still-common prefix grams —
+    // 31.2 s at sf0.1 with q=3, and catastrophic with q=5 (the 6th
+    // rarest 5-gram has freq ≈ corpus). Deletion blocking's candidate
+    // volume is the ed ≤ 2 pair count itself — the floor. ~19.5k true
+    // pairs at sf0.01, all recovered exactly
     "q_er_editjoin" -> ((s: SparkSession, d: String) =>
-      EntityResolution.editJoin(scan(s, d, "customer"), "c_custkey", "c_name",
-          d = 1, q = 3)
+      EntityResolution.deletionJoin(scan(s, d, "customer"), "c_custkey", "c_name")
         .orderBy(col("id_a"), col("id_b")))
   )
 
@@ -149,7 +153,7 @@ object EntityQueries {
     // — sound as ground truth at sf0.01 (1500² pairs), which is exactly
     // why the prefix-filtered engine path is the one that ships
     "q_er_editjoin" ->
-      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE length(c_name) >= 6)
+      """WITH c AS (SELECT c_custkey, c_name FROM customer)
         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey

@@ -50,6 +50,26 @@ class EditJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("deletionJoin (FastSS d=1) == brute force, including repeated-char runs") {
+    val names = Seq(
+      (1L, "warehouse-alpha"), (2L, "warehouse-alphb"),
+      (3L, "warehouse-alpha1"), (4L, "warehouse-alph"),
+      (5L, "warehous-alpha"), (6L, "completely-different-string"),
+      (7L, "aaaa"), (8L, "aaa"), (9L, "aaab"),   // duplicate deletion variants
+      (10L, "xwarehouse-alpha"), (11L, "ab"), (12L, "b")
+    ).toDF("id", "s")
+    val got = EntityResolution.deletionJoin(names, "id", "s")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val rows = names.as[(Long, String)].collect()
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dd = lev(sa, sb) if dd <= 1
+    } yield (ia, ib, dd)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("editJoin d=2 widens the result and stays brute-force-exact") {
     val names = (0 until 40).map(i => (i.toLong, f"record-id-$i%04d")).toDF("id", "s")
     val got = EntityResolution.editJoin(names, "id", "s", d = 2, q = 2)
