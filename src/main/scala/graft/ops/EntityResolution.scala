@@ -286,13 +286,28 @@ object EntityResolution {
     */
   def deletionJoin(records: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = records.select(col(idCol).as("id"), col(strCol).as("s"))
-    // i = 0 keeps the string itself; i in 1..len deletes position i
+    // i = 0 keeps the string itself; i in 1..len deletes position i.
+    // The variant travels as an xxhash64 (narrow shuffle key; a
+    // collision only ADDS a candidate, which the exact verify removes)
+    // WITH its deletion position: FastSS's position refinement — a true
+    // ed ≤ 1 pair always has a witness with EITHER an identity side
+    // (insert/delete case) OR equal-or-adjacent deletion positions
+    // (substitution: (p,p); char-run edits shift by at most 1) — while
+    // far-apart double deletions are exactly-ed-2 pairs, pruned HERE,
+    // inside the join's codegen pipeline, before the pair-distinct
+    // shuffle they would otherwise dominate (5-8× of the output at the
+    // 100× gate's digit-dense corpus)
     val variants = base.select(col("id"),
-        explode(expr("transform(sequence(0, length(s)), " +
-          "i -> if(i = 0, s, concat(substring(s, 1, i - 1), substring(s, i + 1))))")).as("v"))
-      .distinct() // D(s) is a SET: dup variants (e.g. runs of one char) pair once
-    val cands = variants.join(variants.select(col("id").as("id_b"), col("v")), Seq("v"))
+        posexplode(expr("transform(sequence(0, length(s)), " +
+          "i -> if(i = 0, s, concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
+          .as(Seq("pos", "v")))
+      .select(col("id"), col("pos"), xxhash64(col("v")).as("vh"))
+      .distinct()
+    val cands = variants
+      .join(variants.select(col("id").as("id_b"), col("pos").as("pos_b"), col("vh")), Seq("vh"))
       .filter(col("id") < col("id_b"))
+      .filter(col("pos") === 0 || col("pos_b") === 0 ||
+        abs(col("pos") - col("pos_b")) <= 1)
       .select(col("id").as("id_a"), col("id_b")).distinct()
     cands
       .join(base.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
