@@ -459,6 +459,52 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING-MAINTAINED LEADERBOARD (bounded-sketch maintenance):
+    // per event_type, the top-3 values with (value desc, event_id asc)
+    // tie-break. Each micro-batch appends only its per-key top-3
+    // partials; the final merge takes top-3 of the appended partials —
+    // exact because top-k is a MERGEABLE summary: topk(A ∪ B) =
+    // topk(topk(A) ∪ topk(B)), so batch slicing can never change the
+    // answer and state is ∝ keys × k, never ∝ stream. The same
+    // additive-partial deploy shape as q_stream_checksum/cusum, with a
+    // rank sketch instead of a sum
+    "q_stream_topk" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_stopk_src_$suffix"
+      val out = s"/tmp/graft_stopk_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def top3(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("event_type"), col("value"), col("event_id"))
+      }
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(top3(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      top3(s.read.parquet(out))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+        .select(col("event_type"), col("rank"), col("value"), col("event_id"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -487,6 +533,14 @@ object StreamQueries {
     // the merged streaming manifest must equal the batch audit exactly
     "q_stream_checksum" -> QualityQueries.oracleSql("q_dq_checksum"),
     "q_stream_cusum" -> WindowQueries.oracleSql("q_ts_cusum"),
+
+    "q_stream_topk" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value DESC, event_id ASC) AS rank
+        |           FROM events)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, value, event_id
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,

@@ -367,6 +367,25 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // ROLLING MEDIAN FILTER (the robust smoother — one outlier day
+    // can't move it, unlike q_ts_stl's moving average): exact
+    // interpolated median over the centered 7-day frame (the
+    // q_agg_median percentile path — both engines interpolate
+    // identically over integer counts). Emitted only where the full
+    // window exists, like the STL trend. Window state ∝ days
+    "q_ts_rollmedian" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("nw", count(lit(1)).over(w7))
+        .withColumn("med7",
+          when(col("nw") === 7, percentile(col("cnt"), lit(0.5)).over(w7)))
+        .select(col("day"), col("cnt"), col("med7"))
+        .orderBy(col("day"))
+    }),
+
     // THEIL–SEN ROBUST TREND (Sen 1968; the median-of-pairwise-slopes
     // estimator — immune to the outlier days that wreck OLS): per
     // event_type daily series, slope over every day pair i<j as ONE
@@ -612,6 +631,18 @@ object WindowQueries {
         |  CAST(n * n * sxy - n * s * sxpy + n_pairs * s * s AS DOUBLE)
         |    / CAST(n * n * q - n * s * s AS DOUBLE) AS r
         |FROM p CROSS JOIN g ORDER BY lag""".stripMargin),
+
+    "q_ts_rollmedian" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |r AS (SELECT day, cnt,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+        |        quantile_cont(cnt, 0.5) OVER w AS q
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day, cnt, CASE WHEN nw = 7 THEN q END AS med7
+        |FROM r ORDER BY day""".stripMargin,
 
     "q_ts_theilsen" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
