@@ -367,6 +367,33 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // ROBUST ANOMALY FLAGS (median/MAD — the detector q_ts_anomaly's
+    // rolling mean/variance can't be: a burst of outlier days inflates
+    // the variance and masks itself, while the median absolute
+    // deviation barely moves). Per event_type: med and MAD over the
+    // day-grain series (exact interpolated percentiles), flag days
+    // with |x − med| > 3 × 1.4826 × MAD, spelled 10000·|x−med| >
+    // 44478·MAD in fixed-point so the only floats are the two
+    // percentile values themselves. Two aggregations over day counts —
+    // state ∝ days × types
+    "q_ts_anomaly_mad" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(percentile(col("cnt"), lit(0.5)).as("med"))
+      val mad = daily.join(med, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(percentile(abs(col("cnt") - col("med")), lit(0.5)).as("mad"),
+          // med is group-constant (joined in); max = that constant
+          max(col("med")).as("med"))
+      daily.join(mad, Seq("event_type"))
+        .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
+          (lit(10000.0) * abs(col("cnt") - col("med")) > lit(44478.0) * col("mad"))
+            .as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ROLLING MEDIAN FILTER (the robust smoother — one outlier day
     // can't move it, unlike q_ts_stl's moving average): exact
     // interpolated median over the centered 7-day frame (the
@@ -631,6 +658,21 @@ object WindowQueries {
         |  CAST(n * n * sxy - n * s * sxpy + n_pairs * s * s AS DOUBLE)
         |    / CAST(n * n * q - n * s * s AS DOUBLE) AS r
         |FROM p CROSS JOIN g ORDER BY lag""".stripMargin),
+
+    "q_ts_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        |        FROM daily GROUP BY event_type),
+        |mad AS (SELECT d.event_type, m.med,
+        |          quantile_cont(abs(d.cnt - m.med), 0.5) AS mad
+        |        FROM daily d JOIN med m ON d.event_type = m.event_type
+        |        GROUP BY d.event_type, m.med)
+        |SELECT d.event_type, d.day, d.cnt, a.med, a.mad,
+        |  10000.0 * abs(d.cnt - a.med) > 44478.0 * a.mad AS is_anomaly
+        |FROM daily d JOIN mad a ON d.event_type = a.event_type
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     "q_ts_rollmedian" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
