@@ -313,6 +313,41 @@ object TextQueries {
       graft.ops.CorpusOps.chunkText(scan(s, d, "documents"), "doc_id", "text",
           size = 120, stride = 90)
         .orderBy(col("doc_id"), col("chunk_id")))
+  ) ++ Map(
+
+    // COLLOCATION MINING — bigram association strength as exact lift
+    // P(ab)/(P(a)P(b)), the log-free PMI (pointwise mutual information
+    // = log(lift); the ranking is identical and log() is banned by the
+    // libm rule). Token-instance-bound: one in-row bigram zip + two
+    // combinable censuses; unigram ranks join back word-sized; the
+    // lift multiplies exact integers AS DOUBLES in a fixed order (the
+    // q_profile_chisq precedent — long products would overflow on
+    // hapax pairs at corpus scale). Support floor 5, top-200 with
+    // key-complete tie-break
+    "q_text_collocations" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val toks = scan(s, d, "documents")
+        .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+        .scopedPersist() // feeds bigram census, unigram census, n_uni
+      val pc = toks.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val uni = toks.select(explode(col("ws")).as("w"))
+      val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val g = uni.agg(count(lit(1)).as("n_uni"))
+        .crossJoin(pc.agg(sum(col("c_ab")).as("n_bi")))
+      pc.filter(col("c_ab") >= 5)
+        .join(uc.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(g))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab").cast("double") * col("n_uni").cast("double") * col("n_uni").cast("double"))
+            / (col("n_bi").cast("double") * col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2")).limit(200)
+    })
   )
 
   private val stopList = defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -539,6 +574,24 @@ object TextQueries {
         |SELECT doc_id, chunk_id,
         |  CAST(1 + chunk_id * 90 AS BIGINT) AS chunk_start,
         |  substring(text, CAST(1 + chunk_id * 90 AS INTEGER), 120) AS chunk_text
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_text_collocations" ->
+      raw"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+           |              FROM documents),
+           |bi AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+           |       FROM toks WHERE len(ws) >= 2),
+           |pc AS (SELECT z[1] AS w1, z[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+           |       FROM bi GROUP BY 1, 2),
+           |uni AS (SELECT unnest(ws) AS w FROM toks),
+           |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+           |g AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_uni,
+           |             (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pc) AS n_bi)
+           |SELECT pc.w1, pc.w2, pc.c_ab, a.c AS c_a, b.c AS c_b,
+           |  (CAST(pc.c_ab AS DOUBLE) * CAST(g.n_uni AS DOUBLE) * CAST(g.n_uni AS DOUBLE))
+           |    / (CAST(g.n_bi AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+           |FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w CROSS JOIN g
+           |WHERE pc.c_ab >= 5
+           |ORDER BY lift DESC, pc.w1, pc.w2 LIMIT 200""".stripMargin
   )
 }
