@@ -289,6 +289,38 @@ object WindowQueries {
         .orderBy(col("method"))
     }),
 
+    // ROLLING DISTINCT ACTIVES (7-day DAU/WAU): distinct users per
+    // trailing 7-day window, ending each day the window is fully
+    // inside the data range. COUNT(DISTINCT) is not a window function
+    // anywhere — the scalable exact idiom is contribute-to-buckets:
+    // each (user, active-day) pair (already deduped, so ∝ actives not
+    // events) explodes to the ≤7 report days it supports, then ONE
+    // combinable distinct-count per bucket. Cost ∝ 7 × active-pairs —
+    // linear, shuffle on (report_day), no per-day rescans. The sketch
+    // path (HLL per day + merge) is q_agg_approx_distinct's shape;
+    // this is the exact tier
+    "q_ts_rolling_dau" -> ((s: SparkSession, d: String) => {
+      val actives = scan(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val bounds = scan(s, d, "events")
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      actives
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+            expr("INTERVAL 1 DAY"))).as("report_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .crossJoin(broadcast(bounds))
+        // full windows only: report_day spans [day, day+6], so it is
+        // complete iff d0+6 <= report_day <= d1
+        .filter(col("report_day") >= col("d0") + expr("INTERVAL 6 DAYS")
+          && col("report_day") <= col("d1"))
+        .select(col("report_day"), col("wau"))
+        .orderBy(col("report_day"))
+    }),
+
     // CLASSICAL SEASONAL DECOMPOSITION (one-iteration STL shape,
     // Cleveland 1990 simplified to moving averages): over the daily
     // series, trend = centered 7-day moving average (only where the
@@ -612,6 +644,21 @@ object WindowQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
          |FROM grid g LEFT JOIN ev e ON g.day = e.day AND g.event_type = e.event_type
          |ORDER BY g.day, g.event_type""".stripMargin,
+
+    "q_ts_rolling_dau" ->
+      """WITH actives AS (SELECT DISTINCT user_id,
+        |                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |                 FROM events),
+        |b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+        |             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1 FROM events),
+        |e AS (SELECT user_id,
+        |        CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |          AS TIMESTAMP) AS report_day
+        |      FROM actives)
+        |SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM e CROSS JOIN b
+        |WHERE report_day >= d0 + INTERVAL 6 DAY AND report_day <= d1
+        |GROUP BY report_day ORDER BY report_day""".stripMargin,
 
     "q_ts_stl" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -152,6 +152,42 @@ class PlanQualitySpec extends SparkSpec {
       "doc-level window has an empty partition spec — single-task global sort at scale")
   }
 
+  test("chunkText is map-only: no exchange anywhere in the plan") {
+    val plan = graft.ops.CorpusOps.chunkText(
+        scan(spark, sf001, "documents"), "doc_id", "text", size = 120, stride = 90)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in chunkText:\n${plan.take(2000)}")
+  }
+
+  test("deletion join and node-Jaccard plan hash joins only — no nested-loop, no cartesian") {
+    for ((name, df) <- Seq(
+      "deletionJoin" -> graft.ops.EntityResolution.deletionJoin(
+        scan(spark, sf001, "customer"), "c_custkey", "c_name"),
+      "nodeJaccard" -> graft.ops.Graph.nodeJaccard(
+        scan(spark, sf001, "lineitem"), "l_partkey", "l_suppkey", 1L, 100000))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"non-equi join in $name:\n${plan.take(2000)}")
+    }
+    // collocations: the rank joins must be hash joins; the only BNLJs
+    // are the blessed broadcast-1-row crosses (n_uni × n_bi globals and
+    // their attach), and every one of them is a Cross, never a filterless
+    // data-sized nested loop
+    val cPlan = graft.queries.TextQueries.queries("q_text_collocations")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(!cPlan.contains("CartesianProduct"), cPlan.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(cPlan).toSeq
+    assert(bnlj.size <= 2 && bnlj.forall(_.contains("Cross"))
+      && cPlan.contains("BroadcastHashJoin"),
+      s"collocations rank joins should hash-join:\n${cPlan.take(2000)}")
+  }
+
+  test("STL decomposition broadcasts the 7-row seasonal relation") {
+    val plan = graft.queries.WindowQueries.queries("q_ts_stl")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("source-overlap matrix plans with NO join — pairs expand in-row") {
     val plan = graft.queries.TextQueries.queries("q_source_overlap")(spark, sf001)
       .queryExecution.executedPlan.toString()
