@@ -131,6 +131,77 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("n_triangles"))
   }
 
+  /** Per-node CLUSTERING COEFFICIENT (how close each node's
+    * neighborhood is to a clique — the local community-density score
+    * next to [[triangleCount]]'s global census): cc = 2·t(v) / (d(v)·
+    * (d(v)−1)) in floor-ppm, exact rational. Per-node triangle counts
+    * come from the SAME degree-ordered wedge enumeration (each matched
+    * wedge is one triangle {a,b,c}, exploded to its three member
+    * nodes in-row — no second join), so the O(m^1.5) wedge bound and
+    * the single oriented-edge materialization carry over unchanged.
+    * Nodes with d < 2 have no possible triangle and emit 0.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val oriented = sym
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .filter(col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .scopedPersist()
+    val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
+    val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    val closing = edges.select(col("s1").as("b"), col("s2").as("c"))
+    val triNodes = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("t"))
+    deg.join(triNodes, Seq("u"), "left")
+      .select(col("u").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          expr("2 * coalesce(t, 0) * 1000000 div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+  }
+
+  /** K-CORE decomposition by `rounds` synchronous peels: each round
+    * drops nodes whose CURRENT degree is < k and restricts the edge
+    * set to survivors (Batagelj–Zaveršnik's peel, bulk-synchronous).
+    * Per round: one degree census + two semi-joins — cost ∝ remaining
+    * edges, the frontier-style bound every iterated graph op here
+    * uses; lineage truncates EVERY round via localCheckpoint — a peel
+    * embeds the previous round's relation ~4× (the symmetric union
+    * plus two semi-joins), so the un-truncated plan grows 4^rounds and
+    * OOMs the driver on plan STRINGS alone by round ~6 (observed; the
+    * pageRank discipline checkpoints every 5 rounds because its growth
+    * is only linear). A fixed round budget is the 100 TB shape (each
+    * peel is a full shuffle barrier; unbounded loops stall a shared
+    * cluster): callers assert convergence by checking round R equals
+    * round R−1 (GraphSpec does) — at test scale 6 rounds reach the
+    * fixpoint, i.e. the true k-core.
+    */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore: need k >= 1, rounds >= 1, got k=$k rounds=$rounds")
+    var cur = edges.select(col("s1"), col("s2"))
+    for (_ <- 1 to rounds) {
+      val sym = cur.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(cur.select(col("s2").as("u"), col("s1").as("v")))
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      cur = cur
+        .join(keep.select(col("u").as("s1")), Seq("s1"), "left_semi")
+        .join(keep.select(col("u").as("s2")), Seq("s2"), "left_semi")
+        .select(col("s1"), col("s2"))
+        .localCheckpoint()
+    }
+    val sym = cur.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(cur.select(col("s2").as("u"), col("s1").as("v")))
+    sym.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node"), col("core_degree"))
+  }
+
   /** Integer-scaled PageRank over a directed edge list (src, dst), `iters`
     * synchronous rounds. rank'(v) = 0.15·Scale + (85 · Σ_{u→v} rank(u) DIV
     * deg(u)) DIV 100, all in BIGINT — deterministic across engines and

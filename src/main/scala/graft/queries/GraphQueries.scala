@@ -99,6 +99,22 @@ object GraphQueries {
       Graph.bfs(edges, seeds, "node", maxDepth = 3).orderBy(col("node"))
     }),
 
+    // PER-NODE CLUSTERING COEFFICIENT: 2·t(v)/(d(v)(d(v)−1)) in
+    // floor-ppm over the co-supply graph — the local density census
+    // from the SAME O(m^1.5) degree-ordered wedge pass as
+    // q_graph_triangles (each triangle exploded to its members in-row)
+    "q_graph_clustering" -> ((s: SparkSession, d: String) =>
+      Graph.clusteringCoefficient(coSupply(s, d)).orderBy(col("node"))),
+
+    // K-CORE decomposition (Batagelj–Zaveršnik peel, 6 synchronous
+    // rounds — the fixpoint at this graph's scale, asserted in
+    // GraphSpec): the maximal subgraph where every supplier co-supplies
+    // with ≥ 10 others inside the subgraph — the dense-community
+    // extraction that degree alone (q_graph_degree) overcounts, since
+    // a high-degree node whose neighbors all get peeled is no core
+    "q_graph_kcore" -> ((s: SparkSession, d: String) =>
+      Graph.kCore(coSupply(s, d), k = 10L, rounds = 6).orderBy(col("node"))),
+
     // LINK-PREDICTION census: Jaccard similarity of supplier part
     // portfolios (common-neighbors over the part↔supplier bipartite) —
     // the "suppliers most like this one" score. Top 50 by similarity,
@@ -124,7 +140,49 @@ object GraphQueries {
        |FROM und u JOIN deg d ON u.src = d.src JOIN $prev r ON r.node = u.src
        |GROUP BY u.dst""".stripMargin
 
+  /** One k-core peel round as SQL: nodes with degree ≥ k in e$i, then
+    * e${i+1} = edges with both ends surviving. MATERIALIZED on purpose:
+    * each round references the previous CTE ~4× (degree union + two IN
+    * probes), so inlining re-evaluates the chain 4^rounds times — the
+    * DuckDB edition of the same exponential-lineage blowup
+    * Graph.kCore's per-round localCheckpoint exists to stop. */
+  private def peelRound(i: Int, k: Long): String =
+    s"""n$i AS MATERIALIZED (
+       |  SELECT n FROM (SELECT s1 AS n FROM e$i UNION ALL SELECT s2 FROM e$i)
+       |  GROUP BY n HAVING COUNT(*) >= $k),
+       |e${i + 1} AS MATERIALIZED (
+       |  SELECT s1, s2 FROM e$i
+       |  WHERE s1 IN (SELECT n FROM n$i) AND s2 IN (SELECT n FROM n$i))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_graph_clustering" ->
+      s"""$edgeCte,
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT s1 AS n FROM g UNION ALL SELECT s2 AS n FROM g)
+         |        GROUP BY n),
+         |tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+         |        FROM g e1 JOIN g e2 ON e1.s2 = e2.s1
+         |        JOIN g e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+         |tn AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS t
+         |       FROM (SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+         |             UNION ALL SELECT c FROM tri)
+         |       GROUP BY u)
+         |SELECT deg.n AS node, deg.degree,
+         |  CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN deg.degree >= 2
+         |            THEN 2 * COALESCE(tn.t, 0) * 1000000 // (deg.degree * (deg.degree - 1))
+         |            ELSE 0 END AS BIGINT) AS cc_ppm
+         |FROM deg LEFT JOIN tn ON deg.n = tn.u
+         |ORDER BY node""".stripMargin,
+
+    "q_graph_kcore" ->
+      s"""$edgeCte,
+         |e0 AS MATERIALIZED (SELECT s1, s2 FROM g),
+         |${(0 until 6).map(i => peelRound(i, 10L)).mkString(",\n")}
+         |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM (SELECT s1 AS n FROM e6 UNION ALL SELECT s2 FROM e6)
+         |GROUP BY n ORDER BY node""".stripMargin,
+
     "q_graph_jaccard" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY s),

@@ -68,6 +68,47 @@ class GraphSpec extends SparkSpec {
     assert(e.toSet == Set(("a", "b")), s"hot-group pairs leaked: ${e.length} edges")
   }
 
+  test("clusteringCoefficient: triangle-with-tail and clique are exact") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a tail 3-4: cc(1)=cc(2)=1, cc(3)=1/3, cc(4)=0
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("s1", "s2")
+    val got = Graph.clusteringCoefficient(edges)
+      .select("node", "degree", "n_tri", "cc_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 2L, 1L, 1000000L))
+    assert(got(2L) == (2L, 2L, 1L, 1000000L))
+    assert(got(3L) == (3L, 3L, 1L, 333333L))
+    assert(got(4L) == (4L, 1L, 0L, 0L))
+    // K4: every node cc = 1 with 3 triangles... each node is in C(3,2)=3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("s1", "s2")
+    val g4 = Graph.clusteringCoefficient(k4)
+      .select("node", "cc_ppm").as[(Long, Long)].collect().toMap
+    assert(g4.values.forall(_ == 1000000L), s"got $g4")
+  }
+
+  test("kCore: peel reaches the true core and the round budget is a fixpoint") {
+    import spark.implicits._
+    // K4 core (every node degree 3) + a chain hanging off it: the chain
+    // peels away over MULTIPLE rounds (4-5-6: 6 goes first, then 5, then
+    // 4) — exercising the iteration, not just one filter
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L)).toDF("s1", "s2")
+    val got = Graph.kCore(edges, k = 2L, rounds = 6)
+      .select("node", "core_degree").as[(Long, Long)].collect().toMap
+    // 2-core: only K4 has degree>=2 after the chain unravels...
+    // wait: 4-5,5-6: deg(6)=1 -> peel; then deg(5)=1 -> peel; K4 stays
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // fixpoint on the real co-supply graph: rounds=6 equals rounds=5
+    val co = Graph.coOccurrenceEdges(
+      graft.engine.QueryBuilder.scan(spark, sf001, "lineitem"),
+      "l_partkey", "l_suppkey", 145L, 100000)
+    def cores(r: Int) = Graph.kCore(co, k = 5L, rounds = r)
+      .select("node", "core_degree").as[(Long, Long)].collect().toSet
+    val (c5, c6) = (cores(5), cores(6))
+    assert(c6.nonEmpty, "fixpoint check must not be vacuous")
+    assert(c6 == c5, "6 peel rounds must be a fixpoint at this scale")
+  }
+
   test("pageRank: 25 iterations complete with bounded plan depth (lineage truncation)") {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val und = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
