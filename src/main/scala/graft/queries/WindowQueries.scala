@@ -445,6 +445,84 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // HOLT DOUBLE EXPONENTIAL SMOOTHING (level + trend — the
+    // forecasting step up from q_ewma's single smoother, and the
+    // model q_ts_forecast's naive baselines are judged against):
+    // l_t = (l₋+b₋)/2 + x_t/2, b_t = 0.75·b₋ + 0.25·(l_t−l₋), with
+    // α=1/2, β=1/4 chosen DYADIC so every multiply is by an exactly
+    // representable constant and both engines' identical left folds
+    // (aggregate ≡ list_reduce, the q_ewma precedent — here with a
+    // STRUCT accumulator for the coupled recursions) produce
+    // bit-identical doubles. State ∝ types × days; the fold runs
+    // in-row over each type's collected day series
+    "q_ts_holt" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val evs = array_sort(collect_list(struct(col("day"), col("cnt"))))
+      def l(acc: org.apache.spark.sql.Column) = acc.getField("l")
+      def b(acc: org.apache.spark.sql.Column) = acc.getField("b")
+      daily.groupBy(col("event_type"))
+        .agg(evs.as("evs"))
+        .select(col("event_type"),
+          size(col("evs")).as("n_days"),
+          aggregate(
+            slice(col("evs"), lit(2), size(col("evs")) - 1),
+            struct(element_at(col("evs"), 1).getField("cnt").as("l"), lit(0.0).as("b")),
+            (acc, e) => {
+              val nl = (l(acc) + b(acc)) / lit(2.0) + e.getField("cnt") / lit(2.0)
+              struct(nl.as("l"),
+                (b(acc) * lit(0.75) + (nl - l(acc)) * lit(0.25)).as("b"))
+            }).as("hw"))
+        .select(col("event_type"), col("n_days"),
+          col("hw.l").as("level"), col("hw.b").as("trend"),
+          (col("hw.l") + col("hw.b")).as("forecast_1"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CROSS-CORRELATION FUNCTION (lead–lag diagnostic: does 'view'
+    // activity LEAD 'purchase' activity, and by how many days?):
+    // r_k = corr(x_t, y_{t+k}) for k ∈ −3..+3 over the aligned daily
+    // series (missing days coalesce to 0 on the shared spine). Same
+    // exactness spine as q_ts_acf — both rational means scaled out, so
+    // the lag-windowed numerator n²Σxy − n·Sy·ΣX_k − n·Sx·ΣY_k +
+    // m_k·Sx·Sy and the full-series variance terms n²Q − n·S² are
+    // pure bigints; the only floats are ONE product (as doubles —
+    // the n²-scaled variance product overflows int64) and ONE
+    // IEEE-exact sqrt. One window pass builds all 7 shifts
+    "q_ts_ccf" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy(col("day"))
+      val shifted = (-3 to 3).foldLeft(daily) { (df, k) =>
+        val c = if (k >= 0) lead(col("y"), k).over(w) else lag(col("y"), -k).over(w)
+        df.withColumn(s"s${k + 3}", c)
+      }
+      val stacked = shifted.select(col("x"),
+        expr("stack(7, -3L, s0, -2L, s1, -1L, s2, 0L, s3, 1L, s4, 2L, s5, 3L, s6) AS (lag, yl)"))
+        .filter(col("yl").isNotNull)
+      val globals = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("qx"), sum(col("y") * col("y")).as("qy"))
+      stacked.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x") * col("yl")).as("pxy"),
+          sum(col("x")).as("px"), sum(col("yl")).as("py"))
+        .crossJoin(broadcast(globals))
+        .select(col("lag"), col("n_pairs"),
+          ((col("n") * col("n") * col("pxy") - col("n") * col("sy") * col("px")
+            - col("n") * col("sx") * col("py") + col("n_pairs") * col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n") * col("n") * col("qx") - col("n") * col("sx") * col("sx")).cast("double")
+              * (col("n") * col("n") * col("qy") - col("n") * col("sy") * col("sy")).cast("double")))
+            .as("r"))
+        .orderBy(col("lag"))
+    }),
+
     // THEIL–SEN ROBUST TREND (Sen 1968; the median-of-pairwise-slopes
     // estimator — immune to the outlier days that wreck OLS): per
     // event_type daily series, slope over every day pair i<j as ONE
@@ -732,6 +810,60 @@ object WindowQueries {
         |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
         |SELECT day, cnt, CASE WHEN nw = 7 THEN q END AS med7
         |FROM r ORDER BY day""".stripMargin,
+
+    "q_ts_holt" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS DOUBLE) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |-- [l, b] LIST accumulator, NOT a named struct: DuckDB v1.0's
+        |-- list_reduce evaluates a struct-returning lambda field by
+        |-- field with acc REBOUND to the new value in between (the 'b'
+        |-- expression would see the new 'l'); list results evaluate
+        |-- all elements against the old accumulator, matching Spark
+        |g AS (SELECT event_type,
+        |        list([cnt, CAST(0.0 AS DOUBLE)] ORDER BY day) AS es
+        |      FROM daily GROUP BY event_type),
+        |r AS (SELECT event_type, CAST(len(es) AS INT) AS n_days,
+        |        list_reduce(es, (acc, e) ->
+        |          [(acc[1] + acc[2]) / CAST(2.0 AS DOUBLE) + e[1] / CAST(2.0 AS DOUBLE),
+        |           acc[2] * CAST(0.75 AS DOUBLE)
+        |             + ((acc[1] + acc[2]) / CAST(2.0 AS DOUBLE) + e[1] / CAST(2.0 AS DOUBLE)
+        |                - acc[1]) * CAST(0.25 AS DOUBLE)]) AS hw
+        |      FROM g)
+        |SELECT event_type, n_days, hw[1] AS level, hw[2] AS trend,
+        |  hw[1] + hw[2] AS forecast_1
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    "q_ts_ccf" ->
+      ("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |               FROM events WHERE event_type IN ('view', 'purchase')
+        |               GROUP BY 1),
+        |sh AS (SELECT x,
+        |""".stripMargin
+        + (-3 to 3).map { k =>
+            val fn = if (k >= 0) s"lead(y, $k)" else s"lag(y, ${-k})"
+            s"        $fn OVER (ORDER BY day) AS s${k + 3}"
+          }.mkString(",\n")
+        + "\n      FROM daily),\nst AS (\n"
+        + (-3 to 3).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag, x, s${k + 3} AS yl FROM sh WHERE s${k + 3} IS NOT NULL")
+          .mkString("\n  UNION ALL\n")
+        + "),\n"
+        + """g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * x) AS BIGINT) AS qx, CAST(SUM(y * y) AS BIGINT) AS qy
+        |      FROM daily),
+        |p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(x * yl) AS BIGINT) AS pxy,
+        |        CAST(SUM(x) AS BIGINT) AS px, CAST(SUM(yl) AS BIGINT) AS py
+        |      FROM st GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  CAST(n * n * pxy - n * sy * px - n * sx * py + n_pairs * sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * n * qx - n * sx * sx AS DOUBLE)
+        |         * CAST(n * n * qy - n * sy * sy AS DOUBLE)) AS r
+        |FROM p CROSS JOIN g ORDER BY lag""".stripMargin),
 
     "q_ts_theilsen" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
