@@ -131,6 +131,37 @@ object Quantize {
     * clip pass is unchanged), then a broadcast join + codegen'd clip.
     * Output: one row per (id, dim) with x, lo, hi, clipped.
     */
+  /** FEATURE-STANDARDIZATION census (the z-scoring audit a feature
+    * pipeline runs before training): per dimension, n, mean, and the
+    * 3σ-outlier count, all deterministic. Values enter fixed point
+    * once (xs = ⌊x·10⁶⌋, the scaledDot discipline), so the per-dim
+    * sums Σxs / Σxs² are exact order-free bigints; the outlier test
+    * |x−μ| > 3σ is compared as (n·xs − S)² > 9·(n·Q − S²) with both
+    * sides as fixed-order doubles (n·Q exceeds int64 at corpus scale;
+    * correctly-rounded double products are engine-identical). One
+    * explode pass + one 64-row broadcast back — no window, no sort.
+    */
+  def standardizeCensus(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int): DataFrame = {
+    val xs = emb.select(col(idCol),
+        posexplode(slice(col(vecCol), 1, dims).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("xs", floor(col("x") * lit(1e6)).cast("long"))
+    val st = xs.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sd"),
+        sum(col("xs") * col("xs")).as("qd"))
+    val dev = (col("n") * col("xs") - col("sd")).cast("double")
+    xs.join(broadcast(st), Seq("dim"))
+      .withColumn("lhs", dev * dev)
+      .withColumn("rhs",
+        lit(9.0) * (col("n").cast("double") * col("qd").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double")))
+      .groupBy(col("dim"))
+      .agg(max(col("n")).as("n_vecs"),
+        (max(col("sd")).cast("double")
+          / (max(col("n")).cast("double") * lit(1e6))).as("mu"),
+        sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers3"))
+  }
+
   def winsorize(emb: DataFrame, idCol: String, vecCol: String,
                 dims: Int, pLo: Double, pHi: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

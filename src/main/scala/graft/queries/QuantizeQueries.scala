@@ -20,6 +20,14 @@ object QuantizeQueries {
     // per-dimension winsorization at exact rank-selected p05/p95 — the
     // outlier-clipping pass that protects the int8 range below; bounds
     // are order statistics (no interpolation), clip is a broadcast join
+    // per-dimension z-scoring audit: mean + 3σ-outlier census over all
+    // 64 dims (see Quantize.standardizeCensus for the fixed-point
+    // exactness spine)
+    "q_embed_standardize" -> ((s: SparkSession, d: String) =>
+      Quantize.standardizeCensus(scan(s, d, "embeddings"), "vec_id", "embedding",
+          dims = 64)
+        .orderBy(col("dim"))),
+
     "q_embed_winsorize" -> ((s: SparkSession, d: String) => {
       Quantize.winsorize(scan(s, d, "embeddings"), "vec_id", "embedding",
           dims = 4, pLo = 0.05, pHi = 0.95)
@@ -113,6 +121,25 @@ object QuantizeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_standardize" ->
+      """WITH x AS (
+        |  SELECT vec_id, j.j AS dim,
+        |    CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * 1e6) AS BIGINT) AS xs
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+        |st AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xs) AS BIGINT) AS sd, CAST(SUM(xs * xs) AS BIGINT) AS qd
+        |  FROM x GROUP BY dim)
+        |SELECT x.dim, MAX(st.n) AS n_vecs,
+        |  CAST(MAX(st.sd) AS DOUBLE) / (CAST(MAX(st.n) AS DOUBLE) * 1e6) AS mu,
+        |  CAST(SUM(CASE WHEN CAST(st.n * x.xs - st.sd AS DOUBLE)
+        |                     * CAST(st.n * x.xs - st.sd AS DOUBLE)
+        |                   > 9.0 * (CAST(st.n AS DOUBLE) * CAST(st.qd AS DOUBLE)
+        |                            - CAST(st.sd AS DOUBLE) * CAST(st.sd AS DOUBLE))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers3
+        |FROM x JOIN st ON x.dim = st.dim
+        |GROUP BY x.dim ORDER BY x.dim""".stripMargin,
+
     "q_embed_winsorize" ->
       """WITH x AS (
         |  SELECT vec_id, j.j AS dim, CAST(embedding[j.j + 1] AS DOUBLE) AS x
