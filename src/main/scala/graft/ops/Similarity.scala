@@ -447,4 +447,57 @@ object Similarity {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware top-k every RAG retrieval stack ships:
+    * greedily pick the candidate maximizing λ·cos(q,d) − (1−λ)·max over
+    * already-selected s of cos(d,s), k rounds.
+    *
+    * Determinism: every cosine is the scaledDot fixed-point spine
+    * (bigint dot, IEEE sqrt/divide), the MMR score is one fixed double
+    * expression, and ties break on lowest id — so the greedy trajectory
+    * is replayable, and the DuckDB oracle unrolls the same k rounds.
+    *
+    * Scale shape: each round is ONE distributed argmax over the
+    * candidate relation (corpus-sized scan, combinable max(struct)),
+    * with only the k selected (id, vector) rows ever touching the
+    * driver — the IVF-seed precedent (metadata ∝ k·dims, never ∝
+    * corpus). The selected vectors re-enter the plan as broadcast
+    * literals, so round r adds one codegen'd cosine column, not a join.
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String,
+                k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1,
+      s"mmrSelect: need k >= 1 and lambda in [0,1], got k=$k lambda=$lambda")
+    val spark = corpus.sparkSession
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    val cand = corpus.crossJoin(q)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        cosine(col("v"), col("__qv")).as("rel"))
+    var picked = List.empty[(Long, Double, Double)] // (id, rel, mmr score)
+    var selVecs = List.empty[Seq[Float]]
+    var remaining = cand
+    for (_ <- 1 to k) {
+      val simSel = selVecs.map(sv =>
+        cosine(col("v"), typedLit(sv))) match {
+        case Nil => lit(0.0)
+        case cs  => cs.reduce(greatest(_, _))
+      }
+      val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * simSel
+      val best = remaining.withColumn("score", score)
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(1)
+        .select(col("id"), col("v"), col("rel"), col("score"))
+        .collect()(0) // 1 row: the round's argmax — metadata-scale
+      val id = best.getLong(0)
+      picked :+= ((id, best.getDouble(2), best.getDouble(3)))
+      selVecs :+= best.getSeq[Float](1)
+      remaining = remaining.filter(col("id") =!= id)
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, rel, s), i) => (i + 1L, id, rel, s) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

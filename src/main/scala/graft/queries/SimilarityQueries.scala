@@ -19,6 +19,18 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact top-20 neighbors of vec 0
+    // MMR DIVERSITY SELECTION (Carbonell & Goldstein 1998): 3-round
+    // greedy λ=0.5 re-rank for query vec 0 — relevance minus
+    // max-similarity-to-already-picked; the diversity-aware retrieval
+    // every RAG stack ships. Oracle unrolls the same greedy rounds
+    "q_sim_mmr" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      Similarity.mmrSelect(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 3, lambda = 0.5)
+        .orderBy(col("rank"))
+    }),
+
     "q_sim_topk" -> ((s: SparkSession, d: String) => {
       val e = scan(s, d, "embeddings")
       Similarity.bruteTopK(
@@ -345,6 +357,22 @@ object SimilarityQueries {
     * arithmetic as Similarity.scaledDot), as CTEs over a per-row lateral
     * range join (j = 1..dims).
     */
+  /** Renamable cosine CTE chain: cos of `pairs` (id_a, va, vb) into
+    * `<prefix>_cos(id_a, c)` — the sqlCosineCtes shape, parameterized
+    * so one query can run it against several pair sets (MMR rounds). */
+  private def sqlCosFor(pairs: String, prefix: String): String =
+    s"""${prefix}_terms AS (
+       |  SELECT p.id_a,
+       |    CAST(floor(CAST(p.va[t.j] AS DOUBLE) * CAST(p.vb[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tab,
+       |    CAST(floor(CAST(p.va[t.j] AS DOUBLE) * CAST(p.va[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS taa,
+       |    CAST(floor(CAST(p.vb[t.j] AS DOUBLE) * CAST(p.vb[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tbb
+       |  FROM $pairs p CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS j) t),
+       |${prefix}_cos AS (
+       |  SELECT id_a,
+       |    CAST(SUM(tab) AS DOUBLE)
+       |      / (sqrt(CAST(SUM(taa) AS DOUBLE)) * sqrt(CAST(SUM(tbb) AS DOUBLE))) AS c
+       |  FROM ${prefix}_terms GROUP BY id_a)""".stripMargin
+
   private[queries] def sqlCosineCtes: String =
     s"""terms AS (
        |  SELECT p.id_a, p.id_b,
@@ -469,6 +497,40 @@ object SimilarityQueries {
          |FROM assign1 a LEFT JOIN dups d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
     },
+
+    "q_sim_mmr" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p0 AS (SELECT e.vec_id AS id_a, e.embedding AS va, q.qv AS vb
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |${sqlCosFor("p0", "rel")},
+         |s1 AS (SELECT id_a AS vec_id, c AS rel, 0.5 * c AS score
+         |       FROM rel_cos ORDER BY 0.5 * c DESC, id_a LIMIT 1),
+         |p1 AS (SELECT e.vec_id AS id_a, e.embedding AS va, sv.embedding AS vb
+         |       FROM embeddings e, (SELECT x.embedding FROM embeddings x JOIN s1 ON x.vec_id = s1.vec_id) sv
+         |       WHERE e.vec_id <> 0),
+         |${sqlCosFor("p1", "c1")},
+         |s2 AS (SELECT r.id_a AS vec_id, r.c AS rel, 0.5 * r.c - 0.5 * c1_cos.c AS score
+         |       FROM rel_cos r JOIN c1_cos ON r.id_a = c1_cos.id_a
+         |       WHERE r.id_a NOT IN (SELECT vec_id FROM s1)
+         |       ORDER BY 0.5 * r.c - 0.5 * c1_cos.c DESC, r.id_a LIMIT 1),
+         |p2 AS (SELECT e.vec_id AS id_a, e.embedding AS va, sv.embedding AS vb
+         |       FROM embeddings e, (SELECT x.embedding FROM embeddings x JOIN s2 ON x.vec_id = s2.vec_id) sv
+         |       WHERE e.vec_id <> 0),
+         |${sqlCosFor("p2", "c2")},
+         |s3 AS (SELECT r.id_a AS vec_id, r.c AS rel,
+         |         0.5 * r.c - 0.5 * GREATEST(c1_cos.c, c2_cos.c) AS score
+         |       FROM rel_cos r
+         |         JOIN c1_cos ON r.id_a = c1_cos.id_a
+         |         JOIN c2_cos ON r.id_a = c2_cos.id_a
+         |       WHERE r.id_a NOT IN (SELECT vec_id FROM s1)
+         |         AND r.id_a NOT IN (SELECT vec_id FROM s2)
+         |       ORDER BY 0.5 * r.c - 0.5 * GREATEST(c1_cos.c, c2_cos.c) DESC, r.id_a LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance, score AS mmr_score FROM s1
+         |UNION ALL
+         |SELECT 2, vec_id, rel, score FROM s2
+         |UNION ALL
+         |SELECT 3, vec_id, rel, score FROM s3
+         |ORDER BY rank""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
