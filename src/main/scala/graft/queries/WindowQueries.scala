@@ -445,6 +445,31 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // PEAK CONCURRENCY (interval stabbing by boundary sweep — the
+    // capacity question "how many sessions were open at once, and
+    // when?"): each session emits (+1 at start, −1 at end), the global
+    // sweep is one running sum over the 2×sessions boundary stream
+    // (session-scale, never event-scale), peak = max, with ties at the
+    // same instant resolved opens-before-closes (inclusive ends) and
+    // the reported instant = the EARLIEST at the peak. Daily grain in
+    // the output keeps the report bounded; the running sweep itself is
+    // the textbook O(n log n) shape
+    "q_ts_concurrency" -> ((s: SparkSession, d: String) => {
+      val sessions = graft.streaming.StreamOps.sessionize(
+        scan(s, d, "events"), gapSeconds = 6 * 3600)
+      val bounds = sessions
+        .select(col("session_start").as("t"), lit(1L).as("delta"))
+        .unionAll(sessions.select(col("session_end").as("t"), lit(-1L).as("delta")))
+      val sweep = Window.orderBy(col("t").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("open", sum(col("delta")).over(sweep))
+        .groupBy(date_trunc("day", col("t")).as("day"))
+        .agg(max(col("open")).as("peak_open"),
+          min_by(col("t"), struct((-col("open")).as("negopen"), col("t"))).as("peak_at"))
+        .orderBy(col("day"))
+    }),
+
     // HOLT DOUBLE EXPONENTIAL SMOOTHING (level + trend — the
     // forecasting step up from q_ewma's single smoother, and the
     // model q_ts_forecast's naive baselines are judged against):
@@ -810,6 +835,39 @@ object WindowQueries {
         |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
         |SELECT day, cnt, CASE WHEN nw = 7 THEN q END AS med7
         |FROM r ORDER BY day""".stripMargin,
+
+    "q_ts_concurrency" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > ${6 * 3600}::BIGINT * 1000000
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged),
+         |sessions AS (
+         |  SELECT MIN(ts) AS session_start, MAX(ts) AS session_end
+         |  FROM numbered GROUP BY user_id, session_idx),
+         |bounds AS (
+         |  SELECT session_start AS t, CAST(1 AS BIGINT) AS delta FROM sessions
+         |  UNION ALL
+         |  SELECT session_end, CAST(-1 AS BIGINT) FROM sessions),
+         |sweep AS (
+         |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t ASC, delta DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+         |  FROM bounds),
+         |p AS (
+         |  SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day, t, open,
+         |    MAX(open) OVER (PARTITION BY CAST(date_trunc('day', t) AS TIMESTAMP)) AS pk
+         |  FROM sweep)
+         |SELECT day, MAX(open) AS peak_open,
+         |  MIN(CASE WHEN open = pk THEN t END) AS peak_at
+         |FROM p GROUP BY day ORDER BY day""".stripMargin,
 
     "q_ts_holt" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
