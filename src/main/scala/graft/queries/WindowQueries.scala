@@ -445,6 +445,36 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // BURST EXTRACTION (elevated-activity intervals — the incident
+    // report next to the point alarms of q_ts_anomaly/_mad): days
+    // strictly above the series' own p90 (the only float is the exact
+    // interpolated percentile), grouped into maximal consecutive runs
+    // by gaps-and-islands (day-ordinal minus rank — no self-join),
+    // each burst emitting its span, length, peak and volume.
+    // Day-grain: state ∝ days
+    "q_ts_bursts" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = daily.agg(percentile(col("cnt"), lit(0.9)).as("p90"))
+      val flagged = daily.crossJoin(broadcast(med))
+        .filter(col("cnt").cast("double") > col("p90"))
+        .withColumn("dn", datediff(col("day").cast("date"),
+          lit("1992-01-06").cast("date")).cast("long"))
+        .withColumn("grp",
+          col("dn") - row_number().over(Window.orderBy(col("day"))))
+      flagged.groupBy(col("grp"))
+        .agg(min(col("day")).as("burst_start"),
+          max(col("day")).as("burst_end"),
+          count(lit(1)).as("n_days"),
+          max(col("cnt")).as("peak_cnt"),
+          sum(col("cnt")).as("total_cnt"))
+        .drop("grp")
+        .select(col("burst_start"), col("burst_end"), col("n_days"),
+          col("peak_cnt"), col("total_cnt"))
+        .orderBy(col("burst_start"))
+    }),
+
     // PEAK CONCURRENCY (interval stabbing by boundary sweep — the
     // capacity question "how many sessions were open at once, and
     // when?"): each session emits (+1 at start, −1 at end), the global
@@ -835,6 +865,22 @@ object WindowQueries {
         |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
         |SELECT day, cnt, CASE WHEN nw = 7 THEN q END AS med7
         |FROM r ORDER BY day""".stripMargin,
+
+    "q_ts_bursts" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(cnt, 0.9) AS p90 FROM daily),
+        |f AS (SELECT day, cnt,
+        |        CAST(CAST(day AS DATE) - DATE '1992-01-06' AS BIGINT)
+        |          - row_number() OVER (ORDER BY day) AS grp
+        |      FROM daily CROSS JOIN m
+        |      WHERE CAST(cnt AS DOUBLE) > p90)
+        |SELECT MIN(day) AS burst_start, MAX(day) AS burst_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(cnt) AS BIGINT) AS peak_cnt,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_cnt
+        |FROM f GROUP BY grp ORDER BY burst_start""".stripMargin,
 
     "q_ts_concurrency" ->
       s"""WITH lagged AS (
