@@ -131,6 +131,35 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("n_triangles"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees across edges — do hubs link to hubs (r > 0, social
+    * shape) or to leaves (r < 0, infrastructure shape)? Each undirected
+    * edge contributes both orientations (the standard symmetric
+    * estimator), the degree pair moments are exact bigints from one
+    * combinable aggregation (the q_profile_corr discipline), and r is a
+    * single double expression: (nΣxy − S²) / (nΣx² − S²) — the x/y
+    * moments coincide by symmetry, so no sqrt is even needed.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("d")).as("sx"),
+        sum(col("d") * col("d")).as("qx"),
+        sum(col("d") * col("dv")).as("sxy"))
+      .select(col("n_dir_edges"),
+        // NULL on degree-regular graphs (variance 0 — the estimator is
+        // undefined, and ANSI-mode Divide throws rather than NaN-ing)
+        when(col("n_dir_edges") * col("qx") - col("sx") * col("sx") =!= 0L,
+          (col("n_dir_edges") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (col("n_dir_edges") * col("qx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Per-node CLUSTERING COEFFICIENT (how close each node's
     * neighborhood is to a clique — the local community-density score
     * next to [[triangleCount]]'s global census): cc = 2·t(v) / (d(v)·

@@ -99,6 +99,13 @@ object GraphQueries {
       Graph.bfs(edges, seeds, "node", maxDepth = 3).orderBy(col("node"))
     }),
 
+    // DEGREE ASSORTATIVITY (Newman 2002): one number — do high-degree
+    // suppliers co-supply with each other (r > 0) or with the fringe
+    // (r < 0)? Exact bigint moments, one double division (symmetry
+    // kills the sqrt); see Graph.degreeAssortativity
+    "q_graph_assortativity" -> ((s: SparkSession, d: String) =>
+      Graph.degreeAssortativity(coSupply(s, d))),
+
     // PER-NODE CLUSTERING COEFFICIENT: 2·t(v)/(d(v)(d(v)−1)) in
     // floor-ppm over the co-supply graph — the local density census
     // from the SAME O(m^1.5) degree-ordered wedge pass as
@@ -155,6 +162,20 @@ object GraphQueries {
        |  WHERE s1 IN (SELECT n FROM n$i) AND s2 IN (SELECT n FROM n$i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      s"""$edgeCte,
+         |sym AS (SELECT s1 AS u, s2 AS v FROM g UNION ALL SELECT s2, s1 FROM g),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(du.d) AS BIGINT) AS sx,
+         |        CAST(SUM(du.d * du.d) AS BIGINT) AS qx,
+         |        CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy
+         |      FROM sym JOIN deg du ON sym.u = du.u JOIN deg dv ON sym.v = dv.u)
+         |SELECT n AS n_dir_edges,
+         |  CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * qx - sx * sx AS DOUBLE)
+         |    AS assortativity
+         |FROM m""".stripMargin,
+
     "q_graph_clustering" ->
       s"""$edgeCte,
          |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree

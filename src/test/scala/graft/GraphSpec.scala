@@ -109,6 +109,22 @@ class GraphSpec extends SparkSpec {
     assert(c6 == c5, "6 peel rounds must be a fixpoint at this scale")
   }
 
+  test("degreeAssortativity: star is maximally disassortative, cycle is degree-regular") {
+    import spark.implicits._
+    // star 0-{1,2,3,4}: every edge pairs degree 4 with degree 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s1", "s2")
+    val rStar = Graph.degreeAssortativity(star)
+      .select("assortativity").as[Double].collect()(0)
+    assert(rStar == -1.0, s"star r = $rStar")
+    // 4-cycle: all degrees equal -> zero variance -> NULL (the
+    // estimator is undefined on regular graphs; ANSI Divide would
+    // throw, so the op guards explicitly)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("s1", "s2")
+    val rCyc = Graph.degreeAssortativity(cyc)
+      .select("assortativity").collect()(0)
+    assert(rCyc.isNullAt(0), s"cycle r = $rCyc")
+  }
+
   test("pageRank: 25 iterations complete with bounded plan depth (lineage truncation)") {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val und = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
