@@ -132,6 +132,32 @@ object FunnelQueries {
         .orderBy(col("cum_share"))
     }),
 
+    // GINI CONCENTRATION COEFFICIENT of supplier revenue (the single
+    // number q_pareto's cumulative-share curve summarizes): with
+    // revenue exact in floor-milli longs and ascending rank by
+    // (revenue, suppkey), G = (2·Σr·x − (n+1)·Σx)/(n·Σx) — every sum a
+    // bigint (Σr·x ≲ 5·10¹⁷ at sf1 supplier counts; DECIMAL(38) past
+    // that), ONE double division at the end. The rank window runs over
+    // the supplier-count relation, never the fact table
+    "q_agg_gini" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val rev = scan(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1000.0)
+          .cast(DecimalType(38, 0))).cast("long").as("rev_milli"))
+      rev
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("rev_milli").asc, col("l_suppkey").asc)).cast("long"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_milli")).as("total_rev_milli"),
+          sum(col("r") * col("rev_milli")).as("srx"))
+        .select(col("n_suppliers"), col("total_rev_milli"),
+          ((lit(2L) * col("srx") - (col("n_suppliers") + 1L) * col("total_rev_milli"))
+            .cast("double")
+            / (col("n_suppliers") * col("total_rev_milli")).cast("double")).as("gini"))
+    }),
+
     // MARKET-BASKET association mining (Agrawal 1994's support/lift,
     // minus the apriori iteration — pairs only): brand pairs bought in
     // the same order, with ppm support and lift. The pair expansion is
@@ -325,6 +351,24 @@ object FunnelQueries {
          |     + (sxx1 / n1 - (sx1 / n1) * (sx1 / n1)) / n1) AS z_score
          |FROM a""".stripMargin
     },
+    "q_agg_gini" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000.0)
+        |      AS DECIMAL(38,0))) AS BIGINT) AS rev_milli
+        |  FROM lineitem GROUP BY l_suppkey),
+        |rk AS (SELECT rev_milli,
+        |         CAST(row_number() OVER (ORDER BY rev_milli ASC, l_suppkey ASC) AS BIGINT) AS r
+        |       FROM rev),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |        CAST(SUM(rev_milli) AS BIGINT) AS total_rev_milli,
+        |        CAST(SUM(r * rev_milli) AS BIGINT) AS srx
+        |      FROM rk)
+        |SELECT n_suppliers, total_rev_milli,
+        |  CAST(2 * srx - (n_suppliers + 1) * total_rev_milli AS DOUBLE)
+        |    / CAST(n_suppliers * total_rev_milli AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
+
     "q_pareto" ->
       s"""WITH rev AS (SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
          |             FROM lineitem GROUP BY l_suppkey),
