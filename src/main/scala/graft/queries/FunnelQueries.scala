@@ -158,6 +158,31 @@ object FunnelQueries {
             / (col("n_suppliers") * col("total_rev_milli")).cast("double")).as("gini"))
     }),
 
+    // HERFINDAHL–HIRSCHMAN INDEX (the antitrust concentration number;
+    // Gini above measures inequality of the distribution, HHI measures
+    // dominance): HHI = Σ(revᵢ/Σrev)². Squares of milli-long revenues
+    // overflow int64, so each factor casts to DECIMAL(19,0) and the
+    // product/sum stay exact decimals (19+19 ≤ 38 digits on BOTH
+    // engines — DuckDB rejects a 38×38 product outright); the two
+    // divisions at the end are one fixed double expression. Also emits
+    // 1/HHI — the "effective number of competitors"
+    "q_agg_hhi" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.DecimalType
+      val rev = scan(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1000.0)
+          .cast(DecimalType(38, 0))).cast("long").as("rev_milli"))
+      rev.agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_milli")).as("sx"),
+          sum(col("rev_milli").cast(DecimalType(19, 0))
+            * col("rev_milli").cast(DecimalType(19, 0))).as("sq"))
+        .select(col("n_suppliers"),
+          (col("sq").cast("double")
+            / (col("sx").cast("double") * col("sx").cast("double"))).as("hhi"),
+          ((col("sx").cast("double") * col("sx").cast("double"))
+            / col("sq").cast("double")).as("effective_n"))
+    }),
+
     // MARKET-BASKET association mining (Agrawal 1994's support/lift,
     // minus the apriori iteration — pairs only): brand pairs bought in
     // the same order, with ppm support and lift. The pair expansion is
@@ -351,6 +376,21 @@ object FunnelQueries {
          |     + (sxx1 / n1 - (sx1 / n1) * (sx1 / n1)) / n1) AS z_score
          |FROM a""".stripMargin
     },
+    "q_agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000.0)
+        |      AS DECIMAL(38,0))) AS BIGINT) AS rev_milli
+        |  FROM lineitem GROUP BY l_suppkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |        CAST(SUM(rev_milli) AS BIGINT) AS sx,
+        |        SUM(CAST(rev_milli AS DECIMAL(19,0)) * CAST(rev_milli AS DECIMAL(19,0))) AS sq
+        |      FROM rev)
+        |SELECT n_suppliers,
+        |  CAST(sq AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hhi,
+        |  (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sq AS DOUBLE) AS effective_n
+        |FROM m""".stripMargin,
+
     "q_agg_gini" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
