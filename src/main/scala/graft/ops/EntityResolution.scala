@@ -240,32 +240,6 @@ object EntityResolution {
         col("merged_segment"), col("best_bal_cents"), col("n_records"))
   }
 
-  /** EDIT-DISTANCE SIMILARITY JOIN via q-gram prefix filtering (the
-    * Ed-Join family — Gravano et al. 2001's q-gram count bound, Xiao et
-    * al. VLDB'08's prefix filter): all pairs with levenshtein ≤ `d`,
-    * WITHOUT the N² cross join.
-    *
-    * Why it's sound: one edit destroys at most q of a string's
-    * positional q-grams, so ed(s,t) ≤ d ⟹ the gram MULTISETS differ by
-    * ≤ q·d elements per side ⟹ under ANY global total order on grams,
-    * the (q·d+1)-smallest grams of s and of t must share an element
-    * (the classic prefix-filter lemma with overlap bound
-    * τ = |G(s)| − q·d). Multisets become sets by tagging each gram with
-    * its occurrence index. The order used is (global frequency asc,
-    * gram) — rarest-first, which is also what makes it FAST: candidate
-    * volume is Σ over PREFIX grams of freq², and prefixes
-    * systematically avoid the hot grams ("Customer#" here, stopword
-    * shingles in a corpus) that would square a naive gram join.
-    *
-    * Contract: strings shorter than q·(d+1) chars have fewer than
-    * q·d+1 grams and are excluded (callers filter; at that length the
-    * residual cross join is metadata-scale anyway).
-    *
-    * Scale: gram census + rank join shuffle by gram (combinable
-    * counts), per-string prefix selection is one window by id, the
-    * candidate join touches only rare grams, and the final verify runs
-    * levenshtein on candidates only. No driver materialization.
-    */
   /** EDIT-DISTANCE SIMILARITY JOIN for d=1 via DELETION NEIGHBORHOODS
     * (FastSS, Bocek et al. 2007): ed(s,t) ≤ 1 ⟺ s and t share a member
     * of their 1-deletion families D(x) = {x} ∪ {x minus one char}
@@ -317,6 +291,32 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** EDIT-DISTANCE SIMILARITY JOIN via q-gram prefix filtering (the
+    * Ed-Join family — Gravano et al. 2001's q-gram count bound, Xiao et
+    * al. VLDB'08's prefix filter): all pairs with levenshtein ≤ `d`,
+    * WITHOUT the N² cross join.
+    *
+    * Why it's sound: one edit destroys at most q of a string's
+    * positional q-grams, so ed(s,t) ≤ d ⟹ the gram MULTISETS differ by
+    * ≤ q·d elements per side ⟹ under ANY global total order on grams,
+    * the (q·d+1)-smallest grams of s and of t must share an element
+    * (the classic prefix-filter lemma with overlap bound
+    * τ = |G(s)| − q·d). Multisets become sets by tagging each gram with
+    * its occurrence index. The order used is (global frequency asc,
+    * gram) — rarest-first, which is also what makes it FAST: candidate
+    * volume is Σ over PREFIX grams of freq², and prefixes
+    * systematically avoid the hot grams ("Customer#" here, stopword
+    * shingles in a corpus) that would square a naive gram join.
+    *
+    * Contract: strings shorter than q·(d+1) chars have fewer than
+    * q·d+1 grams and are excluded (callers filter; at that length the
+    * residual cross join is metadata-scale anyway).
+    *
+    * Scale: gram census + rank join shuffle by gram (combinable
+    * counts), per-string prefix selection is one window by id, the
+    * candidate join touches only rare grams, and the final verify runs
+    * levenshtein on candidates only. No driver materialization.
+    */
   def editJoin(records: DataFrame, idCol: String, strCol: String,
                d: Int, q: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

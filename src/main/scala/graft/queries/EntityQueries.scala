@@ -151,7 +151,8 @@ object EntityQueries {
   val oracleSql: Map[String, String] = Map(
     // the oracle is the NAIVE quadratic join the engine exists to avoid
     // — sound as ground truth at sf0.01 (1500² pairs), which is exactly
-    // why the prefix-filtered engine path is the one that ships
+    // why the blocked engine path (FastSS deletion neighborhoods,
+    // EntityResolution.deletionJoin) is the one that ships
     "q_er_editjoin" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer)
         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

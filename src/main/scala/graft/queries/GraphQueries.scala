@@ -204,8 +204,14 @@ object GraphQueries {
          |FROM (SELECT s1 AS n FROM e6 UNION ALL SELECT s2 FROM e6)
          |GROUP BY n ORDER BY node""".stripMargin,
 
+    // the hot-group cap (maxGroupSize = 100000) is mirrored definitionally:
+    // parts above the cap leave BOTH the degree census and the pair join,
+    // exactly as Graph.nodeJaccard's `keep` membership does — so engine and
+    // oracle stay identical even at scale factors where a part exceeds it
     "q_graph_jaccard" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      """WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |ok AS (SELECT p FROM ps0 GROUP BY p HAVING count(*) <= 100000),
+        |ps AS (SELECT ps0.p, ps0.s FROM ps0 JOIN ok ON ps0.p = ok.p),
         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY s),
         |pr AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
         |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s

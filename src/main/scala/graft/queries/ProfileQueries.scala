@@ -208,9 +208,10 @@ object ProfileQueries {
 
     // POISSON-BOOTSTRAP confidence interval (Chamandy 2012 — Google's
     // distributed bootstrap): 32 resamples of mean(acctbal) from ONE
-    // scan — per-row Poisson(1) weights come from the keyed-hash
-    // inverse-CDF threshold table (no resampling shuffle, no data
-    // movement; B weighted sums in one combinable aggregation), the CI
+    // scan — per-row Poisson(1) weights come from ONE keyed md5 per row
+    // (each resample's uniform is an integer remix of the shared hash)
+    // through the inverse-CDF threshold table (no resampling shuffle,
+    // no data movement; B weighted sums in one combinable aggregation), the CI
     // is the [2nd, 31st] order statistic of the 32 resample means.
     // Deterministic end-to-end: the thresholds are inlined into the
     // oracle, so the ERROR BAR itself is bit-exact reproducible
@@ -479,13 +480,19 @@ object ProfileQueries {
          |ORDER BY col_x, col_y""".stripMargin
     },
     "q_profile_bootstrap" -> {
-      val u = DedupQueries.sqlHex60Public(
-        "md5('boot1/' || bi::VARCHAR || ':' || c_custkey::VARCHAR)")
+      // ONE md5 per customer row (the r8 fix: was one per row×resample);
+      // per-resample uniforms come from Bootstrap.sqlRemix — the same
+      // constants and modulus the engine codegens
+      val u0 = DedupQueries.sqlHex60Public("md5('boot1:' || c_custkey::VARCHAR)")
       s"""WITH b AS (SELECT unnest(range(0, 32)) AS bi),
-         |w AS (SELECT bi,
-         |        CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
-         |        CAST(${graft.ops.Bootstrap.sqlWeightExpr(u)} AS BIGINT) AS w
-         |      FROM customer CROSS JOIN b),
+         |r AS (SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
+         |             CAST($u0 AS BIGINT) AS u FROM customer),
+         |u2 AS (SELECT bi, x,
+         |         CAST(${graft.ops.Bootstrap.sqlRemix("u", "bi")} AS BIGINT) AS ub
+         |       FROM r CROSS JOIN b),
+         |w AS (SELECT bi, x,
+         |        CAST(${graft.ops.Bootstrap.sqlWeightExpr("ub")} AS BIGINT) AS w
+         |      FROM u2),
          |m AS (SELECT bi, SUM(w) AS sw, SUM(w * x) AS swx FROM w GROUP BY bi),
          |s AS (SELECT list_sort(list(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))) AS means
          |      FROM m),

@@ -537,8 +537,11 @@ object WindowQueries {
 
     // CROSS-CORRELATION FUNCTION (lead–lag diagnostic: does 'view'
     // activity LEAD 'purchase' activity, and by how many days?):
-    // r_k = corr(x_t, y_{t+k}) for k ∈ −3..+3 over the aligned daily
-    // series (missing days coalesce to 0 on the shared spine). Same
+    // r_k = corr(x_t, y_{t+k}) for k ∈ −3..+3 over the OBSERVED daily
+    // series — lags shift by observed-row offset, not calendar days, so
+    // a day with zero events of both types (none exist in this data) is
+    // skipped rather than coalesced to 0; both engines share the
+    // convention. Same
     // exactness spine as q_ts_acf — both rational means scaled out, so
     // the lag-windowed numerator n²Σxy − n·Sy·ΣX_k − n·Sx·ΣY_k +
     // m_k·Sx·Sy and the full-series variance terms n²Q − n·S² are
@@ -798,7 +801,7 @@ object WindowQueries {
         |                 CAST(COUNT(*) AS BIGINT) AS cnt
         |               FROM events GROUP BY 1),
         |t AS (SELECT day, cnt,
-        |        CAST((CAST(day AS DATE) - DATE '1992-01-06') % 7 AS BIGINT) AS dow,
+        |        CAST(((CAST(day AS DATE) - DATE '1992-01-06') % 7 + 7) % 7 AS BIGINT) AS dow,
         |        CAST(SUM(cnt) OVER w AS BIGINT) AS t7,
         |        CAST(COUNT(*) OVER w AS BIGINT) AS nw
         |      FROM daily
