@@ -60,9 +60,15 @@ object Bench {
     // q_tpch, ...), which is exactly the sharing scope observed.
     // per run: (name, elapsed, succeeded) — a failed attempt's elapsed
     // must never become the query's benchmark number via the min below
+    // BENCH_FILTER (regex): family-scoped mid-session runs — the bench
+    // wall-clock budget protocol (SCALE.md §"Bench wall-clock budget").
+    // The driver sets no filter, so its per-round sweep stays full.
+    val nameFilter = sys.env.get("BENCH_FILTER").map(_.r)
     def runAll(): Seq[(String, Double, Boolean)] = {
       var lastFamily = ""
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+        .map { case (name, fn) =>
         if (familyClear && lastFamily.nonEmpty && family(name) != lastFamily)
           spark.catalog.clearCache()
         lastFamily = family(name)

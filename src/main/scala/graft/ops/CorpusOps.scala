@@ -566,9 +566,18 @@ object CorpusOps {
         out += ((r, p1, p2, cnt))
         // regex replace-all of the QUOTED literal — same left-to-right
         // non-overlapping scan as a plain replace on both engines
+        // per-round lazy localCheckpoint: a PRODUCTION train runs
+        // thousands of rounds, and without truncation round r's census
+        // evaluates r stacked regexp_replace projections (O(rounds²)
+        // total regex work) while the analyzer re-walks an ever-deeper
+        // plan — the same lineage-growth failure mode as Graph.kCore's
+        // iterated peel, fixed the same way. The checkpoint is
+        // vocabulary-sized and materializes inside the next round's
+        // census action (lazy), so it adds no extra job.
         cur = cur.select(col("c"), regexp_replace(col("s"),
           java.util.regex.Pattern.quote(s"$Sep$p1$Sep$Sep$p2$Sep"),
           s"$Sep$p1$p2$Sep").as("s"))
+          .localCheckpoint(false)
         r += 1
       }
     }

@@ -83,29 +83,9 @@ object Multimodal {
     */
   def decodePpm(rows: Iterator[MediaRow]): Iterator[ImageStats] = rows.map { r =>
     val b = r.payload
-    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
-      s"not a P6 PPM: media ${r.media_id}")
-    var i = 2
-    def skipWsAndComments(): Unit = {
-      var more = true
-      while (more) {
-        while (i < b.length && (b(i) == '\n' || b(i) == ' ' || b(i) == '\t' || b(i) == '\r')) i += 1
-        if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
-        else more = false
-      }
-    }
-    def readInt(): Int = {
-      skipWsAndComments()
-      require(i < b.length && b(i) >= '0' && b(i) <= '9',
-        s"bad PPM header at byte $i: media ${r.media_id}")
-      var v = 0
-      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
-      v
-    }
-    val w = readInt(); val h = readInt(); val mv = readInt()
-    i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
+    val (w, h, mv, off) = parsePpmHeader(b, r.media_id)
     val n = w.toLong * h
-    require(b.length - i >= n * 3, s"truncated PPM raster: media ${r.media_id}")
+    var i = off
     var (rs, gs, bs) = (0L, 0L, 0L)
     var p = 0L
     while (p < n) {
@@ -339,6 +319,141 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(decodeJpegHeader).toDF()
   }
+
+  /** Perceptual fingerprint of a decoded raster: 60-bit difference hash
+    * (dHash, the aHash/pHash family): sample an 11×6 grayscale grid by
+    * nearest-neighbor (gx(c) = ⌊c·w/11⌋, gy(r) = ⌊r·h/6⌋, gray = r+g+b
+    * — integer, no division), set bit r·10+c iff the cell right of
+    * (c, r) is strictly brighter. Robust to exactly what byte hashes are
+    * not: re-encoding, uniform brightness shift (adjacent COMPARISONS
+    * survive a constant offset), small local edits. 60 bits on purpose —
+    * the signature drops straight into [[Dedup.simhashPairs]]'s 15-bit
+    * chunk pigeonhole blocking (hamming ≤ 3 ⇒ a chunk matches), the
+    * image twin of the text near-dup tier.
+    */
+  final case class PpmPhash(media_id: Long, width: Int, height: Int, phash: Long)
+
+  /** Parse a P6 header: returns (width, height, maxval, raster offset).
+    * Shared by [[decodePpm]] and [[decodePpmPhash]].
+    */
+  private def parsePpmHeader(b: Array[Byte], mediaId: Long): (Int, Int, Int, Int) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"not a P6 PPM: media $mediaId")
+    var i = 2
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more) {
+        while (i < b.length && (b(i) == '\n' || b(i) == ' ' || b(i) == '\t' || b(i) == '\r')) i += 1
+        if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"bad PPM header at byte $i: media $mediaId")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
+    require(b.length - i >= w.toLong * h * 3, s"truncated PPM raster: media $mediaId")
+    (w, h, mv, i)
+  }
+
+  /** REAL byte-level PPM parse → 60-bit dHash. Same loud-failure
+    * contract and narrow mapPartitions seam as [[decodePpm]].
+    */
+  def decodePpmPhash(rows: Iterator[MediaRow]): Iterator[PpmPhash] = rows.map { r =>
+    val b = r.payload
+    val (w, h, _, off) = parsePpmHeader(b, r.media_id)
+    def gray(x: Int, y: Int): Int = {
+      val j = off + 3 * (y * w + x)
+      (b(j) & 0xff) + (b(j + 1) & 0xff) + (b(j + 2) & 0xff)
+    }
+    var hash = 0L
+    var rr = 0
+    while (rr < 6) {
+      val y = rr * h / 6
+      var c = 0
+      while (c < 10) {
+        if (gray((c + 1) * w / 11, y) > gray(c * w / 11, y))
+          hash |= 1L << (rr * 10 + c)
+        c += 1
+      }
+      rr += 1
+    }
+    PpmPhash(r.media_id, w, h, hash)
+  }
+
+  /** Perceptual-hash pipeline — the same narrow no-shuffle
+    * mapPartitions shape as [[extractImageStats]].
+    */
+  def extractPpmPhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePpmPhash).toDF()
+  }
+
+  /** Deterministic P6 fixture WITH PLANTED NEAR-DUPS for the perceptual
+    * tier: per source id, a base image (media_id = 2·id) and — for
+    * id % 4 = 0 — a perturbed twin (media_id = 2·id + 1), mirroring
+    * [[EntityResolution.dirtyRecords]]' clean/dirty construction so the
+    * pair output stays LINEAR in the corpus (planted twins), never
+    * quadratic (accidental identical content).
+    *
+    * Base: w = 12 + id%9, h = 8 + id%7 (≥ the 11×6 sampling grid);
+    * pixel row 0 encodes the id's low 20 bits as 0/255 stripes
+    * (byte j < 3w: 255·bit(⌊j/3⌋ % 20 of id)) — real photos are unique,
+    * and the id row is what keeps accidental hash collisions rare;
+    * remaining bytes follow (id·31 + j) mod 256. Twin: +8 mod 256 on
+    * scattered bytes (j % 37 = 0) BELOW row 0 — a handful of grid cells
+    * brighten slightly, so twins land a small Hamming distance from
+    * their base while the id row (and hence the blocking band) is
+    * untouched. Fully analytic: the oracle recomputes every hash bit
+    * from this formula without parsing a byte.
+    */
+  def syntheticPpmPairs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val w = 12 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val header = s"P6\n# synthetic-pair\n$w $h\n255\n".getBytes("US-ASCII")
+      def base(j: Int): Int =
+        if (j < 3 * w) (((id >> ((j / 3) % 20)) & 1L) * 255L).toInt
+        else ((id * 31 + j) % 256).toInt
+      val clean = Array.tabulate(w * h * 3)(j => base(j).toByte)
+      val rows = scala.collection.mutable.ArrayBuffer(
+        MediaRow(2 * id, "image/x-portable-pixmap", header ++ clean))
+      if (id % 4 == 0) {
+        val twin = Array.tabulate(w * h * 3) { j =>
+          if (j >= 3 * w && j % 37 == 0) ((base(j) + 8) % 256).toByte else base(j).toByte
+        }
+        rows += MediaRow(2 * id + 1, "image/x-portable-pixmap", header ++ twin)
+      }
+      rows
+    }.toDF()
+  }
+
+  /** Image NEAR-DUP candidate pairs over perceptual hashes: block on
+    * (width, height, grid-row-0 band = low 10 hash bits) composed into
+    * [[Dedup.simhashPairs]]' 15-bit chunk pigeonhole join, verify exact
+    * Hamming ≤ `maxHamming`. The band key is the documented web-scale
+    * pre-partition (SCALE.md / simhashPairs blockCols): same-looking
+    * images agree on dimensions and the top sampled row, and candidates
+    * only form within a block — the Σ(N_block²)/2^15 bound instead of
+    * N²/2^15. Semantics shrink accordingly (a pair differing in the
+    * row-0 band is by definition not a candidate), mirrored in the
+    * oracle.
+    */
+  def phashPairs(phashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      phashes.select(col("media_id").as("doc_id"), col("width"), col("height"),
+        (col("phash") % 1024L).as("band0"), col("phash").as("simhash")),
+      maxHamming, blockCols = Seq("width", "height", "band0"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and

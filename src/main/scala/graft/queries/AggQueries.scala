@@ -70,6 +70,29 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // exact WEIGHTED MEDIAN (weight = revenue cents): the smallest
+    // quantity whose cumulative weight reaches half the group total —
+    // the robust center the plain median misses when rows carry unequal
+    // mass. Exact-integer end to end: weights are cents, the cumulative
+    // runs over the (flag, qty) census (≤ 3×50 rows — windows over the
+    // CENSUS, never the fact table), pick = min qty with 2·cum ≥ total
+    "q_agg_wmedian" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("l_returnflag"))
+      g.withColumn("cw", sum(col("w")).over(cumW))
+        .withColumn("tw", sum(col("w")).over(totW))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("qty")).as("wmedian_qty"),
+          max(col("tw")).as("total_weight_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // exact MODE per group, deterministic tie-break (highest count, then
     // smallest value) as a struct-max — two map-side-combinable
     // aggregations, no window, no sort
@@ -329,6 +352,20 @@ object AggQueries {
         |  quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_agg_wmedian" ->
+      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, qty, w,
+        |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM g)
+        |SELECT l_returnflag, CAST(MIN(qty) AS BIGINT) AS wmedian_qty,
+        |  CAST(MAX(tw) AS BIGINT) AS total_weight_cents
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt

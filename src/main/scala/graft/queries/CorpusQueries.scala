@@ -225,9 +225,7 @@ object CorpusQueries {
     // the merge table, or decode hash-mismatches instead of mirroring
     "q_bpe_roundtrip" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
-      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = deepMerges(s, d)
       val enc = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
       docs.select(col("doc_id"))
         .join(enc, Seq("doc_id"), "left")
@@ -303,17 +301,27 @@ object CorpusQueries {
     "q_bpe_merge" -> ((s: SparkSession, d: String) =>
       CorpusOps.bpeTrain(scan(s, d, "documents"), "text", rounds = 3)),
 
-    // BPE ENCODE — the ship step of the tokenizer loop: train the 3-merge
-    // model (same deterministic loop as q_bpe_merge; the merge table is
-    // driver-side model metadata by construction), then apply it to every
+    // DEEP BPE TRAINING — the production-depth run of the q_bpe_merge
+    // loop: 50 greedy merge rounds (a real tokenizer runs thousands;
+    // see DeepRounds). Per-round lazy localCheckpoint keeps every
+    // round's census O(vocab) instead of O(round · vocab) — without it
+    // the train is quadratic in depth. ALWAYS retrains (never the memo):
+    // this is the training query, and its bench/scale numbers must carry
+    // the full loop cost — the consumers (encode/fertility/roundtrip)
+    // are the ones entitled to the trained-model memo
+    "q_bpe_train_deep" -> ((s: SparkSession, d: String) =>
+      CorpusOps.bpeTrain(scan(s, d, "documents"), "text", DeepRounds)
+        .orderBy(col("step"))),
+
+    // BPE ENCODE — the ship step of the tokenizer loop: apply the deep
+    // 50-merge model (same deterministic loop as q_bpe_train_deep; the
+    // merge table is driver-side model metadata by construction) to every
     // token instance. The merge chain runs once per DISTINCT word
     // (vocabulary-sized, codegen'd nested replaces); instances get their
     // id arrays via a broadcast join back to the (doc, rank, word) stream
     "q_bpe_encode" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
-      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = deepMerges(s, d)
       CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
@@ -324,15 +332,13 @@ object CorpusQueries {
     // TOKENIZER FERTILITY census (chars per token, by language) — the
     // dial every multilingual tokenizer ships with: a BPE trained on
     // this corpus compresses languages unevenly, and fertility is how
-    // you see it. Reuses the trained 3-merge model; per-doc char mass
+    // you see it. Reuses the trained deep model; per-doc char mass
     // comes from a shuffle-free HOF fold over the SAME eligible-word
     // stream ENCODE consumes (cheap length() in the lambda — nothing
     // hash-heavy, the q_mix_dsir lesson); floor-ppm ratio is integer
     "q_bpe_fertility" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
-      val merges = CorpusOps.bpeTrain(docs, "text", rounds = 3)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = deepMerges(s, d)
       val enc = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
         .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
       val chars = docs.select(col("doc_id"), col("lang"),
@@ -386,27 +392,50 @@ object CorpusQueries {
     * distinct vocabulary (vw), and the per-word merged symbol list
     * (encw) - used by the q_bpe_encode and q_bpe_fertility oracles.
     */
-  private lazy val bpeEncWordCtes: String = {
+  /** ENCODE-side CTEs for an `nMerges`-round model: the eligible word
+    * stream (wl/tk/tok), the distinct vocabulary (vw), and the per-word
+    * merged symbol list (encw) — the merge chain is `nMerges` nested
+    * replace() calls in rank order (innermost = rank 1, the same
+    * left-to-right greedy scan the engine codegens). Used by the
+    * q_bpe_encode and q_bpe_fertility oracles.
+    */
+  private def bpeEncWordCtes(nMerges: Int): String = {
     val S = BpeSep
+    val chain = (1 to nMerges).foldLeft(s"regexp_replace(w, '(.)', '$S\\1$S', 'g')") {
+      (acc, r) =>
+        s"replace($acc, '$S' || m$r.p1 || '$S$S' || m$r.p2 || '$S', '$S' || m$r.p1 || m$r.p2 || '$S')"
+    }
+    val tcols = (1 to nMerges).map(r => s"m$r.p1 || m$r.p2 AS t$r").mkString(",\n       ")
+    val froms = ("vw" +: (1 to nMerges).map(r => s"m$r")).mkString(", ")
     s"""wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
        |tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
        |tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk WHERE regexp_full_match(ws[pos], '[a-z]+')),
        |vw AS (SELECT DISTINCT w FROM tok),
        |encw AS (SELECT w,
-       |    string_split(trim(
-       |      replace(replace(replace(regexp_replace(w, '(.)', '$S\\1$S', 'g'),
-       |        '$S' || m1.p1 || '$S$S' || m1.p2 || '$S', '$S' || m1.p1 || m1.p2 || '$S'),
-       |        '$S' || m2.p1 || '$S$S' || m2.p2 || '$S', '$S' || m2.p1 || m2.p2 || '$S'),
-       |        '$S' || m3.p1 || '$S$S' || m3.p2 || '$S', '$S' || m3.p1 || m3.p2 || '$S'),
+       |    string_split(trim($chain,
        |      '$S'), '$S$S') AS syms,
-       |    m1.p1 || m1.p2 AS t1, m2.p1 || m2.p2 AS t2, m3.p1 || m3.p2 AS t3
-       |  FROM vw, m1, m2, m3)""".stripMargin
+       |    $tcols
+       |  FROM $froms)""".stripMargin
   }
 
-  private val bpeTrainCtes: String = {
+  /** The symbol-text -> token-id CASE chain over `encw.syms` elements —
+    * FIRST-wins in rank order, mirroring bpeEncodeIds' reverse.toMap.
+    */
+  private def bpeIdCaseSql(nMerges: Int): String =
+    s"CASE ${(1 to nMerges).map(r => s"WHEN y = t$r THEN ${26 + r}").mkString(" ")} " +
+      "ELSE ascii(y) - 96 END"
+
+  /** `rounds` training rounds as CTEs. Every v$r / pc$r / m$r is
+    * MATERIALIZED: v(r-1) is referenced twice per round (census + the
+    * merge replay) and pc$r twice (argmax + emptiness sentinel), so an
+    * inlined chain re-evaluates 2^rounds times — fine at 3 rounds,
+    * fatal at 50 (the k-core oracle's lesson, applied to the deep
+    * trainer).
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
     val SEP = BpeSep
     val base =
-      s"""v0 AS (
+      s"""v0 AS MATERIALIZED (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
          |    regexp_replace(w, '(.)', '$SEP\\1$SEP', 'g') AS s
          |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)
@@ -415,20 +444,43 @@ object CorpusQueries {
     def round(r: Int) =
       s"""sy$r AS (SELECT c, string_split(trim(s, '$SEP'), '$SEP$SEP') AS a FROM v${r - 1}),
          |px$r AS (SELECT c, a, unnest(range(1, len(a))) AS i FROM sy$r WHERE len(a) >= 2),
-         |pc$r AS (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
+         |pc$r AS MATERIALIZED (SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS cnt
          |         FROM px$r GROUP BY 1, 2),
-         |m$r AS ((SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1)
+         |m$r AS MATERIALIZED ((SELECT p1, p2, cnt FROM pc$r ORDER BY cnt DESC, p1, p2 LIMIT 1)
          |        UNION ALL
          |        (SELECT '', '', CAST(0 AS BIGINT)
          |         WHERE (SELECT count(*) FROM pc$r) = 0)),
-         |v$r AS (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
+         |v$r AS MATERIALIZED (SELECT c, replace(s, '$SEP' || m.p1 || '$SEP$SEP' || m.p2 || '$SEP',
          |                          '$SEP' || m.p1 || m.p2 || '$SEP') AS s
          |        FROM v${r - 1}, m$r m)""".stripMargin
-    s"""$base,
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}""".stripMargin
+    (base +: (1 to rounds).map(round)).mkString(",\n")
   }
+
+  /** The deep model's depth — a production tokenizer runs thousands of
+    * rounds; 50 is enough to exercise the iterated shape (lineage
+    * truncation, materialized oracle rounds, rank-ordered replay) well
+    * past where the 3-round demo could hide an O(rounds²) defect.
+    */
+  val DeepRounds = 50
+
+  /** Memoized deep-train replay per (dir, rounds): the merge table is
+    * driver-side MODEL METADATA (a few KB), and encode / fertility /
+    * roundtrip / train_deep all consume the same trained model — exactly
+    * like a real pipeline training once and shipping the tokenizer. The
+    * first q_bpe_* query in a run pays the training (the same
+    * first-query-pays convention as the dedup family's persisted
+    * pipelines); reruns against another dir (ScaleCurve's two sides)
+    * train their own.
+    */
+  private val trainCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, String, String, Long)]]
+  private def deepTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    trainCache.getOrElseUpdate((d, DeepRounds),
+      CorpusOps.bpeTrain(scan(s, d, "documents"), "text", DeepRounds)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+  private def deepMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    deepTrain(s, d).map(t => (t._2, t._3))
 
   val oracleSql: Map[String, String] = Map(
     "q_corpus_clean" -> {
@@ -752,7 +804,7 @@ object CorpusQueries {
     // /[a-z]+/ so it can never collide). replace() is left-to-right
     // non-overlapping on both engines = greedy BPE (CorpusOps.bpeTrain)
     "q_bpe_merge" ->
-      s"""WITH $bpeTrainCtes
+      s"""WITH ${bpeTrainCtes(3)}
          |SELECT * FROM (
          |  SELECT 1 AS step, p1 AS sym_left, p2 AS sym_right, cnt AS freq FROM m1
          |  UNION ALL SELECT 2, p1, p2, cnt FROM m2
@@ -760,16 +812,26 @@ object CorpusQueries {
          |WHERE sym_left <> ''
          |ORDER BY step""".stripMargin,
 
-    // ENCODE replay: retrain the same 3 merges (m1..m3 CTEs), then apply
-    // them per DISTINCT word in rank order (nested replace = the same
-    // left-to-right greedy scan) and map symbol text -> id with a
-    // FIRST-wins CASE chain, exactly as CorpusOps.bpeEncodeIds does
+    // DEEP-TRAIN replay: the same loop at DeepRounds depth — every
+    // round MATERIALIZED (an inlined chain re-evaluates 2^50 times),
+    // sentinel rounds past exhaustion filtered by sym_left <> ''
+    "q_bpe_train_deep" ->
+      s"""WITH ${bpeTrainCtes(DeepRounds)}
+         |SELECT * FROM (
+         |  SELECT 1 AS step, p1 AS sym_left, p2 AS sym_right, cnt AS freq FROM m1
+         |${(2 to DeepRounds).map(r => s"  UNION ALL SELECT $r, p1, p2, cnt FROM m$r").mkString("\n")})
+         |WHERE sym_left <> ''
+         |ORDER BY step""".stripMargin,
+
+    // ENCODE replay: retrain the same deep merge table (m1..m50 CTEs),
+    // then apply them per DISTINCT word in rank order (nested replace =
+    // the same left-to-right greedy scan) and map symbol text -> id with
+    // a FIRST-wins CASE chain, exactly as CorpusOps.bpeEncodeIds does
     "q_bpe_encode" ->
-      s"""WITH $bpeTrainCtes,
-         |$bpeEncWordCtes,
+      s"""WITH ${bpeTrainCtes(DeepRounds)},
+         |${bpeEncWordCtes(DeepRounds)},
          |eid AS (SELECT w, list_transform(syms, y -> CAST(
-         |    CASE WHEN y = t1 THEN 27 WHEN y = t2 THEN 28 WHEN y = t3 THEN 29
-         |         ELSE ascii(y) - 96 END AS VARCHAR)) AS ids FROM encw),
+         |    ${bpeIdCaseSql(DeepRounds)} AS VARCHAR)) AS ids FROM encw),
          |agg AS (SELECT t.doc_id, flatten(list(e.ids ORDER BY t.pos)) AS tids
          |        FROM tok t JOIN eid e USING (w) GROUP BY t.doc_id)
          |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
@@ -779,8 +841,8 @@ object CorpusQueries {
     // FERTILITY census replay: same retrain + per-word merge chain; only
     // the symbol COUNT per word matters, aggregated to the language
     "q_bpe_fertility" ->
-      s"""WITH $bpeTrainCtes,
-         |$bpeEncWordCtes,
+      s"""WITH ${bpeTrainCtes(DeepRounds)},
+         |${bpeEncWordCtes(DeepRounds)},
          |wtok AS (SELECT w, len(syms) AS n_sym FROM encw),
          |per AS (SELECT t.doc_id, CAST(SUM(s.n_sym) AS BIGINT) AS n_tokens,
          |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars

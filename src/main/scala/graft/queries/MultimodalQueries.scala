@@ -96,6 +96,46 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // PERCEPTUAL HASH over decoded rasters: real byte-level P6 parse →
+    // 60-bit dHash (11×6 nearest-neighbor grid, adjacent-brightness
+    // comparisons — Multimodal.decodePpmPhash). The fixture plants a
+    // perturbed twin per id%4=0 (EntityResolution.dirtyRecords pattern);
+    // the oracle recomputes every hash bit from the analytic formula
+    // WITHOUT parsing a byte, so a parser/sampling/bit-order bug cannot
+    // be mirrored
+    "q_multimodal_phash" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractPpmPhash(
+        Multimodal.syntheticPpmPairs(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // IMAGE NEAR-DUP pairs: the perceptual fingerprints above through
+    // the same 15-bit-chunk pigeonhole blocking the text tier uses
+    // (Dedup.simhashPairs), pre-partitioned on (width, height, row-0
+    // band) — candidates are Σ(N_block²)/2^15, output is linear in the
+    // planted twins. The media twin of q_dedup_simhash_blocked
+    "q_multimodal_neardup" -> ((s: SparkSession, d: String) => {
+      Multimodal.phashPairs(
+        Multimodal.extractPpmPhash(
+          Multimodal.syntheticPpmPairs(scan(s, d, "documents"), "doc_id")))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // IMAGE DEDUP CLUSTERS: the near-dup pairs resolved into components
+    // (Dedup.connectedComponents — min-label propagation, the same step
+    // the text tier runs in q_dedup_clusters) and censused per cluster.
+    // Pairs → clusters → keep-one is the complete media-dedup loop
+    "q_multimodal_dedup" -> ((s: SparkSession, d: String) => {
+      val pairs = Multimodal.phashPairs(
+        Multimodal.extractPpmPhash(
+          Multimodal.syntheticPpmPairs(scan(s, d, "documents"), "doc_id")))
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      graft.ops.Dedup.connectedComponents(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -108,7 +148,82 @@ object MultimodalQueries {
     })
   )
 
+  /** Fixture-formula byte value for the phash fixture at raster offset
+    * `j` (SQL, over columns id/tw/w): row 0 encodes id bits as 0/255
+    * stripes, the rest is (id·31 + j) mod 256, twins add 8 mod 256 on
+    * j % 37 = 0 below row 0 — Multimodal.syntheticPpmPairs verbatim.
+    */
+  private def ppmByteSql(j: String): String = {
+    val b = s"(CASE WHEN ($j) < 3 * w THEN ((id >> ((($j) // 3) % 20)) & 1) * 255" +
+      s" ELSE (id * 31 + ($j)) % 256 END)"
+    s"(CASE WHEN tw = 1 AND ($j) >= 3 * w AND ($j) % 37 = 0 THEN ($b + 8) % 256 ELSE $b END)"
+  }
+
+  /** Grayscale (r+g+b) of fixture pixel (`x`, `y`) — three byte pulls. */
+  private def ppmGraySql(x: String, y: String): String =
+    (0 to 2).map(o => ppmByteSql(s"3 * (($y) * w + ($x)) + $o")).mkString("(", " + ", ")")
+
+  /** The phash replay CTEs (media m, per-bit bits, per-media ph) shared
+    * by the q_multimodal_phash and q_multimodal_neardup oracles.
+    */
+  private val phashCtes: String =
+    s"""m AS (SELECT doc_id AS id, tw,
+       |        CAST(12 + doc_id % 9 AS BIGINT) AS w,
+       |        CAST(8 + doc_id % 7 AS BIGINT) AS h
+       |      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS tw) t
+       |      WHERE tw = 0 OR doc_id % 4 = 0),
+       |bits AS (SELECT id, tw, w, h, rr.x AS rr, c.x AS c,
+       |    CASE WHEN ${ppmGraySql("((c.x + 1) * w) // 11", "(rr.x * h) // 6")}
+       |            > ${ppmGraySql("(c.x * w) // 11", "(rr.x * h) // 6")}
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM m CROSS JOIN (SELECT unnest(range(0, 6)) AS x) rr
+       |         CROSS JOIN (SELECT unnest(range(0, 10)) AS x) c),
+       |ph AS (SELECT id, tw, w, h,
+       |         CAST(SUM(CAST(bit AS BIGINT) << CAST(rr * 10 + c AS INT)) AS BIGINT) AS phash
+       |       FROM bits GROUP BY id, tw, w, h)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_phash" ->
+      s"""WITH $phashCtes
+         |SELECT 2 * id + tw AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, phash
+         |FROM ph ORDER BY media_id""".stripMargin,
+
+    // the cluster membership (keep-one survivor = the cluster label, a
+    // min-label component invariant) replayed as a recursive reach over
+    // the formula pairs — q_corpus_clean's CC oracle pattern
+    "q_multimodal_dedup" ->
+      s"""WITH RECURSIVE $phashCtes,
+         |pairsq AS (
+         |  SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b
+         |  FROM ph a JOIN ph b
+         |    ON a.w = b.w AND a.h = b.h AND a.phash % 1024 = b.phash % 1024
+         |    AND 2 * a.id + a.tw < 2 * b.id + b.tw
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |edges AS (SELECT media_a AS a, media_b AS b FROM pairsq
+         |          UNION SELECT media_b, media_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |clusters AS (SELECT src AS media_id, least(src, MIN(dst)) AS cluster
+         |             FROM reach GROUP BY src)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |FROM clusters GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // blocked-candidate semantics mirrored definitionally: same (w, h),
+    // same low-10-bit band, Hamming <= 3 — the chunk pigeonhole the
+    // engine joins on is exhaustive within that contract
+    "q_multimodal_neardup" ->
+      s"""WITH $phashCtes
+         |SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM ph a JOIN ph b
+         |  ON a.w = b.w AND a.h = b.h AND a.phash % 1024 = b.phash % 1024
+         |  AND 2 * a.id + a.tw < 2 * b.id + b.tw
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "q_multimodal_features" -> {
       val embExprs = (0 until 8).map { i =>
         s"""  CAST((strpos('0123456789abcdef', substring(hex, ${2 * i + 1}, 1)) - 1) * 16

@@ -136,6 +136,28 @@ object TextQueries {
         .limit(30)
     }),
 
+    // VOCABULARY COVERAGE census (the tokenizer-sizing curve's
+    // operating point): fraction of token instances covered by the
+    // top-1000 corpus words, per language — the number that says how
+    // big a closed vocabulary must be before OOV stops dominating a
+    // language. Census → total-order top-1000 (count desc, word asc:
+    // the rank-1000 boundary is deterministic) → broadcast semi-probe
+    // of the instance stream → per-lang floor-ppm ratio, all integer
+    "q_text_vocab_coverage" -> ((s: SparkSession, d: String) => {
+      val toks = scan(s, d, "documents")
+        .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(1000)
+        .select(col("w"), lit(1L).as("__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_covered"))
+        .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // COUNT-MIN SKETCH, computed relationally and EXACTLY deterministic:
     // each of 3 hash rows buckets every token into 64 cells; a cell is an
     // order-independent SUM, and a token's estimate is the MIN over its 3
@@ -435,6 +457,18 @@ object TextQueries {
          |SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
+
+    "q_text_vocab_coverage" ->
+      raw"""WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |           FROM documents),
+           |tt AS (SELECT lang, w FROM t WHERE w <> ''),
+           |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tt GROUP BY w
+           |                     ORDER BY c DESC, w ASC LIMIT 1000))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           |  CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS coverage_ppm
+           |FROM tt GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_label_noise" ->
       s"""WITH $langidCtes,

@@ -102,6 +102,26 @@ object StreamOps {
       spark.table(name)
     }
 
+  /** LATE-DATA DROP AUDIT: total rows discarded by the watermark across
+    * a query's recorded progress — the observability counter a
+    * production ingest alerts on (rows silently outside the lateness
+    * SLA are data loss, and "how many" is the first question). Reads
+    * `StateOperatorProgress.numRowsDroppedByWatermark` over
+    * `recentProgress`; callers audit per-lifetime (bounded runs) or
+    * per-window of the progress ring. UNITS: the metric counts rows
+    * entering the STATE OPERATOR — for windowed aggregation that is
+    * post-partial-aggregation window partials (N events collapsing
+    * into one late window count once), for dedup/joins it is raw rows.
+    * An events-dropped SLA over an agg therefore needs the count read
+    * as "late (key, window) groups". Summing across operators is
+    * correct for linear plans (one stateful op); a multi-stateful plan
+    * counts each operator's drops — still "rows the watermark
+    * discarded", just not deduplicated across stages.
+    */
+  def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+      .map(_.numRowsDroppedByWatermark).sum
+
   /** Scope `spark.sql.shuffle.partitions` to the streaming setting for
     * the duration of `body` (which must start AND drain its query). */
   def withStreamParallelism[T](spark: SparkSession)(body: => T): T = {

@@ -82,6 +82,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain deep: 30 rounds stay well-formed — freqs non-increasing, every side a known symbol") {
+    val docs = graft.engine.QueryBuilder.scan(spark, sf001, "documents")
+    val out = CorpusOps.bpeTrain(docs, "text", rounds = 30)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1 to 30), "steps must be consecutive (no premature exhaustion)")
+    // classic BPE invariant: the chosen pair count never increases round
+    // to round (a freshly minted pair (ab,c) inherits at most (b,c)'s
+    // count; existing pairs only lose occurrences)
+    assert(out.sliding(2).forall { case Array(a, b) => b._4 <= a._4 },
+      s"merge freqs increased: ${out.map(_._4).toSeq}")
+    // every merge side is a single char or a previously minted symbol —
+    // the merge table is a valid derivation chain (what encode replays)
+    val known = scala.collection.mutable.Set.empty[String] ++ ('a' to 'z').map(_.toString)
+    out.foreach { case (step, p1, p2, _) =>
+      assert(known(p1) && known(p2), s"step $step merges unknown symbol ($p1, $p2)")
+      known += p1 + p2
+    }
+  }
+
   test("bpeDecodeText inverts bpeEncodeIds; unknown ids decode to empty, not garbage") {
     val merges = Seq(("t", "h"), ("th", "e"))
     val out = Seq("the", "tht").toDF("w")

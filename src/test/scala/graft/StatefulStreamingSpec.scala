@@ -145,6 +145,51 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(removed > 0, "state store never evicted a row")
   }
 
+  test("watermark late-data audit: dropped rows are counted and excluded, on-time windows intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long] // event-time seconds
+
+    val agg = input.toDF().toDF("sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("w_start"), col("n"))
+
+    val q = agg.writeStream
+      .format("memory").queryName("mem_late_audit")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // batch 1: minutes 36000(×2), 36060, 36540 → watermark 36540-300 = 36240
+    input.addData(36000L, 36010L, 36060L, 36540L)
+    q.processAllAvailable()
+    // batch 2: THREE late windows (34800/35100/35400 — each window end
+    // < 36240) → dropped and COUNTED. Distinct windows on purpose: the
+    // metric counts STATE-OPERATOR input rows, i.e. post-partial-
+    // aggregation window partials, not raw events — three events in one
+    // late window would count once (see droppedByWatermark's doc). One
+    // on-time row at 36300; one at 37800 advances the watermark to 37500
+    input.addData(34800L, 35100L, 35400L, 36300L, 37800L)
+    q.processAllAvailable()
+    // batch 3: advance the watermark to 39300 so every surviving window
+    // (incl. 37800's) flushes in append mode
+    input.addData(39600L)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(StreamOps.droppedByWatermark(q) == 3L,
+      s"expected exactly the 3 late rows counted, got ${StreamOps.droppedByWatermark(q)}")
+    val out = spark.table("mem_late_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // late rows excluded: no late window resurrected, on-time intact
+    assert(Seq(34800L, 35100L, 35400L).forall(!out.contains(_)),
+      s"late window materialized: $out")
+    assert(out == Map(36000L -> 2L, 36060L -> 1L, 36540L -> 1L,
+      36300L -> 1L, 37800L -> 1L), s"window counts wrong: $out")
+  }
+
   test("custom-state sessions identical on HDFS-backed and RocksDB state stores") {
     // flatMapGroupsWithState keeps arbitrary user state — pin that the
     // large-state backend (RocksDB, spills to disk) produces the exact
