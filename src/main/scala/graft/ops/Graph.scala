@@ -308,4 +308,35 @@ object Graph {
     }
     best
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007, made deterministic): labels start as node ids; each round
+    * every node adopts the most frequent label among its NEIGHBORS'
+    * previous-round labels, ties broken toward the smallest label (the
+    * async random-order variant is irreproducible — the sync sweep with
+    * a total tie order is what a regression-tested pipeline wants).
+    *
+    * Scale shape: each round is one edge-sized join against the
+    * node-sized label relation + two combinable aggregations (the mode
+    * rides a struct-max, never a window); per-round localCheckpoint
+    * truncates the lineage like [[kCore]]. The oracle replays rounds as
+    * MATERIALIZED CTEs for the same inlining-blowup reason.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+      .scopedPersist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+      labels = nb.groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

@@ -82,6 +82,21 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // EXACT set-similarity join (PPJoin, lossless): shingle-set Jaccard
+    // >= 1/2 with the tau-DERIVED prefix length (m − ⌈τm⌉ + 1) — unlike
+    // q_dedup_prefix's fixed-6 heuristic, the prefix lemma GUARANTEES
+    // every qualifying pair is found; and unlike q_dedup_minhash,
+    // recall is 1 by construction. tau rides as an exact rational so
+    // every threshold test is an integer cross-multiplication; tokens
+    // travel as 60-bit shingle hashes while the oracle keeps raw
+    // strings (collision ⇒ loud mismatch, the q_text_cms convention)
+    "q_dedup_ppjoin" -> ((s: SparkSession, d: String) =>
+      Dedup.ppJoin(
+          Dedup.hashedShingleTable(scan(s, d, "documents"), "doc_id", "text")
+            .select(col("doc_id"), col("sh").as("w")).distinct(),
+          tauNum = 1, tauDen = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // PREFIX-FILTER near-dup (PPJoin family): candidates share one of
     // each doc's 6 globally-rarest shingles, then exact-Jaccard verify —
     // the third independent blocking strategy next to banding (minhash)
@@ -844,6 +859,24 @@ object DedupQueries {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
          |             JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle is the NAIVE inverted-index join over ALL shared RAW
+    // shingles (no prefix filter, no hashing) — sound ground truth
+    // precisely because the engine's prefix filter claims losslessness
+    // and its hashes claim collision-freedom; either bug hash-mismatches
+    // instead of mirroring
+    "q_dedup_ppjoin" ->
+      s"""WITH $shingleCtes,
+         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(ma.m + mb.m - inter AS BIGINT) AS uni,
+         |  CAST(inter * 1000000 // (ma.m + mb.m - inter) AS BIGINT) AS jaccard_ppm
+         |FROM ip JOIN m ma ON ma.doc_id = doc_a JOIN m mb ON mb.doc_id = doc_b
+         |WHERE inter * 2 >= (ma.m + mb.m - inter) * 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->

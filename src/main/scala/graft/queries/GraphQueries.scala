@@ -122,6 +122,15 @@ object GraphQueries {
     "q_graph_kcore" -> ((s: SparkSession, d: String) =>
       Graph.kCore(coSupply(s, d), k = 10L, rounds = 6).orderBy(col("node"))),
 
+    // COMMUNITY DETECTION: 4 synchronous label-propagation rounds over
+    // the co-supply graph — deterministic LPA (mode of neighbor labels,
+    // ties to the smallest; the async variant is irreproducible). Each
+    // round = one edge-sized join + two combinable aggs; the struct-max
+    // mode avoids any window over the edge relation
+    "q_graph_lpa" -> ((s: SparkSession, d: String) =>
+      Graph.labelPropagation(coSupply(s, d), rounds = 4)
+        .orderBy(col("node"))),
+
     // LINK-PREDICTION census: Jaccard similarity of supplier part
     // portfolios (common-neighbors over the part↔supplier bipartite) —
     // the "suppliers most like this one" score. Top 50 by similarity,
@@ -161,7 +170,27 @@ object GraphQueries {
        |  SELECT s1, s2 FROM e$i
        |  WHERE s1 IN (SELECT n FROM n$i) AND s2 IN (SELECT n FROM n$i))""".stripMargin
 
+  /** One sync-LPA round as SQL (MATERIALIZED: l${r-1} is referenced by
+    * the census join; inlined chains re-evaluate exponentially — the
+    * peelRound lesson). Mode = row_number over (count desc, label asc).
+    */
+  private def lpaRound(r: Int): String =
+    s"""nb$r AS (SELECT s.u, l.label, CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM sym s JOIN l${r - 1} l ON l.node = s.v GROUP BY s.u, l.label),
+       |l$r AS MATERIALIZED (
+       |  SELECT u AS node, label FROM (
+       |    SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+       |    FROM nb$r) WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_graph_lpa" ->
+      s"""$edgeCte,
+         |sym AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM g
+         |                     UNION ALL SELECT s2, s1 FROM g),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${(1 to 4).map(lpaRound).mkString(",\n")}
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin,
+
     "q_graph_assortativity" ->
       s"""$edgeCte,
          |sym AS (SELECT s1 AS u, s2 AS v FROM g UNION ALL SELECT s2, s1 FROM g),

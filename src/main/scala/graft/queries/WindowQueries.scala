@@ -211,6 +211,36 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // CHANGEPOINT DETECTION (binary-segmentation first split, the
+    // CUSUM-argmax form): per event type, the day t maximizing
+    // |n·pre_t − t·S| — the n-scaled cumulative deviation from the
+    // series mean, whose argmax is the classic single-changepoint
+    // estimator. Pure integers end to end (the ×n scaling clears the
+    // rational mean, magnitudes ≤ n_days·total_events ≪ 2^63), ties
+    // broken to the earliest day via a struct-max argmax — no second
+    // pass, no window over the fact table (day-grain census only)
+    "q_ts_changepoint" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val seq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("t", row_number().over(seq).cast("long"))
+        .withColumn("pre", sum(col("cnt")).over(run))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("s", sum(col("cnt")).over(tot))
+        .withColumn("c", col("n") * col("pre") - col("t") * col("s"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(abs(col("c")).as("absc"), (-col("t")).as("nt"),
+            col("day"), col("c"))).as("m"),
+          max(col("n")).as("n_days"))
+        .select(col("event_type"), col("m.day").as("change_day"),
+          col("m.c").as("c_scaled"), col("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // OHLC RESAMPLING (financial bars): per-day open/high/low/close of
     // order totals — open/close via min_by/max_by on the UNIQUE intraday
     // sequence key (o_orderkey), so the bar is deterministic on both
@@ -697,6 +727,27 @@ object WindowQueries {
         |SELECT day, cnt, mean, variance,
         |  (CAST(cnt AS DOUBLE) - mean) * (CAST(cnt AS DOUBLE) - mean) > 4.0 * variance AS is_spike
         |FROM m ORDER BY day""".stripMargin,
+
+    // argmax replay: same n-scaled integer deviation, row_number over
+    // (|c| desc, day asc) — the engine's struct-max tie order verbatim
+    "q_ts_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |        CAST(row_number() OVER sq AS BIGINT) AS t,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre,
+        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |      FROM daily
+        |      WINDOW sq AS (PARTITION BY event_type ORDER BY day)),
+        |c AS (SELECT event_type, day, n, CAST(n * pre - t * s AS BIGINT) AS c FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(c) DESC, day ASC) AS rn FROM c)
+        |SELECT event_type, day AS change_day, c AS c_scaled, n AS n_days
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q_ts_cusum" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

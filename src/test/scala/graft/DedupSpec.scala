@@ -63,6 +63,35 @@ class DedupSpec extends SparkSpec {
     assert(blocked.size < unblocked.size)
   }
 
+  test("ppJoin is LOSSLESS: equals brute-force Jaccard >= 3/5 on a crafted corpus") {
+    // near-dups (1,2), exact word-set dup (3,4 — different order/case),
+    // disjoint (5), and a doc sharing only stopword-ish common tokens (6)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "Delta GAMMA beta alpha"),
+      (5L, "totally unrelated content lives here"),
+      (6L, "the over a")).toDF("doc_id", "text")
+    def wordSet(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val sets = docs.collect().map(r => r.getLong(0) -> wordSet(r.getString(1))).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size; uni = (sets(a) | sets(b)).size
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    // word sets here (the crafted corpus is heterogeneous); the shipped
+    // query feeds shingle sets — ppJoin is generic over the token relation
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("w"))
+      .filter(col("w") =!= "")
+    val got = Dedup.ppJoin(toks, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute, s"ppJoin=$got brute=$brute")
+    assert(brute.exists { case (a, b, _, _) => (a, b) == (3L, 4L) },
+      "fixture lost its exact word-set dup")
+  }
+
   test("winnowing: coverage guarantee, density, and offset-invariant run detection") {
     // 40 distinct words → 37 4-gram positions per doc
     val words = (0 until 40).map(i => s"w$i").mkString(" ")

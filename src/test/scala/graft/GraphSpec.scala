@@ -125,6 +125,25 @@ class GraphSpec extends SparkSpec {
     assert(rCyc.isNullAt(0), s"cycle r = $rCyc")
   }
 
+  test("labelPropagation: two cliques with one bridge resolve to their min-node labels") {
+    import spark.implicits._
+    // clique {1,2,3} and clique {10,11,12}, bridged 3–10: sync LPA with
+    // min-label tie-break must settle each clique on its minimum node
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("s1", "s2")
+    val out = Graph.labelPropagation(edges, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
+      s"left clique mislabeled: $out")
+    assert(Seq(10L, 11L, 12L).map(out).distinct.size == 1,
+      s"right clique not one community: $out")
+    // deterministic: a rerun is bit-identical (the point of SYNC + total
+    // tie order vs classic async LPA)
+    val rerun = Graph.labelPropagation(edges, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun == out)
+  }
+
   test("pageRank: 25 iterations complete with bounded plan depth (lineage truncation)") {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val und = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
