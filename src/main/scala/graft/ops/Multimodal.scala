@@ -229,6 +229,126 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeWav).toDF()
   }
 
+  /** Audio perceptual fingerprint: 60-bit sign-of-energy-delta hash
+    * (the Haitsma–Kalker 2002 audio-fingerprint shape, collapsed to one
+    * band): samples split into 61 equal segments by the FORMULA
+    * seg(j) = ⌊j·61/n⌋ (the one definition both engines compute — floor
+    * boundaries and floor assignment disagree off-by-one otherwise),
+    * per-segment energy E_k = Σ s², bit k = E_{k+1} > E_k. Robust to
+    * gain-ish perturbations for the same reason dHash survives
+    * brightness: adjacent COMPARISONS, not absolute values. 60 bits on
+    * purpose — drops into [[Dedup.simhashPairs]]' chunk blocking, the
+    * audio twin of [[decodePpmPhash]].
+    */
+  final case class WavAfp(media_id: Long, n_samples: Long, afp: Long)
+
+  /** REAL RIFF walk → 60-bit audio fingerprint (mono 16-bit PCM, ≥ 61
+    * samples). Same loud-failure contract as [[decodeWav]].
+    */
+  def decodeWavAfp(rows: Iterator[MediaRow]): Iterator[WavAfp] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def id4(i: Int): String = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 12 && id4(0) == "RIFF" && id4(8) == "WAVE",
+      s"not a RIFF/WAVE payload: media ${r.media_id}")
+    var i = 12
+    var seenFmt = false
+    var nSamp = 0L
+    val energies = new Array[Long](61)
+    while (i + 8 <= b.length) {
+      val cid = id4(i); val szL = u32(i + 4)
+      val body = i + 8
+      require(szL <= b.length - body,
+        s"chunk '$cid' size $szL overruns payload: media ${r.media_id}")
+      val sz = szL.toInt
+      cid match {
+        case "fmt " =>
+          require(sz >= 16 && u16(body) == 1 && u16(body + 2) == 1 && u16(body + 14) == 16,
+            s"audio fingerprint needs mono 16-bit PCM: media ${r.media_id}")
+          seenFmt = true
+        case "data" =>
+          require(seenFmt, s"data chunk before fmt: media ${r.media_id}")
+          nSamp = sz.toLong / 2
+          require(nSamp >= 61, s"need >= 61 samples for the 61-segment hash: media ${r.media_id}")
+          var j = 0L
+          while (j < nSamp) {
+            val v = u16(body + 2 * j.toInt).toShort.toLong
+            energies((j * 61 / nSamp).toInt) += v * v
+            j += 1
+          }
+        case _ => // unknown chunk: skip body + pad
+      }
+      i = body + sz + (sz & 1)
+    }
+    require(nSamp > 0, s"no data chunk: media ${r.media_id}")
+    var hash = 0L
+    var k = 0
+    while (k < 60) {
+      if (energies(k + 1) > energies(k)) hash |= 1L << k
+      k += 1
+    }
+    WavAfp(r.media_id, nSamp, hash)
+  }
+
+  /** Fingerprint pipeline — same narrow mapPartitions seam. */
+  def extractWavAfp(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeWavAfp).toDF()
+  }
+
+  /** Deterministic mono-WAV fixture WITH PLANTED NEAR-DUPS (the audio
+    * twin of [[syntheticPpmPairs]]): per id, a base clip (media_id =
+    * 2·id; n = 600 + id%256 samples, sample j = ((id·37 + j·13) mod
+    * 4001) − 2000) and — for id % 4 = 0 — a twin (media_id = 2·id + 1)
+    * with +3 on every 101st sample at j ≥ ⌊11n/61⌋, i.e. OUTSIDE
+    * segments 0–10 — the twin's first eleven energies (hash bits 0–9,
+    * the blocking band) are untouched while a handful of later-segment
+    * comparisons may flip. Fully analytic for the oracle.
+    */
+  def syntheticWavPairs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val n = 600 + (id % 256).toInt
+      def build(twin: Boolean): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var j = 0
+        while (j < n) {
+          val base = (id * 37 + j.toLong * 13) % 4001 - 2000
+          val v = if (twin && j % 101 == 0 && j >= 11L * n / 61) base + 3 else base
+          bb.putShort(v.toShort)
+          j += 1
+        }
+        bb.array()
+      }
+      val rows = scala.collection.mutable.ArrayBuffer(
+        MediaRow(2 * id, "audio/wav", build(twin = false)))
+      if (id % 4 == 0) rows += MediaRow(2 * id + 1, "audio/wav", build(twin = true))
+      rows
+    }.toDF()
+  }
+
+  /** Audio near-dup candidate pairs — identical contract to
+    * [[phashPairs]]: block on (n_samples, low-10-bit band) composed
+    * into the 15-bit-chunk pigeonhole join, exact Hamming ≤ `maxHamming`
+    * verify, mirrored definitionally in the oracle.
+    */
+  def afpPairs(afps: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      afps.select(col("media_id").as("doc_id"), col("n_samples"),
+        (col("afp") % 1024L).as("band0"), col("afp").as("simhash")),
+      maxHamming, blockCols = Seq("n_samples", "band0"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Parsed JPEG header facts (metadata-only decode — dimensions come
     * from the SOF segment without touching entropy-coded data, the way
     * real ingest sizes images without a full decode).

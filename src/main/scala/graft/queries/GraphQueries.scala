@@ -131,6 +131,43 @@ object GraphQueries {
       Graph.labelPropagation(coSupply(s, d), rounds = 4)
         .orderBy(col("node"))),
 
+    // MODULARITY of the NATION partition (Newman-Girvan Q as an
+    // attribute-mixing gauge -- Newman 2003's discrete assortative
+    // mixing, the categorical twin of q_graph_assortativity): do
+    // same-nation suppliers co-supply more than a degree-preserving
+    // random graph predicts? EXACT: the float definition
+    // Q = SUM_c (e_c/m - (d_c/2m)^2) scaled by 4m^2 to pure integers --
+    // q_contrib = 4*m*e_c - d_c^2, so SUM q_contrib / (4m^2) = Q with
+    // zero float drift (magnitudes <= 4m^2 << 2^63). One broadcast dim
+    // join per endpoint + two combinable aggregations. (LPA's own
+    // partition is evaluated by q_graph_lpa; at this density LPA
+    // collapses to one community -- Q == 0 -- so the exogenous
+    // partition is the informative one.)
+    "q_graph_modularity" -> ((s: SparkSession, d: String) => {
+      val g = coSupply(s, d)
+      val nation = scan(s, d, "supplier")
+        .select(col("s_suppkey").as("node"), col("s_nationkey").as("community"))
+      val tot = g.agg(count(lit(1)).as("m_edges"))
+      val e = g
+        .join(broadcast(nation.select(col("node").as("s1"), col("community").as("ca"))), Seq("s1"))
+        .join(broadcast(nation.select(col("node").as("s2"), col("community").as("cb"))), Seq("s2"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
+      val sym = g.select(col("s1").as("u")).unionAll(g.select(col("s2").as("u")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      deg.join(broadcast(nation.select(col("node").as("u"), col("community"))), Seq("u"))
+        .groupBy(col("community"))
+        .agg(sum(col("d")).as("d_sum"), count(lit(1)).as("n_nodes"))
+        .join(e, Seq("community"), "left")
+        .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("q_contrib_scaled",
+          lit(4L) * col("m_edges") * col("e_intra") - col("d_sum") * col("d_sum"))
+        .select(col("community"), col("n_nodes"), col("e_intra"),
+          col("d_sum"), col("q_contrib_scaled"))
+        .orderBy(col("community"))
+    }),
+
     // LINK-PREDICTION census: Jaccard similarity of supplier part
     // portfolios (common-neighbors over the part↔supplier bipartite) —
     // the "suppliers most like this one" score. Top 50 by similarity,
@@ -190,6 +227,28 @@ object GraphQueries {
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
          |${(1 to 4).map(lpaRound).mkString(",\n")}
          |SELECT node, label FROM l4 ORDER BY node""".stripMargin,
+
+    // nation-partition modularity replay: identical 4m^2-scaled
+    // integer decomposition, nation from the supplier dim
+    "q_graph_modularity" ->
+      s"""$edgeCte,
+         |nat AS (SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS community
+         |        FROM supplier),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM g),
+         |e AS (SELECT na.community, CAST(COUNT(*) AS BIGINT) AS e_intra
+         |      FROM g JOIN nat na ON na.node = g.s1 JOIN nat nb ON nb.node = g.s2
+         |      WHERE na.community = nb.community GROUP BY na.community),
+         |sym AS (SELECT s1 AS u FROM g UNION ALL SELECT s2 FROM g),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+         |dc AS (SELECT n.community, CAST(SUM(deg.d) AS BIGINT) AS d_sum,
+         |         CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |       FROM deg JOIN nat n ON n.node = deg.u GROUP BY n.community)
+         |SELECT dc.community, dc.n_nodes,
+         |  CAST(COALESCE(e.e_intra, 0) AS BIGINT) AS e_intra, dc.d_sum,
+         |  CAST(4 * tot.m_edges * COALESCE(e.e_intra, 0) - dc.d_sum * dc.d_sum AS BIGINT)
+         |    AS q_contrib_scaled
+         |FROM dc LEFT JOIN e ON e.community = dc.community CROSS JOIN tot
+         |ORDER BY dc.community""".stripMargin,
 
     "q_graph_assortativity" ->
       s"""$edgeCte,

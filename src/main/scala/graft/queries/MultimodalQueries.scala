@@ -121,6 +121,28 @@ object MultimodalQueries {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // AUDIO PERCEPTUAL FINGERPRINT over decoded PCM: real RIFF walk →
+    // 61 segment energies (seg(j) = ⌊j·61/n⌋, the one formula both
+    // engines compute) → 60-bit sign-of-energy-delta hash
+    // (Haitsma–Kalker shape). Oracle recomputes every bit from the
+    // analytic sample formula WITHOUT parsing a byte
+    "q_multimodal_afp" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractWavAfp(
+        Multimodal.syntheticWavPairs(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // AUDIO NEAR-DUP pairs: the fingerprints above through the same
+    // 15-bit-chunk pigeonhole blocking as the image/text tiers,
+    // pre-partitioned on (n_samples, low-band); planted twins keep the
+    // output linear. The audio twin of q_multimodal_neardup
+    "q_multimodal_afp_pairs" -> ((s: SparkSession, d: String) => {
+      Multimodal.afpPairs(
+        Multimodal.extractWavAfp(
+          Multimodal.syntheticWavPairs(scan(s, d, "documents"), "doc_id")))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // IMAGE DEDUP CLUSTERS: the near-dup pairs resolved into components
     // (Dedup.connectedComponents — min-label propagation, the same step
     // the text tier runs in q_dedup_clusters) and censused per cluster.
@@ -182,7 +204,47 @@ object MultimodalQueries {
        |         CAST(SUM(CAST(bit AS BIGINT) << CAST(rr * 10 + c AS INT)) AS BIGINT) AS phash
        |       FROM bits GROUP BY id, tw, w, h)""".stripMargin
 
+  /** The audio-fingerprint replay CTEs (media mw, per-sample v with the
+    * twin perturbation, per-segment energies e, per-media afp hash) —
+    * shared by the q_multimodal_afp and q_multimodal_afp_pairs oracles.
+    */
+  private val afpCtes: String =
+    s"""mw AS (SELECT doc_id AS id, tw, CAST(600 + doc_id % 256 AS BIGINT) AS n
+       |       FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS tw) t
+       |       WHERE tw = 0 OR doc_id % 4 = 0),
+       |sj AS (SELECT id, tw, n, unnest(range(0, n)) AS j FROM mw),
+       |v AS (SELECT id, tw, n,
+       |        CAST((j * 61) // n AS BIGINT) AS seg,
+       |        CAST(CASE WHEN tw = 1 AND j % 101 = 0 AND j >= (11 * n) // 61
+       |             THEN (id * 37 + j * 13) % 4001 - 2000 + 3
+       |             ELSE (id * 37 + j * 13) % 4001 - 2000 END AS BIGINT) AS v
+       |      FROM sj),
+       |e AS (SELECT id, tw, n, seg, CAST(SUM(v * v) AS BIGINT) AS en
+       |      FROM v GROUP BY id, tw, n, seg),
+       |bits AS (SELECT a.id, a.tw, a.n, a.seg AS k,
+       |           CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+       |         FROM e a JOIN e b ON b.id = a.id AND b.tw = a.tw AND b.seg = a.seg + 1
+       |         WHERE a.seg < 60),
+       |afp AS (SELECT id, tw, n,
+       |          CAST(SUM(CAST(bit AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS afp
+       |        FROM bits GROUP BY id, tw, n)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_afp" ->
+      s"""WITH $afpCtes
+         |SELECT 2 * id + tw AS media_id, n AS n_samples, afp
+         |FROM afp ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_afp_pairs" ->
+      s"""WITH $afpCtes
+         |SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+         |FROM afp a JOIN afp b
+         |  ON a.n = b.n AND a.afp % 1024 = b.afp % 1024
+         |  AND 2 * a.id + a.tw < 2 * b.id + b.tw
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "q_multimodal_phash" ->
       s"""WITH $phashCtes
          |SELECT 2 * id + tw AS media_id, CAST(w AS INT) AS width,
