@@ -575,6 +575,137 @@ object Multimodal {
       maxHamming, blockCols = Seq("width", "height", "band0"))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
+  /** Parsed GIF container facts (metadata-only frame census — frame
+    * count, dimensions and total animation delay come from the block
+    * walk WITHOUT LZW-decoding any raster, the way real video ingest
+    * counts frames without decoding them).
+    */
+  final case class GifStats(media_id: Long, width: Int, height: Int,
+                            n_frames: Int, total_delay_cs: Long,
+                            n_extensions: Int)
+
+  /** REAL decoder for the GIF89a block stream (fourth public format —
+    * length-prefixed SUB-BLOCK chains, vs JPEG's u16-length segments
+    * and RIFF's u32 chunks): header + logical screen descriptor
+    * (little-endian u16 dims, global color table skipped by its packed
+    * size), then a block walk — extensions (Graphic Control Extension
+    * delays accumulated, others skipped sub-block by sub-block), image
+    * descriptors (local color tables skipped, LZW data sub-blocks
+    * skipped WITHOUT decoding, frames counted), trailer. Malformed
+    * payloads fail loudly like the other three decoders.
+    */
+  def decodeGif(rows: Iterator[MediaRow]): Iterator[GifStats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(b.length >= 13 && new String(b, 0, 6, "US-ASCII") == "GIF89a",
+      s"not a GIF89a payload: media ${r.media_id}")
+    val w = u16(6); val h = u16(8)
+    val packed = u8(10)
+    var i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1)) // GCT
+    var (frames, delay, exts) = (0, 0L, 0)
+    def skipSubBlocks(): Unit = {
+      var more = true
+      while (more) {
+        require(i < b.length, s"sub-block chain overruns payload: media ${r.media_id}")
+        val len = u8(i); i += 1
+        if (len == 0) more = false
+        else {
+          require(i + len <= b.length, s"sub-block overruns payload: media ${r.media_id}")
+          i += len
+        }
+      }
+    }
+    var done = false
+    while (!done) {
+      require(i < b.length, s"ran past payload before trailer: media ${r.media_id}")
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks
+          require(i + 2 <= b.length, s"truncated extension: media ${r.media_id}")
+          val label = u8(i + 1); i += 2
+          if (label == 0xf9) {
+            require(u8(i) == 4 && i + 6 <= b.length,
+              s"malformed GCE: media ${r.media_id}")
+            delay += u16(i + 2) // centiseconds, LE
+            i += 5 // block size byte + 4 payload bytes
+            require(u8(i) == 0, s"GCE missing terminator: media ${r.media_id}")
+            i += 1
+          } else skipSubBlocks()
+          exts += 1
+        case 0x2c => // image descriptor
+          require(i + 10 <= b.length, s"truncated image descriptor: media ${r.media_id}")
+          val ipacked = u8(i + 9); i += 10
+          if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 0x07) + 1)) // LCT
+          require(i < b.length, s"missing LZW min code size: media ${r.media_id}")
+          i += 1 // LZW minimum code size
+          skipSubBlocks()
+          frames += 1
+        case x => throw new IllegalArgumentException(
+          s"unknown GIF block 0x${x.toHexString} at byte $i: media ${r.media_id}")
+      }
+    }
+    GifStats(r.media_id, w, h, frames, delay, exts)
+  }
+
+  /** GIF pipeline — same narrow mapPartitions seam. */
+  def extractGifStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeGif).toDF()
+  }
+
+  /** Deterministic GIF89a fixture per id: w = 10 + id%50, h = 5 +
+    * id%30, frames = 1 + id%5 each preceded by a GCE with delay
+    * 2 + (id+f)%10 cs; a global color table (2^(1 + id%3) entries) when
+    * id is even, a per-frame LOCAL color table (2 entries) when id%5 =
+    * 0, a COMMENT extension when id%3 = 0 (so n_extensions = frames +
+    * [id%3=0]), and formula raster sub-blocks of 1 + (id+f)%7 bytes the
+    * parser must skip without decoding. Analytic, so the oracle
+    * recomputes every output WITHOUT parsing a byte.
+    */
+  def syntheticGif(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 10 + (id % 50).toInt
+      val h = 5 + (id % 30).toInt
+      val frames = 1 + (id % 5).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v); u8(v >> 8) } // little-endian
+      out.write("GIF89a".getBytes("US-ASCII"))
+      u16(w); u16(h)
+      val gctBits = (id % 3).toInt // GCT size field when present
+      u8(if (id % 2 == 0) 0x80 | gctBits else 0x00)
+      u8(0); u8(0) // bg color, aspect
+      if (id % 2 == 0) (0 until 3 * (1 << (gctBits + 1)))
+        .foreach(j => u8(((id + j) % 256).toInt))
+      if (id % 3 == 0) { // comment extension, two sub-blocks
+        u8(0x21); u8(0xfe)
+        u8(3); u8('h'); u8('i'); u8('!')
+        u8(1); u8('.')
+        u8(0)
+      }
+      (0 until frames).foreach { f =>
+        u8(0x21); u8(0xf9); u8(4) // GCE
+        u8(0); u16(2 + ((id + f) % 10).toInt); u8(0); u8(0)
+        u8(0x2c) // image descriptor
+        u16(0); u16(0); u16(w); u16(h)
+        val lct = id % 5 == 0
+        u8(if (lct) 0x80 else 0x00) // LCT size field 0 -> 2 entries
+        if (lct) (0 until 6).foreach(j => u8(((id * 7 + j) % 256).toInt))
+        u8(2) // LZW min code size
+        val dlen = 1 + ((id + f) % 7).toInt
+        u8(dlen); (0 until dlen).foreach(j => u8(((id + f + j) % 256).toInt))
+        u8(0) // sub-block terminator
+      }
+      u8(0x3b)
+      MediaRow(id, "image/gif", out.toByteArray)
+    }.toDF()
+  }
+
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and
     * rescales pixels here; the plumbing — binary in, smaller binary out,

@@ -158,6 +158,18 @@ object MultimodalQueries {
         .orderBy(col("cluster"))
     }),
 
+    // REAL animation-container decode: deterministic GIF89a streams
+    // (logical screen descriptor + color tables + GCE delays + COMMENT
+    // extensions + LZW data sub-blocks) walked by the genuine
+    // length-prefixed block parser (Multimodal.decodeGif) — the frame
+    // census a video ingest runs WITHOUT decoding rasters; the oracle
+    // recomputes frames/dims/delays from the fixture formula
+    "q_multimodal_gif" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractGifStats(
+        Multimodal.syntheticGif(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -372,6 +384,24 @@ object MultimodalQueries {
         |  doc_id % 3 = 0 AS is_progressive,
         |  CAST(2 + doc_id % 2 AS INT) AS n_skipped
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // formula replay: frames = 1 + id%5, delay per frame 2 + (id+f)%10
+    // summed over the frame range; extensions = frames GCEs + one
+    // COMMENT when id%3 = 0
+    "q_multimodal_gif" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(10 + doc_id % 50 AS INT) AS width,
+        |    CAST(5 + doc_id % 30 AS INT) AS height,
+        |    CAST(1 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(SUM(2 + (doc_id + fr) % 10) AS BIGINT) AS total_delay_cs
+        |      FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS fr FROM documents)
+        |      GROUP BY doc_id)
+        |SELECT f.doc_id AS media_id, f.width, f.height, f.n_frames,
+        |  d.total_delay_cs,
+        |  CAST(f.n_frames + CASE WHEN f.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_extensions
+        |FROM f JOIN d ON d.doc_id = f.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

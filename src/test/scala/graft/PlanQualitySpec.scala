@@ -182,6 +182,35 @@ class PlanQualitySpec extends SparkSpec {
       s"collocations rank joins should hash-join:\n${cPlan.take(2000)}")
   }
 
+  test("round-9 pair pipelines plan hash joins only — ppJoin, phash/afp near-dup, LPA, modularity") {
+    import graft.ops.{Dedup, Graph, Multimodal}
+    val docs = scan(spark, sf001, "documents")
+    val ppToks = Dedup.hashedShingleTable(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sh").as("w")).distinct()
+    val cases = Seq(
+      "ppJoin" -> Dedup.ppJoin(ppToks, 1, 2),
+      "phashPairs" -> Multimodal.phashPairs(
+        Multimodal.extractPpmPhash(Multimodal.syntheticPpmPairs(docs, "doc_id"))),
+      "afpPairs" -> Multimodal.afpPairs(
+        Multimodal.extractWavAfp(Multimodal.syntheticWavPairs(docs, "doc_id"))),
+      "labelPropagation" -> Graph.labelPropagation(
+        scan(spark, sf001, "lineitem")
+          .select((col("l_partkey") % 50).as("s1"), (col("l_suppkey") + 1000).as("s2"))
+          .filter(col("s1") < col("s2")), rounds = 2))
+    for ((name, df) <- cases) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"non-equi join in $name:\n${plan.take(2000)}")
+    }
+    // modularity's only nested-loop is the blessed 1-row m_edges cross
+    val mPlan = graft.queries.GraphQueries.queries("q_graph_modularity")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(!mPlan.contains("CartesianProduct"), mPlan.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(mPlan).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
+      s"modularity should cross only the 1-row total:\n${mPlan.take(2000)}")
+  }
+
   test("STL decomposition broadcasts the 7-row seasonal relation") {
     val plan = graft.queries.WindowQueries.queries("q_ts_stl")(spark, sf001)
       .queryExecution.executedPlan.toString()
