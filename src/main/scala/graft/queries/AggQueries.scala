@@ -93,6 +93,45 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ROBUST MEANS, exact: winsorized (values clamped to [p05, p95])
+    // and 5%-trimmed (outermost n div 20 ROWS cut on each side — ties
+    // handled by rank-interval overlap on the census, so the row count
+    // trimmed is exact, not value-class-approximate). Everything runs
+    // on the (flag, qty) CENSUS: nearest-rank percentiles are the
+    // smallest value with 20·cum ≥ n (resp. ≥ 19·n), per-class kept
+    // rows = |[cum−cnt, cum] ∩ [lo, hi]|, and the means leave integers
+    // only in the final milli-scaled division
+    "q_agg_robust" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("l_returnflag"))
+      val census = g.withColumn("cum", sum(col("cnt")).over(cumW))
+        .withColumn("n", sum(col("cnt")).over(totW))
+      val bounds = census.groupBy(col("l_returnflag"))
+        .agg(min(when(col("cum") * 20 >= col("n"), col("qty"))).as("p05"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("qty"))).as("p95"))
+      census.join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("lo", expr("n div 20"))
+        .withColumn("hi", col("n") - col("lo"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("hi")) - greatest(col("cum") - col("cnt"), col("lo"))))
+        .withColumn("clamped", greatest(col("p05"), least(col("qty"), col("p95"))))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          max(col("n")).as("n"),
+          sum(col("clamped") * col("cnt")).as("ws"),
+          sum(col("qty") * col("kept")).as("ts"),
+          sum(col("kept")).as("tn"))
+        .select(col("l_returnflag"), col("p05"), col("p95"), col("n"),
+          expr("ws * 1000 div n").as("winsor_milli"),
+          expr("ts * 1000 div tn").as("trim_milli"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // exact MODE per group, deterministic tie-break (highest count, then
     // smallest value) as a struct-max — two map-side-combinable
     // aggregations, no window, no sort
@@ -366,6 +405,31 @@ object AggQueries {
         |  CAST(MAX(tw) AS BIGINT) AS total_weight_cents
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_robust" ->
+      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |             CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM g),
+        |b AS (SELECT l_returnflag,
+        |        MIN(CASE WHEN cum * 20 >= n THEN qty END) AS p05,
+        |        MIN(CASE WHEN cum * 20 >= n * 19 THEN qty END) AS p95
+        |      FROM c GROUP BY l_returnflag),
+        |k AS (SELECT c.l_returnflag, c.qty, c.cnt, c.cum, c.n, b.p05, b.p95,
+        |        n // 20 AS lo, n - n // 20 AS hi
+        |      FROM c JOIN b USING (l_returnflag)),
+        |r AS (SELECT l_returnflag, p05, p95, n,
+        |        GREATEST(0, LEAST(cum, hi) - GREATEST(cum - cnt, lo)) AS kept,
+        |        GREATEST(p05, LEAST(qty, p95)) AS clamped, qty, cnt
+        |      FROM k)
+        |SELECT l_returnflag, CAST(MAX(p05) AS BIGINT) AS p05,
+        |  CAST(MAX(p95) AS BIGINT) AS p95, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(clamped * cnt) * 1000 // MAX(n) AS BIGINT) AS winsor_milli,
+        |  CAST(SUM(qty * kept) * 1000 // SUM(kept) AS BIGINT) AS trim_milli
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -158,4 +158,82 @@ class PropertySpec extends SparkSpec {
       assert(j.n_skipped == 2 + (id % 2).toInt)
     }
   }
+
+  test("ppJoin ≡ brute-force Jaccard on random corpora and thresholds (8 configs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rnd = new Random(2024)
+    val taus = Seq((1L, 2L), (3L, 5L), (7L, 10L), (1L, 4L))
+    (1 to 8).foreach { cfg =>
+      val vocab = (0 until 30).map(i => s"t$i")
+      // overlapping random token sets: each doc draws 3-12 tokens, with
+      // a shared "template" pool so some pairs land above tau
+      val template = rnd.shuffle(vocab).take(8)
+      val docs = (0 until 25).map { i =>
+        val own = rnd.shuffle(vocab).take(3 + rnd.nextInt(10))
+        val mixed = if (i % 3 == 0) (template ++ own.take(2)).distinct else own.distinct
+        (i.toLong, mixed)
+      }
+      val (tn, td) = taus(cfg % taus.length)
+      val toks = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("doc_id", "w")
+      val got = Dedup.ppJoin(toks, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val sets = docs.toMap.map { case (k, v) => k -> v.toSet }
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size.toLong
+        uni = (sets(a) | sets(b)).size.toLong
+        if inter * td >= uni * tn
+      } yield (a, b, inter, uni)).toSet
+      assert(got == want, s"config $cfg tau=$tn/$td: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("dHash invariances on random rasters: brightness shift exact, local edit near, deterministic") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaRow
+    val rnd = new Random(31337)
+    (1 to 6).foreach { _ =>
+      val w = 12 + rnd.nextInt(12); val h = 8 + rnd.nextInt(8)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(200))
+      def mk(id: Long, f: Int => Int) = MediaRow(id, "ppm",
+        s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+          Array.tabulate(w * h * 3)(j => f(j).toByte))
+      def hash(r: MediaRow) = Multimodal.decodePpmPhash(Iterator(r)).next().phash
+      val h0 = hash(mk(1, px))
+      assert(hash(mk(2, j => px(j) + 30)) == h0, s"brightness shift changed dHash ($w x $h)")
+      assert(hash(mk(3, px)) == h0, "dHash not deterministic")
+      val p = rnd.nextInt(w * h)
+      val edited = hash(mk(4, j => if (j / 3 == p) 255 else px(j)))
+      assert(java.lang.Long.bitCount(h0 ^ edited) <= 2, s"single-pixel edit flipped > 2 bits")
+    }
+  }
+
+  test("audio fingerprint gain invariance: doubling every sample preserves the hash (5 random clips)") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaRow
+    val rnd = new Random(777)
+    def wav(id: Long, samples: Array[Short]): MediaRow = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + 24 + 8 + 2 * n).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1).putInt(8000)
+        .putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(2 * n)
+      samples.foreach(bb.putShort)
+      MediaRow(id, "audio/wav", bb.array())
+    }
+    def afp(r: MediaRow) = Multimodal.decodeWavAfp(Iterator(r)).next().afp
+    (1 to 5).foreach { _ =>
+      val n = 200 + rnd.nextInt(400)
+      val s = Array.fill(n)((rnd.nextInt(4001) - 2000).toShort)
+      val base = afp(wav(1, s))
+      // 2x gain: every energy scales by 4, every comparison survives
+      assert(afp(wav(2, s.map(v => (v * 2).toShort))) == base,
+        "gain changed the fingerprint")
+      assert(afp(wav(3, s)) == base, "fingerprint not deterministic")
+    }
+  }
 }
