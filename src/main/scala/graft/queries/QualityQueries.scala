@@ -18,6 +18,48 @@ object QualityQueries {
     (1 to 9).map(d => d -> math.round(math.log10(1 + 1.0 / d) * 1e6))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LUHN-GATED card-number detection — the refinement that separates
+    // a real PII scanner from a digit-run regex (most 13-16 digit runs
+    // are ids, not cards; the Luhn mod-10 checksum is the standard
+    // false-positive gate). The checksum is one codegen'd HOF fold over
+    // the reversed digit string — pure integers, no UDF. Fixture: a
+    // synthetic 15-digit "card" per customer whose validity varies
+    // naturally with the key
+    "q_dq_luhn" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "customer")
+        .withColumn("msg", concat(lit("ref 4"),
+          lpad((col("c_custkey") * 7919 % 100000000000000L).cast("string"), 14, "0"),
+          lit(" end")))
+        .withColumn("card", regexp_extract(col("msg"), "[0-9]{13,16}", 0))
+        .withColumn("luhn_sum", expr(
+          """aggregate(sequence(1, length(card)), 0, (acc, i) -> acc +
+            |  CASE WHEN i % 2 = 1 THEN ascii(substr(reverse(card), i, 1)) - 48
+            |       ELSE IF((ascii(substr(reverse(card), i, 1)) - 48) * 2 > 9,
+            |               (ascii(substr(reverse(card), i, 1)) - 48) * 2 - 9,
+            |               (ascii(substr(reverse(card), i, 1)) - 48) * 2) END)"""
+            .stripMargin))
+        .select(col("c_custkey"), col("card"),
+          col("luhn_sum").cast("long").as("luhn_sum"),
+          (col("luhn_sum") % 10 === 0).as("luhn_valid"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // FRESHNESS / staleness census (the ops-side data-quality gauge
+    // every ingestion SLA alerts on): per event type, last-seen event
+    // time and its lag in whole days behind the corpus frontier — one
+    // combinable aggregation + a broadcast 1-row frontier
+    "q_dq_freshness" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "events")
+      val frontier = e.agg(max(col("ts")).as("frontier"))
+      e.groupBy(col("event_type"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(frontier))
+        .withColumn("staleness_days",
+          datediff(col("frontier").cast("date"), col("last_ts").cast("date")).cast("long"))
+        .select(col("event_type"), col("last_ts"), col("n_events"), col("staleness_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // orphan-FK audit: each check is an anti-join counted into one
     // (check_name, n_violations) report row; checks union lazily so the
     // whole audit is a single job
@@ -353,6 +395,34 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // checksum replay over the same synthetic card; DuckDB spells the
+    // fold as list_sum over a transformed range — identical arithmetic
+    "q_dq_luhn" ->
+      """WITH m AS (SELECT c_custkey,
+        |    'ref 4' || lpad(CAST(c_custkey * 7919 % 100000000000000 AS VARCHAR), 14, '0')
+        |      || ' end' AS msg
+        |  FROM customer),
+        |c AS (SELECT c_custkey, regexp_extract(msg, '[0-9]{13,16}', 0) AS card FROM m),
+        |l AS (SELECT c_custkey, card,
+        |    CAST(list_sum(list_transform(range(1, length(card) + 1), i ->
+        |      CASE WHEN i % 2 = 1 THEN ascii(substring(reverse(card), CAST(i AS INT), 1)) - 48
+        |           ELSE CASE WHEN (ascii(substring(reverse(card), CAST(i AS INT), 1)) - 48) * 2 > 9
+        |                     THEN (ascii(substring(reverse(card), CAST(i AS INT), 1)) - 48) * 2 - 9
+        |                     ELSE (ascii(substring(reverse(card), CAST(i AS INT), 1)) - 48) * 2 END
+        |      END)) AS BIGINT) AS luhn_sum
+        |  FROM c)
+        |SELECT c_custkey, card, luhn_sum, luhn_sum % 10 = 0 AS luhn_valid
+        |FROM l ORDER BY c_custkey""".stripMargin,
+
+    "q_dq_freshness" ->
+      """WITH f AS (SELECT MAX(ts) AS frontier FROM events),
+        |g AS (SELECT event_type, MAX(ts) AS last_ts,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM events GROUP BY event_type)
+        |SELECT g.event_type, g.last_ts, g.n_events,
+        |  CAST(CAST(f.frontier AS DATE) - CAST(g.last_ts AS DATE) AS BIGINT) AS staleness_days
+        |FROM g CROSS JOIN f ORDER BY g.event_type""".stripMargin,
+
     "q_dq_orphans" ->
       """SELECT 'lineitem_orders' AS check_name,
         |  CAST(count(*) FILTER (WHERE NOT EXISTS
