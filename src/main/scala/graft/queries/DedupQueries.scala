@@ -28,6 +28,35 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // APPROX-vs-EXACT DEDUP EVAL: MinHash-LSH pairs graded against the
+    // lossless PPJoin ground truth at the SAME threshold (shingle
+    // Jaccard >= 1/2) — the recall number a 100 TB dedup pipeline must
+    // publish before trusting banding (verified pairs make precision 1
+    // by construction; banding misses are the honest loss). Graded on a
+    // FIXED absolute-id eval slab (doc_id < 2000 — the r7 scale rule:
+    // exact ground truth on the full corpus is the thing you CAN'T
+    // afford at 100 TB; you grade recall on a constant-size slab, so
+    // the eval's cost is corpus-size-independent past sf0.1)
+    "q_dedup_recall" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents").filter(col("doc_id") < 2000)
+      val exact = Dedup.ppJoin(
+          Dedup.hashedShingleTable(docs, "doc_id", "text")
+            .select(col("doc_id"), col("sh").as("w")).distinct(),
+          tauNum = 1, tauDen = 2)
+        .select(col("doc_a"), col("doc_b"))
+      val approx = Dedup.minhashDedup(docs, "doc_id", "text",
+          threshold = 0.5, k = 3, numSeeds = 12, rowsPerBand = 3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__hit"))
+      val nApprox = approx.agg(count(lit(1)).as("n_approx"))
+      exact.join(approx, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(nApprox))
+        .select(col("n_exact"), col("n_approx"), col("n_found"),
+          expr("n_found * 1000000 div n_exact").as("recall_ppm"),
+          expr("n_found * 1000000 div n_approx").as("precision_ppm"))
+    }),
+
     // CONTENT-LEVEL SOURCE MIRROR RATE: verified near-dup pairs
     // (MinHash-LSH + exact Jaccard) attributed to their source pair —
     // the evidence-grade companion of q_source_overlap's fingerprint
@@ -543,6 +572,30 @@ object DedupQueries {
 
     "q_dedup_minhash" -> s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, jaccard FROM pairsq ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ground truth re-derived NAIVELY from the same sh relation the
+    // banding replay consumes (no prefix filter) — so a banding recall
+    // bug OR a ppJoin losslessness bug breaks the match
+    "q_dedup_recall" ->
+      s"""WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         |${minhashCtesOver("ds")},
+         |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+         |ipx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b
+         |       FROM ipx JOIN mm ma ON ma.doc_id = doc_a JOIN mm mb ON mb.doc_id = doc_b
+         |       WHERE inter * 2 >= (ma.m + mb.m - inter) * 1),
+         |ap AS (SELECT doc_a, doc_b FROM pairsq),
+         |j AS (SELECT e.doc_a, e.doc_b,
+         |        CASE WHEN a.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ex e LEFT JOIN ap a ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_approx,
+         |  CAST(SUM(hit) AS BIGINT) AS n_found,
+         |  CAST(SUM(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+         |  CAST(SUM(hit) * 1000000 // (SELECT count(*) FROM ap) AS BIGINT) AS precision_ppm
+         |FROM j""".stripMargin,
 
     "q_dedup_source_mirror" ->
       s"""WITH $minhashCtes,
