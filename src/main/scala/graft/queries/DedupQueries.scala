@@ -303,6 +303,25 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // DEDUP-AWARE SAMPLING WEIGHTS ("count every document once"): each
+    // doc weighs 1/|its exact-dup cluster| — the correction that stops
+    // a mirrored source from dominating the mixture by replication.
+    // Per-source census of raw vs unique vs EFFECTIVE doc mass
+    // (Σ floor(1e6/csize), exact integers). Same fingerprint definition
+    // as q_dedup_exact, so the cluster sizes are the dedup tier's own
+    "q_mix_dedup_weight" -> ((s: SparkSession, d: String) => {
+      val fp = scan(s, d, "documents").select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+      val csize = fp.groupBy(col("fp")).agg(count(lit(1)).as("csize"))
+      fp.join(csize, Seq("fp"))
+        .withColumn("w_ppm", expr("1000000 div csize"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(col("w_ppm")).as("effective_docs_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // TEMPERATURE-SMOOTHED mixture (α = 0.5): domain weights ∝ isqrt of
     // the domain's token mass — the mBERT/XLM-R low-resource upsampling
     // shape, with integer-sqrt weights so both engines agree bit-exactly
@@ -735,6 +754,17 @@ object DedupQueries {
          |WHERE ${sqlHex60("md5('mix:' || doc_id::VARCHAR)")} % 1000000 < r.rate_ppm
          |GROUP BY t.lang, r.rate_ppm
          |ORDER BY t.lang""".stripMargin,
+
+    "q_mix_dedup_weight" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |      FROM documents),
+        |cs AS (SELECT fp, CAST(count(*) AS BIGINT) AS csize FROM fp GROUP BY fp)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(SUM(1000000 // csize) AS BIGINT) AS effective_docs_ppm
+        |FROM fp JOIN cs USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // `//` is DuckDB floor division = Spark `div` on the non-negative
     // BIGINTs here; the window cumsum is the oracle spelling of the

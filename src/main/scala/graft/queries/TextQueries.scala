@@ -136,6 +136,49 @@ object TextQueries {
         .limit(30)
     }),
 
+    // CHAT-TURN STRUCTURE validation (the instruct-data hygiene pass):
+    // documents rendered as role-tagged conversations (6 words/turn,
+    // user/assistant alternating), then PARSED BACK by a real
+    // line-splitting role parser — per doc: turn counts by role,
+    // alternation check, milli-avg words per turn. The oracle computes
+    // every output from the word-count FORMULA without parsing a line
+    // (the media-fixture convention), so a parser bug cannot mirror
+    "q_text_turns" -> ((s: SparkSession, d: String) => {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val words = filter(ws, w => w =!= "")
+      // render: turn t = words [6t, 6t+6), role alternates from 'user'
+      val rendered = when(size(words) === 0, lit(""))
+        .otherwise(concat_ws("\n",
+          transform(sequence(lit(0), floor((size(words) - 1) / 6).cast("int")),
+            t => concat(
+              when(t % 2 === 0, lit("user: ")).otherwise(lit("assistant: ")),
+              array_join(slice(words, t * 6 + 1, lit(6)), " ")))))
+      // parse: real line walk — split, per-line role regexp + body census
+      val lines = filter(split(col("chat"), "\n"), l => l =!= "")
+      val roles = transform(lines, l => regexp_extract(l, "^(user|assistant): ", 1))
+      val bodies = transform(lines,
+        l => size(filter(split(regexp_replace(l, "^(user|assistant): ", ""), " "),
+          w => w =!= "")))
+      scan(s, d, "documents")
+        .withColumn("chat", rendered)
+        .withColumn("__roles", roles)
+        .withColumn("__bodies", bodies)
+        .select(col("doc_id"),
+          size(col("__roles")).cast("long").as("n_turns"),
+          size(filter(col("__roles"), r => r === "user")).cast("long").as("n_user"),
+          size(filter(col("__roles"), r => r === "assistant")).cast("long").as("n_assistant"),
+          coalesce(element_at(col("__roles"), 1) === "user", lit(false)).as("starts_user"),
+          // alternation: no adjacent pair of equal roles
+          (size(col("__roles")) <= 1 ||
+            !exists(zip_with(slice(col("__roles"), lit(1), size(col("__roles")) - 1),
+              slice(col("__roles"), lit(2), size(col("__roles")) - 1),
+              (a, b) => a === b), x => x)).as("alternation_ok"),
+          when(size(col("__roles")) === 0, lit(0L)).otherwise(
+            expr("aggregate(__bodies, 0L, (a, x) -> a + x) * 1000 div size(__roles)"))
+            .as("avg_words_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // VOCABULARY COVERAGE census (the tokenizer-sizing curve's
     // operating point): fraction of token instances covered by the
     // top-1000 corpus words, per language — the number that says how
@@ -457,6 +500,24 @@ object TextQueries {
          |SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
+
+    // FORMULA replay (never parses a line): with nw nonempty words,
+    // turns = ceil(nw/6), roles alternate from user, avg = nw·1000/turns
+    "q_text_turns" ->
+      raw"""WITH w AS (SELECT doc_id,
+           |        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+           |      FROM documents),
+           |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w),
+           |t AS (SELECT doc_id, nw,
+           |        CASE WHEN nw = 0 THEN 0 ELSE (nw + 5) // 6 END AS n_turns FROM n)
+           |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns,
+           |  CAST((n_turns + 1) // 2 AS BIGINT) AS n_user,
+           |  CAST(n_turns // 2 AS BIGINT) AS n_assistant,
+           |  nw > 0 AS starts_user,
+           |  TRUE AS alternation_ok,
+           |  CAST(CASE WHEN n_turns = 0 THEN 0 ELSE nw * 1000 // n_turns END AS BIGINT)
+           |    AS avg_words_milli
+           |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_vocab_coverage" ->
       raw"""WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
