@@ -93,6 +93,28 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // WEIGHTED QUARTILES (exact): smallest value whose cumulative
+    // weight reaches 1/4 resp. 3/4 of the group's revenue mass, plus
+    // the weighted IQR — q_agg_wmedian's siblings, same census spine
+    // (windows over ≤ 3×50 rows, integer cents weights, cross-
+    // multiplied thresholds)
+    "q_agg_wpct" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = scan(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("l_returnflag"))
+      g.withColumn("cw", sum(col("w")).over(cumW))
+        .withColumn("tw", sum(col("w")).over(totW))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("cw") * 4 >= col("tw"), col("qty"))).as("wp25"),
+          min(when(col("cw") * 4 >= col("tw") * 3, col("qty"))).as("wp75"))
+        .withColumn("wiqr", col("wp75") - col("wp25"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ROBUST MEANS, exact: winsorized (values clamped to [p05, p95])
     // and 5%-trimmed (outermost n div 20 ROWS cut on each side — ties
     // handled by rank-interval overlap on the census, so the row count
@@ -405,6 +427,22 @@ object AggQueries {
         |  CAST(MAX(tw) AS BIGINT) AS total_weight_cents
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_wpct" ->
+      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, qty, w,
+        |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM g)
+        |SELECT l_returnflag,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw THEN qty END) AS BIGINT) AS wp25,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN qty END) AS BIGINT) AS wp75,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN qty END)
+        |    - MIN(CASE WHEN cw * 4 >= tw THEN qty END) AS BIGINT) AS wiqr
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_robust" ->
       """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
