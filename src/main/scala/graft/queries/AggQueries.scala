@@ -190,6 +190,37 @@ object AggQueries {
         .orderBy(col("bin"))
     }),
 
+    // LEAVE-ONE-OUT TARGET ENCODING audit (the feature-store leakage
+    // guard): encode o_orderpriority by the mean target over the OTHER
+    // rows of its group — enc_i = (S_g − x_i)/(n_g − 1) — exact in
+    // integer cents with the division deferred to the final floor.
+    // Per group: n, floor-cent min/max of the encoding, and the count
+    // of rows whose LOO encoding exceeds the GLOBAL mean, decided by a
+    // decimal(38) cross-multiply (no doubles, no overflow at any SF:
+    // the int64 headroom runs out near sf1 — S_g·n ≈ 9e18).
+    // One broadcast of the 5-row group table + the 1-row global
+    // aggregate; the fact table is scanned twice, shuffled never
+    "q_feature_loo" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders").select(col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val g = o.groupBy(col("pri"))
+        .agg(sum(col("cents")).as("sg"), count(lit(1)).as("ng"))
+      val glob = o.agg(sum(col("cents")).as("stot"), count(lit(1)).as("ntot"))
+      o.join(broadcast(g), "pri").crossJoin(broadcast(glob))
+        .withColumn("num", col("sg") - col("cents"))
+        .withColumn("den", col("ng") - 1)
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          min(expr("CASE WHEN den = 0 THEN NULL ELSE num div den END"))
+            .as("enc_min_cents"),
+          max(expr("CASE WHEN den = 0 THEN NULL ELSE num div den END"))
+            .as("enc_max_cents"),
+          sum(when(col("num").cast("decimal(38,0)") * col("ntot").cast("decimal(38,0)")
+              > col("stot").cast("decimal(38,0)") * col("den").cast("decimal(38,0)"),
+            1L).otherwise(0L)).as("n_above_global"))
+        .orderBy(col("pri"))
+    }),
+
     // ROLLUP: hierarchical subtotals; null grouping rows ordered NULLS
     // FIRST on both sides (Spark's asc default; DuckDB needs it spelled)
     "q_agg_rollup" -> ((s: SparkSession, d: String) => {
@@ -486,6 +517,27 @@ object AggQueries {
         |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_feature_loo" ->
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |g AS (SELECT pri, CAST(SUM(cents) AS BIGINT) AS sg,
+        |             CAST(COUNT(*) AS BIGINT) AS ng FROM o GROUP BY pri),
+        |gl AS (SELECT CAST(SUM(cents) AS BIGINT) AS stot,
+        |              CAST(COUNT(*) AS BIGINT) AS ntot FROM o),
+        |r AS (SELECT o.pri, o.cents, g.sg - o.cents AS num, g.ng - 1 AS den,
+        |             gl.stot, gl.ntot
+        |      FROM o JOIN g ON g.pri = o.pri CROSS JOIN gl)
+        |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN den = 0 THEN NULL ELSE num // den END) AS BIGINT)
+        |    AS enc_min_cents,
+        |  CAST(MAX(CASE WHEN den = 0 THEN NULL ELSE num // den END) AS BIGINT)
+        |    AS enc_max_cents,
+        |  CAST(COALESCE(SUM(CASE WHEN CAST(num AS HUGEINT) * ntot
+        |                              > CAST(stot AS HUGEINT) * den
+        |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_above_global
+        |FROM r GROUP BY pri ORDER BY pri""".stripMargin,
 
     "q_agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty

@@ -28,6 +28,27 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CANDIDATE-SIMILARITY HISTOGRAM (the threshold-sensitivity curve):
+    // exact Jaccard over ALL banding candidates, bucketed on the
+    // RATIONAL value (bucket = 20·inter div union — a float floor can
+    // misbucket ties; integer division cannot). This is the readout a
+    // dedup deploy tunes against: how many pairs each 0.05 threshold
+    // step adds or removes. Candidate volume is banding-bounded (the
+    // same S-curve pipeline q_dedup_minhash verifies), never all-pairs;
+    // the shingle relation is the family's shared persisted stage
+    "q_dedup_pairhist" -> ((s: SparkSession, d: String) => {
+      val sh = Dedup.hashedShingleTable(
+        scan(s, d, "documents"), "doc_id", "text").scopedPersist()
+      val cands = Dedup.bandCandidates(Dedup.minhashBands(sh))
+      Dedup.pairJaccard(cands, sh)
+        .withColumn("u", col("na") + col("nb") - col("inter"))
+        .groupBy(expr("inter * 20 div u").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(expr("inter * 1000000 div u")).as("min_ppm"),
+          max(expr("inter * 1000000 div u")).as("max_ppm"))
+        .orderBy(col("bucket"))
+    }),
+
     // APPROX-vs-EXACT DEDUP EVAL: MinHash-LSH pairs graded against the
     // lossless PPJoin ground truth at the SAME threshold (shingle
     // Jaccard >= 1/2) — the recall number a 100 TB dedup pipeline must
@@ -591,6 +612,16 @@ object DedupQueries {
 
     "q_dedup_minhash" -> s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, jaccard FROM pairsq ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_pairhist" -> s"""WITH $minhashCtes,
+         |h AS (SELECT i.inter, sa.n + sb.n - i.inter AS u
+         |      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |                   JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT CAST(inter * 20 // u AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(inter * 1000000 // u) AS BIGINT) AS min_ppm,
+         |  CAST(max(inter * 1000000 // u) AS BIGINT) AS max_ppm
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ground truth re-derived NAIVELY from the same sh relation the
     // banding replay consumes (no prefix filter) — so a banding recall

@@ -141,6 +141,31 @@ object QualityQueries {
         .orderBy(col("rung"))
     }),
 
+    // L-DIVERSITY census (Machanavajjhala 2007) — k-anonymity's known
+    // hole: a QI class of 5 identical rows is still a disclosure if all
+    // 5 share the SENSITIVE value. QI = (nation, acctbal-band),
+    // sensitive = market segment; per class the distinct sensitive
+    // count, rolled into the auditor's histogram (diversity level →
+    // classes/rows, worst class size, at-risk flag vs l=3). Two
+    // combinable aggregations; the second runs over the class census,
+    // not rows — dimension-sized at any data scale
+    "q_dq_ldiversity" -> ((s: SparkSession, d: String) => {
+      val l = 3
+      val classes = scan(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("ldiv"))
+      classes.groupBy(col("ldiv"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_class_size"))
+        .select(col("ldiv").cast("long"), col("n_classes").cast("long"),
+          col("n_rows").cast("long"), col("min_class_size").cast("long"),
+          (col("ldiv") < l).as("at_risk"))
+        .orderBy(col("ldiv"))
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN propagation manifest: a deletion request for
     // a customer set must cascade through every table that references it
     // (orders → their lineitems; events by user). One broadcast of the
@@ -482,6 +507,18 @@ object QualityQueries {
         |  CAST(n_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm,
         |  min_class_size >= 5 AS k_anonymous
         |FROM r ORDER BY rung""".stripMargin,
+
+    "q_dq_ldiversity" ->
+      """WITH cl AS (SELECT c_nationkey AS nat,
+        |              CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |              CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS ldiv
+        |            FROM customer GROUP BY 1, 2)
+        |SELECT ldiv, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_class_size,
+        |  ldiv < 3 AS at_risk
+        |FROM cl GROUP BY ldiv ORDER BY ldiv""".stripMargin,
 
     "q_dq_forget" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 3),

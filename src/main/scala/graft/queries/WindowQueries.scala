@@ -351,6 +351,28 @@ object WindowQueries {
         .orderBy(col("report_day"))
     }),
 
+    // LONGEST ACTIVITY STREAK census (gaps-and-islands over the
+    // distinct active-day relation): within a user, day_index −
+    // row_number is constant exactly along a run of consecutive days,
+    // so one window + two combinable aggregations yield each user's
+    // longest streak; the output is the retention team's histogram
+    // (streak length → users). State ∝ users × active days — the
+    // distinct census, never the event table; the per-user window
+    // sorts ≤ #calendar-days rows
+    "q_ts_streaks" -> ((s: SparkSession, d: String) => {
+      val days = scan(s, d, "events")
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1992-01-06").cast("date")).cast("long").as("di"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("di"))
+      val runs = days.withColumn("grp", col("di") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      runs.groupBy(col("user_id")).agg(max(col("len")).as("longest"))
+        .groupBy(col("longest")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("longest"))
+    }),
+
     // CLASSICAL SEASONAL DECOMPOSITION (one-iteration STL shape,
     // Cleveland 1990 simplified to moving averages): over the daily
     // series, trend = centered 7-day moving average (only where the
@@ -846,6 +868,21 @@ object WindowQueries {
         |FROM e CROSS JOIN b
         |WHERE report_day >= d0 + INTERVAL 6 DAY AND report_day <= d1
         |GROUP BY report_day ORDER BY report_day""".stripMargin,
+
+    "q_ts_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |                CAST(CAST(date_trunc('day', ts) AS DATE)
+        |                  - DATE '1992-01-06' AS BIGINT) AS di
+        |              FROM events),
+        |runs AS (SELECT user_id,
+        |           di - row_number() OVER (PARTITION BY user_id ORDER BY di) AS grp
+        |         FROM days),
+        |rl AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |       FROM runs GROUP BY 1, 2),
+        |lg AS (SELECT user_id, max(len) AS longest FROM rl GROUP BY 1)
+        |SELECT CAST(longest AS BIGINT) AS longest,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ts_stl" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
