@@ -827,6 +827,57 @@ object CorpusOps {
         coalesce(col("target"), lit("")).as("target"))
   }
 
+  /** Exact class-balanced undersampling (the imbalanced-learning
+    * "shrink every class to the minority size" primitive) WITHOUT a
+    * per-class global sort: keep, per class, the m rows with the
+    * smallest content-free hash keys (m = minority class count), found
+    * by two-phase distributed selection. Phase 1 censuses the
+    * 4096-bucket histogram of the hash's top 12 bits per class
+    * (class×4096 rows — dimension-sized; the cumulative window runs
+    * over THAT census, never rows) and locates the boundary bucket
+    * where the cumulative count crosses m; phase 2 ranks only the
+    * boundary bucket's rows (≈ n_class/4096). The kept set is exactly
+    * the m smallest (hash, id) pairs per class — a plain window rank
+    * spells the same set, which is what the oracle does; this shape
+    * just refuses the majority class's full sort at 100 TB.
+    *
+    * Returns (__cls, __id, __h) of kept rows.
+    */
+  def balancedSample(df: DataFrame, classCol: String, idCol: String,
+                     tag: String = "bal"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.hex60(
+      md5(concat(lit(tag + ":"), col(idCol).cast("string")).cast("binary")))
+    val rows = df.select(col(classCol).as("__cls"), col(idCol).as("__id"),
+        h.as("__h"))
+      .withColumn("__b", shiftright(col("__h"), 48))
+      .scopedPersist()
+    val m = rows.groupBy(col("__cls")).agg(count(lit(1)).as("n_c"))
+      .agg(min(col("n_c")).as("m")) // 1-row scalar
+    val census = rows.groupBy(col("__cls"), col("__b"))
+      .agg(count(lit(1)).as("bn"))
+    val wc = Window.partitionBy(col("__cls")).orderBy(col("__b"))
+    val cum = census.withColumn("cum", sum(col("bn")).over(wc))
+      .crossJoin(broadcast(m))
+    // boundary bucket + how many of its rows are still needed; both
+    // derived from the census, so the relation is classes-sized
+    val boundary = cum.filter(col("cum") >= col("m"))
+      .groupBy(col("__cls")).agg(min(col("__b")).as("b_c"))
+    val need = cum.join(boundary, Seq("__cls"))
+      .filter(col("__b") === col("b_c"))
+      .select(col("__cls"), col("b_c"),
+        (col("m") - (col("cum") - col("bn"))).as("need"))
+    val keptBelow = rows.join(broadcast(need), Seq("__cls"))
+      .filter(col("__b") < col("b_c"))
+    val wb = Window.partitionBy(col("__cls")).orderBy(col("__h"), col("__id"))
+    val keptBoundary = rows.join(broadcast(need), Seq("__cls"))
+      .filter(col("__b") === col("b_c"))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= col("need"))
+    keptBelow.select("__cls", "__id", "__h")
+      .unionByName(keptBoundary.select("__cls", "__id", "__h"))
+  }
+
   def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
 

@@ -268,6 +268,24 @@ object DedupQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // EXACT CLASS-BALANCED UNDERSAMPLE: every language shrunk to the
+    // minority language's count — kept rows are the m smallest
+    // content-free hash keys per class, selected by the two-phase
+    // bucket-census algorithm (CorpusOps.balancedSample) instead of a
+    // per-class global sort. Output is the per-class set WITNESS
+    // (count + id sum + 60-bit xor), so the oracle — which spells the
+    // same set with a plain window rank — certifies set equality, not
+    // just sizes
+    "q_sample_balanced" -> ((s: SparkSession, d: String) => {
+      graft.ops.CorpusOps.balancedSample(
+        scan(s, d, "documents"), "lang", "doc_id")
+        .groupBy(col("__cls").as("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("__id")).as("id_sum"),
+          expr("bit_xor(__h)").as("h_xor"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic TRAIN/VAL/TEST split (80/10/10) by content-free
     // hash — the assignment is a pure function of doc_id, so any
     // cluster/run/partitioning reproduces the identical split, new docs
@@ -744,6 +762,20 @@ object DedupQueries {
          |${minhashCtesOver("corpus2")}
          |SELECT doc_id, band, band_sig
          |FROM bands ORDER BY doc_id, band""".stripMargin,
+
+    "q_sample_balanced" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+         |             ${sqlHex60("md5('bal:' || doc_id::VARCHAR)")} AS h
+         |           FROM documents),
+         |m AS (SELECT CAST(min(cnt) AS BIGINT) AS m
+         |      FROM (SELECT count(*) AS cnt FROM r GROUP BY lang)),
+         |rk AS (SELECT lang, doc_id, h,
+         |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |       FROM r)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(bit_xor(h) AS BIGINT) AS h_xor
+         |FROM rk, m WHERE rn <= m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_split_assign" ->
       s"""WITH s AS (

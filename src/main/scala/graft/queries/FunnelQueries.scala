@@ -225,6 +225,35 @@ object FunnelQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // INTER-EVENT DWELL census (the latency-histogram readout): gap to
+    // the same user's next event in exact integer microseconds, rolled
+    // per source event_type into count / min / max / sum plus fixed
+    // SLA buckets (<1s, 1–60s, 1–60m, ≥1h). Same per-user window
+    // shuffle shape as q_events_markov; the tie-break is (µs,
+    // event_id) in BOTH engines, so the lead() pairing is identical.
+    // Exact integers end-to-end — the mean is deferred (sum_us ÷ n is
+    // the consumer's division)
+    "q_events_dwell" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      scan(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gap")).as("min_us"), max(col("gap")).as("max_us"),
+          sum(col("gap")).as("sum_us"),
+          sum(when(col("gap") < 1000000L, 1L).otherwise(0L)).as("lt_1s"),
+          sum(when(col("gap") >= 1000000L && col("gap") < 60000000L, 1L)
+            .otherwise(0L)).as("s_1_60"),
+          sum(when(col("gap") >= 60000000L && col("gap") < 3600000000L, 1L)
+            .otherwise(0L)).as("m_1_60"),
+          sum(when(col("gap") >= 3600000000L, 1L).otherwise(0L)).as("ge_1h"))
+        .orderBy(col("event_type"))
+    }),
+
     // BEHAVIOR TRANSITION MATRIX (first-order Markov census): for each
     // consecutive event pair in a user's stream, count (from → to) and
     // row-normalize to ppm — the Sankey/flow diagram and the base of
@@ -448,6 +477,26 @@ object FunnelQueries {
         |  JOIN ic ib ON ib.item = item_b
         |WHERE n_pair * 1000000 // n_orders >= 1000
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_events_dwell" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |        lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |          - us AS gap
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(gap) AS BIGINT) AS min_us,
+        |  CAST(max(gap) AS BIGINT) AS max_us,
+        |  CAST(sum(gap) AS BIGINT) AS sum_us,
+        |  CAST(count(*) FILTER (WHERE gap < 1000000) AS BIGINT) AS lt_1s,
+        |  CAST(count(*) FILTER (WHERE gap >= 1000000 AND gap < 60000000)
+        |    AS BIGINT) AS s_1_60,
+        |  CAST(count(*) FILTER (WHERE gap >= 60000000 AND gap < 3600000000)
+        |    AS BIGINT) AS m_1_60,
+        |  CAST(count(*) FILTER (WHERE gap >= 3600000000) AS BIGINT) AS ge_1h
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_markov" ->
       """WITH t AS (

@@ -33,6 +33,29 @@ object ProfileQueries {
         max(col("o_orderdate")).as("date_max"))
     }),
 
+    // ALL-COLUMN COMPLETENESS census in ONE Expand pass (the Deequ-
+    // style profiler shape): every column unpivoted to (colname,
+    // value-as-string), then a two-level census — rows / nulls /
+    // distinct non-nulls per column. Cross-engine safety note: the
+    // string rendering only has to be INJECTIVE within each engine
+    // (only the COUNTS leave the plan, never the renderings), so
+    // double/timestamp casts are safe even though the two engines
+    // format them differently. One Expand + two combinable
+    // aggregations — never a job per column
+    "q_profile_completeness" -> ((s: SparkSession, d: String) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      scan(s, d, "orders")
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS (colname, v)"))
+        .groupBy(col("colname"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("colname"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+        .orderBy(col("colname"))
+    }),
+
     // key-skew profile: per-key frequency distribution of a join key —
     // the diagnostic that picks the hot-key threshold for
     // Joins.saltedJoin (max/avg ratio >> 1 ⇒ salt those keys). Two
@@ -395,6 +418,21 @@ object ProfileQueries {
          |  ${sqlDsum("o_totalprice")} AS price_sum,
          |  MIN(o_orderdate) AS date_min, MAX(o_orderdate) AS date_max
          |FROM orders""".stripMargin,
+    "q_profile_completeness" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS colname, o_orderkey::VARCHAR AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', o_totalprice::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |c AS (SELECT colname, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM s GROUP BY 1, 2)
+        |SELECT colname, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(sum(c) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_null,
+        |  CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct
+        |FROM c GROUP BY colname ORDER BY colname""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
