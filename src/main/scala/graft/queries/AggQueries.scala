@@ -190,6 +190,30 @@ object AggQueries {
         .orderBy(col("bin"))
     }),
 
+    // EXACT GROUPED PERCENTILES AT HIGH CARDINALITY (p50/p95/p99 of
+    // price cents per returnflag): the census-window median trick
+    // stops scaling once the value domain is row-sized, so this runs
+    // Selection.kthSmallest's two-phase distributed selection — bucket
+    // histogram of the high bits, cumulative window over the
+    // groups×4096 census, then a rank of ONLY the boundary bucket's
+    // rows (~n/4096). No per-group sort anywhere; ranks are integer
+    // formulas ((n+1) div 2, ceil-by-int-div for p95/p99) spelled
+    // identically in the oracle's row_number form
+    "q_agg_pct_exact" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Selection
+      val li = scan(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Selection.kthSmallest(li, "l_returnflag", "cents", Seq(
+          "p50" -> ((n: org.apache.spark.sql.Column) => Selection.idiv(n + 1, 2)),
+          "p95" -> ((n: org.apache.spark.sql.Column) => Selection.idiv(n * 95 + 99, 100)),
+          "p99" -> ((n: org.apache.spark.sql.Column) => Selection.idiv(n * 99 + 99, 100))))
+        .groupBy(col("__g").as("l_returnflag"))
+        .agg(max(when(col("__t") === "p50", col("__v"))).as("p50_cents"),
+          max(when(col("__t") === "p95", col("__v"))).as("p95_cents"),
+          max(when(col("__t") === "p99", col("__v"))).as("p99_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // LEAVE-ONE-OUT TARGET ENCODING audit (the feature-store leakage
     // guard): encode o_orderpriority by the mean target over the OTHER
     // rows of its group — enc_i = (S_g − x_i)/(n_g − 1) — exact in
@@ -517,6 +541,21 @@ object AggQueries {
         |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_agg_pct_exact" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY g),
+        |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        |       FROM r)
+        |SELECT rk.g AS l_returnflag,
+        |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p95_cents,
+        |  CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p99_cents
+        |FROM rk JOIN n ON n.g = rk.g GROUP BY rk.g ORDER BY 1""".stripMargin,
 
     "q_feature_loo" ->
       """WITH o AS (SELECT o_orderpriority AS pri,

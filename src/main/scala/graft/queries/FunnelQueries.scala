@@ -225,6 +225,35 @@ object FunnelQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // POINT-IN-TIME FEATURE AGGREGATE (the leakage-free feature-store
+    // join): for every purchase, the same user's view count over the 7
+    // STRICTLY PRECEDING calendar days — future rows can never leak
+    // because a view on day D reaches only anchors on D+1..D+7, via a
+    // bounded 7-way day explode into an equi-join on (user, day). No
+    // range join, no per-user sort; ×7 linear fan-out is the
+    // q_ts_rolling_dau contribute-to-buckets shape. Output: the
+    // conversion-context histogram (views_7d capped at 10 → purchases,
+    // users)
+    "q_feature_pit" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+      val va = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuid"),
+          explode(sequence(col("day") + expr("INTERVAL 1 DAY"),
+            col("day") + expr("INTERVAL 7 DAYS"),
+            expr("INTERVAL 1 DAY"))).as("aday"))
+        .groupBy(col("vuid"), col("aday")).agg(count(lit(1)).as("nv"))
+      e.filter(col("event_type") === "purchase")
+        .join(va, col("user_id") === col("vuid") && col("day") === col("aday"),
+          "left")
+        .select(col("user_id"), coalesce(col("nv"), lit(0L)).as("nv"))
+        .groupBy(least(col("nv"), lit(10L)).as("views_7d"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("views_7d"))
+    }),
+
     // INTER-EVENT DWELL census (the latency-histogram readout): gap to
     // the same user's next event in exact integer microseconds, rolled
     // per source event_type into count / min / max / sum plus fixed
@@ -477,6 +506,23 @@ object FunnelQueries {
         |  JOIN ic ib ON ib.item = item_b
         |WHERE n_pair * 1000000 // n_orders >= 1000
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_feature_pit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |v AS (SELECT user_id,
+        |        CAST(unnest(generate_series(day + INTERVAL 1 DAY,
+        |          day + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS TIMESTAMP) AS aday
+        |      FROM e WHERE event_type = 'view'),
+        |va AS (SELECT user_id, aday, CAST(count(*) AS BIGINT) AS nv
+        |       FROM v GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, COALESCE(va.nv, 0) AS nv
+        |      FROM e LEFT JOIN va ON va.user_id = e.user_id AND va.aday = e.day
+        |      WHERE e.event_type = 'purchase')
+        |SELECT CAST(LEAST(nv, 10) AS BIGINT) AS views_7d,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_dwell" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
