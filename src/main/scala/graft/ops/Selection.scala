@@ -30,8 +30,8 @@ object Selection {
 
   /** Exact integer division for rank formulas: (a − a mod b) / b. The
     * double division is exact because the numerator is a multiple of b
-    * below 2^53 — never floor(0.95·n)-style float ranks, whose
-    * representation error flips ceil at exact multiples.
+    * below 2^53 — rank arithmetic never routes through a float
+    * percentage, so it cannot inherit ceil(q·n)'s rounding hazards.
     */
   def idiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))) / b).cast("long")
