@@ -366,4 +366,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(plan.contains("nation") && plan.contains("blk"), plan.take(2000))
   }
+
+  test("two-phase selection: boundary relation broadcast, no range-partitioned global sort") {
+    val plan = graft.queries.AggQueries.queries("q_agg_pct_exact")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // phase 2 must reach rows through a broadcast of the tiny
+    // group×target boundary table; an Exchange rangepartitioning here
+    // would mean the fact table is being globally sorted — the exact
+    // thing kthSmallest exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), s"boundary not broadcast:\n${plan.take(2000)}")
+    // the ONLY range exchange allowed is the 3-row output orderBy on
+    // l_returnflag — never one over the fact value __v
+    val ranges = "Exchange rangepartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(ranges.forall(_.contains("l_returnflag")),
+      s"global sort over the fact relation:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("point-in-time feature join: hash equi-join on (user, day), never nested-loop") {
+    val plan = graft.queries.FunnelQueries.queries("q_feature_pit")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    // the 7-day reach must be the bounded day-explode + equi-join —
+    // a nested-loop range join here is the shape that dies at 100 TB
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range-join fallback in q_feature_pit:\n${plan.take(2000)}")
+  }
 }
