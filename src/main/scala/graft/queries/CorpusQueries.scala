@@ -354,6 +354,32 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // VOCAB-PRUNING ABLATION — the tokenizer-budget question every
+    // deployment asks: what does HALVING the merge table cost in
+    // tokens? Both encodings (full 50-merge model vs the first 25
+    // merges — BPE merge lists are rank-prefixed, so a prefix IS the
+    // smaller model) run over the same distinct vocabulary, then per
+    // language: token mass under each and the bloat ratio. The model
+    // stays driver-side metadata; the chains are codegen'd per
+    // DISTINCT word exactly like q_bpe_encode
+    "q_bpe_prune" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val full = deepMerges(s, d)
+      val encF = CorpusOps.bpeEncode(docs, "doc_id", "text", full)
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("ntf"))
+      val encP = CorpusOps.bpeEncode(docs, "doc_id", "text",
+          full.take(DeepRounds / 2))
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("ntp"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(encF, Seq("doc_id")).join(encP, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ntf")).as("n_tokens_full"),
+          sum(col("ntp")).as("n_tokens_pruned"))
+        .withColumn("bloat_ppm",
+          expr("n_tokens_pruned * 1000000 div n_tokens_full"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus-frequency BOILERPLATE filter signal: 3-grams present in >= 3
     // distinct docs are boilerplate; per doc, the fraction of gram
     // positions covered by them + the keep verdict. The within-corpus
@@ -399,12 +425,21 @@ object CorpusQueries {
     * left-to-right greedy scan the engine codegens). Used by the
     * q_bpe_encode and q_bpe_fertility oracles.
     */
-  private def bpeEncWordCtes(nMerges: Int): String = {
+  /** The rank-ordered nested-replace merge chain over a word `w` for an
+    * `nMerges`-round model — shared by the single-model encode CTEs and
+    * the two-model pruning oracle.
+    */
+  private def bpeChainSql(nMerges: Int): String = {
     val S = BpeSep
-    val chain = (1 to nMerges).foldLeft(s"regexp_replace(w, '(.)', '$S\\1$S', 'g')") {
+    (1 to nMerges).foldLeft(s"regexp_replace(w, '(.)', '$S\\1$S', 'g')") {
       (acc, r) =>
         s"replace($acc, '$S' || m$r.p1 || '$S$S' || m$r.p2 || '$S', '$S' || m$r.p1 || m$r.p2 || '$S')"
     }
+  }
+
+  private def bpeEncWordCtes(nMerges: Int): String = {
+    val S = BpeSep
+    val chain = bpeChainSql(nMerges)
     val tcols = (1 to nMerges).map(r => s"m$r.p1 || m$r.p2 AS t$r").mkString(",\n       ")
     val froms = ("vw" +: (1 to nMerges).map(r => s"m$r")).mkString(", ")
     s"""wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
@@ -837,6 +872,32 @@ object CorpusQueries {
          |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
          |  array_to_string(tids, ',') AS ids_csv
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // PRUNING ablation replay: one retrain, TWO merge chains over the
+    // same distinct vocabulary (the 25-chain references only m1..m25 of
+    // the 50 trained rounds — a rank prefix IS the smaller model)
+    "q_bpe_prune" -> {
+      val S = BpeSep
+      val froms = ("vw" +: (1 to DeepRounds).map(r => s"m$r")).mkString(", ")
+      s"""WITH ${bpeTrainCtes(DeepRounds)},
+         |wl AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |       FROM documents),
+         |tk AS (SELECT doc_id, lang, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+         |tok AS (SELECT doc_id, lang, ws[pos] AS w FROM tk
+         |        WHERE regexp_full_match(ws[pos], '[a-z]+')),
+         |vw AS (SELECT DISTINCT w FROM tok),
+         |encw AS (SELECT w,
+         |    CAST(len(string_split(trim(${bpeChainSql(DeepRounds)},
+         |      '$S'), '$S$S')) AS BIGINT) AS nf,
+         |    CAST(len(string_split(trim(${bpeChainSql(DeepRounds / 2)},
+         |      '$S'), '$S$S')) AS BIGINT) AS np
+         |  FROM $froms)
+         |SELECT t.lang, CAST(SUM(e.nf) AS BIGINT) AS n_tokens_full,
+         |  CAST(SUM(e.np) AS BIGINT) AS n_tokens_pruned,
+         |  CAST(SUM(e.np) * 1000000 // SUM(e.nf) AS BIGINT) AS bloat_ppm
+         |FROM tok t JOIN encw e USING (w)
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+    },
 
     // FERTILITY census replay: same retrain + per-word merge chain; only
     // the symbol COUNT per word matters, aggregated to the language
