@@ -141,6 +141,30 @@ object QualityQueries {
         .orderBy(col("rung"))
     }),
 
+    // OUT-OF-ORDER ARRIVAL census: does the assigned event_id sequence
+    // agree with event TIME per user? Adjacent inversions (previous id
+    // greater than the next) over the (µs, event_id)-ordered per-user
+    // stream — the audit that sizes a streaming deploy's watermark and
+    // catches producer clock skew. One per-user window + two
+    // combinable aggregations; the second runs over the user census.
+    // 1-row corpus verdict: users clean/dirty, inversion ppm
+    "q_dq_sequence" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val perUser = scan(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("prev") > col("event_id"), 1L).otherwise(0L)).as("n_inv"))
+      perUser.agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_inv") === 0, 1L).otherwise(0L)).as("n_users_clean"),
+          sum(col("n_pairs")).as("n_pairs"),
+          sum(col("n_inv")).as("n_inversions"))
+        .withColumn("inv_ppm", expr("n_inversions * 1000000 div n_pairs"))
+    }),
+
     // L-DIVERSITY census (Machanavajjhala 2007) — k-anonymity's known
     // hole: a QI class of 5 identical rows is still a disclosure if all
     // 5 share the SENSITIVE value. QI = (nation, acctbal-band),
@@ -507,6 +531,24 @@ object QualityQueries {
         |  CAST(n_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm,
         |  min_class_size >= 5 AS k_anonymous
         |FROM r ORDER BY rung""".stripMargin,
+
+    "q_dq_sequence" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id,
+        |        lag(event_id, 1) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(COALESCE(SUM(CASE WHEN prev > event_id THEN 1 ELSE 0 END), 0)
+        |          AS BIGINT) AS n_inv
+        |      FROM p WHERE prev IS NOT NULL GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(SUM(CASE WHEN n_inv = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_users_clean,
+        |  CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(n_inv) AS BIGINT) AS n_inversions,
+        |  CAST(SUM(n_inv) * 1000000 // SUM(n_pairs) AS BIGINT) AS inv_ppm
+        |FROM u""".stripMargin,
 
     "q_dq_ldiversity" ->
       """WITH cl AS (SELECT c_nationkey AS nat,

@@ -112,6 +112,44 @@ object SearchQueries {
         .orderBy(col("doc_id"), col("tfidf_x9").desc, col("term"))
     }),
 
+    // RETRIEVAL-EVAL HARNESS (MRR@10 / hits@1 census): the IR-quality
+    // number a search deploy publishes. Query set = the 20 highest-df
+    // terms (deterministic: df desc, term asc); "relevant" doc per
+    // query = the LONGEST doc containing the term (n_chars desc,
+    // doc_id asc — a synthetic relevance independent of the ranking
+    // signal, so the metric is non-trivial); ranking = per-term tf
+    // (within a single-term query idf is a constant), top-10 selected
+    // through the TopKPerKey physical operator, ranks from a window
+    // over the ≤ 20×10 survivor relation (the blessed tiny window).
+    // Reciprocal ranks are exact integers: floor(1e6 / rank)
+    "q_text_mrr" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = scan(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = words.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qset = dfq.orderBy(col("df").desc, col("term").asc).limit(20)
+        .select(col("term"))
+      val rel = tf.join(broadcast(qset), Seq("term"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("term"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("term"), (-col("m.negid")).as("rel_doc"))
+      val ranked = graft.plans.TopKPerKey.topKPerKey(
+          tf.join(broadcast(qset), Seq("term")),
+          keyCols = Seq("term"), sorts = Seq(("tf", false), ("doc_id", true)), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))))
+      rel.join(
+          ranked.select(col("term"), col("doc_id").as("rel_doc"), col("rank")),
+          Seq("term", "rel_doc"), "left")
+        .select(col("term"), col("rel_doc"),
+          coalesce(col("rank"), lit(0)).cast("long").as("rank_in_top10"),
+          coalesce(expr("1000000 div rank"), lit(0)).cast("long").as("rr_x6"))
+        .orderBy(col("term"))
+    }),
+
     // cross-modal: documents joined to their embedding rows
     "q_multimodal_join" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
@@ -210,6 +248,31 @@ object SearchQueries {
       """SELECT doc_id, lang, label, n_chars, CAST(len(embedding) AS INT) AS dims
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_mrr" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           |       FROM w GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |q AS (SELECT term FROM dfq ORDER BY df DESC, term LIMIT 20),
+           |relr AS (SELECT t.term, t.doc_id,
+           |           row_number() OVER (PARTITION BY t.term
+           |             ORDER BY d.n_chars DESC, t.doc_id) AS rr
+           |         FROM tf t JOIN q USING (term)
+           |              JOIN documents d ON d.doc_id = t.doc_id),
+           |rel AS (SELECT term, doc_id AS rel_doc FROM relr WHERE rr = 1),
+           |rk AS (SELECT t.term, t.doc_id,
+           |         row_number() OVER (PARTITION BY t.term
+           |           ORDER BY t.tf DESC, t.doc_id) AS rn
+           |       FROM tf t JOIN q USING (term)),
+           |rk10 AS (SELECT * FROM rk WHERE rn <= 10)
+           |SELECT r.term, r.rel_doc,
+           |  CAST(COALESCE(k.rn, 0) AS BIGINT) AS rank_in_top10,
+           |  CAST(COALESCE(1000000 // k.rn, 0) AS BIGINT) AS rr_x6
+           |FROM rel r LEFT JOIN rk10 k ON k.term = r.term AND k.doc_id = r.rel_doc
+           |ORDER BY r.term""".stripMargin,
 
     "q_text_keywords" ->
       raw"""WITH n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
