@@ -83,6 +83,25 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 10)
     }),
 
+    // FILTERED vector search (every vector DB's named capability):
+    // top-k among only the vectors whose DOCUMENT passes a metadata
+    // predicate (lang = 'en'), with PRE-filter semantics — the
+    // predicate narrows the corpus BEFORE the IVF index (centroids
+    // included), so recall over the filtered set is the index's own
+    // recall, never "top-k then filter" (which can return < k rows).
+    // The filter rides a semi-join into the corpus scan; at 100 TB the
+    // id set ships as a broadcast/bloom semi-join, and the ANN stack
+    // is unchanged
+    "q_sim_filtered" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val en = scan(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(en), col("vec_id") === col("doc_id"), "left_semi")
+      Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding", k = 10)
+    }),
+
     // the FULL ANN index stack in one plan: IVF coarse prune (4 of 16
     // cells) → PQ asymmetric-distance scan over 8-byte codes (no float
     // vector touched) → exact cosine re-rank of the 50-candidate
@@ -466,6 +485,64 @@ object SimilarityQueries {
        |    FROM acos1) WHERE rn = 1)""".stripMargin
   }
 
+  /** The IVF replay (cell assignment, probe selection, candidate scan)
+    * over a corpus defined by `pred` — shared by q_sim_ivf (the whole
+    * non-query corpus) and q_sim_filtered (metadata-PRE-filtered
+    * corpus: the predicate narrows the index itself, centroids
+    * included, exactly like the engine's pre-filter semantics).
+    */
+  private def ivfOracleSql(pred: String): String = {
+      val term = (a: String, b: String) =>
+        s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $pred),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, vec_id, embedding
+         |  FROM (SELECT * FROM embeddings WHERE $pred ORDER BY vec_id LIMIT 16)),
+         |j AS (SELECT unnest(range(1, ${DIMS + 1})) AS j),
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(${term("embedding[j.j]", "embedding[j.j]")}) AS DOUBLE) AS n2
+         |  FROM embeddings CROSS JOIN j GROUP BY vec_id),
+         |adots AS (
+         |  SELECT e.vec_id, s.sidx,
+         |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM corpus e CROSS JOIN seeds s CROSS JOIN j
+         |  GROUP BY e.vec_id, s.sidx),
+         |acos AS (
+         |  SELECT d.vec_id, d.sidx, d.dot / (sqrt(ne.n2) * sqrt(ns.n2)) AS cos
+         |  FROM adots d
+         |    JOIN norms ne ON ne.vec_id = d.vec_id
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |assign AS (
+         |  SELECT vec_id, sidx AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+         |    FROM acos) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qdots AS (
+         |  SELECT s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY s.sidx),
+         |qcos AS (
+         |  SELECT d.sidx, d.dot / (sqrt(nq.n2) * sqrt(ns.n2)) AS cos
+         |  FROM qdots d
+         |    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |qprobe AS (SELECT sidx FROM qcos ORDER BY cos DESC, sidx LIMIT 2),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
+         |fdots AS (
+         |  SELECT c.vec_id, c.cell,
+         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+         |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id CROSS JOIN q CROSS JOIN j
+         |  GROUP BY c.vec_id, c.cell)
+         |SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
+         |  f.dot / (sqrt(ne.n2) * sqrt(nq.n2)) AS cosine
+         |FROM fdots f
+         |  JOIN norms ne ON ne.vec_id = f.vec_id
+         |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
+    }
+
   private lazy val baseOracles: Map[String, String] = Map(
     "q_kmeans_assign" ->
       s"""WITH $sqlKmeansCtes
@@ -555,57 +632,10 @@ object SimilarityQueries {
          |SELECT id_a AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    "q_sim_ivf" -> {
-      val term = (a: String, b: String) =>
-        s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
-      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
-         |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, vec_id, embedding
-         |  FROM (SELECT * FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16)),
-         |j AS (SELECT unnest(range(1, ${DIMS + 1})) AS j),
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(${term("embedding[j.j]", "embedding[j.j]")}) AS DOUBLE) AS n2
-         |  FROM embeddings CROSS JOIN j GROUP BY vec_id),
-         |adots AS (
-         |  SELECT e.vec_id, s.sidx,
-         |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
-         |  FROM corpus e CROSS JOIN seeds s CROSS JOIN j
-         |  GROUP BY e.vec_id, s.sidx),
-         |acos AS (
-         |  SELECT d.vec_id, d.sidx, d.dot / (sqrt(ne.n2) * sqrt(ns.n2)) AS cos
-         |  FROM adots d
-         |    JOIN norms ne ON ne.vec_id = d.vec_id
-         |    JOIN seeds s ON s.sidx = d.sidx
-         |    JOIN norms ns ON ns.vec_id = s.vec_id),
-         |assign AS (
-         |  SELECT vec_id, sidx AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
-         |    FROM acos) WHERE rn = 1),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qdots AS (
-         |  SELECT s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
-         |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY s.sidx),
-         |qcos AS (
-         |  SELECT d.sidx, d.dot / (sqrt(nq.n2) * sqrt(ns.n2)) AS cos
-         |  FROM qdots d
-         |    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
-         |    JOIN seeds s ON s.sidx = d.sidx
-         |    JOIN norms ns ON ns.vec_id = s.vec_id),
-         |qprobe AS (SELECT sidx FROM qcos ORDER BY cos DESC, sidx LIMIT 2),
-         |cand AS (
-         |  SELECT a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
-         |fdots AS (
-         |  SELECT c.vec_id, c.cell,
-         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
-         |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id CROSS JOIN q CROSS JOIN j
-         |  GROUP BY c.vec_id, c.cell)
-         |SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
-         |  f.dot / (sqrt(ne.n2) * sqrt(nq.n2)) AS cosine
-         |FROM fdots f
-         |  JOIN norms ne ON ne.vec_id = f.vec_id
-         |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
-         |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin
-    },
+    "q_sim_ivf" -> ivfOracleSql("vec_id <> 0"),
+
+    "q_sim_filtered" -> ivfOracleSql(
+      "vec_id <> 0 AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
 
     "q_sim_ivf_adc" -> {
       val term = (a: String, b: String) =>
