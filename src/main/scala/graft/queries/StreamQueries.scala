@@ -459,6 +459,31 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING INTER-EVENT DWELL (custom state): each (event → next
+    // event) gap emits exactly once, when the watermark proves the
+    // successor final; state per user is the not-yet-paired suffix,
+    // bounded by watermark lag (see StreamOps.dwellCustomState). The
+    // incremental ≡ batch contract is LITERAL here: this query's
+    // oracle IS q_events_dwell's — the two registry entries share one
+    // SQL string, so the streaming path is hash-checked against the
+    // exact batch census
+    "q_stream_dwell" -> ((s: SparkSession, d: String) => {
+      val pairs = StreamOps.runToMemory(s,
+        StreamOps.dwellCustomState(s, StreamOps.eventsStream(s, d)),
+        "mem_stream_dwell", "append")
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"),
+          sum(col("gap_us")).as("sum_us"),
+          sum(when(col("gap_us") < 1000000L, 1L).otherwise(0L)).as("lt_1s"),
+          sum(when(col("gap_us") >= 1000000L && col("gap_us") < 60000000L, 1L)
+            .otherwise(0L)).as("s_1_60"),
+          sum(when(col("gap_us") >= 60000000L && col("gap_us") < 3600000000L, 1L)
+            .otherwise(0L)).as("m_1_60"),
+          sum(when(col("gap_us") >= 3600000000L, 1L).otherwise(0L)).as("ge_1h"))
+        .orderBy(col("event_type"))
+    }),
+
     // STREAMING-MAINTAINED LEADERBOARD (bounded-sketch maintenance):
     // per event_type, the top-3 values with (value desc, event_id asc)
     // tie-break. Each micro-batch appends only its per-key top-3
@@ -527,6 +552,10 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // incremental ≡ batch, literally: the streaming dwell is checked
+    // against the SAME oracle string as the batch census
+    "q_stream_dwell" -> FunnelQueries.oracleSql("q_events_dwell"),
+
     // additive histograms: the merged incremental census is bit-identical
     // to the one-shot census, so the oracle IS q_dq_drift's query
     "q_stream_drift" -> QualityQueries.oracleSql("q_dq_drift"),

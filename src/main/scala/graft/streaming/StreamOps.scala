@@ -245,6 +245,60 @@ object StreamOps {
         col("n_events"))
   }
 
+  /** Streaming INTER-EVENT DWELL via flatMapGroupsWithState — the
+    * incremental twin of the batch latency histogram: for each event,
+    * the gap to the same user's next event, emitted exactly once when
+    * the successor is provably final. Per-key state is the user's
+    * not-yet-paired suffix of events sorted by (µs, event_id); a pair
+    * (e_i, e_{i+1}) emits once the watermark has reached e_{i+1}
+    * (any interloper between them would arrive with event time below
+    * the watermark and be dropped), after which e_i leaves the state —
+    * so state is bounded by the watermark lag, never by history. The
+    * equality edge (an event arriving with timestamp EXACTLY at the
+    * watermark tying e_{i+1}) is resolved emit-eagerly, the same
+    * bounded-replay convention sessionizeCustomState documents: on the
+    * post-data no-data batch the watermark reaches max(ts) and every
+    * pair flushes, so the result equals the batch census exactly.
+    *
+    * Returns (event_type, gap_us) pair rows — the consumer aggregates.
+    */
+  def dwellCustomState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, String)], (String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: GroupState[Seq[(Long, Long, String)]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (state.getOption.getOrElse(Nil) ++
+            rows.map(r => (r._3, r._4, r._5))).sortBy(e => (e._1, e._2))
+          // emit every adjacent pair whose successor the watermark has
+          // reached; the earlier event of an emitted pair is done.
+          // GroupState exposes the watermark in MILLISECONDS while
+          // event times are µs, so the finality test floors the
+          // successor to ms — a sub-ms interloper tie is the same
+          // bounded-replay equality edge documented above
+          val pairs = all.zip(all.drop(1))
+          val (finalPairs, _) = pairs.partition(p => p._2._1 / 1000 * 1000 <= wmUs)
+          val keep = all.drop(finalPairs.length)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(keep)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          }
+          finalPairs.map { case (a, b) => (a._3, b._1 - a._1) }.iterator
+      }
+      .toDF("event_type", "gap_us")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the user's previous event exceeds `gapSeconds`. One
     * window pass + one groupBy, both keyed by user — two shuffles on the
