@@ -87,6 +87,27 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // RANGE-frame window (value range, not row count): per customer,
+    // order count and cents total within the 30 days PRECEDING each
+    // order — the frame irregular event spacing needs, where a ROWS
+    // frame is simply wrong (it counts neighbors, not days). Bounds on
+    // the integer day index; ties (same-day orders) share one frame by
+    // RANGE semantics on both engines; sums in exact cents
+    "q_win_range" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("di"))
+        .rangeBetween(-30, 0)
+      scan(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-06").cast("date")).cast("long").as("di"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("sum30_cents", sum(col("cents")).over(w))
+        .withColumn("n30", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("di"),
+          col("sum30_cents"), col("n30"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // rolling population stddev over the trailing 4 orders (current + 3
     // prior): the sums are exact decimals, the moment formula runs on
     // identical doubles both sides
@@ -696,6 +717,18 @@ object WindowQueries {
         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-06' AS BIGINT) AS di,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, di,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS sum30_cents,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n30
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY di
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_nth" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_key,
