@@ -214,6 +214,33 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // HIGH-CARDINALITY WINSORIZED MEAN — q_agg_robust's clamp at
+    // nearest-rank p05/p95, but over price cents (millions of distinct
+    // values), where the census-window trick is a per-group sort: the
+    // thresholds come from the same two-phase selection as
+    // q_agg_pct_exact, then ONE clamp-sum pass. Composition story:
+    // Selection.kthSmallest is the reusable order-statistic primitive,
+    // robust aggregation is a broadcast-join + codegen'd clamp away
+    "q_agg_winsor_hc" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Selection
+      val li = scan(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val th = Selection.kthSmallest(li, "l_returnflag", "cents", Seq(
+          "p05" -> ((n: org.apache.spark.sql.Column) => Selection.idiv(n * 5 + 99, 100)),
+          "p95" -> ((n: org.apache.spark.sql.Column) => Selection.idiv(n * 95 + 99, 100))))
+        .groupBy(col("__g"))
+        .agg(max(when(col("__t") === "p05", col("__v"))).as("lo"),
+          max(when(col("__t") === "p95", col("__v"))).as("hi"))
+      li.join(broadcast(th), col("l_returnflag") === col("__g"))
+        .withColumn("w", greatest(col("lo"), least(col("hi"), col("cents"))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
+          sum(col("w")).as("wsum_cents"))
+        .withColumn("wmean_cents", expr("wsum_cents div n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // LEAVE-ONE-OUT TARGET ENCODING audit (the feature-store leakage
     // guard): encode o_orderpriority by the mean target over the OTHER
     // rows of its group — enc_i = (S_g − x_i)/(n_g − 1) — exact in
@@ -556,6 +583,27 @@ object AggQueries {
         |  CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
         |    AS p99_cents
         |FROM rk JOIN n ON n.g = rk.g GROUP BY rk.g ORDER BY 1""".stripMargin,
+
+    "q_agg_winsor_hc" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY g),
+        |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        |       FROM r),
+        |th AS (SELECT rk.g,
+        |         CAST(MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS BIGINT)
+        |           AS lo,
+        |         CAST(MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS BIGINT)
+        |           AS hi
+        |       FROM rk JOIN n ON n.g = rk.g GROUP BY rk.g)
+        |SELECT r.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  th.lo AS p05_cents, th.hi AS p95_cents,
+        |  CAST(SUM(GREATEST(th.lo, LEAST(th.hi, r.v))) AS BIGINT) AS wsum_cents,
+        |  CAST(SUM(GREATEST(th.lo, LEAST(th.hi, r.v))) // count(*) AS BIGINT)
+        |    AS wmean_cents
+        |FROM r JOIN th ON th.g = r.g
+        |GROUP BY r.g, th.lo, th.hi ORDER BY 1""".stripMargin,
 
     "q_feature_loo" ->
       """WITH o AS (SELECT o_orderpriority AS pri,

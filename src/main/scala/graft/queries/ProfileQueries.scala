@@ -56,6 +56,26 @@ object ProfileQueries {
         .orderBy(col("colname"))
     }),
 
+    // PER-COLUMN TOP VALUES (the profiler's "most frequent values"
+    // panel): every column's top-3 values by count in ONE Expand pass
+    // over (colname, value) — the q_profile_completeness unpivot
+    // composed with the TopKPerKey physical operator (per-partition
+    // heaps prune to ≤3 rows per column BEFORE the shuffle; a window
+    // would ship the whole value census). Columns restricted to
+    // int/string renderings, which both engines format identically —
+    // unlike the completeness census, the VALUES cross engines here
+    "q_profile_topvals" -> ((s: SparkSession, d: String) => {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      val census = scan(s, d, "orders")
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS (colname, v)"))
+        .groupBy(col("colname"), col("v")).agg(count(lit(1)).as("cnt"))
+      graft.plans.TopKPerKey.topKPerKey(census,
+          keyCols = Seq("colname"), sorts = Seq(("cnt", false), ("v", true)), k = 3)
+        .select(col("colname"), col("v"), col("cnt"))
+        .orderBy(col("colname"), col("cnt").desc, col("v"))
+    }),
+
     // key-skew profile: per-key frequency distribution of a join key —
     // the diagnostic that picks the hot-key threshold for
     // Joins.saltedJoin (max/avg ratio >> 1 ⇒ salt those keys). Two
@@ -432,6 +452,18 @@ object ProfileQueries {
         |  CAST(COALESCE(sum(c) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_null,
         |  CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct
         |FROM c GROUP BY colname ORDER BY colname""".stripMargin,
+
+    "q_profile_topvals" ->
+      """WITH s AS (
+        |  SELECT 'o_orderstatus' AS colname, o_orderstatus AS v FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders),
+        |c AS (SELECT colname, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY colname
+        |        ORDER BY cnt DESC, v) AS rn FROM c)
+        |SELECT colname, v, cnt FROM r WHERE rn <= 3
+        |ORDER BY colname, cnt DESC, v""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
