@@ -608,6 +608,54 @@ object WindowQueries {
         .orderBy(col("event_type"))
     }),
 
+    // HOLT–WINTERS triple exponential smoothing (additive seasonality,
+    // period 7) — the q_ts_holt recursion plus a seasonal state, made
+    // index-free by a ROTATING ring: the accumulator is
+    // [l, b, s₁..s₇] with the CURRENT day's seasonal always at ring
+    // head; each step consumes the head and appends the re-estimated
+    // seasonal, so no position argument is needed in either engine's
+    // fold. Dyadic smoothing constants (α=1/2, β=1/4, γ=1/2) keep
+    // every step a halving/quartering — bit-identical doubles under
+    // the identical sequential fold on both sides (the q_ts_holt LIST-
+    // accumulator rule applies: every new element references only the
+    // OLD accumulator, nl inlined). Seeds: l₀ = mean of the first 7
+    // observed days, b₀ = 0, sᵢ = yᵢ − l₀; seasonality runs on the
+    // OBSERVED day index (the q_ts_ccf convention). State ∝ days
+    "q_ts_hw" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val evs = array_sort(collect_list(struct(col("day"), col("cnt"))))
+      daily.groupBy(col("event_type")).agg(evs.as("evs"))
+        .filter(size(col("evs")) >= 8)
+        .select(col("event_type"), size(col("evs")).as("n_days"),
+          transform(col("evs"), e => e.getField("cnt")).as("ys"))
+        .select(col("event_type"), col("n_days"),
+          (aggregate(slice(col("ys"), 1, 7), lit(0.0), (a, y) => a + y)
+            / lit(7.0)).as("l0"), col("ys"))
+        .select(col("event_type"), col("n_days"),
+          aggregate(
+            slice(col("ys"), lit(8), size(col("ys")) - 7),
+            concat(array(col("l0"), lit(0.0)),
+              transform(slice(col("ys"), 1, 7), y => y - col("l0"))),
+            (acc, y) => {
+              val l = element_at(acc, 1)
+              val b = element_at(acc, 2)
+              val sOld = element_at(acc, 3)
+              val nl = (y - sOld) / lit(2.0) + (l + b) / lit(2.0)
+              val nb = (nl - l) / lit(4.0) + b * lit(0.75)
+              val ns = (y - nl) / lit(2.0) + sOld / lit(2.0)
+              concat(array(nl, nb), slice(acc, 4, 6), array(ns))
+            }).as("hw"))
+        .select(col("event_type"), col("n_days"),
+          element_at(col("hw"), 1).as("level"),
+          element_at(col("hw"), 2).as("trend"),
+          element_at(col("hw"), 3).as("s_next"),
+          (element_at(col("hw"), 1) + element_at(col("hw"), 2)
+            + element_at(col("hw"), 3)).as("forecast_1"))
+        .orderBy(col("event_type"))
+    }),
+
     // CROSS-CORRELATION FUNCTION (lead–lag diagnostic: does 'view'
     // activity LEAD 'purchase' activity, and by how many days?):
     // r_k = corr(x_t, y_{t+k}) for k ∈ −3..+3 over the OBSERVED daily
@@ -1038,6 +1086,40 @@ object WindowQueries {
          |SELECT day, MAX(open) AS peak_open,
          |  MIN(CASE WHEN open = pk THEN t END) AS peak_at
          |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_ts_hw" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS DOUBLE) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, list(cnt ORDER BY day) AS ys
+        |      FROM daily GROUP BY event_type HAVING count(*) >= 8),
+        |i AS (SELECT event_type, ys, CAST(len(ys) AS INT) AS n_days,
+        |        list_reduce(ys[1:7], (a, y) -> a + y) / CAST(7.0 AS DOUBLE) AS l0
+        |      FROM g),
+        |sd AS (SELECT event_type, n_days,
+        |         list_prepend(
+        |           list_concat([l0, CAST(0.0 AS DOUBLE)],
+        |             list_transform(ys[1:7], y -> y - l0)),
+        |           list_transform(ys[8:], y -> [y])) AS es
+        |       FROM i),
+        |r AS (SELECT event_type, n_days,
+        |        list_reduce(es, (acc, x) ->
+        |          list_concat(list_concat(
+        |            [(x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |               + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE),
+        |             ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE) - acc[1])
+        |               / CAST(4.0 AS DOUBLE)
+        |               + acc[2] * CAST(0.75 AS DOUBLE)],
+        |            acc[4:9]),
+        |            [(x[1] - ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE)))
+        |               / CAST(2.0 AS DOUBLE)
+        |               + acc[3] / CAST(2.0 AS DOUBLE)])) AS hw
+        |      FROM sd)
+        |SELECT event_type, n_days, hw[1] AS level, hw[2] AS trend,
+        |  hw[3] AS s_next, hw[1] + hw[2] + hw[3] AS forecast_1
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "q_ts_holt" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
