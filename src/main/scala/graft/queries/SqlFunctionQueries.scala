@@ -62,6 +62,33 @@ object SqlFunctionQueries {
 
     // interval arithmetic tier: day/month adds (with Spark/DuckDB's
     // shared end-of-month clamping), last_day, month truncation
+    // BUSINESS-DAY arithmetic (NETWORKDAYS): order→ship fulfillment
+    // lag in WEEKDAYS, the SLA number ops teams actually track. The
+    // weekday count below an index is the closed form
+    // f(di) = (di div 7)·5 + min(di mod 7, 5) with di = days since a
+    // MONDAY epoch (1992-01-06, pre-data, the repo's portable-date
+    // epoch) — bdays in [order, ship) = f(ship) − f(order), all
+    // integer, no calendar UDF, no per-day explode. One hash join on
+    // orderkey + a combinable census
+    "q_date_bdays" -> ((s: SparkSession, d: String) => {
+      def wdBelow(c: org.apache.spark.sql.Column) = {
+        val di = datediff(c.cast("date"), lit("1992-01-06").cast("date")).cast("long")
+        graft.ops.Selection.idiv(di, 7) * 5 + least(pmod(di, lit(7)), lit(5L))
+      }
+      val li = scan(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          wdBelow(col("l_shipdate")).as("fs"))
+      val o = scan(s, d, "orders")
+        .select(col("o_orderkey"), wdBelow(col("o_orderdate")).as("fo"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("bd", col("fs") - col("fo"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("bd")).as("sum_bdays"),
+          min(col("bd")).as("min_bdays"), max(col("bd")).as("max_bdays"))
+        .withColumn("avg_milli", expr("sum_bdays * 1000 div n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_date_arith" -> ((s: SparkSession, d: String) => {
       scan(s, d, "orders")
         .select(
@@ -400,6 +427,24 @@ object SqlFunctionQueries {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_bdays" ->
+      """WITH l AS (SELECT l_orderkey, l_returnflag,
+        |             CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-06' AS BIGINT) AS ds
+        |           FROM lineitem),
+        |o AS (SELECT o_orderkey,
+        |        CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-06' AS BIGINT) AS dd
+        |      FROM orders),
+        |b AS (SELECT l_returnflag,
+        |        ((ds // 7) * 5 + LEAST(ds % 7, 5))
+        |          - ((dd // 7) * 5 + LEAST(dd % 7, 5)) AS bd
+        |      FROM l JOIN o ON o_orderkey = l_orderkey)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(bd) AS BIGINT) AS sum_bdays,
+        |  CAST(MIN(bd) AS BIGINT) AS min_bdays,
+        |  CAST(MAX(bd) AS BIGINT) AS max_bdays,
+        |  CAST(SUM(bd) * 1000 // count(*) AS BIGINT) AS avg_milli
+        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) + 45 AS plus_45d,
