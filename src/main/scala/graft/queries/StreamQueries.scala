@@ -484,6 +484,27 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING HOLT–WINTERS (incremental MODEL maintenance): the
+    // (level, trend, seasonal-ring) state advances one day at a time
+    // as the watermark closes days — a partial day never enters the
+    // model (see StreamOps.hwCustomState). The final model per type
+    // (max n_days — strictly increasing, so the struct-max is the last
+    // emission) is bit-identical to the batch Holt–Winters over CLOSED
+    // days: the oracle is hwOracleSql with the closed-day predicate —
+    // one shared replay with q_ts_hw
+    "q_stream_hw" -> ((s: SparkSession, d: String) => {
+      val rows = StreamOps.runToMemory(s,
+        StreamOps.hwCustomState(s, StreamOps.eventsStream(s, d)),
+        "mem_stream_hw", "append")
+      rows.groupBy(col("event_type"))
+        .agg(max(struct(col("n_days"), col("level"), col("trend"),
+          col("s_next"), col("forecast_1"))).as("m"))
+        .select(col("event_type"), col("m.n_days").cast("int").as("n_days"),
+          col("m.level").as("level"), col("m.trend").as("trend"),
+          col("m.s_next").as("s_next"), col("m.forecast_1").as("forecast_1"))
+        .orderBy(col("event_type"))
+    }),
+
     // STREAMING-MAINTAINED LEADERBOARD (bounded-sketch maintenance):
     // per event_type, the top-3 values with (value desc, event_id asc)
     // tie-break. Each micro-batch appends only its per-key top-3
@@ -555,6 +576,12 @@ object StreamQueries {
     // incremental ≡ batch, literally: the streaming dwell is checked
     // against the SAME oracle string as the batch census
     "q_stream_dwell" -> FunnelQueries.oracleSql("q_events_dwell"),
+
+    // batch Holt–Winters replay restricted to CLOSED days (a day is
+    // closed once the stream's frontier passed its end)
+    "q_stream_hw" -> WindowQueries.hwOracleSql(
+      "WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY" +
+        " <= (SELECT max(ts) FROM events)"),
 
     // additive histograms: the merged incremental census is bit-identical
     // to the one-shot census, so the oracle IS q_dq_drift's query

@@ -728,7 +728,46 @@ object WindowQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** The Holt–Winters replay over a daily census restricted by
+    * `dailyWhere` — shared by q_ts_hw (all observed days) and
+    * q_stream_hw (closed days only: the streaming fold can only
+    * consume a day once the watermark proves it complete).
+    */
+  private[queries] def hwOracleSql(dailyWhere: String): String =
+      s"""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS DOUBLE) AS cnt
+        |               FROM events $dailyWhere GROUP BY 1, 2),
+        |g AS (SELECT event_type, list(cnt ORDER BY day) AS ys
+        |      FROM daily GROUP BY event_type HAVING count(*) >= 8),
+        |i AS (SELECT event_type, ys, CAST(len(ys) AS INT) AS n_days,
+        |        list_reduce(ys[1:7], (a, y) -> a + y) / CAST(7.0 AS DOUBLE) AS l0
+        |      FROM g),
+        |sd AS (SELECT event_type, n_days,
+        |         list_prepend(
+        |           list_concat([l0, CAST(0.0 AS DOUBLE)],
+        |             list_transform(ys[1:7], y -> y - l0)),
+        |           list_transform(ys[8:], y -> [y])) AS es
+        |       FROM i),
+        |r AS (SELECT event_type, n_days,
+        |        list_reduce(es, (acc, x) ->
+        |          list_concat(list_concat(
+        |            [(x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |               + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE),
+        |             ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE) - acc[1])
+        |               / CAST(4.0 AS DOUBLE)
+        |               + acc[2] * CAST(0.75 AS DOUBLE)],
+        |            acc[4:9]),
+        |            [(x[1] - ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
+        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE)))
+        |               / CAST(2.0 AS DOUBLE)
+        |               + acc[3] / CAST(2.0 AS DOUBLE)])) AS hw
+        |      FROM sd)
+        |SELECT event_type, n_days, hw[1] AS level, hw[2] AS trend,
+        |  hw[3] AS s_next, hw[1] + hw[2] + hw[3] AS forecast_1
+        |FROM r ORDER BY event_type""".stripMargin
+
+    val oracleSql: Map[String, String] = Map(
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
@@ -1087,39 +1126,8 @@ object WindowQueries {
          |  MIN(CASE WHEN open = pk THEN t END) AS peak_at
          |FROM p GROUP BY day ORDER BY day""".stripMargin,
 
-    "q_ts_hw" ->
-      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |                 CAST(COUNT(*) AS DOUBLE) AS cnt
-        |               FROM events GROUP BY 1, 2),
-        |g AS (SELECT event_type, list(cnt ORDER BY day) AS ys
-        |      FROM daily GROUP BY event_type HAVING count(*) >= 8),
-        |i AS (SELECT event_type, ys, CAST(len(ys) AS INT) AS n_days,
-        |        list_reduce(ys[1:7], (a, y) -> a + y) / CAST(7.0 AS DOUBLE) AS l0
-        |      FROM g),
-        |sd AS (SELECT event_type, n_days,
-        |         list_prepend(
-        |           list_concat([l0, CAST(0.0 AS DOUBLE)],
-        |             list_transform(ys[1:7], y -> y - l0)),
-        |           list_transform(ys[8:], y -> [y])) AS es
-        |       FROM i),
-        |r AS (SELECT event_type, n_days,
-        |        list_reduce(es, (acc, x) ->
-        |          list_concat(list_concat(
-        |            [(x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
-        |               + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE),
-        |             ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
-        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE) - acc[1])
-        |               / CAST(4.0 AS DOUBLE)
-        |               + acc[2] * CAST(0.75 AS DOUBLE)],
-        |            acc[4:9]),
-        |            [(x[1] - ((x[1] - acc[3]) / CAST(2.0 AS DOUBLE)
-        |                + (acc[1] + acc[2]) / CAST(2.0 AS DOUBLE)))
-        |               / CAST(2.0 AS DOUBLE)
-        |               + acc[3] / CAST(2.0 AS DOUBLE)])) AS hw
-        |      FROM sd)
-        |SELECT event_type, n_days, hw[1] AS level, hw[2] AS trend,
-        |  hw[3] AS s_next, hw[1] + hw[2] + hw[3] AS forecast_1
-        |FROM r ORDER BY event_type""".stripMargin,
+    "q_ts_hw" -> hwOracleSql(""),
+
 
     "q_ts_holt" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

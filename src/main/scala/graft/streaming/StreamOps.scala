@@ -299,6 +299,79 @@ object StreamOps {
       .toDF("event_type", "gap_us")
   }
 
+  /** Streaming HOLT–WINTERS maintenance — incremental MODEL upkeep,
+    * not just aggregation: per event_type the (level, trend,
+    * seasonal-ring) state of q_ts_hw, advanced one day at a time as
+    * the watermark CLOSES days (a day folds only when it can provably
+    * receive no more events — the production rule that a partial day
+    * never enters the model). Per-key state = pending per-day counts
+    * (bounded by watermark lag in days) + the 7-seed buffer + the
+    * 9-double ring. The fold arithmetic is the same dyadic IEEE
+    * sequence as the batch query and the DuckDB oracle, so the FINAL
+    * emitted model (max n_days per type) is bit-identical to the
+    * batch Holt–Winters over closed days regardless of micro-batch
+    * slicing. Day boundaries are whole ms, so GroupState's ms-precision
+    * watermark is exact here (unlike dwellCustomState's µs gaps).
+    *
+    * Emits (event_type, n_days, level, trend, s_next, forecast_1) each
+    * time the model advances; the consumer keeps the last row per key.
+    */
+  def hwCustomState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dayUs = 86400000000L
+    val typed = events
+      .select(col("event_type"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("tsu"))
+      .as[(String, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Seq[(Long, Double)], Seq[Double], Seq[Double], Long),
+          (String, Long, Double, Double, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[(Seq[(Long, Double)], Seq[Double], Seq[Double], Long)]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (pend0, seed0, hw0, n0) =
+            state.getOption.getOrElse((Nil, Nil, Nil, 0L))
+          val pend = scala.collection.mutable.Map(pend0: _*)
+          rows.foreach { r =>
+            val d = r._3 - java.lang.Math.floorMod(r._3, dayUs)
+            pend(d) = pend.getOrElse(d, 0.0) + 1.0
+          }
+          val (closed, open) = pend.toSeq.sortBy(_._1)
+            .partition { case (d, _) => d + dayUs <= wmUs }
+          var seed = seed0.toVector
+          var hw = hw0.toVector
+          var n = n0
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Double, Double, Double)]
+          closed.foreach { case (_, y) =>
+            n += 1
+            if (hw.isEmpty) {
+              seed = seed :+ y
+              if (seed.length == 7) {
+                val l0 = seed.foldLeft(0.0)(_ + _) / 7.0
+                hw = Vector(l0, 0.0) ++ seed.map(_ - l0)
+              }
+            } else {
+              val l = hw(0); val b = hw(1); val sOld = hw(2)
+              val nl = (y - sOld) / 2.0 + (l + b) / 2.0
+              val nb = (nl - l) / 4.0 + b * 0.75
+              val ns = (y - nl) / 2.0 + sOld / 2.0
+              hw = Vector(nl, nb) ++ hw.drop(3) :+ ns
+              out += ((tpe, n, hw(0), hw(1), hw(2), hw(0) + hw(1) + hw(2)))
+            }
+          }
+          state.update((open, seed, hw, n))
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.iterator
+      }
+      .toDF("event_type", "n_days", "level", "trend", "s_next", "forecast_1")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the user's previous event exceeds `gapSeconds`. One
     * window pass + one groupBy, both keyed by user — two shuffles on the
