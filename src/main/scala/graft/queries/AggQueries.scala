@@ -214,6 +214,30 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // HIGH-CARDINALITY MAD (median absolute deviation) — the robust
+    // dispersion statistic at price-cents cardinality, as TWO chained
+    // two-phase selections: the grouped median first, then the median
+    // of |x − median| over the derived deviations (same machinery,
+    // second pass). Nothing sorts the fact table in either pass;
+    // everything is exact integers
+    "q_agg_mad_hc" -> ((s: SparkSession, d: String) => {
+      import graft.ops.Selection
+      def med = (n: org.apache.spark.sql.Column) => Selection.idiv(n + 1, 2)
+      val li = scan(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val m = Selection.kthSmallest(li, "l_returnflag", "cents",
+          Seq("p50" -> med))
+        .select(col("__g"), col("__v").as("med_cents"))
+      val dev = li.join(broadcast(m), col("l_returnflag") === col("__g"))
+        .select(col("l_returnflag"), abs(col("cents") - col("med_cents")).as("dev"))
+      Selection.kthSmallest(dev, "l_returnflag", "dev", Seq("p50" -> med))
+        .select(col("__g").as("l_returnflag"), col("__v").as("mad_cents"))
+        .join(m.select(col("__g").as("l_returnflag"), col("med_cents")),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med_cents"), col("mad_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // HIGH-CARDINALITY WINSORIZED MEAN — q_agg_robust's clamp at
     // nearest-rank p05/p95, but over price cents (millions of distinct
     // values), where the census-window trick is a per-group sort: the
@@ -583,6 +607,26 @@ object AggQueries {
         |  CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
         |    AS p99_cents
         |FROM rk JOIN n ON n.g = rk.g GROUP BY rk.g ORDER BY 1""".stripMargin,
+
+    "q_agg_mad_hc" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY g),
+        |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        |       FROM r),
+        |m AS (SELECT rk.g,
+        |        CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS med
+        |      FROM rk JOIN n ON n.g = rk.g GROUP BY rk.g),
+        |dv AS (SELECT r.g, ABS(r.v - m.med) AS dev
+        |       FROM r JOIN m ON m.g = r.g),
+        |dk AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn
+        |       FROM dv)
+        |SELECT dk.g AS l_returnflag, m.med AS med_cents,
+        |  CAST(MIN(CASE WHEN dk.rn = (n.n + 1) // 2 THEN dk.dev END) AS BIGINT)
+        |    AS mad_cents
+        |FROM dk JOIN n ON n.g = dk.g JOIN m ON m.g = dk.g
+        |GROUP BY dk.g, m.med ORDER BY 1""".stripMargin,
 
     "q_agg_winsor_hc" ->
       """WITH r AS (SELECT l_returnflag AS g,
