@@ -46,6 +46,23 @@ object EntityQueries {
         .orderBy(col("rec_a"), col("rec_b"))
     }),
 
+    // SCORE-CALIBRATION census (the Fellegi–Sunter threshold-tuning
+    // readout): ALL candidates binned by integer score with per-bin
+    // ground-truth composition (the planted twins rec_b = rec_a + 1)
+    // — the precision-at-threshold curve read straight off the
+    // clerical-review surface; the ER twin of q_dedup_pairhist. One
+    // combinable aggregation over the blocked candidate relation
+    "q_er_scorehist" -> ((s: SparkSession, d: String) => {
+      val (recs, len) = records(s, d)
+      candidates(recs, len)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("rec_a") % 2 === 0 && col("rec_b") === col("rec_a") + 1,
+            1L).otherwise(0L)).as("n_true"))
+        .withColumn("precision_ppm", expr("n_true * 1000000 div n_pairs"))
+        .orderBy(col("score"))
+    }),
+
     // golden records: one survivor row per linked entity (+ singletons)
     "q_er_golden" -> ((s: SparkSession, d: String) => {
       val (recs, len) = records(s, d)
@@ -170,6 +187,16 @@ object EntityQueries {
       s"""WITH $erCtes
          |SELECT rec_a, rec_b, score FROM scored
          |WHERE score >= $matchThreshold ORDER BY rec_a, rec_b""".stripMargin,
+
+    "q_er_scorehist" ->
+      s"""WITH $erCtes
+         |SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN rec_a % 2 = 0 AND rec_b = rec_a + 1
+         |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         |  CAST(COALESCE(SUM(CASE WHEN rec_a % 2 = 0 AND rec_b = rec_a + 1
+         |                         THEN 1 ELSE 0 END), 0) * 1000000 // count(*)
+         |    AS BIGINT) AS precision_ppm
+         |FROM scored GROUP BY score ORDER BY score""".stripMargin,
 
     "q_er_golden" ->
       s"""WITH RECURSIVE $erCtes,
