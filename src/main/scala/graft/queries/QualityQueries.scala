@@ -190,6 +190,54 @@ object QualityQueries {
         .orderBy(col("ldiv"))
     }),
 
+    // T-CLOSENESS census (Li 2007) — l-diversity's known hole: a class
+    // whose sensitive values are DISTINCT but all extreme (every acctbal
+    // in the top band) still discloses. t-closeness bounds the Earth
+    // Mover's Distance between each QI class's sensitive distribution
+    // and the GLOBAL one. Sensitive attribute = ordinal acctbal band,
+    // where ordinal EMD has the closed form
+    //   EMD = (1/(m-1)) * sum_i |CumP_i - CumQ_i|
+    // — exact in integers after cross-multiplying by n_g*N: the running
+    // cumdiff is sum_{j<=i} (c_j*N - C_j*n_g), and the final bucket's
+    // cumdiff is identically 0, so summing |cumdiff| over ALL buckets
+    // equals the i<m sum. Shape: one row-level aggregation to the
+    // (class, band) census, then everything runs on a dimension-sized
+    // grid (classes x global bands, broadcast nested-loop — ~125x11
+    // rows at ANY data scale). BIGINT bound: |cumdiff| <= n_g*N and the
+    // ppm numerator <= m*n_g*N*1e6 ~ 1e17 at sf1; a 100 TB deploy
+    // lifts the two products to DECIMAL(38,0)
+    "q_dq_tcloseness" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tPpm = 200000L // t = 0.2
+      val rows = scan(s, d, "customer").select(
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val cls = rows.groupBy(col("seg"), col("nat"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val classTot = cls.groupBy(col("seg"), col("nat"))
+        .agg(sum(col("c")).as("n_g"))
+      val glob = rows.groupBy(col("band")).agg(count(lit(1)).as("cg"))
+      val tot = rows.agg(count(lit(1)).as("n_tot"),
+        countDistinct(col("band")).as("m"))
+      val grid = classTot.crossJoin(broadcast(glob))
+        .join(cls, Seq("seg", "nat", "band"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val w = Window.partitionBy(col("seg"), col("nat")).orderBy(col("band"))
+      grid
+        .withColumn("cum",
+          sum(col("c") * col("n_tot") - col("cg") * col("n_g")).over(w))
+        .groupBy(col("seg"), col("nat"))
+        .agg(max(col("n_g")).as("n_rows"),
+          sum(abs(col("cum"))).as("emd_num"),
+          max(col("n_g") * col("n_tot") * (col("m") - 1)).as("emd_den"))
+        .select(col("seg"), col("nat").cast("long").as("nat"),
+          col("n_rows").cast("long").as("n_rows"),
+          expr("emd_num * 1000000 div emd_den").as("emd_ppm"))
+        .withColumn("t_violation", col("emd_ppm") > tPpm)
+        .orderBy(col("seg"), col("nat"))
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN propagation manifest: a deletion request for
     // a customer set must cascade through every table that references it
     // (orders → their lineitems; events by user). One broadcast of the
@@ -561,6 +609,34 @@ object QualityQueries {
         |  CAST(MIN(n) AS BIGINT) AS min_class_size,
         |  ldiv < 3 AS at_risk
         |FROM cl GROUP BY ldiv ORDER BY ldiv""".stripMargin,
+
+    "q_dq_tcloseness" ->
+      """WITH r AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |           FROM customer),
+        |cls AS (SELECT seg, nat, band, CAST(count(*) AS BIGINT) AS c
+        |        FROM r GROUP BY 1, 2, 3),
+        |ct AS (SELECT seg, nat, CAST(SUM(c) AS BIGINT) AS n_g
+        |       FROM cls GROUP BY 1, 2),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS cg FROM r GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+        |             CAST(count(DISTINCT band) AS BIGINT) AS m FROM r),
+        |grid AS (SELECT ct.seg, ct.nat, g.band, ct.n_g, g.cg,
+        |           COALESCE(cls.c, 0) AS c, t.n_tot, t.m
+        |         FROM ct CROSS JOIN g
+        |         LEFT JOIN cls ON cls.seg = ct.seg AND cls.nat = ct.nat
+        |                      AND cls.band = g.band
+        |         CROSS JOIN t),
+        |cum AS (SELECT seg, nat, n_g, n_tot, m,
+        |          SUM(c * n_tot - cg * n_g) OVER (PARTITION BY seg, nat
+        |            ORDER BY band) AS cum
+        |        FROM grid)
+        |SELECT seg, CAST(nat AS BIGINT) AS nat, CAST(MAX(n_g) AS BIGINT) AS n_rows,
+        |  CAST(SUM(abs(cum)) * 1000000
+        |    // MAX(n_g * n_tot * (m - 1)) AS BIGINT) AS emd_ppm,
+        |  CAST(SUM(abs(cum)) * 1000000
+        |    // MAX(n_g * n_tot * (m - 1)) AS BIGINT) > 200000 AS t_violation
+        |FROM cum GROUP BY seg, nat ORDER BY seg, nat""".stripMargin,
 
     "q_dq_forget" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 3),
