@@ -247,6 +247,61 @@ object SqlFunctionQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // KMV/THETA-SKETCH SET OPERATIONS (Dasgupta 2016's theta-sketch
+    // framework): audience-overlap estimation — |view ∪ purchase|,
+    // |view ∩ purchase|, Jaccard — from two k-smallest-hash sketches,
+    // never the full sets. The 100 TB story: each side's sketch is a
+    // k-row summary (mergeable, partial-aggregable), so overlap across
+    // N segment pairs costs N·k rows, not a distinct-join per pair;
+    // here the exact sides ride along to self-grade the estimate.
+    // theta = min(theta_A, theta_B); every retained hash < theta is a
+    // uniform sample of the union at rate theta/2^60, so
+    // est = count·2^60 div theta — DETERMINISTIC integer arithmetic
+    // (the 21-digit product runs in DECIMAL(38,0)/HUGEINT on the two
+    // engines), hash-matched, not tolerance-matched
+    "q_agg_kmv_setops" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val M = 1152921504606846976L // 2^60
+      val e = scan(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type").as("t"), col("user_id"))
+        .distinct()
+        .withColumn("hv", graft.ops.Dedup.hex60(
+          md5(concat(lit("ovl:"), col("user_id").cast("string")).cast("binary"))))
+      val exact = e.groupBy(col("user_id"))
+        .agg(countDistinct(col("t")).as("nt"))
+        .agg(count(lit(1)).as("union_exact"),
+          sum(when(col("nt") === 2, 1L).otherwise(0L)).as("inter_exact"))
+      val w = Window.partitionBy(col("t")).orderBy(col("hv"))
+      val ranked = e.withColumn("rn", row_number().over(w))
+      val theta = ranked.groupBy(col("t"))
+        .agg(max(when(col("rn") === k, col("hv"))).as("th_k"),
+          count(lit(1)).as("n"))
+        .select(when(col("n") < k, lit(M)).otherwise(col("th_k")).as("th"))
+        .agg(min(col("th")).as("theta"))
+      val counts = ranked.filter(col("rn") <= k)
+        .crossJoin(broadcast(theta))
+        .filter(col("hv") < col("theta"))
+        .groupBy(col("hv"), col("theta"))
+        .agg(countDistinct(col("t")).as("nt"))
+        .groupBy(col("theta"))
+        .agg(count(lit(1)).as("count_u"),
+          sum(when(col("nt") === 2, 1L).otherwise(0L)).as("count_i"))
+      counts.crossJoin(broadcast(exact))
+        .select(
+          expr(s"CAST(CAST(count_u AS DECIMAL(38,0)) * $M div theta AS BIGINT)")
+            .as("union_est"),
+          col("union_exact").cast("long").as("union_exact"),
+          expr(s"CAST(CAST(count_i AS DECIMAL(38,0)) * $M div theta AS BIGINT)")
+            .as("inter_est"),
+          col("inter_exact").cast("long").as("inter_exact"),
+          expr("count_i * 1000000 div greatest(count_u, 1)").as("jaccard_est_ppm"),
+          expr("inter_exact * 1000000 div union_exact").as("jaccard_exact_ppm"))
+        .withColumn("union_err_ppm",
+          expr("abs(union_est - union_exact) * 1000000 div union_exact"))
+    }),
+
     // approximate-percentile sketch, oracle-green the same way: the
     // KLL-style estimate is an actual data element whose exact RANK we
     // can bound — count(< ap)/n must not exceed 0.5+eps and
@@ -525,6 +580,45 @@ object SqlFunctionQueries {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median,
         |  true AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_kmv_setops" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('ovl:' || CAST(user_id AS VARCHAR))")
+      s"""WITH e AS (SELECT DISTINCT event_type AS t, user_id FROM events
+         |           WHERE event_type IN ('view', 'purchase')),
+         |h AS (SELECT t, $hv AS hv FROM e),
+         |r AS (SELECT t, hv, ROW_NUMBER() OVER (PARTITION BY t ORDER BY hv) AS rn,
+         |        COUNT(*) OVER (PARTITION BY t) AS n FROM h),
+         |th AS (SELECT CASE WHEN MAX(n) < 64 THEN 1152921504606846976
+         |              ELSE MAX(CASE WHEN rn = 64 THEN hv END) END AS th
+         |       FROM r GROUP BY t),
+         |theta AS (SELECT MIN(th) AS theta FROM th),
+         |cu AS (SELECT hv, COUNT(DISTINCT t) AS nt FROM r, theta
+         |       WHERE rn <= 64 AND hv < theta GROUP BY hv),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS count_u,
+         |        CAST(COALESCE(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END), 0)
+         |          AS BIGINT) AS count_i
+         |      FROM cu),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_exact,
+         |         CAST(COALESCE(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END), 0)
+         |           AS BIGINT) AS inter_exact
+         |       FROM (SELECT user_id, COUNT(DISTINCT t) AS nt FROM e
+         |             GROUP BY user_id))
+         |SELECT
+         |  CAST(c.count_u::HUGEINT * 1152921504606846976::HUGEINT
+         |    // theta.theta AS BIGINT) AS union_est,
+         |  ex.union_exact,
+         |  CAST(c.count_i::HUGEINT * 1152921504606846976::HUGEINT
+         |    // theta.theta AS BIGINT) AS inter_est,
+         |  ex.inter_exact,
+         |  CAST(c.count_i * 1000000 // greatest(c.count_u, 1) AS BIGINT)
+         |    AS jaccard_est_ppm,
+         |  CAST(ex.inter_exact * 1000000 // ex.union_exact AS BIGINT)
+         |    AS jaccard_exact_ppm,
+         |  CAST(abs(CAST(c.count_u::HUGEINT * 1152921504606846976::HUGEINT
+         |             // theta.theta AS BIGINT) - ex.union_exact) * 1000000
+         |    // ex.union_exact AS BIGINT) AS union_err_ppm
+         |FROM c, theta, ex""".stripMargin
+    },
 
     "q_agg_kmv" -> {
       val hv = DedupQueries.sqlHex60Public("md5('kmv:' || CAST(o_custkey AS VARCHAR))")
