@@ -14,6 +14,14 @@ import graft.ops.ExactAgg._
   */
 object ProfileQueries {
 
+  /** Zone-map predicate window in days from the 1992-01-06 Monday
+    * epoch: [1994-03-01, 1994-03-31], one shared constant pair so the
+    * engine literal and the oracle literal cannot drift.
+    */
+  private val zmLo: Long = java.time.temporal.ChronoUnit.DAYS.between(
+    java.time.LocalDate.of(1992, 1, 6), java.time.LocalDate.of(1994, 3, 1))
+  private val zmHi: Long = zmLo + 30
+
   private val endpoints = Map(
     "customers" -> Endpoint("customers", "customer",
       defaultFields = Seq("c_custkey", "c_name", "c_mktsegment")))
@@ -92,6 +100,39 @@ object ProfileQueries {
         percentile(col("n").cast("double"), lit(0.99)).as("p99_n"),
         (max(col("n")).cast("double") /
           (sum(col("n")).cast("double") / count(lit(1)).cast("double"))).as("max_over_avg"))
+    }),
+
+    // ZONE-MAP SKIPPING EFFECTIVENESS census — the quantified layout
+    // decision behind every 100 TB lakehouse: for a canonical
+    // one-month shipdate predicate, how many "files" (simulated
+    // row-groups: 4096-order-key ingest chunks vs 30-day date
+    // partitions) could a min/max zone map prove empty, and what row
+    // fraction do they hold? One scan per layout collapsing map-side
+    // to the file census (files, not rows, cross the shuffle); the
+    // verdict is the ingest layout's ~0 ppm vs the date layout's
+    // near-total skip — the measured case for sorting before landing
+    "q_profile_zonemap" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.Column
+      val li = scan(s, d, "lineitem").select(
+        col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-06").cast("date")).cast("long").as("di"))
+      def census(label: String, fileId: Column): DataFrame = {
+        val skip = col("hi_di") < zmLo || col("lo_di") > zmHi
+        li.groupBy(fileId.as("f"))
+          .agg(min(col("di")).as("lo_di"), max(col("di")).as("hi_di"),
+            count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+            sum(when(skip, 1L).otherwise(0L)).as("n_files_skip"),
+            sum(when(skip, col("n")).otherwise(0L)).as("n_rows_skip"))
+          .select(lit(label).as("layout"), col("n_files").cast("long"),
+            col("n_rows").cast("long"), col("n_files_skip").cast("long"),
+            col("n_rows_skip").cast("long"),
+            expr("n_rows_skip * 1000000 div n_rows").as("skip_ppm"))
+      }
+      census("ingest", expr("l_orderkey div 4096"))
+        .unionAll(census("shipdate", expr("di div 30")))
+        .orderBy(col("layout"))
     }),
 
     // fixed-width histogram (single pass, no per-bin jobs)
@@ -464,6 +505,34 @@ object ProfileQueries {
         |        ORDER BY cnt DESC, v) AS rn FROM c)
         |SELECT colname, v, cnt FROM r WHERE rn <= 3
         |ORDER BY colname, cnt DESC, v""".stripMargin,
+
+    "q_profile_zonemap" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |  CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-06' AS BIGINT) AS di
+         |  FROM lineitem),
+         |ing AS (SELECT l_orderkey // 4096 AS f, MIN(di) AS lo_di,
+         |          MAX(di) AS hi_di, COUNT(*) AS n FROM li GROUP BY 1),
+         |dt AS (SELECT di // 30 AS f, MIN(di) AS lo_di,
+         |         MAX(di) AS hi_di, COUNT(*) AS n FROM li GROUP BY 1),
+         |s AS (
+         |  SELECT 'ingest' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(CASE WHEN hi_di < $zmLo OR lo_di > $zmHi
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_files_skip,
+         |    CAST(COALESCE(SUM(CASE WHEN hi_di < $zmLo OR lo_di > $zmHi
+         |      THEN n ELSE 0 END), 0) AS BIGINT) AS n_rows_skip
+         |  FROM ing
+         |  UNION ALL
+         |  SELECT 'shipdate', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n) AS BIGINT),
+         |    CAST(COALESCE(SUM(CASE WHEN hi_di < $zmLo OR lo_di > $zmHi
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |    CAST(COALESCE(SUM(CASE WHEN hi_di < $zmLo OR lo_di > $zmHi
+         |      THEN n ELSE 0 END), 0) AS BIGINT)
+         |  FROM dt)
+         |SELECT layout, n_files, n_rows, n_files_skip, n_rows_skip,
+         |  CAST(n_rows_skip * 1000000 // n_rows AS BIGINT) AS skip_ppm
+         |FROM s ORDER BY layout""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
