@@ -426,6 +426,38 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // TEMPERATURE-SCALED LANGUAGE SAMPLING (the mC4/mT5 mixing rule,
+    // Xue 2021): w_i ∝ n_i^α with α = 1/2 — the standard softening
+    // between proportional (α=1) and uniform (α=0) that UniMax's
+    // water-filling replaced but production multilingual mixes still
+    // run. n_i^(1/2) computed as the EXACT integer square root
+    // (floor(sqrt) with a ±1 integer correction, so no engine's float
+    // sqrt rounding can leak into the weights); everything downstream
+    // is cross-multiplied ppm integer arithmetic on the 5-row language
+    // census — dimension-sized at any corpus scale
+    "q_mix_temp" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val cens = scan(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("toks"))
+        .groupBy(col("lang")).agg(sum(col("toks")).as("n"))
+        .withColumn("s0", floor(sqrt(col("n").cast("double"))).cast("long"))
+        .withColumn("isq",
+          when(col("s0") * col("s0") > col("n"), col("s0") - 1)
+            .when((col("s0") + 1) * (col("s0") + 1) <= col("n"), col("s0") + 1)
+            .otherwise(col("s0")))
+      val w = Window.partitionBy() // 5-row census, not a data-scale window
+      cens
+        .withColumn("totn", sum(col("n")).over(w))
+        .withColumn("tots", sum(col("isq")).over(w))
+        .withColumn("raw_ppm", expr("n * 1000000 div totn"))
+        .withColumn("temp_ppm", expr("isq * 1000000 div tots"))
+        .select(col("lang"), col("n").cast("long").as("n_tokens"),
+          col("isq").cast("long").as("isqrt_tokens"),
+          col("raw_ppm"), col("temp_ppm"),
+          expr("temp_ppm * 1000000 div greatest(raw_ppm, 1)").as("boost_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // DSIR IMPORTANCE SELECTION (Xie et al. 2023 hashed-n-gram data
     // selection): raw (non-English-labeled) docs scored by the
     // fixed-point likelihood ratio of the 256-bucket hashed-unigram
@@ -948,6 +980,32 @@ object DedupQueries {
          |SELECT lang, n AS n_tokens, alloc AS alloc_tokens,
          |  CAST(alloc * 1000000 // greatest(n, 1) AS BIGINT) AS epochs_ppm
          |FROM rec WHERE i > 0 ORDER BY lang""".stripMargin,
+
+    // same whitespace token census; exact isqrt replayed with the same
+    // ±1 integer correction so float sqrt can never decide a weight
+    "q_mix_temp" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS n FROM t GROUP BY lang),
+         |i0 AS (SELECT lang, n,
+         |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM tot),
+         |i1 AS (SELECT lang, n,
+         |         CASE WHEN s0 * s0 > n THEN s0 - 1
+         |              WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+         |              ELSE s0 END AS isq
+         |       FROM i0),
+         |w AS (SELECT lang, n, isq, SUM(n) OVER () AS totn,
+         |        SUM(isq) OVER () AS tots FROM i1),
+         |p AS (SELECT lang, n, isq,
+         |        CAST(n * 1000000 // totn AS BIGINT) AS raw_ppm,
+         |        CAST(isq * 1000000 // tots AS BIGINT) AS temp_ppm
+         |      FROM w)
+         |SELECT lang, n AS n_tokens, isq AS isqrt_tokens, raw_ppm, temp_ppm,
+         |  CAST(temp_ppm * 1000000 // greatest(raw_ppm, 1) AS BIGINT) AS boost_ppm
+         |FROM p ORDER BY lang""".stripMargin,
 
     "q_dedup_simhash_sig" ->
       s"""$simhashSql
