@@ -706,6 +706,194 @@ object Multimodal {
     }.toDF()
   }
 
+  /** PNG full-decode stats: dimensions + raster aggregates + the
+    * per-scanline filter census (proof the reconstruction actually ran
+    * through each filter path, not just the chunk walk).
+    */
+  final case class PngStats(media_id: Long, width: Int, height: Int,
+                            bit_depth: Int, color_type: Int,
+                            raster_sum: Long, n_bright: Long,
+                            n_none: Int, n_sub: Int, n_up: Int,
+                            n_avg: Int, n_paeth: Int)
+
+  /** REAL PNG decoder — the fifth container format and the first with
+    * a genuine COMPRESSED payload: signature check, chunk walk with
+    * CRC-32 verified on EVERY chunk (type+data, per the spec), IHDR
+    * big-endian parse, multi-IDAT concatenation, actual zlib INFLATE
+    * (`java.util.zip.Inflater` — no stub), then scanline-by-scanline
+    * reconstruction of all five filter types (None/Sub/Up/Average/
+    * Paeth, bpp = 1 for 8-bit grayscale). Malformed payloads — bad
+    * signature, CRC mismatch, short inflate, unknown filter — fail
+    * loudly like the other four decoders. Reference analogue: the S3
+    * object-get binary seam (adapters/s3/src/index.ts:156-178); the
+    * decode itself is public-spec PNG (RFC 2083).
+    */
+  def decodePng(rows: Iterator[MediaRow]): Iterator[PngStats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    require(b.length >= 8 && (0 until 8).forall(j => u8(j) == sig(j)),
+      s"not a PNG (bad signature): media ${r.media_id}")
+    var i = 8
+    var (w, h, depth, ctype) = (0, 0, -1, -1)
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(i + 12 <= b.length, s"truncated chunk header: media ${r.media_id}")
+      val len = u32(i).toInt
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      require(i + 12 + len <= b.length,
+        s"chunk $typ length $len overruns payload: media ${r.media_id}")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      require(crc.getValue == u32(i + 8 + len),
+        s"CRC mismatch in $typ: media ${r.media_id}")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len: media ${r.media_id}")
+          w = u32(i + 8).toInt; h = u32(i + 12).toInt
+          depth = u8(i + 16); ctype = u8(i + 17)
+          require(u8(i + 18) == 0 && u8(i + 19) == 0 && u8(i + 20) == 0,
+            s"unsupported compression/filter/interlace: media ${r.media_id}")
+          require(depth == 8 && ctype == 0,
+            s"only 8-bit grayscale supported: media ${r.media_id}")
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" =>
+          require(len == 0, s"IEND with data: media ${r.media_id}")
+          ended = true
+        case other => throw new IllegalArgumentException(
+          s"unknown chunk $other: media ${r.media_id}")
+      }
+      i += 12 + len
+    }
+    require(i == b.length, s"trailing bytes after IEND: media ${r.media_id}")
+    require(w > 0 && h > 0, s"IHDR missing or empty image: media ${r.media_id}")
+    // real zlib inflate of the concatenated IDAT stream
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val filt = new Array[Byte](h * (w + 1))
+    val got = inf.inflate(filt)
+    require(got == filt.length && inf.finished(),
+      s"inflate produced $got of ${filt.length} bytes: media ${r.media_id}")
+    inf.end()
+    // scanline reconstruction, bpp = 1
+    def paeth(a: Int, up: Int, c: Int): Int = {
+      val p = a + up - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - up), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+    }
+    val recon = Array.ofDim[Int](h, w)
+    val fCount = new Array[Int](5)
+    var (rasterSum, nBright) = (0L, 0L)
+    var y = 0
+    while (y < h) {
+      val f = filt(y * (w + 1)) & 0xff
+      require(f <= 4, s"unknown filter $f on row $y: media ${r.media_id}")
+      fCount(f) += 1
+      var x = 0
+      while (x < w) {
+        val enc = filt(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) recon(y)(x - 1) else 0
+        val up = if (y > 0) recon(y - 1)(x) else 0
+        val ul = if (x > 0 && y > 0) recon(y - 1)(x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        val v = (enc + pred) & 0xff
+        recon(y)(x) = v
+        rasterSum += v
+        if (v > 127) nBright += 1
+        x += 1
+      }
+      y += 1
+    }
+    PngStats(r.media_id, w, h, depth, ctype, rasterSum, nBright,
+      fCount(0), fCount(1), fCount(2), fCount(3), fCount(4))
+  }
+
+  /** PNG pipeline — same narrow mapPartitions seam. */
+  def extractPngStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePng).toDF()
+  }
+
+  /** Deterministic PNG fixture per id: 8-bit grayscale, w = 8 + id%9,
+    * h = 6 + id%7, pixel k (row-major) = (id·31 + k) mod 256, scanline
+    * y filtered with type y mod 5 — every filter path runs on every
+    * image taller than 4 rows (h ≥ 6 always). The filtered stream is
+    * REALLY deflated (`java.util.zip.Deflater`) and split into ≤64-byte
+    * IDAT chunks so the decoder exercises multi-chunk reassembly; every
+    * chunk carries its true CRC-32. Raster formula is analytic, so the
+    * oracle recomputes width/height/raster_sum/n_bright and the filter
+    * census WITHOUT touching a byte — compressed bytes never need to be
+    * bit-stable across JVMs because only decoded stats leave the engine.
+    */
+  def syntheticPng(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 7).toInt
+      def raw(x: Int, y: Int): Int = ((id * 31 + y * w + x) % 256).toInt
+      def paeth(a: Int, up: Int, c: Int): Int = {
+        val p = a + up - c
+        val (pa, pb, pc) = (math.abs(p - a), math.abs(p - up), math.abs(p - c))
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+      }
+      val filt = new Array[Byte](h * (w + 1))
+      (0 until h).foreach { y =>
+        val f = y % 5
+        filt(y * (w + 1)) = f.toByte
+        (0 until w).foreach { x =>
+          val left = if (x > 0) raw(x - 1, y) else 0
+          val up = if (y > 0) raw(x, y - 1) else 0
+          val ul = if (x > 0 && y > 0) raw(x - 1, y - 1) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          filt(y * (w + 1) + 1 + x) = ((raw(x, y) - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filt); defl.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val z = zbuf.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = (3 to 0 by -1)
+        .foreach(s => out.write(((v >> (8 * s)) & 0xff).toInt))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val tb = typ.getBytes("US-ASCII")
+        u32(data.length.toLong)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(tb); out.write(data); u32(crc.getValue)
+      }
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+      val ihdr = new java.io.ByteArrayOutputStream()
+      (3 to 0 by -1).foreach(s => ihdr.write((w >> (8 * s)) & 0xff))
+      (3 to 0 by -1).foreach(s => ihdr.write((h >> (8 * s)) & 0xff))
+      ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      z.grouped(64).foreach(part => chunk("IDAT", part))
+      chunk("IEND", Array.emptyByteArray)
+      MediaRow(id, "image/png", out.toByteArray)
+    }.toDF()
+  }
+
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and
     * rescales pixels here; the plumbing — binary in, smaller binary out,

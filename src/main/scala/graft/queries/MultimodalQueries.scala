@@ -170,6 +170,20 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL compressed-raster decode: deterministic 8-bit grayscale PNGs
+    // (multi-IDAT, per-chunk CRC-32, scanline filters cycling through
+    // all five types) decoded by the genuine chunk walk + zlib INFLATE
+    // + filter reconstruction (Multimodal.decodePng — the first decoder
+    // whose payload is actually compressed); the oracle recomputes
+    // dimensions, raster sum, brightness census, and the per-filter
+    // scanline counts from the fixture formula WITHOUT touching a byte,
+    // so a walk/inflate/unfilter bug cannot be mirrored
+    "q_multimodal_png" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractPngStats(
+        Multimodal.syntheticPng(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -375,6 +389,31 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
         |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
+
+    // formula replay: pixel k = (id*31 + k) % 256 over the w*h raster;
+    // filter census = rows y in [0,h) with y%5 = f, i.e. (h - f + 4)//5
+    "q_multimodal_png" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS k FROM m),
+        |v AS (SELECT id, w, h, (id * 31 + k) % 256 AS b FROM px),
+        |r AS (SELECT id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |        MAX(h) AS hh,
+        |        CAST(SUM(b) AS BIGINT) AS raster_sum,
+        |        CAST(COALESCE(SUM(CASE WHEN b > 127 THEN 1 ELSE 0 END), 0)
+        |          AS BIGINT) AS n_bright
+        |      FROM v GROUP BY id)
+        |SELECT id AS media_id, width, height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+        |  raster_sum, n_bright,
+        |  CAST((hh + 4) // 5 AS INT) AS n_none,
+        |  CAST((hh + 3) // 5 AS INT) AS n_sub,
+        |  CAST((hh + 2) // 5 AS INT) AS n_up,
+        |  CAST((hh + 1) // 5 AS INT) AS n_avg,
+        |  CAST(hh // 5 AS INT) AS n_paeth
+        |FROM r ORDER BY media_id""".stripMargin,
 
     "q_multimodal_jpeg" ->
       """SELECT doc_id AS media_id,
