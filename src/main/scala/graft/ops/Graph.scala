@@ -286,6 +286,43 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): restart
+    * mass returns only to the SEED set, so ranks measure proximity to
+    * the seeds rather than global centrality — the "similar suppliers /
+    * related customers" recommendation primitive. Same integer-scaled
+    * recursion as [[pageRank]] with two changes: ranks start at Scale on
+    * seeds (0 elsewhere — unreached nodes simply have no row), and the
+    * per-round teleport lands as a seed-only union into the combining
+    * aggregation (an agg, not a full-outer join — the node-sized union
+    * stays broadcast-free and partial-aggregable). Per round: one join
+    * against the cached degree-annotated edges + one shuffle keyed by
+    * node; working set ∝ nodes within `iters` hops of the seeds, which
+    * at 100 TB is the entire point — mass never materializes on the
+    * whole graph.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           checkpointInterval: Int = 5): DataFrame = {
+    val withDeg = edges
+      .select(col("src"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("d"))
+      .scopedPersist()
+    val seedSet = seeds.select(col("node")).distinct().scopedPersist()
+    var ranks = seedSet.select(col("node"), lit(Scale).as("r"))
+    for (i <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"), expr("(85 * csum) div 100").as("x"))
+        .unionAll(seedSet.select(col("node"), lit(Teleport).as("x")))
+        .groupBy(col("node")).agg(sum(col("x")).as("r"))
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Bounded-depth BFS over a directed edge relation (pass both
     * directions for undirected graphs): returns (node, depth) with
     * depth = hop distance from the nearest seed, seeds at 0. Each

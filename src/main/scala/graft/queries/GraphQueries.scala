@@ -72,6 +72,19 @@ object GraphQueries {
       Graph.pageRank(orderGraph(s, d), PrIters)
         .orderBy(col("r").desc, col("node")).limit(20)),
 
+    // PERSONALIZED PageRank from the nation-3 suppliers over the same
+    // customer–supplier bipartite graph — "who is closest to this
+    // supplier cohort", the recommendation/feature primitive global
+    // PageRank can't answer. Seed-restricted teleport via a seed-only
+    // union into the combining agg; working set stays proximity-bounded
+    "q_graph_ppr" -> ((s: SparkSession, d: String) => {
+      val seeds = scan(s, d, "supplier")
+        .filter(col("s_nationkey") === 3)
+        .select((col("s_suppkey") + lit(SuppOffset)).as("node"))
+      Graph.personalizedPageRank(orderGraph(s, d), seeds, PrIters)
+        .orderBy(col("r").desc, col("node")).limit(20)
+    }),
+
     // connected components of the co-supply graph — the same min-label
     // machinery as dedup cluster resolution, applied to a general edge
     // list (supplier communities)
@@ -192,6 +205,18 @@ object GraphQueries {
        |  CAST(${Graph.Teleport} + (85 * CAST(SUM(r.r // d.d) AS BIGINT)) // 100 AS BIGINT) AS r
        |FROM und u JOIN deg d ON u.src = d.src JOIN $prev r ON r.node = u.src
        |GROUP BY u.dst""".stripMargin
+
+  /** One personalized-PageRank round as SQL: spread term per reached
+    * node plus the seed-only teleport, combined by the outer SUM —
+    * mirroring the engine's union-into-agg exactly. */
+  private def pprRound(prev: String): String =
+    s"""SELECT node, CAST(SUM(x) AS BIGINT) AS r FROM (
+       |  SELECT u.dst AS node,
+       |    (85 * CAST(SUM(r.r // d.d) AS BIGINT)) // 100 AS x
+       |  FROM und u JOIN deg d ON u.src = d.src JOIN $prev r ON r.node = u.src
+       |  GROUP BY u.dst
+       |  UNION ALL SELECT node, ${Graph.Teleport} AS x FROM seeds)
+       |GROUP BY node""".stripMargin
 
   /** One k-core peel round as SQL: nodes with degree ≥ k in e$i, then
     * e${i+1} = edges with both ends surviving. MATERIALIZED on purpose:
@@ -344,6 +369,20 @@ object GraphQueries {
          |  WHERE w.depth < 3)
          |SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
          |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_graph_ppr" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS (SELECT c AS src, s + $SuppOffset AS dst FROM cs
+         |        UNION ALL SELECT s + $SuppOffset AS src, c AS dst FROM cs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+         |seeds AS (SELECT s_suppkey + $SuppOffset AS node FROM supplier
+         |          WHERE s_nationkey = 3),
+         |r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r FROM seeds),
+         |i1 AS (${pprRound("r0")}),
+         |i2 AS (${pprRound("i1")}),
+         |i3 AS (${pprRound("i2")})
+         |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 20""".stripMargin,
 
     "q_graph_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
