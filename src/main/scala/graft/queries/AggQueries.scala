@@ -190,6 +190,31 @@ object AggQueries {
         .orderBy(col("bin"))
     }),
 
+    // FEATURE LIFT screening (the campaign-targeting / feature-triage
+    // readout): per acctbal band, the purchase-conversion rate and its
+    // LIFT over the global rate — all cross-multiplied integer ppm
+    // (lift = k_bin·n_tot·1e6 div (n_bin·k_tot)), so no float rate ever
+    // decides a ranking. One broadcast semi-join flags converters, one
+    // combinable band census, one 1-row global broadcast back
+    "q_feature_lift" -> ((s: SparkSession, d: String) => {
+      val buyers = scan(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("__b")).distinct()
+      val flagged = scan(s, d, "customer")
+        .join(broadcast(buyers), col("c_custkey") === col("__b"), "left_outer")
+        .select(floor(col("c_acctbal") / 1000).cast("long").as("band"),
+          when(col("__b").isNotNull, 1L).otherwise(0L).as("cv"))
+      val bands = flagged.groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("k"))
+      val tot = bands.agg(sum(col("n")).as("n_tot"), sum(col("k")).as("k_tot"))
+      bands.crossJoin(broadcast(tot))
+        .select(col("band"), col("n").cast("long").as("n"),
+          col("k").cast("long").as("n_converted"),
+          expr("k * 1000000 div n").as("rate_ppm"),
+          expr("k * n_tot * 1000000 div (n * k_tot)").as("lift_ppm"))
+        .orderBy(col("band"))
+    }),
+
     // EXACT GROUPED PERCENTILES AT HIGH CARDINALITY (p50/p95/p99 of
     // price cents per returnflag): the census-window median trick
     // stops scaling once the value domain is row-sized, so this runs
@@ -592,6 +617,23 @@ object AggQueries {
         |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_feature_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |f AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |        CASE WHEN c_custkey IN (SELECT user_id FROM b)
+        |             THEN 1 ELSE 0 END AS cv
+        |      FROM customer),
+        |bands AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |            CAST(COALESCE(SUM(cv), 0) AS BIGINT) AS k
+        |          FROM f GROUP BY band),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+        |        CAST(SUM(k) AS BIGINT) AS k_tot FROM bands)
+        |SELECT band, n, k AS n_converted,
+        |  CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+        |  CAST(k * n_tot * 1000000 // (n * k_tot) AS BIGINT) AS lift_ppm
+        |FROM bands, t ORDER BY band""".stripMargin,
 
     "q_agg_pct_exact" ->
       """WITH r AS (SELECT l_returnflag AS g,
