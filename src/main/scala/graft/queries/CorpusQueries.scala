@@ -74,6 +74,41 @@ object CorpusQueries {
           col("source") === "src0", n = 4)
         .orderBy(col("doc_id"))),
 
+    // ENCODING-HYGIENE census (the mojibake/artifact triage a web-crawl
+    // ingest runs before any text op): per source, documents carrying
+    // the UTF-8-as-Latin-1 mojibake signature (Ã followed by a
+    // continuation-range char), U+FFFD replacement chars (a decoder
+    // already gave up), C0 control chars, zero-width chars, and NBSP —
+    // five codegen'd rlike flags in ONE map pass, no UDF. The corpus is
+    // clean ASCII, so the fixture PLANTS each artifact class on a
+    // disjoint id residue (id%11=3 mojibake, %13=5 replacement, %17=7
+    // control, %19=9 zero-width+NBSP) — the census is non-trivial and
+    // the oracle replants identically via chr() codepoints
+    "q_text_mojibake" -> ((s: SparkSession, d: String) => {
+      val t = scan(s, d, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 11 === 3, lit("\u00C3\u00A9")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5, lit("\uFFFD")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 7, lit("\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 19 === 9, lit("\u200B\u00A0")).otherwise(lit(""))))
+        .select(col("source"),
+          col("txt").rlike("\\x{C3}[\\x{80}-\\x{BF}]").as("moji"),
+          col("txt").rlike("\\x{FFFD}").as("repl"),
+          col("txt").rlike("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]").as("ctrl"),
+          col("txt").rlike("[\\x{200B}-\\x{200D}\\x{FEFF}]").as("zw"),
+          col("txt").rlike("\\x{A0}").as("nbsp"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("moji"), 1L).otherwise(0L)).as("n_mojibake"),
+          sum(when(col("repl"), 1L).otherwise(0L)).as("n_replacement"),
+          sum(when(col("ctrl"), 1L).otherwise(0L)).as("n_control"),
+          sum(when(col("zw"), 1L).otherwise(0L)).as("n_zerowidth"),
+          sum(when(col("nbsp"), 1L).otherwise(0L)).as("n_nbsp"),
+          sum(when(!col("moji") && !col("repl") && !col("ctrl") &&
+            !col("zw") && !col("nbsp"), 1L).otherwise(0L)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
     // Gopher-style repetition quality signals per document.
     "q_text_gopher" -> ((s: SparkSession, d: String) =>
       CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
@@ -573,6 +608,33 @@ object CorpusQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            |FROM train JOIN bench USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical replant via chr() codepoints; detection flags are the
+    // same RE2 classes Spark's rlike evaluates
+    "q_text_mojibake" ->
+      raw"""WITH t AS (SELECT source,
+           |    text || CASE WHEN doc_id % 11 = 3 THEN chr(195) || chr(169) ELSE '' END
+           |         || CASE WHEN doc_id % 13 = 5 THEN chr(65533) ELSE '' END
+           |         || CASE WHEN doc_id % 17 = 7 THEN chr(7) ELSE '' END
+           |         || CASE WHEN doc_id % 19 = 9 THEN chr(8203) || chr(160) ELSE '' END
+           |      AS txt
+           |  FROM documents),
+           |f AS (SELECT source,
+           |    regexp_matches(txt, '\x{C3}[\x{80}-\x{BF}]') AS moji,
+           |    regexp_matches(txt, '\x{FFFD}') AS repl,
+           |    regexp_matches(txt, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]') AS ctrl,
+           |    regexp_matches(txt, '[\x{200B}-\x{200D}\x{FEFF}]') AS zw,
+           |    regexp_matches(txt, '\x{A0}') AS nbsp
+           |  FROM t)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(COALESCE(SUM(CASE WHEN moji THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mojibake,
+           |  CAST(COALESCE(SUM(CASE WHEN repl THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_replacement,
+           |  CAST(COALESCE(SUM(CASE WHEN ctrl THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_control,
+           |  CAST(COALESCE(SUM(CASE WHEN zw THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zerowidth,
+           |  CAST(COALESCE(SUM(CASE WHEN nbsp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nbsp,
+           |  CAST(COALESCE(SUM(CASE WHEN NOT moji AND NOT repl AND NOT ctrl
+           |    AND NOT zw AND NOT nbsp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clean
+           |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_gopher" ->
       raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
