@@ -74,6 +74,45 @@ object CorpusQueries {
           col("source") === "src0", n = 4)
         .orderBy(col("doc_id"))),
 
+    // DETERMINISTIC RESUMABLE SHUFFLE ORDER (the data-order contract
+    // behind reproducible training): each epoch's order is rank by
+    // h = hex60(md5('ep<e>:' || doc_id)) — a keyed pseudo-random
+    // permutation any worker can recompute — and a mid-epoch RESUME
+    // materializes one batch (B = 64) at the epoch midpoint WITHOUT a
+    // global sort: Selection.kthSmallest's two-phase distributed
+    // selection finds the batch's two rank-boundary hash values
+    // (census of 16k high-bit buckets, then rank only the boundary
+    // bucket's rows), and one broadcast range filter pulls exactly the
+    // B rows. The full-sort alternative is what this op exists to
+    // avoid at 100 TB; the oracle IS that full sort (window rank)
+    "q_shuffle_resume" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Selection
+      val B = 64L
+      val docs = scan(s, d, "documents").select(col("doc_id"))
+      val perEpoch = Seq(0L, 1L).map { ep =>
+        docs.select(lit(ep).as("epoch"), col("doc_id"),
+          Dedup.hex60(md5(concat(lit(s"ep$ep:"),
+            col("doc_id").cast("string")).cast("binary"))).as("h"))
+      }.reduce(_ unionAll _)
+      val bounds = Selection.kthSmallest(perEpoch, "epoch", "h", Seq(
+          "lo" -> ((n: org.apache.spark.sql.Column) =>
+            Selection.idiv(n, 2 * B) * B + 1),
+          "hi" -> ((n: org.apache.spark.sql.Column) =>
+            least(Selection.idiv(n, 2 * B) * B + B, n))),
+        shift = 46)
+      val wide = bounds.groupBy(col("__g").as("epoch"))
+        .agg(max(when(col("__t") === "lo", col("__v"))).as("h_lo"),
+          max(when(col("__t") === "hi", col("__v"))).as("h_hi"))
+      perEpoch.join(broadcast(wide), Seq("epoch"))
+        .filter(col("h") >= col("h_lo") && col("h") <= col("h_hi"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("epoch"), col("pos"), col("doc_id"), col("h"))
+        .orderBy(col("epoch"), col("pos"))
+    }),
+
     // ENCODING-HYGIENE census (the mojibake/artifact triage a web-crawl
     // ingest runs before any text op): per source, documents carrying
     // the UTF-8-as-Latin-1 mojibake signature (Ã followed by a
@@ -608,6 +647,24 @@ object CorpusQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            |FROM train JOIN bench USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the full-sort twin: window rank per epoch over the same keyed
+    // hash, sliced to the midpoint batch by the same integer formulas
+    "q_shuffle_resume" -> {
+      val hv = DedupQueries.sqlHex60Public(
+        "md5('ep' || epoch || ':' || CAST(doc_id AS VARCHAR))")
+      s"""WITH pe AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, $hv AS h
+         |            FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+         |n AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n FROM pe GROUP BY epoch),
+         |r AS (SELECT pe.*, row_number() OVER (PARTITION BY epoch
+         |        ORDER BY h, doc_id) AS rn FROM pe),
+         |k AS (SELECT epoch, (n // 128) * 64 + 1 AS klo,
+         |        LEAST((n // 128) * 64 + 64, n) AS khi FROM n)
+         |SELECT r.epoch, CAST(rn - klo + 1 AS BIGINT) AS pos, doc_id, h
+         |FROM r JOIN k ON r.epoch = k.epoch
+         |WHERE rn BETWEEN klo AND khi
+         |ORDER BY r.epoch, pos""".stripMargin
+    },
 
     // identical replant via chr() codepoints; detection flags are the
     // same RE2 classes Spark's rlike evaluates
