@@ -285,6 +285,40 @@ object WindowQueries {
     // (pairs ∝ days², constant in data size at fixed history; ~7M
     // pairs even for a decade of days). Tie-corrected variance kept
     // ×18 in integers; only the final z divides/sqrts in IEEE doubles
+    // ROLLING OLS TREND SLOPE (the local trend detector a metrics
+    // pipeline runs per series): over each event type's last-7-observed
+    // -days frame, the exact least-squares slope of daily count vs day
+    // index — num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², emitted as
+    // sign-decomposed ppm (sign · |num|·1e6 div den) so BOTH engines
+    // truncate toward zero identically (Spark div truncates, DuckDB //
+    // floors — they disagree on negatives unless the sign is factored
+    // out). Five combinable frame sums over one day-grain window; the
+    // day census, not the fact table, is what the window sorts
+    "q_win_slope" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = scan(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("di", datediff(col("day").cast("date"),
+          lit("1992-01-06").cast("date")).cast("long"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("di")).over(w))
+        .withColumn("sy", sum(col("cnt")).over(w))
+        .withColumn("sxy", sum(col("di") * col("cnt")).over(w))
+        .withColumn("sxx", sum(col("di") * col("di")).over(w))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("event_type"), col("day"), col("cnt").cast("long").as("cnt"),
+          col("n").cast("long").as("n_window"),
+          when(col("n") < 2, lit(null).cast("long"))
+            .otherwise((when(col("num") >= 0, 1L).otherwise(-1L) *
+              expr("abs(num) * 1000000 div den")).cast("long")).as("slope_ppm"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q_ts_trend" -> ((s: SparkSession, d: String) => {
       val daily = scan(s, d, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -918,6 +952,28 @@ object WindowQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_trades,
          |  ${ExactAgg.sqlDsum("o_totalprice")} AS volume
          |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_win_slope" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT *, CAST(CAST(day AS DATE) - DATE '1992-01-06' AS BIGINT) AS di
+        |      FROM daily),
+        |wf AS (SELECT event_type, day, cnt,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |         CAST(SUM(di) OVER w AS BIGINT) AS sx,
+        |         CAST(SUM(cnt) OVER w AS BIGINT) AS sy,
+        |         CAST(SUM(di * cnt) OVER w AS BIGINT) AS sxy,
+        |         CAST(SUM(di * di) OVER w AS BIGINT) AS sxx
+        |       FROM x WINDOW w AS (PARTITION BY event_type ORDER BY di
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cnt, n AS n_window,
+        |  CASE WHEN n < 2 THEN NULL
+        |       ELSE CAST((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+        |         * (abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+        |         AS BIGINT) END AS slope_ppm
+        |FROM wf ORDER BY event_type, day""".stripMargin,
 
     "q_ts_trend" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
