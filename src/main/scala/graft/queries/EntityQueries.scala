@@ -30,7 +30,57 @@ object EntityQueries {
     (dirtyRecords(customer), suffixLen(n))
   }
 
+  /** Letter→soundex-digit map shared by engine and oracle: classic
+    * American codes with the SIMPLIFIED vowel rule (H/W code 0 like
+    * vowels, i.e. they reset the adjacent-duplicate state — documented
+    * divergence from the archaic H/W pass-through rule, identical on
+    * both engines by construction).
+    */
+  private val sxFrom = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+  private val sxTo = "11112222222233455600000000"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PHONETIC BLOCKING census (the third ER blocking strategy next to
+    // digit-suffix and deletion-neighborhood): simplified American
+    // Soundex of each part name's first word, computed by the SAME
+    // portable string fold on both engines (translate() code map +
+    // aggregate/list_reduce with a built||prev string state — codegen'd
+    // HOF, no UDF, no engine builtin whose edge rules could diverge).
+    // Output is the blocking-key census a linker sizes before running:
+    // keys, members, distinct words, and the collision mass ppm
+    "q_er_soundex" -> ((s: SparkSession, d: String) => {
+      val code = (c: String) => s"translate($c, '$sxFrom', '$sxTo')"
+      val words = scan(s, d, "part")
+        .select(upper(regexp_extract(col("p_name"), "^[a-z]+", 0)).as("word"))
+        .filter(length(col("word")) >= 1)
+        .withColumn("sx_state", expr(
+          s"""aggregate(
+             |  slice(transform(sequence(1, length(word)),
+             |          i -> substring(word, i, 1)), 2, length(word) - 1),
+             |  concat(substring(word, 1, 1), ${code("substring(word, 1, 1)")}),
+             |  (s, ch) -> CASE
+             |    WHEN ${code("ch")} != '0'
+             |         AND ${code("ch")} != substring(s, length(s), 1)
+             |         AND length(s) < 5
+             |    THEN concat(substring(s, 1, length(s) - 1),
+             |                ${code("ch")}, ${code("ch")})
+             |    ELSE concat(substring(s, 1, length(s) - 1), ${code("ch")})
+             |  END)""".stripMargin))
+        .withColumn("sx",
+          expr("rpad(substring(sx_state, 1, length(sx_state) - 1), 4, '0')"))
+      val census = words.groupBy(col("sx"))
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("word")).as("n_words"),
+          min(col("word")).as("first_word"))
+      census.crossJoin(broadcast(
+          census.agg(sum(col("n_parts")).as("n_tot"))))
+        .select(col("sx"), col("n_parts").cast("long").as("n_parts"),
+          col("n_words").cast("long").as("n_words"), col("first_word"),
+          expr("n_parts * (n_parts - 1) div 2").as("n_cand_pairs"),
+          expr("n_parts * 1000000 div n_tot").as("mass_ppm"))
+        .orderBy(col("sx"))
+    }),
+
     // candidate pairs with their full agreement vector + score — the
     // auditable middle of the pipeline (clerical-review surface)
     "q_er_candidates" -> ((s: SparkSession, d: String) => {
@@ -178,6 +228,42 @@ object EntityQueries {
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // the SAME fold, as DuckDB list_reduce with a string accumulator
+    // (list_prepend supplies the init element; a LIST/VARCHAR state on
+    // purpose — struct-returning lambdas rebind fields mid-row)
+    "q_er_soundex" -> {
+      def code(c: String) = s"translate($c, '$sxFrom', '$sxTo')"
+      s"""WITH w0 AS (SELECT upper(regexp_extract(p_name, '^[a-z]+', 0)) AS word
+         |            FROM part),
+         |w AS (SELECT word FROM w0 WHERE length(word) >= 1),
+         |st AS (SELECT word,
+         |    list_reduce(
+         |      list_prepend(
+         |        substr(word, 1, 1) || ${code("substr(word, 1, 1)")},
+         |        list_transform(range(2, length(word) + 1),
+         |          i -> substr(word, i, 1))),
+         |      (s, ch) -> CASE
+         |        WHEN ${code("ch")} != '0'
+         |             AND ${code("ch")} != substr(s, length(s), 1)
+         |             AND length(s) < 5
+         |        THEN substr(s, 1, length(s) - 1) || ${code("ch")} || ${code("ch")}
+         |        ELSE substr(s, 1, length(s) - 1) || ${code("ch")} END
+         |    ) AS sx_state
+         |  FROM w),
+         |sx0 AS (SELECT word,
+         |          rpad(substr(sx_state, 1, length(sx_state) - 1), 4, '0') AS sx
+         |        FROM st),
+         |c AS (SELECT sx, CAST(count(*) AS BIGINT) AS n_parts,
+         |        CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |        MIN(word) AS first_word
+         |      FROM sx0 GROUP BY sx),
+         |t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_tot FROM c)
+         |SELECT sx, n_parts, n_words, first_word,
+         |  CAST(n_parts * (n_parts - 1) // 2 AS BIGINT) AS n_cand_pairs,
+         |  CAST(n_parts * 1000000 // n_tot AS BIGINT) AS mass_ppm
+         |FROM c, t ORDER BY sx""".stripMargin
+    },
+
     "q_er_candidates" ->
       s"""WITH $erCtes
          |SELECT rec_a, rec_b, name_agree, bal_agree, seg_agree, score
