@@ -894,6 +894,87 @@ object Multimodal {
     }.toDF()
   }
 
+  /** SRT caption-track stats: cue census + duration/gap audit — the
+    * transcript-side pass a video ingest runs next to frame sampling.
+    */
+  final case class SrtStats(media_id: Long, n_cues: Int, total_dur_ms: Long,
+                            total_chars: Long, max_gap_ms: Long,
+                            first_start_ms: Long, last_end_ms: Long)
+
+  private val srtTime =
+    """(\d\d):(\d\d):(\d\d),(\d\d\d) --> (\d\d):(\d\d):(\d\d),(\d\d\d)""".r
+
+  /** REAL SRT (SubRip) parser — the sixth container format and the
+    * caption/transcript path of a video pipeline: blank-line block
+    * split, sequential cue-index validation, HH:MM:SS,mmm timecode
+    * parse back to milliseconds, end>start and monotonic-non-overlap
+    * checks, text length census, inter-cue gap audit. Malformed
+    * payloads (bad index order, bad timecode, overlapping cues) fail
+    * loudly like the other five decoders.
+    */
+  def decodeSrt(rows: Iterator[MediaRow]): Iterator[SrtStats] = rows.map { r =>
+    val s = new String(r.payload, "UTF-8")
+    val blocks = s.split("\r?\n\r?\n").filter(_.trim.nonEmpty)
+    require(blocks.nonEmpty, s"empty SRT: media ${r.media_id}")
+    var (prevEnd, firstStart, lastEnd) = (-1L, -1L, -1L)
+    var (totalDur, totalChars, maxGap) = (0L, 0L, 0L)
+    blocks.zipWithIndex.foreach { case (blk, pos) =>
+      val lines = blk.split("\r?\n")
+      require(lines.length >= 3, s"cue ${pos + 1} too short: media ${r.media_id}")
+      require(lines(0).trim.toInt == pos + 1,
+        s"cue index ${lines(0).trim} at position ${pos + 1}: media ${r.media_id}")
+      val (st, en) = lines(1).trim match {
+        case srtTime(h1, m1, s1, ms1, h2, m2, s2, ms2) =>
+          def ms(h: String, m: String, sec: String, milli: String): Long =
+            h.toLong * 3600000L + m.toLong * 60000L + sec.toLong * 1000L + milli.toLong
+          (ms(h1, m1, s1, ms1), ms(h2, m2, s2, ms2))
+        case other => throw new IllegalArgumentException(
+          s"bad timecode line '$other': media ${r.media_id}")
+      }
+      require(en > st, s"cue ${pos + 1} non-positive duration: media ${r.media_id}")
+      require(st >= prevEnd, s"cue ${pos + 1} overlaps previous: media ${r.media_id}")
+      if (firstStart < 0) firstStart = st
+      else maxGap = math.max(maxGap, st - prevEnd)
+      prevEnd = en; lastEnd = en
+      totalDur += en - st
+      totalChars += lines.drop(2).map(_.length.toLong).sum
+    }
+    SrtStats(r.media_id, blocks.length, totalDur, totalChars, maxGap,
+      firstStart, lastEnd)
+  }
+
+  /** SRT pipeline — same narrow mapPartitions seam. */
+  def extractSrtStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeSrt).toDF()
+  }
+
+  /** Deterministic SRT fixture per id: n = 2 + id%6 cues; cue i starts
+    * at i·3000 + id%700 ms and lasts 800 + (id + 37i)%1500 ms (max
+    * 2299 < 3000 ⇒ never overlaps), text = "cue <id>-<i> word<(id+i)%20>".
+    * Analytic, so the oracle recomputes every stat — including text
+    * lengths via decimal-digit-count arithmetic — WITHOUT parsing.
+    */
+  def syntheticSrt(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = 2 + (id % 6).toInt
+      def fmt(ms: Long): String = "%02d:%02d:%02d,%03d".format(
+        ms / 3600000, ms / 60000 % 60, ms / 1000 % 60, ms % 1000)
+      val sb = new StringBuilder
+      (0 until n).foreach { i =>
+        val st = i * 3000L + id % 700
+        val en = st + 800L + (id + 37L * i) % 1500
+        sb.append(i + 1).append('\n')
+          .append(fmt(st)).append(" --> ").append(fmt(en)).append('\n')
+          .append(s"cue $id-$i word${(id + i) % 20}").append("\n\n")
+      }
+      MediaRow(id, "application/x-subrip", sb.toString.getBytes("UTF-8"))
+    }.toDF()
+  }
+
   /** STUB "resize": deterministic byte-level downsample — keep every
     * `stride`-th byte of the payload (a real implementation decodes and
     * rescales pixels here; the plumbing — binary in, smaller binary out,

@@ -184,6 +184,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL caption-track decode: deterministic SRT cue streams parsed
+    // by the genuine block/timecode parser (Multimodal.decodeSrt) —
+    // the transcript-side census a video ingest runs (cue count,
+    // speech duration, text mass, max silence gap); the oracle
+    // recomputes everything from the fixture formula, text lengths
+    // included, via decimal-digit-count arithmetic
+    "q_multimodal_srt" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractSrtStats(
+        Multimodal.syntheticSrt(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: 16-byte frames, every 4th
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
       Multimodal.sampleFrames(
@@ -389,6 +401,27 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
         |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
+
+    // formula replay: cue i starts 3000i + id%700 and lasts
+    // 800 + (id+37i)%1500; gaps are 3000 − dur, so max_gap =
+    // 3000 − min(dur over all but the last cue); text length =
+    // 11 + digits(id) + digits((id+i)%20)
+    "q_multimodal_srt" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 6 AS INT) AS n
+        |           FROM documents),
+        |c AS (SELECT id, n, unnest(range(0, n)) AS i FROM m),
+        |d AS (SELECT id, n, i,
+        |        CAST(3000 * i + id % 700 AS BIGINT) AS st,
+        |        CAST(800 + (id + 37 * i) % 1500 AS BIGINT) AS dur
+        |      FROM c)
+        |SELECT id AS media_id, CAST(MAX(n) AS INT) AS n_cues,
+        |  CAST(SUM(dur) AS BIGINT) AS total_dur_ms,
+        |  CAST(SUM(11 + length(CAST(id AS VARCHAR))
+        |         + length(CAST((id + i) % 20 AS VARCHAR))) AS BIGINT) AS total_chars,
+        |  CAST(3000 - MIN(CASE WHEN i <= n - 2 THEN dur END) AS BIGINT) AS max_gap_ms,
+        |  CAST(MIN(st) AS BIGINT) AS first_start_ms,
+        |  CAST(MAX(st + dur) AS BIGINT) AS last_end_ms
+        |FROM d GROUP BY id ORDER BY media_id""".stripMargin,
 
     // formula replay: pixel k = (id*31 + k) % 256 over the w*h raster;
     // filter census = rows y in [0,h) with y%5 = f, i.e. (h - f + 4)//5
