@@ -148,6 +148,37 @@ object CorpusQueries {
         .orderBy(col("source"))
     }),
 
+    // UNICODE NFC NORMALIZATION audit (the canonical-form gate next to
+    // the mojibake census: combining sequences make byte-identical
+    // dedup miss visually identical text): per source, docs NOT in NFC
+    // and the code-unit mass normalization would reclaim. Engine runs
+    // the real java.text.Normalizer through the typed mapPartitions
+    // seam (narrow, no shuffle before the census); DuckDB replays with
+    // nfc_normalize. Fixture plants BMP-only combining sequences
+    // (e+U+0301, A+U+030A) and a precomposed control (U+00C5, already
+    // NFC — must NOT flag) on disjoint id residues
+    "q_text_nfc" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val t = scan(s, d, "documents").select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 2, lit("e\u0301")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 4, lit("\u00C5")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 6, lit("A\u030A")).otherwise(lit("")))
+          .as("txt"))
+      val flagged = t.select(col("source"), col("txt")).as[(String, String)]
+        .mapPartitions { it =>
+          import java.text.Normalizer
+          it.map { case (src, txt) =>
+            val nfc = Normalizer.normalize(txt, Normalizer.Form.NFC)
+            (src, if (nfc != txt) 1L else 0L, (txt.length - nfc.length).toLong)
+          }
+        }.toDF("source", "nn", "delta")
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nn")).as("n_not_nfc"),
+          sum(col("delta")).as("n_units_saved"))
+        .orderBy(col("source"))
+    }),
+
     // Gopher-style repetition quality signals per document.
     "q_text_gopher" -> ((s: SparkSession, d: String) =>
       CorpusOps.repetitionStats(scan(s, d, "documents"), "doc_id", "text")
@@ -647,6 +678,21 @@ object CorpusQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            |FROM train JOIN bench USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replant via chr() codepoints; nfc_normalize is DuckDB's NFC
+    "q_text_nfc" ->
+      """WITH t AS (SELECT source,
+        |    text || CASE WHEN doc_id % 9 = 2 THEN 'e' || chr(769) ELSE '' END
+        |         || CASE WHEN doc_id % 9 = 4 THEN chr(197) ELSE '' END
+        |         || CASE WHEN doc_id % 9 = 6 THEN 'A' || chr(778) ELSE '' END
+        |      AS txt
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN nfc_normalize(txt) != txt
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_not_nfc,
+        |  CAST(COALESCE(SUM(length(txt) - length(nfc_normalize(txt))), 0)
+        |    AS BIGINT) AS n_units_saved
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // the full-sort twin: window rank per epoch over the same keyed
     // hash, sliced to the midpoint batch by the same integer formulas
