@@ -505,6 +505,20 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING ROLLING-SLOPE (the 23rd shape; q_win_slope's
+    // incremental twin): the 7-closed-day OLS regression ring advanced
+    // only as the watermark closes days — every emitted row is a
+    // finalized day's exact integer slope, and the oracle IS
+    // q_win_slope's SQL restricted to closed days (shared
+    // slopeOracleSql predicate — the literal incremental ≡ batch
+    // contract)
+    "q_stream_slope" -> ((s: SparkSession, d: String) => {
+      StreamOps.runToMemory(s,
+        StreamOps.slopeCustomState(s, StreamOps.eventsStream(s, d)),
+        "mem_stream_slope", "append")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // STREAMING-MAINTAINED LEADERBOARD (bounded-sketch maintenance):
     // per event_type, the top-3 values with (value desc, event_id asc)
     // tie-break. Each micro-batch appends only its per-key top-3
@@ -579,6 +593,10 @@ object StreamQueries {
 
     // batch Holt–Winters replay restricted to CLOSED days (a day is
     // closed once the stream's frontier passed its end)
+    "q_stream_slope" -> WindowQueries.slopeOracleSql(
+      "WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY" +
+        " <= (SELECT max(ts) FROM events)"),
+
     "q_stream_hw" -> WindowQueries.hwOracleSql(
       "WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY" +
         " <= (SELECT max(ts) FROM events)"),

@@ -767,6 +767,33 @@ object WindowQueries {
     * q_stream_hw (closed days only: the streaming fold can only
     * consume a day once the watermark proves it complete).
     */
+  /** q_win_slope's oracle, parameterized on the daily-census predicate
+    * — shared verbatim by the batch query (`""`) and the streaming twin
+    * q_stream_slope (closed-days-only), so the incremental ≡ batch
+    * contract is literal, the hwOracleSql pattern.
+    */
+  private[queries] def slopeOracleSql(dailyWhere: String): String =
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events $dailyWhere GROUP BY 1, 2),
+       |x AS (SELECT *, CAST(CAST(day AS DATE) - DATE '1992-01-06' AS BIGINT) AS di
+       |      FROM daily),
+       |wf AS (SELECT event_type, day, cnt,
+       |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+       |         CAST(SUM(di) OVER w AS BIGINT) AS sx,
+       |         CAST(SUM(cnt) OVER w AS BIGINT) AS sy,
+       |         CAST(SUM(di * cnt) OVER w AS BIGINT) AS sxy,
+       |         CAST(SUM(di * di) OVER w AS BIGINT) AS sxx
+       |       FROM x WINDOW w AS (PARTITION BY event_type ORDER BY di
+       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, cnt, n AS n_window,
+       |  CASE WHEN n < 2 THEN NULL
+       |       ELSE CAST((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+       |         * (abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+       |         AS BIGINT) END AS slope_ppm
+       |FROM wf ORDER BY event_type, day""".stripMargin
+
   private[queries] def hwOracleSql(dailyWhere: String): String =
       s"""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |                 CAST(COUNT(*) AS DOUBLE) AS cnt
@@ -953,27 +980,8 @@ object WindowQueries {
          |  ${ExactAgg.sqlDsum("o_totalprice")} AS volume
          |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
 
-    "q_win_slope" ->
-      """WITH daily AS (SELECT event_type,
-        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |x AS (SELECT *, CAST(CAST(day AS DATE) - DATE '1992-01-06' AS BIGINT) AS di
-        |      FROM daily),
-        |wf AS (SELECT event_type, day, cnt,
-        |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
-        |         CAST(SUM(di) OVER w AS BIGINT) AS sx,
-        |         CAST(SUM(cnt) OVER w AS BIGINT) AS sy,
-        |         CAST(SUM(di * cnt) OVER w AS BIGINT) AS sxy,
-        |         CAST(SUM(di * di) OVER w AS BIGINT) AS sxx
-        |       FROM x WINDOW w AS (PARTITION BY event_type ORDER BY di
-        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, day, cnt, n AS n_window,
-        |  CASE WHEN n < 2 THEN NULL
-        |       ELSE CAST((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
-        |         * (abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
-        |         AS BIGINT) END AS slope_ppm
-        |FROM wf ORDER BY event_type, day""".stripMargin,
+    "q_win_slope" -> slopeOracleSql(""),
+
 
     "q_ts_trend" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

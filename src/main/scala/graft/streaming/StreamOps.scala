@@ -372,6 +372,70 @@ object StreamOps {
       .toDF("event_type", "n_days", "level", "trend", "s_next", "forecast_1")
   }
 
+  /** STREAMING ROLLING-SLOPE maintenance (the 23rd streaming shape;
+    * q_win_slope's incremental twin): per event type, a 7-closed-day
+    * (di, cnt) ring advanced ONLY as the watermark closes days — a
+    * partial day never enters the regression, the same production rule
+    * as [[hwCustomState]] — emitting each closed day's exact integer
+    * OLS slope row. State = open-day partial counts + the ring, both
+    * bounded (open days ≤ watermark lag, ring ≤ 7); arithmetic is the
+    * batch query's verbatim (sign-decomposed ppm, Long truncation), so
+    * the stream hash-matches the batch oracle restricted to closed
+    * days via the shared slopeOracleSql predicate.
+    */
+  def slopeCustomState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dayUs = 86400000000L
+    val epochDay = java.time.LocalDate.of(1992, 1, 6).toEpochDay
+    val typed = events
+      .select(col("event_type"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("tsu"))
+      .as[(String, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Seq[(Long, Long)], Seq[(Long, Long)]),
+          (String, java.sql.Timestamp, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[(Seq[(Long, Long)], Seq[(Long, Long)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (pend0, ring0) = state.getOption.getOrElse((Nil, Nil))
+          val pend = scala.collection.mutable.Map(pend0: _*)
+          rows.foreach { r =>
+            val d = r._3 - java.lang.Math.floorMod(r._3, dayUs)
+            pend(d) = pend.getOrElse(d, 0L) + 1L
+          }
+          val (closed, open) = pend.toSeq.sortBy(_._1)
+            .partition { case (d, _) => d + dayUs <= wmUs }
+          var ring = ring0.toVector
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, java.sql.Timestamp, Long, Long, Option[Long])]
+          closed.foreach { case (dUs, cnt) =>
+            val di = dUs / dayUs - epochDay
+            ring = (ring :+ ((di, cnt))).takeRight(7)
+            val n = ring.length.toLong
+            val sx = ring.iterator.map(_._1).sum
+            val sy = ring.iterator.map(_._2).sum
+            val sxy = ring.iterator.map(p => p._1 * p._2).sum
+            val sxx = ring.iterator.map(p => p._1 * p._1).sum
+            val num = n * sxy - sx * sy
+            val den = n * sxx - sx * sx
+            val slope =
+              if (n < 2) None
+              else Some((if (num >= 0) 1L else -1L) *
+                (math.abs(num) * 1000000L / den))
+            out += ((tpe, new java.sql.Timestamp(dUs / 1000L), cnt, n, slope))
+          }
+          state.update((open, ring))
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.iterator
+      }
+      .toDF("event_type", "day", "cnt", "n_window", "slope_ppm")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the user's previous event exceeds `gapSeconds`. One
     * window pass + one groupBy, both keyed by user — two shuffles on the
