@@ -184,6 +184,20 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL archive-container decode: deterministic USTAR shards (the
+    // WebDataset layout LLM multimodal pipelines actually use) walked
+    // by the genuine 512-block parser — magic + header CHECKSUM
+    // verified per member, octal sizes, payload bytes actually read
+    // (content_sum), padding arithmetic, two-zero-block trailer
+    // required; the oracle recomputes every stat (member sizes, body
+    // byte sums, the 512-padding archive length) from the fixture
+    // formula WITHOUT touching a byte
+    "q_multimodal_tar" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractTarStats(
+        Multimodal.syntheticTar(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL caption-track decode: deterministic SRT cue streams parsed
     // by the genuine block/timecode parser (Multimodal.decodeSrt) —
     // the transcript-side census a video ingest runs (cue count,
@@ -401,6 +415,28 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
         |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
+
+    // formula replay: member i has size 10 + (id+13i)%300 and byte j =
+    // (id+i+j)%256; archive length = 512·(1 dir + Σ(1 + ⌈size/512⌉)) +
+    // the 1024-byte trailer
+    "q_multimodal_tar" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 5 AS INT) AS m
+        |           FROM documents),
+        |f AS (SELECT id, m, unnest(range(0, m)) AS i FROM m),
+        |sz AS (SELECT id, m, i,
+        |         CAST(10 + (id + 13 * i) % 300 AS BIGINT) AS size FROM f),
+        |b AS (SELECT id, i, size, unnest(range(0, size)) AS j FROM sz),
+        |csum AS (SELECT id, CAST(SUM((id + i + j) % 256) AS BIGINT) AS content_sum
+        |         FROM b GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(m) AS INT) AS n_files,
+        |          CAST(SUM(size) AS BIGINT) AS total_bytes,
+        |          CAST(MAX(size) AS BIGINT) AS max_bytes,
+        |          CAST(512 * (1 + SUM(1 + (size + 511) // 512)) + 1024 AS BIGINT)
+        |            AS archive_bytes
+        |        FROM sz GROUP BY id)
+        |SELECT a.id AS media_id, a.n_files, CAST(1 AS INT) AS n_dirs,
+        |  a.total_bytes, a.max_bytes, c.content_sum, a.archive_bytes
+        |FROM agg a JOIN csum c ON a.id = c.id ORDER BY media_id""".stripMargin,
 
     // formula replay: cue i starts 3000i + id%700 and lasts
     // 800 + (id+37i)%1500; gaps are 3000 − dur, so max_gap =
