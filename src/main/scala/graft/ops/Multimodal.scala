@@ -964,6 +964,49 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeTar).toDF()
   }
 
+  /** One tar member (file entries only). */
+  final case class TarMember(media_id: Long, name: String, size: Long)
+
+  /** The member RELATION variant of [[decodeTar]]: same verified walk
+    * (magic, checksum, padding, trailer — enforced by delegating the
+    * full-archive validation to decodeTar first), emitting one row per
+    * file member so WebDataset SAMPLE ASSEMBLY — grouping `dir/key.ext`
+    * members into training samples — runs as a plain Spark groupBy
+    * downstream, not inside the decoder.
+    */
+  def decodeTarMembers(rows: Iterator[MediaRow]): Iterator[TarMember] =
+    rows.flatMap { r =>
+      decodeTar(Iterator(r)).foreach(_ => ()) // full validation pass
+      val b = r.payload
+      def octal(off: Int, len: Int): Long = {
+        val s = new String(b, off, len, "US-ASCII")
+          .takeWhile(c => c != 0 && c != ' ')
+        if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+      var i = 0
+      var done = false
+      while (!done) {
+        if (b(i) == 0) done = true
+        else {
+          val size = octal(i + 124, 12)
+          if (b(i + 156).toChar != '5') {
+            val name = new String(b, i, 100, "US-ASCII").takeWhile(_ != 0)
+            out += TarMember(r.media_id, name, size)
+          }
+          i += 512 + ((size + 511) / 512).toInt * 512
+        }
+      }
+      out.iterator
+    }
+
+  /** Tar member-relation pipeline. */
+  def extractTarMembers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeTarMembers).toDF()
+  }
+
   /** Deterministic USTAR fixture per id (a WebDataset-style shard): one
     * directory entry "<id>/" then m = 2 + id%5 members
     * "<id>/sample<i>.txt" of size 10 + (id + 13i)%300 with byte j =
@@ -971,33 +1014,63 @@ object Multimodal {
     * with the required two zero blocks, so archive_bytes =
     * 512·(1 + Σ(1 + ⌈size_i/512⌉)) + 1024 — analytic, like every stat.
     */
+  /** Build one checksummed 512-byte USTAR header block. */
+  private def ustarHeader(name: String, size: Long, typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => h(off + j) = c }
+    put(0, name)
+    put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+    put(124, "%011o".format(size)); put(136, "%011o".format(0))
+    h(156) = typeflag.toByte
+    put(257, "ustar"); put(263, "00")
+    (148 until 156).foreach(j => h(j) = ' ')
+    val sum = h.map(_ & 0xff).sum
+    put(148, "%06o".format(sum)); h(154) = 0; h(155) = ' '
+    h
+  }
+
   def syntheticTar(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val m = 2 + (id % 5).toInt
       val out = new java.io.ByteArrayOutputStream()
-      def header(name: String, size: Long, typeflag: Char): Unit = {
-        val h = new Array[Byte](512)
-        def put(off: Int, s: String): Unit =
-          s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => h(off + j) = c }
-        put(0, name)
-        put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
-        put(124, "%011o".format(size)); put(136, "%011o".format(0))
-        h(156) = typeflag.toByte
-        put(257, "ustar"); put(263, "00")
-        (148 until 156).foreach(j => h(j) = ' ')
-        val sum = h.map(_ & 0xff).sum
-        put(148, "%06o".format(sum)); h(154) = 0; h(155) = ' '
-        out.write(h)
-      }
-      header(s"$id/", 0L, '5')
+      out.write(ustarHeader(s"$id/", 0L, '5'))
       (0 until m).foreach { i =>
         val size = 10 + ((id + 13 * i) % 300).toInt
-        header(s"$id/sample$i.txt", size.toLong, '0')
+        out.write(ustarHeader(s"$id/sample$i.txt", size.toLong, '0'))
         val data = new Array[Byte]((size + 511) / 512 * 512)
         (0 until size).foreach(j => data(j) = ((id + i + j) % 256).toByte)
         out.write(data)
+      }
+      out.write(new Array[Byte](1024))
+      MediaRow(id, "application/x-tar", out.toByteArray)
+    }.toDF()
+  }
+
+  /** WebDataset-style fixture: m = 2 + id%5 samples, each a
+    * (sample<i>.txt, sample<i>.cls) pair — except the LAST sample,
+    * whose .cls is deliberately missing (the incomplete-sample case an
+    * assembly audit exists to catch). txt size = 10 + (id + 13i)%300,
+    * cls size = 1 + (id + i)%9.
+    */
+  def syntheticWds(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 2 + (id % 5).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ustarHeader(s"$id/", 0L, '5'))
+      def member(name: String, size: Int): Unit = {
+        out.write(ustarHeader(name, size.toLong, '0'))
+        val data = new Array[Byte]((size + 511) / 512 * 512)
+        (0 until size).foreach(j => data(j) = ((id + j) % 256).toByte)
+        out.write(data)
+      }
+      (0 until m).foreach { i =>
+        member(s"$id/sample$i.txt", 10 + ((id + 13 * i) % 300).toInt)
+        if (i < m - 1) member(s"$id/sample$i.cls", 1 + ((id + i) % 9).toInt)
       }
       out.write(new Array[Byte](1024))
       MediaRow(id, "application/x-tar", out.toByteArray)

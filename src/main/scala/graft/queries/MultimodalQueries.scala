@@ -198,6 +198,30 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // WEBDATASET SAMPLE ASSEMBLY: the tar walk emits a member RELATION
+    // (one row per file through the checksum-verified walker), and
+    // sample grouping — dir/sample<k>.{txt,cls} pairs into training
+    // samples — is a plain Spark groupBy downstream, where it belongs.
+    // The fixture omits the last sample's .cls on purpose; the audit's
+    // job is to find it. Census per shard: samples, complete,
+    // incomplete, per-extension byte mass
+    "q_multimodal_wds" -> ((s: SparkSession, d: String) => {
+      val members = Multimodal.extractTarMembers(
+        Multimodal.syntheticWds(scan(s, d, "documents"), "doc_id"))
+        .withColumn("skey", regexp_extract(col("name"), "sample([0-9]+)\\.", 1))
+        .withColumn("ext", regexp_extract(col("name"), "\\.([a-z]+)$", 1))
+      members.groupBy(col("media_id"), col("skey"))
+        .agg(countDistinct(col("ext")).as("n_ext"),
+          sum(when(col("ext") === "txt", col("size")).otherwise(0L)).as("tb"),
+          sum(when(col("ext") === "cls", col("size")).otherwise(0L)).as("cb"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("n_ext") === 2, 1L).otherwise(0L)).as("n_complete"),
+          sum(when(col("n_ext") < 2, 1L).otherwise(0L)).as("n_incomplete"),
+          sum(col("tb")).as("txt_bytes"), sum(col("cb")).as("cls_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL caption-track decode: deterministic SRT cue streams parsed
     // by the genuine block/timecode parser (Multimodal.decodeSrt) —
     // the transcript-side census a video ingest runs (cue count,
@@ -415,6 +439,20 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % n_channels <> 0 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum
         |FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
         |ORDER BY media_id""".stripMargin,
+
+    // formula replay: m samples, the last one's .cls missing; txt size
+    // 10 + (id+13i)%300, cls size 1 + (id+i)%9 summed over i < m-1
+    "q_multimodal_wds" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 5 AS BIGINT) AS m
+        |           FROM documents),
+        |f AS (SELECT id, m, unnest(range(0, m)) AS i FROM m)
+        |SELECT id AS media_id, CAST(MAX(m) AS BIGINT) AS n_samples,
+        |  CAST(MAX(m) - 1 AS BIGINT) AS n_complete,
+        |  CAST(1 AS BIGINT) AS n_incomplete,
+        |  CAST(SUM(10 + (id + 13 * i) % 300) AS BIGINT) AS txt_bytes,
+        |  CAST(COALESCE(SUM(CASE WHEN i < m - 1 THEN 1 + (id + i) % 9
+        |                         ELSE 0 END), 0) AS BIGINT) AS cls_bytes
+        |FROM f GROUP BY id ORDER BY media_id""".stripMargin,
 
     // formula replay: member i has size 10 + (id+13i)%300 and byte j =
     // (id+i+j)%256; archive length = 512·(1 dir + Σ(1 + ⌈size/512⌉)) +
