@@ -190,6 +190,52 @@ object AggQueries {
         .orderBy(col("bin"))
     }),
 
+    // EXACT two-sample KOLMOGOROV–SMIRNOV (the classic distribution-
+    // drift test, here F-vs-O order cohorts over price cents): D is a
+    // pure rational — max over values of |cum1·n2 − cum2·n1| scaled by
+    // n1·n2 — so the statistic AND the α=0.05 verdict (squared
+    // comparison against 1.358², no sqrt) are exact integers. The
+    // cumulative distribution runs as a DISTRIBUTED two-level prefix
+    // sum (16384-cent bucket census → tiny bucket-prefix window →
+    // within-bucket windows partitioned by bucket), never a global
+    // single-task window — the Selection-family pattern. 100 TB note:
+    // the d_num² comparison runs in DECIMAL(38,0)/HUGEINT
+    "q_agg_ks" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt // bucket census: dimension-sized, window is fine
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+        .select(col("b"), col("p1"), col("p2"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum1", col("p1") + sum(col("d1")).over(wv))
+        .withColumn("cum2", col("p2") + sum(col("d2")).over(wv))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dev"),
+          col("n1"), col("n2"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dev")).as("d_num"))
+        .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          col("d_num").cast("long").as("d_num"),
+          expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"),
+          expr("""CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))
+                 |  * 1000000
+                 |  > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
+            .stripMargin).as("reject_95"))
+    }),
+
     // FEATURE LIFT screening (the campaign-targeting / feature-triage
     // readout): per acctbal band, the purchase-conversion rate and its
     // LIFT over the global rate — all cross-multiplied integer ppm
@@ -617,6 +663,26 @@ object AggQueries {
         |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_agg_ks" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |        CAST(SUM(d2) AS BIGINT) AS n2 FROM vals),
+        |c AS (SELECT v, SUM(d1) OVER (ORDER BY v) AS cum1,
+        |        SUM(d2) OVER (ORDER BY v) AS cum2 FROM vals),
+        |dd AS (SELECT CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT)
+        |         AS d_num FROM c, t)
+        |SELECT t.n1, t.n2, dd.d_num,
+        |  CAST(dd.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
+        |  dd.d_num::HUGEINT * dd.d_num::HUGEINT * 1000000::HUGEINT
+        |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
+        |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
+        |FROM dd, t""".stripMargin,
 
     "q_feature_lift" ->
       """WITH b AS (SELECT DISTINCT user_id FROM events
