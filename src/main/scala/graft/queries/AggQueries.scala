@@ -236,6 +236,60 @@ object AggQueries {
             .stripMargin).as("reject_95"))
     }),
 
+    // EXACT MANN–WHITNEY U (Wilcoxon rank-sum — the nonparametric
+    // location test next to q_agg_ks's distribution test, same F-vs-O
+    // order cohorts over price cents): tie-corrected and ALL-INTEGER.
+    // 2·ranksum folds the value census (d1·(2·below + c + 1) per
+    // distinct value), the tie term Σ(c³−c) rides the same census, and
+    // the z² ≥ 1.96² verdict is two integer ppm quotients multiplied —
+    // no sqrt, no float anywhere, so both engines compute bit-identical
+    // integers. The exclusive-prefix `below` runs as the SAME
+    // distributed two-level prefix sum as q_agg_ks (16384-cent bucket
+    // census → tiny bucket-prefix window → within-bucket windows
+    // partitioned by bucket) — never a global single-task window.
+    // 100 TB note: dev² and the quotient product run in
+    // DECIMAL(38,0)/HUGEINT; both quotients themselves fit BIGINT
+    "q_agg_mannwhitney" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg((sum(col("d1")) + sum(col("d2"))).as("sc"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt // bucket census: dimension-sized, window is fine
+        .withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("below",
+          col("p") + sum(col("d1") + col("d2")).over(wv) - col("d1") - col("d2"))
+        .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+          sum(col("d1") * (lit(2) * col("below") + col("d1") + col("d2") + lit(1)))
+            .as("r2"),
+          sum((col("d1") + col("d2")) * (col("d1") + col("d2")) * (col("d1") + col("d2"))
+            - col("d1") - col("d2")).as("tie_t"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("u1_x2", col("r2") - col("n1") * (col("n1") + lit(1)))
+        .withColumn("dev", col("u1_x2") - col("n1") * col("n2"))
+        .withColumn("d1q", expr(
+          "CAST(CAST(dev AS DECIMAL(38,0)) * dev * 1000000 div (n1 * n2) AS BIGINT)"))
+        .withColumn("d2q", expr(
+          """CAST(CAST(3 AS DECIMAL(38,0)) * n * (n - 1) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1) - tie_t) AS BIGINT)"""
+            .stripMargin))
+        .select(col("n1"), col("n2"), col("u1_x2"), col("tie_t"),
+          expr("CAST(CAST(d1q AS DECIMAL(38,0)) * d2q div 1000000 AS BIGINT)")
+            .as("z2_ppm"),
+          expr("CAST(d1q AS DECIMAL(38,0)) * d2q div 1000000 > 3841600")
+            .as("reject_95"))
+    }),
+
     // FEATURE LIFT screening (the campaign-targeting / feature-triage
     // readout): per acctbal band, the purchase-conversion rate and its
     // LIFT over the global rate — all cross-multiplied integer ppm
@@ -683,6 +737,32 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_mannwhitney" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |c AS (SELECT v, d1, d2,
+        |        SUM(d1 + d2) OVER (ORDER BY v) - d1 - d2 AS below FROM vals),
+        |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+        |        CAST(SUM(d1 * (2 * below + d1 + d2 + 1)) AS BIGINT) AS r2,
+        |        CAST(SUM((d1 + d2) * (d1 + d2) * (d1 + d2) - d1 - d2) AS BIGINT)
+        |          AS tie_t FROM c),
+        |b AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u1_x2, tie_t, n1 + n2 AS n
+        |      FROM a),
+        |z AS (SELECT n1, n2, u1_x2, tie_t,
+        |        CAST((u1_x2 - n1 * n2)::HUGEINT * (u1_x2 - n1 * n2)
+        |          * 1000000 // (n1 * n2) AS BIGINT) AS d1q,
+        |        CAST(3::HUGEINT * n * (n - 1) * 1000000
+        |          // (n::HUGEINT * (n - 1) * (n + 1) - tie_t) AS BIGINT) AS d2q
+        |      FROM b)
+        |SELECT n1, n2, u1_x2, tie_t,
+        |  CAST(d1q::HUGEINT * d2q // 1000000 AS BIGINT) AS z2_ppm,
+        |  d1q::HUGEINT * d2q // 1000000 > 3841600 AS reject_95
+        |FROM z""".stripMargin,
 
     "q_feature_lift" ->
       """WITH b AS (SELECT DISTINCT user_id FROM events
