@@ -506,6 +506,60 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // LJUNG–BOX PORTMANTEAU TEST (the "is there ANY autocorrelation
+    // left" gate run on forecast residuals and raw series alike):
+    // Q(K) = n(n+2)·Σ_{k≤K} r_k²/(n−k) for K = 1..7, with each r_k the
+    // SAME exact rational as q_ts_acf (bigint cross-multiplied means,
+    // one double division). Float discipline: each per-lag term is one
+    // double expression, and the cumulative Q(K) is written as an
+    // EXPLICIT left-associated sum q1+…+qK over a 7-column pivot —
+    // never a windowed float sum, whose accumulation order (segment
+    // trees in one engine, sequential frames in the other) is not
+    // cross-engine portable. Verdict vs χ²₀.₀₅(K). Day-grain state: the
+    // heavy lifting is one scan + one tiny shuffle, like q_ts_acf
+    "q_ts_ljungbox" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day"))
+      val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+      }
+      val stacked = lagged.select(col("cnt"),
+        expr("stack(7, 1L, l1, 2L, l2, 3L, l3, 4L, l4, 5L, l5, 6L, l6, 7L, l7) AS (lag, xl)"))
+        .filter(col("xl").isNotNull)
+      val globals = daily.agg(
+        count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+      val perLag = stacked.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cnt") * col("xl")).as("sxy"),
+          sum(col("cnt") + col("xl")).as("sxpy"))
+        .crossJoin(broadcast(globals))
+        .select(col("lag"), col("n"),
+          ((col("n") * col("n") * col("sxy") - col("n") * col("s") * col("sxpy")
+            + col("n_pairs") * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("q") - col("n") * col("s") * col("s")).cast("double"))
+            .as("r"))
+        .withColumn("qk",
+          expr("CAST(n * (n + 2) AS DOUBLE) * r * r / CAST(n - lag AS DOUBLE)"))
+      val wide = perLag.groupBy(col("n"))
+        .agg(max(when(col("lag") === 1, col("qk"))).as("q1"),
+          (2 to 7).map(k => max(when(col("lag") === k, col("qk"))).as(s"q$k")): _*)
+      val stackArgs = (1 to 7).map(k =>
+        s"${k}L, " + (1 to k).map(j => s"q$j").mkString(" + ")).mkString(", ")
+      wide.selectExpr(s"stack(7, $stackArgs) AS (lag, q_lb)")
+        .withColumn("crit", expr(
+          """CASE lag WHEN 1 THEN CAST(3.841 AS DOUBLE)
+            |  WHEN 2 THEN CAST(5.991 AS DOUBLE) WHEN 3 THEN CAST(7.815 AS DOUBLE)
+            |  WHEN 4 THEN CAST(9.488 AS DOUBLE) WHEN 5 THEN CAST(11.070 AS DOUBLE)
+            |  WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
+            |END""".stripMargin))
+        .select(col("lag"), col("q_lb"), col("crit"),
+          (col("q_lb") > col("crit")).as("reject_95"))
+        .orderBy(col("lag"))
+    }),
+
     // ROBUST ANOMALY FLAGS (median/MAD — the detector q_ts_anomaly's
     // rolling mean/variance can't be: a burst of outlier days inflates
     // the variance and masks itself, while the median absolute
@@ -1113,6 +1167,54 @@ object WindowQueries {
         |  CAST(n * n * sxy - n * s * sxpy + n_pairs * s * s AS DOUBLE)
         |    / CAST(n * n * q - n * s * s AS DOUBLE) AS r
         |FROM p CROSS JOIN g ORDER BY lag""".stripMargin),
+
+    "q_ts_ljungbox" ->
+      ("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |l AS (SELECT cnt,
+        |""".stripMargin
+        + (1 to 7).map(k => s"        lag(cnt, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+        + "\n      FROM daily),\n"
+        + "st AS (\n"
+        + (1 to 7).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag, cnt, l$k AS xl FROM l WHERE l$k IS NOT NULL")
+          .mkString("\n  UNION ALL\n")
+        + "),\n"
+        + """g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+        |             CAST(SUM(cnt * cnt) AS BIGINT) AS q FROM daily),
+        |p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(cnt * xl) AS BIGINT) AS sxy,
+        |        CAST(SUM(cnt + xl) AS BIGINT) AS sxpy
+        |      FROM st GROUP BY lag),
+        |r AS (SELECT lag, g.n,
+        |        CAST(g.n * g.n * p.sxy - g.n * g.s * p.sxpy + p.n_pairs * g.s * g.s AS DOUBLE)
+        |          / CAST(g.n * g.n * g.q - g.n * g.s * g.s AS DOUBLE) AS r
+        |      FROM p CROSS JOIN g),
+        |qk AS (SELECT lag, CAST(n * (n + 2) AS DOUBLE) * r * r
+        |         / CAST(n - lag AS DOUBLE) AS qk FROM r),
+        |w AS (SELECT
+        |""".stripMargin
+        + (1 to 7).map(k => s"        max(CASE WHEN lag = $k THEN qk END) AS q$k").mkString(",\n")
+        + "\n      FROM qk),\n"
+        + "u AS (\n"
+        + (1 to 7).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag, " +
+              (1 to k).map(j => s"q$j").mkString(" + ") + " AS q_lb FROM w")
+          .mkString("\n  UNION ALL\n")
+        + """)
+        |SELECT lag, q_lb,
+        |  CASE lag WHEN 1 THEN CAST(3.841 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991 AS DOUBLE) WHEN 3 THEN CAST(7.815 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.488 AS DOUBLE) WHEN 5 THEN CAST(11.070 AS DOUBLE)
+        |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
+        |  END AS crit,
+        |  q_lb > (CASE lag WHEN 1 THEN CAST(3.841 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991 AS DOUBLE) WHEN 3 THEN CAST(7.815 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.488 AS DOUBLE) WHEN 5 THEN CAST(11.070 AS DOUBLE)
+        |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
+        |  END) AS reject_95
+        |FROM u ORDER BY lag""".stripMargin),
 
     "q_ts_anomaly_mad" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
