@@ -229,6 +229,116 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeWav).toDF()
   }
 
+  /** Parsed BMP: dimensions + exact per-channel sums + the TOP image
+    * row's channel sum — `row0_sum` is the bottom-up witness: BMP
+    * stores scanlines bottom-to-top, so a decoder that reads rows in
+    * file order attributes the bottom row to row 0 and diverges on
+    * every fixture with h > 1 (total sums alone cannot see row order).
+    */
+  final case class BmpStats(media_id: Long, width: Int, height: Int,
+                            r_sum: Long, g_sum: Long, b_sum: Long,
+                            row0_sum: Long)
+
+  /** REAL decoder for uncompressed 24-bit BI_RGB BMP (the third image
+    * format the container can decode honestly): validate the
+    * BITMAPFILEHEADER (`BM` magic, pixel-array offset) and
+    * BITMAPINFOHEADER (header size 40, 24 bpp, BI_RGB), then walk the
+    * pixel array bottom-up with the 4-byte scanline stride —
+    * `rowSize = (3·w + 3) & ~3` — skipping the per-row padding bytes
+    * (the fixture writes NONZERO junk padding, so a decoder that sums
+    * the full stride fails loudly at the oracle). Pixels are stored
+    * BGR; sums are emitted per logical channel. Malformed payloads
+    * fail loudly, like [[decodePpm]].
+    */
+  def decodeBmp(rows: Iterator[MediaRow]): Iterator[BmpStats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+      s"not a BMP payload: media ${r.media_id}")
+    val offBits = u32(10)
+    require(u32(14) == 40, s"not BITMAPINFOHEADER (biSize ${u32(14)}): media ${r.media_id}")
+    val w = u32(18).toInt
+    val h = u32(22).toInt // positive = bottom-up per spec
+    require(h > 0, s"top-down (negative-height) BMP unsupported: media ${r.media_id}")
+    require(u16(26) == 1, s"biPlanes must be 1: media ${r.media_id}")
+    require(u16(28) == 24, s"only 24-bit BMP supported (got ${u16(28)}): media ${r.media_id}")
+    require(u32(30) == 0, s"only BI_RGB (uncompressed) supported: media ${r.media_id}")
+    val rowSize = (3 * w + 3) & ~3
+    require(offBits + rowSize.toLong * h <= b.length,
+      s"pixel array overruns payload: media ${r.media_id}")
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var row0 = 0L
+    var fr = 0
+    while (fr < h) {
+      val y = h - 1 - fr // file row fr holds image row y (bottom-up)
+      val base = offBits.toInt + fr * rowSize
+      var x = 0
+      while (x < w) {
+        val bl = u8(base + 3 * x); val gr = u8(base + 3 * x + 1)
+        val rd = u8(base + 3 * x + 2)
+        bs += bl; gs += gr; rs += rd
+        if (y == 0) row0 += bl + gr + rd
+        x += 1
+      }
+      fr += 1
+    }
+    BmpStats(r.media_id, w, h, rs, gs, bs, row0)
+  }
+
+  /** BMP-stats pipeline — same narrow no-shuffle mapPartitions shape
+    * as [[extractImageStats]].
+    */
+  def extractBmpStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeBmp).toDF()
+  }
+
+  /** Deterministic 24-bit BMP fixture per id: w = 1 + id%7 (strides
+    * exercise all four padding widths), h = 1 + id%4, and the pixel at
+    * IMAGE position p = y·w + x carries blue = (id·29 + 3p) mod 256,
+    * green = (id·29 + 3p + 1) mod 256, red = (id·29 + 3p + 2) mod 256 —
+    * analytic, so the oracle recomputes all sums WITHOUT parsing.
+    * Scanlines are written bottom-up with 0x55 junk padding, so both
+    * the row-order and the stride-skip paths are exercised on every
+    * row.
+    */
+  def syntheticBmp(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 1 + (id % 7).toInt
+      val h = 1 + (id % 4).toInt
+      val rowSize = (3 * w + 3) & ~3
+      val fileSize = 54 + rowSize * h
+      val bb = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putShort(0).putShort(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var fr = 0
+      while (fr < h) {
+        val y = h - 1 - fr
+        var x = 0
+        while (x < w) {
+          val p = y * w + x
+          bb.put(((id * 29 + 3 * p) % 256).toByte)
+            .put(((id * 29 + 3 * p + 1) % 256).toByte)
+            .put(((id * 29 + 3 * p + 2) % 256).toByte)
+          x += 1
+        }
+        var pad = 3 * w
+        while (pad < rowSize) { bb.put(0x55.toByte); pad += 1 }
+        fr += 1
+      }
+      MediaRow(id, "image/bmp", bb.array())
+    }.toDF()
+  }
+
   /** Audio perceptual fingerprint: 60-bit sign-of-energy-delta hash
     * (the Haitsma–Kalker 2002 audio-fingerprint shape, collapsed to one
     * band): samples split into 61 equal segments by the FORMULA

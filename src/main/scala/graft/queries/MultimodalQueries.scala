@@ -71,6 +71,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode #2: deterministic 24-bit BI_RGB BMP fixtures
+    // (bottom-up scanlines, nonzero stride padding, BGR order) parsed
+    // by the genuine little-endian header walker (Multimodal.decodeBmp);
+    // row0_sum witnesses the bottom-up row order, so a file-order
+    // decoder cannot pass. The oracle recomputes dimensions, channel
+    // sums and the top-row sum from the fixture formula WITHOUT
+    // parsing a byte
+    "q_multimodal_bmp" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractBmpStats(
+        Multimodal.syntheticBmp(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode end-to-end: deterministic RIFF/WAV 16-bit PCM
     // fixtures (fmt + junk LIST chunk + data, analytic sample formula)
     // parsed by the genuine chunk-walking decoder (Multimodal.decodeWav);
@@ -413,6 +426,33 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses bytes: w = 1 + id%7, h = 1 + id%4, and
+    // the pixel at image position p carries bgr = (id*29 + 3p + {0,1,2})
+    // mod 256; row0 is p < w. Padding and row order live only in the
+    // binary — a decoder bug there cannot be mirrored here
+    "q_multimodal_bmp" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 7 AS INT) AS width,
+        |    CAST(1 + doc_id % 4 AS INT) AS height
+        |  FROM documents),
+        |j AS (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS p
+        |      FROM px),
+        |v AS (SELECT doc_id, width, height, p,
+        |        (doc_id * 29 + 3 * p) % 256 AS bl,
+        |        (doc_id * 29 + 3 * p + 1) % 256 AS gr,
+        |        (doc_id * 29 + 3 * p + 2) % 256 AS rd
+        |      FROM j)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(SUM(rd) AS BIGINT) AS r_sum,
+        |  CAST(SUM(gr) AS BIGINT) AS g_sum,
+        |  CAST(SUM(bl) AS BIGINT) AS b_sum,
+        |  CAST(SUM(CASE WHEN p < width THEN bl + gr + rd ELSE 0 END) AS BIGINT)
+        |    AS row0_sum
         |FROM v GROUP BY doc_id, width, height
         |ORDER BY media_id""".stripMargin,
 
