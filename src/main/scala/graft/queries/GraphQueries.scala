@@ -85,6 +85,27 @@ object GraphQueries {
         .orderBy(col("r").desc, col("node")).limit(20)
     }),
 
+    // HITS over the DIRECTED customer→supplier purchase bipartite:
+    // authorities = suppliers bought by well-connected customers, hubs =
+    // customers buying from authoritative suppliers — the mutual-
+    // reinforcement scoring PageRank's single score can't express.
+    // Integer L1-normalized fixed point (Graph.hits), 2 full rounds;
+    // top-10 per role. The oracle unrolls the same normalize-per-half-
+    // round chain in HUGEINT
+    "q_graph_hits" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val l = scan(s, d, "lineitem")
+      val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      val (hubs, auth) = Graph.hits(cs, 2)
+      auth.select(lit("authority").as("role"), col("node"), col("a").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+        .unionAll(hubs
+          .select(lit("hub").as("role"), col("node"), col("h").as("score"))
+          .orderBy(col("score").desc, col("node")).limit(10))
+        .orderBy(col("role"), col("score").desc, col("node"))
+    }),
+
     // connected components of the co-supply graph — the same min-label
     // machinery as dedup cluster resolution, applied to a general edge
     // list (supplier communities)
@@ -383,6 +404,43 @@ object GraphQueries {
          |i2 AS (${pprRound("i1")}),
          |i3 AS (${pprRound("i2")})
          |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 20""".stripMargin,
+
+    "q_graph_hits" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node,
+         |         CAST(${Graph.Scale} AS BIGINT) AS h FROM cs),
+         |a1r AS MATERIALIZED (
+         |  SELECT cs.dst, CAST(SUM(h.h) AS BIGINT) AS ar
+         |  FROM cs JOIN h0 h ON cs.src = h.node GROUP BY cs.dst),
+         |a1 AS MATERIALIZED (
+         |  SELECT dst AS node, CAST(ar::HUGEINT * ${Graph.Scale}
+         |    // (SELECT SUM(ar) FROM a1r) AS BIGINT) AS a FROM a1r),
+         |h1r AS MATERIALIZED (
+         |  SELECT cs.src, CAST(SUM(a.a) AS BIGINT) AS hr
+         |  FROM cs JOIN a1 a ON cs.dst = a.node GROUP BY cs.src),
+         |h1 AS MATERIALIZED (
+         |  SELECT src AS node, CAST(hr::HUGEINT * ${Graph.Scale}
+         |    // (SELECT SUM(hr) FROM h1r) AS BIGINT) AS h FROM h1r),
+         |a2r AS MATERIALIZED (
+         |  SELECT cs.dst, CAST(SUM(h.h) AS BIGINT) AS ar
+         |  FROM cs JOIN h1 h ON cs.src = h.node GROUP BY cs.dst),
+         |a2 AS MATERIALIZED (
+         |  SELECT dst AS node, CAST(ar::HUGEINT * ${Graph.Scale}
+         |    // (SELECT SUM(ar) FROM a2r) AS BIGINT) AS a FROM a2r),
+         |h2r AS MATERIALIZED (
+         |  SELECT cs.src, CAST(SUM(a.a) AS BIGINT) AS hr
+         |  FROM cs JOIN a2 a ON cs.dst = a.node GROUP BY cs.src),
+         |h2 AS MATERIALIZED (
+         |  SELECT src AS node, CAST(hr::HUGEINT * ${Graph.Scale}
+         |    // (SELECT SUM(hr) FROM h2r) AS BIGINT) AS h FROM h2r)
+         |SELECT * FROM (
+         |  (SELECT 'authority' AS role, node, a AS score FROM a2
+         |   ORDER BY score DESC, node LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub' AS role, node, h AS score FROM h2
+         |   ORDER BY score DESC, node LIMIT 10))
+         |ORDER BY role, score DESC, node""".stripMargin,
 
     "q_graph_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
