@@ -565,6 +565,76 @@ object StreamQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // STREAMING KS DRIFT (the distribution-shift monitor next to
+    // q_stream_cusum's mean-shift monitor): purchase-vs-rest over value
+    // cents. Each micro-batch appends only its per-value census partial
+    // (v → Σw1, Σw2) — a MERGEABLE summary: census(A ∪ B) = census(A) +
+    // census(B), so batch slicing can never change the merged
+    // distribution and state is ∝ distinct values, never ∝ stream. The
+    // final exact KS (the q_agg_ks two-level distributed prefix sum,
+    // integer D and α=0.05 verdict) runs over the merged partials and is
+    // bit-identical to the batch test — the oracle is the SAME KS SQL
+    // over the full events table
+    "q_stream_ks" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sks_src_$suffix"
+      val out = s"/tmp/graft_sks_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(df: DataFrame): DataFrame =
+        df.select(floor(col("value") * 100).cast("long").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("w1"),
+            when(col("event_type") =!= "purchase", 1L).otherwise(0L).as("w2"))
+          .groupBy(col("v"))
+          .agg(sum(col("w1")).as("c1"), sum(col("w2")).as("c2"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val vals = s.read.parquet(out).groupBy(col("v"))
+        .agg(sum(col("c1")).as("d1"), sum(col("c2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+        .select(col("b"), col("p1"), col("p2"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum1", col("p1") + sum(col("d1")).over(wv))
+        .withColumn("cum2", col("p2") + sum(col("d2")).over(wv))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dev"),
+          col("n1"), col("n2"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dev")).as("d_num"))
+        .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          col("d_num").cast("long").as("d_num"),
+          expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"),
+          expr("""CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))
+                 |  * 1000000
+                 |  > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
+            .stripMargin).as("reject_95"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -593,6 +663,29 @@ object StreamQueries {
 
     // batch Holt–Winters replay restricted to CLOSED days (a day is
     // closed once the stream's frontier passed its end)
+    // incremental ≡ batch: the merged census KS is checked against the
+    // plain batch KS over the full events table (same statistic, same
+    // integer verdict — batch slicing provably cannot move it)
+    "q_stream_ks" ->
+      """WITH o AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END AS w2
+        |  FROM events),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |        CAST(SUM(d2) AS BIGINT) AS n2 FROM vals),
+        |c AS (SELECT v, SUM(d1) OVER (ORDER BY v) AS cum1,
+        |        SUM(d2) OVER (ORDER BY v) AS cum2 FROM vals),
+        |dd AS (SELECT CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT)
+        |         AS d_num FROM c, t)
+        |SELECT t.n1, t.n2, dd.d_num,
+        |  CAST(dd.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
+        |  dd.d_num::HUGEINT * dd.d_num::HUGEINT * 1000000::HUGEINT
+        |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
+        |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
+        |FROM dd, t""".stripMargin,
+
     "q_stream_slope" -> WindowQueries.slopeOracleSql(
       "WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY" +
         " <= (SELECT max(ts) FROM events)"),
