@@ -434,6 +434,45 @@ object ProfileQueries {
         .orderBy(col("pr"), col("st"))
     }),
 
+    // CRAMÉR'S V (the effect size q_profile_chisq's raw χ² can't give —
+    // χ² grows with n, V ∈ [0,1] doesn't): priority × status. ALL-
+    // INTEGER: each cell contributes (n·O − r·c)²·10⁶ div (n·r·c) —
+    // exact χ² ppm per cell, identical integer ops in both engines —
+    // and V² = χ²/(n·(min(r,c)−1)) stays in ppm (no sqrt: the effect
+    // verdict thresholds on V², 0.1²/0.3²/0.5²). The grid is the FULL
+    // margin cross product with empty cells coalesced to 0 (a census
+    // that skips empty cells understates χ² by E per missing cell).
+    // Margins and cells are three map-side-combinable censuses; the
+    // grid is levels² — dimension-sized at any data scale
+    "q_profile_cramersv" -> ((s: SparkSession, d: String) => {
+      val o = scan(s, d, "orders")
+      val pm = o.groupBy(col("o_orderpriority").as("pr")).agg(count(lit(1)).as("np"))
+      val sm = o.groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("ns"))
+      val cl = o.groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("c"))
+      val t = o.agg(count(lit(1)).as("nt"))
+      pm.crossJoin(sm).join(cl, Seq("pr", "st"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(t))
+        .withColumn("cell_ppm", expr(
+          """CAST((CAST(nt AS DECIMAL(38,0)) * c - CAST(np AS DECIMAL(38,0)) * ns)
+            |  * (CAST(nt AS DECIMAL(38,0)) * c - CAST(np AS DECIMAL(38,0)) * ns)
+            |  * 1000000 div (CAST(nt AS DECIMAL(38,0)) * np * ns) AS BIGINT)"""
+            .stripMargin))
+        .agg(max(col("nt")).as("n_rows"),
+          countDistinct(col("pr")).as("r_levels"),
+          countDistinct(col("st")).as("c_levels"),
+          sum(col("cell_ppm")).as("chi2_ppm"))
+        .withColumn("v2_ppm",
+          expr("chi2_ppm div (n_rows * (least(r_levels, c_levels) - 1))"))
+        .select(col("n_rows"), col("r_levels"), col("c_levels"),
+          col("chi2_ppm"), col("v2_ppm"),
+          expr("""CASE WHEN v2_ppm > 250000 THEN 'large'
+                 |  WHEN v2_ppm > 90000 THEN 'medium'
+                 |  WHEN v2_ppm > 10000 THEN 'small'
+                 |  ELSE 'negligible' END""".stripMargin).as("effect"))
+    }),
+
     // CATEGORICAL IMBALANCE PROFILE (feature-selection census): per
     // column — Gini impurity 1 − Σp², top-value share, distinct ratio.
     // Gini instead of Shannon entropy ON PURPOSE: entropy needs log(),
@@ -725,6 +764,40 @@ object ProfileQueries {
         |  (CAST(n AS DOUBLE) - np * ns / nt) * (CAST(n AS DOUBLE) - np * ns / nt)
         |    / (np * ns / nt) AS contrib
         |FROM w ORDER BY pr, st""".stripMargin,
+
+    "q_profile_cramersv" ->
+      """WITH pm AS (SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS np
+        |            FROM orders GROUP BY 1),
+        |sm AS (SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS ns
+        |       FROM orders GROUP BY 1),
+        |cl AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM orders GROUP BY 1, 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM orders),
+        |g AS (SELECT pm.pr, sm.st, pm.np, sm.ns, COALESCE(cl.c, 0) AS c, t.nt
+        |      FROM pm CROSS JOIN sm
+        |      LEFT JOIN cl ON pm.pr = cl.pr AND sm.st = cl.st
+        |      CROSS JOIN t),
+        |cp AS (SELECT pr, st, nt,
+        |         CAST((nt::HUGEINT * c - np::HUGEINT * ns)
+        |           * (nt::HUGEINT * c - np::HUGEINT * ns) * 1000000
+        |           // (nt::HUGEINT * np * ns) AS BIGINT) AS cell_ppm
+        |       FROM g),
+        |a AS (SELECT CAST(MAX(nt) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(DISTINCT pr) AS BIGINT) AS r_levels,
+        |        CAST(COUNT(DISTINCT st) AS BIGINT) AS c_levels,
+        |        CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm FROM cp)
+        |SELECT n_rows, r_levels, c_levels, chi2_ppm,
+        |  CAST(chi2_ppm // (n_rows * (LEAST(r_levels, c_levels) - 1)) AS BIGINT)
+        |    AS v2_ppm,
+        |  CASE WHEN chi2_ppm // (n_rows * (LEAST(r_levels, c_levels) - 1)) > 250000
+        |         THEN 'large'
+        |       WHEN chi2_ppm // (n_rows * (LEAST(r_levels, c_levels) - 1)) > 90000
+        |         THEN 'medium'
+        |       WHEN chi2_ppm // (n_rows * (LEAST(r_levels, c_levels) - 1)) > 10000
+        |         THEN 'small'
+        |       ELSE 'negligible' END AS effect
+        |FROM a""".stripMargin,
 
     "q_profile_gini" ->
       """WITH u AS (SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
