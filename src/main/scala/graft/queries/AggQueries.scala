@@ -236,6 +236,45 @@ object AggQueries {
             .stripMargin).as("reject_95"))
     }),
 
+    // HUBER M-ESTIMATOR of location (the robust mean between q_agg_mad's
+    // median and the plain average — downweights outliers instead of
+    // ignoring or absorbing them): 3 IRLS rounds in PURE-INTEGER ppm —
+    // weight w = 10⁶ inside the band |v−μ| ≤ k, else k·10⁶ div |v−μ|;
+    // μ' = Σw·v div Σw with DECIMAL(38,0) sums (Σw·v ≈ 10⁶·Σv would
+    // overflow BIGINT at sf1×10). Both engines run the identical
+    // truncating-division recursion, so every round's μ is bit-equal.
+    // Each round is one scan + one scalar broadcast — map-side
+    // combinable, no shuffle beyond the 1-row agg; k = μ₀/10 is the
+    // deterministic tuning band. 100 TB: rounds × one-pass, cached base
+    "q_agg_huber" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val base = scan(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        .scopedPersist()
+      val m0 = base.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .select(col("n"), expr("s div n").as("mu0"),
+          expr("(s div n) div 10").as("k"))
+      def round(prev: DataFrame, i: Int): DataFrame = {
+        val carried = prev.columns.map(c => max(col(c)).as(c))
+        base.crossJoin(broadcast(prev))
+          .withColumn("ad", abs(col("v") - col(s"mu${i - 1}")))
+          .withColumn("w", expr(
+            "CASE WHEN ad <= k THEN 1000000L ELSE k * 1000000L div ad END"))
+          .agg(carried.head, carried.tail :+
+            expr("""CAST(SUM(CAST(w AS DECIMAL(38,0)) * v)
+                   |  div SUM(CAST(w AS DECIMAL(38,0))) AS BIGINT)"""
+              .stripMargin).as(s"mu$i"): _*)
+      }
+      val m3 = round(round(round(m0, 1), 2), 3)
+      val carried = m3.columns.map(c => max(col(c)).as(c))
+      base.crossJoin(broadcast(m3))
+        .agg(carried.head, carried.tail :+
+          sum(when(abs(col("v") - col("mu3")) > col("k"), 1L).otherwise(0L))
+            .as("n_outliers"): _*)
+        .select(col("n"), col("k"), col("mu0"), col("mu1"), col("mu2"),
+          col("mu3"), col("n_outliers"))
+    }),
+
     // EXACT MANN–WHITNEY U (Wilcoxon rank-sum — the nonparametric
     // location test next to q_agg_ks's distribution test, same F-vs-O
     // order cohorts over price cents): tie-corrected and ALL-INTEGER.
@@ -737,6 +776,39 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_huber" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |      FROM v),
+        |m0 AS (SELECT n, s // n AS mu0, (s // n) // 10 AS k FROM g),
+        |r1 AS MATERIALIZED (
+        |  SELECT m0.n, m0.k, m0.mu0,
+        |    CAST(SUM((CASE WHEN abs(v - mu0) <= k THEN 1000000::HUGEINT
+        |               ELSE k * 1000000 // abs(v - mu0) END) * v)
+        |      // SUM(CASE WHEN abs(v - mu0) <= k THEN 1000000::HUGEINT
+        |            ELSE k * 1000000 // abs(v - mu0) END) AS BIGINT) AS mu1
+        |  FROM v, m0 GROUP BY m0.n, m0.k, m0.mu0),
+        |r2 AS MATERIALIZED (
+        |  SELECT r1.n, r1.k, r1.mu0, r1.mu1,
+        |    CAST(SUM((CASE WHEN abs(v - mu1) <= k THEN 1000000::HUGEINT
+        |               ELSE k * 1000000 // abs(v - mu1) END) * v)
+        |      // SUM(CASE WHEN abs(v - mu1) <= k THEN 1000000::HUGEINT
+        |            ELSE k * 1000000 // abs(v - mu1) END) AS BIGINT) AS mu2
+        |  FROM v, r1 GROUP BY r1.n, r1.k, r1.mu0, r1.mu1),
+        |r3 AS MATERIALIZED (
+        |  SELECT r2.n, r2.k, r2.mu0, r2.mu1, r2.mu2,
+        |    CAST(SUM((CASE WHEN abs(v - mu2) <= k THEN 1000000::HUGEINT
+        |               ELSE k * 1000000 // abs(v - mu2) END) * v)
+        |      // SUM(CASE WHEN abs(v - mu2) <= k THEN 1000000::HUGEINT
+        |            ELSE k * 1000000 // abs(v - mu2) END) AS BIGINT) AS mu3
+        |  FROM v, r2 GROUP BY r2.n, r2.k, r2.mu0, r2.mu1, r2.mu2)
+        |SELECT r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3,
+        |  CAST(SUM(CASE WHEN abs(v - mu3) > k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM v, r3
+        |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
 
     "q_agg_mannwhitney" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
