@@ -635,6 +635,78 @@ object StreamQueries {
             .stripMargin).as("reject_95"))
     }),
 
+    // STREAMING MANN–WHITNEY (the location-shift monitor beside
+    // q_stream_ks's distribution monitor, same mergeable-census
+    // deployment): micro-batches append per-value census partials; the
+    // final tie-corrected all-integer U and z² verdict (the
+    // q_agg_mannwhitney arithmetic) runs over the merged census and is
+    // bit-identical to the batch test — the oracle is the batch MW SQL
+    // over the full events table
+    "q_stream_mannwhitney" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_smw_src_$suffix"
+      val out = s"/tmp/graft_smw_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(df: DataFrame): DataFrame =
+        df.select(floor(col("value") * 100).cast("long").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("w1"),
+            when(col("event_type") =!= "purchase", 1L).otherwise(0L).as("w2"))
+          .groupBy(col("v"))
+          .agg(sum(col("w1")).as("c1"), sum(col("w2")).as("c2"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val vals = s.read.parquet(out).groupBy(col("v"))
+        .agg(sum(col("c1")).as("d1"), sum(col("c2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg((sum(col("d1")) + sum(col("d2"))).as("sc"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("below",
+          col("p") + sum(col("d1") + col("d2")).over(wv) - col("d1") - col("d2"))
+        .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+          sum(col("d1") * (lit(2) * col("below") + col("d1") + col("d2") + lit(1)))
+            .as("r2"),
+          sum((col("d1") + col("d2")) * (col("d1") + col("d2")) * (col("d1") + col("d2"))
+            - col("d1") - col("d2")).as("tie_t"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("u1_x2", col("r2") - col("n1") * (col("n1") + lit(1)))
+        .withColumn("dev", col("u1_x2") - col("n1") * col("n2"))
+        .withColumn("d1q", expr(
+          "CAST(CAST(dev AS DECIMAL(38,0)) * dev * 1000000 div (n1 * n2) AS BIGINT)"))
+        .withColumn("d2q", expr(
+          """CAST(CAST(3 AS DECIMAL(38,0)) * n * (n - 1) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1) - tie_t) AS BIGINT)"""
+            .stripMargin))
+        .select(col("n1"), col("n2"), col("u1_x2"), col("tie_t"),
+          expr("CAST(CAST(d1q AS DECIMAL(38,0)) * d2q div 1000000 AS BIGINT)")
+            .as("z2_ppm"),
+          expr("CAST(d1q AS DECIMAL(38,0)) * d2q div 1000000 > 3841600")
+            .as("reject_95"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -685,6 +757,34 @@ object StreamQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    // incremental ≡ batch, like q_stream_ks: merged census → same
+    // tie-corrected integer U statistic as a batch run over all events
+    "q_stream_mannwhitney" ->
+      """WITH o AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END AS w2
+        |  FROM events),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |c AS (SELECT v, d1, d2,
+        |        SUM(d1 + d2) OVER (ORDER BY v) - d1 - d2 AS below FROM vals),
+        |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+        |        CAST(SUM(d1 * (2 * below + d1 + d2 + 1)) AS BIGINT) AS r2,
+        |        CAST(SUM((d1 + d2) * (d1 + d2) * (d1 + d2) - d1 - d2) AS BIGINT)
+        |          AS tie_t FROM c),
+        |b AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u1_x2, tie_t, n1 + n2 AS n
+        |      FROM a),
+        |z AS (SELECT n1, n2, u1_x2, tie_t,
+        |        CAST((u1_x2 - n1 * n2)::HUGEINT * (u1_x2 - n1 * n2)
+        |          * 1000000 // (n1 * n2) AS BIGINT) AS d1q,
+        |        CAST(3::HUGEINT * n * (n - 1) * 1000000
+        |          // (n::HUGEINT * (n - 1) * (n + 1) - tie_t) AS BIGINT) AS d2q
+        |      FROM b)
+        |SELECT n1, n2, u1_x2, tie_t,
+        |  CAST(d1q::HUGEINT * d2q // 1000000 AS BIGINT) AS z2_ppm,
+        |  d1q::HUGEINT * d2q // 1000000 > 3841600 AS reject_95
+        |FROM z""".stripMargin,
 
     "q_stream_slope" -> WindowQueries.slopeOracleSql(
       "WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY" +
