@@ -560,6 +560,42 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // FIXED-FREQUENCY DFT POWER (the spectral seasonality detector —
+    // "how much of the variance is weekly/biweekly/monthly", the
+    // frequency-domain view next to q_ts_acf's lag domain): Goertzel-
+    // style single-bin DFT at periods 7/14/30 over the MEAN-REMOVED
+    // day series. ALL-INTEGER: deviations are scaled by n (n·cnt − S),
+    // the cos/sin tables are 1e6 fixed-point literals shared verbatim
+    // with the oracle (trigCase — no libm trig at query time in either
+    // engine), and the Parseval-normalized power fraction
+    // (C² + S²) / (n·Sc²·Σdev²) is one DECIMAL(38,0) ppm quotient.
+    // Day-grain census: one scan, three 1-row aggs over a ~dimension-
+    // sized dev table
+    "q_ts_dft" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val g = daily.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      val dev = daily.crossJoin(broadcast(g))
+        .select(
+          datediff(col("day").cast("date"), lit("1992-01-06").cast("date"))
+            .cast("long").as("t"),
+          (col("n") * col("cnt") - col("s")).as("dev"), col("n"))
+        .scopedPersist()
+      Seq(7, 14, 30).map { p =>
+        dev.agg(max(col("n")).as("n"),
+            sum(expr(s"""dev * (${trigCase("t", p, sin = false)})""")).as("c_num"),
+            sum(expr(s"""dev * (${trigCase("t", p, sin = true)})""")).as("s_num"),
+            sum(expr("dev * dev")).as("qq"))
+          .select(lit(p.toLong).as("period"), col("c_num"), col("s_num"),
+            expr("""CAST((CAST(c_num AS DECIMAL(38,0)) * c_num
+                   |  + CAST(s_num AS DECIMAL(38,0)) * s_num) * 1000000
+                   |  div (CAST(n AS DECIMAL(38,0)) * 1000000000000 * qq) AS BIGINT)"""
+              .stripMargin).as("power_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("period"))
+    }),
+
     // ROBUST ANOMALY FLAGS (median/MAD — the detector q_ts_anomaly's
     // rolling mean/variance can't be: a burst of outlier days inflates
     // the variance and masks itself, while the median absolute
@@ -826,6 +862,24 @@ object WindowQueries {
     * q_stream_slope (closed-days-only), so the incremental ≡ batch
     * contract is literal, the hwOracleSql pattern.
     */
+  /** Integer-scaled trig tables for the fixed-frequency DFT: cos/sin of
+    * 2πj/p rounded to 1e6 fixed point, emitted as the SAME literal CASE
+    * expression into both the engine plan and the DuckDB oracle — the
+    * constants are definitionally shared, so no libm trig runs in
+    * either engine at query time and the sums stay pure integer.
+    */
+  private def trigConsts(p: Int, sin: Boolean): Seq[Long] =
+    (0 until p).map { j =>
+      val a = 2.0 * math.Pi * j / p
+      math.round((if (sin) math.sin(a) else math.cos(a)) * 1e6)
+    }
+
+  private def trigCase(colName: String, p: Int, sin: Boolean): String =
+    s"CASE CAST($colName % $p AS INT) " +
+      trigConsts(p, sin).zipWithIndex
+        .map { case (v, j) => s"WHEN $j THEN $v" }.mkString(" ") +
+      " END"
+
   private[queries] def slopeOracleSql(dailyWhere: String): String =
     s"""WITH daily AS (SELECT event_type,
        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1215,6 +1269,32 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_dft" -> {
+      def block(p: Int): String =
+        s"""SELECT CAST($p AS BIGINT) AS period, CAST(MAX(n) AS BIGINT) AS n,
+           |  CAST(SUM(dev * (${trigCase("t", p, sin = false)})) AS BIGINT) AS c_num,
+           |  CAST(SUM(dev * (${trigCase("t", p, sin = true)})) AS BIGINT) AS s_num,
+           |  CAST(SUM(dev * dev) AS BIGINT) AS qq
+           |FROM dev""".stripMargin
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s
+        |      FROM daily),
+        |dev AS (SELECT CAST(datediff('day', DATE '1992-01-06', CAST(day AS DATE))
+        |                 AS BIGINT) AS t,
+        |          g.n * cnt - g.s AS dev, g.n
+        |        FROM daily, g),
+        |p AS (
+        |""".stripMargin +
+        Seq(7, 14, 30).map(block).mkString("\n  UNION ALL\n") +
+        """)
+        |SELECT period, c_num, s_num,
+        |  CAST((c_num::HUGEINT * c_num + s_num::HUGEINT * s_num) * 1000000
+        |    // (n::HUGEINT * 1000000000000 * qq) AS BIGINT) AS power_ppm
+        |FROM p ORDER BY period""".stripMargin
+    },
 
     "q_ts_anomaly_mad" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
