@@ -296,6 +296,166 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeBmp).toDF()
   }
 
+  /** Parsed QOI: dimensions + exact channel sums + the position-
+    * weighted sum Σ p·(r+g+b) — the run/index/diff ops all shift pixel
+    * POSITIONS when mis-decoded, which total sums can't see but the
+    * weighted witness always does.
+    */
+  final case class QoiStats(media_id: Long, width: Int, height: Int,
+                            r_sum: Long, g_sum: Long, b_sum: Long,
+                            wsum: Long)
+
+  /** REAL decoder for QOI (the Quite OK Image format, qoiformat.org —
+    * public spec): validate the `qoif` magic + big-endian dims +
+    * channels/colorspace, then replay the full op stream — RGB (0xfe),
+    * RGBA (0xff), INDEX (2-bit tag 00 + 6-bit slot into the running
+    * 64-entry color index keyed by (3r+5g+7b+11a) mod 64), DIFF (01 +
+    * three 2-bit channel deltas biased +2, wrapping), LUMA (10 +
+    * 6-bit dg biased +32 and 4-bit dr−dg/db−dg biased +8, wrapping),
+    * RUN (11 + length−1, max 62) — maintaining the index table after
+    * every emitted pixel exactly per spec, and require the 7×00+01 end
+    * marker. Malformed payloads fail loudly, like [[decodePpm]].
+    */
+  def decodeQoi(rows: Iterator[MediaRow]): Iterator[QoiStats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    require(b.length >= 14 + 8 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' && b(3) == 'f',
+      s"not a QOI payload: media ${r.media_id}")
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val w = be32(4).toInt; val h = be32(8).toInt
+    val channels = u8(12); val colorspace = u8(13)
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h: media ${r.media_id}")
+    require(channels == 3 || channels == 4,
+      s"bad channel count $channels: media ${r.media_id}")
+    require(colorspace <= 1, s"bad colorspace $colorspace: media ${r.media_id}")
+    val n = w.toLong * h
+    val index = Array.fill(64)(0)        // packed 0xAARRGGBB, spec-initial zero
+    var (pr, pg, pb, pa) = (0, 0, 0, 255)
+    var (rs, gs, bs, ws) = (0L, 0L, 0L, 0L)
+    var p = 0L
+    var i = 14
+    def emit(run: Int): Unit = {
+      var k = 0
+      while (k < run) {
+        rs += pr; gs += pg; bs += pb; ws += p * (pr + pg + pb)
+        p += 1; k += 1
+      }
+    }
+    while (p < n) {
+      require(i < b.length - 8, s"op stream truncated at pixel $p: media ${r.media_id}")
+      val op = u8(i)
+      if (op == 0xfe) { // RGB
+        pr = u8(i + 1); pg = u8(i + 2); pb = u8(i + 3); i += 4; emit(1)
+      } else if (op == 0xff) { // RGBA
+        pr = u8(i + 1); pg = u8(i + 2); pb = u8(i + 3); pa = u8(i + 4); i += 5; emit(1)
+      } else (op >> 6) match {
+        case 0 => // INDEX
+          val v = index(op & 0x3f)
+          pa = (v >>> 24) & 0xff; pr = (v >> 16) & 0xff; pg = (v >> 8) & 0xff; pb = v & 0xff
+          i += 1; emit(1)
+        case 1 => // DIFF, deltas biased +2, wrapping
+          pr = (pr + ((op >> 4) & 3) - 2) & 0xff
+          pg = (pg + ((op >> 2) & 3) - 2) & 0xff
+          pb = (pb + (op & 3) - 2) & 0xff
+          i += 1; emit(1)
+        case 2 => // LUMA
+          val dg = (op & 0x3f) - 32
+          val b2 = u8(i + 1)
+          pr = (pr + dg + ((b2 >> 4) & 0xf) - 8) & 0xff
+          pg = (pg + dg) & 0xff
+          pb = (pb + dg + (b2 & 0xf) - 8) & 0xff
+          i += 2; emit(1)
+        case _ => // RUN, length biased −1 (62 max: 0xfe/0xff are RGB/RGBA)
+          val run = (op & 0x3f) + 1
+          require(p + run <= n, s"run overruns image at pixel $p: media ${r.media_id}")
+          i += 1; emit(run)
+      }
+      index((3 * pr + 5 * pg + 7 * pb + 11 * pa) % 64) =
+        (pa << 24) | (pr << 16) | (pg << 8) | pb
+    }
+    require(i + 8 <= b.length && (0 until 7).forall(k => u8(i + k) == 0) && u8(i + 7) == 1,
+      s"missing QOI end marker: media ${r.media_id}")
+    QoiStats(r.media_id, w, h, rs, gs, bs, ws)
+  }
+
+  /** QOI-stats pipeline — same narrow no-shuffle mapPartitions shape
+    * as [[extractImageStats]].
+    */
+  def extractQoiStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeQoi).toDF()
+  }
+
+  /** Deterministic QOI fixture per id, written by a REAL greedy QOI
+    * encoder (run → index → diff → luma → rgb op choice, maintaining
+    * the 64-entry color index per spec — so the fixture stream mixes
+    * every op class the formula's diffs reach): w = 1 + id%6,
+    * h = 1 + id%5, and the pixel at position p takes its channels from
+    * the analytic formula at q = p − [p mod 7 = 6] (every 7th pixel
+    * REPEATS its predecessor, forcing genuine RUN ops):
+    * r = (id·17 + 7q²) mod 256, g = (id·23 + 3q) mod 256,
+    * b = (id·31 + (5q² + q mod 97)) mod 256. The quadratic terms make
+    * small AND large deltas, so DIFF/LUMA/RGB all appear. The oracle
+    * recomputes all stats from the formula WITHOUT parsing a byte.
+    */
+  def syntheticQoi(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 1 + (id % 6).toInt
+      val h = 1 + (id % 5).toInt
+      val n = w * h
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      be32(w); be32(h); out.write(3); out.write(0)
+      val index = Array.fill(64)(0)
+      var (pr, pg, pb) = (0, 0, 0); val pa = 255
+      var run = 0
+      def flushRun(): Unit = if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+      var p = 0
+      while (p < n) {
+        val q = p - (if (p % 7 == 6) 1 else 0)
+        val cr = ((id * 17 + 7L * q * q) % 256).toInt
+        val cg = ((id * 23 + 3L * q) % 256).toInt
+        val cb = ((id * 31 + (5L * q * q + q) % 97) % 256).toInt
+        if (cr == pr && cg == pg && cb == pb) {
+          run += 1
+          if (run == 62) flushRun()
+        } else {
+          flushRun()
+          val slot = (3 * cr + 5 * cg + 7 * cb + 11 * pa) % 64
+          val packed = (pa << 24) | (cr << 16) | (cg << 8) | cb
+          val dr = ((cr - pr + 128) & 0xff) - 128
+          val dg = ((cg - pg + 128) & 0xff) - 128
+          val db = ((cb - pb + 128) & 0xff) - 128
+          if (index(slot) == packed) out.write(slot)
+          else if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && (dr - dg) >= -8 && (dr - dg) <= 7
+              && (db - dg) >= -8 && (db - dg) <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(cr); out.write(cg); out.write(cb)
+          }
+          pr = cr; pg = cg; pb = cb
+        }
+        index((3 * pr + 5 * pg + 7 * pb + 11 * pa) % 64) =
+          (pa << 24) | (pr << 16) | (pg << 8) | pb
+        p += 1
+      }
+      flushRun()
+      (0 until 7).foreach(_ => out.write(0)); out.write(1)
+      MediaRow(id, "image/qoi", out.toByteArray)
+    }.toDF()
+  }
+
   /** Deterministic 24-bit BMP fixture per id: w = 1 + id%7 (strides
     * exercise all four padding widths), h = 1 + id%4, and the pixel at
     * IMAGE position p = y·w + x carries blue = (id·29 + 3p) mod 256,

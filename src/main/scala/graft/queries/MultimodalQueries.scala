@@ -84,6 +84,20 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode #3: QOI (qoiformat.org) — fixtures written by a
+    // genuine greedy QOI ENCODER (run/index/diff/luma/rgb op selection
+    // with the live 64-slot color index) and replayed by the full-spec
+    // DECODER (Multimodal.decodeQoi). The every-7th-pixel repeat forces
+    // RUN ops and the quadratic channel formula mixes DIFF/LUMA/RGB;
+    // wsum = Σ p·(r+g+b) witnesses pixel POSITIONS, which a mis-replayed
+    // run/index stream shifts even when totals survive. Oracle is the
+    // analytic formula — no byte is parsed there
+    "q_multimodal_qoi" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractQoiStats(
+        Multimodal.syntheticQoi(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode end-to-end: deterministic RIFF/WAV 16-bit PCM
     // fixtures (fmt + junk LIST chunk + data, analytic sample formula)
     // parsed by the genuine chunk-walking decoder (Multimodal.decodeWav);
@@ -426,6 +440,34 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses bytes: w = 1 + id%6, h = 1 + id%5,
+    // q = p − [p%7=6], r = (id·17 + 7q²)%256, g = (id·23 + 3q)%256,
+    // b = (id·31 + (5q² + q)%97)%256 — the encoder's op choices live
+    // only in the binary
+    "q_multimodal_qoi" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 6 AS INT) AS width,
+        |    CAST(1 + doc_id % 5 AS INT) AS height
+        |  FROM documents),
+        |j AS (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS p
+        |      FROM px),
+        |e AS (SELECT doc_id, width, height, p,
+        |        p - CASE WHEN p % 7 = 6 THEN 1 ELSE 0 END AS q FROM j),
+        |v AS (SELECT doc_id, width, height, p,
+        |        (doc_id * 17 + 7 * q * q) % 256 AS r,
+        |        (doc_id * 23 + 3 * q) % 256 AS g,
+        |        (doc_id * 31 + (5 * q * q + q) % 97) % 256 AS b
+        |      FROM e)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM(p * (r + g + b)) AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id, width, height
         |ORDER BY media_id""".stripMargin,
 
