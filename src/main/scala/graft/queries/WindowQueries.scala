@@ -560,6 +560,53 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // PARTIAL AUTOCORRELATION φ_11..φ_33 (the AR-order diagnostic next
+    // to q_ts_acf — "how much does lag k explain once lags < k are
+    // regressed out"): Durbin–Levinson unrolled to 3 lags over the SAME
+    // exact-rational r_k as q_ts_acf. Float discipline: each φ is one
+    // NAMED intermediate computed by an identical expression tree in
+    // both engines (explicit CAST(1 AS DOUBLE) — a bare 1.0 literal is
+    // DECIMAL in both dialects and changes the arithmetic), so every
+    // division happens on bit-equal operands. Same one-scan day-grain
+    // cost shape as q_ts_acf
+    "q_ts_pacf" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day"))
+      val lagged = (1 to 3).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+      }
+      val stacked = lagged.select(col("cnt"),
+        expr("stack(3, 1L, l1, 2L, l2, 3L, l3) AS (lag, xl)"))
+        .filter(col("xl").isNotNull)
+      val globals = daily.agg(
+        count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+      val perLag = stacked.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cnt") * col("xl")).as("sxy"),
+          sum(col("cnt") + col("xl")).as("sxpy"))
+        .crossJoin(broadcast(globals))
+        .select(col("lag"),
+          ((col("n") * col("n") * col("sxy") - col("n") * col("s") * col("sxpy")
+            + col("n_pairs") * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("q") - col("n") * col("s") * col("s")).cast("double"))
+            .as("r"))
+      perLag.groupBy()
+        .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"))
+        .withColumn("p22",
+          expr("(r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1)"))
+        .withColumn("p21", expr("r1 - p22 * r1"))
+        .withColumn("p33", expr(
+          """(r3 - p21 * r2 - p22 * r1)
+            |  / (CAST(1 AS DOUBLE) - p21 * r1 - p22 * r2)""".stripMargin))
+        .selectExpr("stack(3, 1L, r1, 2L, p22, 3L, p33) AS (lag, pacf)")
+        .orderBy(col("lag"))
+    }),
+
     // FIXED-FREQUENCY DFT POWER (the spectral seasonality detector —
     // "how much of the variance is weekly/biweekly/monthly", the
     // frequency-domain view next to q_ts_acf's lag domain): Goertzel-
@@ -1269,6 +1316,43 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_pacf" ->
+      ("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |l AS (SELECT cnt,
+        |""".stripMargin
+        + (1 to 3).map(k => s"        lag(cnt, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+        + "\n      FROM daily),\n"
+        + "st AS (\n"
+        + (1 to 3).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag, cnt, l$k AS xl FROM l WHERE l$k IS NOT NULL")
+          .mkString("\n  UNION ALL\n")
+        + "),\n"
+        + """g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+        |             CAST(SUM(cnt * cnt) AS BIGINT) AS q FROM daily),
+        |p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(cnt * xl) AS BIGINT) AS sxy,
+        |        CAST(SUM(cnt + xl) AS BIGINT) AS sxpy
+        |      FROM st GROUP BY lag),
+        |r AS (SELECT lag,
+        |        CAST(g.n * g.n * p.sxy - g.n * g.s * p.sxpy + p.n_pairs * g.s * g.s AS DOUBLE)
+        |          / CAST(g.n * g.n * g.q - g.n * g.s * g.s AS DOUBLE) AS r
+        |      FROM p CROSS JOIN g),
+        |w AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |        max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |        max(CASE WHEN lag = 3 THEN r END) AS r3 FROM r),
+        |c1 AS (SELECT r1, r2, r3,
+        |         (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) AS p22 FROM w),
+        |c2 AS (SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM c1),
+        |c3 AS (SELECT r1, p22,
+        |         (r3 - p21 * r2 - p22 * r1)
+        |           / (CAST(1 AS DOUBLE) - p21 * r1 - p22 * r2) AS p33 FROM c2)
+        |SELECT CAST(1 AS BIGINT) AS lag, r1 AS pacf FROM c3
+        |UNION ALL SELECT CAST(2 AS BIGINT), p22 FROM c3
+        |UNION ALL SELECT CAST(3 AS BIGINT), p33 FROM c3
+        |ORDER BY lag""".stripMargin),
 
     "q_ts_dft" -> {
       def block(p: Int): String =
