@@ -275,6 +275,30 @@ object AggQueries {
           col("mu3"), col("n_outliers"))
     }),
 
+    // PAIRED SIGN TEST (the assumption-free "is A consistently above
+    // B" check — here daily purchase vs view event counts, pairs =
+    // days): count days purchases exceed views and vice versa (ties
+    // dropped, per the classical test), verdict from the normal
+    // approximation z² = (n⁺−n⁻)²/(n⁺+n⁻) spelled as one integer
+    // cross-multiplication — no float anywhere. One day-grain census +
+    // one 1-row agg
+    "q_agg_signtest" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("p") > col("v"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("p") < col("v"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("p") === col("v"), 1L).otherwise(0L)).as("n_tie"))
+        .select(col("n_days"), col("n_pos"), col("n_neg"), col("n_tie"),
+          expr("(n_pos - n_neg) * (n_pos - n_neg) * 1000000 div (n_pos + n_neg)")
+            .as("z2_ppm"),
+          expr("(n_pos - n_neg) * (n_pos - n_neg) * 10000 > 38416 * (n_pos + n_neg)")
+            .as("reject_95"))
+    }),
+
     // EXACT MANN–WHITNEY U (Wilcoxon rank-sum — the nonparametric
     // location test next to q_agg_ks's distribution test, same F-vs-O
     // order cohorts over price cents): tie-corrected and ALL-INTEGER.
@@ -776,6 +800,23 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_signtest" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(CASE WHEN p > v THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |        CAST(SUM(CASE WHEN p < v THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |        CAST(SUM(CASE WHEN p = v THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+        |      FROM daily)
+        |SELECT n_days, n_pos, n_neg, n_tie,
+        |  CAST((n_pos - n_neg) * (n_pos - n_neg) * 1000000 // (n_pos + n_neg)
+        |    AS BIGINT) AS z2_ppm,
+        |  (n_pos - n_neg) * (n_pos - n_neg) * 10000 > 38416 * (n_pos + n_neg)
+        |    AS reject_95
+        |FROM a""".stripMargin,
 
     "q_agg_huber" ->
       """WITH v AS MATERIALIZED (
