@@ -162,6 +162,62 @@ object Quantize {
         sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers3"))
   }
 
+  /** TOP PRINCIPAL COMPONENT by distributed power iteration, all-
+    * integer: vectors enter 1e4 fixed point once (⌊x·10⁴⌋ — coarser
+    * than standardizeCensus's 1e6 so the raw second-moment sums stay
+    * BIGINT to ~10⁹ rows), the scaled covariance C = n·P − S·Sᵀ is
+    * exact DECIMAL(38,0), and each iteration renormalizes by max-abs
+    * with a SIGN-DECOMPOSED ppm division (sign(u)·(|u|·10⁶ div m) —
+    * truncating div and floor div disagree on negatives across engines,
+    * so the division only ever sees magnitudes; the q_win_slope rule).
+    *
+    * Scale shape: the ONLY data-sized pass is the in-row outer-product
+    * expansion (flatten(transform×transform)) feeding a dims²-group
+    * partial aggregation — map-side combine collapses each partition to
+    * ≤ dims² rows before the shuffle, so 100 TB moves dims² × partitions
+    * rows, never n·dims². Everything after is dimension-sized (dims² ≤
+    * 4096 rows) broadcast arithmetic; iterations cost nothing at scale.
+    */
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
+                      iters: Int): DataFrame = {
+    import graft.ops.CacheScope.ScopedPersist
+    val spark = emb.sparkSession
+    val q = emb.select(expr(
+        s"transform(slice($vecCol, 1, $dims), x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .as("q"))
+      .scopedPersist()
+    val pairs = q.select(expr(
+        """explode(flatten(transform(q, (xi, i) ->
+          |  transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'p', xi * xj)))))"""
+          .stripMargin).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
+    val marg = q.select(posexplode(col("q")).as(Seq("mi", "x")))
+      .groupBy(col("mi")).agg(sum(col("x")).as("s"))
+    val nn = q.agg(count(lit(1)).as("n"))
+    val c = pairs
+      .join(broadcast(marg.select(col("mi"), col("s").as("si"))), col("i") === col("mi"))
+      .drop("mi")
+      .join(broadcast(marg.select(col("mi"), col("s").as("sj"))), col("j") === col("mi"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        expr("CAST(n AS DECIMAL(38,0)) * p - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
+      .scopedPersist()
+    var v = spark.range(dims).select(col("id").cast("int").as("vi"),
+      lit(1000000L).cast("decimal(38,0)").as("v"))
+    for (r <- 1 to iters) {
+      val u = c.join(v, col("j") === col("vi"))
+        .groupBy(col("i")).agg(sum(expr("c * v")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("i").as("vi"),
+          expr("""CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END
+                 |  * (abs(u) * 1000000 div m) AS DECIMAL(38,0))""".stripMargin)
+            .as("v"))
+    }
+    v.select(col("vi").cast("long").as("dim"), col("v").cast("long").as("v_ppm"))
+  }
+
   def winsorize(emb: DataFrame, idCol: String, vecCol: String,
                 dims: Int, pLo: Double, pHi: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

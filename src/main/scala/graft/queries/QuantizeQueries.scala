@@ -28,6 +28,17 @@ object QuantizeQueries {
           dims = 64)
         .orderBy(col("dim"))),
 
+    // TOP PRINCIPAL COMPONENT (the dimensionality-reduction primitive
+    // under PCA whitening / spectral dedup): 3 rounds of all-integer
+    // power iteration on the exact scaled covariance n·P − S·Sᵀ (see
+    // Quantize.pcaTopComponent — the only data-sized pass is the in-row
+    // outer product into a dims²-group partial agg; the oracle unrolls
+    // the same three max-abs-normalized rounds in HUGEINT)
+    "q_embed_pca" -> ((s: SparkSession, d: String) =>
+      Quantize.pcaTopComponent(scan(s, d, "embeddings"), "embedding",
+          dims = 64, iters = 3)
+        .orderBy(col("dim"))),
+
     "q_embed_winsorize" -> ((s: SparkSession, d: String) => {
       Quantize.winsorize(scan(s, d, "embeddings"), "vec_id", "embedding",
           dims = 4, pLo = 0.05, pHi = 0.95)
@@ -121,6 +132,40 @@ object QuantizeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pca" -> {
+      def round(r: Int): String =
+        s"""u$r AS MATERIALIZED (
+           |  SELECT c.i, SUM(c.c * v.v) AS u
+           |  FROM c JOIN v${r - 1} v ON c.j = v.vi GROUP BY c.i),
+           |v$r AS MATERIALIZED (
+           |  SELECT u.i AS vi,
+           |    (CASE WHEN u.u < 0 THEN -1 ELSE 1 END)::HUGEINT
+           |      * (abs(u.u) * 1000000 // mm.m) AS v
+           |  FROM u$r u, (SELECT MAX(abs(u)) AS m FROM u$r) mm)""".stripMargin
+      """WITH q AS MATERIALIZED (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pairs AS MATERIALIZED (
+        |  SELECT t1.i AS i, t2.j AS j,
+        |    CAST(SUM(q.q[t1.i + 1] * q.q[t2.j + 1]) AS BIGINT) AS p
+        |  FROM q, range(64) AS t1(i), range(64) AS t2(j)
+        |  GROUP BY 1, 2),
+        |marg AS MATERIALIZED (
+        |  SELECT t.i AS i, CAST(SUM(q.q[t.i + 1]) AS BIGINT) AS s
+        |  FROM q, range(64) AS t(i) GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        |c AS MATERIALIZED (
+        |  SELECT p.i, p.j, nn.n::HUGEINT * p.p - m1.s::HUGEINT * m2.s AS c
+        |  FROM pairs p JOIN marg m1 ON p.i = m1.i JOIN marg m2 ON p.j = m2.i, nn),
+        |v0 AS (SELECT t.i AS vi, 1000000::HUGEINT AS v FROM range(64) AS t(i)),
+        |""".stripMargin +
+        (1 to 3).map(round).mkString(",\n") +
+        """
+        |SELECT CAST(vi AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm
+        |FROM v3 ORDER BY dim""".stripMargin
+    },
+
     "q_embed_standardize" ->
       """WITH x AS (
         |  SELECT vec_id, j.j AS dim,
