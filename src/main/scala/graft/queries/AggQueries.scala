@@ -275,6 +275,44 @@ object AggQueries {
           col("mu3"), col("n_outliers"))
     }),
 
+    // KENDALL'S τ-b (the rank-correlation robust to outliers that
+    // Pearson's q_agg_covar isn't, with tie correction): daily purchase
+    // vs view counts, pairs = day pairs. ALL-INTEGER: concordant /
+    // discordant / tie censuses from the i<j day self-join (day-grain —
+    // the pair table is |days|², CONSTANT in data volume), tie terms
+    // Σt(t−1)/2 from per-value censuses, and τ-b² = (C−D)²/((n0−n1)(n0−n2))
+    // emitted as one cross-multiplied ppm quotient plus its sign — no
+    // sqrt, no float. 100 TB: only the day census touches data
+    "q_agg_kendall" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val daily = scan(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+        .scopedPersist()
+      val a = daily.select(col("day").as("da"), col("p").as("pa"), col("v").as("va"))
+      val b = daily.select(col("day").as("db"), col("p").as("pb"), col("v").as("vb"))
+      val cd = a.crossJoin(b).filter(col("da") < col("db"))
+        .agg(
+          sum(when((col("pa") - col("pb")) * (col("va") - col("vb")) > 0, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when((col("pa") - col("pb")) * (col("va") - col("vb")) < 0, 1L)
+            .otherwise(0L)).as("d"),
+          count(lit(1)).as("n0"))
+      val tp = daily.groupBy(col("p")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("n1"))
+      val tv = daily.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("n2"))
+      cd.crossJoin(broadcast(tp)).crossJoin(broadcast(tv))
+        .select(col("c"), col("d"), col("n0"), col("n1"), col("n2"),
+          expr("""CAST(CAST(c - d AS DECIMAL(38,0)) * (c - d) * 1000000
+                 |  div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)) AS BIGINT)"""
+            .stripMargin).as("taub2_ppm"),
+          expr("CAST(CASE WHEN c > d THEN 1 WHEN c < d THEN -1 ELSE 0 END AS BIGINT)")
+            .as("tau_sign"))
+    }),
+
     // PAIRED SIGN TEST (the assumption-free "is A consistently above
     // B" check — here daily purchase vs view event counts, pairs =
     // days): count days purchases exceed views and vice versa (ties
@@ -800,6 +838,29 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_kendall" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |cd AS (SELECT
+        |    CAST(SUM(CASE WHEN (a.p - b.p) * (a.v - b.v) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN (a.p - b.p) * (a.v - b.v) < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n0
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |tp AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+        |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY p)),
+        |tv AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+        |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY v))
+        |SELECT c, d, n0, n1, n2,
+        |  CAST((c - d)::HUGEINT * (c - d) * 1000000
+        |    // ((n0 - n1)::HUGEINT * (n0 - n2)) AS BIGINT) AS taub2_ppm,
+        |  CAST(CASE WHEN c > d THEN 1 WHEN c < d THEN -1 ELSE 0 END AS BIGINT)
+        |    AS tau_sign
+        |FROM cd, tp, tv""".stripMargin,
 
     "q_agg_signtest" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
