@@ -560,6 +560,35 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // MAXIMUM DRAWDOWN (the peak-to-trough risk readout over a running
+    // balance — here the cumulative purchase-minus-error cents flow):
+    // equity = running sum, peak = running max, drawdown = peak −
+    // equity, all EXACT integers over the day-grain census; the report
+    // emits the worst drawdown, its (earliest) trough day, and the
+    // final equity. Day-grain: windows run over ~hundreds of rows
+    // regardless of data volume
+    "q_ts_drawdown" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long"))
+          .otherwise(-floor(col("value") * 100).cast("long"))).as("flow"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("equity", sum(col("flow")).over(w))
+        .withColumn("peak", max(col("equity")).over(w))
+        .withColumn("dd", col("peak") - col("equity"))
+      val mx = dd.agg(max(col("dd")).as("max_dd"))
+      dd.crossJoin(broadcast(mx))
+        .agg(count(lit(1)).as("n_days"), max(col("max_dd")).as("max_dd"),
+          min(when(col("dd") === col("max_dd"), col("day"))).as("trough_day"),
+          max(struct(col("day"), col("equity"))).as("last"))
+        .select(col("n_days"), col("max_dd"), col("trough_day"),
+          col("last.equity").as("equity_end"))
+    }),
+
     // PARTIAL AUTOCORRELATION φ_11..φ_33 (the AR-order diagnostic next
     // to q_ts_acf — "how much does lag k explain once lags < k are
     // regressed out"): Durbin–Levinson unrolled to 3 lags over the SAME
@@ -1316,6 +1345,22 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_drawdown" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(floor(value * 100) AS BIGINT)
+        |          ELSE -CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS flow
+        |  FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1),
+        |e AS (SELECT day, SUM(flow) OVER (ORDER BY day) AS equity FROM daily),
+        |p AS (SELECT day, equity,
+        |        MAX(equity) OVER (ORDER BY day) - equity AS dd FROM e),
+        |m AS (SELECT CAST(MAX(dd) AS BIGINT) AS max_dd FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days, m.max_dd,
+        |  MIN(CASE WHEN p.dd = m.max_dd THEN p.day END) AS trough_day,
+        |  CAST(MAX(CASE WHEN p.day = (SELECT MAX(day) FROM p) THEN p.equity END)
+        |    AS BIGINT) AS equity_end
+        |FROM p, m GROUP BY m.max_dd""".stripMargin,
 
     "q_ts_pacf" ->
       ("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
