@@ -222,6 +222,43 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // NEYMAN OPTIMAL ALLOCATION (the survey-sampling design the flat
+    // rates below can't give: sample budget ∝ stratum size × stratum
+    // spread, so volatile strata get more draws): strata = customer
+    // nations, variable = acctbal cents. The weight N_h·σ_h collapses
+    // to ONE integer isqrt(N·Q − S²) per stratum (the temperatureMixture
+    // floor-sqrt discipline: both engines take the correctly-rounded
+    // double sqrt of the SAME integer, so the floor matches bit-exactly
+    // even past 2⁵³), and the 1000-draw budget lands via LARGEST-
+    // REMAINDER rounding (base = B·w div Z, +1 to the top B−Σbase
+    // remainders, nation-asc tie-break) so allocations are integers
+    // summing EXACTLY to B. One stratum census + dimension-sized
+    // window — nothing data-sized shuffles
+    "q_sample_neyman" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = scan(s, d, "customer")
+        .select(col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") * 100).cast("long").as("v"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_pop"), sum(col("v")).as("sv"),
+          sum(expr("v * v")).as("qv"))
+        .withColumn("w", floor(sqrt(expr(
+          "CAST(CAST(n_pop AS DECIMAL(38,0)) * qv - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE)")))
+          .cast("long"))
+      val z = st.agg(sum(col("w")).as("z"))
+      val based = st.crossJoin(broadcast(z))
+        .withColumn("base", expr("(1000 * w) div z"))
+        .withColumn("rem", expr("(1000 * w) % z"))
+      val extra = based.agg((lit(1000L) - sum(col("base"))).as("extra"))
+      based.crossJoin(broadcast(extra))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("nation").asc)).cast("long"))
+        .select(col("nation"), col("n_pop"), col("w"),
+          (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("nation"))
+    }),
+
     // STRATIFIED hash-sampling: per-stratum rates (the corpus-mixing
     // primitive — e.g. upsample rare languages): en keeps 50%, others
     // 10%, decided by the same RNG-free md5 predicate per row. The rate
@@ -765,6 +802,30 @@ object DedupQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHex60("md5('sample:' || doc_id::VARCHAR)")} % 10 < 3
          |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_neyman" ->
+      """WITH st AS (SELECT c_nationkey AS nation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pop,
+        |    CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sv,
+        |    CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)
+        |           * CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS qv
+        |  FROM customer GROUP BY 1),
+        |w AS (SELECT nation, n_pop,
+        |        CAST(floor(sqrt(CAST(n_pop::HUGEINT * qv - sv::HUGEINT * sv
+        |          AS DOUBLE))) AS BIGINT) AS w
+        |      FROM st),
+        |z AS (SELECT CAST(SUM(w) AS BIGINT) AS z FROM w),
+        |b AS (SELECT nation, n_pop, w,
+        |        (1000 * w) // z.z AS base, (1000 * w) % z.z AS rem
+        |      FROM w, z),
+        |x AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT nation, n_pop, w, base, extra,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, nation ASC) AS BIGINT)
+        |          AS rk
+        |      FROM b, x)
+        |SELECT nation, n_pop, w,
+        |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY nation""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
