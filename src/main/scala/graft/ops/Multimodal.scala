@@ -456,6 +456,123 @@ object Multimodal {
     }.toDF()
   }
 
+  /** CRC32C (Castagnoli, reflected poly 0x82f63b78) — the checksum the
+    * TFRecord framing uses, table-driven, byte-exact.
+    */
+  private val Crc32cTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) { c = if ((c & 1) != 0) 0x82f63b78 ^ (c >>> 1) else c >>> 1; k += 1 }
+      t(n) = c; n += 1
+    }
+    t
+  }
+
+  private def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0xffffffff
+    var i = off
+    while (i < off + len) { c = Crc32cTable((c ^ b(i)) & 0xff) ^ (c >>> 8); i += 1 }
+    ~c
+  }
+
+  /** TFRecord's masked CRC: rotate-right 15 + magic, per the public
+    * TensorFlow framing spec.
+    */
+  private def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = crc32c(b, off, len)
+    ((c >>> 15) | (c << 17)) + 0xa282ead8
+  }
+
+  /** Parsed TFRecord shard: record count, total payload bytes, exact
+    * payload byte sum, and the record-position-weighted sum Σ r·sum_r —
+    * the framing witness (a walker that mis-sizes one record shifts
+    * every later record's position).
+    */
+  final case class TfRecordStats(media_id: Long, n_records: Long,
+                                 total_len: Long, payload_sum: Long,
+                                 wsum: Long)
+
+  /** REAL decoder for the TFRecord framing (the de-facto training-shard
+    * container; public spec in the TensorFlow docs): per record a
+    * little-endian u64 length, the MASKED CRC32C of those 8 length
+    * bytes, the payload, and the masked CRC32C of the payload. Both
+    * CRCs are recomputed with the real Castagnoli table and VERIFIED —
+    * a flipped bit anywhere fails loudly (the integrity contract
+    * TFRecord exists for), never as a skipped record.
+    */
+  def decodeTfRecord(rows: Iterator[MediaRow]): Iterator[TfRecordStats] = rows.map { r =>
+    val b = r.payload
+    def u32(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    var i = 0
+    var (nRec, totLen, pSum, wSum) = (0L, 0L, 0L, 0L)
+    while (i < b.length) {
+      require(i + 12 <= b.length, s"truncated record header at $i: media ${r.media_id}")
+      var len = 0L
+      var k = 7
+      while (k >= 0) { len = (len << 8) | (b(i + k) & 0xff).toLong; k -= 1 }
+      require(u32(i + 8) == maskedCrc(b, i, 8),
+        s"length CRC mismatch at $i: media ${r.media_id}")
+      val body = i + 12
+      require(len <= b.length - body - 4,
+        s"record overruns payload at $i (len $len): media ${r.media_id}")
+      require(u32(body + len.toInt) == maskedCrc(b, body, len.toInt),
+        s"payload CRC mismatch at $i: media ${r.media_id}")
+      var s = 0L
+      var j = 0
+      while (j < len) { s += b(body + j) & 0xff; j += 1 }
+      pSum += s; wSum += nRec * s; totLen += len; nRec += 1
+      i = body + len.toInt + 4
+    }
+    TfRecordStats(r.media_id, nRec, totLen, pSum, wSum)
+  }
+
+  /** TFRecord-stats pipeline — same narrow no-shuffle mapPartitions
+    * shape as [[extractImageStats]].
+    */
+  def extractTfRecordStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeTfRecord).toDF()
+  }
+
+  /** Deterministic TFRecord fixture per id: n = 1 + id%4 records,
+    * record r carries length L = 5 + (id + r)%11 and payload byte j =
+    * (id·13 + r·7 + j) mod 256 — analytic, so the oracle recomputes
+    * counts and sums WITHOUT parsing; the CRCs exist only in the binary
+    * and are written with the real masked-CRC32C, so the decoder's
+    * verification path runs on every record.
+    */
+  def syntheticTfRecord(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = 1 + (id % 4).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      var r = 0
+      while (r < n) {
+        val len = 5 + ((id + r) % 11).toInt
+        val payload = Array.tabulate(len)(j => ((id * 13 + r * 7 + j) % 256).toByte)
+        val hdr = new Array[Byte](8)
+        var k = 0
+        while (k < 8) { hdr(k) = ((len.toLong >> (8 * k)) & 0xff).toByte; k += 1 }
+        out.write(hdr)
+        val lc = maskedCrc(hdr, 0, 8)
+        out.write(lc & 0xff); out.write((lc >>> 8) & 0xff)
+        out.write((lc >>> 16) & 0xff); out.write((lc >>> 24) & 0xff)
+        out.write(payload)
+        val pc = maskedCrc(payload, 0, len)
+        out.write(pc & 0xff); out.write((pc >>> 8) & 0xff)
+        out.write((pc >>> 16) & 0xff); out.write((pc >>> 24) & 0xff)
+        r += 1
+      }
+      MediaRow(id, "application/x-tfrecord", out.toByteArray)
+    }.toDF()
+  }
+
   /** Deterministic 24-bit BMP fixture per id: w = 1 + id%7 (strides
     * exercise all four padding widths), h = 1 + id%4, and the pixel at
     * IMAGE position p = y·w + x carries blue = (id·29 + 3p) mod 256,

@@ -98,6 +98,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL container decode: TFRecord framing (the de-facto training-
+    // shard format) — u64 length + masked-CRC32C of the length bytes +
+    // payload + masked-CRC32C of the payload, all verified per record
+    // by the genuine Castagnoli table walker (Multimodal.decodeTfRecord).
+    // wsum witnesses record POSITIONS, so a mis-sized walk can't pass;
+    // the oracle recomputes counts and sums from the fixture formula
+    // WITHOUT parsing a byte (the CRCs exist only in the binary)
+    "q_multimodal_tfrecord" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractTfRecordStats(
+        Multimodal.syntheticTfRecord(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode end-to-end: deterministic RIFF/WAV 16-bit PCM
     // fixtures (fmt + junk LIST chunk + data, analytic sample formula)
     // parsed by the genuine chunk-walking decoder (Multimodal.decodeWav);
@@ -441,6 +454,23 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses bytes: n = 1 + id%4 records, record r has
+    // L = 5 + (id+r)%11 and payload byte j = (id*13 + r*7 + j) mod 256
+    "q_multimodal_tfrecord" ->
+      """WITH px AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n FROM documents),
+        |r AS (SELECT doc_id, n, unnest(range(0, n)) AS r FROM px),
+        |l AS (SELECT doc_id, n, r,
+        |        CAST(5 + (doc_id + r) % 11 AS BIGINT) AS len FROM r),
+        |j AS (SELECT doc_id, n, r, len, unnest(range(0, len)) AS j FROM l),
+        |v AS (SELECT doc_id, n, r,
+        |        (doc_id * 13 + r * 7 + j) % 256 AS v FROM j)
+        |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_records,
+        |  CAST(COUNT(*) AS BIGINT) AS total_len,
+        |  CAST(SUM(v) AS BIGINT) AS payload_sum,
+        |  CAST(SUM(r * v) AS BIGINT) AS wsum
+        |FROM v GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
 
     // the oracle NEVER parses bytes: w = 1 + id%6, h = 1 + id%5,
