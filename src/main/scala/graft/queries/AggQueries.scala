@@ -275,6 +275,30 @@ object AggQueries {
           col("mu3"), col("n_outliers"))
     }),
 
+    // HODGES–LEHMANN pseudo-median (the rank-based location estimator
+    // between the median's robustness and the mean's efficiency —
+    // median of all Walsh averages (x_i+x_j)/2, i ≤ j): daily event
+    // counts. Walsh SUMS stay integer (hl_x2 = exact interpolated
+    // median of x_i+x_j; the /2 happens once at the end as one double
+    // division), and the pair table is |days|² — CONSTANT in data
+    // volume, the q_agg_kendall day-grain contract. Both engines
+    // interpolate percentiles identically over identical integers
+    "q_agg_hodgeslehmann" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .scopedPersist()
+      val a = daily.select(col("day").as("da"), col("cnt").as("ca"))
+      val b = daily.select(col("day").as("db"), col("cnt").as("cb"))
+      a.crossJoin(b).filter(col("da") <= col("db"))
+        .select((col("ca") + col("cb")).as("walsh_x2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          percentile(col("walsh_x2"), lit(0.5)).as("hl_x2"))
+        .select(col("n_pairs"), col("hl_x2"),
+          (col("hl_x2") / lit(2.0)).as("hl"))
+    }),
+
     // KENDALL'S τ-b (the rank-correlation robust to outliers that
     // Pearson's q_agg_covar isn't, with tie correction): daily purchase
     // vs view counts, pairs = day pairs. ALL-INTEGER: concordant /
@@ -838,6 +862,17 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_hodgeslehmann" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |w AS (SELECT a.cnt + b.cnt AS walsh_x2
+        |      FROM daily a JOIN daily b ON a.day <= b.day)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(walsh_x2, 0.5) AS hl_x2,
+        |  quantile_cont(walsh_x2, 0.5) / 2.0 AS hl
+        |FROM w""".stripMargin,
 
     "q_agg_kendall" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
