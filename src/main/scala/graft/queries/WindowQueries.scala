@@ -560,6 +560,39 @@ object WindowQueries {
         .orderBy(col("lag"))
     }),
 
+    // ROLLING CORRELATION (the moving co-movement monitor between two
+    // series — here daily view vs purchase counts over a 14-day frame):
+    // emitted as SIGNED corr² in ppm — sign(cov)·cov²·10⁶ div (vx·vy)
+    // with cov = nΣxy − ΣxΣy etc. all exact integers from window sums,
+    // so no sqrt and no float ever enters (the square preserves the
+    // magnitude ordering and the sign carries the direction; callers
+    // wanting r take one client-side sqrt). DECIMAL(38,0) widening for
+    // the squared products; full-frame days only. Day-grain windows
+    "q_win_rollcorr" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("n") === 14 && col("vx") > 0 && col("vy") > 0)
+        .select(col("day"),
+          expr("""CAST(CASE WHEN cov < 0 THEN -1 ELSE 1 END
+                 |  * (CAST(cov AS DECIMAL(38,0)) * cov * 1000000
+                 |     div (CAST(vx AS DECIMAL(38,0)) * vy)) AS BIGINT)"""
+            .stripMargin).as("corr2s_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // MAXIMUM DRAWDOWN (the peak-to-trough risk readout over a running
     // balance — here the cumulative purchase-minus-error cents flow):
     // equity = running sum, peak = running max, drawdown = peak −
@@ -1345,6 +1378,30 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_win_rollcorr" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day,
+        |        CAST(COUNT(*) OVER f AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER f AS BIGINT) AS sx,
+        |        CAST(SUM(y) OVER f AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+        |      FROM daily
+        |      WINDOW f AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT day, n * sxy - sx * sy AS cov,
+        |        n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+        |      FROM w WHERE n = 14)
+        |SELECT day,
+        |  CAST(CASE WHEN cov < 0 THEN -1 ELSE 1 END
+        |    * (cov::HUGEINT * cov * 1000000 // (vx::HUGEINT * vy)) AS BIGINT)
+        |    AS corr2s_ppm
+        |FROM c WHERE vx > 0 AND vy > 0
+        |ORDER BY day""".stripMargin,
 
     "q_ts_drawdown" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
