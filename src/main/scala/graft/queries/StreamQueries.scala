@@ -707,6 +707,59 @@ object StreamQueries {
             .as("reject_95"))
     }),
 
+    // STREAMING DRAWDOWN (the live risk monitor over the cumulative
+    // flow): micro-batches append day-flow census partials (additive —
+    // batch slicing can't move a day's net flow), the final exact
+    // integer equity/peak/drawdown walk runs over the merged census
+    // and is bit-identical to the batch computation: the oracle IS
+    // q_ts_drawdown's SQL string verbatim
+    "q_stream_drawdown" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sdd_src_$suffix"
+      val out = s"/tmp/graft_sdd_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(df: DataFrame): DataFrame =
+        df.filter(col("event_type").isin("purchase", "error"))
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long"))
+            .otherwise(-floor(col("value") * 100).cast("long"))).as("flow"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val daily = s.read.parquet(out).groupBy(col("day"))
+        .agg(sum(col("flow")).as("flow"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("equity", sum(col("flow")).over(w))
+        .withColumn("peak", max(col("equity")).over(w))
+        .withColumn("dd", col("peak") - col("equity"))
+      val mx = dd.agg(max(col("dd")).as("max_dd"))
+      dd.crossJoin(broadcast(mx))
+        .agg(count(lit(1)).as("n_days"), max(col("max_dd")).as("max_dd"),
+          min(when(col("dd") === col("max_dd"), col("day"))).as("trough_day"),
+          max(struct(col("day"), col("equity"))).as("last"))
+        .select(col("n_days"), col("max_dd"), col("trough_day"),
+          col("last.equity").as("equity_end"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -735,6 +788,10 @@ object StreamQueries {
 
     // batch Holt–Winters replay restricted to CLOSED days (a day is
     // closed once the stream's frontier passed its end)
+    // incremental ≡ batch, literally: the shared-oracle contract — the
+    // streaming drawdown must reproduce the batch op bit-for-bit
+    "q_stream_drawdown" -> WindowQueries.oracleSql("q_ts_drawdown"),
+
     // incremental ≡ batch: the merged census KS is checked against the
     // plain batch KS over the full events table (same statistic, same
     // integer verdict — batch slicing provably cannot move it)
