@@ -275,6 +275,45 @@ object AggQueries {
           col("mu3"), col("n_outliers"))
     }),
 
+    // WILCOXON SIGNED-RANK (the paired test that uses magnitudes where
+    // q_agg_signtest only uses directions — same daily purchase-vs-view
+    // pairs): zero diffs dropped per the classical test, |diff| ranks
+    // tie-averaged as ALL-INTEGER doubled ranks (2B + c + 1 per
+    // distinct magnitude — the q_agg_mannwhitney census trick), W⁺
+    // carried as 2W⁺, tie term Σ(t³−t), and the z² verdict spelled as
+    // one integer cross-multiplication against the tie-corrected
+    // variance (2n(n+1)(2n+1) − T)/3·16. Day-grain: the magnitude
+    // census is dimension-sized, so the window is trivially safe
+    "q_agg_wilcoxon" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val diffs = scan(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          - sum(when(col("event_type") === "view", 1L).otherwise(0L))).as("diff"))
+        .filter(col("diff") =!= 0)
+        .select(abs(col("diff")).as("a"),
+          when(col("diff") > 0, 1L).otherwise(0L).as("pos"))
+      val vals = diffs.groupBy(col("a"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+      val wv = Window.orderBy(col("a"))
+      vals
+        .withColumn("below",
+          coalesce(sum(col("c")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .agg(sum(col("c")).as("n"),
+          sum(col("cp") * (lit(2) * col("below") + col("c") + lit(1))).as("w2p"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie_t"))
+        .withColumn("dd", lit(2) * col("w2p") - col("n") * (col("n") + lit(1)))
+        .select(col("n"), col("w2p"), col("tie_t"),
+          expr("""dd * dd * 3 * 1000000
+                 |  div (2 * n * (n + 1) * (2 * n + 1) - tie_t)""".stripMargin)
+            .as("z2_ppm"),
+          expr("""dd * dd * 3 * 10000
+                 |  > 38416 * (2 * n * (n + 1) * (2 * n + 1) - tie_t)""".stripMargin)
+            .as("reject_95"))
+    }),
+
     // HODGES–LEHMANN pseudo-median (the rank-based location estimator
     // between the median's robustness and the mean's efficiency —
     // median of all Walsh averages (x_i+x_j)/2, i ≤ j): daily event
@@ -862,6 +901,32 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_wilcoxon" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS diff
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |d AS (SELECT abs(diff) AS a,
+        |        CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+        |      FROM daily WHERE diff != 0),
+        |vals AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c,
+        |           CAST(SUM(pos) AS BIGINT) AS cp FROM d GROUP BY a),
+        |r AS (SELECT a, c, cp,
+        |        COALESCE(SUM(c) OVER (ORDER BY a
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |      FROM vals),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(cp * (2 * below + c + 1)) AS BIGINT) AS w2p,
+        |        CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t FROM r),
+        |z AS (SELECT n, w2p, tie_t, 2 * w2p - n * (n + 1) AS dd FROM g)
+        |SELECT n, w2p, tie_t,
+        |  CAST(dd * dd * 3 * 1000000
+        |    // (2 * n * (n + 1) * (2 * n + 1) - tie_t) AS BIGINT) AS z2_ppm,
+        |  dd * dd * 3 * 10000 > 38416 * (2 * n * (n + 1) * (2 * n + 1) - tie_t)
+        |    AS reject_95
+        |FROM z""".stripMargin,
 
     "q_agg_hodgeslehmann" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
