@@ -760,6 +760,82 @@ object StreamQueries {
           col("last.equity").as("equity_end"))
     }),
 
+    // STREAMING-MAINTAINED PCA (the incremental covariance deploy of
+    // q_embed_pca): each micro-batch appends its second-moment partials
+    // — the dims² pair sums, the dims margins (encoded j = −1) and the
+    // row count (i = j = −1) — all ADDITIVE summaries, so state is
+    // ∝ dims² regardless of stream length. The final integer power
+    // iteration runs on the merged moments and is bit-identical to the
+    // batch op: the oracle IS q_embed_pca's SQL string verbatim
+    "q_stream_pca" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val emb = graft.engine.QueryBuilder.scan(s, d, "embeddings")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_spca_src_$suffix"
+      val out = s"/tmp/graft_spca_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      emb.repartition(3, col("vec_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(df: DataFrame): DataFrame = {
+        val q = df.select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("q"))
+        val pairs = q.select(expr(
+            """explode(flatten(transform(q, (xi, i) ->
+              |  transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'p', xi * xj)))))"""
+              .stripMargin).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+          .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
+        val marg = q.select(posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("i")).agg(sum(col("x")).as("p"))
+          .select(col("i"), lit(-1).as("j"), col("p"))
+        val nrow = q.agg(count(lit(1)).as("p"))
+          .select(lit(-1).as("i"), lit(-1).as("j"), col("p"))
+        pairs.unionByName(marg).unionByName(nrow)
+      }
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val merged = s.read.parquet(out).groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("p"))
+      val pairs = merged.filter(col("i") >= 0 && col("j") >= 0)
+      val marg = merged.filter(col("i") >= 0 && col("j") === -1)
+        .select(col("i").as("mi"), col("p").as("s"))
+      val nn = merged.filter(col("i") === -1).select(col("p").as("n"))
+      val c = pairs
+        .join(broadcast(marg.select(col("mi"), col("s").as("si"))), col("i") === col("mi"))
+        .drop("mi")
+        .join(broadcast(marg.select(col("mi"), col("s").as("sj"))), col("j") === col("mi"))
+        .crossJoin(broadcast(nn))
+        .select(col("i"), col("j"),
+          expr("CAST(n AS DECIMAL(38,0)) * p - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
+      var v = s.range(64).select(col("id").cast("int").as("vi"),
+        lit(1000000L).cast("decimal(38,0)").as("v"))
+      for (_ <- 1 to 3) {
+        val u = c.join(v, col("j") === col("vi"))
+          .groupBy(col("i")).agg(sum(expr("c * v")).as("u"))
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        v = u.crossJoin(broadcast(m))
+          .select(col("i").as("vi"),
+            expr("""CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END
+                   |  * (abs(u) * 1000000 div m) AS DECIMAL(38,0))""".stripMargin)
+              .as("v"))
+      }
+      v.select(col("vi").cast("long").as("dim"), col("v").cast("long").as("v_ppm"))
+        .orderBy(col("dim"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -791,6 +867,11 @@ object StreamQueries {
     // incremental ≡ batch, literally: the shared-oracle contract — the
     // streaming drawdown must reproduce the batch op bit-for-bit
     "q_stream_drawdown" -> WindowQueries.oracleSql("q_ts_drawdown"),
+
+    // same contract for the streamed covariance: merged moments drive
+    // the identical power iteration, so the batch PCA oracle applies
+    // verbatim
+    "q_stream_pca" -> QuantizeQueries.oracleSql("q_embed_pca"),
 
     // incremental ≡ batch: the merged census KS is checked against the
     // plain batch KS over the full events table (same statistic, same
