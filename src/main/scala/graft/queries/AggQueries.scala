@@ -275,6 +275,43 @@ object AggQueries {
           col("mu3"), col("n_outliers"))
     }),
 
+    // WALD–WOLFOWITZ RUNS TEST (is the daily series RANDOM around its
+    // center, or does it trend/oscillate — the independence check the
+    // location tests above assume away): days are classed above/below
+    // the MEAN via the exact integer predicate n·cnt > S (the mean as
+    // cutpoint keeps every comparison integer; the classical test
+    // permits any fixed cutpoint), runs counted by one lag pass over
+    // the day order, and z² = D²(N−1)/(2·n1·n2·(2·n1·n2−N)) with
+    // D = R·N − 2·n1·n2 − N spelled as integer ppm. Day-grain lag +
+    // one 1-row agg
+    "q_agg_runs" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val g = daily.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      val bits = daily.crossJoin(broadcast(g))
+        .select(col("day"),
+          when(col("n") * col("cnt") > col("s"), 1L).otherwise(0L).as("b"))
+      val w = Window.orderBy(col("day"))
+      bits
+        .withColumn("chg",
+          when(lag(col("b"), 1).over(w).isNull, 1L)
+            .otherwise(when(col("b") =!= lag(col("b"), 1).over(w), 1L).otherwise(0L)))
+        .agg(sum(col("chg")).as("r"), sum(col("b")).as("n1"),
+          sum(lit(1L) - col("b")).as("n2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("dd",
+          col("r") * col("nn") - lit(2) * col("n1") * col("n2") - col("nn"))
+        .select(col("r").as("n_runs"), col("n1"), col("n2"),
+          expr("""dd * dd * (nn - 1) * 1000000
+                 |  div (2 * n1 * n2 * (2 * n1 * n2 - nn))""".stripMargin)
+            .as("z2_ppm"),
+          expr("""dd * dd * (nn - 1) * 10000
+                 |  > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - nn)""".stripMargin)
+            .as("reject_95"))
+    }),
+
     // WILCOXON SIGNED-RANK (the paired test that uses magnitudes where
     // q_agg_signtest only uses directions — same daily purchase-vs-view
     // pairs): zero diffs dropped per the classical test, |diff| ranks
@@ -901,6 +938,29 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_runs" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s
+        |      FROM daily),
+        |b AS (SELECT day, CASE WHEN g.n * cnt > g.s THEN 1 ELSE 0 END AS b
+        |      FROM daily, g),
+        |c AS (SELECT b, CASE WHEN lag(b) OVER (ORDER BY day) IS NULL THEN 1
+        |                WHEN b != lag(b) OVER (ORDER BY day) THEN 1 ELSE 0 END
+        |          AS chg
+        |      FROM b),
+        |a AS (SELECT CAST(SUM(chg) AS BIGINT) AS r, CAST(SUM(b) AS BIGINT) AS n1,
+        |        CAST(SUM(1 - b) AS BIGINT) AS n2 FROM c),
+        |z AS (SELECT r, n1, n2, n1 + n2 AS nn,
+        |        r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS dd FROM a)
+        |SELECT r AS n_runs, n1, n2,
+        |  CAST(dd * dd * (nn - 1) * 1000000
+        |    // (2 * n1 * n2 * (2 * n1 * n2 - nn)) AS BIGINT) AS z2_ppm,
+        |  dd * dd * (nn - 1) * 10000 > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - nn)
+        |    AS reject_95
+        |FROM z""".stripMargin,
 
     "q_agg_wilcoxon" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
