@@ -573,6 +573,94 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Parsed µ-law stream: sample count, exact decoded-sample sum, and
+    * the position-weighted sum Σ j·dec_j (the order witness).
+    */
+  final case class UlawStats(media_id: Long, n_samples: Long,
+                             dec_sum: Long, wsum: Long)
+
+  /** G.711 µ-law COMPRESS (the real telephony companding curve, public
+    * ITU-T spec): clip |x| to 8159, bias by 132, find the segment
+    * exponent (MSB position), keep a 4-bit mantissa, complement.
+    */
+  private def ulawEncode(x: Int): Int = {
+    val sign = if (x < 0) 0x80 else 0
+    var a = math.min(math.abs(x), 8159) + 132
+    var e = 7
+    var mask = 0x4000
+    while ((a & mask) == 0 && e > 0) { e -= 1; mask >>= 1 }
+    // e is now the MSB position − 7 (a ≥ 132 ⇒ bit 7 always set ⇒ e ≥ 0)
+    val exp = e
+    val mant = (a >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** G.711 µ-law EXPAND — the exact inverse curve: ((m·8 + 132) << e) −
+    * 132, sign-applied.
+    */
+  private def ulawDecode(code: Int): Int = {
+    val c = ~code & 0xff
+    val exp = (c >> 4) & 0x07
+    val mant = c & 0x0f
+    val v = ((mant * 8 + 132) << exp) - 132
+    if ((c & 0x80) != 0) -v else v
+  }
+
+  /** REAL decoder for a µ-law stream (`ULAW` magic + little-endian u32
+    * sample count + one companded byte per sample): expand every byte
+    * with the genuine G.711 curve and fold exact sums. Malformed
+    * payloads fail loudly.
+    */
+  def decodeUlaw(rows: Iterator[MediaRow]): Iterator[UlawStats] = rows.map { r =>
+    val b = r.payload
+    require(b.length >= 8 && b(0) == 'U' && b(1) == 'L' && b(2) == 'A' && b(3) == 'W',
+      s"not a ULAW payload: media ${r.media_id}")
+    val n = (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    require(n >= 0 && b.length == 8 + n,
+      s"sample count $n does not match payload: media ${r.media_id}")
+    var (ds, ws) = (0L, 0L)
+    var j = 0
+    while (j < n) {
+      val d = ulawDecode(b(8 + j) & 0xff)
+      ds += d; ws += j.toLong * d; j += 1
+    }
+    UlawStats(r.media_id, n.toLong, ds, ws)
+  }
+
+  /** µ-law-stats pipeline — same narrow no-shuffle mapPartitions shape
+    * as [[extractImageStats]].
+    */
+  def extractUlawStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeUlaw).toDF()
+  }
+
+  /** Deterministic µ-law fixture per id: n = 6 + id%12 samples, sample
+    * j = ((id·37 + j·13) mod 16001) − 8000, companded by the REAL
+    * encoder above — the oracle reproduces expand(compress(s)) from
+    * the analytic formula with pure CASE/integer arithmetic (the
+    * companding curve is closed-form), never parsing a byte.
+    */
+  def syntheticUlaw(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = 6 + (id % 12).toInt
+      val out = new Array[Byte](8 + n)
+      out(0) = 'U'; out(1) = 'L'; out(2) = 'A'; out(3) = 'W'
+      out(4) = (n & 0xff).toByte; out(5) = ((n >> 8) & 0xff).toByte
+      out(6) = ((n >> 16) & 0xff).toByte; out(7) = ((n >> 24) & 0xff).toByte
+      var j = 0
+      while (j < n) {
+        val s = (((id * 37 + j * 13) % 16001) - 8000).toInt
+        out(8 + j) = ulawEncode(s).toByte
+        j += 1
+      }
+      MediaRow(id, "audio/basic", out)
+    }.toDF()
+  }
+
   /** Deterministic 24-bit BMP fixture per id: w = 1 + id%7 (strides
     * exercise all four padding widths), h = 1 + id%4, and the pixel at
     * IMAGE position p = y·w + x carries blue = (id·29 + 3p) mod 256,

@@ -98,6 +98,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio codec #2: G.711 µ-law companding (ITU-T telephony) —
+    // fixtures companded by the genuine encoder (clip → bias → MSB
+    // segment → 4-bit mantissa → complement), replayed by the genuine
+    // expander. The oracle reproduces expand(compress(s)) in closed-
+    // form CASE/integer arithmetic from the analytic sample formula —
+    // the companded bytes exist only in the binary
+    "q_multimodal_ulaw" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractUlawStats(
+        Multimodal.syntheticUlaw(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL container decode: TFRecord framing (the de-facto training-
     // shard format) — u64 length + masked-CRC32C of the length bytes +
     // payload + masked-CRC32C of the payload, all verified per record
@@ -454,6 +466,33 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses bytes: it replays the G.711 curve in
+    // closed form — a = min(|s|,8159)+132, e = segment of a, m =
+    // (a div 2^(e+3)) mod 16, dec = sign·(((m·8+132)·2^e) − 132)
+    "q_multimodal_ulaw" ->
+      """WITH px AS (SELECT doc_id, CAST(6 + doc_id % 12 AS INT) AS n FROM documents),
+        |j AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM px),
+        |s AS (SELECT doc_id, n, j,
+        |        CAST((doc_id * 37 + j * 13) % 16001 - 8000 AS BIGINT) AS s FROM j),
+        |seg AS (SELECT doc_id, n, j, s,
+        |          LEAST(abs(s), 8159) + 132 AS a FROM s),
+        |e AS (SELECT doc_id, n, j, s, a,
+        |        CASE WHEN a >= 8192 THEN 64 WHEN a >= 4096 THEN 32
+        |             WHEN a >= 2048 THEN 16 WHEN a >= 1024 THEN 8
+        |             WHEN a >= 512 THEN 4 WHEN a >= 256 THEN 2
+        |             ELSE 1 END AS p2
+        |      FROM seg),
+        |d AS (SELECT doc_id, n, j,
+        |        CASE WHEN s < 0 THEN -1 ELSE 1 END
+        |          * (((a // (8 * p2)) % 16) * 8 + 132) * p2
+        |          - CASE WHEN s < 0 THEN -132 ELSE 132 END AS dec
+        |      FROM e)
+        |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(dec) AS BIGINT) AS dec_sum,
+        |  CAST(SUM(j * dec) AS BIGINT) AS wsum
+        |FROM d GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
 
     // the oracle NEVER parses bytes: n = 1 + id%4 records, record r has
