@@ -434,6 +434,48 @@ object ProfileQueries {
         .orderBy(col("pr"), col("st"))
     }),
 
+    // DUPLICATE-COLUMN DETECTION (the schema-redundancy profiler —
+    // derived/copied columns that double storage and mislead feature
+    // selection): each audited column folds to a 4-part multiset
+    // signature (rows, nulls, Σhex60(md5(v)), and the independently-
+    // salted Σhex60(md5('dup2:'||v))) — equal signatures ⇔ equal value
+    // multisets up to hash collision (two independent 60-bit hash sums
+    // make a silent collision astronomically unlikely, and the oracle
+    // recomputes both from raw values). One stack() pass per table
+    // (never a job per
+    // column — the q_profile_gini shape), then a signature self-join
+    // over the |columns|-row census. The planted derivation
+    // upper(l_returnflag) = l_returnflag is the positive control
+    "q_profile_dupcols" -> ((s: SparkSession, d: String) => {
+      val fromOrders = scan(s, d, "orders").select(expr(
+        "stack(3, 'orders.status', o_orderstatus, " +
+          "'orders.status_norm', upper(o_orderstatus), " +
+          "'orders.priority', o_orderpriority) AS (col_name, v)"))
+      val fromLineitem = scan(s, d, "lineitem").select(expr(
+        "stack(4, 'lineitem.returnflag', l_returnflag, " +
+          "'lineitem.returnflag_norm', upper(l_returnflag), " +
+          "'lineitem.linestatus', l_linestatus, " +
+          "'lineitem.linenumber', CAST(l_linenumber AS STRING)) AS (col_name, v)"))
+      val sig = fromOrders.unionAll(fromLineitem)
+        .withColumn("h", graft.ops.Dedup.hex60(md5(col("v").cast("binary"))))
+        .withColumn("h2", graft.ops.Dedup.hex60(
+          md5(concat(lit("dup2:"), col("v")).cast("binary"))))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum(col("h").cast("decimal(38,0)")).as("hsum"),
+          sum(col("h2").cast("decimal(38,0)")).as("h2sum"))
+      val a = sig.select(col("col_name").as("col_a"), col("n_rows"),
+        col("n_nulls"), col("hsum"), col("h2sum"))
+      val b = sig.select(col("col_name").as("col_b"), col("n_rows").as("nb"),
+        col("n_nulls").as("ub"), col("hsum").as("hb"), col("h2sum").as("qb"))
+      a.join(b, col("n_rows") === col("nb") && col("n_nulls") === col("ub")
+          && col("hsum") === col("hb") && col("h2sum") === col("qb")
+          && col("col_a") < col("col_b"))
+        .select(col("col_a"), col("col_b"), col("n_rows"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // CRAMÉR'S V (the effect size q_profile_chisq's raw χ² can't give —
     // χ² grows with n, V ∈ [0,1] doesn't): priority × status. ALL-
     // INTEGER: each cell contributes (n·O − r·c)²·10⁶ div (n·r·c) —
@@ -764,6 +806,29 @@ object ProfileQueries {
         |  (CAST(n AS DOUBLE) - np * ns / nt) * (CAST(n AS DOUBLE) - np * ns / nt)
         |    / (np * ns / nt) AS contrib
         |FROM w ORDER BY pr, st""".stripMargin,
+
+    "q_profile_dupcols" -> {
+      val h1 = DedupQueries.sqlHex60Public("md5(v)")
+      val h2 = DedupQueries.sqlHex60Public("md5('dup2:' || v)")
+      s"""WITH u AS (
+         |  SELECT 'orders.status' AS col_name, o_orderstatus AS v FROM orders
+         |  UNION ALL SELECT 'orders.status_norm', upper(o_orderstatus) FROM orders
+         |  UNION ALL SELECT 'orders.priority', o_orderpriority FROM orders
+         |  UNION ALL SELECT 'lineitem.returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'lineitem.returnflag_norm', upper(l_returnflag)
+         |    FROM lineitem
+         |  UNION ALL SELECT 'lineitem.linestatus', l_linestatus FROM lineitem
+         |  UNION ALL SELECT 'lineitem.linenumber', l_linenumber::VARCHAR
+         |    FROM lineitem),
+         |sig AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    SUM(($h1)::HUGEINT) AS hsum, SUM(($h2)::HUGEINT) AS h2sum
+         |  FROM u GROUP BY col_name)
+         |SELECT a.col_name AS col_a, b.col_name AS col_b, a.n_rows
+         |FROM sig a JOIN sig b ON a.n_rows = b.n_rows AND a.n_nulls = b.n_nulls
+         |  AND a.hsum = b.hsum AND a.h2sum = b.h2sum AND a.col_name < b.col_name
+         |ORDER BY col_a, col_b""".stripMargin
+    },
 
     "q_profile_cramersv" ->
       """WITH pm AS (SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS np
