@@ -456,15 +456,21 @@ object ProfileQueries {
           "'lineitem.returnflag_norm', upper(l_returnflag), " +
           "'lineitem.linestatus', l_linestatus, " +
           "'lineitem.linenumber', CAST(l_linenumber AS STRING)) AS (col_name, v)"))
+      // two-level census: the md5 pair runs once per DISTINCT (column,
+      // value) — the audited columns are categorical, so the hash cost
+      // collapses from rows to cardinality (measured 107 s → ~linear
+      // scan cost at sf1 when hashing per row); the count-weighted sum
+      // Σc·h is the same multiset signature
       val sig = fromOrders.unionAll(fromLineitem)
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
         .withColumn("h", graft.ops.Dedup.hex60(md5(col("v").cast("binary"))))
         .withColumn("h2", graft.ops.Dedup.hex60(
           md5(concat(lit("dup2:"), col("v")).cast("binary"))))
         .groupBy(col("col_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-          sum(col("h").cast("decimal(38,0)")).as("hsum"),
-          sum(col("h2").cast("decimal(38,0)")).as("h2sum"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_nulls"),
+          sum(expr("c * CAST(h AS DECIMAL(38,0))")).as("hsum"),
+          sum(expr("c * CAST(h2 AS DECIMAL(38,0))")).as("h2sum"))
       val a = sig.select(col("col_name").as("col_a"), col("n_rows"),
         col("n_nulls"), col("hsum"), col("h2sum"))
       val b = sig.select(col("col_name").as("col_b"), col("n_rows").as("nb"),
@@ -820,10 +826,12 @@ object ProfileQueries {
          |  UNION ALL SELECT 'lineitem.linestatus', l_linestatus FROM lineitem
          |  UNION ALL SELECT 'lineitem.linenumber', l_linenumber::VARCHAR
          |    FROM lineitem),
-         |sig AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |    SUM(($h1)::HUGEINT) AS hsum, SUM(($h2)::HUGEINT) AS h2sum
-         |  FROM u GROUP BY col_name)
+         |cv AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM u GROUP BY col_name, v),
+         |sig AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    SUM(c * ($h1)::HUGEINT) AS hsum, SUM(c * ($h2)::HUGEINT) AS h2sum
+         |  FROM cv GROUP BY col_name)
          |SELECT a.col_name AS col_a, b.col_name AS col_b, a.n_rows
          |FROM sig a JOIN sig b ON a.n_rows = b.n_rows AND a.n_nulls = b.n_nulls
          |  AND a.hsum = b.hsum AND a.h2sum = b.h2sum AND a.col_name < b.col_name
