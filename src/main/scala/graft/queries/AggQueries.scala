@@ -437,6 +437,52 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // CRAMÉR–VON MISES two-sample (the whole-distribution counterpart
+    // to q_agg_ks's single worst gap — T integrates (F1−F2)² over every
+    // pooled observation, so diffuse drift KS's max can miss still
+    // registers): same F-vs-O price-cents census, same distributed
+    // two-level prefix sum; the only new term is the count-weighted
+    // Σ c·dev² in DECIMAL(38,0), and T and the α=0.05 verdict
+    // (T > 0.461) are pure integer ppm cross-multiplications
+    "q_agg_cvm" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+        .select(col("b"), col("p1"), col("p2"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum1", col("p1") + sum(col("d1")).over(wv))
+        .withColumn("cum2", col("p2") + sum(col("d2")).over(wv))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          // decimal FIRST, then the two long factors — a long×long dev²
+          // would overflow before any cast could widen it
+          expr("""CAST(d1 + d2 AS DECIMAL(38,0))
+                 |  * (cum1 * n2 - cum2 * n1) * (cum1 * n2 - cum2 * n1)"""
+            .stripMargin).as("term"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("term")).as("s"))
+        .select(col("n1"), col("n2"),
+          expr("""CAST(s * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2
+                 |  * (n1 + n2) * (n1 + n2)) AS BIGINT)""".stripMargin)
+            .as("t_ppm"),
+          expr("""s * 1000 > CAST(461 AS DECIMAL(38,0)) * n1 * n2
+                 |  * (n1 + n2) * (n1 + n2)""".stripMargin).as("reject_95"))
+    }),
+
     // EXACT MANN–WHITNEY U (Wilcoxon rank-sum — the nonparametric
     // location test next to q_agg_ks's distribution test, same F-vs-O
     // order cohorts over price cents): tie-corrected and ALL-INTEGER.
@@ -938,6 +984,27 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_cvm" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |        CAST(SUM(d2) AS BIGINT) AS n2 FROM vals),
+        |c AS (SELECT v, d1, d2, SUM(d1) OVER (ORDER BY v) AS cum1,
+        |        SUM(d2) OVER (ORDER BY v) AS cum2 FROM vals),
+        |s AS (SELECT SUM((d1 + d2)::HUGEINT
+        |          * (cum1 * t.n2 - cum2 * t.n1) * (cum1 * t.n2 - cum2 * t.n1))
+        |        AS s, MAX(t.n1) AS n1, MAX(t.n2) AS n2
+        |      FROM c, t)
+        |SELECT n1, n2,
+        |  CAST(s * 1000000 // (n1::HUGEINT * n2 * (n1 + n2) * (n1 + n2))
+        |    AS BIGINT) AS t_ppm,
+        |  s * 1000 > 461::HUGEINT * n1 * n2 * (n1 + n2) * (n1 + n2) AS reject_95
+        |FROM s""".stripMargin,
 
     "q_agg_runs" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
