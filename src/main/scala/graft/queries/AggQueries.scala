@@ -437,6 +437,46 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // FRIEDMAN TEST (the k-related-samples test completing the tier:
+    // are the FIVE event types systematically ordered in volume, with
+    // days as blocks?): per day the 5 type counts are ranked (doubled
+    // ranks 2B + c + 1 with B/c from RANGE-frame windows so ties
+    // average exactly — the within-block twin of the q_agg_mannwhitney
+    // census), the full day × type grid is materialized with 0-count
+    // fills (a missing cell is a real lowest rank, not a dropped row),
+    // and χ²_F = 3·ΣR₂²/(nk(k+1)) − 3n(k+1) lands as integer ppm with
+    // the df = 4 verdict. Classical no-tie-correction form, identical
+    // in both engines. Day-grain: the grid is 5·days rows
+    "q_agg_friedman" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = scan(s, d, "events")
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type")).agg(count(lit(1)).as("cnt"))
+      val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+      import s.implicits._
+      val types = Seq("click", "signup", "error", "view", "purchase")
+        .toDF("event_type")
+      val grid = days.crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val wB = Window.partitionBy(col("day")).orderBy(col("cnt"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wC = Window.partitionBy(col("day"), col("cnt"))
+      grid
+        .withColumn("rank2",
+          lit(2) * count(lit(1)).over(wB) + count(lit(1)).over(wC) + lit(1))
+        .groupBy(col("event_type"))
+        .agg(sum(col("rank2")).as("r2"), count(lit(1)).as("nd"))
+        .agg(max(col("nd")).as("n"), count(lit(1)).as("k"),
+          sum(expr("r2 * r2")).as("sr2"))
+        .select(col("n"), col("k"),
+          expr("""3 * sr2 * 1000000 div (n * k * (k + 1))
+                 |  - 3 * n * (k + 1) * 1000000""".stripMargin).as("chi2_ppm"),
+          expr("""3 * sr2 * 1000000 div (n * k * (k + 1))
+                 |  - 3 * n * (k + 1) * 1000000 > 9488000""".stripMargin)
+            .as("reject_95"))
+    }),
+
     // CRAMÉR–VON MISES two-sample (the whole-distribution counterpart
     // to q_agg_ks's single worst gap — T integrates (F1−F2)² over every
     // pooled observation, so diffuse drift KS's max can miss still
@@ -984,6 +1024,33 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_friedman" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |ty AS (SELECT unnest(['click', 'signup', 'error', 'view', 'purchase'])
+        |         AS event_type),
+        |grid AS (SELECT days.day, ty.event_type, COALESCE(daily.cnt, 0) AS cnt
+        |         FROM days CROSS JOIN ty
+        |         LEFT JOIN daily ON days.day = daily.day
+        |           AND ty.event_type = daily.event_type),
+        |r AS (SELECT event_type,
+        |        2 * COUNT(*) OVER (PARTITION BY day ORDER BY cnt
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          + COUNT(*) OVER (PARTITION BY day, cnt) + 1 AS rank2
+        |      FROM grid),
+        |a AS (SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS r2,
+        |        CAST(COUNT(*) AS BIGINT) AS nd FROM r GROUP BY event_type),
+        |g AS (SELECT CAST(MAX(nd) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |        CAST(SUM(r2 * r2) AS BIGINT) AS sr2 FROM a)
+        |SELECT n, k,
+        |  CAST(3 * sr2 * 1000000 // (n * k * (k + 1))
+        |    - 3 * n * (k + 1) * 1000000 AS BIGINT) AS chi2_ppm,
+        |  3 * sr2 * 1000000 // (n * k * (k + 1)) - 3 * n * (k + 1) * 1000000
+        |    > 9488000 AS reject_95
+        |FROM g""".stripMargin,
 
     "q_agg_cvm" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
