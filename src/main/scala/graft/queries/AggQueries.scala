@@ -437,6 +437,62 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // KRUSKAL–WALLIS (the k-sample rank ANOVA at FULL value
+    // cardinality — Friedman ranks within day blocks, this ranks all
+    // events' value cents in one pooled ordering): per-value census
+    // with 5 per-type counts, pooled doubled ranks 2B + c + 1 via the
+    // SAME distributed two-level prefix sum as q_agg_ks, per-group
+    // rank sums R₂ⱼ, and the tie-corrected H in integer ppm (q_j =
+    // R₂ⱼ² div n_j stays BIGINT; sums widen to DECIMAL(38,0); the
+    // correction (N³−N)/(N³−N−T) is one cross-multiplication). df = 4
+    // verdict. The ranking shuffle is value-census-sized — never a
+    // global single-task sort
+    "q_agg_kruskal" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val types = Seq("click", "signup", "error", "view", "purchase")
+      val ev = scan(s, d, "events").select(
+        floor(col("value") * 100).cast("long").as("v"), col("event_type"))
+      val vals = ev.groupBy(col("v"))
+        .agg(types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"d_$t")).head,
+          types.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"d_$t")).tail: _*)
+        .withColumn("c", types.map(t => col(s"d_$t")).reduce(_ + _))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b")).agg(sum(col("c")).as("sc"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt.withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      val ranked = vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("rank2",
+          lit(2) * (col("p") + sum(col("c")).over(wv) - col("c")) + col("c") + lit(1))
+      val agg = ranked.agg(
+        types.map(t => sum(col(s"d_$t") * col("rank2")).as(s"r2_$t")).head,
+        types.map(t => sum(col(s"d_$t") * col("rank2")).as(s"r2_$t")).tail ++
+          types.map(t => sum(col(s"d_$t")).as(s"n_$t")) :+
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie_t"): _*)
+      agg
+        .withColumn("nn", types.map(t => col(s"n_$t")).reduce(_ + _))
+        .withColumn("s6", types.map(t =>
+          expr(s"CAST(CAST(r2_$t AS DECIMAL(38,0)) * r2_$t div n_$t AS DECIMAL(38,0))"))
+          .reduce(_ + _))
+        .withColumn("h0_ppm", expr(
+          "CAST(3 * s6 * 1000000 div (CAST(nn AS DECIMAL(38,0)) * (nn + 1)) AS BIGINT)"
+          ) - lit(3) * (col("nn") + lit(1)) * lit(1000000L))
+        .withColumn("h_ppm", expr(
+          // sign-decomposed: h0 can round below zero on near-identical
+          // groups, and truncating vs floor division disagree there
+          """CASE WHEN h0_ppm < 0 THEN -1 ELSE 1 END
+            |  * CAST(CAST(abs(h0_ppm) AS DECIMAL(38,0))
+            |      * (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn)
+            |      div (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - tie_t) AS BIGINT)"""
+            .stripMargin))
+        .select(col("nn").as("n"), col("tie_t"), col("h_ppm"),
+          (col("h_ppm") > lit(9488000L)).as("reject_95"))
+    }),
+
     // FRIEDMAN TEST (the k-related-samples test completing the tier:
     // are the FIVE event types systematically ordered in volume, with
     // days as blocks?): per day the 5 type counts are ranked (doubled
@@ -1024,6 +1080,39 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_kruskal" -> {
+      val ts = Seq("click", "signup", "error", "view", "purchase")
+      s"""WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_type
+         |            FROM events),
+         |vals AS (SELECT v,
+         |${ts.map(t => s"    CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS d_$t").mkString(",\n")}
+         |  FROM ev GROUP BY v),
+         |c AS (SELECT *, ${ts.map(t => s"d_$t").mkString(" + ")} AS c FROM vals),
+         |r AS (SELECT *, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS rank2
+         |      FROM c),
+         |a AS (SELECT
+         |${ts.map(t => s"    CAST(SUM(d_$t * rank2) AS BIGINT) AS r2_$t").mkString(",\n")},
+         |${ts.map(t => s"    CAST(SUM(d_$t) AS BIGINT) AS n_$t").mkString(",\n")},
+         |    CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+         |  FROM r),
+         |g AS (SELECT ${ts.map(t => s"n_$t").mkString(" + ")} AS nn, tie_t,
+         |    ${ts.map(t => s"(r2_$t::HUGEINT * r2_$t // n_$t)").mkString("\n      + ")} AS s6
+         |  FROM a),
+         |h AS (SELECT nn, tie_t,
+         |    CAST(3 * s6 * 1000000 // (nn::HUGEINT * (nn + 1)) AS BIGINT)
+         |      - 3 * (nn + 1) * 1000000 AS h0_ppm
+         |  FROM g)
+         |SELECT nn AS n, tie_t,
+         |  (CASE WHEN h0_ppm < 0 THEN -1 ELSE 1 END)
+         |    * CAST(abs(h0_ppm)::HUGEINT * (nn::HUGEINT * nn * nn - nn)
+         |        // (nn::HUGEINT * nn * nn - nn - tie_t) AS BIGINT) AS h_ppm,
+         |  (CASE WHEN h0_ppm < 0 THEN -1 ELSE 1 END)
+         |    * CAST(abs(h0_ppm)::HUGEINT * (nn::HUGEINT * nn * nn - nn)
+         |        // (nn::HUGEINT * nn * nn - nn - tie_t) AS BIGINT) > 9488000
+         |    AS reject_95
+         |FROM h""".stripMargin
+    },
 
     "q_agg_friedman" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
