@@ -98,6 +98,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL 3D decode: Wavefront OBJ triangle-fan meshes parsed by the
+    // genuine line walker (comments, vn skip, index-suffix stripping,
+    // bounds-checked 1-based faces, undirected edge dedup). The Euler
+    // characteristic V−E+F = 1 is the topology witness; the oracle
+    // computes counts and coordinate sums from the fan formula WITHOUT
+    // parsing a line
+    "q_multimodal_obj" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractObjStats(
+        Multimodal.syntheticObj(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio codec #2: G.711 µ-law companding (ITU-T telephony) —
     // fixtures companded by the genuine encoder (clip → bias → MSB
     // segment → 4-bit mantissa → complement), replayed by the genuine
@@ -466,6 +478,25 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses a line: fan topology gives F = n−2,
+    // E = 2n−3, Euler = 1; coordinate sums come from the mod formulas
+    "q_multimodal_obj" ->
+      """WITH px AS (SELECT doc_id, CAST(4 + doc_id % 6 AS BIGINT) AS n
+        |            FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM px),
+        |v AS (SELECT doc_id, n,
+        |        (doc_id * 7 + 3 * i) % 997 AS x,
+        |        (doc_id * 11 + 5 * i) % 983 AS y,
+        |        (doc_id * 13 + 7 * i) % 971 AS z
+        |      FROM i)
+        |SELECT doc_id AS media_id, MAX(n) AS n_vertices,
+        |  MAX(n) - 2 AS n_faces, 2 * MAX(n) - 3 AS n_edges,
+        |  CAST(1 AS BIGINT) AS euler,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(z) AS BIGINT) AS sz
+        |FROM v GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
 
     // the oracle NEVER parses bytes: it replays the G.711 curve in
