@@ -58,6 +58,52 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROUGE-1/2 (the summarization-eval overlap metrics, run as a
+    // candidate-vs-reference census over adjacent doc pairs): multiset
+    // n-gram overlap Σ min(c_a, c_b), with P/R/F1 as EXACT integer ppm
+    // — F1 = 2·ov/(n_a+n_b) needs no float at all. Bigrams come from a
+    // lead() over (doc, pos) — the same construction in both engines,
+    // dodging the 0-vs-1-based array-index split. One token explode +
+    // gram census + pair equi-join, all partial-aggregated
+    "q_text_rouge" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = scan(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "w")))
+      val wv = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val uni = toks.select(col("doc_id"), col("w").as("g"), lit(1L).as("k"))
+      val bi = toks.withColumn("nx", lead(col("w"), 1).over(wv))
+        .filter(col("nx").isNotNull)
+        .select(col("doc_id"), concat(col("w"), lit(" "), col("nx")).as("g"),
+          lit(2L).as("k"))
+      val grams = uni.unionAll(bi)
+        .groupBy(col("doc_id"), col("k"), col("g")).agg(count(lit(1)).as("c"))
+      val a = grams.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_a"), col("k"), col("g"), col("c").as("ca"))
+      val b = grams.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("doc_a"), col("k"), col("g"),
+          col("c").as("cb"))
+      val ov = a.join(b, Seq("doc_a", "k", "g"))
+        .groupBy(col("doc_a"), col("k"))
+        .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+      val tot = grams
+        .withColumn("doc_a", col("doc_id") - col("doc_id") % 2)
+        .groupBy(col("doc_a"), col("k"))
+        .agg(sum(when(col("doc_id") % 2 === 0, col("c"))).as("na"),
+          sum(when(col("doc_id") % 2 === 1, col("c"))).as("nb"))
+        .filter(col("na").isNotNull && col("nb").isNotNull)
+      tot.join(ov, Seq("doc_a", "k"), "left")
+        .na.fill(0L, Seq("ov"))
+        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"), col("k"),
+          col("na"), col("nb"), col("ov"),
+          expr("ov * 1000000 div na").as("p_ppm"),
+          expr("ov * 1000000 div nb").as("r_ppm"),
+          expr("2 * ov * 1000000 div (na + nb)").as("f1_ppm"))
+        .orderBy(col("doc_a"), col("k"))
+    }),
+
     "q_text_tokens" -> ((s: SparkSession, d: String) => {
       scan(s, d, "documents")
         .select(
@@ -461,6 +507,42 @@ object TextQueries {
     }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_rouge" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+        |             AS toks
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |t0 AS (SELECT doc_id, toks,
+        |         unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        |t AS (SELECT doc_id, pos, toks[pos] AS w FROM t0),
+        |bi0 AS (SELECT doc_id, pos, w,
+        |          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nx
+        |        FROM t),
+        |grams AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS k, w AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), w || ' ' || nx FROM bi0
+        |  WHERE nx IS NOT NULL),
+        |gc AS (SELECT doc_id, k, g, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM grams GROUP BY doc_id, k, g),
+        |ov AS (SELECT a.doc_id AS doc_a, a.k,
+        |         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+        |       FROM gc a JOIN gc b ON a.doc_id % 2 = 0
+        |         AND b.doc_id = a.doc_id + 1 AND a.k = b.k AND a.g = b.g
+        |       GROUP BY a.doc_id, a.k),
+        |tot AS (SELECT doc_id - doc_id % 2 AS doc_a, k,
+        |          CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN c END) AS BIGINT) AS na,
+        |          CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN c END) AS BIGINT) AS nb
+        |        FROM gc GROUP BY 1, 2)
+        |SELECT tot.doc_a, tot.doc_a + 1 AS doc_b, tot.k, tot.na, tot.nb,
+        |  COALESCE(ov.ov, 0) AS ov,
+        |  CAST(COALESCE(ov.ov, 0) * 1000000 // tot.na AS BIGINT) AS p_ppm,
+        |  CAST(COALESCE(ov.ov, 0) * 1000000 // tot.nb AS BIGINT) AS r_ppm,
+        |  CAST(2 * COALESCE(ov.ov, 0) * 1000000 // (tot.na + tot.nb) AS BIGINT)
+        |    AS f1_ppm
+        |FROM tot LEFT JOIN ov ON tot.doc_a = ov.doc_a AND tot.k = ov.k
+        |WHERE tot.na IS NOT NULL AND tot.nb IS NOT NULL
+        |ORDER BY tot.doc_a, tot.k""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
