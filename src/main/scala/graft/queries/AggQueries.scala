@@ -236,6 +236,26 @@ object AggQueries {
             .stripMargin).as("reject_95"))
     }),
 
+    // ATKINSON INEQUALITY INDEX (ε = 0.5 — the welfare-weighted
+    // inequality number beside q_agg_gini/q_agg_hhi, from the Atkinson
+    // 1970 family): A = 1 − (Σ√x/n)²/μ = 1 − (Σ√x)²/(n·Σx) over order
+    // price cents. The per-value √ is floor(sqrt(x)) — the
+    // temperatureMixture isqrt discipline: correctly-rounded double
+    // sqrt of the same integer in both engines, floored, summed as
+    // exact integers — and the index lands as one DECIMAL(38,0) ppm
+    // quotient. One scan, one 1-row agg
+    "q_agg_atkinson" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(floor(sqrt(col("v").cast("double"))).cast("long")).as("sq"))
+        .select(col("n"), col("sv"), col("sq"),
+          (lit(1000000L) - expr(
+            """CAST(CAST(sq AS DECIMAL(38,0)) * sq * 1000000
+              |  div (CAST(n AS DECIMAL(38,0)) * sv) AS BIGINT)""".stripMargin))
+            .as("a_ppm"))
+    }),
+
     // HUBER M-ESTIMATOR of location (the robust mean between q_agg_mad's
     // median and the plain average — downweights outliers instead of
     // ignoring or absorbing them): 3 IRLS rounds in PURE-INTEGER ppm —
@@ -1080,6 +1100,18 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_atkinson" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+        |        CAST(SUM(CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT))
+        |          AS BIGINT) AS sq
+        |      FROM v)
+        |SELECT n, sv, sq,
+        |  1000000 - CAST(sq::HUGEINT * sq * 1000000 // (n::HUGEINT * sv)
+        |    AS BIGINT) AS a_ppm
+        |FROM a""".stripMargin,
 
     "q_agg_kruskal" -> {
       val ts = Seq("click", "signup", "error", "view", "purchase")
