@@ -85,6 +85,40 @@ object GraphQueries {
         .orderBy(col("r").desc, col("node")).limit(20)
     }),
 
+    // RICH-CLUB COEFFICIENT (Zhou & Mondragón — "do the hubs form a
+    // club": among nodes of degree > k, what fraction of their possible
+    // links exist?) at k = 4/8/16 over the co-supply graph. One degree
+    // census + one conditional-sum pass over the cached edge relation
+    // (every k rides the same join — never a pass per k); φ(k) =
+    // 2E_k·10⁶ div (N_k(N_k−1)) in exact ppm
+    "q_graph_richclub" -> ((s: SparkSession, d: String) => {
+      val edges = coSupply(s, d)
+      val deg = edges.select(col("s1").as("n"))
+        .unionAll(edges.select(col("s2").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val ks = Seq(4L, 8L, 16L)
+      val nk = deg.agg(
+        ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).head,
+        ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).tail: _*)
+      val ek = edges
+        .join(broadcast(deg.select(col("n"), col("deg").as("da"))),
+          col("s1") === col("n")).drop("n")
+        .join(broadcast(deg.select(col("n"), col("deg").as("db"))),
+          col("s2") === col("n")).drop("n")
+        .agg(ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
+            .otherwise(0L)).as(s"e_$k")).head,
+          ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
+            .otherwise(0L)).as(s"e_$k")).tail: _*)
+      val wide = nk.crossJoin(ek)
+      ks.map { k =>
+        wide.select(lit(k).as("k"), col(s"n_$k").as("n_nodes"),
+          col(s"e_$k").as("n_edges"),
+          expr(s"""CASE WHEN n_$k >= 2
+                  |  THEN 2 * e_$k * 1000000 div (n_$k * (n_$k - 1))
+                  |  ELSE 0 END""".stripMargin).as("phi_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("k"))
+    }),
+
     // HITS over the DIRECTED customer→supplier purchase bipartite:
     // authorities = suppliers bought by well-connected customers, hubs =
     // customers buying from authoritative suppliers — the mutual-
@@ -404,6 +438,28 @@ object GraphQueries {
          |i2 AS (${pprRound("i1")}),
          |i3 AS (${pprRound("i2")})
          |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 20""".stripMargin,
+
+    "q_graph_richclub" -> {
+      val ks = Seq(4L, 8L, 16L)
+      s"""$edgeCte,
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT s1 AS n FROM g UNION ALL SELECT s2 AS n FROM g)
+         |        GROUP BY n),
+         |nk AS (SELECT
+         |${ks.map(k => s"    CAST(SUM(CASE WHEN deg > $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k").mkString(",\n")}
+         |  FROM deg),
+         |ek AS (SELECT
+         |${ks.map(k => s"    CAST(SUM(CASE WHEN a.deg > $k AND b.deg > $k THEN 1 ELSE 0 END) AS BIGINT) AS e_$k").mkString(",\n")}
+         |  FROM g JOIN deg a ON g.s1 = a.n JOIN deg b ON g.s2 = b.n)
+         |""".stripMargin +
+        ks.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, n_$k AS n_nodes, e_$k AS n_edges,
+             |  CAST(CASE WHEN n_$k >= 2
+             |    THEN 2 * e_$k * 1000000 // (n_$k * (n_$k - 1))
+             |    ELSE 0 END AS BIGINT) AS phi_ppm
+             |FROM nk, ek""".stripMargin).mkString("\nUNION ALL\n") +
+        "\nORDER BY k"
+    },
 
     "q_graph_hits" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
