@@ -236,6 +236,44 @@ object AggQueries {
             .stripMargin).as("reject_95"))
     }),
 
+    // LORENZ CURVE DECILES (the distributional report under q_agg_gini's
+    // single number: what share of total order value does the bottom
+    // d/10 of orders hold?): value census → two-level distributed
+    // prefix (count AND value cumsums) → each census row lands in
+    // decile ⌈cum_cnt·10/n⌉ and each decile reports its boundary row's
+    // cumulative value share in exact ppm (struct-argmax picks the
+    // boundary — no second pass). Same census machinery as q_agg_ks;
+    // nothing data-sized crosses a single-task window
+    "q_agg_lorenz" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = scan(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("v")).as("sv"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("pc", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .withColumn("pv", coalesce(sum(col("sv")).over(wb), lit(0L)))
+        .select(col("b"), col("pc"), col("pv"))
+      val tot = vals.agg(sum(col("c")).as("n"),
+        sum(col("c") * col("v")).as("tv"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cumc", col("pc") + sum(col("c")).over(wv))
+        .withColumn("cumv", col("pv") + sum(col("c") * col("v")).over(wv))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cumc * 10 + n - 1) div n"))
+        .groupBy(col("decile"))
+        .agg(max(struct(col("cumc"), col("cumv"), col("n"), col("tv"))).as("m"))
+        .select(col("decile"), col("m.cumc").as("cum_orders"),
+          expr("CAST(CAST(m.cumv AS DECIMAL(38,0)) * 1000000 div m.tv AS BIGINT)")
+            .as("cum_value_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // ATKINSON INEQUALITY INDEX (ε = 0.5 — the welfare-weighted
     // inequality number beside q_agg_gini/q_agg_hhi, from the Atkinson
     // 1970 family): A = 1 − (Σ√x/n)²/μ = 1 − (Σ√x)²/(n·Σx) over order
@@ -1100,6 +1138,23 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_lorenz" ->
+      """WITH vals AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |                CAST(COUNT(*) AS BIGINT) AS c
+        |              FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(c * v) AS BIGINT) AS tv FROM vals),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumc,
+        |          SUM(c * v) OVER (ORDER BY v) AS cumv FROM vals),
+        |d AS (SELECT (cumc * 10 + t.n - 1) // t.n AS decile, cumc, cumv,
+        |        t.n, t.tv
+        |      FROM cum, t),
+        |m AS (SELECT decile, MAX(cumc) AS cum_orders FROM d GROUP BY decile)
+        |SELECT m.decile, CAST(m.cum_orders AS BIGINT) AS cum_orders,
+        |  CAST(d.cumv::HUGEINT * 1000000 // d.tv AS BIGINT) AS cum_value_ppm
+        |FROM m JOIN d ON m.decile = d.decile AND m.cum_orders = d.cumc
+        |ORDER BY m.decile""".stripMargin,
 
     "q_agg_atkinson" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
