@@ -98,6 +98,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL music decode: Standard MIDI Files walked by the genuine
+    // VLQ/event parser (multi-byte delta-times, note-on/off, meta
+    // end-of-track, exact declared-length framing check). total_ticks
+    // witnesses every VLQ continuation bit; the oracle sums the
+    // fixture formulas WITHOUT parsing a byte
+    "q_multimodal_midi" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractMidiStats(
+        Multimodal.syntheticMidi(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL 3D decode: Wavefront OBJ triangle-fan meshes parsed by the
     // genuine line walker (comments, vn skip, index-suffix stripping,
     // bounds-checked 1-based faces, undirected edge dedup). The Euler
@@ -478,6 +489,30 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses a byte: ntrks = 1 + id%3, track t has
+    // 3 + (id+t)%6 notes; ticks = Σ[(id·3+5t+7i)%300 + (13i+t)%200],
+    // key = (id+2t+11i)%128, vel = 1 + (id+i)%127
+    "q_multimodal_midi" ->
+      """WITH px AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS ntrks
+        |            FROM documents),
+        |t AS (SELECT doc_id, ntrks, unnest(range(0, ntrks)) AS t FROM px),
+        |n AS (SELECT doc_id, ntrks, t,
+        |        CAST(3 + (doc_id + t) % 6 AS INT) AS nn FROM t),
+        |i AS (SELECT doc_id, ntrks, t, nn, unnest(range(0, nn)) AS i FROM n),
+        |e AS (SELECT doc_id, ntrks, t, i,
+        |        (doc_id * 3 + t * 5 + i * 7) % 300
+        |          + (i * 13 + t) % 200 AS dticks,
+        |        (doc_id + 2 * t + 11 * i) % 128 AS key,
+        |        1 + (doc_id + i) % 127 AS vel
+        |      FROM i)
+        |SELECT doc_id AS media_id, CAST(MAX(ntrks) AS BIGINT) AS n_tracks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_notes,
+        |  CAST(SUM(dticks) AS BIGINT) AS total_ticks,
+        |  CAST(SUM(key) AS BIGINT) AS key_sum,
+        |  CAST(SUM(vel) AS BIGINT) AS vel_sum
+        |FROM e GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
 
     // the oracle NEVER parses a line: fan topology gives F = n−2,
