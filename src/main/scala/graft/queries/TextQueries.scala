@@ -58,6 +58,27 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HAPAX LEGOMENA census (the vocabulary-richness readout corpus
+    // linguists and dedup pipelines both watch — a corpus whose hapax
+    // share collapses is template-flooded): corpus-wide term census →
+    // counts of once/twice/thrice-seen terms (Zipf's tail), vocabulary
+    // size, token total, and the hapax share of VOCABULARY in exact
+    // ppm. Two map-side-combinable aggregations — the q_text_termstats
+    // shape
+    "q_text_hapax" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"),
+          sum(when(col("c") === 3, 1L).otherwise(0L)).as("n_tris"))
+        .select(col("n_vocab"), col("n_tokens"), col("n_hapax"), col("n_dis"),
+          col("n_tris"),
+          expr("n_hapax * 1000000 div n_vocab").as("hapax_vocab_ppm"))
+    }),
+
     // ROUGE-1/2 (the summarization-eval overlap metrics, run as a
     // candidate-vs-reference census over adjacent doc pairs): multiset
     // n-gram overlap Σ min(c_a, c_b), with P/R/F1 as EXACT integer ppm
@@ -507,6 +528,21 @@ object TextQueries {
     }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_hapax" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |             AS w
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        |        CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tris
+        |      FROM c)
+        |SELECT n_vocab, n_tokens, n_hapax, n_dis, n_tris,
+        |  CAST(n_hapax * 1000000 // n_vocab AS BIGINT) AS hapax_vocab_ppm
+        |FROM a""".stripMargin,
+
     "q_text_rouge" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
         |             AS toks
