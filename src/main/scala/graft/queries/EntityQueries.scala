@@ -113,6 +113,27 @@ object EntityQueries {
         .orderBy(col("score"))
     }),
 
+    // CLUSTER-SIZE CENSUS (the linkage QA readout over the same CC
+    // labels q_er_golden survives from: a size histogram whose tail
+    // exposes over-merging — one 50-record "household" means the
+    // threshold or blocking broke). Sizes from the min-label CC over
+    // matched pairs with singletons coalesced; one census + one
+    // histogram aggregation
+    "q_er_clusters" -> ((s: SparkSession, d: String) => {
+      val (recs, len) = records(s, d)
+      val m = matches(candidates(recs, len))
+      val cc = graft.ops.Dedup.connectedComponents(
+          m.select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b")))
+        .select(col("doc_id").as("rec_id"), col("cluster"))
+      recs.join(cc, Seq("rec_id"), "left_outer")
+        .withColumn("cluster", coalesce(col("cluster"), col("rec_id")))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_records"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // golden records: one survivor row per linked entity (+ singletons)
     "q_er_golden" -> ((s: SparkSession, d: String) => {
       val (recs, len) = records(s, d)
@@ -283,6 +304,27 @@ object EntityQueries {
          |                         THEN 1 ELSE 0 END), 0) * 1000000 // count(*)
          |    AS BIGINT) AS precision_ppm
          |FROM scored GROUP BY score ORDER BY score""".stripMargin,
+
+    "q_er_clusters" ->
+      s"""WITH RECURSIVE $erCtes,
+         |matched AS (SELECT rec_a, rec_b FROM scored WHERE score >= $matchThreshold),
+         |edges AS (
+         |  SELECT rec_a AS a, rec_b AS b FROM matched
+         |  UNION SELECT rec_b, rec_a FROM matched),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS rec_id, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |labeled AS (
+         |  SELECT r.rec_id, coalesce(l.cluster, r.rec_id) AS cluster
+         |  FROM records r LEFT JOIN lab l ON l.rec_id = r.rec_id),
+         |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM labeled GROUP BY cluster)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_records
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "q_er_golden" ->
       s"""WITH RECURSIVE $erCtes,
