@@ -495,6 +495,43 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // MOOD'S MEDIAN TEST (the blunt-but-assumption-free k-sample
+    // check beside q_agg_kruskal: classify every event above/below the
+    // GRAND median of value cents, then χ² on the 2×k table): the
+    // cutpoint is the exact interpolated median (both engines
+    // interpolate identically over identical integers — the
+    // q_agg_median contract), the table censuses are integers, and χ²
+    // uses the q_profile_cramersv zero-cell-inclusive integer cell
+    // formula (n·O − r·c)²·10⁶ div (n·r·c) with the df = k−1 = 4
+    // verdict. Two combinable censuses + a dimension-sized grid
+    "q_agg_mood" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+      val med = ev.agg(percentile(col("v"), lit(0.5)).as("med"))
+      val cls = ev.crossJoin(broadcast(med))
+        .select(col("event_type"),
+          when(col("v").cast("double") > col("med"), lit("above"))
+            .otherwise(lit("below")).as("side"))
+      val pm = cls.groupBy(col("event_type")).agg(count(lit(1)).as("np"))
+      val sm = cls.groupBy(col("side")).agg(count(lit(1)).as("ns"))
+      val cl = cls.groupBy(col("event_type"), col("side"))
+        .agg(count(lit(1)).as("c"))
+      val t = cls.agg(count(lit(1)).as("nt"))
+      pm.crossJoin(sm).join(cl, Seq("event_type", "side"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(t))
+        .withColumn("cell_ppm", expr(
+          """CAST((CAST(nt AS DECIMAL(38,0)) * c - CAST(np AS DECIMAL(38,0)) * ns)
+            |  * (CAST(nt AS DECIMAL(38,0)) * c - CAST(np AS DECIMAL(38,0)) * ns)
+            |  * 1000000 div (CAST(nt AS DECIMAL(38,0)) * np * ns) AS BIGINT)"""
+            .stripMargin))
+        .agg(max(col("nt")).as("n_rows"),
+          countDistinct(col("event_type")).as("k"),
+          sum(col("cell_ppm")).as("chi2_ppm"))
+        .select(col("n_rows"), col("k"), col("chi2_ppm"),
+          (col("chi2_ppm") > lit(9488000L)).as("reject_95"))
+    }),
+
     // KRUSKAL–WALLIS (the k-sample rank ANOVA at FULL value
     // cardinality — Friedman ranks within day blocks, this ranks all
     // events' value cents in one pooled ordering): per-value census
@@ -1166,6 +1203,37 @@ object AggQueries {
         |SELECT n, sv, sq,
         |  1000000 - CAST(sq::HUGEINT * sq * 1000000 // (n::HUGEINT * sv)
         |    AS BIGINT) AS a_ppm
+        |FROM a""".stripMargin,
+
+    "q_agg_mood" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |            FROM events),
+        |med AS (SELECT quantile_cont(v, 0.5) AS med FROM ev),
+        |cls AS (SELECT event_type,
+        |          CASE WHEN CAST(v AS DOUBLE) > med.med THEN 'above'
+        |               ELSE 'below' END AS side
+        |        FROM ev, med),
+        |pm AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np
+        |       FROM cls GROUP BY 1),
+        |sm AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS ns FROM cls GROUP BY 1),
+        |cl AS (SELECT event_type, side, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM cls GROUP BY 1, 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls),
+        |g AS (SELECT pm.event_type, sm.side, pm.np, sm.ns,
+        |        COALESCE(cl.c, 0) AS c, t.nt
+        |      FROM pm CROSS JOIN sm
+        |      LEFT JOIN cl ON pm.event_type = cl.event_type AND sm.side = cl.side
+        |      CROSS JOIN t),
+        |cp AS (SELECT nt,
+        |         CAST((nt::HUGEINT * c - np::HUGEINT * ns)
+        |           * (nt::HUGEINT * c - np::HUGEINT * ns) * 1000000
+        |           // (nt::HUGEINT * np * ns) AS BIGINT) AS cell_ppm,
+        |         event_type
+        |       FROM g),
+        |a AS (SELECT CAST(MAX(nt) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+        |        CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm FROM cp)
+        |SELECT n_rows, k, chi2_ppm, chi2_ppm > 9488000 AS reject_95
         |FROM a""".stripMargin,
 
     "q_agg_kruskal" -> {
