@@ -573,6 +573,114 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Parsed P4 bitmap: dimensions, black-pixel census, top-row black
+    * count and the position-weighted black sum (the bit-order witness).
+    */
+  final case class PbmStats(media_id: Long, width: Int, height: Int,
+                            n_black: Long, row0_black: Long, wsum: Long)
+
+  /** REAL decoder for BINARY PBM (netpbm P4 — the one PACKED-BIT public
+    * image format): header like [[decodePpm]]'s (magic, `#` comments,
+    * whitespace-separated dims), then rows of ⌈w/8⌉ bytes, bits
+    * MSB-first, 1 = black, and the final byte's low padding bits are
+    * DON'T-CARE per spec — the fixture writes 1s there, so a decoder
+    * that counts bits past `w` fails the oracle. Malformed payloads
+    * fail loudly.
+    */
+  def decodePbm(rows: Iterator[MediaRow]): Iterator[PbmStats] = rows.map { r =>
+    val b = r.payload
+    val (w, h, off) = parsePbmHeader(b, r.media_id)
+    val rowBytes = (w + 7) / 8
+    require(off + rowBytes.toLong * h <= b.length,
+      s"bit raster overruns payload: media ${r.media_id}")
+    var (nb, r0, ws) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val byte = b(off + y * rowBytes + (x >> 3)) & 0xff
+        if (((byte >> (7 - (x & 7))) & 1) == 1) {
+          nb += 1; ws += y.toLong * w + x
+          if (y == 0) r0 += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PbmStats(r.media_id, w, h, nb, r0, ws)
+  }
+
+  private def parsePbmHeader(b: Array[Byte], id: Long): (Int, Int, Int) = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWsAndComments()
+      val st = i
+      while (i < b.length && (b(i) & 0xff) >= '0' && (b(i) & 0xff) <= '9') i += 1
+      require(i > st, s"expected integer in PBM header: media $id")
+      new String(b, st, i - st, "US-ASCII").toInt
+    }
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '4',
+      s"not a P4 PBM payload: media $id")
+    i = 2
+    val w = int(); val h = int()
+    require(w > 0 && h > 0, s"bad PBM dimensions ${w}x$h: media $id")
+    require(i < b.length && (b(i).toChar.isWhitespace),
+      s"missing raster separator: media $id")
+    i += 1 // exactly ONE whitespace byte before the raster, per spec
+    (w, h, i)
+  }
+
+  /** PBM-stats pipeline — same narrow no-shuffle mapPartitions shape
+    * as [[extractImageStats]].
+    */
+  def extractPbmStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePbm).toDF()
+  }
+
+  /** Deterministic P4 fixture per id: w = 1 + id%13 (rarely
+    * byte-aligned, so every row ends in partial-byte padding), h = 1 +
+    * id%4, pixel (x, y) black iff (id + 3x + 7y) mod 5 = 0. Padding
+    * bits are written as 1s — don't-care per spec, poison for a sloppy
+    * decoder. The oracle recomputes the census from the formula.
+    */
+  def syntheticPbm(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = 1 + (id % 13).toInt
+      val h = 1 + (id % 4).toInt
+      val rowBytes = (w + 7) / 8
+      val header = s"P4\n# packed\n$w $h\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < rowBytes * 8) {
+          val bit =
+            if (x >= w) 1 // poison padding
+            else if ((id + 3 * x + 7 * y) % 5 == 0) 1 else 0
+          if (bit == 1)
+            raster(y * rowBytes + (x >> 3)) =
+              (raster(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(id, "image/x-portable-bitmap", header ++ raster)
+    }.toDF()
+  }
+
   /** Parsed Standard MIDI File: track/note counts, total delta-time
     * ticks (every VLQ in the file contributes — a mis-parsed
     * continuation bit shifts it), and exact key/velocity sums.

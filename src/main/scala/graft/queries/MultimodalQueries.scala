@@ -98,6 +98,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode #4: binary PBM (netpbm P4) — the packed-BIT
+    // format: MSB-first bit raster with don't-care row padding the
+    // fixture poisons with 1s, so a decoder that reads past `w` bits
+    // per row cannot pass. Oracle recomputes the black census from the
+    // (id + 3x + 7y) mod 5 formula WITHOUT touching a byte
+    "q_multimodal_pbm" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractPbmStats(
+        Multimodal.syntheticPbm(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL music decode: Standard MIDI Files walked by the genuine
     // VLQ/event parser (multi-byte delta-times, note-on/off, meta
     // end-of-track, exact declared-length framing check). total_ticks
@@ -488,6 +499,28 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM v GROUP BY doc_id, width, height
+        |ORDER BY media_id""".stripMargin,
+
+    // the oracle NEVER parses a byte: w = 1 + id%13, h = 1 + id%4,
+    // black(x,y) ⟺ (id + 3x + 7y) mod 5 = 0, position p = y·w + x
+    "q_multimodal_pbm" ->
+      """WITH px AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 13 AS INT) AS width,
+        |    CAST(1 + doc_id % 4 AS INT) AS height
+        |  FROM documents),
+        |p AS (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS p
+        |      FROM px),
+        |v AS (SELECT doc_id, width, height, p,
+        |        CASE WHEN (doc_id + 3 * (p % width) + 7 * (p // width)) % 5 = 0
+        |             THEN 1 ELSE 0 END AS blk
+        |      FROM p)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(SUM(blk) AS BIGINT) AS n_black,
+        |  CAST(SUM(CASE WHEN p < width THEN blk ELSE 0 END) AS BIGINT)
+        |    AS row0_black,
+        |  CAST(SUM(p * blk) AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id, width, height
         |ORDER BY media_id""".stripMargin,
 
