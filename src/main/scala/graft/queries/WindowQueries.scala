@@ -593,6 +593,38 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // STOCHASTIC OSCILLATOR %K/%D (the bounded momentum indicator over
+    // q_ts_ohlc's daily bars, here on order price cents): %K =
+    // (close − low₁₄)·10⁶ div (high₁₄ − low₁₄) in exact integer ppm
+    // over the 14-day frame, %D = the 3-day mean of %K spelled as
+    // (k + k₋₁ + k₋₂) div 3 — pure integers end to end, full-frame
+    // rows only, degenerate flat frames (high = low) excluded in both
+    // engines. Day-grain windows
+    "q_ts_stochastic" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "orders")
+        .select(date_trunc("day", col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("day"))
+        .agg(max(col("cents")).as("hi"), min(col("cents")).as("lo"),
+          max_by(col("cents"), col("o_orderkey")).as("close"))
+      val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      val wk = Window.orderBy(col("day"))
+      daily
+        .withColumn("n14", count(lit(1)).over(w14))
+        .withColumn("hi14", max(col("hi")).over(w14))
+        .withColumn("lo14", min(col("lo")).over(w14))
+        .filter(col("n14") === 14 && col("hi14") > col("lo14"))
+        .withColumn("k_ppm",
+          expr("(close - lo14) * 1000000 div (hi14 - lo14)"))
+        .withColumn("k1", lag(col("k_ppm"), 1).over(wk))
+        .withColumn("k2", lag(col("k_ppm"), 2).over(wk))
+        .filter(col("k2").isNotNull)
+        .select(col("day"), col("close"), col("hi14"), col("lo14"),
+          col("k_ppm"), expr("(k_ppm + k1 + k2) div 3").as("d_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // MAXIMUM DRAWDOWN (the peak-to-trough risk readout over a running
     // balance — here the cumulative purchase-minus-error cents flow):
     // equity = running sum, peak = running max, drawdown = peak −
@@ -1378,6 +1410,31 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_stochastic" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+        |                 AS day,
+        |    CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi,
+        |    CAST(MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo,
+        |    CAST(max_by(CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+        |      AS BIGINT) AS close
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, close,
+        |        COUNT(*) OVER f AS n14,
+        |        CAST(MAX(hi) OVER f AS BIGINT) AS hi14,
+        |        CAST(MIN(lo) OVER f AS BIGINT) AS lo14
+        |      FROM daily
+        |      WINDOW f AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT day, close, hi14, lo14,
+        |        CAST((close - lo14) * 1000000 // (hi14 - lo14) AS BIGINT) AS k_ppm
+        |      FROM w WHERE n14 = 14 AND hi14 > lo14),
+        |kk AS (SELECT day, close, hi14, lo14, k_ppm,
+        |         lag(k_ppm, 1) OVER (ORDER BY day) AS k1,
+        |         lag(k_ppm, 2) OVER (ORDER BY day) AS k2
+        |       FROM k)
+        |SELECT day, close, hi14, lo14, k_ppm,
+        |  CAST((k_ppm + k1 + k2) // 3 AS BIGINT) AS d_ppm
+        |FROM kk WHERE k2 IS NOT NULL ORDER BY day""".stripMargin,
 
     "q_win_rollcorr" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
