@@ -58,6 +58,30 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CODE-VS-PROSE DETECTION (the corpus-routing filter every LLM
+    // pipeline runs — code wants different dedup/mixing than prose):
+    // per doc, bracket/semicolon density and indented-line fraction in
+    // exact integer ppm (regex counts — identical RE2/Java semantics
+    // for these classes — and one multiline ^-anchor for indentation),
+    // with the routing verdict as pure threshold logic. Map-only: one
+    // codegen'd projection, no shuffle before the final sort
+    "q_text_codefrac" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+          size(expr("""regexp_extract_all(text, '[{}()\\[\\];]', 0)"""))
+            .cast("long").as("n_braces"),
+          size(expr("""regexp_extract_all(text, '(?m)^(  |\t)', 0)"""))
+            .cast("long").as("n_indent"))
+        .withColumn("brace_ppm", expr("n_braces * 1000000 div n_chars"))
+        .withColumn("indent_ppm", expr("n_indent * 1000000 div n_lines"))
+        .select(col("doc_id"), col("n_lines"), col("n_braces"), col("n_indent"),
+          col("brace_ppm"), col("indent_ppm"),
+          (col("brace_ppm") > 20000 || col("indent_ppm") > 300000).as("is_codey"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HAPAX LEGOMENA census (the vocabulary-richness readout corpus
     // linguists and dedup pipelines both watch — a corpus whose hapax
     // share collapses is template-flooded): corpus-wide term census →
@@ -528,6 +552,22 @@ object TextQueries {
     }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_codefrac" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '[{}()\[\];]')) AS BIGINT)
+        |      AS n_braces,
+        |    CAST(len(regexp_extract_all(text, '(?m)^(  |\t)')) AS BIGINT)
+        |      AS n_indent
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT doc_id, n_lines, n_braces, n_indent,
+        |        CAST(n_braces * 1000000 // n_chars AS BIGINT) AS brace_ppm,
+        |        CAST(n_indent * 1000000 // n_lines AS BIGINT) AS indent_ppm
+        |      FROM f)
+        |SELECT doc_id, n_lines, n_braces, n_indent, brace_ppm, indent_ppm,
+        |  brace_ppm > 20000 OR indent_ppm > 300000 AS is_codey
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q_text_hapax" ->
       """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
         |             AS w
