@@ -433,6 +433,41 @@ object AggQueries {
           (col("hl_x2") / lit(2.0)).as("hl"))
     }),
 
+    // SPEARMAN'S ρ (the third member of the correlation family —
+    // Pearson on RANKS, between q_agg_covar's linearity and
+    // q_agg_kendall's concordance): daily view vs purchase counts,
+    // each series tie-average-ranked with doubled ranks via RANGE-frame
+    // windows (the q_agg_friedman construction, global frame), then
+    // the exact integer Pearson machinery on the rank pairs — emitted
+    // as SIGNED ρ² in ppm (sign(cov)·cov²·10⁶ div (vx·vy), the
+    // q_win_rollcorr discipline — no sqrt, no float). Day-grain
+    "q_agg_spearman" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      def rank2(c: String): org.apache.spark.sql.Column =
+        lit(2) * count(lit(1)).over(Window.orderBy(col(c))
+          .rangeBetween(Window.unboundedPreceding, -1)) +
+          count(lit(1)).over(Window.partitionBy(col(c))) + lit(1)
+      daily
+        .withColumn("rx", rank2("x"))
+        .withColumn("ry", rank2("y"))
+        .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+          sum(col("ry")).as("sy"), sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("n"),
+          expr("""CAST(CASE WHEN cov < 0 THEN -1 ELSE 1 END
+                 |  * (CAST(cov AS DECIMAL(38,0)) * cov * 1000000
+                 |     div (CAST(vx AS DECIMAL(38,0)) * vy)) AS BIGINT)"""
+            .stripMargin).as("rho2s_ppm"))
+    }),
+
     // KENDALL'S τ-b (the rank-correlation robust to outliers that
     // Pearson's q_agg_covar isn't, with tie correction): daily purchase
     // vs view counts, pairs = day pairs. ALL-INTEGER: concordant /
@@ -1376,6 +1411,34 @@ object AggQueries {
         |  quantile_cont(walsh_x2, 0.5) AS hl_x2,
         |  quantile_cont(walsh_x2, 0.5) / 2.0 AS hl
         |FROM w""".stripMargin,
+
+    "q_agg_spearman" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    2 * COUNT(*) OVER (ORDER BY x
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      + COUNT(*) OVER (PARTITION BY x) + 1 AS rx,
+        |    2 * COUNT(*) OVER (ORDER BY y
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      + COUNT(*) OVER (PARTITION BY y) + 1 AS ry
+        |  FROM daily),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rx) AS BIGINT) AS sx,
+        |        CAST(SUM(ry) AS BIGINT) AS sy,
+        |        CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |        CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |        CAST(SUM(ry * ry) AS BIGINT) AS syy FROM r),
+        |c AS (SELECT n, n * sxy - sx * sy AS cov, n * sxx - sx * sx AS vx,
+        |        n * syy - sy * sy AS vy FROM a)
+        |SELECT n,
+        |  CAST(CASE WHEN cov < 0 THEN -1 ELSE 1 END
+        |    * (cov::HUGEINT * cov * 1000000 // (vx::HUGEINT * vy)) AS BIGINT)
+        |    AS rho2s_ppm
+        |FROM c""".stripMargin,
 
     "q_agg_kendall" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
