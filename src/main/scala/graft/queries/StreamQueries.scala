@@ -836,6 +836,49 @@ object StreamQueries {
         .orderBy(col("dim"))
     }),
 
+    // STREAMING HAPAX / VOCABULARY-RICHNESS monitor (the live
+    // template-flood alarm): micro-batches of documents append term-
+    // census partials — additive, so the merged census is exactly the
+    // batch census and the Zipf-tail readout (hapax/dis/tris counts,
+    // vocab, hapax share) is bit-identical to the batch op: the oracle
+    // IS q_text_hapax's SQL verbatim. State ∝ vocabulary, never stream
+    "q_stream_hapax" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_shpx_src_$suffix"
+      val out = s"/tmp/graft_shpx_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(df: DataFrame): DataFrame =
+        df.filter(length(trim(col("text"))) > 0)
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"),
+          sum(when(col("c") === 3, 1L).otherwise(0L)).as("n_tris"))
+        .select(col("n_vocab"), col("n_tokens"), col("n_hapax"), col("n_dis"),
+          col("n_tris"),
+          expr("n_hapax * 1000000 div n_vocab").as("hapax_vocab_ppm"))
+    }),
+
     // batch sessionization, 6-hour inactivity gap
     "q_sessionize" -> ((s: SparkSession, d: String) => {
       StreamOps.sessionize(graft.engine.QueryBuilder.scan(s, d, "events"), gapSeconds = 6 * 3600)
@@ -867,6 +910,9 @@ object StreamQueries {
     // incremental ≡ batch, literally: the shared-oracle contract — the
     // streaming drawdown must reproduce the batch op bit-for-bit
     "q_stream_drawdown" -> WindowQueries.oracleSql("q_ts_drawdown"),
+
+    // incremental ≡ batch for the streamed term census too
+    "q_stream_hapax" -> TextQueries.oracleSql("q_text_hapax"),
 
     // same contract for the streamed covariance: merged moments drive
     // the identical power iteration, so the batch PCA oracle applies
