@@ -663,6 +663,56 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // ANDERSON–DARLING two-sample (the TAIL-sensitive member of the
+    // KS/CvM trio — the 1/(H(1−H)) weight blows up at the extremes, so
+    // tail drift dominates the statistic): same census and two-level
+    // prefix as q_agg_ks; each pooled value contributes
+    // (c·dev²·10⁶) div (cumN·(N−cumN)) — an integer ppm term both
+    // engines truncate identically (the per-value division replaces an
+    // unreachable common denominator; the DEFINITION is the shared
+    // integer recipe) — summed in DECIMAL(38,0), normalized by n1·n2,
+    // verdict at the α=0.05 critical value 2.492. The all-mass last
+    // value (cumN = N) is excluded per the standard formula
+    "q_agg_ad" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+        .select(col("b"), col("p1"), col("p2"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum1", col("p1") + sum(col("d1")).over(wv))
+        .withColumn("cum2", col("p2") + sum(col("d2")).over(wv))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum", col("cum1") + col("cum2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .filter(col("cum") < col("nn"))
+        .select(col("n1"), col("n2"),
+          expr("""CAST(CAST(d1 + d2 AS DECIMAL(38,0))
+                 |  * (cum1 * n2 - cum2 * n1) * (cum1 * n2 - cum2 * n1)
+                 |  * 1000000 div (CAST(cum AS DECIMAL(38,0)) * (nn - cum))
+                 |  AS DECIMAL(38,0))""".stripMargin).as("term"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("term")).as("s"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(s div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("ad_ppm"),
+          expr("s div (CAST(n1 AS DECIMAL(38,0)) * n2) > 2492000")
+            .as("reject_95"))
+    }),
+
     // CRAMÉR–VON MISES two-sample (the whole-distribution counterpart
     // to q_agg_ks's single worst gap — T integrates (F1−F2)² over every
     // pooled observation, so diffuse drift KS's max can miss still
@@ -1330,6 +1380,30 @@ object AggQueries {
         |  3 * sr2 * 1000000 // (n * k * (k + 1)) - 3 * n * (k + 1) * 1000000
         |    > 9488000 AS reject_95
         |FROM g""".stripMargin,
+
+    "q_agg_ad" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |        CAST(SUM(d2) AS BIGINT) AS n2 FROM vals),
+        |c AS (SELECT v, d1, d2, SUM(d1) OVER (ORDER BY v) AS cum1,
+        |        SUM(d2) OVER (ORDER BY v) AS cum2 FROM vals),
+        |f AS (SELECT d1, d2, cum1, cum2, cum1 + cum2 AS cum,
+        |        t.n1, t.n2, t.n1 + t.n2 AS nn
+        |      FROM c, t WHERE cum1 + cum2 < t.n1 + t.n2),
+        |s AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |        SUM((d1 + d2)::HUGEINT
+        |          * (cum1 * n2 - cum2 * n1) * (cum1 * n2 - cum2 * n1)
+        |          * 1000000 // (cum::HUGEINT * (nn - cum))) AS s
+        |      FROM f)
+        |SELECT n1, n2,
+        |  CAST(s // (n1::HUGEINT * n2) AS BIGINT) AS ad_ppm,
+        |  s // (n1::HUGEINT * n2) > 2492000 AS reject_95
+        |FROM s""".stripMargin,
 
     "q_agg_cvm" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
