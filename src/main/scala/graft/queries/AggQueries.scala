@@ -274,6 +274,30 @@ object AggQueries {
         .orderBy(col("decile"))
     }),
 
+    // BOWLEY QUARTILE SKEWNESS + KELLY's decile variant (the robust
+    // asymmetry readouts no third moment can poison): (Q3 + Q1 − 2·med)
+    // / (Q3 − Q1) and the P90/P10 analogue, per order priority. The
+    // quartiles are exact interpolated percentiles (identical
+    // interpolation over identical integers in both engines — the
+    // q_agg_median contract); each coefficient is ONE fixed-order
+    // double expression. One grouped percentile aggregation
+    "q_agg_bowley" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(col("o_orderpriority").as("pr"),
+          floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("v"), lit(0.25)).as("q1"),
+          percentile(col("v"), lit(0.5)).as("med"),
+          percentile(col("v"), lit(0.75)).as("q3"),
+          percentile(col("v"), lit(0.1)).as("p10"),
+          percentile(col("v"), lit(0.9)).as("p90"))
+        .select(col("pr"), col("n"),
+          expr("(q3 + q1 - 2 * med) / (q3 - q1)").as("bowley"),
+          expr("(p90 + p10 - 2 * med) / (p90 - p10)").as("kelly"))
+        .orderBy(col("pr"))
+    }),
+
     // ATKINSON INEQUALITY INDEX (ε = 0.5 — the welfare-weighted
     // inequality number beside q_agg_gini/q_agg_hhi, from the Atkinson
     // 1970 family): A = 1 − (Σ√x/n)²/μ = 1 − (Σ√x)²/(n·Σx) over order
@@ -1260,6 +1284,19 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_bowley" ->
+      """WITH v AS (SELECT o_orderpriority AS pr,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |q AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |        quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS med,
+        |        quantile_cont(v, 0.75) AS q3, quantile_cont(v, 0.1) AS p10,
+        |        quantile_cont(v, 0.9) AS p90
+        |      FROM v GROUP BY pr)
+        |SELECT pr, n,
+        |  (q3 + q1 - 2 * med) / (q3 - q1) AS bowley,
+        |  (p90 + p10 - 2 * med) / (p90 - p10) AS kelly
+        |FROM q ORDER BY pr""".stripMargin,
 
     "q_agg_lorenz" ->
       """WITH vals AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
