@@ -593,6 +593,31 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // DAILY VWAP (the volume-weighted price benchmark execution desks
+    // compare fills against — here per ship day over lineitem):
+    // Σ(price_cents·qty) div Σqty in EXACT integers (DECIMAL(38,0)
+    // for the product sum — cents·qty·rows passes BIGINT at ~sf100),
+    // plus a 7-day rolling VWAP from the same two cumulative sums —
+    // ratio-of-sums, NOT average-of-ratios, in both engines. Day-grain
+    "q_ts_vwap" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) * CAST(l_quantity AS BIGINT)"))
+          .as("pv"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("pv7", sum(col("pv")).over(w7))
+        .withColumn("q7", sum(col("qty")).over(w7))
+        .filter(col("n7") === 7)
+        .select(col("day"), col("qty"),
+          expr("CAST(pv div qty AS BIGINT)").as("vwap_cents"),
+          expr("CAST(pv7 div q7 AS BIGINT)").as("vwap7_cents"))
+        .orderBy(col("day"))
+    }),
+
     // STOCHASTIC OSCILLATOR %K/%D (the bounded momentum indicator over
     // q_ts_ohlc's daily bars, here on order price cents): %K =
     // (close − low₁₄)·10⁶ div (high₁₄ − low₁₄) in exact integer ppm
@@ -1410,6 +1435,23 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_vwap" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+        |                 AS day,
+        |    SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)::HUGEINT
+        |        * CAST(l_quantity AS BIGINT)) AS pv,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT day, qty, pv,
+        |        COUNT(*) OVER f AS n7,
+        |        SUM(pv) OVER f AS pv7, SUM(qty) OVER f AS q7
+        |      FROM daily
+        |      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, qty,
+        |  CAST(pv // qty AS BIGINT) AS vwap_cents,
+        |  CAST(pv7 // q7 AS BIGINT) AS vwap7_cents
+        |FROM w WHERE n7 = 7 ORDER BY day""".stripMargin,
 
     "q_ts_stochastic" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
