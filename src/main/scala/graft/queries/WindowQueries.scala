@@ -593,6 +593,28 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // INTER-ARRIVAL GAP DISTRIBUTION (the traffic-model census behind
+    // session-gap and rate-limit tuning): per-user consecutive event
+    // gaps in exact MICROSECONDS (unix_micros/epoch_us — the µs-exact
+    // cross-engine pair), ordered by (ts, event_id) so equal
+    // timestamps can't flip the lag, then one global census — gap
+    // count, exact interpolated median/p90, max. The lag partitions
+    // by user (no global window); the census is one combinable agg
+    "q_ts_interarrival" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      scan(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_gaps"),
+          percentile(col("gap"), lit(0.5)).as("med_gap_us"),
+          percentile(col("gap"), lit(0.9)).as("p90_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+    }),
+
     // DAILY VWAP (the volume-weighted price benchmark execution desks
     // compare fills against — here per ship day over lineitem):
     // Σ(price_cents·qty) div Σqty in EXACT integers (DECIMAL(38,0)
@@ -1435,6 +1457,18 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  quantile_cont(gap, 0.5) AS med_gap_us,
+        |  quantile_cont(gap, 0.9) AS p90_gap_us,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
 
     "q_ts_vwap" ->
       """WITH daily AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
