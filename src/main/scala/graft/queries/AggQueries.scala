@@ -274,6 +274,26 @@ object AggQueries {
         .orderBy(col("decile"))
     }),
 
+    // COEFFICIENT OF VARIATION per priority class (the scale-free
+    // spread number that lets a 10-dollar and a 10k-dollar segment be
+    // compared): emitted as CV² in exact integer ppm — (n·Q − S²)·10⁶
+    // div S² with DECIMAL(38,0) widening — no sqrt, no float (callers
+    // take one client-side sqrt for CV). One grouped census
+    "q_agg_cv" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders")
+        .select(col("o_orderpriority").as("pr"),
+          floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qv"))
+        .select(col("pr"), col("n"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * qv
+                 |  - CAST(sv AS DECIMAL(38,0)) * sv) * 1000000
+                 |  div (CAST(sv AS DECIMAL(38,0)) * sv) AS BIGINT)"""
+            .stripMargin).as("cv2_ppm"))
+        .orderBy(col("pr"))
+    }),
+
     // BOWLEY QUARTILE SKEWNESS + KELLY's decile variant (the robust
     // asymmetry readouts no third moment can poison): (Q3 + Q1 − 2·med)
     // / (Q3 − Q1) and the P90/P10 analogue, per order priority. The
@@ -1284,6 +1304,17 @@ object AggQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    "q_agg_cv" ->
+      """WITH v AS (SELECT o_orderpriority AS pr,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |a AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(v) AS BIGINT) AS sv, SUM(v::HUGEINT * v) AS qv
+        |      FROM v GROUP BY pr)
+        |SELECT pr, n,
+        |  CAST((n::HUGEINT * qv - sv::HUGEINT * sv) * 1000000
+        |    // (sv::HUGEINT * sv) AS BIGINT) AS cv2_ppm
+        |FROM a ORDER BY pr""".stripMargin,
 
     "q_agg_bowley" ->
       """WITH v AS (SELECT o_orderpriority AS pr,
