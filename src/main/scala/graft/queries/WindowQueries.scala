@@ -593,6 +593,32 @@ object WindowQueries {
         .orderBy(col("day"))
     }),
 
+    // DAILY ACTIVITY CONCENTRATION (Gini over per-user event counts,
+    // tracked day by day — the "is traffic becoming whale-dominated"
+    // drift monitor; q_agg_gini's time-series twin): per day the exact
+    // integer Gini (2Σiₓxᵢ − (n+1)Σx)·10⁶ div (n·Σx) with ranks from a
+    // row_number PARTITIONED BY day ordered by (count, user) — the
+    // deterministic tie-break both engines share. Day-partitioned
+    // windows (users-per-day-sized, never global)
+    "q_ts_dailygini" -> ((s: SparkSession, d: String) => {
+      val daily = scan(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("c"), col("user_id"))
+      daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+          sum(col("i") * col("c")).as("ic"))
+        .select(col("day"), col("n_users"), col("n_events"),
+          expr("""CAST((CAST(2 AS DECIMAL(38,0)) * ic
+                 |  - (n_users + 1) * CAST(n_events AS DECIMAL(38,0))) * 1000000
+                 |  div (CAST(n_users AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
+            .stripMargin).as("gini_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // INTER-ARRIVAL GAP DISTRIBUTION (the traffic-model census behind
     // session-gap and rate-limit tuning): per-user consecutive event
     // gaps in exact MICROSECONDS (unix_micros/epoch_us — the µs-exact
@@ -1457,6 +1483,23 @@ object WindowQueries {
         |    WHEN 6 THEN CAST(12.592 AS DOUBLE) ELSE CAST(14.067 AS DOUBLE)
         |  END) AS reject_95
         |FROM u ORDER BY lag""".stripMargin),
+
+    "q_ts_dailygini" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                 user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, c,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY c, user_id)
+        |          AS BIGINT) AS i
+        |      FROM daily),
+        |a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |        CAST(SUM(c) AS BIGINT) AS n_events,
+        |        CAST(SUM(i * c) AS BIGINT) AS ic
+        |      FROM r GROUP BY day)
+        |SELECT day, n_users, n_events,
+        |  CAST((2::HUGEINT * ic - (n_users + 1)::HUGEINT * n_events) * 1000000
+        |    // (n_users::HUGEINT * n_events) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY day""".stripMargin,
 
     "q_ts_interarrival" ->
       """WITH g AS (SELECT user_id,
