@@ -37,6 +37,30 @@ object ScaleCurve {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Token-volume normalization (r9 verdict punch #4): the documents
+    // table's TEXT mass grows faster than its row count between scale
+    // factors (sf1 docs are wider), so a token-volume-bound operator's
+    // honest wall-clock ratio exceeds the row-growth bar without being
+    // super-linear. Probe both sides once, and for the families whose
+    // input is documents.text flag on the BYTE-normalized ratio
+    // (ratio × row_growth ⁄ byte_growth) instead of the raw one — the
+    // adjudication that used to be prose, as a measured number.
+    val docTextFamilies = Set(
+      "q_text", "q_dedup", "q_corpus", "q_bpe", "q_mix", "q_mask",
+      "q_pack", "q_batch", "q_shuffle", "q_index", "q_langid",
+      "q_decontaminate", "q_label", "q_source", "q_shard", "q_split",
+      "q_sample")
+    def docProbe(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("sum(octet_length(text))", "count(*)").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bytesSmall, docRowsSmall) = docProbe(small)
+    val (bytesLarge, docRowsLarge) = docProbe(large)
+    val byteGrowth = bytesLarge.toDouble / bytesSmall
+    val rowGrowth = docRowsLarge.toDouble / docRowsSmall
+    val textNorm = rowGrowth / byteGrowth // < 1 when docs widen with sf
+
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
     var errors = List.empty[String]
@@ -60,7 +84,8 @@ object ScaleCurve {
         // noise floor on the denominator: sub-0.2s timings are scheduler
         // jitter, and dividing by them manufactures fake ratios
         val ratio = tl / math.max(ts, 0.2)
-        Some((name, ts, tl, ratio))
+        val norm = if (docTextFamilies(family(name))) ratio * textNorm else ratio
+        Some((name, ts, tl, ratio, norm))
       } catch {
         case e: Throwable =>
           errors ::= name
@@ -68,13 +93,18 @@ object ScaleCurve {
           None
       }
     }
-    val flagged = rows.filter { case (_, _, tl, r) => r > flagRatio && tl > 2.0 }
+    val flagged = rows.filter { case (_, _, tl, _, nr) => nr > flagRatio && tl > 2.0 }
     val summary =
       s"""{"metric":"scalecurve","flag_ratio":$flagRatio,"n_queries":${rows.size},""" +
         s""""n_flagged":${flagged.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""n_errors":${errors.size},"small":"$small","large":"$large"}"""
-    val detail = rows.map { case (n, ts, tl, r) =>
-      s""""$n":{"t_small":$ts,"t_large":$tl,"ratio":${math.rint(r * 100) / 100}}"""
+        s""""n_errors":${errors.size},"small":"$small","large":"$large",""" +
+        s""""bytes_small":$bytesSmall,"bytes_large":$bytesLarge,""" +
+        s""""doc_rows_small":$docRowsSmall,"doc_rows_large":$docRowsLarge,""" +
+        s""""byte_growth":${math.rint(byteGrowth * 100) / 100},""" +
+        s""""row_growth":${math.rint(rowGrowth * 100) / 100}}"""
+    val detail = rows.map { case (n, ts, tl, r, nr) =>
+      s""""$n":{"t_small":$ts,"t_large":$tl,"ratio":${math.rint(r * 100) / 100}""" +
+        s""","norm_ratio":${math.rint(nr * 100) / 100}}"""
     }.mkString("{\"metric\":\"scalecurve_detail\",\"queries\":{", ",", "}}")
     GraftSession.emitJsonLines("tools/scalecurve_last.json", Seq(summary, detail))
     graft.sources.rest.StubServer.stop()

@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hex60Descriptor)
     ext.injectFunction(GraftExtensions.hilbertDescriptor)
     ext.injectFunction(GraftExtensions.kmvDescriptor)
+    ext.injectFunction(GraftExtensions.kllSketchDescriptor)
+    ext.injectFunction(GraftExtensions.kllMergeDescriptor)
+    ext.injectFunction(GraftExtensions.kllQuantileDescriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -69,11 +72,49 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val kllSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kll_sketch"),
+    new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kll_sketch takes (v BIGINT, k INT literal)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_sketch k must be an integer literal, got $other")
+      }
+      KllSketchAgg(children.head, k)
+    }
+  )
+
+  private[functions] val kllMergeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kll_merge"),
+    new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_kll_merge takes (sketch BINARY)")
+      KllMergeAgg(children.head)
+    }
+  )
+
+  private[functions] val kllQuantileDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kll_quantile"),
+    new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kll_quantile takes (sketch BINARY, q_ppm BIGINT)")
+      KllQuantile(children(0), children(1))
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor).foreach { case (id, info, builder) =>
+    Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor,
+      kllSketchDescriptor, kllMergeDescriptor, kllQuantileDescriptor
+    ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(SimplifyJsToNumber))

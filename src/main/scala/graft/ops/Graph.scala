@@ -76,6 +76,86 @@ object Graph {
     * coOccurrenceEdges so the cache manager serves one persisted copy
     * across the whole graph family.
     */
+  /** Capped distinct membership — the shared first stage of every
+    * co-occurrence census here (hot-group cap BEFORE the self-join, so
+    * a pathological group can never square it).
+    */
+  private def cappedMembership(groupNode: DataFrame, groupCol: String,
+      nodeCol: String, maxGroupSize: Long): DataFrame = {
+    val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n"))
+      .distinct().scopedPersist()
+    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("gsz")).scopedPersist()
+    val dropped = sizes.filter(col("gsz") > maxGroupSize).count()
+    if (dropped > 0)
+      System.err.println(
+        s"graft.Graph.cappedMembership: dropped $dropped group(s) larger than $maxGroupSize members")
+    m.join(sizes.filter(col("gsz") <= maxGroupSize).select("g"), Seq("g"))
+  }
+
+  /** (s1, s2, common) co-occurrence pair census over a capped membership. */
+  private def pairCensus(keep: DataFrame): DataFrame = {
+    val a = keep.select(col("g"), col("n").as("s1"))
+    val b = keep.select(col("g"), col("n").as("s2"))
+    a.join(b, Seq("g")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"))
+  }
+
+  /** DATA-DRIVEN support floor: the smallest shared-count whose
+    * cumulative census rank reaches ⌈(1000−keepPermille)·nPairs ⁄ 1000⌉
+    * — i.e. keep the top keepPermille‰ of pairs by co-occurrence
+    * strength (ties at the floor keep a few more). A FIXED absolute
+    * floor cannot survive scale changes: this repo's co-supply graph
+    * under the r1–r9 constant 145 had 754 edges at sf0.01 and ZERO at
+    * sf0.1/sf1 (shared-count distributions thin as the catalog grows),
+    * so every scale measurement of the family ran on an empty result.
+    * The count-of-counts census is tiny (distinct shared values), so the
+    * threshold resolves driver-side in plain integer arithmetic —
+    * metadata-scale, like the IVF seed collects.
+    */
+  def sharedFloorTop(census: DataFrame, keepPermille: Long): Long = {
+    val cc = census.groupBy(col("common")).agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = cc.map(_._2).sum
+    if (n == 0) return Long.MaxValue // empty census keeps no edges
+    val target = ((1000 - keepPermille) * n + 999) / 1000
+    var cum = 0L
+    var i = 0
+    var t = cc.last._1
+    var found = false
+    while (i < cc.length && !found) {
+      cum += cc(i)._2
+      if (cum >= target) { t = cc(i)._1; found = true }
+      i += 1
+    }
+    t
+  }
+
+  /** Co-occurrence pairs in the top keepPermille‰ by shared-group count
+    * — [[coOccurrenceEdges]] with [[sharedFloorTop]] in place of the
+    * scale-brittle absolute floor. Returns (s1, s2, common).
+    */
+  def topSharedPairs(groupNode: DataFrame, groupCol: String, nodeCol: String,
+      keepPermille: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
+    val pc = pairCensus(
+      cappedMembership(groupNode, groupCol, nodeCol, maxGroupSize)).scopedPersist()
+    pc.filter(col("common") >= sharedFloorTop(pc, keepPermille))
+  }
+
+  /** [[nodeJaccard]] with the data-driven top-permille support floor. */
+  def nodeJaccardTop(groupNode: DataFrame, groupCol: String, nodeCol: String,
+      keepPermille: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
+    val keep = cappedMembership(groupNode, groupCol, nodeCol, maxGroupSize)
+      .scopedPersist()
+    val deg = keep.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val pc = pairCensus(keep).scopedPersist()
+    pc.filter(col("common") >= sharedFloorTop(pc, keepPermille))
+      .join(deg.select(col("n").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("n").as("s2"), col("d").as("d2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"), col("d1"), col("d2"),
+        expr("common * 1000000 div (d1 + d2 - common)").as("jaccard_ppm"))
+  }
+
   def nodeJaccard(groupNode: DataFrame, groupCol: String, nodeCol: String,
                   minShared: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
     val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().scopedPersist()

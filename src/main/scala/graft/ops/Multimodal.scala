@@ -210,7 +210,7 @@ object Multimodal {
         .putShort(1).putShort(nCh.toShort).putInt(rate)
         .putInt(rate * nCh * 2).putShort((nCh * 2).toShort).putShort(16)
       bb.put("LIST".getBytes("US-ASCII")).putInt(6)
-        .put("junk! ".getBytes("US-ASCII")) // even size: no pad byte
+        .put("junk!".getBytes("US-ASCII")).put(0.toByte) // even size: no pad byte
       bb.put("data".getBytes("US-ASCII")).putInt(dataSz)
       var j = 0
       while (j < nSamp) {
@@ -2007,4 +2007,224 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("media_id"), col("frame_idx"), col("frame"))
+
+  /** One MP4 track row: file-level facts (brand, movie header, top-box
+    * census) repeated per track — the RELATION shape (like
+    * [[TarMember]]) so the per-file census is a plain Spark groupBy
+    * downstream, where it belongs.
+    */
+  final case class Mp4Track(media_id: Long, brand: String,
+                            mv_timescale: Long, mv_duration: Long,
+                            n_top_boxes: Int, track_id: Long,
+                            handler: String, codec: String,
+                            tk_duration: Long, md_timescale: Long,
+                            md_duration: Long, lang: String)
+
+  /** REAL ISO-BMFF (MP4) box walker — the container a multimodal video
+    * ingest reads FIRST, and the sixteenth byte-level format here. New
+    * wrinkle vs the flat GIF/RIFF/tar walks: boxes NEST (moov → trak →
+    * mdia → minf → stbl), sizes are big-endian u32 with two escapes
+    * (size 1 → u64 largesize follows the fourcc; size 0 → box runs to
+    * the end of its container), and header boxes are version-switched
+    * (mvhd/tkhd/mdhd v0 = 32-bit times, v1 = 64-bit). The walk verifies
+    * every box header (printable fourcc, size ≥ 8 or a legal escape,
+    * no overrun of the ENCLOSING box), descends only known containers,
+    * skips unknown boxes by size without reading their bodies (mdat is
+    * never touched), and extracts the per-track census: tkhd id +
+    * duration (movie units), mdhd timescale + duration + packed 5-bit
+    * language, hdlr handler type, and the first stsd sample-entry
+    * fourcc as the codec. Malformed payloads fail loudly like every
+    * other decoder in this file. Spec: Mp4Spec.
+    */
+  def decodeMp4(rows: Iterator[MediaRow]): Iterator[Mp4Track] = rows.flatMap { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int): String = {
+      (0 until 4).foreach { j =>
+        val c = u8(i + j)
+        require(c >= 0x20 && c <= 0x7e,
+          s"bad fourcc byte 0x${c.toHexString} at ${i + j}: media ${r.media_id}")
+      }
+      new String(b, i, 4, "US-ASCII")
+    }
+    /** All child boxes of [start, end) as (type, bodyStart, bodyEnd). */
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var i = start
+      while (i < end) {
+        require(i + 8 <= end, s"truncated box header at byte $i: media ${r.media_id}")
+        val sz = u32(i)
+        val typ = fourcc(i + 4)
+        val (bodyStart, boxEnd) =
+          if (sz == 0) (i + 8, end) // runs to the end of the container
+          else if (sz == 1) {
+            require(i + 16 <= end, s"truncated largesize for '$typ': media ${r.media_id}")
+            val lsz = u64(i + 8)
+            require(lsz >= 16, s"largesize $lsz < 16 for '$typ': media ${r.media_id}")
+            require(i + lsz <= end, s"'$typ' largesize overruns container: media ${r.media_id}")
+            (i + 16, (i + lsz).toInt)
+          } else {
+            require(sz >= 8, s"box size $sz < 8 for '$typ' at byte $i: media ${r.media_id}")
+            require(i + sz <= end, s"'$typ' (size $sz) overruns container: media ${r.media_id}")
+            (i + 8, (i + sz).toInt)
+          }
+        out += ((typ, bodyStart, boxEnd))
+        i = boxEnd
+      }
+      out.toSeq
+    }
+    def find(kids: Seq[(String, Int, Int)], typ: String): (Int, Int) =
+      kids.collectFirst { case (`typ`, s, e) => (s, e) }.getOrElse(
+        throw new IllegalArgumentException(s"no '$typ' box: media ${r.media_id}"))
+
+    val top = boxes(0, b.length)
+    val (fs, fe) = find(top, "ftyp")
+    require(fe - fs >= 8, s"ftyp too short: media ${r.media_id}")
+    val brand = fourcc(fs)
+    val (ms, me) = find(top, "moov")
+    val moovKids = boxes(ms, me)
+    val (mvS, _) = find(moovKids, "mvhd")
+    val (mvTs, mvDur) = u8(mvS) match {
+      case 1 => (u32(mvS + 20), u64(mvS + 24)) // v1: u64 times
+      case 0 => (u32(mvS + 12), u32(mvS + 16)) // v0: u32 times
+      case v => throw new IllegalArgumentException(
+        s"unknown mvhd version $v: media ${r.media_id}")
+    }
+    val traks = moovKids.collect { case ("trak", s, e) => (s, e) }
+    require(traks.nonEmpty, s"moov has no trak: media ${r.media_id}")
+    traks.map { case (ts0, te0) =>
+      val kids = boxes(ts0, te0)
+      val (tkS, _) = find(kids, "tkhd")
+      val (tkId, tkDur) = u8(tkS) match {
+        case 1 => (u32(tkS + 20), u64(tkS + 28))
+        case 0 => (u32(tkS + 12), u32(tkS + 20))
+        case v => throw new IllegalArgumentException(
+          s"unknown tkhd version $v: media ${r.media_id}")
+      }
+      val (mdiaS, mdiaE) = find(kids, "mdia")
+      val mdiaKids = boxes(mdiaS, mdiaE)
+      val (mdS, _) = find(mdiaKids, "mdhd")
+      val (mdTs, mdDur, langOff) = u8(mdS) match {
+        case 1 => (u32(mdS + 20), u64(mdS + 24), mdS + 32)
+        case 0 => (u32(mdS + 12), u32(mdS + 16), mdS + 20)
+        case v => throw new IllegalArgumentException(
+          s"unknown mdhd version $v: media ${r.media_id}")
+      }
+      require(mdTs != 0, s"mdhd timescale is zero: media ${r.media_id}")
+      val packed = u16(langOff)
+      val lang = new String(Array(
+        (((packed >> 10) & 0x1f) + 0x60).toChar,
+        (((packed >> 5) & 0x1f) + 0x60).toChar,
+        ((packed & 0x1f) + 0x60).toChar))
+      val (hdS, _) = find(mdiaKids, "hdlr")
+      val handler = fourcc(hdS + 8) // version/flags(4) + pre_defined(4)
+      val (minfS, minfE) = find(mdiaKids, "minf")
+      val (stblS, stblE) = find(boxes(minfS, minfE), "stbl")
+      val (stsdS, stsdE) = find(boxes(stblS, stblE), "stsd")
+      require(u32(stsdS + 4) >= 1, s"stsd has no sample entry: media ${r.media_id}")
+      require(stsdE - stsdS >= 16, s"stsd too short: media ${r.media_id}")
+      val codec = fourcc(stsdS + 12) // v/f(4) + entry_count(4) + entry size(4)
+      Mp4Track(r.media_id, brand, mvTs, mvDur, top.length, tkId,
+        handler, codec, tkDur, mdTs, mdDur, lang)
+    }
+  }
+
+  /** MP4 pipeline — same narrow mapPartitions seam as the other decoders. */
+  def extractMp4Tracks(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeMp4).toDF()
+  }
+
+  /** Deterministic ISO-BMFF fixture per id, every stat analytic so the
+    * oracle recomputes the whole track relation WITHOUT parsing a byte:
+    * brand isom/mp42 by id parity; movie timescale 600·(1 + id%3),
+    * duration 500 + id%100000; 1 + id%3 tracks — track t is vide/avc1
+    * on even t, soun/mp4a on odd, tkhd duration 200 + (3id+7t)%40000,
+    * mdhd timescale 1000·(1 + (id+t)%4), duration 100 + (7id+11t)%500000,
+    * language chr(97 + (id+t)%26) + "nd" packed 5-bit. Parser hazards
+    * planted by formula: mvhd/tkhd/mdhd alternate v0/v1 layouts; a udta
+    * box of formula junk inside moov that must be skipped by size; a
+    * vmhd/smhd leaf inside minf; an mdat that uses the size==1 u64
+    * largesize escape when id%4 = 0; and a trailing free box with the
+    * size==0 runs-to-EOF escape when id%5 = 0 (so n_top_boxes =
+    * 3 + [id%5=0]).
+    */
+  def syntheticMp4(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+      def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+        val b = body.flatten.toArray
+        be32(b.length + 8L) ++ typ.getBytes("US-ASCII") ++ b
+      }
+      val nTracks = 1 + (id % 3).toInt
+      val mvTs = 600L * (1 + id % 3)
+      val mvDur = 500L + id % 100000
+      val mvhd =
+        if (id % 2 == 1) box("mvhd", Array(1.toByte, 0, 0, 0),
+          be64(0), be64(0), be32(mvTs), be64(mvDur), Array.fill[Byte](80)(0))
+        else box("mvhd", Array[Byte](0, 0, 0, 0),
+          be32(0), be32(0), be32(mvTs), be32(mvDur), Array.fill[Byte](80)(0))
+      val traks = (0 until nTracks).map { t =>
+        val vide = t % 2 == 0
+        val tkDur = 200L + (3 * id + 7 * t) % 40000
+        val mdTs = 1000L * (1 + (id + t) % 4)
+        val mdDur = 100L + (7 * id + 11 * t) % 500000
+        val c1 = 1 + ((id + t) % 26).toInt // 5-bit code of 'a'+…
+        val langPacked = (c1 << 10) | (('n' - 0x60) << 5) | ('d' - 0x60)
+        val tkhd =
+          if ((id + t) % 2 == 1) box("tkhd", Array(1.toByte, 0, 0, 7),
+            be64(0), be64(0), be32(t + 1L), be32(0), be64(tkDur),
+            Array.fill[Byte](60)(0))
+          else box("tkhd", Array[Byte](0, 0, 0, 7),
+            be32(0), be32(0), be32(t + 1L), be32(0), be32(tkDur),
+            Array.fill[Byte](60)(0))
+        val mdhd =
+          if ((id + t + 1) % 2 == 1) box("mdhd", Array(1.toByte, 0, 0, 0),
+            be64(0), be64(0), be32(mdTs), be64(mdDur), be16(langPacked), be16(0))
+          else box("mdhd", Array[Byte](0, 0, 0, 0),
+            be32(0), be32(0), be32(mdTs), be32(mdDur), be16(langPacked), be16(0))
+        val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+          (if (vide) "vide" else "soun").getBytes("US-ASCII"),
+          be32(0), be32(0), be32(0), Array[Byte](0))
+        val entry = be32(16L) ++
+          (if (vide) "avc1" else "mp4a").getBytes("US-ASCII") ++
+          Array.fill[Byte](8)(0)
+        val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+        val mediaHdr = // vmhd/smhd leaf the walk must pass over inside minf
+          if (vide) box("vmhd", Array[Byte](0, 0, 0, 1), Array.fill[Byte](8)(0))
+          else box("smhd", Array[Byte](0, 0, 0, 0), be16(0), be16(0))
+        val minf = box("minf", mediaHdr, box("stbl", stsd))
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+      }
+      val junkLen = 1 + (id % 7).toInt
+      val udta = box("udta",
+        (0 until junkLen).map(j => ((id + j) % 256).toByte).toArray)
+      val moov = box("moov", Seq(mvhd) ++ traks ++ Seq(udta): _*)
+      val ftyp = box("ftyp",
+        (if (id % 2 == 0) "isom" else "mp42").getBytes("US-ASCII"),
+        be32(0x200), "isom".getBytes("US-ASCII"), "avc1".getBytes("US-ASCII"))
+      val mdatBody = (0 until 3 + (id % 9).toInt).map(j => ((id * 5 + j) % 256).toByte).toArray
+      val mdat =
+        if (id % 4 == 0) // largesize escape: size==1, u64 follows fourcc
+          be32(1) ++ "mdat".getBytes("US-ASCII") ++ be64(mdatBody.length + 16L) ++ mdatBody
+        else box("mdat", mdatBody)
+      val free = // size==0 runs-to-EOF escape on the last top-level box
+        if (id % 5 == 0)
+          be32(0) ++ "free".getBytes("US-ASCII") ++
+            (0 until 2 + (id % 3).toInt).map(_ => 0.toByte).toArray
+        else Array.empty[Byte]
+      MediaRow(id, "video/mp4", ftyp ++ moov ++ mdat ++ free)
+    }.toDF()
+  }
 }

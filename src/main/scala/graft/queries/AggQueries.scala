@@ -229,7 +229,9 @@ object AggQueries {
         .agg(max(col("dev")).as("d_num"))
         .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
           col("d_num").cast("long").as("d_num"),
-          expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"),
+          expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+                 |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""".stripMargin)
+            .as("d_ppm"),
           expr("""CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))
                  |  * 1000000
                  |  > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
@@ -445,11 +447,12 @@ object AggQueries {
           sum(col("c") * col("c") * col("c") - col("c")).as("tie_t"))
         .withColumn("dd", lit(2) * col("w2p") - col("n") * (col("n") + lit(1)))
         .select(col("n"), col("w2p"), col("tie_t"),
-          expr("""dd * dd * 3 * 1000000
-                 |  div (2 * n * (n + 1) * (2 * n + 1) - tie_t)""".stripMargin)
-            .as("z2_ppm"),
-          expr("""dd * dd * 3 * 10000
-                 |  > 38416 * (2 * n * (n + 1) * (2 * n + 1) - tie_t)""".stripMargin)
+          expr("""CAST(CAST(dd AS DECIMAL(38,0)) * dd * 3 * 1000000
+                 |  div (2 * n * (n + 1) * (2 * n + 1) - tie_t) AS BIGINT)"""
+            .stripMargin).as("z2_ppm"),
+          expr("""CAST(dd AS DECIMAL(38,0)) * dd * 3 * 10000
+                 |  > CAST(38416 AS DECIMAL(38,0))
+                 |    * (2 * n * (n + 1) * (2 * n + 1) - tie_t)""".stripMargin)
             .as("reject_95"))
     }),
 
@@ -878,7 +881,11 @@ object AggQueries {
         .select(col("band"), col("n").cast("long").as("n"),
           col("k").cast("long").as("n_converted"),
           expr("k * 1000000 div n").as("rate_ppm"),
-          expr("k * n_tot * 1000000 div (n * k_tot)").as("lift_ppm"))
+          // k·n_tot·1e6 passes 2^63 near sf100 (k ~ 3e7, n_tot ~ 1.5e8)
+          // — DECIMAL(38,0)-widened like the KS/Wilcoxon ppm numerators
+          expr("""CAST(CAST(k AS DECIMAL(38,0)) * n_tot * 1000000
+                 |  div (CAST(n AS DECIMAL(38,0)) * k_tot) AS BIGINT)"""
+            .stripMargin).as("lift_ppm"))
         .orderBy(col("band"))
     }),
 
@@ -1299,7 +1306,8 @@ object AggQueries {
         |dd AS (SELECT CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT)
         |         AS d_num FROM c, t)
         |SELECT t.n1, t.n2, dd.d_num,
-        |  CAST(dd.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
+        |  CAST(dd.d_num::HUGEINT * 1000000 // (t.n1::HUGEINT * t.n2)
+        |    AS BIGINT) AS d_ppm,
         |  dd.d_num::HUGEINT * dd.d_num::HUGEINT * 1000000::HUGEINT
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
@@ -1341,7 +1349,8 @@ object AggQueries {
         |        t.n, t.tv
         |      FROM cum, t),
         |m AS (SELECT decile, MAX(cumc) AS cum_orders FROM d GROUP BY decile)
-        |SELECT m.decile, CAST(m.cum_orders AS BIGINT) AS cum_orders,
+        |SELECT CAST(m.decile AS BIGINT) AS decile,
+        |  CAST(m.cum_orders AS BIGINT) AS cum_orders,
         |  CAST(d.cumv::HUGEINT * 1000000 // d.tv AS BIGINT) AS cum_value_ppm
         |FROM m JOIN d ON m.decile = d.decile AND m.cum_orders = d.cumc
         |ORDER BY m.decile""".stripMargin,
@@ -1537,9 +1546,10 @@ object AggQueries {
         |        CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t FROM r),
         |z AS (SELECT n, w2p, tie_t, 2 * w2p - n * (n + 1) AS dd FROM g)
         |SELECT n, w2p, tie_t,
-        |  CAST(dd * dd * 3 * 1000000
+        |  CAST(dd::HUGEINT * dd * 3 * 1000000
         |    // (2 * n * (n + 1) * (2 * n + 1) - tie_t) AS BIGINT) AS z2_ppm,
-        |  dd * dd * 3 * 10000 > 38416 * (2 * n * (n + 1) * (2 * n + 1) - tie_t)
+        |  dd::HUGEINT * dd * 3 * 10000
+        |    > 38416::HUGEINT * (2 * n * (n + 1) * (2 * n + 1) - tie_t)
         |    AS reject_95
         |FROM z""".stripMargin,
 
@@ -1695,7 +1705,8 @@ object AggQueries {
         |        CAST(SUM(k) AS BIGINT) AS k_tot FROM bands)
         |SELECT band, n, k AS n_converted,
         |  CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
-        |  CAST(k * n_tot * 1000000 // (n * k_tot) AS BIGINT) AS lift_ppm
+        |  CAST(k::HUGEINT * n_tot * 1000000 // (n::HUGEINT * k_tot)
+        |    AS BIGINT) AS lift_ppm
         |FROM bands, t ORDER BY band""".stripMargin,
 
     "q_agg_pct_exact" ->

@@ -7,15 +7,15 @@ import graft.engine.QueryBuilder.scan
 import graft.ops.Graph
 
 /** Graph-operator tier over edge tables derived from the star schema:
-  * a supplier co-supply graph (suppliers sharing ≥145 distinct parts) and
-  * the customer↔supplier order bipartite graph. Degree stats, exact
+  * a supplier co-supply graph (the top 10% of supplier pairs by shared
+  * distinct parts — a data-driven census floor, see Graph.sharedFloorTop)
+  * and the customer↔supplier order bipartite graph. Degree stats, exact
   * degree-ordered triangle counting, and integer-scaled PageRank — all
   * oracle-checked bit-for-bit against DuckDB (integer math only; see
   * Graph.scala scaladoc for why that matters).
   */
 object GraphQueries {
 
-  private val MinShared = 145L
   private val SuppOffset = 1000000L
   // 3 rounds, mirrored by the oracle's i1/i2/i3 CTE chain. Round-6 cost
   // breakdown (warm TimeOne, sf0.1): graph build + withDeg
@@ -34,9 +34,14 @@ object GraphQueries {
   private def coSupply(s: SparkSession, d: String): DataFrame =
     // explicit hot-group cap: far above TPC-H's suppliers-per-part (~10)
     // at any SF, so the DuckDB oracle (no cap) stays equivalent, while a
-    // pathological group can never square the join
-    Graph.coOccurrenceEdges(scan(s, d, "lineitem"), "l_partkey", "l_suppkey", MinShared,
-        maxGroupSize = 100000)
+    // pathological group can never square the join. Support floor is the
+    // DATA-DRIVEN top-10% census rank (Graph.sharedFloorTop) — the r1–r9
+    // absolute floor (145 shared parts) emptied the graph at sf≥0.1
+    // (max shared there is 42), so the family's scale records measured
+    // empty results; the census floor keeps edge density scale-stable
+    Graph.topSharedPairs(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
+        keepPermille = 100, maxGroupSize = 100000)
+      .select(col("s1"), col("s2"))
       .scopedPersist()
 
   /** customer↔supplier bipartite, both directions; supplier ids offset so
@@ -188,7 +193,7 @@ object GraphQueries {
     // extraction that degree alone (q_graph_degree) overcounts, since
     // a high-degree node whose neighbors all get peeled is no core
     "q_graph_kcore" -> ((s: SparkSession, d: String) =>
-      Graph.kCore(coSupply(s, d), k = 10L, rounds = 6).orderBy(col("node"))),
+      Graph.kCore(coSupply(s, d), k = 8L, rounds = 6).orderBy(col("node"))),
 
     // COMMUNITY DETECTION: 4 synchronous label-propagation rounds over
     // the co-supply graph — deterministic LPA (mode of neighbor labels,
@@ -243,16 +248,28 @@ object GraphQueries {
     // support floor, not the limit (see Graph.nodeJaccard for the
     // hot-group-cap scale bound)
     "q_graph_jaccard" -> ((s: SparkSession, d: String) =>
-      Graph.nodeJaccard(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
-          minShared = 120L, maxGroupSize = 100000)
+      // same data-driven top-10% support floor as coSupply: the r1–r9
+      // absolute floor (120) kept 0 pairs at sf≥0.1 — see sharedFloorTop
+      Graph.nodeJaccardTop(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
+          keepPermille = 100, maxGroupSize = 100000)
         .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2")).limit(50))
   )
 
-  /** Shared DuckDB CTE: the thresholded co-supply edge list. */
+  /** Shared DuckDB CTE: the co-supply edge list under the same
+    * data-driven top-10% support floor as the engine (census →
+    * count-of-counts → ⌈0.9·n⌉ cumulative rank → min qualifying count).
+    */
   private val edgeCte =
     s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       |g AS (SELECT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-       |      GROUP BY a.s, b.s HAVING count(*) >= $MinShared)""".stripMargin
+       |pc AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
+       |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       |       GROUP BY a.s, b.s),
+       |ccc AS (SELECT common AS c, CAST(count(*) AS BIGINT) AS k FROM pc GROUP BY common),
+       |np AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM ccc),
+       |th AS (SELECT CAST(MIN(c) AS BIGINT) AS t
+       |       FROM (SELECT c, SUM(k) OVER (ORDER BY c) AS cum FROM ccc) cw, np
+       |       WHERE cw.cum >= (900 * np.n + 999) // 1000),
+       |g AS (SELECT pc.s1, pc.s2 FROM pc, th WHERE pc.common >= th.t)""".stripMargin
 
   /** One PageRank round as SQL (prev CTE name -> this round's SELECT). */
   private def prRound(prev: String): String =
@@ -367,7 +384,7 @@ object GraphQueries {
     "q_graph_kcore" ->
       s"""$edgeCte,
          |e0 AS MATERIALIZED (SELECT s1, s2 FROM g),
-         |${(0 until 6).map(i => peelRound(i, 10L)).mkString(",\n")}
+         |${(0 until 6).map(i => peelRound(i, 8L)).mkString(",\n")}
          |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
          |FROM (SELECT s1 AS n FROM e6 UNION ALL SELECT s2 FROM e6)
          |GROUP BY n ORDER BY node""".stripMargin,
@@ -381,9 +398,15 @@ object GraphQueries {
         |ok AS (SELECT p FROM ps0 GROUP BY p HAVING count(*) <= 100000),
         |ps AS (SELECT ps0.p, ps0.s FROM ps0 JOIN ok ON ps0.p = ok.p),
         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY s),
-        |pr AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
+        |pc AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
         |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-        |       GROUP BY a.s, b.s HAVING count(*) >= 120)
+        |       GROUP BY a.s, b.s),
+        |ccc AS (SELECT common AS c, CAST(count(*) AS BIGINT) AS k FROM pc GROUP BY common),
+        |np AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM ccc),
+        |th AS (SELECT CAST(MIN(c) AS BIGINT) AS t
+        |       FROM (SELECT c, SUM(k) OVER (ORDER BY c) AS cum FROM ccc) cw, np
+        |       WHERE cw.cum >= (900 * np.n + 999) // 1000),
+        |pr AS (SELECT pc.s1, pc.s2, pc.common FROM pc, th WHERE pc.common >= th.t)
         |SELECT pr.s1, pr.s2, pr.common, d1.d AS d1, d2.d AS d2,
         |  CAST(pr.common * 1000000 // (d1.d + d2.d - pr.common) AS BIGINT) AS jaccard_ppm
         |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s

@@ -329,6 +329,23 @@ object MultimodalQueries {
           length(col("frame")).as("frame_len"),
           md5(col("frame")).as("frame_md5"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // REAL video-container decode: deterministic ISO-BMFF (MP4) streams
+    // walked by the genuine nested box parser (Multimodal.decodeMp4 —
+    // big-endian u32 sizes with the size==1 u64-largesize and size==0
+    // runs-to-EOF escapes, v0/v1 version-switched mvhd/tkhd/mdhd,
+    // descend-known/skip-unknown recursion down moov→trak→mdia→minf→
+    // stbl→stsd) emitting the per-TRACK relation a video ingest
+    // catalogs first: handler, codec fourcc, timescales, durations,
+    // packed 5-bit language — plus the exact per-track milliseconds as
+    // in-plan integer arithmetic. The oracle recomputes the whole
+    // relation from the fixture formula WITHOUT parsing a byte
+    "q_multimodal_mp4" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractMp4Tracks(
+        Multimodal.syntheticMp4(scan(s, d, "documents"), "doc_id"))
+        .withColumn("dur_ms", expr("md_duration * 1000 div md_timescale"))
+        .orderBy(col("media_id"), col("track_id"))
     })
   )
 
@@ -809,6 +826,29 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(length(substring(text, CAST(frame_idx AS INT) * 16 + 1, 16)) AS INT) AS frame_len,
         |  md5(substring(text, CAST(frame_idx AS INT) * 16 + 1, 16)) AS frame_md5
-        |FROM idx ORDER BY media_id, frame_idx""".stripMargin
+        |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
+
+    // formula replay of the ISO-BMFF fixture: brand by id parity, movie
+    // header 600·(1+id%3) / 500+id%100000, track t of 1+id%3 alternates
+    // vide+avc1 / soun+mp4a, durations and timescales by the planted
+    // formulas, language chr(97+(id+t)%26)+"nd", top boxes 3+[id%5=0]
+    "q_multimodal_mp4" ->
+      """WITH tr AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS t
+        |            FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 * (1 + doc_id % 3) AS BIGINT) AS mv_timescale,
+        |  CAST(500 + doc_id % 100000 AS BIGINT) AS mv_duration,
+        |  CAST(3 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_top_boxes,
+        |  CAST(t + 1 AS BIGINT) AS track_id,
+        |  CASE WHEN t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+        |  CASE WHEN t % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
+        |  CAST(200 + (3 * doc_id + 7 * t) % 40000 AS BIGINT) AS tk_duration,
+        |  CAST(1000 * (1 + (doc_id + t) % 4) AS BIGINT) AS md_timescale,
+        |  CAST(100 + (7 * doc_id + 11 * t) % 500000 AS BIGINT) AS md_duration,
+        |  chr(97 + CAST((doc_id + t) % 26 AS INT)) || 'nd' AS lang,
+        |  CAST((100 + (7 * doc_id + 11 * t) % 500000) * 1000
+        |    // (1000 * (1 + (doc_id + t) % 4)) AS BIGINT) AS dur_ms
+        |FROM tr ORDER BY media_id, track_id""".stripMargin
   )
 }

@@ -203,9 +203,10 @@ object QualityQueries {
     // equals the i<m sum. Shape: one row-level aggregation to the
     // (class, band) census, then everything runs on a dimension-sized
     // grid (classes x global bands, broadcast nested-loop — ~125x11
-    // rows at ANY data scale). BIGINT bound: |cumdiff| <= n_g*N and the
-    // ppm numerator <= m*n_g*N*1e6 ~ 1e17 at sf1; a 100 TB deploy
-    // lifts the two products to DECIMAL(38,0)
+    // rows at ANY data scale). BIGINT bound: |cumdiff| <= n_g*N (~2e13
+    // at sf100, fits); the ppm numerator would not (m*n_g*N*1e6 ~ 2e19),
+    // so it is DECIMAL(38,0)-widened — matching the oracle, whose
+    // SUM OVER already rides HUGEINT
     "q_dq_tcloseness" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val tPpm = 200000L // t = 0.2
@@ -233,7 +234,8 @@ object QualityQueries {
           max(col("n_g") * col("n_tot") * (col("m") - 1)).as("emd_den"))
         .select(col("seg"), col("nat").cast("long").as("nat"),
           col("n_rows").cast("long").as("n_rows"),
-          expr("emd_num * 1000000 div emd_den").as("emd_ppm"))
+          expr("""CAST(CAST(emd_num AS DECIMAL(38,0)) * 1000000
+                 |  div emd_den AS BIGINT)""".stripMargin).as("emd_ppm"))
         .withColumn("t_violation", col("emd_ppm") > tPpm)
         .orderBy(col("seg"), col("nat"))
     }),

@@ -327,6 +327,61 @@ object SqlFunctionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // KLL mergeable quantile sketch (functions/Kll.scala, the
+    // TypedImperativeAggregate family's third member after KmvDistinct)
+    // — the bounded-state percentile answer at 100 TB: per-partition
+    // state is O(k) weighted values, partials merge in any order, and
+    // every estimate is an actual data element whose TRUE rank the
+    // census side then checks against a ±1.5 % window (the
+    // q_agg_approx_pct two-sided pattern — layout-invariant boolean,
+    // KllSpec pins the envelope at <0.7 % observed for k=256). The
+    // exact element at rank ⌈q·n⌉ rides the q_agg_ks two-level
+    // distributed prefix spine (bucket census → per-priority bucket
+    // prefix → within-bucket windows), so nothing data-sized crosses a
+    // single-task window; every join against the census broadcasts the
+    // 20-row quantile side
+    "q_agg_kll" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftExtensions.install(s)
+      val o = scan(s, d, "orders").select(col("o_orderpriority").as("pr"),
+        floor(col("o_totalprice") * 100).cast("long").as("v"))
+      val census = o.groupBy(col("pr"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = census.groupBy(col("pr"), col("b")).agg(sum(col("c")).as("sc"))
+      val wb = Window.partitionBy(col("pr")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt.withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("pr"), col("b"), col("p"))
+      val wv = Window.partitionBy(col("pr"), col("b")).orderBy(col("v"))
+      val cum = census.join(broadcast(bpre), Seq("pr", "b"))
+        .withColumn("cum", col("p") + sum(col("c")).over(wv))
+        .select(col("pr"), col("v"), col("c"), col("cum"))
+      val n = census.groupBy(col("pr")).agg(sum(col("c")).as("n"))
+      val qs = s.range(1).select(explode(array(lit(250000L), lit(500000L),
+        lit(750000L), lit(875000L))).as("q_ppm"))
+      val est = o.groupBy(col("pr"))
+        .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+        .crossJoin(broadcast(qs))
+        .select(col("pr"), col("q_ppm"),
+          call_function("graft_kll_quantile", col("sk"), col("q_ppm")).as("est"))
+      val targets = n.crossJoin(broadcast(qs))
+        .withColumn("target", expr("(q_ppm * n + 999999) div 1000000"))
+        .select(col("pr"), col("q_ppm"), col("target"))
+      val exact = cum.join(broadcast(targets), Seq("pr"))
+        .where(col("cum") >= col("target"))
+        .groupBy(col("pr"), col("q_ppm")).agg(min(col("v")).as("exact_v"))
+      val estN = est.join(broadcast(n), Seq("pr"))
+      val bounds = cum.as("cc").join(broadcast(estN.as("ee")),
+          col("cc.pr") === col("ee.pr") && col("cc.v") === col("ee.est"))
+        .select(col("ee.pr").as("pr"), col("q_ppm"),
+          ((col("cum") - col("c")) * lit(1000000L) <=
+            (col("q_ppm") + lit(15000L)) * col("n") &&
+           col("cum") * lit(1000000L) >=
+            (col("q_ppm") - lit(15000L)) * col("n")).as("within_bound"))
+      exact.join(bounds, Seq("pr", "q_ppm"))
+        .orderBy(col("pr"), col("q_ppm"))
+    }),
+
     // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
     // keys and bucket ids are built from
     "q_bitwise" -> ((s: SparkSession, d: String) => {
@@ -474,7 +529,7 @@ object SqlFunctionQueries {
         |WHERE o_orderstatus <> 'F'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_expr_tonumber" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_num, 0.0 AS seg_num
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_num, CAST(0.0 AS DOUBLE) AS seg_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
@@ -580,6 +635,25 @@ object SqlFunctionQueries {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median,
         |  true AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // census replay of the exact element at rank ceil(q*n) per priority;
+    // the sketch side is graded by the deterministic rank-window boolean
+    "q_agg_kll" ->
+      """WITH v AS (SELECT o_orderpriority AS pr,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |c AS (SELECT pr, v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY pr, v),
+        |cum AS (SELECT pr, v, SUM(c) OVER (PARTITION BY pr ORDER BY v) AS cum
+        |        FROM c),
+        |n AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+        |q AS (SELECT unnest([250000, 500000, 750000, 875000]) AS q_ppm),
+        |t AS (SELECT n.pr, q.q_ppm, (q.q_ppm * n.n + 999999) // 1000000 AS target
+        |      FROM n, q),
+        |e AS (SELECT t.pr, t.q_ppm, CAST(MIN(cum.v) AS BIGINT) AS exact_v
+        |      FROM t JOIN cum ON cum.pr = t.pr AND cum.cum >= t.target
+        |      GROUP BY t.pr, t.q_ppm)
+        |SELECT pr, CAST(q_ppm AS BIGINT) AS q_ppm, exact_v,
+        |  true AS within_bound
+        |FROM e ORDER BY pr, q_ppm""".stripMargin,
 
     "q_agg_kmv_setops" -> {
       val hv = DedupQueries.sqlHex60Public("md5('ovl:' || CAST(user_id AS VARCHAR))")

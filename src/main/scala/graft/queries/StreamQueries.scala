@@ -628,11 +628,88 @@ object StreamQueries {
         .agg(max(col("dev")).as("d_num"))
         .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
           col("d_num").cast("long").as("d_num"),
-          expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"),
+          expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+                 |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""".stripMargin)
+            .as("d_ppm"),
           expr("""CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))
                  |  * 1000000
                  |  > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
             .stripMargin).as("reject_95"))
+    }),
+
+    // STREAMING KLL QUANTILES (the bounded-state percentile monitor
+    // beside q_stream_ks's census-state one): each micro-batch appends
+    // ONE serialized KLL sketch — O(k) bytes regardless of batch size,
+    // the state bound the census twins don't have — and graft_kll_merge
+    // folds the partials afterward (merge is order-tolerant within the
+    // sketch's rank bound, so batch slicing can't break the verdict).
+    // Estimates are graded by the same deterministic ±1.5 % rank-window
+    // boolean as q_agg_kll, against the exact element at rank ⌈q·n⌉
+    // from the staged table's census (two-level prefix spine); oracle =
+    // the census replay over events + literal true
+    "q_stream_kll" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftExtensions.install(s)
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_skll_src_$suffix"
+      val out = s"/tmp/graft_skll_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = batch
+              .select(floor(col("value") * 100).cast("long").as("v"))
+              .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out)
+        .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
+      val vals = s.read.parquet(stage)
+        .select(floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b")).agg(sum(col("c")).as("sc"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt.withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      val cum = vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum", col("p") + sum(col("c")).over(wv))
+        .select(col("v"), col("c"), col("cum"))
+      val n = vals.agg(sum(col("c")).as("n"))
+      val qs = s.range(1).select(explode(array(lit(250000L), lit(500000L),
+        lit(750000L), lit(875000L))).as("q_ppm"))
+      val est = sk.crossJoin(broadcast(qs)).select(col("q_ppm"),
+        call_function("graft_kll_quantile", col("sk"), col("q_ppm")).as("est"))
+      val targets = n.crossJoin(broadcast(qs))
+        .withColumn("target", expr("(q_ppm * n + 999999) div 1000000"))
+        .select(col("q_ppm"), col("target"))
+      val exact = cum.crossJoin(broadcast(targets))
+        .where(col("cum") >= col("target"))
+        .groupBy(col("q_ppm")).agg(min(col("v")).as("exact_v"))
+      val estN = est.crossJoin(broadcast(n))
+      val bounds = cum.as("cc").join(broadcast(estN.as("ee")),
+          col("cc.v") === col("ee.est"))
+        .select(col("q_ppm"),
+          ((col("cum") - col("c")) * lit(1000000L) <=
+            (col("q_ppm") + lit(15000L)) * col("n") &&
+           col("cum") * lit(1000000L) >=
+            (col("q_ppm") - lit(15000L)) * col("n")).as("within_bound"))
+      exact.join(bounds, Seq("q_ppm")).orderBy(col("q_ppm"))
     }),
 
     // STREAMING MANN–WHITNEY (the location-shift monitor beside
@@ -936,11 +1013,28 @@ object StreamQueries {
         |dd AS (SELECT CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT)
         |         AS d_num FROM c, t)
         |SELECT t.n1, t.n2, dd.d_num,
-        |  CAST(dd.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
+        |  CAST(dd.d_num::HUGEINT * 1000000 // (t.n1::HUGEINT * t.n2)
+        |    AS BIGINT) AS d_ppm,
         |  dd.d_num::HUGEINT * dd.d_num::HUGEINT * 1000000::HUGEINT
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    // exact element at rank ceil(q*n) over the full events value
+    // census; the merged-sketch side is graded by the deterministic
+    // rank-window boolean (same scheme as q_agg_kll's oracle)
+    "q_stream_kll" ->
+      """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM c),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+        |q AS (SELECT unnest([250000, 500000, 750000, 875000]) AS q_ppm),
+        |t AS (SELECT q.q_ppm, (q.q_ppm * n.n + 999999) // 1000000 AS target
+        |      FROM q, n),
+        |e AS (SELECT t.q_ppm, CAST(MIN(cum.v) AS BIGINT) AS exact_v
+        |      FROM t JOIN cum ON cum.cum >= t.target GROUP BY t.q_ppm)
+        |SELECT CAST(q_ppm AS BIGINT) AS q_ppm, exact_v, true AS within_bound
+        |FROM e ORDER BY q_ppm""".stripMargin,
 
     // incremental ≡ batch, like q_stream_ks: merged census → same
     // tie-corrected integer U statistic as a batch run over all events

@@ -112,7 +112,7 @@ object TransformQueries {
       """SELECT c_custkey, c_name || '-' || c_mktsegment AS name_seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_t_tonumber" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_num, 0.0 AS seg_num
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_num, CAST(0.0 AS DOUBLE) AS seg_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_t_extract" ->
       """SELECT p_partkey, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first,

@@ -144,4 +144,100 @@ object PayloadEncoders {
     * nested structs/arrays/maps recurse via [[stripeFormPairs]]. */
   def stripeFormEncode(row: Row): String =
     stripeFormEncode(row.schema.fieldNames.toSeq.map(f => f -> row.get(row.fieldIndex(f))))
+
+  // ---- JSON envelope encoders (the remaining K4 wrappers) -------------
+  //
+  // HubSpot, Zoho, and Xero POST their whole upload batch as one JSON
+  // body whose single envelope key wraps the item array; GitHub POSTs
+  // each item bare but validates a `title` string first. The JSON itself
+  // is what `JSON.stringify` (axios's serializer) produces: object keys
+  // in insertion order (= Row schema order here), doubles in ECMA
+  // Number::toString notation, strings with the stringify escape set
+  // (`"` `\` and C0 controls only — `/` and non-ASCII pass through).
+
+  /** JSON string literal with `JSON.stringify`'s exact escape set. */
+  private[graft] def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** One value as `JSON.stringify` renders it. Rows serialize as objects
+    * in schema order (the deterministic carrier); Seq/Array as arrays;
+    * Map in iteration order (pass `ListMap` when key order matters,
+    * same caveat as [[stripeFormPairs]]). Null renders as JSON null —
+    * stringify keeps null properties and drops only `undefined`, which
+    * has no Scala carrier here. */
+  private[graft] def jsonValue(v: Any): String = v match {
+    case null            => "null"
+    case s: String       => jsonQuote(s)
+    case b: Boolean      => b.toString
+    case n @ (_: Double | _: Float | _: java.math.BigDecimal) => jsNumberString(n)
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case seq: Seq[_]     => seq.map(jsonValue).mkString("[", ",", "]")
+    case arr: Array[_]   => arr.map(jsonValue).mkString("[", ",", "]")
+    case m: Map[_, _]    =>
+      m.map { case (k, x) => s"${jsonQuote(k.toString)}:${jsonValue(x)}" }
+        .mkString("{", ",", "}")
+    case r: Row =>
+      r.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => s"${jsonQuote(f)}:${jsonValue(r.get(i))}" }
+        .mkString("{", ",", "}")
+    case other           => jsonQuote(other.toString)
+  }
+
+  /** HubSpot batch-create body: `{"inputs": [...items]}` — the whole
+    * upload batch in one POST (hubspot/src/index.ts:532-537). */
+  def hubspotBatchBody(items: Seq[Row]): String =
+    s"""{"inputs":${items.map(jsonValue).mkString("[", ",", "]")}}"""
+
+  /** Zoho create body: `{"data": [...items]}`, rejecting batches over
+    * the POST-route page cap BEFORE any bytes go out, with the
+    * reference's message shape (zoho/src/index.ts:481-483, cap = 100 at
+    * index.ts:14). */
+  def zohoBatchBody(endpointId: String, items: Seq[Row],
+      maxItemsPerPage: Int = 100): String = {
+    if (items.length > maxItemsPerPage)
+      throw new IllegalArgumentException(
+        s"Number of items per page (${items.length}), exceeds the maximum " +
+          s"number allowed for the $endpointId endpoint of the Zoho adapter " +
+          s"($maxItemsPerPage)")
+    s"""{"data":${items.map(jsonValue).mkString("[", ",", "]")}}"""
+  }
+
+  /** Xero body: the envelope key is the RESOURCE SEGMENT of the endpoint
+    * path — `path.split('/')[1]`, so "/Invoices" wraps as
+    * `{"Invoices": [...]}` (xero/src/index.ts:408-411). */
+  def xeroBatchBody(endpointPath: String, items: Seq[Row]): String = {
+    val resource = endpointPath.split('/').lift(1).getOrElse(
+      throw new IllegalArgumentException(
+        s"Xero endpoint path '$endpointPath' has no resource segment"))
+    s"""{${jsonQuote(resource)}:${items.map(jsonValue).mkString("[", ",", "]")}}"""
+  }
+
+  /** GitHub issue-create item: each row POSTs individually after the
+    * reference's validation — a falsy or non-string `title` (absent
+    * field, null, empty string) fails the whole upload
+    * (github/src/index.ts:226-228). */
+  def githubIssueBody(item: Row): String = {
+    val ok = item.schema.fieldNames.contains("title") && {
+      item.getAs[Any]("title") match {
+        case s: String => s.nonEmpty // JS: "" is falsy
+        case _         => false
+      }
+    }
+    if (!ok) throw new IllegalArgumentException(
+      "Each upload item must have a 'title' string field")
+    jsonValue(item)
+  }
 }

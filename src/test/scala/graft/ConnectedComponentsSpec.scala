@@ -37,4 +37,40 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
+
+  // ---- large-star/small-star alternation (Kiveris 2014) --------------
+
+  test("star-contraction CC matches min-label on the mixed fixture") {
+    val got = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("star-contraction resolves a 64-node chain in O(log n) rounds, not diameter") {
+    val chain = (1L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    // diameter 63 would blow the 30-round cap if this were propagation;
+    // alternation must land well inside it
+    val got = Dedup.connectedComponentsStar(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("star-contraction equals min-label across shapes: reversed ids, cliques, bridges") {
+    val shapes = Seq(
+      // descending-id chain: minima sit at the FAR end of every path
+      (100L to 110L).sliding(2).map(s => (s.last, s.head)).toSeq,
+      // two cliques joined by one bridge
+      (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+        (for { a <- 7L to 9L; b <- 7L to 9L if a < b } yield (a, b)) ++ Seq((4L, 7L)),
+      // self-loop + duplicate + reversed duplicate edges must not confuse either
+      Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
+    shapes.foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val minLabel = Dedup.connectedComponents(df, forceDistributed = true)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(star == minLabel, s"shape $edges")
+    }
+  }
 }

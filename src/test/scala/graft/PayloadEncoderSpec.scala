@@ -128,6 +128,82 @@ class PayloadEncoderSpec extends SparkSpec {
     assert(PayloadEncoderSpec.posted.toArray.map(_.toString).toSeq ==
       Seq("name=Gold+Plan&amount=1999&metadata%5Benv%5D=prod&metadata%5Bnote%5D=a%26b%3Dc+d"))
   }
+
+  // ---- JSON envelope encoders (HubSpot / Zoho / Xero / GitHub K4) ----
+
+  private def mkRow(fields: (String, Any)*): Row = {
+    val schema = StructType(fields.map { case (n, v) =>
+      StructField(n, v match {
+        case _: String  => StringType
+        case _: Int     => IntegerType
+        case _: Long    => LongType
+        case _: Double  => DoubleType
+        case _: Boolean => BooleanType
+        case _          => StringType
+      }, nullable = true)
+    })
+    new GenericRowWithSchema(fields.map(_._2).toArray, schema)
+  }
+
+  test("hubspot batch body: {inputs: [...]} with JSON.stringify escapes and JS numbers") {
+    val rows = Seq(
+      mkRow("email" -> "a@b.c", "firstname" -> "Ann", "score" -> 42),
+      mkRow("email" -> "d@e.f", "firstname" -> "Bo \"Bob\"\nJr", "score" -> 7))
+    assert(PayloadEncoders.hubspotBatchBody(rows) ==
+      """{"inputs":[{"email":"a@b.c","firstname":"Ann","score":42},""" +
+      """{"email":"d@e.f","firstname":"Bo \"Bob\"\nJr","score":7}]}""")
+    // null property is KEPT as JSON null (stringify drops only undefined);
+    // doubles print in ECMA notation (no trailing .0); unicode passes raw
+    assert(PayloadEncoders.hubspotBatchBody(Seq(
+      mkRow("name" -> null, "amount" -> 19.0, "note" -> "✓ 100%"))) ==
+      """{"inputs":[{"name":null,"amount":19,"note":"✓ 100%"}]}""")
+    assert(PayloadEncoders.hubspotBatchBody(Nil) == """{"inputs":[]}""")
+  }
+
+  test("zoho batch body: {data: [...]} and the 100-item POST-route cap") {
+    assert(PayloadEncoders.zohoBatchBody("Leads",
+      Seq(mkRow("Last_Name" -> "Ng", "Company" -> "Acme"))) ==
+      """{"data":[{"Last_Name":"Ng","Company":"Acme"}]}""")
+    val cap = intercept[IllegalArgumentException] {
+      PayloadEncoders.zohoBatchBody("Leads",
+        (1 to 101).map(i => mkRow("Last_Name" -> s"n$i")))
+    }
+    assert(cap.getMessage ==
+      "Number of items per page (101), exceeds the maximum number allowed " +
+        "for the Leads endpoint of the Zoho adapter (100)")
+    // exactly at the cap is legal
+    assert(PayloadEncoders.zohoBatchBody("Leads",
+      (1 to 100).map(i => mkRow("Last_Name" -> s"n$i"))).startsWith("""{"data":["""))
+  }
+
+  test("xero batch body: envelope key is the path's resource segment") {
+    assert(PayloadEncoders.xeroBatchBody("/Invoices",
+      Seq(mkRow("Type" -> "ACCREC", "Total" -> 250.5))) ==
+      """{"Invoices":[{"Type":"ACCREC","Total":250.5}]}""")
+    // deeper path still takes segment [1], as path.split('/')[1] does
+    assert(PayloadEncoders.xeroBatchBody("/Contacts/{ContactID}",
+      Seq(mkRow("Name" -> "Acme"))) == """{"Contacts":[{"Name":"Acme"}]}""")
+    intercept[IllegalArgumentException] {
+      PayloadEncoders.xeroBatchBody("", Seq(mkRow("Name" -> "x")))
+    }
+  }
+
+  test("github issue body: title must be a non-empty string, item posts bare") {
+    assert(PayloadEncoders.githubIssueBody(
+      mkRow("title" -> "Crash on load", "body" -> "steps…", "labels" -> null)) ==
+      """{"title":"Crash on load","body":"steps…","labels":null}""")
+    // the reference's falsy/type check: absent, empty (falsy), non-string
+    val missing = intercept[IllegalArgumentException] {
+      PayloadEncoders.githubIssueBody(mkRow("body" -> "no title"))
+    }
+    assert(missing.getMessage == "Each upload item must have a 'title' string field")
+    intercept[IllegalArgumentException] {
+      PayloadEncoders.githubIssueBody(mkRow("title" -> "", "body" -> "b"))
+    }
+    intercept[IllegalArgumentException] {
+      PayloadEncoders.githubIssueBody(mkRow("title" -> 42, "body" -> "b"))
+    }
+  }
 }
 
 object PayloadEncoderSpec {

@@ -34,6 +34,43 @@ def rows_of(tbl: pa.Table):
     return cols, [tuple(norm(v) for v in row) for row in zip(*data)] if data else (cols, [])
 
 
+def type_class(t: pa.DataType) -> str:
+    """Coarse type family. int-vs-decimal is the class that passes a
+    python == compare (Decimal(4) == 4) but hash-mismatches in the
+    driver (q_agg_lorenz, r9) — so that pair must NOT collapse."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + type_class(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+def type_diffs(spark_tbl: pa.Table, duck_tbl: pa.Table):
+    out = []
+    for c in sorted(spark_tbl.column_names):
+        st = spark_tbl.schema.field(c).type
+        dt = duck_tbl.schema.field(c).type
+        if type_class(st) != type_class(dt):
+            out.append(f"{c}: spark={st} duck={dt}")
+    return out
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -61,6 +98,11 @@ def main():
                 continue
             if len(srows) != len(drows):
                 print(f"FAIL {name}: row count spark={len(srows)} duck={len(drows)}")
+                n_fail += 1
+                continue
+            tdiffs = type_diffs(spark_tbl, duck_tbl)
+            if tdiffs:
+                print(f"FAIL {name}: TYPEDIFF (driver hash would diverge): {tdiffs}")
                 n_fail += 1
                 continue
             if srows == drows:
