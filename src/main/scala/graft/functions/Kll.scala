@@ -112,7 +112,11 @@ object Kll {
       */
     def quantile(qPpm: Long): Option[Long] = {
       if (n == 0) return None
-      val target = math.max(1L, math.min(n, (qPpm * n + 999999L) / 1000000L))
+      // BigInt for the rank target: qPpm * n overflows Long once
+      // n > ~9.2e12 — in range for the 100 TB row counts this sketch
+      // exists for. One BigInt op per quantile CALL (not per row).
+      val target = math.max(1L, math.min(n,
+        ((BigInt(qPpm) * n + 999999L) / 1000000L).toLong))
       var cum = 0L
       val ws = weighted
       var i = 0

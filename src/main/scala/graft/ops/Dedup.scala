@@ -328,10 +328,14 @@ object Dedup {
     *    (Γ⁻(u) ∪ u, canonically the u-side of (hi, lo) edges) to
     *    m⁻(u) = min(Γ⁻(u) ∪ u) — stars re-center on the minimum.
     * Edges stay canonical (hi, lo), so both steps emit already-canonical
-    * pairs; convergence (edge set fixpoint, checked EXACTLY via
-    * two-sided except) leaves one star per component centered at its
-    * minimum id, read off directly as (doc_id, cluster). localCheckpoint
-    * truncates lineage per round, as every iterated op here does.
+    * pairs; convergence (edge set fixpoint, checked EXACTLY as a single
+    * symmetric-difference count — union → group → count==1 rows — one
+    * job per round, not two excepts) leaves one star per component
+    * centered at its minimum id, read off directly as (doc_id, cluster).
+    * localCheckpoint truncates lineage per round, as every iterated op
+    * here does, and each round FREES the previous round's checkpoint
+    * blocks once its successor is materialized — on a ~22-round large
+    * graph the storage footprint stays two edge sets, not twenty-two.
     *
     * ConnectedComponentsSpec pins equivalence with min-label propagation
     * on chain / clique-bridge / reversed-id / self-loop graphs. CcBench
@@ -344,12 +348,24 @@ object Dedup {
     * operator is the escape hatch for high-diameter pair graphs.
     */
   def connectedComponentsStar(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sc = pairs0.sparkSession.sparkContext
+    // localCheckpoint persists an RDD the Dataset API gives no handle to
+    // free; diff the persistent-RDD registry around the (eager) call so
+    // each round can unpersist its predecessor's blocks.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before(id) => rdd
+      }.toSeq
+      (ck, added)
+    }
     val pairs = pairs0
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    var cur = pairs
+    var (cur, curBlocks) = checkpointTracked(pairs
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -357,18 +373,27 @@ object Dedup {
       val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
       val nm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.join(nm, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
-        .distinct().localCheckpoint()
+      val (large, largeBlocks) = checkpointTracked(
+        sym.join(nm, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
+          .distinct())
       // small-star on canonical edges: u's smaller cohort is its lo-side
       val nm2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(nm2, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v")) // lo > m: canonical
-        .unionAll(nm2.select(col("u"), col("m").as("v"))) // hi > m: canonical
-        .distinct().localCheckpoint()
-      val changed = small.except(cur).count() + cur.except(small).count()
+      val (small, smallBlocks) = checkpointTracked(
+        large.join(nm2, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")) // lo > m: canonical
+          .unionAll(nm2.select(col("u"), col("m").as("v"))) // hi > m: canonical
+          .distinct())
+      largeBlocks.foreach(_.unpersist(blocking = false)) // small is materialized
+      // fixpoint test as ONE job: both sides are distinct sets, so a row
+      // appearing exactly once in the union is in the symmetric difference
+      val changed = small.unionAll(cur)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") === 1).count()
+      curBlocks.foreach(_.unpersist(blocking = false))
       cur = small
+      curBlocks = smallBlocks
       done = changed == 0
       iter += 1
     }

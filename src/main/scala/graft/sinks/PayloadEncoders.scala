@@ -177,9 +177,13 @@ object PayloadEncoders {
     * Map in iteration order (pass `ListMap` when key order matters,
     * same caveat as [[stripeFormPairs]]). Null renders as JSON null —
     * stringify keeps null properties and drops only `undefined`, which
-    * has no Scala carrier here. */
+    * has no Scala carrier here. Non-finite doubles render as `null`,
+    * exactly as `JSON.stringify(NaN)` / `stringify(Infinity)` do —
+    * bare `NaN` in the body would not even be valid JSON. */
   private[graft] def jsonValue(v: Any): String = v match {
     case null            => "null"
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case f: Float  if f.isNaN || f.isInfinite => "null"
     case s: String       => jsonQuote(s)
     case b: Boolean      => b.toString
     case n @ (_: Double | _: Float | _: java.math.BigDecimal) => jsNumberString(n)

@@ -119,6 +119,16 @@ class KllSpec extends SparkSpec {
     QS.foreach(q => assert(one.quantile(q).contains(7L)))
   }
 
+  test("quantile rank target does not overflow at 100TB-regime n") {
+    // forge the count: a sketch whose n exceeds the Long-overflow bound
+    // of qPpm * n (~9.2e12 at qPpm=999999). With the old formula the
+    // target went negative → clamped to 1 → p999999 returned the MIN.
+    val sk = mkSketch(Seq(10L, 20L, 30L))
+    sk.n = 4_000_000_000_000_000L // 4e15: qPpm*n ≈ 4e21 ≫ Long.Max
+    // old: wrapped product → target -2.9e12 → clamp to 1 → returns 10
+    assert(sk.quantile(999999L).contains(30L), "high quantile must hit the top value")
+  }
+
   test("SQL surface: sketch → merge → quantile over a real DataFrame") {
     import spark.implicits._
     graft.functions.GraftExtensions.install(spark)

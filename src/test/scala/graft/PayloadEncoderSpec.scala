@@ -158,6 +158,12 @@ class PayloadEncoderSpec extends SparkSpec {
       mkRow("name" -> null, "amount" -> 19.0, "note" -> "✓ 100%"))) ==
       """{"inputs":[{"name":null,"amount":19,"note":"✓ 100%"}]}""")
     assert(PayloadEncoders.hubspotBatchBody(Nil) == """{"inputs":[]}""")
+    // non-finite doubles render as null, exactly as JSON.stringify does
+    // (bare NaN/Infinity would not even be valid JSON)
+    assert(PayloadEncoders.hubspotBatchBody(Seq(
+      mkRow("a" -> Double.NaN, "b" -> Double.PositiveInfinity,
+        "c" -> Double.NegativeInfinity, "d" -> Float.NaN, "e" -> 1.5))) ==
+      """{"inputs":[{"a":null,"b":null,"c":null,"d":null,"e":1.5}]}""")
   }
 
   test("zoho batch body: {data: [...]} and the 100-item POST-route cap") {

@@ -62,6 +62,12 @@ def type_class(t: pa.DataType) -> str:
 
 
 def type_diffs(spark_tbl: pa.Table, duck_tbl: pa.Table):
+    # defensive: report missing columns as a diff instead of KeyError-ing
+    # (the caller checks name sets first, but keep this callable alone)
+    missing = [c for c in sorted(spark_tbl.column_names)
+               if c not in duck_tbl.column_names]
+    if missing:
+        return [f"{c}: missing from oracle output" for c in missing]
     out = []
     for c in sorted(spark_tbl.column_names):
         st = spark_tbl.schema.field(c).type
