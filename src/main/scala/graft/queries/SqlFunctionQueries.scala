@@ -382,6 +382,57 @@ object SqlFunctionQueries {
         .orderBy(col("pr"), col("q_ppm"))
     }),
 
+    // GROUPED KLL — the production deployment shape the scalar sketch
+    // stops short of: per-(lang, source) p50/p95 over document token
+    // counts, TWO-PHASE — per-shard partial sketches (the per-input-
+    // split partials a 1000-executor ingest emits) merged per group via
+    // graft_kll_merge, exactly how per-micro-batch partials land in a
+    // table and roll up later. The exact-rank side is census-direct (no
+    // bucket spine: distinct token counts are bounded, so the census is
+    // |groups| × |distinct counts| = metadata-scale, unlike q_agg_kll's
+    // price domain where distinct values grow with data); grading is
+    // the same ±1.5 % bounded-rank boolean on the estimate's TRUE rank
+    // interval, layout-invariant by construction
+    "q_agg_kll_grouped" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftExtensions.install(s)
+      val docs = scan(s, d, "documents").select(col("lang"), col("source"),
+        col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
+      val census = docs.groupBy(col("lang"), col("source"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("lang"), col("source")).orderBy(col("v"))
+      val cum = census.withColumn("cum", sum(col("c")).over(wv))
+      val n = census.groupBy(col("lang"), col("source")).agg(sum(col("c")).as("n"))
+      val qs = s.range(1).select(explode(array(lit(500000L), lit(950000L))).as("q_ppm"))
+      val est = docs.withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .groupBy(col("lang"), col("source"), col("shard"))
+        .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
+        .crossJoin(broadcast(qs))
+        .select(col("lang"), col("source"), col("q_ppm"),
+          call_function("graft_kll_quantile", col("sk"), col("q_ppm")).as("est"))
+      val targets = n.crossJoin(broadcast(qs))
+        .withColumn("target", expr("(q_ppm * n + 999999) div 1000000"))
+        .select(col("lang"), col("source"), col("q_ppm"), col("target"))
+      val exact = cum.join(broadcast(targets), Seq("lang", "source"))
+        .where(col("cum") >= col("target"))
+        .groupBy(col("lang"), col("source"), col("q_ppm"))
+        .agg(min(col("v")).as("exact_v"))
+      val estN = est.join(broadcast(n), Seq("lang", "source"))
+      val bounds = cum.as("cc").join(broadcast(estN.as("ee")),
+          col("cc.lang") === col("ee.lang") &&
+            col("cc.source") === col("ee.source") && col("cc.v") === col("ee.est"))
+        .select(col("ee.lang").as("lang"), col("ee.source").as("source"),
+          col("q_ppm"),
+          ((col("cum") - col("c")) * lit(1000000L) <=
+            (col("q_ppm") + lit(15000L)) * col("n") &&
+           col("cum") * lit(1000000L) >=
+            (col("q_ppm") - lit(15000L)) * col("n")).as("within_bound"))
+      exact.join(bounds, Seq("lang", "source", "q_ppm"))
+        .orderBy(col("lang"), col("source"), col("q_ppm"))
+    }),
+
     // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
     // keys and bucket ids are built from
     "q_bitwise" -> ((s: SparkSession, d: String) => {
@@ -654,6 +705,33 @@ object SqlFunctionQueries {
         |SELECT pr, CAST(q_ppm AS BIGINT) AS q_ppm, exact_v,
         |  true AS within_bound
         |FROM e ORDER BY pr, q_ppm""".stripMargin,
+
+    // grouped-KLL replay: exact element at rank ceil(q*n) per
+    // (lang, source) over per-doc whitespace token counts; the sketch
+    // estimate is graded by the engine-side rank-window boolean
+    "q_agg_kll_grouped" ->
+      raw"""WITH v AS (SELECT lang, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+           |  FROM documents),
+           |c AS (SELECT lang, source, v, CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM v GROUP BY lang, source, v),
+           |cum AS (SELECT lang, source, v,
+           |          SUM(c) OVER (PARTITION BY lang, source ORDER BY v) AS cum
+           |        FROM c),
+           |n AS (SELECT lang, source, CAST(SUM(c) AS BIGINT) AS n
+           |      FROM c GROUP BY lang, source),
+           |q AS (SELECT unnest([500000, 950000]) AS q_ppm),
+           |t AS (SELECT n.lang, n.source, q.q_ppm,
+           |        (q.q_ppm * n.n + 999999) // 1000000 AS target
+           |      FROM n, q),
+           |e AS (SELECT t.lang, t.source, t.q_ppm,
+           |        CAST(MIN(cum.v) AS BIGINT) AS exact_v
+           |      FROM t JOIN cum ON cum.lang = t.lang AND cum.source = t.source
+           |        AND cum.cum >= t.target
+           |      GROUP BY t.lang, t.source, t.q_ppm)
+           |SELECT lang, source, CAST(q_ppm AS BIGINT) AS q_ppm, exact_v,
+           |  true AS within_bound
+           |FROM e ORDER BY lang, source, q_ppm""".stripMargin,
 
     "q_agg_kmv_setops" -> {
       val hv = DedupQueries.sqlHex60Public("md5('ovl:' || CAST(user_id AS VARCHAR))")

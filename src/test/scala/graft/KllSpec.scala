@@ -119,6 +119,28 @@ class KllSpec extends SparkSpec {
     QS.foreach(q => assert(one.quantile(q).contains(7L)))
   }
 
+  test("grouped two-phase: per-shard partials merged per group match per-group exact ranks") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    // 3 groups with DIFFERENT distributions; 8 shards per group — the
+    // q_agg_kll_grouped deployment shape (partials per input split)
+    val rows = for (g <- 0 until 3; i <- 0L until 6000L)
+      yield (s"g$g", i % 8, i * (g + 1)) // group g holds 0, g+1, 2(g+1), ...
+    rows.toDF("g", "shard", "v").createOrReplaceTempView("kll_grp")
+    val got = spark.sql(
+      """SELECT g, graft_kll_quantile(graft_kll_merge(sk), 500000L) AS med
+        |FROM (SELECT g, shard, graft_kll_sketch(v, 256) AS sk
+        |      FROM kll_grp GROUP BY g, shard)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    got.zipWithIndex.foreach { case (r, g) =>
+      val med = r.getLong(1)
+      val exactMed = 3000L * (g + 1) // values are 0..5999*(g+1) step g+1
+      // 1.5% rank envelope of 6000 values = ±90 ranks = ±90*(g+1) in value
+      assert(math.abs(med - exactMed) <= 90L * (g + 1),
+        s"group g$g median est $med vs exact $exactMed")
+    }
+  }
+
   test("quantile rank target does not overflow at 100TB-regime n") {
     // forge the count: a sketch whose n exceeds the Long-overflow bound
     // of qPpm * n (~9.2e12 at qPpm=999999). With the old formula the
