@@ -47,7 +47,7 @@ object ScaleCurve {
     // adjudication that used to be prose, as a measured number.
     val docTextFamilies = Set(
       "q_text", "q_dedup", "q_corpus", "q_bpe", "q_mix", "q_mask",
-      "q_pack", "q_batch", "q_shuffle", "q_index", "q_langid",
+      "q_pack", "q_batch", "q_shuffle", "q_index", "q_langid", "q_ulm",
       "q_decontaminate", "q_label", "q_source", "q_shard", "q_split",
       "q_sample")
     def docProbe(dir: String): (Long, Long) = {

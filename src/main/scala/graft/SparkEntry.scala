@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.ProfileQueries.queries ++
       graft.queries.SearchQueries.queries ++
       graft.queries.CorpusQueries.queries ++
+      graft.queries.UlmQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.QuantizeQueries.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.queries.ProfileQueries.oracleSql ++
       graft.queries.SearchQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
+      graft.queries.UlmQueries.oracleSql ++
       graft.queries.TpchQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.QuantizeQueries.oracleSql ++

@@ -619,7 +619,7 @@ object CorpusOps {
   /** The eligible-word stream shared by encode and its oracle: lowercased
     * whitespace words restricted to the /[a-z]+/ training alphabet, ranked
     * per doc by original position, first `maxWords` kept. */
-  private def bpeWordStream(docs: DataFrame, idCol: String, textCol: String,
+  private[ops] def bpeWordStream(docs: DataFrame, idCol: String, textCol: String,
                             maxWords: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(col(idCol),

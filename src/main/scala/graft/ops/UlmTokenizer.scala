@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the OTHER tokenizer
+  * family real LLM pipelines train (Kudo 2018, "Subword Regularization";
+  * the reference's split/replace transform pair,
+  * src/utils/transform.ts:79-101, is again the schema seam): a piece
+  * VOCABULARY with per-piece costs, Viterbi segmentation of every word
+  * into the minimum-cost piece sequence, and hard-EM training rounds
+  * that re-estimate costs from segmentation usage and PRUNE the
+  * lowest-usage pieces — vs BPE's greedy merge growth, ULM starts from
+  * a large seed vocabulary and shrinks it.
+  *
+  * Deliberate deviations from Kudo 2018, chosen so BOTH engines (Spark
+  * and the DuckDB oracle) replay training bit-for-bit from raw data:
+  *  - hard EM (Viterbi counts), not soft EM (forward-backward expected
+  *    counts) — a recognized variant; every E-step count is an exact
+  *    integer census of the argmin segmentations;
+  *  - piece costs are INTEGER CENTIBITS: cost_cb = the fixed-point
+  *    integer algorithm in [[costStages]] computing
+  *    round(100·log2(T ⁄ count)) with 7 fractional bits, pure int64
+  *    arithmetic — no libm call whose last-ulp rounding could differ
+  *    between engines (the q_ts_dft shared-table trick, generalized to
+  *    a shared ALGORITHM);
+  *  - pruning drops the `pruneEach` lowest-USAGE multi-char pieces per
+  *    round (usage asc, piece asc — total order) instead of
+  *    likelihood-loss ranking; single chars are immortal so every word
+  *    stays segmentable;
+  *  - zero-usage survivors get a usage floor of 1 in the cost
+  *    denominator (add-hold smoothing) so costs stay finite.
+  *
+  * Everything after the word census is VOCABULARY-SIZED, exactly like
+  * [[CorpusOps.bpeTrain]]: the census is one explode→groupBy over token
+  * instances; each EM round joins the distinct-word arc table against a
+  * ~70-row broadcast vocabulary, folds two O(len·4) array aggregates
+  * per DISTINCT word (whole-stage codegen'd HOFs, no UDFs), and prunes
+  * a vocab-sized table. At 100 TB the corpus pass is the census; the EM
+  * loop's cost is corpus-size-INDEPENDENT given the census. Per-round
+  * localCheckpoint truncates the (tiny) vocabulary lineage.
+  *
+  * Both the Spark engine and the DuckDB oracle are generated from the
+  * SAME fragment builders below, parameterized by [[Dialect]] — the
+  * algorithm exists once; only array-primitive spellings differ.
+  * Integer bound: the cost algorithm left-shifts totals by 20 bits, so
+  * piece-instance totals must stay below 2^43 ≈ 8.8e12 — loose at any
+  * achievable census (tokens, not bytes) and checked nowhere hot.
+  */
+object UlmTokenizer {
+
+  val MaxPieceLen = 4
+  val Rounds = 3
+  val SeedMulti = 48
+  val PruneEach = 8
+
+  /** SQL spelling differences between Spark and DuckDB for the shared
+    * fold/cost fragments. Element access is 1-indexed in both. */
+  final case class Dialect(
+      el: (String, String) => String,
+      slice: (String, String, String) => String, // (arr, start, LENGTH)
+      arr1: String => String,
+      concat2: (String, String) => String,
+      fold: (String, String, String) => String, // (list, init, body) with acc/a names
+      size: String => String,
+      rev: String => String,
+      div: String)
+
+  val Spark: Dialect = Dialect(
+    el = (a, i) => s"element_at($a, cast(($i) as int))",
+    slice = (a, s, l) => s"slice($a, cast(($s) as int), cast(($l) as int))",
+    arr1 = x => s"array($x)",
+    concat2 = (a, b) => s"concat($a, $b)",
+    fold = (l, init, body) => s"aggregate($l, $init, (acc, a) -> $body)",
+    size = a => s"size($a)",
+    rev = a => s"reverse($a)",
+    div = "div")
+
+  val Duck: Dialect = Dialect(
+    el = (a, i) => s"($a)[CAST(($i) AS INT)]",
+    slice = (a, s, l) => s"list_slice($a, CAST(($s) AS INT), CAST(($s) + ($l) - 1 AS INT))",
+    arr1 = x => s"[$x]",
+    concat2 = (a, b) => s"list_concat($a, $b)",
+    fold = (l, init, body) => s"list_reduce(list_prepend($init, $l), (acc, a) -> $body)",
+    size = a => s"len($a)",
+    rev = a => s"list_reverse($a)",
+    div = "//")
+
+  /** Forward Viterbi DP over a word's arc list (sorted ascending by
+    * (i, k)): arcs are [i, k, cost] triples, one per vocabulary piece
+    * ending at position i with length k; single chars are always in the
+    * vocabulary, so every position has a k=1 arc and the fold never
+    * skips. Accumulator = the dp list so far: dp[0..i] with dp[j] = the
+    * min cost of segmenting the first j chars. Returns the full dp list
+    * (length len(w)+1). */
+  def dpFoldSql(arcs: String, D: Dialect): String = {
+    val i = D.el("a", "1"); val k = D.el("a", "2"); val c = D.el("a", "3")
+    val cand = s"${D.el("acc", s"($i) - ($k) + 1")} + ($c)"
+    val body =
+      s"CASE WHEN ${D.size("acc")} = $i " +
+        s"THEN ${D.concat2("acc", D.arr1(cand))} " +
+        s"ELSE ${D.concat2(D.slice("acc", "1", i),
+          D.arr1(s"least(${D.el("acc", s"($i) + 1")}, $cand)"))} END"
+    D.fold(arcs, D.arr1("CAST(0 AS BIGINT)"), body)
+  }
+
+  /** Backtrace fold over the REVERSED arc list ((i desc, k desc) — so
+    * cost ties resolve to the LONGEST piece, the documented tie-break):
+    * accumulator = [ptr, L, dp..., chosen...]; an arc is taken iff it
+    * ends at the current pointer and lies on an optimal path
+    * (dp[i-k] + c == dp[i]). Taking an arc moves the pointer to i-k, so
+    * later same-i arcs can never match — first match wins
+    * deterministically. Chosen pieces are appended as packed i*8+k
+    * (k ≤ 4 < 8) in REVERSE word order; [[btChosen]] extracts them.
+    *
+    * The dp list rides INSIDE the accumulator (init = [L, L] ++ dp, so
+    * dp[x] = acc[x+2]) instead of being read from the outer `dp`
+    * column: the lambda body references ONLY `acc` and `a`. DuckDB's
+    * list_reduce mis-binds outer column references against the wrong
+    * ROW under a materialized-CTE scan (observed: 1 of 31 words got
+    * another row's dp and emitted a segmentation that didn't even
+    * concatenate back to the word; the same fold over a filtered
+    * single-row scan was correct) — keeping the lambda closed over its
+    * own arguments sidesteps the binding entirely, on both engines. */
+  def btFoldSql(arcsRev: String, dp: String, wlen: String, D: Dialect): String = {
+    val i = D.el("a", "1"); val k = D.el("a", "2"); val c = D.el("a", "3")
+    val matches = s"($i) = ${D.el("acc", "1")} AND " +
+      s"${D.el("acc", s"($i) - ($k) + 3")} + ($c) = ${D.el("acc", s"($i) + 3")}"
+    val newAcc = D.concat2(
+      D.arr1(s"${D.el("acc", "1")} - ($k)"),
+      D.concat2(D.slice("acc", "2", s"${D.size("acc")} - 1"),
+        D.arr1(s"($i) * 8 + ($k)")))
+    val body = s"CASE WHEN $matches THEN $newAcc ELSE acc END"
+    val init = D.concat2(
+      D.concat2(D.arr1(s"CAST($wlen AS BIGINT)"), D.arr1(s"CAST($wlen AS BIGINT)")),
+      dp)
+    D.fold(arcsRev, init, body)
+  }
+
+  /** Chosen packed pieces from a [[btFoldSql]] result, in FORWARD word
+    * order: the fixed prefix is [ptr, L, dp_0..dp_L] = L + 3 entries. */
+  def btChosen(bt: String, D: Dialect): String =
+    D.rev(D.slice(bt, s"${D.el(bt, "2")} + 4",
+      s"${D.size(bt)} - ${D.el(bt, "2")} - 3"))
+
+  /** The integer-centibit cost algorithm as staged (column, expr)
+    * pairs: cb = round(100·log2(t ⁄ c)) with 7 fractional bits, every
+    * step pure int64 (both sides: Spark withColumn chain / DuckDB
+    * lateral column aliases).
+    *  - kk = floor(log2(t div c)) via a descending CASE chain — exact,
+    *    because floor(log2(t/c)) = bitlength(t div c) - 1;
+    *  - p2k = 2^kk from the same chain (c·2^kk ≤ t, so no overflow);
+    *  - m0 = (t·2^20) div (c·2^kk) ∈ [2^20, 2^21) — 20-bit fixed point
+    *    of t/(c·2^kk) ∈ [1, 2);
+    *  - 7 square-and-extract rounds: m² div 2^20, emit a bit and halve
+    *    when ≥ 2^21 (max intermediate 2^42 — safe);
+    *  - cb = (100·(kk·128 + bits) + 64) div 128. */
+  def costStages(t: String, c: String, D: Dialect): Seq[(String, String)] = {
+    val d = D.div
+    val kBranches = (62 to 1 by -1).map { j =>
+      s"WHEN _q >= ${java.math.BigInteger.TWO.pow(j)} THEN $j"
+    }.mkString(" ")
+    val pBranches = (62 to 1 by -1).map { j =>
+      s"WHEN _q >= ${java.math.BigInteger.TWO.pow(j)} THEN CAST(${java.math.BigInteger.TWO.pow(j)} AS BIGINT)"
+    }.mkString(" ")
+    val head = Seq(
+      "_q" -> s"($t) $d ($c)",
+      "_kk" -> s"CASE $kBranches ELSE 0 END",
+      "_p2k" -> s"CASE $pBranches ELSE CAST(1 AS BIGINT) END",
+      "_m0" -> s"(($t) * 1048576) $d (($c) * _p2k)")
+    val iters = (1 to 7).flatMap { j =>
+      val prev = s"_m${j - 1}"
+      Seq(
+        s"_s$j" -> s"($prev * $prev) $d 1048576",
+        s"_b$j" -> s"CASE WHEN _s$j >= 2097152 THEN 1 ELSE 0 END",
+        s"_m$j" -> s"CASE WHEN _s$j >= 2097152 THEN _s$j $d 2 ELSE _s$j END")
+    }
+    val frac = (1 to 7).map(j => s"_b$j * ${1 << (7 - j)}").mkString(" + ")
+    head ++ iters :+ ("cost_cb" -> s"(100 * (_kk * 128 + ($frac)) + 64) $d 128")
+  }
+
+  // ---------------------------------------------------------------- engine
+
+  /** Eligible-word census: lowercased whitespace words restricted to the
+    * /[a-z]+/ training alphabet (the BPE convention), weighted by
+    * instance count. */
+  def wordCensus(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(CorpusOps.words(lower(col(textCol)))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** All (word, i, k) substring slots up to MaxPieceLen. */
+  private def slots(words: DataFrame): DataFrame =
+    words.select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("c"), col("i"),
+        explode(sequence(lit(1), least(lit(MaxPieceLen), col("i")))).as("k"))
+      .withColumn("piece", expr("substr(w, i - k + 1, k)"))
+
+  /** Attach integer-centibit costs to a (piece, usage) vocabulary:
+    * usage floored at 1 in the denominator, T = Σ floored usage. */
+  private def withCosts(vocab: DataFrame): DataFrame = {
+    val tRow = vocab.agg(sum(greatest(col("usage"), lit(1L))).as("_t"))
+    var v = vocab.crossJoin(broadcast(tRow))
+      .withColumn("_cf", greatest(col("usage"), lit(1L)))
+    costStages("_t", "_cf", Spark).foreach { case (n, e) => v = v.withColumn(n, expr(e)) }
+    v.select(col("piece"), col("usage"), col("cost_cb"))
+  }
+
+  /** Viterbi-segment every distinct word against a (piece, cost_cb)
+    * vocabulary: returns (w, chosen) with chosen = packed i*8+k pieces
+    * in FORWARD word order. Vocabulary side broadcasts (~70 rows). */
+  def segment(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val arcs = words.select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("i"),
+        explode(sequence(lit(1), least(lit(MaxPieceLen), col("i")))).as("k"))
+      .withColumn("sub", expr("substr(w, i - k + 1, k)"))
+      .join(broadcast(vocab.select(col("piece").as("sub"), col("cost_cb"))), "sub")
+      .select(col("w"), col("i").cast("long").as("i"),
+        col("k").cast("long").as("k"), col("cost_cb"))
+    arcs.groupBy(col("w"))
+      .agg(sort_array(collect_list(array(col("i"), col("k"), col("cost_cb")))).as("arcs"))
+      .withColumn("dp", expr(dpFoldSql("arcs", Spark)))
+      .withColumn("bt", expr(
+        btFoldSql(Spark.rev("arcs"), "dp", "cast(length(w) as bigint)", Spark)))
+      .select(col("w"), expr(btChosen("bt", Spark)).as("chosen"))
+  }
+
+  private val unpackPiece =
+    "substr(w, cast(p div 8 as int) - cast(p % 8 as int) + 1, cast(p % 8 as int))"
+
+  /** Hard-EM unigram-LM training. Returns the final vocabulary:
+    * (piece, usage, cost_cb), ordered by piece. */
+  def train(docs: DataFrame, textCol: String, rounds: Int = Rounds,
+      seedMulti: Int = SeedMulti, pruneEach: Int = PruneEach): DataFrame = {
+    val words = wordCensus(docs, textCol).localCheckpoint()
+    // seed: every substring slot's weighted occurrence count; all single
+    // chars + the top `seedMulti` multi-char pieces (count desc, piece asc)
+    val sub0 = slots(words).groupBy(col("piece")).agg(sum(col("c")).as("usage"))
+    val seed = sub0.where(length(col("piece")) === 1).unionAll(
+      sub0.where(length(col("piece")) > 1)
+        .orderBy(col("usage").desc, col("piece").asc).limit(seedMulti))
+    var vocab = withCosts(seed).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // E-step: usage census of the Viterbi segmentations (weighted by
+      // word instance count); zero-usage survivors kept at usage 0
+      val usage = segment(words, vocab)
+        .select(col("w"), explode(col("chosen")).as("p"))
+        .withColumn("piece", expr(unpackPiece))
+        .join(words, "w")
+        .groupBy(col("piece")).agg(sum(col("c")).as("usage"))
+      val wu = vocab.select(col("piece")).join(usage, Seq("piece"), "left")
+        .na.fill(0L, Seq("usage"))
+      // M-step + prune: drop the bottom `pruneEach` multi-char pieces
+      // (usage asc, piece asc); chars are immortal
+      val drop = wu.where(length(col("piece")) > 1)
+        .orderBy(col("usage").asc, col("piece").asc).limit(pruneEach)
+      val survivors = wu.join(drop.select("piece"), Seq("piece"), "left_anti")
+      vocab = withCosts(survivors).localCheckpoint()
+    }
+    vocab.orderBy(col("piece"))
+  }
+
+  /** Trained model memo per (dir-keyed) corpus — driver-side model
+    * metadata, the deepMerges convention: train once, every consumer
+    * (encode / fertility) reuses it; other dirs train their own. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long)]]
+  def trainedModel(docs: => DataFrame, key: String): Seq[(String, Long, Long)] =
+    modelCache.getOrElseUpdate(key,
+      train(docs, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+
+  /** Deterministic piece ids: 'a'..'z' -> 1..26; multi-char survivors
+    * get 27.. in piece order — model metadata, like BPE's step ids. */
+  def pieceIds(model: Seq[(String, Long, Long)]): Seq[(String, Int)] = {
+    val multis = model.map(_._1).filter(_.length > 1).sorted
+    model.map(_._1).map { p =>
+      if (p.length == 1) (p, p.charAt(0) - 'a' + 1)
+      else (p, 27 + multis.indexOf(p))
+    }
+  }
+
+  /** ENCODE under a trained model: per-doc token ids in word order.
+    * The Viterbi fold runs once per DISTINCT word; instances get their
+    * ids via a broadcast join back to the (doc, rank, word) stream —
+    * the bpeEncode shape exactly. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = model.map(t => (t._1, t._3)).toDF("piece", "cost_cb")
+    val ids = pieceIds(model).toDF("piece", "id")
+    val toks = CorpusOps.bpeWordStream(docs, idCol, textCol, Int.MaxValue)
+    val seg = segment(toks.select(col("w")).distinct(), vocab)
+      .select(col("w"), explode(col("chosen")).as("p"),
+        expr(unpackPiece).as("piece"))
+      .join(broadcast(ids), "piece")
+      .groupBy(col("w"))
+      // chosen was forward-ordered; re-sort by emit position: packed
+      // i*8+k is monotone in end position i, which IS forward order
+      .agg(transform(sort_array(collect_list(struct(col("p"), col("id")))),
+        e => e.getField("id")).as("wids"))
+    toks.join(broadcast(seg), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("r"), col("wids")))),
+        e => e.getField("wids"))).as("token_ids"))
+  }
+}

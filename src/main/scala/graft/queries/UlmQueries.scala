@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.UlmTokenizer
+import graft.ops.UlmTokenizer.{Duck, Rounds, SeedMulti, PruneEach}
+
+/** Unigram-LM tokenizer queries (the SentencePiece family next to BPE):
+  * hard-EM training over the word census, Viterbi encode, and the
+  * fertility census that lets the two tokenizer families be compared on
+  * the same corpus (q_ulm_fertility vs q_bpe_fertility, same schema).
+  *
+  * The oracle REPLAYS training in DuckDB from raw data — every round a
+  * MATERIALIZED CTE block (arc join → per-word list folds → usage
+  * census → prune → integer-centibit costs), generated from the same
+  * dialect-parameterized fragment builders the engine uses
+  * ([[UlmTokenizer.dpFoldSql]] / [[btFoldSql]] / [[costStages]]): the
+  * algorithm exists once, arithmetic is pure int64 on both sides, so
+  * the replay is bit-exact with no float seam.
+  */
+object UlmQueries {
+
+  // ---------------------------------------------------------- oracle CTEs
+
+  /** (piece, usage, cost_cb) vocabulary CTE over `src` rows with total
+    * CTE `tc` (column _tt). NESTED subqueries, one per cost stage — each
+    * projection level evaluates once. Lateral column aliases would
+    * textually INLINE every reference: _m7 expands to 2^7 copies of the
+    * 62-branch CASEs and the binder hangs (measured: sf0.001 never
+    * finished; nested, 0.02 s). */
+  private def vocabCte(name: String, src: String, tc: String): String = {
+    val inner0 = s"SELECT piece, usage, _tt, greatest(usage, 1) AS _cf FROM $src, $tc"
+    val nested = UlmTokenizer.costStages("_tt", "_cf", Duck)
+      .foldLeft(inner0) { case (acc, (n, e)) => s"SELECT *, $e AS $n FROM ($acc)" }
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, usage, CAST(cost_cb AS BIGINT) AS cost_cb FROM ($nested))""".stripMargin
+  }
+
+  private val dpFold = UlmTokenizer.dpFoldSql("arcs", Duck)
+  private val btFold =
+    UlmTokenizer.btFoldSql("list_reverse(arcs)", "dp", "CAST(length(w) AS BIGINT)", Duck)
+  private val unpack =
+    "substr(w, CAST(p // 8 - p % 8 + 1 AS INT), CAST(p % 8 AS INT))"
+
+  /** The shared training replay: word census, substring-slot table,
+    * seed vocabulary v0, then `rounds` EM rounds ending at v$rounds. */
+  private def ulmTrainCtes(rounds: Int): String = {
+    val base =
+      raw"""wc AS MATERIALIZED (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |        FROM documents)
+           |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+           |sl AS (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM wc),
+           |slk AS MATERIALIZED (
+           |  SELECT w, c, CAST(i AS BIGINT) AS i, CAST(k AS BIGINT) AS k,
+           |    substr(w, CAST(i - k + 1 AS INT), CAST(k AS INT)) AS piece
+           |  FROM sl CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) ks
+           |  WHERE k <= i),
+           |sub0 AS MATERIALIZED (
+           |  SELECT piece, CAST(SUM(c) AS BIGINT) AS usage FROM slk GROUP BY piece),
+           |seedm AS (SELECT piece, usage FROM sub0 WHERE length(piece) > 1
+           |          ORDER BY usage DESC, piece LIMIT $SeedMulti),
+           |v0raw AS (SELECT piece, usage FROM sub0 WHERE length(piece) = 1
+           |          UNION ALL SELECT piece, usage FROM seedm),
+           |t0 AS (SELECT CAST(SUM(greatest(usage, 1)) AS BIGINT) AS _tt FROM v0raw),
+           |${vocabCte("v0", "v0raw", "t0")}""".stripMargin
+    def round(r: Int) =
+      s"""arcs$r AS (SELECT s.w, s.i, s.k, v.cost_cb
+         |  FROM slk s JOIN v${r - 1} v USING (piece)),
+         |seg$r AS MATERIALIZED (
+         |  SELECT w, arcs, $dpFold AS dp FROM (
+         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
+         |    FROM arcs$r GROUP BY w)),
+         |bt$r AS MATERIALIZED (
+         |  SELECT w, $btFold AS bt FROM seg$r),
+         |ch$r AS (SELECT w, unnest(${UlmTokenizer.btChosen("bt", Duck)}) AS p FROM bt$r),
+         |eu$r AS MATERIALIZED (
+         |  SELECT $unpack AS piece, CAST(SUM(c) AS BIGINT) AS usage
+         |  FROM ch$r JOIN wc USING (w) GROUP BY 1),
+         |wu$r AS (SELECT v.piece, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
+         |         FROM v${r - 1} v LEFT JOIN eu$r u USING (piece)),
+         |dr$r AS (SELECT piece FROM wu$r WHERE length(piece) > 1
+         |         ORDER BY usage, piece LIMIT $PruneEach),
+         |sv$r AS (SELECT piece, usage FROM wu$r
+         |         WHERE piece NOT IN (SELECT piece FROM dr$r)),
+         |t$r AS (SELECT CAST(SUM(greatest(usage, 1)) AS BIGINT) AS _tt FROM sv$r),
+         |${vocabCte(s"v$r", s"sv$r", s"t$r")}""".stripMargin
+    (base +: (1 to rounds).map(round)).mkString(",\n")
+  }
+
+  /** ENCODE-side CTEs under the final vocabulary v$rounds: one more
+    * Viterbi pass, piece ids (chars ascii-96, multis 27.. in piece
+    * order), per-word id lists, and the per-doc token stream (the
+    * q_bpe_encode wl/tk/tok shape). */
+  private def ulmEncodeCtes(rounds: Int): String =
+    raw"""arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
+         |  FROM slk s JOIN v$rounds v USING (piece)),
+         |segF AS MATERIALIZED (
+         |  SELECT w, arcs, $dpFold AS dp FROM (
+         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
+         |    FROM arcsF GROUP BY w)),
+         |btF AS MATERIALIZED (
+         |  SELECT w, $btFold AS bt FROM segF),
+         |pid AS MATERIALIZED (
+         |  SELECT piece, CAST(ascii(piece) - 96 AS BIGINT) AS id
+         |  FROM v$rounds WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, 26 + ROW_NUMBER() OVER (ORDER BY piece) AS id
+         |  FROM v$rounds WHERE length(piece) > 1),
+         |che AS (SELECT w, unnest(${UlmTokenizer.btChosen("bt", Duck)}) AS p,
+         |               unnest(range(1, len(bt) - (bt)[2] - 2)) AS j FROM btF),
+         |wid AS MATERIALIZED (
+         |  SELECT c.w, list(CAST(pid.id AS VARCHAR) ORDER BY c.j) AS ids,
+         |         CAST(COUNT(*) AS BIGINT) AS n_sym
+         |  FROM che c JOIN pid
+         |    ON pid.piece = substr(c.w, CAST(c.p // 8 - c.p % 8 + 1 AS INT),
+         |                          CAST(c.p % 8 AS INT))
+         |  GROUP BY c.w),
+         |wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         |       FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+         |tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk
+         |        WHERE regexp_full_match(ws[pos], '[a-z]+'))""".stripMargin
+
+  // --------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TRAINING — always retrains (the q_bpe_train_deep convention: the
+    // training query carries the full loop cost; consumers get the memo)
+    "q_ulm_train" -> ((s: SparkSession, d: String) =>
+      UlmTokenizer.train(scan(s, d, "documents"), "text")),
+
+    // ENCODE — the ship step: Viterbi ids per doc under the trained model
+    "q_ulm_encode" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      UlmTokenizer.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), _.cast("string")), ",").as("ids_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FERTILITY — same schema as q_bpe_fertility so the two tokenizer
+    // families compare directly on chars-per-token by language
+    "q_ulm_fertility" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      val enc = UlmTokenizer.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
+      val chars = docs.select(col("doc_id"), col("lang"),
+        aggregate(
+          filter(graft.ops.CorpusOps.words(lower(col("text"))),
+            w => w.rlike("^[a-z]+$")),
+          lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_chars_ulm"))
+      chars.join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars_ulm")).as("n_chars"))
+        .withColumn("chars_per_token_ppm", expr("n_chars * 1000000 div n_tokens"))
+        .orderBy(col("lang"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_ulm_train" ->
+      s"""WITH ${ulmTrainCtes(Rounds)}
+         |SELECT piece, usage, cost_cb FROM v$Rounds ORDER BY piece""".stripMargin,
+
+    "q_ulm_encode" ->
+      s"""WITH ${ulmTrainCtes(Rounds)},
+         |${ulmEncodeCtes(Rounds)},
+         |agg AS (SELECT t.doc_id, flatten(list(e.ids ORDER BY t.pos)) AS tids
+         |        FROM tok t JOIN wid e USING (w) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
+         |  array_to_string(tids, ',') AS ids_csv
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_ulm_fertility" ->
+      s"""WITH ${ulmTrainCtes(Rounds)},
+         |${ulmEncodeCtes(Rounds)},
+         |per AS (SELECT t.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+         |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+         |        FROM tok t JOIN wid e USING (w) GROUP BY t.doc_id)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(p.n_chars) * 1000000 // SUM(p.n_tokens) AS BIGINT)
+         |    AS chars_per_token_ppm
+         |FROM per p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.UlmTokenizer
+
+/** Unigram-LM tokenizer spec: Viterbi optimality vs brute-force
+  * enumeration, segmentation round-trip, the longest-piece tie-break,
+  * the integer-centibit cost function against float log2, training
+  * determinism, and encode id round-trip.
+  */
+class UlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Engine-side segmentation of words under an explicit (piece, cost)
+    * vocabulary, decoded back to piece strings. */
+  private def segmentPieces(words: Seq[String],
+      vocab: Seq[(String, Long)]): Map[String, Seq[String]] = {
+    val wdf = words.toDF("w")
+    val vdf = vocab.toDF("piece", "cost_cb")
+    UlmTokenizer.segment(wdf, vdf)
+      .select(col("w"), expr(
+        "transform(chosen, p -> substr(w, cast(p div 8 as int) - cast(p % 8 as int) + 1, cast(p % 8 as int)))").as("pieces"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+  }
+
+  /** Brute-force min segmentation cost over all piece decompositions. */
+  private def bruteMin(w: String, costs: Map[String, Long]): Long = {
+    val memo = scala.collection.mutable.Map(0 -> 0L)
+    def dp(i: Int): Long = memo.getOrElseUpdate(i,
+      (1 to math.min(UlmTokenizer.MaxPieceLen, i)).flatMap { k =>
+        costs.get(w.substring(i - k, i)).map(c => dp(i - k) + c)
+      }.min)
+    dp(w.length)
+  }
+
+  test("Viterbi segmentation matches brute-force minimum cost") {
+    val vocab = Seq[(String, Long)](("a", 300), ("b", 350), ("c", 400),
+      ("d", 500), ("ab", 450), ("bc", 410), ("abc", 700), ("cd", 460),
+      ("abcd", 1200), ("bcd", 900))
+    val costs = vocab.toMap
+    val words = Seq("a", "ab", "abc", "abcd", "abcdabcd", "dcba", "bbbb",
+      "cabd", "abcabc", "dddabc")
+    val got = segmentPieces(words, vocab)
+    words.foreach { w =>
+      val pieces = got(w)
+      assert(pieces.mkString == w, s"round-trip failed for $w: $pieces")
+      val cost = pieces.map(costs).sum
+      assert(cost == bruteMin(w, costs),
+        s"$w: viterbi cost $cost != brute ${bruteMin(w, costs)} ($pieces)")
+    }
+  }
+
+  test("cost ties resolve to the LONGEST piece") {
+    // 'ab' costs exactly a+b: both segmentations optimal; tie-break says
+    // take the 2-char piece
+    val vocab = Seq[(String, Long)](("a", 300), ("b", 300), ("ab", 600))
+    assert(segmentPieces(Seq("ab"), vocab)("ab") == Seq("ab"))
+  }
+
+  test("integer-centibit cost matches float log2 within 2 cb") {
+    val df = Seq((1L, 1L)).toDF("one", "_ign")
+    val cases = Seq((100L, 100L), (100L, 50L), (1000L, 3L), (7L, 2L),
+      (1L << 40, 3L), (999999L, 7L), (12345678L, 345L), (2L, 1L))
+    cases.foreach { case (t, c) =>
+      var d = df.withColumn("_t", lit(t)).withColumn("_c", lit(c))
+      UlmTokenizer.costStages("_t", "_c", UlmTokenizer.Spark)
+        .foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
+      val got = d.select("cost_cb").head().getLong(0)
+      val want = math.round(100.0 * math.log(t.toDouble / c) / math.log(2.0))
+      assert(math.abs(got - want) <= 2, s"cost($t,$c): got $got want ~$want")
+    }
+  }
+
+  test("training is deterministic and every corpus word round-trips") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the quick quick brown foxes and dogs"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "jugs and boxes over the lazy brown dog")).toDF("doc_id", "text")
+    val m1 = UlmTokenizer.train(docs, "text", rounds = 2, seedMulti = 20,
+      pruneEach = 4).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m2 = UlmTokenizer.train(docs, "text", rounds = 2, seedMulti = 20,
+      pruneEach = 4).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m1.toSeq == m2.toSeq, "two trainings diverged")
+    assert(m1.exists(_._1.length > 1), "no multi-char pieces survived")
+    assert(m1.filter(_._1.length == 1).map(_._1).toSet ==
+      docs.select(explode(split(col("text"), " "))).as[String].collect()
+        .flatMap(_.toCharArray).map(_.toString).toSet,
+      "single-char vocabulary must equal the corpus alphabet")
+    // round-trip under the trained model
+    val vocab = m1.toSeq.map(t => (t._1, t._3))
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().toSeq
+    val segs = segmentPieces(words, vocab)
+    words.foreach(w => assert(segs(w).mkString == w, s"round-trip $w: ${segs(w)}"))
+  }
+
+  test("encode emits deterministic ids that decode back to the eligible words") {
+    val docs = Seq(
+      (1L, "abc abd abc"),
+      (2L, "xyz abc zzz")).toDF("doc_id", "text")
+    val model = UlmTokenizer.train(docs, "text", rounds = 2, seedMulti = 10,
+      pruneEach = 2).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val idToPiece = UlmTokenizer.pieceIds(model).map(_.swap).toMap
+    val enc = UlmTokenizer.encode(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(enc.length == 2)
+    val dec1 = enc(0).getSeq[Int](1).map(idToPiece).mkString
+    assert(dec1 == "abcabdabc", s"decode: $dec1")
+    val dec2 = enc(1).getSeq[Int](1).map(idToPiece).mkString
+    assert(dec2 == "xyzabczzz", s"decode: $dec2")
+    // ids are stable metadata: chars 1..26, multis 27.. in piece order
+    UlmTokenizer.pieceIds(model).foreach { case (p, id) =>
+      if (p.length == 1) assert(id == p.charAt(0) - 'a' + 1)
+      else assert(id >= 27)
+    }
+  }
+}
