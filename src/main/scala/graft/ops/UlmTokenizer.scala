@@ -53,6 +53,9 @@ object UlmTokenizer {
   val Rounds = 3
   val SeedMulti = 48
   val PruneEach = 8
+  /** Half the multi-char pieces surviving training — the q_ulm_prune
+    * ablation's reduced piece budget. */
+  val KeepMulti = (SeedMulti - Rounds * PruneEach) / 2
 
   /** SQL spelling differences between Spark and DuckDB for the shared
     * fold/cost fragments. Element access is 1-indexed in both. */
@@ -281,6 +284,11 @@ object UlmTokenizer {
       else (p, 27 + multis.indexOf(p))
     }
   }
+
+  /** The eligible (doc, rank, word) token stream — the bpeEncode word
+    * stream, re-exported for the ULM consumers outside this package. */
+  def wordStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    CorpusOps.bpeWordStream(docs, idCol, textCol, Int.MaxValue)
 
   /** ENCODE under a trained model: per-doc token ids in word order.
     * The Viterbi fold runs once per DISTINCT word; instances get their

@@ -144,6 +144,90 @@ object UlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // VOCAB-BUDGET ABLATION — the q_bpe_prune question asked of the
+    // unigram family: what does HALVING the multi-char piece budget
+    // cost in tokens per language? The reduced model keeps the top
+    // KeepMulti multis by (usage desc, piece asc) AT THEIR TRAINED
+    // COSTS (availability changes, costs don't — the ablation isolates
+    // the budget, not the re-normalization); chars are immortal so
+    // every word stays segmentable. Both encodings run the two Viterbi
+    // folds over the same distinct vocabulary
+    "q_ulm_prune" -> ((s: SparkSession, d: String) => {
+      import UlmTokenizer.KeepMulti
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      val vocabFull = model.map(t => (t._1, t._3))
+      val keep = model.filter(_._1.length > 1)
+        .sortBy(t => (-t._2, t._1)).take(KeepMulti).map(_._1).toSet
+      val vocabPruned = model.filter(t => t._1.length == 1 || keep(t._1))
+        .map(t => (t._1, t._3))
+      import s.implicits._
+      val toks = UlmTokenizer.wordStream(docs, "doc_id", "text")
+      val langs = docs.select(col("doc_id"), col("lang"))
+      def nsym(vocab: Seq[(String, Long)]) =
+        UlmTokenizer.segment(toks.select(col("w")).distinct(),
+            vocab.toDF("piece", "cost_cb"))
+          .select(col("w"), size(col("chosen")).cast("long").as("n_sym"))
+      val full = nsym(vocabFull).withColumnRenamed("n_sym", "nf")
+      val pruned = nsym(vocabPruned).withColumnRenamed("n_sym", "np")
+      toks.join(broadcast(full), Seq("w")).join(broadcast(pruned), Seq("w"))
+        .join(langs, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nf")).as("n_tokens_full"), sum(col("np")).as("n_tokens_pruned"))
+        .withColumn("bloat_ppm",
+          expr("n_tokens_pruned * 1000000 div n_tokens_full"))
+        .orderBy(col("lang"))
+    }),
+
+    // STREAMING FERTILITY TWIN — the deploy-online shape: the model is
+    // trained offline (the per-dir memo) and broadcast; each micro-batch
+    // Viterbi-encodes ITS docs and appends a per-language partial census
+    // (n_docs, n_tokens, n_chars); partials merge by summation — the
+    // mergeable-summary contract, so the batch oracle is shared VERBATIM
+    "q_stream_ulm" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      val docs = scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sulm_src_$suffix"
+      val out = s"/tmp/graft_sulm_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def census(batch: DataFrame): DataFrame = {
+        val enc = UlmTokenizer.encode(batch, "doc_id", "text", model)
+          .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
+        batch.select(col("doc_id"), col("lang"),
+            aggregate(
+              filter(graft.ops.CorpusOps.words(lower(col("text"))),
+                w => w.rlike("^[a-z]+$")),
+              lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_chars"))
+          .join(enc, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+      }
+      graft.streaming.StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(census(batch),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("chars_per_token_ppm", expr("n_chars * 1000000 div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // FERTILITY — same schema as q_bpe_fertility so the two tokenizer
     // families compare directly on chars-per-token by language
     "q_ulm_fertility" -> ((s: SparkSession, d: String) => {
@@ -180,17 +264,62 @@ object UlmQueries {
          |  array_to_string(tids, ',') AS ids_csv
          |FROM agg ORDER BY doc_id""".stripMargin,
 
-    "q_ulm_fertility" ->
+    // ablation replay: reduced vocab = chars + top-KeepMulti multis at
+    // their TRAINED costs; two fold passes over the distinct vocabulary
+    "q_ulm_prune" -> {
+      import UlmTokenizer.KeepMulti
       s"""WITH ${ulmTrainCtes(Rounds)},
-         |${ulmEncodeCtes(Rounds)},
-         |per AS (SELECT t.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
-         |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
-         |        FROM tok t JOIN wid e USING (w) GROUP BY t.doc_id)
-         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
-         |  CAST(SUM(p.n_chars) * 1000000 // SUM(p.n_tokens) AS BIGINT)
-         |    AS chars_per_token_ppm
-         |FROM per p JOIN documents d USING (doc_id)
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+         |mtop AS (SELECT piece FROM v$Rounds WHERE length(piece) > 1
+         |         ORDER BY usage DESC, piece LIMIT $KeepMulti),
+         |vP AS MATERIALIZED (SELECT piece, usage, cost_cb FROM v$Rounds
+         |  WHERE length(piece) = 1 OR piece IN (SELECT piece FROM mtop)),
+         |arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
+         |  FROM slk s JOIN v$Rounds v USING (piece)),
+         |segF AS MATERIALIZED (
+         |  SELECT w, arcs, $dpFold AS dp FROM (
+         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
+         |    FROM arcsF GROUP BY w)),
+         |btF AS MATERIALIZED (SELECT w, $btFold AS bt FROM segF),
+         |nf AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS nf FROM btF),
+         |arcsP AS (SELECT s.w, s.i, s.k, v.cost_cb
+         |  FROM slk s JOIN vP v USING (piece)),
+         |segP AS MATERIALIZED (
+         |  SELECT w, arcs, $dpFold AS dp FROM (
+         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
+         |    FROM arcsP GROUP BY w)),
+         |btP AS MATERIALIZED (SELECT w, $btFold AS bt FROM segP),
+         |np AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS np FROM btP),
+         |wl AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |       FROM documents),
+         |tk AS (SELECT doc_id, lang, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+         |tok AS (SELECT doc_id, lang, ws[pos] AS w FROM tk
+         |        WHERE regexp_full_match(ws[pos], '[a-z]+'))
+         |SELECT t.lang,
+         |  CAST(SUM(f.nf) AS BIGINT) AS n_tokens_full,
+         |  CAST(SUM(p.np) AS BIGINT) AS n_tokens_pruned,
+         |  CAST(SUM(p.np) * 1000000 // SUM(f.nf) AS BIGINT) AS bloat_ppm
+         |FROM tok t JOIN nf f USING (w) JOIN np p USING (w)
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+    },
+
+    "q_ulm_fertility" -> fertilitySql,
+
+    // the streaming twin merges per-batch per-language partials by
+    // summation — the mergeable-summary contract: the batch oracle IS
+    // the stream oracle, shared as the same string
+    "q_stream_ulm" -> fertilitySql)
+
+  private lazy val fertilitySql: String =
+    s"""WITH ${ulmTrainCtes(Rounds)},
+       |${ulmEncodeCtes(Rounds)},
+       |per AS (SELECT t.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+       |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+       |        FROM tok t JOIN wid e USING (w) GROUP BY t.doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(p.n_chars) * 1000000 // SUM(p.n_tokens) AS BIGINT)
+       |    AS chars_per_token_ppm
+       |FROM per p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }
