@@ -339,13 +339,17 @@ object Dedup {
     *
     * ConnectedComponentsSpec pins equivalence with min-label propagation
     * on chain / clique-bridge / reversed-id / self-loop graphs. CcBench
-    * A/B (round 10, local[32]): on the DENSE co-order supplier graph
+    * A/B (round 11, local[32], after the single-count convergence test
+    * and per-round block frees): on the DENSE co-order supplier graph
     * (343 725 edges, 1 000 nodes, one component) the engines tie —
-    * min-label 3.3–4.7 s vs star 3.5–3.7 s — so min-label stays
-    * q_graph_cc's engine; on a 3 000 000-node CHAIN, star converges in
-    * 120 s (~22 alternations) while min-label is DNF by construction
-    * (diameter rounds; its 25-round budget fails loudly at 43 s). This
-    * operator is the escape hatch for high-diameter pair graphs.
+    * min-label 4.4–6.3 s vs star 3.1–3.9 s — so min-label stays
+    * q_graph_cc's engine (r10 measured the reverse ordering within the
+    * same noise band); on a 3 000 000-node CHAIN, star converges in
+    * 94 s (~22 alternations; 120 s in r10 with the two-except test and
+    * unreleased blocks — the round-cost fix bought 21 %) while
+    * min-label is DNF by construction (diameter rounds; its 25-round
+    * budget fails loudly at 48 s). This operator is the escape hatch
+    * for high-diameter pair graphs.
     */
   def connectedComponentsStar(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
     val sc = pairs0.sparkSession.sparkContext
