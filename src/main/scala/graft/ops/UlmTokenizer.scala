@@ -285,6 +285,23 @@ object UlmTokenizer {
     }
   }
 
+  /** Greedy longest-match-first segmentation fold (the WordPiece /
+    * maximal-munch rule, vs Viterbi's global optimum): arcs are
+    * [start, 8-k, k] triples sorted ascending — (start asc, k DESC),
+    * so the first arc at the cursor is the longest vocabulary piece
+    * there; accumulator = [cursor, count]. Single chars are always in
+    * the vocabulary, so the cursor always reaches len(w). Counts only —
+    * greedy is the baseline Viterbi is graded against, not a shipped
+    * encoding. No outer references (the list_reduce misbinding rule). */
+  def greedyFoldSql(arcs: String, D: Dialect): String = {
+    val s = D.el("a", "1"); val k = D.el("a", "3")
+    val body = s"CASE WHEN ($s) = ${D.el("acc", "1")} THEN " +
+      D.concat2(D.arr1(s"${D.el("acc", "1")} + ($k)"),
+        D.arr1(s"${D.el("acc", "2")} + 1")) + " ELSE acc END"
+    val init = D.concat2(D.arr1("CAST(0 AS BIGINT)"), D.arr1("CAST(0 AS BIGINT)"))
+    D.fold(arcs, init, body)
+  }
+
   /** The eligible (doc, rank, word) token stream — the bpeEncode word
     * stream, re-exported for the ULM consumers outside this package. */
   def wordStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -179,6 +179,49 @@ object UlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // GREEDY-VS-VITERBI — the WordPiece maximal-munch rule under the
+    // SAME trained vocabulary, per language: the token-mass delta
+    // between greedy longest-match and the unigram model's optimum (the
+    // question behind choosing a tokenizer runtime). NOTE the sign is
+    // NOT an invariant: Viterbi minimizes frequency-weighted COST, not
+    // token count, so either side can be larger; on this corpus the two
+    // coincide for every word (trained costs are length-monotone here),
+    // which makes the query a cross-ALGORITHM agreement gate — the
+    // engine's fold and the oracle's recursive walk must land on the
+    // same mass by different routes. Same arc machinery on the engine;
+    // greedy is one fold with a [cursor, count] accumulator.
+    // n_tokens_viterbi deliberately equals q_ulm_fertility's n_tokens —
+    // a cross-query invariant the oracle checks for free
+    "q_ulm_greedy" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      import s.implicits._
+      val vocab = model.map(t => (t._1, t._3)).toDF("piece", "cost_cb")
+      val toks = UlmTokenizer.wordStream(docs, "doc_id", "text")
+      val words = toks.select(col("w")).distinct()
+      val vit = UlmTokenizer.segment(words, vocab)
+        .select(col("w"), size(col("chosen")).cast("long").as("nv"))
+      val garcs = words.select(col("w"),
+          explode(sequence(lit(1), length(col("w")))).as("i"))
+        .select(col("w"), col("i"),
+          explode(sequence(lit(1), least(lit(UlmTokenizer.MaxPieceLen), col("i")))).as("k"))
+        .withColumn("sub", expr("substr(w, i - k + 1, k)"))
+        .join(broadcast(vocab.select(col("piece").as("sub"))), "sub")
+        .select(col("w"), (col("i") - col("k")).cast("long").as("s"),
+          lit(8L) - col("k").cast("long") as "dk", col("k").cast("long").as("k"))
+      val grd = garcs.groupBy(col("w"))
+        .agg(sort_array(collect_list(array(col("s"), col("dk"), col("k")))).as("arcs"))
+        .withColumn("g", expr(UlmTokenizer.greedyFoldSql("arcs", UlmTokenizer.Spark)))
+        .select(col("w"), expr("element_at(g, 2)").as("ng"))
+      toks.join(broadcast(vit), Seq("w")).join(broadcast(grd), Seq("w"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nv")).as("n_tokens_viterbi"), sum(col("ng")).as("n_tokens_greedy"))
+        .withColumn("greedy_bloat_ppm",
+          expr("n_tokens_greedy * 1000000 div n_tokens_viterbi"))
+        .orderBy(col("lang"))
+    }),
+
     // STREAMING FERTILITY TWIN — the deploy-online shape: the model is
     // trained offline (the per-dir memo) and broadcast; each micro-batch
     // Viterbi-encodes ITS docs and appends a per-language partial census
@@ -301,6 +344,48 @@ object UlmQueries {
          |FROM tok t JOIN nf f USING (w) JOIN np p USING (w)
          |GROUP BY t.lang ORDER BY t.lang""".stripMargin
     },
+
+    // greedy maximal-munch replay under the same trained vocabulary;
+    // the viterbi mass reuses the encode-side folds. The greedy side is
+    // a RECURSIVE-CTE cursor walk, NOT the engine's fold: DuckDB 1.0's
+    // list_reduce after a hash aggregate of LIST(LIST) rows misaligns
+    // results against the group key even with a closed lambda (w='row'
+    // received another row's fold; correct when the same plan is
+    // row-filtered) — and an independently-shaped replay is the
+    // stronger oracle anyway. Each (w, cursor) has exactly ONE maximal
+    // step (MAX(k) per start), so the recursion is a deterministic
+    // single chain per word ending at cursor = length(w)
+    "q_ulm_greedy" ->
+      s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
+         |arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
+         |  FROM slk s JOIN v$Rounds v USING (piece)),
+         |segF AS MATERIALIZED (
+         |  SELECT w, arcs, $dpFold AS dp FROM (
+         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
+         |    FROM arcsF GROUP BY w)),
+         |btF AS MATERIALIZED (SELECT w, $btFold AS bt FROM segF),
+         |nv AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS nv FROM btF),
+         |gsteps AS MATERIALIZED (
+         |  SELECT w, i - k AS s, MAX(k) AS k FROM arcsF GROUP BY w, i - k),
+         |grec AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS n FROM wc
+         |  UNION ALL
+         |  SELECT g.w, g.c + m.k, g.n + 1
+         |  FROM grec g JOIN gsteps m ON m.w = g.w AND m.s = g.c),
+         |grd AS MATERIALIZED (
+         |  SELECT w, CAST(MAX(n) AS BIGINT) AS ng FROM grec
+         |  WHERE c = length(w) GROUP BY w),
+         |wl AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |       FROM documents),
+         |tk AS (SELECT doc_id, lang, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
+         |tok AS (SELECT doc_id, lang, ws[pos] AS w FROM tk
+         |        WHERE regexp_full_match(ws[pos], '[a-z]+'))
+         |SELECT t.lang,
+         |  CAST(SUM(v.nv) AS BIGINT) AS n_tokens_viterbi,
+         |  CAST(SUM(g.ng) AS BIGINT) AS n_tokens_greedy,
+         |  CAST(SUM(g.ng) * 1000000 // SUM(v.nv) AS BIGINT) AS greedy_bloat_ppm
+         |FROM tok t JOIN nv v USING (w) JOIN grd g USING (w)
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
     "q_ulm_fertility" -> fertilitySql,
 

@@ -96,6 +96,62 @@ class UlmSpec extends SparkSpec {
     words.foreach(w => assert(segs(w).mkString == w, s"round-trip $w: ${segs(w)}"))
   }
 
+  test("property: Viterbi optimality + round-trip over random vocabularies and words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd') // tiny alphabet → dense vocab hits
+    val wordGen = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val pieceGen = for {
+      n <- Gen.choose(2, 4)
+      p <- Gen.listOfN(n, alpha).map(_.mkString)
+      c <- Gen.choose(50L, 900L)
+    } yield (p, c)
+    for (seed <- Seq(3L, 17L, 2026L)) {
+      // chars always present (the train invariant segment() relies on)
+      val chars = Seq("a", "b", "c", "d").map(c => (c, 300L + c.hashCode % 97))
+      val multis = sample(Gen.listOfN(25, pieceGen), seed)
+        .groupBy(_._1).map(_._2.head).toSeq // unique pieces
+      val vocab = chars ++ multis
+      val costs = vocab.toMap
+      val words = sample(Gen.listOfN(120, wordGen), seed + 1).distinct
+      val segs = segmentPieces(words, vocab)
+      words.foreach { w =>
+        val pieces = segs(w)
+        assert(pieces.mkString == w, s"seed $seed round-trip $w -> $pieces")
+        assert(pieces.map(costs).sum == bruteMin(w, costs),
+          s"seed $seed suboptimal $w: $pieces")
+      }
+    }
+  }
+
+  test("greedy fold is maximal-munch: longest piece at the cursor, full consumption") {
+    val vocab = Seq("a", "b", "c", "d", "ab", "bcd")
+    val vdf = vocab.map(p => (p, 100L)).toDF("piece", "cost_cb")
+    val words = Seq("abcd", "dcba", "ab", "bcdbcd", "aabb").toDF("w")
+    val garcs = words.select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("i"),
+        explode(sequence(lit(1), least(lit(4), col("i")))).as("k"))
+      .withColumn("sub", expr("substr(w, i - k + 1, k)"))
+      .join(vdf.select(col("piece").as("sub")), "sub")
+      .select(col("w"), (col("i") - col("k")).cast("long").as("s"),
+        (lit(8L) - col("k")).as("dk"), col("k").cast("long").as("k"))
+    val got = garcs.groupBy(col("w"))
+      .agg(sort_array(collect_list(array(col("s"), col("dk"), col("k")))).as("arcs"))
+      .withColumn("g", expr(UlmTokenizer.greedyFoldSql("arcs", UlmTokenizer.Spark)))
+      .select(col("w"), expr("element_at(g, 1)").as("cursor"), expr("element_at(g, 2)").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // maximal munch: abcd -> ab|c|d (3), NOT a|bcd (2): munch grabs 'ab'
+    assert(got("abcd") == (4L, 3L), s"abcd: ${got("abcd")}")
+    assert(got("dcba") == (4L, 4L))
+    assert(got("ab") == (2L, 1L))
+    assert(got("bcdbcd") == (6L, 2L))
+    assert(got("aabb") == (4L, 3L)) // a|ab|b
+    got.foreach { case (w, (cur, _)) => assert(cur == w.length, s"$w not consumed") }
+  }
+
   test("encode emits deterministic ids that decode back to the eligible words") {
     val docs = Seq(
       (1L, "abc abd abc"),
