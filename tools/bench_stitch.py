@@ -50,9 +50,11 @@ def main():
         "sf": sfs.pop(), "stitched_from": paths}
     detail_line = {"metric": "detail", "queries": queries, "errors": errors,
                    "flaky": flaky, "sf": total_line["sf"]}
+    # compact separators: bench_diff.py recognizes the detail line by the
+    # literal substring "metric":"detail"
     with open(out, "w") as f:
-        f.write(json.dumps(total_line) + "\n")
-        f.write(json.dumps(detail_line) + "\n")
+        f.write(json.dumps(total_line, separators=(",", ":")) + "\n")
+        f.write(json.dumps(detail_line, separators=(",", ":")) + "\n")
     print(f"stitched {len(paths)} halves -> {out}: {len(queries)} queries, "
           f"total {total_line['value']:.1f}s, run_totals {run_totals}")
 
