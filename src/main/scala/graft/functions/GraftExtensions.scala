@@ -108,12 +108,49 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val mgSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mg_sketch"),
+    new ExpressionInfo(classOf[MgSketchAgg].getName, "graft_mg_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_mg_sketch takes (item STRING, k INT literal)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_mg_sketch k must be an integer literal, got $other")
+      }
+      MgSketchAgg(children.head, k)
+    }
+  )
+
+  private[functions] val mgMergeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mg_merge"),
+    new ExpressionInfo(classOf[MgMergeAgg].getName, "graft_mg_merge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_mg_merge takes (sk BINARY)")
+      MgMergeAgg(children.head)
+    }
+  )
+
+  private[functions] val mgEstimateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mg_estimate"),
+    new ExpressionInfo(classOf[MgEstimate].getName, "graft_mg_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_mg_estimate takes (sk BINARY, item STRING)")
+      MgEstimate(children(0), children(1))
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor,
-      kllSketchDescriptor, kllMergeDescriptor, kllQuantileDescriptor
+      kllSketchDescriptor, kllMergeDescriptor, kllQuantileDescriptor,
+      mgSketchDescriptor, mgMergeDescriptor, mgEstimateDescriptor
     ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -433,6 +433,41 @@ object SqlFunctionQueries {
         .orderBy(col("lang"), col("source"), col("q_ppm"))
     }),
 
+    // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from
+    // Agarwal et al., Mergeable Summaries, PODS 2012) — the 100 TB
+    // heavy-hitter answer next to KLL's percentile answer: O(k) state
+    // per partition, one pass, BINARY partials merged later. The graded
+    // booleans are THEOREMS (never overcounts; undercounts ≤ n/(k+1);
+    // any item above n/(k+1) is present), so they are deterministic
+    // under any partition layout / AQE re-plan — the KLL bounded-rank
+    // pattern for frequencies. Exact side = the census a 100 TB job
+    // cannot afford; k=8 over a ~31-word vocabulary forces constant
+    // decrement/eviction pressure, the regime that distinguishes MG
+    // from a plain hash map
+    "q_agg_mg" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftExtensions.install(s)
+      val K = 8
+      val toks = scan(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val census = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = census.agg(sum(col("c")).as("n"))
+      val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
+      val sk = toks
+        .groupBy(pmod(col("doc_id"), lit(8)).as("shard"))
+        .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+        .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
+      top.crossJoin(broadcast(n)).crossJoin(broadcast(sk))
+        .withColumn("est", call_function("graft_mg_estimate", col("sk"), col("w")))
+        .select(col("w").as("token"), col("c").as("exact_cnt"),
+          (col("c") * lit(K + 1) > col("n")).as("guaranteed_heavy"),
+          ((col("c") - col("est")) * lit(K + 1) <= col("n") &&
+            col("est") <= col("c")).as("within_err"),
+          (!(col("c") * lit(K + 1) > col("n")) || col("est") > 0).as("present_ok"))
+        .orderBy(col("token"))
+    }),
+
     // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
     // keys and bucket ids are built from
     "q_bitwise" -> ((s: SparkSession, d: String) => {
@@ -732,6 +767,20 @@ object SqlFunctionQueries {
            |SELECT lang, source, CAST(q_ppm AS BIGINT) AS q_ppm, exact_v,
            |  true AS within_bound
            |FROM e ORDER BY lang, source, q_ppm""".stripMargin,
+
+    // exact top-10 census replay; the sketch side is graded by the
+    // deterministic theorem booleans (k=8 → error bound n/9)
+    "q_agg_mg" ->
+      raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |           FROM documents),
+           |t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+           |      WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+           |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t),
+           |top AS (SELECT w, c FROM t ORDER BY c DESC, w LIMIT 10)
+           |SELECT w AS token, c AS exact_cnt,
+           |  c * 9 > n.n AS guaranteed_heavy,
+           |  true AS within_err, true AS present_ok
+           |FROM top, n ORDER BY token""".stripMargin,
 
     "q_agg_kmv_setops" -> {
       val hv = DedupQueries.sqlHex60Public("md5('ovl:' || CAST(user_id AS VARCHAR))")

@@ -712,6 +712,59 @@ object StreamQueries {
       exact.join(bounds, Seq("q_ppm")).orderBy(col("q_ppm"))
     }),
 
+    // STREAMING MISRA-GRIES HEAVY HITTERS — the frequent-items monitor
+    // beside q_stream_kll's percentile monitor: each micro-batch appends
+    // ONE serialized MG summary (O(k) bytes regardless of batch size);
+    // graft_mg_merge folds the partials with the Agarwal et al. merge,
+    // whose error bound n/(k+1) holds over ANY merge tree — so batch
+    // slicing can't break the theorem booleans, and the batch oracle
+    // (q_agg_mg's census replay) is shared VERBATIM
+    "q_stream_mg" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      graft.functions.GraftExtensions.install(s)
+      val K = 8
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_smg_src_$suffix"
+      val out = s"/tmp/graft_smg_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def toks(df: DataFrame) = df
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = toks(batch)
+              .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out)
+        .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
+      val census = toks(s.read.parquet(stage)).groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+      val n = census.agg(sum(col("c")).as("n"))
+      val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
+      top.crossJoin(broadcast(n)).crossJoin(broadcast(sk))
+        .withColumn("est", call_function("graft_mg_estimate", col("sk"), col("w")))
+        .select(col("w").as("token"), col("c").as("exact_cnt"),
+          (col("c") * lit(K + 1) > col("n")).as("guaranteed_heavy"),
+          ((col("c") - col("est")) * lit(K + 1) <= col("n") &&
+            col("est") <= col("c")).as("within_err"),
+          (!(col("c") * lit(K + 1) > col("n")) || col("est") > 0).as("present_ok"))
+        .orderBy(col("token"))
+    }),
+
     // STREAMING MANN–WHITNEY (the location-shift monitor beside
     // q_stream_ks's distribution monitor, same mergeable-census
     // deployment): micro-batches append per-value census partials; the
@@ -1019,6 +1072,10 @@ object StreamQueries {
         |    > 1844164::HUGEINT * (t.n1 + t.n2)::HUGEINT
         |      * t.n1::HUGEINT * t.n2::HUGEINT AS reject_95
         |FROM dd, t""".stripMargin,
+
+    // streaming MG shares the batch census replay VERBATIM — per-batch
+    // partials merged by a bound that holds over any merge tree
+    "q_stream_mg" -> SqlFunctionQueries.oracleSql("q_agg_mg"),
 
     // exact element at rank ceil(q*n) over the full events value
     // census; the merged-sketch side is graded by the deterministic
