@@ -12,12 +12,13 @@ import graft.ops.UlmTokenizer.{Duck, Rounds, SeedMulti, PruneEach}
   * the same corpus (q_ulm_fertility vs q_bpe_fertility, same schema).
   *
   * The oracle REPLAYS training in DuckDB from raw data — every round a
-  * MATERIALIZED CTE block (arc join → per-word list folds → usage
-  * census → prune → integer-centibit costs), generated from the same
-  * dialect-parameterized fragment builders the engine uses
-  * ([[UlmTokenizer.dpFoldSql]] / [[btFoldSql]] / [[costStages]]): the
-  * algorithm exists once, arithmetic is pure int64 on both sides, so
-  * the replay is bit-exact with no float seam.
+  * MATERIALIZED CTE block (arc join → recursive Viterbi → usage census
+  * → prune → integer-centibit costs from the shared
+  * [[UlmTokenizer.costStages]] generator). The Viterbi replay is PURE
+  * RELATIONAL recursion ([[viterbiCtes]]) while the engine runs
+  * codegen'd array folds — two independent implementations of the same
+  * integer semantics, bit-exact with no float seam and no DuckDB
+  * lambda in the oracle (list_reduce misaligns rows; see viterbiCtes).
   */
 object UlmQueries {
 
@@ -37,11 +38,54 @@ object UlmQueries {
        |  SELECT piece, usage, CAST(cost_cb AS BIGINT) AS cost_cb FROM ($nested))""".stripMargin
   }
 
-  private val dpFold = UlmTokenizer.dpFoldSql("arcs", Duck)
-  private val btFold =
-    UlmTokenizer.btFoldSql("list_reverse(arcs)", "dp", "CAST(length(w) AS BIGINT)", Duck)
-  private val unpack =
-    "substr(w, CAST(p // 8 - p % 8 + 1 AS INT), CAST(p % 8 AS INT))"
+  /** Viterbi replay for one vocabulary CTE, as PURE RELATIONAL
+    * recursion — no DuckDB lambdas anywhere. DuckDB 1.0's list_reduce
+    * was caught misaligning fold results against the group key after a
+    * hash aggregate of LIST(LIST) rows (q_ulm_greedy forensics), so the
+    * oracle walked away from list folds entirely; the engine keeps its
+    * spec-pinned codegen'd array folds, making the replay a fully
+    * independent implementation of the same semantics:
+    *  - dpr$t: sliding-window recursion carrying the last 4 dp values
+    *    per (word, position) — dp(i) = MIN over arcs ending at i;
+    *  - cho$t: per position, the LARGEST k on an optimal path (the
+    *    longest-piece tie-break, same rule as the engine's backtrace);
+    *  - btr$t: pointer walk from len(w) down through cho;
+    *  - ch$t: one row per chosen piece occurrence, with its end ptr
+    *    (ascending ptr = forward word order).
+    */
+  private def viterbiCtes(t: String, vocab: String): String =
+    s"""arcs$t AS MATERIALIZED (SELECT s.w, s.i, s.k, v.cost_cb
+       |  FROM slk s JOIN $vocab v USING (piece)),
+       |dpr$t AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS d3,
+       |         CAST(NULL AS BIGINT) AS d2, CAST(NULL AS BIGINT) AS d1,
+       |         CAST(0 AS BIGINT) AS d0
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT r.w, r.i + 1, r.d2, r.d1, r.d0,
+       |    MIN(CASE a.k WHEN 1 THEN r.d0 WHEN 2 THEN r.d1
+       |                 WHEN 3 THEN r.d2 WHEN 4 THEN r.d3 END + a.cost_cb)
+       |  FROM dpr$t r JOIN arcs$t a ON a.w = r.w AND a.i = r.i + 1
+       |  WHERE r.i < length(r.w)
+       |  GROUP BY r.w, r.i, r.d2, r.d1, r.d0),
+       |dpt$t AS MATERIALIZED (SELECT w, i, d0 AS dp FROM dpr$t),
+       |cho$t AS MATERIALIZED (
+       |  SELECT a.w, a.i, MAX(a.k) AS k
+       |  FROM arcs$t a
+       |  JOIN dpt$t p ON p.w = a.w AND p.i = a.i - a.k
+       |  JOIN dpt$t q ON q.w = a.w AND q.i = a.i
+       |  WHERE p.dp + a.cost_cb = q.dp
+       |  GROUP BY a.w, a.i),
+       |btr$t AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS ptr FROM wc
+       |  UNION ALL
+       |  SELECT b.w, b.ptr - c.k
+       |  FROM btr$t b JOIN cho$t c ON c.w = b.w AND c.i = b.ptr
+       |  WHERE b.ptr > 0),
+       |ch$t AS MATERIALIZED (
+       |  SELECT b.w, b.ptr,
+       |    substr(b.w, CAST(b.ptr - c.k + 1 AS INT), CAST(c.k AS INT)) AS piece
+       |  FROM btr$t b JOIN cho$t c ON c.w = b.w AND c.i = b.ptr)""".stripMargin
 
   /** The shared training replay: word census, substring-slot table,
     * seed vocabulary v0, then `rounds` EM rounds ending at v$rounds. */
@@ -67,18 +111,10 @@ object UlmQueries {
            |t0 AS (SELECT CAST(SUM(greatest(usage, 1)) AS BIGINT) AS _tt FROM v0raw),
            |${vocabCte("v0", "v0raw", "t0")}""".stripMargin
     def round(r: Int) =
-      s"""arcs$r AS (SELECT s.w, s.i, s.k, v.cost_cb
-         |  FROM slk s JOIN v${r - 1} v USING (piece)),
-         |seg$r AS MATERIALIZED (
-         |  SELECT w, arcs, $dpFold AS dp FROM (
-         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
-         |    FROM arcs$r GROUP BY w)),
-         |bt$r AS MATERIALIZED (
-         |  SELECT w, $btFold AS bt FROM seg$r),
-         |ch$r AS (SELECT w, unnest(${UlmTokenizer.btChosen("bt", Duck)}) AS p FROM bt$r),
+      s"""${viterbiCtes(r.toString, s"v${r - 1}")},
          |eu$r AS MATERIALIZED (
-         |  SELECT $unpack AS piece, CAST(SUM(c) AS BIGINT) AS usage
-         |  FROM ch$r JOIN wc USING (w) GROUP BY 1),
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+         |  FROM ch$r JOIN wc USING (w) GROUP BY piece),
          |wu$r AS (SELECT v.piece, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
          |         FROM v${r - 1} v LEFT JOIN eu$r u USING (piece)),
          |dr$r AS (SELECT piece FROM wu$r WHERE length(piece) > 1
@@ -92,31 +128,21 @@ object UlmQueries {
 
   /** ENCODE-side CTEs under the final vocabulary v$rounds: one more
     * Viterbi pass, piece ids (chars ascii-96, multis 27.. in piece
-    * order), per-word id lists, and the per-doc token stream (the
-    * q_bpe_encode wl/tk/tok shape). */
+    * order), per-word id lists (ascending end ptr = forward word
+    * order), and the per-doc token stream (the q_bpe_encode wl/tk/tok
+    * shape). */
   private def ulmEncodeCtes(rounds: Int): String =
-    raw"""arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
-         |  FROM slk s JOIN v$rounds v USING (piece)),
-         |segF AS MATERIALIZED (
-         |  SELECT w, arcs, $dpFold AS dp FROM (
-         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
-         |    FROM arcsF GROUP BY w)),
-         |btF AS MATERIALIZED (
-         |  SELECT w, $btFold AS bt FROM segF),
+    raw"""${viterbiCtes("F", s"v$rounds")},
          |pid AS MATERIALIZED (
          |  SELECT piece, CAST(ascii(piece) - 96 AS BIGINT) AS id
          |  FROM v$rounds WHERE length(piece) = 1
          |  UNION ALL
          |  SELECT piece, 26 + ROW_NUMBER() OVER (ORDER BY piece) AS id
          |  FROM v$rounds WHERE length(piece) > 1),
-         |che AS (SELECT w, unnest(${UlmTokenizer.btChosen("bt", Duck)}) AS p,
-         |               unnest(range(1, len(bt) - (bt)[2] - 2)) AS j FROM btF),
          |wid AS MATERIALIZED (
-         |  SELECT c.w, list(CAST(pid.id AS VARCHAR) ORDER BY c.j) AS ids,
+         |  SELECT c.w, list(CAST(pid.id AS VARCHAR) ORDER BY c.ptr) AS ids,
          |         CAST(COUNT(*) AS BIGINT) AS n_sym
-         |  FROM che c JOIN pid
-         |    ON pid.piece = substr(c.w, CAST(c.p // 8 - c.p % 8 + 1 AS INT),
-         |                          CAST(c.p % 8 AS INT))
+         |  FROM chF c JOIN pid ON pid.piece = c.piece
          |  GROUP BY c.w),
          |wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
          |       FROM documents),
@@ -295,11 +321,11 @@ object UlmQueries {
   val oracleSql: Map[String, String] = Map(
 
     "q_ulm_train" ->
-      s"""WITH ${ulmTrainCtes(Rounds)}
+      s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)}
          |SELECT piece, usage, cost_cb FROM v$Rounds ORDER BY piece""".stripMargin,
 
     "q_ulm_encode" ->
-      s"""WITH ${ulmTrainCtes(Rounds)},
+      s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
          |${ulmEncodeCtes(Rounds)},
          |agg AS (SELECT t.doc_id, flatten(list(e.ids ORDER BY t.pos)) AS tids
          |        FROM tok t JOIN wid e USING (w) GROUP BY t.doc_id)
@@ -311,27 +337,15 @@ object UlmQueries {
     // their TRAINED costs; two fold passes over the distinct vocabulary
     "q_ulm_prune" -> {
       import UlmTokenizer.KeepMulti
-      s"""WITH ${ulmTrainCtes(Rounds)},
+      s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
          |mtop AS (SELECT piece FROM v$Rounds WHERE length(piece) > 1
          |         ORDER BY usage DESC, piece LIMIT $KeepMulti),
          |vP AS MATERIALIZED (SELECT piece, usage, cost_cb FROM v$Rounds
          |  WHERE length(piece) = 1 OR piece IN (SELECT piece FROM mtop)),
-         |arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
-         |  FROM slk s JOIN v$Rounds v USING (piece)),
-         |segF AS MATERIALIZED (
-         |  SELECT w, arcs, $dpFold AS dp FROM (
-         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
-         |    FROM arcsF GROUP BY w)),
-         |btF AS MATERIALIZED (SELECT w, $btFold AS bt FROM segF),
-         |nf AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS nf FROM btF),
-         |arcsP AS (SELECT s.w, s.i, s.k, v.cost_cb
-         |  FROM slk s JOIN vP v USING (piece)),
-         |segP AS MATERIALIZED (
-         |  SELECT w, arcs, $dpFold AS dp FROM (
-         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
-         |    FROM arcsP GROUP BY w)),
-         |btP AS MATERIALIZED (SELECT w, $btFold AS bt FROM segP),
-         |np AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS np FROM btP),
+         |${viterbiCtes("F", s"v$Rounds")},
+         |nf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nf FROM chF GROUP BY w),
+         |${viterbiCtes("P", "vP")},
+         |np AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM chP GROUP BY w),
          |wl AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
          |       FROM documents),
          |tk AS (SELECT doc_id, lang, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wl),
@@ -357,14 +371,8 @@ object UlmQueries {
     // single chain per word ending at cursor = length(w)
     "q_ulm_greedy" ->
       s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
-         |arcsF AS (SELECT s.w, s.i, s.k, v.cost_cb
-         |  FROM slk s JOIN v$Rounds v USING (piece)),
-         |segF AS MATERIALIZED (
-         |  SELECT w, arcs, $dpFold AS dp FROM (
-         |    SELECT w, list_sort(list([i, k, cost_cb])) AS arcs
-         |    FROM arcsF GROUP BY w)),
-         |btF AS MATERIALIZED (SELECT w, $btFold AS bt FROM segF),
-         |nv AS (SELECT w, CAST(len(bt) - (bt)[2] - 3 AS BIGINT) AS nv FROM btF),
+         |${viterbiCtes("F", s"v$Rounds")},
+         |nv AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nv FROM chF GROUP BY w),
          |gsteps AS MATERIALIZED (
          |  SELECT w, i - k AS s, MAX(k) AS k FROM arcsF GROUP BY w, i - k),
          |grec AS (
@@ -395,7 +403,7 @@ object UlmQueries {
     "q_stream_ulm" -> fertilitySql)
 
   private lazy val fertilitySql: String =
-    s"""WITH ${ulmTrainCtes(Rounds)},
+    s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
        |${ulmEncodeCtes(Rounds)},
        |per AS (SELECT t.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
        |               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
