@@ -468,6 +468,40 @@ object SqlFunctionQueries {
         .orderBy(col("token"))
     }),
 
+    // GROUPED MG — heavy-hitter tokens PER LANGUAGE, the per-group
+    // deployment shape (per-language vocabulary monitors): one summary
+    // per (lang, shard) partial, merged per lang, graded by the same
+    // theorem booleans against each group's exact top-5. Mirrors
+    // q_agg_kll_grouped's sketch-per-group contract
+    "q_agg_mg_grouped" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftExtensions.install(s)
+      val K = 8
+      val toks = scan(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val census = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val n = census.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("w").asc)
+      val top = census.withColumn("r", row_number().over(wr))
+        .where(col("r") <= 5).drop("r")
+      val sk = toks
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(8)).as("shard"))
+        .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+        .groupBy(col("lang"))
+        .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
+      top.join(broadcast(n), Seq("lang")).join(broadcast(sk), Seq("lang"))
+        .withColumn("est", call_function("graft_mg_estimate", col("sk"), col("w")))
+        .select(col("lang"), col("w").as("token"), col("c").as("exact_cnt"),
+          (col("c") * lit(K + 1) > col("n")).as("guaranteed_heavy"),
+          ((col("c") - col("est")) * lit(K + 1) <= col("n") &&
+            col("est") <= col("c")).as("within_err"),
+          (!(col("c") * lit(K + 1) > col("n")) || col("est") > 0).as("present_ok"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
     // bitwise tier: and/or/xor/shifts/popcount — the bit surgery layout
     // keys and bucket ids are built from
     "q_bitwise" -> ((s: SparkSession, d: String) => {
@@ -781,6 +815,24 @@ object SqlFunctionQueries {
            |  c * 9 > n.n AS guaranteed_heavy,
            |  true AS within_err, true AS present_ok
            |FROM top, n ORDER BY token""".stripMargin,
+
+    // per-language exact top-5 replay; sketch side graded by the same
+    // theorem booleans per group
+    "q_agg_mg_grouped" ->
+      raw"""WITH w AS (SELECT lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents),
+           |t AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+           |      WHERE regexp_full_match(w, '[a-z]+') GROUP BY lang, w),
+           |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM t GROUP BY lang),
+           |r AS (SELECT lang, w, c,
+           |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+           |      FROM t),
+           |top AS (SELECT lang, w, c FROM r WHERE r <= 5)
+           |SELECT top.lang, top.w AS token, top.c AS exact_cnt,
+           |  top.c * 9 > n.n AS guaranteed_heavy,
+           |  true AS within_err, true AS present_ok
+           |FROM top JOIN n USING (lang) ORDER BY lang, token""".stripMargin,
 
     "q_agg_kmv_setops" -> {
       val hv = DedupQueries.sqlHex60Public("md5('ovl:' || CAST(user_id AS VARCHAR))")
