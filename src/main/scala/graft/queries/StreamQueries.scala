@@ -765,6 +765,128 @@ object StreamQueries {
         .orderBy(col("token"))
     }),
 
+    // STREAMING GROUPED MG — the per-language vocabulary monitor run
+    // online: each micro-batch appends one summary PER LANG (state =
+    // |langs| × O(k) bytes per batch), merged per lang afterward; the
+    // per-group bound is the same theorem, so q_agg_mg_grouped's census
+    // replay is the oracle VERBATIM
+    "q_stream_mg_grouped" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      graft.functions.GraftExtensions.install(s)
+      val K = 8
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_smgg_src_$suffix"
+      val out = s"/tmp/graft_smgg_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def toks(df: DataFrame) = df
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = toks(batch).groupBy(col("lang"))
+              .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out).groupBy(col("lang"))
+        .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
+      val census = toks(s.read.parquet(stage))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val n = census.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("w").asc)
+      val top = census.withColumn("r", row_number().over(wr))
+        .where(col("r") <= 5).drop("r")
+      top.join(broadcast(n), Seq("lang")).join(broadcast(sk), Seq("lang"))
+        .withColumn("est", call_function("graft_mg_estimate", col("sk"), col("w")))
+        .select(col("lang"), col("w").as("token"), col("c").as("exact_cnt"),
+          (col("c") * lit(K + 1) > col("n")).as("guaranteed_heavy"),
+          ((col("c") - col("est")) * lit(K + 1) <= col("n") &&
+            col("est") <= col("c")).as("within_err"),
+          (!(col("c") * lit(K + 1) > col("n")) || col("est") > 0).as("present_ok"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
+    // STREAMING GROUPED KLL — per-(lang, source) token-count percentile
+    // monitors online: each micro-batch appends one sketch per group;
+    // merge + exact-rank grading afterward is q_agg_kll_grouped's
+    // contract, so its oracle is shared VERBATIM (the sketch's rank
+    // bound is layout-invariant, batch slicing included)
+    "q_stream_kll_grouped" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftExtensions.install(s)
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_skllg_src_$suffix"
+      val out = s"/tmp/graft_skllg_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def vals(df: DataFrame) = df.select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = vals(batch).groupBy(col("lang"), col("source"))
+              .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out).groupBy(col("lang"), col("source"))
+        .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
+      val census = vals(s.read.parquet(stage))
+        .groupBy(col("lang"), col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("lang"), col("source")).orderBy(col("v"))
+      val cum = census.withColumn("cum", sum(col("c")).over(wv))
+      val n = census.groupBy(col("lang"), col("source")).agg(sum(col("c")).as("n"))
+      val qs = s.range(1).select(explode(array(lit(500000L), lit(950000L))).as("q_ppm"))
+      val est = sk.crossJoin(broadcast(qs))
+        .select(col("lang"), col("source"), col("q_ppm"),
+          call_function("graft_kll_quantile", col("sk"), col("q_ppm")).as("est"))
+      val targets = n.crossJoin(broadcast(qs))
+        .withColumn("target", expr("(q_ppm * n + 999999) div 1000000"))
+        .select(col("lang"), col("source"), col("q_ppm"), col("target"))
+      val exact = cum.join(broadcast(targets), Seq("lang", "source"))
+        .where(col("cum") >= col("target"))
+        .groupBy(col("lang"), col("source"), col("q_ppm"))
+        .agg(min(col("v")).as("exact_v"))
+      val estN = est.join(broadcast(n), Seq("lang", "source"))
+      val bounds = cum.as("cc").join(broadcast(estN.as("ee")),
+          col("cc.lang") === col("ee.lang") &&
+            col("cc.source") === col("ee.source") && col("cc.v") === col("ee.est"))
+        .select(col("ee.lang").as("lang"), col("ee.source").as("source"),
+          col("q_ppm"),
+          ((col("cum") - col("c")) * lit(1000000L) <=
+            (col("q_ppm") + lit(15000L)) * col("n") &&
+           col("cum") * lit(1000000L) >=
+            (col("q_ppm") - lit(15000L)) * col("n")).as("within_bound"))
+      exact.join(bounds, Seq("lang", "source", "q_ppm"))
+        .orderBy(col("lang"), col("source"), col("q_ppm"))
+    }),
+
     // STREAMING MANN–WHITNEY (the location-shift monitor beside
     // q_stream_ks's distribution monitor, same mergeable-census
     // deployment): micro-batches append per-value census partials; the
@@ -1076,6 +1198,10 @@ object StreamQueries {
     // streaming MG shares the batch census replay VERBATIM — per-batch
     // partials merged by a bound that holds over any merge tree
     "q_stream_mg" -> SqlFunctionQueries.oracleSql("q_agg_mg"),
+
+    // grouped mergeable-summary twins: same contract, per group
+    "q_stream_mg_grouped" -> SqlFunctionQueries.oracleSql("q_agg_mg_grouped"),
+    "q_stream_kll_grouped" -> SqlFunctionQueries.oracleSql("q_agg_kll_grouped"),
 
     // exact element at rank ceil(q*n) over the full events value
     // census; the merged-sketch side is graded by the deterministic
