@@ -2227,4 +2227,167 @@ object Multimodal {
       MediaRow(id, "video/mp4", ftyp ++ moov ++ mdat ++ free)
     }.toDF()
   }
+
+  // ------------------------------------------------------------------ ZIP
+
+  final case class ZipStats(media_id: Long, n_entries: Int, n_stored: Int,
+      n_deflate: Int, total_bytes: Long, max_bytes: Long, content_sum: Long)
+
+  /** REAL ZIP archive decode (PKWARE APPNOTE.TXT, the public format) —
+    * the 17th container format, and the second archive walker next to
+    * tar: end-of-central-directory located by a backward signature scan
+    * (comment-tolerant), central directory walked entry by entry, each
+    * entry's LOCAL header cross-checked (signature + name must match
+    * the directory), payload DECOMPRESSED for real — method 0 stored,
+    * method 8 deflate via `java.util.zip.Inflater(nowrap)`, the same
+    * no-stub inflate the PNG decoder uses — and verified against the
+    * directory's CRC-32 and uncompressed size. The content byte sum
+    * proves every body was visited. Loud failures everywhere a real
+    * pipeline needs them: missing/garbled EOCD, entry-count mismatch,
+    * bad central/local signatures, name mismatch, unsupported method,
+    * size overrun, CRC mismatch, inflate underrun (`ZipSpec`).
+    */
+  def decodeZip(rows: Iterator[MediaRow]): Iterator[ZipStats] = rows.map { r =>
+    val b = r.payload
+    def u16(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (u16(off).toLong) | (u16(off + 2).toLong << 16)
+    // EOCD: PK\5\6, scanned backward (a trailing comment may follow)
+    var e = b.length - 22
+    while (e >= 0 && !(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 5 && b(e + 3) == 6))
+      e -= 1
+    require(e >= 0, s"no end-of-central-directory: media ${r.media_id}")
+    val nEntries = u16(e + 10)
+    require(u16(e + 8) == nEntries,
+      s"multi-disk archive not supported: media ${r.media_id}")
+    val cdSize = u32(e + 12)
+    val cdOff = u32(e + 16)
+    require(cdOff + cdSize <= e,
+      s"central directory overruns EOCD: media ${r.media_id}")
+    var i = cdOff.toInt
+    var (nStored, nDeflate) = (0, 0)
+    var (totalBytes, maxBytes, contentSum) = (0L, 0L, 0L)
+    var seen = 0
+    while (seen < nEntries) {
+      require(u32(i) == 0x02014b50L,
+        s"bad central-directory signature at entry $seen: media ${r.media_id}")
+      val method = u16(i + 10)
+      val crc = u32(i + 16)
+      val csize = u32(i + 20)
+      val usize = u32(i + 24)
+      val nameLen = u16(i + 28)
+      val extraLen = u16(i + 30)
+      val commentLen = u16(i + 32)
+      val lho = u32(i + 42).toInt
+      val name = new String(b, i + 46, nameLen, "UTF-8")
+      // local header cross-check
+      require(u32(lho) == 0x04034b50L,
+        s"bad local signature for $name: media ${r.media_id}")
+      val lNameLen = u16(lho + 26)
+      val lExtraLen = u16(lho + 28)
+      require(new String(b, lho + 30, lNameLen, "UTF-8") == name,
+        s"local/central name mismatch for $name: media ${r.media_id}")
+      val dataOff = lho + 30 + lNameLen + lExtraLen
+      require(dataOff + csize <= b.length,
+        s"entry $name overruns archive: media ${r.media_id}")
+      val content = method match {
+        case 0 =>
+          require(csize == usize,
+            s"stored entry $name with csize != usize: media ${r.media_id}")
+          nStored += 1
+          java.util.Arrays.copyOfRange(b, dataOff, dataOff + usize.toInt)
+        case 8 =>
+          nDeflate += 1
+          val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib wrap
+          inf.setInput(b, dataOff, csize.toInt)
+          val out = new Array[Byte](usize.toInt)
+          val got = inf.inflate(out)
+          require(got == usize && inf.finished(),
+            s"inflate produced $got of $usize bytes for $name: media ${r.media_id}")
+          inf.end()
+          out
+        case m => throw new IllegalArgumentException(
+          s"unsupported compression method $m for $name: media ${r.media_id}")
+      }
+      val c32 = new java.util.zip.CRC32()
+      c32.update(content)
+      require(c32.getValue == crc,
+        s"CRC mismatch for $name: got ${c32.getValue} want $crc: media ${r.media_id}")
+      totalBytes += usize
+      maxBytes = math.max(maxBytes, usize)
+      content.foreach(x => contentSum += x & 0xff)
+      seen += 1
+      i += 46 + nameLen + extraLen + commentLen
+    }
+    require(i == (cdOff + cdSize).toInt,
+      s"central directory size mismatch: media ${r.media_id}")
+    ZipStats(r.media_id, nEntries, nStored, nDeflate, totalBytes, maxBytes,
+      contentSum)
+  }
+
+  /** ZIP pipeline — same narrow mapPartitions seam as the other 16. */
+  def extractZipStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeZip).toDF()
+  }
+
+  /** Deterministic ZIP fixture: m = 2 + id%4 entries, entry i named
+    * `id/f<i>.txt` with size 20 + (id + 11i)%200 and byte j =
+    * (id + 7i + j)%256; EVEN entries stored, ODD entries deflated (so
+    * both code paths decode every archive). Real local headers, real
+    * central directory, real CRC-32s — the decoder's checks all have
+    * teeth. The byte/size formulas are what the DuckDB oracle replays;
+    * deflate sizes never appear in the output (they depend on the
+    * compressor, not the data model). */
+  def syntheticZip(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 2 + (id % 4).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      val cd = new java.io.ByteArrayOutputStream()
+      def cd16(v: Int): Unit = { cd.write(v & 0xff); cd.write((v >> 8) & 0xff) }
+      def cd32(v: Long): Unit = { cd16((v & 0xffff).toInt); cd16(((v >> 16) & 0xffff).toInt) }
+      (0 until m).foreach { i =>
+        val size = 20 + ((id + 11 * i) % 200).toInt
+        val content = Array.tabulate[Byte](size)(j => ((id + 7 * i + j) % 256).toByte)
+        val crc = new java.util.zip.CRC32(); crc.update(content)
+        val stored = i % 2 == 0
+        val data = if (stored) content else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(content); d.finish()
+          val acc = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          while (!d.finished()) acc.write(buf, 0, d.deflate(buf))
+          d.end()
+          acc.toByteArray
+        }
+        val name = s"$id/f$i.txt".getBytes("UTF-8")
+        val lho = out.size()
+        w32(0x04034b50L); w16(20); w16(0); w16(if (stored) 0 else 8)
+        w16(0); w16(0) // mod time/date
+        w32(crc.getValue); w32(data.length.toLong); w32(size.toLong)
+        w16(name.length); w16(0)
+        out.write(name); out.write(data)
+        cd32(0x02014b50L); cd16(20); cd16(20); cd16(0); cd16(if (stored) 0 else 8)
+        cd16(0); cd16(0)
+        cd32(crc.getValue); cd32(data.length.toLong); cd32(size.toLong)
+        cd16(name.length); cd16(0); cd16(0) // name/extra/comment len
+        cd16(0); cd16(0) // disk, internal attrs
+        cd32(0L) // external attrs
+        cd32(lho.toLong)
+        cd.write(name)
+      }
+      val cdOff = out.size()
+      val cdBytes = cd.toByteArray
+      out.write(cdBytes)
+      w32(0x06054b50L); w16(0); w16(0); w16(m); w16(m)
+      w32(cdBytes.length.toLong); w32(cdOff.toLong); w16(0)
+      MediaRow(id, "application/zip", out.toByteArray)
+    }.toDF()
+  }
 }

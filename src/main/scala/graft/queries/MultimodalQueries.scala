@@ -284,6 +284,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL ZIP DECODE — 17th container format, second archive walker:
+    // EOCD backward scan, central directory walk with local-header
+    // cross-checks, per-entry REAL decompression (stored + raw-deflate
+    // Inflater) verified against the directory CRC-32s; output fields
+    // are exactly the formula-replayable ones (deflate sizes depend on
+    // the compressor, so they never appear)
+    "q_multimodal_zip" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractZipStats(
+        Multimodal.syntheticZip(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // WEBDATASET SAMPLE ASSEMBLY: the tar walk emits a member RELATION
     // (one row per file through the checksum-verified walker), and
     // sample grouping — dir/sample<k>.{txt,cls} pairs into training
@@ -741,6 +753,29 @@ object MultimodalQueries {
         |        FROM sz GROUP BY id)
         |SELECT a.id AS media_id, a.n_files, CAST(1 AS INT) AS n_dirs,
         |  a.total_bytes, a.max_bytes, c.content_sum, a.archive_bytes
+        |FROM agg a JOIN csum c ON a.id = c.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 2 + id%4 entries; entry i has size
+    // 20 + (id+11i)%200, byte j = (id+7i+j)%256, even i stored / odd i
+    // deflated; deflate byte counts are compressor-dependent and never
+    // surface in the output
+    "q_multimodal_zip" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INT) AS m
+        |           FROM documents),
+        |f AS (SELECT id, m, unnest(range(0, m)) AS i FROM m),
+        |sz AS (SELECT id, m, i,
+        |         CAST(20 + (id + 11 * i) % 200 AS BIGINT) AS size FROM f),
+        |b AS (SELECT id, i, size, unnest(range(0, size)) AS j FROM sz),
+        |csum AS (SELECT id, CAST(SUM((id + 7 * i + j) % 256) AS BIGINT) AS content_sum
+        |         FROM b GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(m) AS INT) AS n_entries,
+        |          CAST(SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_stored,
+        |          CAST(SUM(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS n_deflate,
+        |          CAST(SUM(size) AS BIGINT) AS total_bytes,
+        |          CAST(MAX(size) AS BIGINT) AS max_bytes
+        |        FROM sz GROUP BY id)
+        |SELECT a.id AS media_id, a.n_entries, a.n_stored, a.n_deflate,
+        |  a.total_bytes, a.max_bytes, c.content_sum
         |FROM agg a JOIN csum c ON a.id = c.id ORDER BY media_id""".stripMargin,
 
     // formula replay: cue i starts 3000i + id%700 and lasts
