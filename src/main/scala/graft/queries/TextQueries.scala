@@ -58,6 +58,41 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FEATURE HASHING (the hashing trick, Weinberger et al. 2009 — the
+    // fastText-style featurizer quality classifiers train on): every
+    // token hashed into D=1024 buckets via the portable 60-bit md5
+    // parse (native codegen'd graft_hex60 on the hot path), plus the
+    // collision audit every deployment wants: buckets used, worst
+    // bucket, words sharing a bucket, collision ppm, and the per-doc
+    // nnz mass. One explode → hash → map-side-combinable groupBys,
+    // O(token instances), no UDFs — at 100 TB this IS the featurizer
+    // (the dimensionality is fixed; no vocabulary is ever collected)
+    "q_text_feathash" -> ((s: SparkSession, d: String) => {
+      val D = 1024L
+      val toks = scan(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.ops.CorpusOps.words(lower(col("text")))).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val tb = toks.withColumn("b", pmod(graft.ops.Dedup.hex60(
+        md5(concat(lit("fh:"), col("w")).cast("binary"))), lit(D)))
+      val buckets = tb.select(col("w"), col("b")).distinct()
+        .groupBy(col("b")).agg(count(lit(1)).as("nw"))
+      val census = buckets.agg(
+        sum(col("nw")).as("n_words"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("nw")).as("max_bucket_words"),
+        sum(when(col("nw") >= 2, col("nw")).otherwise(0L)).as("collided_words"))
+      census
+        .crossJoin(broadcast(tb.groupBy(col("doc_id"))
+          .agg(countDistinct(col("b")).as("nnz"))
+          .agg(sum(col("nnz")).as("sum_doc_nnz"))))
+        .crossJoin(broadcast(tb.agg(count(lit(1)).as("n_token_instances"))))
+        .select(col("n_words"), col("n_buckets_used"), col("max_bucket_words"),
+          col("collided_words"),
+          expr("collided_words * 1000000 div n_words").as("collision_ppm"),
+          col("sum_doc_nnz"), col("n_token_instances"))
+    }),
+
     // CODE-VS-PROSE DETECTION (the corpus-routing filter every LLM
     // pipeline runs — code wants different dedup/mixing than prose):
     // per doc, bracket/semicolon density and indented-line fraction in
@@ -552,6 +587,32 @@ object TextQueries {
     }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracleSql: Map[String, String] = Map(
+    // same 60-bit md5 parse, same bucket arithmetic, pure integers
+    "q_text_feathash" -> {
+      val hb = DedupQueries.sqlHex60Public("md5('fh:' || w)")
+      raw"""WITH tok AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents),
+           |t AS (SELECT doc_id, w, $hb % 1024 AS b FROM tok
+           |      WHERE regexp_full_match(w, '[a-z]+')),
+           |bk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nw
+           |       FROM (SELECT DISTINCT w, b FROM t) GROUP BY b),
+           |c AS (SELECT CAST(SUM(nw) AS BIGINT) AS n_words,
+           |        CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           |        CAST(MAX(nw) AS BIGINT) AS max_bucket_words,
+           |        CAST(COALESCE(SUM(CASE WHEN nw >= 2 THEN nw ELSE 0 END), 0)
+           |          AS BIGINT) AS collided_words
+           |      FROM bk),
+           |dn AS (SELECT CAST(SUM(nnz) AS BIGINT) AS sum_doc_nnz FROM (
+           |         SELECT doc_id, COUNT(DISTINCT b) AS nnz FROM t GROUP BY doc_id)),
+           |ti AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_token_instances FROM t)
+           |SELECT c.n_words, c.n_buckets_used, c.max_bucket_words,
+           |  c.collided_words,
+           |  CAST(c.collided_words * 1000000 // c.n_words AS BIGINT) AS collision_ppm,
+           |  dn.sum_doc_nnz, ti.n_token_instances
+           |FROM c, dn, ti""".stripMargin
+    },
+
     "q_text_codefrac" ->
       """WITH f AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
