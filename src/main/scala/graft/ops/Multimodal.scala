@@ -2333,6 +2333,113 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeZip).toDF()
   }
 
+  /** One ZIP entry (name + uncompressed size). */
+  final case class ZipMember(media_id: Long, name: String, size: Long)
+
+  /** Member RELATION variant of [[decodeZip]] — the WebDataset-over-ZIP
+    * seam: the full validated walk runs first (signatures, CRCs,
+    * decompression — delegating to decodeZip), then the central
+    * directory is re-read to emit one row per entry so sample assembly
+    * is a plain Spark groupBy downstream, exactly like
+    * [[decodeTarMembers]]. */
+  def decodeZipMembers(rows: Iterator[MediaRow]): Iterator[ZipMember] =
+    rows.flatMap { r =>
+      decodeZip(Iterator(r)).foreach(_ => ()) // full validation pass
+      val b = r.payload
+      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
+      var e = b.length - 22
+      while (!(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 5 && b(e + 3) == 6)) e -= 1
+      val n = u16(e + 10)
+      var i = u32(e + 16).toInt
+      (0 until n).map { _ =>
+        val usize = u32(i + 24)
+        val nameLen = u16(i + 28)
+        val m = ZipMember(r.media_id,
+          new String(b, i + 46, nameLen, "UTF-8"), usize)
+        i += 46 + nameLen + u16(i + 30) + u16(i + 32)
+        m
+      }
+    }
+
+  /** Member-relation pipeline. */
+  def extractZipMembers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeZipMembers).toDF()
+  }
+
+  /** WebDataset-over-ZIP fixture (the syntheticWds pattern on the ZIP
+    * container): m = 2 + id%4 samples, each a (sample<i>.txt,
+    * sample<i>.cls) pair EXCEPT the last sample's .cls, deliberately
+    * missing — the incomplete-sample case assembly audits exist to
+    * catch. txt size = 20 + (id + 11i)%200, cls size = 1 + (id + 3i)%9,
+    * byte j of entry e = (id + 7e + j)%256; entries alternate
+    * stored/deflated by overall entry index. */
+  def syntheticZipWds(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 2 + (id % 4).toInt
+      val names = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      (0 until m).foreach { i =>
+        names += ((s"$id/sample$i.txt", 20 + ((id + 11 * i) % 200).toInt))
+        if (i < m - 1) names += ((s"$id/sample$i.cls", 1 + ((id + 3 * i) % 9).toInt))
+      }
+      MediaRow(id, "application/zip", buildZip(id, names.toSeq))
+    }.toDF()
+  }
+
+  /** Assemble a ZIP archive from (name, size) entries with the shared
+    * byte formula; entry e's bytes are (id + 7e + j)%256, even e stored,
+    * odd e deflated. */
+  private def buildZip(id: Long, entries: Seq[(String, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w16(o, (v & 0xffff).toInt); w16(o, ((v >> 16) & 0xffff).toInt)
+    }
+    val cd = new java.io.ByteArrayOutputStream()
+    entries.zipWithIndex.foreach { case ((nameStr, size), e) =>
+      val content = Array.tabulate[Byte](size)(j => ((id + 7 * e + j) % 256).toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(content)
+      val stored = e % 2 == 0
+      val data = if (stored) content else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(content); d.finish()
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) acc.write(buf, 0, d.deflate(buf))
+        d.end()
+        acc.toByteArray
+      }
+      val name = nameStr.getBytes("UTF-8")
+      val lho = out.size()
+      w32(out, 0x04034b50L); w16(out, 20); w16(out, 0); w16(out, if (stored) 0 else 8)
+      w16(out, 0); w16(out, 0)
+      w32(out, crc.getValue); w32(out, data.length.toLong); w32(out, size.toLong)
+      w16(out, name.length); w16(out, 0)
+      out.write(name); out.write(data)
+      w32(cd, 0x02014b50L); w16(cd, 20); w16(cd, 20); w16(cd, 0); w16(cd, if (stored) 0 else 8)
+      w16(cd, 0); w16(cd, 0)
+      w32(cd, crc.getValue); w32(cd, data.length.toLong); w32(cd, size.toLong)
+      w16(cd, name.length); w16(cd, 0); w16(cd, 0)
+      w16(cd, 0); w16(cd, 0)
+      w32(cd, 0L)
+      w32(cd, lho.toLong)
+      cd.write(name)
+    }
+    val cdOff = out.size()
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+    w16(out, entries.size); w16(out, entries.size)
+    w32(out, cdBytes.length.toLong); w32(out, cdOff.toLong); w16(out, 0)
+    out.toByteArray
+  }
+
   /** Deterministic ZIP fixture: m = 2 + id%4 entries, entry i named
     * `id/f<i>.txt` with size 20 + (id + 11i)%200 and byte j =
     * (id + 7i + j)%256; EVEN entries stored, ODD entries deflated (so

@@ -296,6 +296,28 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // WEBDATASET-OVER-ZIP: the zip walker's member RELATION feeding the
+    // same sample-assembly groupBy as the tar variant — shards come in
+    // both containers in practice, and the audit (last sample's .cls
+    // deliberately missing from the fixture) must find the incomplete
+    // sample regardless of which archive carried it
+    "q_multimodal_zipwds" -> ((s: SparkSession, d: String) => {
+      val members = Multimodal.extractZipMembers(
+        Multimodal.syntheticZipWds(scan(s, d, "documents"), "doc_id"))
+        .withColumn("skey", regexp_extract(col("name"), "sample([0-9]+)\\.", 1))
+        .withColumn("ext", regexp_extract(col("name"), "\\.([a-z]+)$", 1))
+      members.groupBy(col("media_id"), col("skey"))
+        .agg(countDistinct(col("ext")).as("n_ext"),
+          sum(when(col("ext") === "txt", col("size")).otherwise(0L)).as("tb"),
+          sum(when(col("ext") === "cls", col("size")).otherwise(0L)).as("cb"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("n_ext") === 2, 1L).otherwise(0L)).as("n_complete"),
+          sum(when(col("n_ext") < 2, 1L).otherwise(0L)).as("n_incomplete"),
+          sum(col("tb")).as("txt_bytes"), sum(col("cb")).as("cls_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // WEBDATASET SAMPLE ASSEMBLY: the tar walk emits a member RELATION
     // (one row per file through the checksum-verified walker), and
     // sample grouping — dir/sample<k>.{txt,cls} pairs into training
@@ -754,6 +776,21 @@ object MultimodalQueries {
         |SELECT a.id AS media_id, a.n_files, CAST(1 AS INT) AS n_dirs,
         |  a.total_bytes, a.max_bytes, c.content_sum, a.archive_bytes
         |FROM agg a JOIN csum c ON a.id = c.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 2 + id%4 samples; txt i sized
+    // 20 + (id+11i)%200 for all i, cls i sized 1 + (id+3i)%9 for
+    // i < m-1 (the last sample's .cls is the planted incompleteness)
+    "q_multimodal_zipwds" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INT) AS m
+        |           FROM documents),
+        |f AS (SELECT id, m, unnest(range(0, m)) AS i FROM m)
+        |SELECT id AS media_id, CAST(MAX(m) AS BIGINT) AS n_samples,
+        |  CAST(MAX(m) - 1 AS BIGINT) AS n_complete,
+        |  CAST(1 AS BIGINT) AS n_incomplete,
+        |  CAST(SUM(20 + (id + 11 * i) % 200) AS BIGINT) AS txt_bytes,
+        |  CAST(COALESCE(SUM(CASE WHEN i < m - 1 THEN 1 + (id + 3 * i) % 9
+        |                         ELSE 0 END), 0) AS BIGINT) AS cls_bytes
+        |FROM f GROUP BY id ORDER BY media_id""".stripMargin,
 
     // formula replay: m = 2 + id%4 entries; entry i has size
     // 20 + (id+11i)%200, byte j = (id+7i+j)%256, even i stored / odd i
