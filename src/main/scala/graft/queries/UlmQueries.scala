@@ -297,6 +297,27 @@ object UlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // ROUND-TRIP — decode(encode(doc)) must reproduce the eligible-word
+    // stream EXACTLY, per doc; the oracle never touches the model
+    // (eligible words concatenated IS the answer), so the whole
+    // train → Viterbi → ids → decode chain is gated end-to-end by a
+    // model-free truth — the q_bpe_roundtrip contract for the unigram
+    // family
+    "q_ulm_roundtrip" -> ((s: SparkSession, d: String) => {
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      val idToPiece = UlmTokenizer.pieceIds(model)
+        .map { case (p, i) => (i, p) }.toMap
+      val enc = UlmTokenizer.encode(docs, "doc_id", "text", model)
+      docs.select(col("doc_id"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(concat_ws("", transform(col("token_ids"),
+            id => coalesce(element_at(typedLit(idToPiece), id), lit("")))),
+            lit("")).as("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FERTILITY — same schema as q_bpe_fertility so the two tokenizer
     // families compare directly on chars-per-token by language
     "q_ulm_fertility" -> ((s: SparkSession, d: String) => {
@@ -394,6 +415,17 @@ object UlmQueries {
          |  CAST(SUM(g.ng) * 1000000 // SUM(v.nv) AS BIGINT) AS greedy_bloat_ppm
          |FROM tok t JOIN nv v USING (w) JOIN grd g USING (w)
          |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+
+    // model-free replay: eligible words concatenated IS what
+    // decode(encode(doc)) must equal (the q_bpe_roundtrip oracle shape)
+    "q_ulm_roundtrip" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           |           FROM documents),
+           |e AS (SELECT doc_id,
+           |        list_filter(ws, x -> regexp_full_match(x, '[a-z]+')) AS ew
+           |      FROM w)
+           |SELECT doc_id, COALESCE(array_to_string(ew, ''), '') AS decoded
+           |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_ulm_fertility" -> fertilitySql,
 
