@@ -24,7 +24,13 @@ import scala.collection.mutable
   */
 object MisraGries {
 
-  final class Summary(val k: Int) {
+  final class Summary(private var k0: Int) {
+    /** Counter budget. Mutable only through marker adoption in [[merge]]:
+      * a pristine k=0/n=0 buffer (MgMergeAgg's createAggregationBuffer
+      * marker) adopts the first real summary's k; every other k mismatch
+      * is a hard error, because proceeding would silently change the
+      * n/(k+1) error bound the grading booleans are theorems under. */
+    def k: Int = k0
     /** Total stream weight folded into this summary. */
     var n: Long = 0L
     val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
@@ -47,7 +53,8 @@ object MisraGries {
     /** Agarwal et al. merge: sum counters, subtract the (k+1)-th
       * largest, drop non-positive. */
     def merge(other: Summary): Unit = {
-      require(other.k == k || counts.isEmpty || other.counts.isEmpty,
+      if (k0 == 0 && n == 0 && counts.isEmpty) k0 = other.k
+      require(other.k == k || (other.k == 0 && other.n == 0 && other.counts.isEmpty),
         s"misra-gries k mismatch: $k vs ${other.k}")
       n += other.n
       other.counts.foreach { case (i, c) =>

@@ -359,8 +359,20 @@ object Dedup {
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val ck = df.localCheckpoint()
+      // Restrict the before/after registry diff to RDDs reachable from
+      // the checkpointed plan itself: an RDD persisted concurrently by
+      // another query on the shared context inside this window must not
+      // be claimed (unpersisting someone else's localCheckpoint blocks
+      // truncates their lineage unrecoverably).
+      val reachable = {
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+          if (seen.add(rdd.id)) rdd.dependencies.foreach(d => walk(d.rdd))
+        walk(ck.queryExecution.toRdd)
+        seen
+      }
       val added = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before(id) => rdd
+        case (id, rdd) if !before(id) && reachable(id) => rdd
       }.toSeq
       (ck, added)
     }

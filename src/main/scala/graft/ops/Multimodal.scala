@@ -2302,8 +2302,24 @@ object Multimodal {
           val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib wrap
           inf.setInput(b, dataOff, csize.toInt)
           val out = new Array[Byte](usize.toInt)
-          val got = inf.inflate(out)
-          require(got == usize && inf.finished(),
+          // inflate() is not contractually one-call-completes; loop until
+          // the stream finishes or stalls (stall = corrupt entry, loud)
+          var got = 0
+          while (!inf.finished() && got < out.length) {
+            val n0 = inf.inflate(out, got, out.length - got)
+            require(n0 > 0 || inf.finished(),
+              s"inflate stalled at $got of $usize bytes for $name: media ${r.media_id}")
+            got += n0
+          }
+          if (!inf.finished()) {
+            // zero-length deflated entries (directory rows some writers
+            // emit): finished() only flips on a drain call, which must
+            // yield no bytes beyond the declared usize
+            val scratch = new Array[Byte](1)
+            require(inf.inflate(scratch) == 0 && inf.finished(),
+              s"inflate produced more than $usize bytes for $name: media ${r.media_id}")
+          }
+          require(got == usize,
             s"inflate produced $got of $usize bytes for $name: media ${r.media_id}")
           inf.end()
           out

@@ -55,6 +55,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == (1L to 64L).map(_ -> 1L).toMap)
   }
 
+  test("star CC frees its per-round checkpoint blocks (reachability filter still attributes)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (1L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    Dedup.connectedComponentsStar(chain).count()
+    // only the FINAL round's checkpoint may survive (cur backs the
+    // returned frame); if the plan-reachability filter failed to claim
+    // the per-round blocks, ~2 RDDs per round (~12+) would leak here
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= 3, s"leaked $leaked persisted RDDs — per-round frees broken")
+  }
+
+  test("star CC never unpersists RDDs another thread persisted concurrently") {
+    val sc = spark.sparkContext
+    @volatile var stop = false
+    val foreign = new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Int]]()
+    val t = new Thread(() => {
+      while (!stop) {
+        val r = sc.parallelize(1 to 4, 1).map(_ + 1)
+        r.persist(); r.count()
+        foreign.synchronized { foreign += r }
+        Thread.sleep(3)
+      }
+    })
+    t.start()
+    try {
+      val chain = (1L to 96L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponentsStar(chain).as[(Long, Long)].collect().toMap
+      assert(got == (1L to 96L).map(_ -> 1L).toMap)
+    } finally { stop = true; t.join() }
+    val live = sc.getPersistentRDDs.keySet
+    foreign.synchronized {
+      foreign.foreach(r => assert(live(r.id), s"foreign persisted RDD ${r.id} was claimed and unpersisted"))
+      foreign.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("star-contraction equals min-label across shapes: reversed ids, cliques, bridges") {
     val shapes = Seq(
       // descending-id chain: minima sit at the FAR end of every path

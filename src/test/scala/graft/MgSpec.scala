@@ -74,6 +74,33 @@ class MgSpec extends SparkSpec {
     assert(back.n == s1.n + s2.n)
   }
 
+  test("merge rejects mixed-k summaries even when one side has no counters yet") {
+    // an empty-but-real-k buffer must NOT silently keep its k while
+    // absorbing another k's counters — that would change the n/(k+1)
+    // bound the grading booleans are theorems under
+    val a = new MisraGries.Summary(8)
+    val b = mk(4, Seq("x", "y"))
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("k mismatch"))
+    // counters decremented away (counts empty, n > 0) is NOT the marker
+    val drained = mk(1, Seq("p", "q")) // k=1: second item drains the counter
+    assert(drained.counts.isEmpty && drained.n == 2)
+    val c = new MisraGries.Summary(8)
+    val e2 = intercept[IllegalArgumentException](c.merge(drained))
+    assert(e2.getMessage.contains("k mismatch"))
+  }
+
+  test("the pristine k=0 marker adopts the first real summary's k") {
+    val m = new MisraGries.Summary(0)
+    val b = mk(4, Seq("x", "x", "y"))
+    m.merge(b)
+    assert(m.k == 4 && m.n == 3 && m.estimate("x") == 2)
+    // and a marker merged INTO a real buffer is a no-op on k
+    val r = mk(4, Seq("z"))
+    r.merge(new MisraGries.Summary(0))
+    assert(r.k == 4 && r.n == 1)
+  }
+
   test("SQL surface: two-phase sketch -> merge -> estimate over a DataFrame") {
     import spark.implicits._
     graft.functions.GraftExtensions.install(spark)

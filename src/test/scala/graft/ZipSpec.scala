@@ -35,6 +35,23 @@ class ZipSpec extends SparkSpec {
     }
   }
 
+  test("zero-length deflated entries (directory rows some writers emit) decode cleanly") {
+    // built with the JDK's own writer: a deflated empty entry whose
+    // finished() only flips on a drain call, plus a normal body entry
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("empty.bin"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("d/body.txt"))
+    zos.write("hello graft".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val st = decode(bos.toByteArray, 9L)
+    assert(st.n_entries == 2 && st.n_deflate == 2 && st.n_stored == 0)
+    assert(st.total_bytes == 11L && st.max_bytes == 11L)
+    assert(st.content_sum == "hello graft".getBytes("UTF-8").map(_ & 0xff).sum)
+  }
+
   test("loud failure: garbled EOCD signature") {
     val b = fixture(5L)
     b(b.length - 22 + 3) = 7 // PK\5\6 -> PK\5\7
