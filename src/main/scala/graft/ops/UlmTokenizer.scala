@@ -275,6 +275,18 @@ object UlmTokenizer {
       train(docs, "text").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
 
+  /** Retrain and OVERWRITE the memo — q_ulm_train's path: the training
+    * query pays full cost on every invocation (its bench/scale numbers
+    * must carry the loop) and is also the memo's writer, so when it runs
+    * first (Bench runs trainers ahead of the registry) no consumer ever
+    * cold-trains regardless of alphabetical order. */
+  def retrain(docs: DataFrame, key: String): Seq[(String, Long, Long)] = {
+    val m = train(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    modelCache.put(key, m)
+    m
+  }
+
   /** Deterministic piece ids: 'a'..'z' -> 1..26; multi-char survivors
     * get 27.. in piece order — model metadata, like BPE's step ids. */
   def pieceIds(model: Seq[(String, Long, Long)]): Seq[(String, Int)] = {

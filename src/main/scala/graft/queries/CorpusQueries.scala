@@ -410,13 +410,19 @@ object CorpusQueries {
     // loop: 50 greedy merge rounds (a real tokenizer runs thousands;
     // see DeepRounds). Per-round lazy localCheckpoint keeps every
     // round's census O(vocab) instead of O(round · vocab) — without it
-    // the train is quadratic in depth. ALWAYS retrains (never the memo):
-    // this is the training query, and its bench/scale numbers must carry
-    // the full loop cost — the consumers (encode/fertility/roundtrip)
-    // are the ones entitled to the trained-model memo
-    "q_bpe_train_deep" -> ((s: SparkSession, d: String) =>
-      CorpusOps.bpeTrain(scan(s, d, "documents"), "text", DeepRounds)
-        .orderBy(col("step"))),
+    // the train is quadratic in depth. ALWAYS retrains (never reads the
+    // memo): this is the training query, and its bench/scale numbers
+    // must carry the full loop cost — but it WRITES the memo, so the
+    // consumers (encode/fertility/roundtrip) never cold-train when it
+    // runs first (Bench runs trainers ahead of the registry)
+    "q_bpe_train_deep" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val trained = CorpusOps.bpeTrain(scan(s, d, "documents"), "text", DeepRounds)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      trainCache.put((d, DeepRounds), trained)
+      trained.toDF("step", "sym_left", "sym_right", "freq").orderBy(col("step"))
+    }),
 
     // BPE ENCODE — the ship step of the tokenizer loop: apply the deep
     // 50-merge model (same deterministic loop as q_bpe_train_deep; the

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps.StagedWrite
 import graft.engine.QueryBuilder.scan
 import graft.ops.EntityResolution
 
@@ -193,7 +194,7 @@ object EntityQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       recs.filter(col("rec_id") % 2 === 1)
-        .repartition(2, col("rec_id")).write.mode("overwrite").parquet(stage)
+        .repartition(2, col("rec_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       graft.streaming.StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)

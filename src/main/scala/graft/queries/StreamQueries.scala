@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps.StagedWrite
 import graft.ops.ExactAgg.sqlDsum
 import graft.streaming.StreamOps
 
@@ -156,7 +157,7 @@ object StreamQueries {
       val fs = new Path(target).getFileSystem(s.sparkContext.hadoopConfiguration)
       graft.engine.QueryBuilder.scan(s, d, "orders")
         .repartition(3, col("o_orderkey"))
-        .write.mode("overwrite").parquet(stage)
+        .stageTo(stage)
       fs.delete(new Path(target), true)
       val bt = new graft.ops.BucketedTarget(s, target, numBuckets = 8,
         keys = Seq("o_custkey"), versionCols = Seq("o_orderdate", "o_orderkey"))
@@ -213,7 +214,7 @@ object StreamQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
-        .repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+        .repartition(2, col("doc_id")).stageTo(stage)
       val (idxSh, idxBands, idxSizes) = staticNearDupIndex(s, d)
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
@@ -267,7 +268,7 @@ object StreamQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
-        .repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+        .repartition(2, col("doc_id")).stageTo(stage)
       val (idxSh, idxBands, idxSizes) = staticNearDupIndex(s, d)
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
@@ -329,7 +330,7 @@ object StreamQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.filter(col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice")
-        .repartition(2, col("o_orderkey")).write.mode("overwrite").parquet(stage)
+        .repartition(2, col("o_orderkey")).stageTo(stage)
       val baseHist = Drift.histogram(o.filter(col("o_orderdate") < cut),
         col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
       val schema = s.read.parquet(stage).schema
@@ -367,7 +368,7 @@ object StreamQueries {
       val out = s"/tmp/graft_schksum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      docs.repartition(2, col("doc_id")).write.mode("overwrite").parquet(stage)
+      docs.repartition(2, col("doc_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
@@ -411,7 +412,7 @@ object StreamQueries {
       val out = s"/tmp/graft_scusum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
@@ -537,7 +538,7 @@ object StreamQueries {
       val out = s"/tmp/graft_stopk_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def top3(df: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("event_type"))
@@ -584,7 +585,7 @@ object StreamQueries {
       val out = s"/tmp/graft_sks_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def census(df: DataFrame): DataFrame =
         df.select(floor(col("value") * 100).cast("long").as("v"),
@@ -657,7 +658,7 @@ object StreamQueries {
       val out = s"/tmp/graft_skll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
@@ -729,7 +730,7 @@ object StreamQueries {
       val out = s"/tmp/graft_smg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def toks(df: DataFrame) = df
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -780,7 +781,7 @@ object StreamQueries {
       val out = s"/tmp/graft_smgg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def toks(df: DataFrame) = df
         .select(col("lang"),
@@ -836,7 +837,7 @@ object StreamQueries {
       val out = s"/tmp/graft_skllg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def vals(df: DataFrame) = df.select(col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
@@ -903,7 +904,7 @@ object StreamQueries {
       val out = s"/tmp/graft_smw_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def census(df: DataFrame): DataFrame =
         df.select(floor(col("value") * 100).cast("long").as("v"),
@@ -974,7 +975,7 @@ object StreamQueries {
       val out = s"/tmp/graft_sdd_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      ev.repartition(3, col("event_id")).write.mode("overwrite").parquet(stage)
+      ev.repartition(3, col("event_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def census(df: DataFrame): DataFrame =
         df.filter(col("event_type").isin("purchase", "error"))
@@ -1027,7 +1028,7 @@ object StreamQueries {
       val out = s"/tmp/graft_spca_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      emb.repartition(3, col("vec_id")).write.mode("overwrite").parquet(stage)
+      emb.repartition(3, col("vec_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def census(df: DataFrame): DataFrame = {
         val q = df.select(expr(
@@ -1102,7 +1103,7 @@ object StreamQueries {
       val out = s"/tmp/graft_shpx_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
-      docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(stage)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
       def census(df: DataFrame): DataFrame =
         df.filter(length(trim(col("text"))) > 0)
