@@ -386,19 +386,27 @@ object Graph {
       .select(col("node"), lit(Scale).as("h"))
     var auth: DataFrame = e.sparkSession.emptyDataFrame
     for (i <- 1 to iters) {
+      // checkpoint each half-round's join+agg PARTIAL (lazily — the
+      // first consumer materializes it): both the 1-row total and the
+      // downstream normalization read the cached partial, where before
+      // each half-round's edge join ran twice (once under the total
+      // agg, once in the next relation's lineage). hubs/auth need no
+      // checkpoint of their own anymore — they are narrow projections
+      // of a checkpointed partial × a 1-row broadcast.
       val araw = e.join(hubs, e("src") === hubs("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(false)
       val atot = araw.agg(sum(col("ar")).as("tot"))
       auth = araw.crossJoin(broadcast(atot))
         .select(col("dst").as("node"),
           expr(s"CAST(CAST(ar AS DECIMAL(38,0)) * ${Scale}L div tot AS BIGINT)").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint(false)
       val htot = hraw.agg(sum(col("hr")).as("tot"))
       hubs = hraw.crossJoin(broadcast(htot))
         .select(col("src").as("node"),
           expr(s"CAST(CAST(hr AS DECIMAL(38,0)) * ${Scale}L div tot AS BIGINT)").as("h"))
-      if (i < iters) { hubs = hubs.localCheckpoint(); auth = auth.localCheckpoint() }
     }
     (hubs, auth)
   }
@@ -457,8 +465,13 @@ object Graph {
       val next = best.filter(col("depth") === (i - 1).toLong)
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(i.toLong).as("depth"))
+      // lazy per-round checkpoint: `best` appears TWICE in each round's
+      // plan (the frontier filter and the union), so an un-truncated
+      // lineage doubles per depth — 2^depth plan copies, with every
+      // earlier round's join recomputed under each
       best = best.unionAll(next).groupBy(col("node"))
         .agg(min(col("depth")).as("depth"))
+        .localCheckpoint(false)
     }
     best
   }
