@@ -35,6 +35,16 @@ object Bench {
     // governs BOTH the warmup and the timed runs.
     def family(n: String): String = n.split("_").take(2).mkString("_")
     val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
+    // Under back-to-back attempts (below) each query's first attempt
+    // absorbs its own codegen/cache ramp, so the untimed warmup only
+    // needs to cover the SHARED paths (parquet scan, hash agg, the join
+    // families, a window, a stream start) once — a diverse ~third of
+    // the headline slice, not all of it. Measured r12: full-slice
+    // warmup ~50 s of wall for no change in per-query minimums.
+    val warmSlice = Seq(
+      "q_agg_q1", "q_tpch_q9", "q_dedup_minhash", "q_corpus_clean",
+      "q_sim_topk", "q_stream_tumbling", "q_graph_pagerank",
+      "q_text_bm25", "q_topk_per_key", "q_join_star")
     if (sys.env.getOrElse("BENCH_WARMUP", "1") != "0") {
       val reg = SparkEntry.queries
       // same family-boundary cache discipline as the timed runs below:
@@ -42,7 +52,7 @@ object Bench {
       // intermediates at once — the exact storage-footprint condition
       // the family-clear policy exists to prevent
       var lastWarmFamily = ""
-      headline.foreach { n =>
+      warmSlice.foreach { n =>
         if (familyClear && lastWarmFamily.nonEmpty && family(n) != lastWarmFamily)
           spark.catalog.clearCache()
         lastWarmFamily = family(n)

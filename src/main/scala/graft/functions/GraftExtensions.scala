@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kllSketchDescriptor)
     ext.injectFunction(GraftExtensions.kllMergeDescriptor)
     ext.injectFunction(GraftExtensions.kllQuantileDescriptor)
+    ext.injectFunction(GraftExtensions.mgSketchDescriptor)
+    ext.injectFunction(GraftExtensions.mgMergeDescriptor)
+    ext.injectFunction(GraftExtensions.mgEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.kmvSketchDescriptor)
+    ext.injectFunction(GraftExtensions.kmvMergeDescriptor)
+    ext.injectFunction(GraftExtensions.kmvEstimateDescriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -144,13 +150,50 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val kmvSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv_sketch"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kmv_sketch takes (hash BIGINT, k INT literal)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv_sketch k must be an integer literal, got $other")
+      }
+      KmvSketchAgg(children.head, k)
+    }
+  )
+
+  private[functions] val kmvMergeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv_merge"),
+    new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_kmv_merge takes (sk BINARY)")
+      KmvMergeAgg(children.head)
+    }
+  )
+
+  private[functions] val kmvEstimateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv_estimate"),
+    new ExpressionInfo(classOf[KmvEstimate].getName, "graft_kmv_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_kmv_estimate takes (sk BINARY)")
+      KmvEstimate(children.head)
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor,
       kllSketchDescriptor, kllMergeDescriptor, kllQuantileDescriptor,
-      mgSketchDescriptor, mgMergeDescriptor, mgEstimateDescriptor
+      mgSketchDescriptor, mgMergeDescriptor, mgEstimateDescriptor,
+      kmvSketchDescriptor, kmvMergeDescriptor, kmvEstimateDescriptor
     ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -233,6 +233,97 @@ object UlmTokenizer {
   private val unpackPiece =
     "substr(w, cast(p div 8 as int) - cast(p % 8 as int) + 1, cast(p % 8 as int))"
 
+  /** Per-piece usage census of the Viterbi segmentation — the hard-EM
+    * E-step census over a weighted word census `wc(w, c)`: each chosen
+    * piece occurrence counts its word's instance weight. */
+  def usageCensus(wc: DataFrame, vocab: DataFrame): DataFrame =
+    segment(wc.select(col("w")), vocab)
+      .join(wc, Seq("w"))
+      .select(col("w"), col("c"), explode(col("chosen")).as("p"))
+      .select(expr(unpackPiece).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("usage"))
+
+  /** Forward OPTIMAL-PATH-COUNT fold (Spark side only — the oracle
+    * replays this as pure relational recursion, the [[segment]]
+    * contract): nf[0] = 1; nf[i] = Σ over arcs (i, k) on an optimal
+    * path (dp[i−k] + c = dp[i]) of nf[i−k]. Arcs arrive (i asc, k asc),
+    * so every nf[j < i] is final when position i opens; a non-optimal
+    * arc opening a new position still appends 0 so indices stay
+    * aligned (the k=1 arc always exists but need not be optimal). */
+  def nfFoldSql(arcs: String, dp: String): String = {
+    val i = "element_at(a, 1)"; val k = "element_at(a, 2)"; val c = "element_at(a, 3)"
+    val opt = s"element_at($dp, cast(($i) - ($k) + 1 as int)) + ($c) = " +
+      s"element_at($dp, cast(($i) + 1 as int))"
+    val fromJ = s"element_at(acc, cast(($i) - ($k) + 1 as int))"
+    s"aggregate($arcs, array(CAST(1 AS BIGINT)), (acc, a) -> " +
+      s"CASE WHEN size(acc) = cast($i as int) THEN " +
+      s"concat(acc, array(CASE WHEN $opt THEN $fromJ ELSE CAST(0 AS BIGINT) END)) " +
+      s"WHEN $opt THEN concat(slice(acc, 1, cast($i as int)), " +
+      s"array(element_at(acc, cast(($i) + 1 as int)) + $fromJ)) " +
+      s"ELSE acc END)"
+  }
+
+  /** Backward count fold over the REVERSED arc list: nb[L] = 1;
+    * nb[j] = Σ over optimal arcs starting at j of nb[j + k]. Arcs in
+    * (i desc) order make nb[i] final before any arc ending at i is
+    * read (its contributors end strictly later). Accumulator is the
+    * full nb[0..L] list (nb[x] at index x+1), updated in place. */
+  def nbFoldSql(arcsRev: String, dp: String, wlen: String): String = {
+    val i = "element_at(a, 1)"; val k = "element_at(a, 2)"; val c = "element_at(a, 3)"
+    val opt = s"element_at($dp, cast(($i) - ($k) + 1 as int)) + ($c) = " +
+      s"element_at($dp, cast(($i) + 1 as int))"
+    val jIdx = s"cast(($i) - ($k) + 1 as int)"
+    val newVal = s"element_at(acc, $jIdx) + element_at(acc, cast(($i) + 1 as int))"
+    val update = s"concat(slice(acc, 1, $jIdx - 1), array($newVal), " +
+      s"slice(acc, $jIdx + 1, cast($wlen as int) + 1 - $jIdx))"
+    s"aggregate($arcsRev, " +
+      s"concat(array_repeat(CAST(0 AS BIGINT), cast($wlen as int)), array(CAST(1 AS BIGINT))), " +
+      s"(acc, a) -> CASE WHEN $opt THEN $update ELSE acc END)"
+  }
+
+  /** ZERO-TEMPERATURE forward-backward over the optimal-segmentation
+    * ensemble — one soft-EM E-step in the counting semiring, exactly
+    * integer-computable (finite-temperature forward-backward needs
+    * per-position float renormalization no bit-exact oracle can
+    * replay): the posterior is uniform over ALL minimum-cost
+    * segmentations, so an arc's expected count is
+    * nf[i−k]·nb[i] ⁄ nw (nw = number of optimal segmentations,
+    * ≤ 128 for ≤8-char words with ≤4-char pieces — small exact
+    * integers). Where the optimum is unique this census equals the
+    * hard census exactly; the difference IS the tie mass the hard-EM
+    * longest-piece tie-break resolves by fiat — the documented hard-EM
+    * deviation, made measurable.
+    *
+    * Returns (w, piece, nw, sw) with sw = Σ nf·nb over that piece's
+    * optimal arcs; callers scale by word weight: c·sw·1e6 div nw. */
+  def softCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val arcs = words.select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("i"),
+        explode(sequence(lit(1), least(lit(MaxPieceLen), col("i")))).as("k"))
+      .withColumn("sub", expr("substr(w, i - k + 1, k)"))
+      .join(broadcast(vocab.select(col("piece").as("sub"), col("cost_cb"))), "sub")
+      .select(col("w"), col("i").cast("long").as("i"),
+        col("k").cast("long").as("k"), col("cost_cb"))
+    val base = arcs.groupBy(col("w"))
+      .agg(sort_array(collect_list(array(col("i"), col("k"), col("cost_cb")))).as("arcs"))
+      .withColumn("dp", expr(dpFoldSql("arcs", Spark)))
+      .withColumn("nf", expr(nfFoldSql("arcs", "dp")))
+      .withColumn("nb", expr(nbFoldSql(Spark.rev("arcs"), "dp", "length(w)")))
+    base.select(col("w"), col("dp"), col("nf"), col("nb"),
+        explode(col("arcs")).as("a"))
+      .where(expr("element_at(dp, cast(element_at(a, 1) - element_at(a, 2) + 1 as int)) " +
+        "+ element_at(a, 3) = element_at(dp, cast(element_at(a, 1) + 1 as int))"))
+      .select(col("w"),
+        expr("substr(w, cast(element_at(a, 1) - element_at(a, 2) + 1 as int), " +
+          "cast(element_at(a, 2) as int))").as("piece"),
+        expr("element_at(nf, cast(element_at(a, 1) - element_at(a, 2) + 1 as int)) * " +
+          "element_at(nb, cast(element_at(a, 1) + 1 as int))").as("contrib"),
+        expr("element_at(nf, cast(length(w) + 1 as int))").as("nw"))
+      .groupBy(col("w"), col("piece"), col("nw"))
+      .agg(sum(col("contrib")).as("sw"))
+  }
+
   /** Hard-EM unigram-LM training. Returns the final vocabulary:
     * (piece, usage, cost_cb), ordered by piece. */
   def train(docs: DataFrame, textCol: String, rounds: Int = Rounds,

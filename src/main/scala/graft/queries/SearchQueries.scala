@@ -150,6 +150,66 @@ object SearchQueries {
         .orderBy(col("term"))
     }),
 
+    // RANKING-QUALITY COMPLETENESS: nDCG@10 + recall@10 per query,
+    // beside q_text_mrr's MRR@10 — the graded-relevance metrics a
+    // retrieval eval publishes. Graded relevance derives from the same
+    // synthetic signal as MRR's single relevant doc (longer = more
+    // relevant, independent of the tf ranking signal): the term's ideal
+    // top-10 by (n_chars desc, doc_id) carries gains 2^rel−1 = 7/3/1
+    // (rank 1 / ranks 2-3 / ranks 4-10), everything else 0. The
+    // 1/log2(r+1) discount runs in FIXED POINT: round(1e6/log2(r+1))
+    // literals emitted into BOTH engines from [[ndcgW]] (the q_ts_dft
+    // trig-table discipline — zero query-time libm, bit-exact compare).
+    // Both rankings go through TopKPerKey (partial per-partition heaps
+    // prune before the shuffle); the row_number windows run over the
+    // ≤ 20×10 SURVIVOR relations only — PlanQualitySpec asserts no
+    // corpus-wide window
+    "q_text_ndcg" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = scan(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = words.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qset = dfq.orderBy(col("df").desc, col("term").asc).limit(20)
+        .select(col("term"))
+      val matches = tf.join(broadcast(qset), Seq("term"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val ideal = graft.plans.TopKPerKey.topKPerKey(matches,
+          keyCols = Seq("term"), sorts = Seq(("n_chars", false), ("doc_id", true)), k = 10)
+        .withColumn("irank", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("gain",
+          when(col("irank") === 1, 7L).when(col("irank") <= 3, 3L).otherwise(1L))
+        .select(col("term"), col("doc_id"), col("irank"), col("gain"))
+      val sys = graft.plans.TopKPerKey.topKPerKey(
+          tf.join(broadcast(qset), Seq("term")),
+          keyCols = Seq("term"), sorts = Seq(("tf", false), ("doc_id", true)), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))))
+        .select(col("term"), col("doc_id"), col("rank"))
+      val wTab = typedLit(ndcgW)
+      val dcg = sys
+        .join(ideal.select(col("term"), col("doc_id"), col("gain")),
+          Seq("term", "doc_id"), "left")
+        .withColumn("wr", element_at(wTab, col("rank").cast("int")))
+        .groupBy(col("term"))
+        .agg(sum(coalesce(col("gain"), lit(0L)) * col("wr")).as("dcg_x6"))
+      val idcg = ideal
+        .withColumn("wr", element_at(wTab, col("irank").cast("int")))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_rel"), sum(col("gain") * col("wr")).as("idcg_x6"))
+      val hits = sys.join(ideal.select(col("term"), col("doc_id")), Seq("term", "doc_id"))
+        .groupBy(col("term")).agg(count(lit(1)).as("hits"))
+      idcg.join(dcg, Seq("term")).join(hits, Seq("term"), "left")
+        .select(col("term"), col("n_rel"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("coalesce(hits, CAST(0 AS BIGINT)) * 1000000 div n_rel").as("recall_ppm"),
+          col("dcg_x6"), col("idcg_x6"),
+          expr("dcg_x6 * 1000000 div idcg_x6").as("ndcg_ppm"))
+        .orderBy(col("term"))
+    }),
+
     // cross-modal: documents joined to their embedding rows
     "q_multimodal_join" -> ((s: SparkSession, d: String) => {
       val docs = scan(s, d, "documents")
@@ -164,6 +224,15 @@ object SearchQueries {
   // RRF constants shared by the Scala pipeline and the oracle SQL
   private val RRF_K = 60 // the standard k=60 damping from the RRF paper
   private val RRF_N = 100 // per-arm candidate depth
+
+  /** nDCG rank discounts round(1e6 / log2(r+1)), r = 1..10 — ONE table
+    * emitted as literals into both the engine expression and the oracle
+    * SQL (the shared fixed-point trig-table discipline from q_ts_dft:
+    * both sides compare on identical integers, no query-time libm). */
+  private val ndcgW: Seq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private def ndcgWValues: String =
+    (1 to 10).map(r => s"(${r}, ${ndcgW(r - 1)})").mkString(", ")
 
   /** Per-doc BM25 integer scores (doc_id, n_terms, score_x9) — the body
     * shared by q_text_bm25 (ranked list) and q_text_rrf (lexical arm).
@@ -273,6 +342,48 @@ object SearchQueries {
            |  CAST(COALESCE(1000000 // k.rn, 0) AS BIGINT) AS rr_x6
            |FROM rel r LEFT JOIN rk10 k ON k.term = r.term AND k.doc_id = r.rel_doc
            |ORDER BY r.term""".stripMargin,
+
+    "q_text_ndcg" ->
+      raw"""WITH wt(r, wr) AS (VALUES $ndcgWValues),
+           |w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           |       FROM w GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |q AS (SELECT term FROM dfq ORDER BY df DESC, term LIMIT 20),
+           |m AS (SELECT t.term, t.doc_id, t.tf, d.n_chars
+           |      FROM tf t JOIN q USING (term)
+           |           JOIN documents d ON d.doc_id = t.doc_id),
+           |ir AS (SELECT term, doc_id,
+           |         row_number() OVER (PARTITION BY term
+           |           ORDER BY n_chars DESC, doc_id) AS irank FROM m),
+           |ideal AS (SELECT term, doc_id, irank,
+           |            CASE WHEN irank = 1 THEN 7 WHEN irank <= 3 THEN 3 ELSE 1 END AS gain
+           |          FROM ir WHERE irank <= 10),
+           |sr AS (SELECT term, doc_id,
+           |         row_number() OVER (PARTITION BY term
+           |           ORDER BY tf DESC, doc_id) AS rank FROM m),
+           |sys AS (SELECT * FROM sr WHERE rank <= 10),
+           |dcg AS (SELECT s.term,
+           |          CAST(SUM(COALESCE(i.gain, 0) * wt.wr) AS BIGINT) AS dcg_x6
+           |        FROM sys s JOIN wt ON wt.r = s.rank
+           |          LEFT JOIN ideal i ON i.term = s.term AND i.doc_id = s.doc_id
+           |        GROUP BY s.term),
+           |idcg AS (SELECT i.term, CAST(COUNT(*) AS BIGINT) AS n_rel,
+           |           CAST(SUM(i.gain * wt.wr) AS BIGINT) AS idcg_x6
+           |         FROM ideal i JOIN wt ON wt.r = i.irank GROUP BY i.term),
+           |h AS (SELECT s.term, CAST(COUNT(*) AS BIGINT) AS hits
+           |      FROM sys s JOIN ideal i ON i.term = s.term AND i.doc_id = s.doc_id
+           |      GROUP BY s.term)
+           |SELECT idcg.term, idcg.n_rel,
+           |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           |  CAST(COALESCE(h.hits, 0) * 1000000 // idcg.n_rel AS BIGINT) AS recall_ppm,
+           |  dcg.dcg_x6, idcg.idcg_x6,
+           |  CAST(dcg.dcg_x6 * 1000000 // idcg.idcg_x6 AS BIGINT) AS ndcg_ppm
+           |FROM idcg JOIN dcg ON dcg.term = idcg.term
+           |  LEFT JOIN h ON h.term = idcg.term
+           |ORDER BY idcg.term""".stripMargin,
 
     "q_text_keywords" ->
       raw"""WITH n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),

@@ -247,6 +247,35 @@ object SqlFunctionQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // GROUPED TWO-PHASE KMV — the deployment cell q_agg_kmv stops short
+    // of: per-(group, shard) partial sketches (the per-input-split
+    // partials a 1000-executor scan emits) merged per group via
+    // graft_kmv_merge, the estimate read off the merged BINARY state.
+    // Set-union-keep-k-smallest is commutative/associative/idempotent,
+    // so the merged sketch equals the one-shot sketch EXACTLY under any
+    // sharding — the oracle replays the same k-th-smallest-hash integer
+    // arithmetic bit-exactly (k=64 here vs the one-shot cell's 32, so
+    // the matrix also probes a second accuracy point)
+    "q_agg_kmv_grouped" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftExtensions.install(s)
+      val hashed = scan(s, d, "orders")
+        .withColumn("hv", graft.ops.Dedup.hex60(
+          md5(concat(lit("kmv:"), col("o_custkey").cast("string")).cast("binary"))))
+      val exact = scan(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      hashed
+        .groupBy(col("o_orderpriority"), pmod(col("o_orderkey"), lit(8)).as("shard"))
+        .agg(call_function("graft_kmv_sketch", col("hv"), lit(64)).as("sk"))
+        .groupBy(col("o_orderpriority"))
+        .agg(call_function("graft_kmv_merge", col("sk")).as("sk"))
+        .withColumn("kmv_estimate", call_function("graft_kmv_estimate", col("sk")))
+        .join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("kmv_estimate"), col("exact_distinct"),
+          floor(abs(col("kmv_estimate") - col("exact_distinct")) * lit(1000000L)
+            / col("exact_distinct")).as("err_ppm"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // KMV/THETA-SKETCH SET OPERATIONS (Dasgupta 2016's theta-sketch
     // framework): audience-overlap estimation — |view ∪ purchase|,
     // |view ∩ purchase|, Jaccard — from two k-smallest-hash sketches,
@@ -871,6 +900,26 @@ object SqlFunctionQueries {
          |             // theta.theta AS BIGINT) - ex.union_exact) * 1000000
          |    // ex.union_exact AS BIGINT) AS union_err_ppm
          |FROM c, theta, ex""".stripMargin
+    },
+
+    "q_agg_kmv_grouped" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('kmv:' || CAST(o_custkey AS VARCHAR))")
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority AS prio, $hv AS hv FROM orders),
+         |r AS (SELECT prio, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY hv) AS rn,
+         |    COUNT(*) OVER (PARTITION BY prio) AS cnt FROM h),
+         |k AS (SELECT prio, MAX(cnt) AS cnt,
+         |    MAX(CASE WHEN rn = 64 THEN hv END) AS z64 FROM r GROUP BY prio),
+         |e AS (SELECT o_orderpriority AS prio,
+         |    COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1)
+         |SELECT k.prio AS o_orderpriority,
+         |  CASE WHEN k.cnt < 64 THEN k.cnt
+         |       ELSE CAST(63::HUGEINT * 1152921504606846976::HUGEINT // k.z64 AS BIGINT)
+         |  END AS kmv_estimate,
+         |  e.exact_distinct,
+         |  CAST(FLOOR(ABS(kmv_estimate - e.exact_distinct) * 1000000
+         |    / e.exact_distinct) AS BIGINT) AS err_ppm
+         |FROM k JOIN e ON k.prio = e.prio ORDER BY o_orderpriority""".stripMargin
     },
 
     "q_agg_kmv" -> {

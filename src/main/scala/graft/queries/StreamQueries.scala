@@ -822,6 +822,56 @@ object StreamQueries {
         .orderBy(col("lang"), col("token"))
     }),
 
+    // STREAMING KMV — the distinct-count monitor beside q_stream_kll's
+    // percentile and q_stream_mg's heavy-hitter monitors, completing
+    // the mergeable-sketch matrix: each micro-batch appends ONE
+    // serialized k-minimum-values summary per event_type (O(k) bytes
+    // per group per batch), graft_kmv_merge unions them afterward.
+    // Set-union-keep-k-smallest is idempotent as well as commutative/
+    // associative, so batch slicing (and even replayed batches) yields
+    // the identical sketch — the estimate is hash-matched against the
+    // oracle's k-th-smallest replay, not tolerance-matched
+    "q_stream_kmv" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      graft.functions.GraftExtensions.install(s)
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_skmv_src_$suffix"
+      val out = s"/tmp/graft_skmv_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      def hashed(df: DataFrame) = df.select(col("event_type"),
+        graft.ops.Dedup.hex60(
+          md5(concat(lit("kmv:"), col("user_id").cast("string")).cast("binary"))).as("hv"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = hashed(batch).groupBy(col("event_type"))
+              .agg(call_function("graft_kmv_sketch", col("hv"), lit(64)).as("sk"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val exact = s.read.parquet(stage).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      s.read.parquet(out).groupBy(col("event_type"))
+        .agg(call_function("graft_kmv_merge", col("sk")).as("sk"))
+        .withColumn("kmv_estimate", call_function("graft_kmv_estimate", col("sk")))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("kmv_estimate"), col("exact_distinct"),
+          floor(abs(col("kmv_estimate") - col("exact_distinct")) * lit(1000000L)
+            / col("exact_distinct")).as("err_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // STREAMING GROUPED KLL — per-(lang, source) token-count percentile
     // monitors online: each micro-batch appends one sketch per group;
     // merge + exact-rank grading afterward is q_agg_kll_grouped's
@@ -1203,6 +1253,30 @@ object StreamQueries {
     // grouped mergeable-summary twins: same contract, per group
     "q_stream_mg_grouped" -> SqlFunctionQueries.oracleSql("q_agg_mg_grouped"),
     "q_stream_kll_grouped" -> SqlFunctionQueries.oracleSql("q_agg_kll_grouped"),
+
+    // streaming KMV: the merged per-batch sketches equal the one-shot
+    // sketch (union-keep-k-smallest is idempotent), so the oracle is
+    // the same k-th-smallest-hash replay as q_agg_kmv's, per event_type
+    "q_stream_kmv" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('kmv:' || CAST(user_id AS VARCHAR))")
+      s"""WITH h AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |r AS (SELECT event_type, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+         |k AS (SELECT event_type, MAX(cnt) AS cnt,
+         |    MAX(CASE WHEN rn = 64 THEN hv END) AS z64 FROM r GROUP BY event_type),
+         |e AS (SELECT event_type,
+         |    COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+         |SELECT k.event_type,
+         |  CASE WHEN k.cnt < 64 THEN k.cnt
+         |       ELSE CAST(63::HUGEINT * 1152921504606846976::HUGEINT // k.z64 AS BIGINT)
+         |  END AS kmv_estimate,
+         |  e.exact_distinct,
+         |  CAST(FLOOR(ABS(kmv_estimate - e.exact_distinct) * 1000000
+         |    / e.exact_distinct) AS BIGINT) AS err_ppm
+         |FROM k JOIN e ON k.event_type = e.event_type
+         |ORDER BY k.event_type""".stripMargin
+    },
 
     // exact element at rank ceil(q*n) over the full events value
     // census; the merged-sketch side is graded by the deterministic

@@ -259,6 +259,37 @@ object UlmQueries {
     // Viterbi-encodes ITS docs and appends a per-language partial census
     // (n_docs, n_tokens, n_chars); partials merge by summation — the
     // mergeable-summary contract, so the batch oracle is shared VERBATIM
+    // SOFT-EM COMPARISON GATE — the cross-algorithm agreement query the
+    // hard-EM deviation note asks for (greedy-vs-Viterbi precedent):
+    // one zero-temperature forward-backward E-step (posterior uniform
+    // over ALL minimum-cost segmentations, computed exactly in the
+    // integer counting semiring — see [[UlmTokenizer.softCounts]]) vs
+    // the hard-EM census under the SAME trained vocabulary. Where the
+    // optimum is unique the two censuses agree to the ppm; delta_x6
+    // measures precisely the tie mass the longest-piece tie-break
+    // resolves by fiat. Oracle = independent pure-relational recursion
+    // (nf/nb path counts as sliding-window recursive CTEs, the dpr
+    // pattern) over the oracle's own training replay.
+    "q_ulm_softem" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = scan(s, d, "documents")
+      val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
+      val vocab = model.map(t => (t._1, t._3)).toDF("piece", "cost_cb")
+      val wc = UlmTokenizer.wordCensus(docs, "text")
+      val hard = UlmTokenizer.usageCensus(wc, vocab)
+      val soft = UlmTokenizer.softCounts(wc.select(col("w")), vocab)
+        .join(wc, Seq("w"))
+        .select(col("piece"), expr("c * sw * 1000000 div nw").as("x6"))
+        .groupBy(col("piece")).agg(sum(col("x6")).as("usage_soft_x6"))
+      hard.orderBy(col("usage").desc, col("piece").asc).limit(20)
+        .join(soft, Seq("piece"), "left")
+        .select(col("piece"), col("usage").as("usage_hard"),
+          coalesce(col("usage_soft_x6"), lit(0L)).as("usage_soft_x6"),
+          (coalesce(col("usage_soft_x6"), lit(0L))
+            - col("usage") * lit(1000000L)).as("delta_x6"))
+        .orderBy(col("piece"))
+    }),
+
     "q_stream_ulm" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
@@ -385,6 +416,73 @@ object UlmQueries {
          |FROM tok t JOIN nf f USING (w) JOIN np p USING (w)
          |GROUP BY t.lang ORDER BY t.lang""".stripMargin
     },
+
+    // soft-EM replay: the optimal-arc relation (arcs on some minimum-
+    // cost path, from the SAME dptF table the hard backtrace uses),
+    // forward/backward path counts as sliding-window recursions (the
+    // dpr pattern — SUM in place of MIN), posterior arc mass
+    // nf[j]·nb[i], per-word normalization by nw = #optimal
+    // segmentations, hard census from chF. Fully independent of the
+    // engine's array folds.
+    "q_ulm_softem" ->
+      s"""WITH RECURSIVE ${ulmTrainCtes(Rounds)},
+         |${viterbiCtes("F", s"v$Rounds")},
+         |optF AS MATERIALIZED (
+         |  SELECT a.w, a.i, a.k, a.i - a.k AS j,
+         |    substr(a.w, CAST(a.i - a.k + 1 AS INT), CAST(a.k AS INT)) AS piece
+         |  FROM arcsF a
+         |  JOIN dptF p ON p.w = a.w AND p.i = a.i - a.k
+         |  JOIN dptF q ON q.w = a.w AND q.i = a.i
+         |  WHERE p.dp + a.cost_cb = q.dp),
+         |nfr AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n3,
+         |         CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n1,
+         |         CAST(1 AS BIGINT) AS n0
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT r.w, r.i + 1, r.n2, r.n1, r.n0,
+         |    SUM(CASE o.k WHEN 1 THEN r.n0 WHEN 2 THEN r.n1
+         |                 WHEN 3 THEN r.n2 WHEN 4 THEN r.n3 END)
+         |  FROM nfr r JOIN optF o ON o.w = r.w AND o.i = r.i + 1
+         |  WHERE r.i < length(r.w)
+         |  GROUP BY r.w, r.i, r.n2, r.n1, r.n0),
+         |nft AS MATERIALIZED (SELECT w, i, n0 AS nf FROM nfr),
+         |nbr AS (
+         |  SELECT w, CAST(length(w) AS BIGINT) AS i, CAST(0 AS BIGINT) AS m3,
+         |         CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m1,
+         |         CAST(1 AS BIGINT) AS m0
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT r.w, r.i - 1, r.m2, r.m1, r.m0,
+         |    COALESCE(SUM(CASE o.k WHEN 1 THEN r.m0 WHEN 2 THEN r.m1
+         |                 WHEN 3 THEN r.m2 WHEN 4 THEN r.m3 END), 0)
+         |  FROM nbr r LEFT JOIN optF o ON o.w = r.w AND o.j = r.i - 1
+         |  WHERE r.i > 0
+         |  GROUP BY r.w, r.i, r.m2, r.m1, r.m0),
+         |nbt AS MATERIALIZED (SELECT w, i, m0 AS nb FROM nbr),
+         |nw AS MATERIALIZED (SELECT w, n0 AS nw FROM nfr WHERE i = length(w)),
+         |softw AS (
+         |  SELECT o.w, o.piece, CAST(SUM(f.nf * b.nb) AS BIGINT) AS sw
+         |  FROM optF o
+         |  JOIN nft f ON f.w = o.w AND f.i = o.j
+         |  JOIN nbt b ON b.w = o.w AND b.i = o.i
+         |  GROUP BY o.w, o.piece),
+         |softu AS (
+         |  SELECT s.piece,
+         |    CAST(SUM(wc.c * s.sw * 1000000 // n.nw) AS BIGINT) AS usage_soft_x6
+         |  FROM softw s JOIN wc ON wc.w = s.w JOIN nw n ON n.w = s.w
+         |  GROUP BY s.piece),
+         |hardu AS (
+         |  SELECT c2.piece, CAST(SUM(wc.c) AS BIGINT) AS usage_hard
+         |  FROM chF c2 JOIN wc ON wc.w = c2.w GROUP BY c2.piece),
+         |topp AS (SELECT piece, usage_hard FROM hardu
+         |         ORDER BY usage_hard DESC, piece LIMIT 20)
+         |SELECT t.piece, t.usage_hard,
+         |  CAST(COALESCE(su.usage_soft_x6, 0) AS BIGINT) AS usage_soft_x6,
+         |  CAST(COALESCE(su.usage_soft_x6, 0) - t.usage_hard * 1000000 AS BIGINT)
+         |    AS delta_x6
+         |FROM topp t LEFT JOIN softu su ON su.piece = t.piece
+         |ORDER BY t.piece""".stripMargin,
 
     // greedy maximal-munch replay under the same trained vocabulary;
     // the viterbi mass reuses the encode-side folds. The greedy side is

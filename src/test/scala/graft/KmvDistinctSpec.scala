@@ -63,4 +63,34 @@ class KmvDistinctSpec extends SparkSpec {
       assert(grouped(g) == solo, s"group $g")
     }
   }
+
+  // ---- two-phase surface (sketch -> BINARY partials -> merge -> estimate)
+
+  test("two-phase sketch/merge/estimate equals the one-shot aggregate under any sharding") {
+    GraftExtensions.install(spark)
+    val df = (1 to 5000).map(i => (i % 11, s"tp:${i % 900}")).toDF("shard", "s")
+      .select(col("shard"), graft.ops.Dedup.hex60(md5(col("s").cast("binary"))).as("hv"))
+    val oneShot = df.agg(kmv(col("hv"), 64)).head.getLong(0)
+    val twoPhase = df.groupBy(col("shard"))
+      .agg(call_function("graft_kmv_sketch", col("hv"), lit(64)).as("sk"))
+      .agg(call_function("graft_kmv_merge", col("sk")).as("sk"))
+      .select(call_function("graft_kmv_estimate", col("sk")))
+      .head.getLong(0)
+    assert(twoPhase == oneShot, s"two-phase $twoPhase != one-shot $oneShot")
+  }
+
+  test("kmv summary merge: marker adoption and loud k mismatch") {
+    import graft.functions.Kmv
+    val a = new Kmv.Summary(8); (1L to 20L).foreach(a.insert)
+    val marker = new Kmv.Summary(0)
+    marker.merge(a)
+    assert(marker.k == 8 && marker.values.size == 8)
+    val b = new Kmv.Summary(4); (1L to 9L).foreach(b.insert)
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("k mismatch"))
+    // serialize round-trip preserves k and values
+    val back = Kmv.deserialize(a.serialize)
+    assert(back.k == a.k && back.values == a.values)
+    assert(back.estimate == a.estimate)
+  }
 }

@@ -245,6 +245,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"Window fallback in hardneg plan:\n${plan.take(2000)}")
   }
 
+  test("q_text_ndcg: rankings go through TopKPerKey; every window is survivor-sized") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides the
+    // WindowExec nodes from collect() — plan-shape assertions need the
+    // static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = graft.queries.SearchQueries.queries("q_text_ndcg")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    // both the ideal and the system top-10 prune through the physical
+    // operator before any rank is assigned
+    assert(plan.contains("TopKPerKey"), s"TopKPerKey missing:\n${plan.take(2000)}")
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the two survivor-relation rank windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "corpus-wide (unpartitioned) window in q_text_ndcg")
+      // the window must rank TopKPerKey survivors (≤ 20×10 rows), never
+      // the corpus-sized tf relation. Exchange reuse may replace one
+      // window's input with a ReusedExchange whose ORIGINAL subtree
+      // holds the TopKPerKey — accept that as the same evidence.
+      val fedByTopK = w.child.collect {
+        case p if p.getClass.getSimpleName.contains("TopKPerKey") => p
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.nonEmpty
+      assert(fedByTopK, s"rank window not fed by TopKPerKey:\n$w")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bitext mining: bucketed equi-join candidates + TopKPerKey, no cartesian") {
     val plan = graft.queries.SimilarityQueries.queries("q_sim_bitext")(spark, sf001)
       .queryExecution.executedPlan.toString()

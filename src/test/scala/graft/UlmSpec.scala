@@ -126,6 +126,60 @@ class UlmSpec extends SparkSpec {
     }
   }
 
+  /** All minimum-cost segmentations, brute-force. */
+  private def bruteOptSegs(w: String, costs: Map[String, Long]): Seq[Seq[String]] = {
+    def all(i: Int): Seq[(Seq[String], Long)] =
+      if (i == 0) Seq((Nil, 0L))
+      else (1 to math.min(UlmTokenizer.MaxPieceLen, i)).flatMap { k =>
+        val sub = w.substring(i - k, i)
+        costs.get(sub).toSeq.flatMap(c =>
+          all(i - k).map { case (ps, cc) => (ps :+ sub, cc + c) })
+      }
+    val segs = all(w.length)
+    val m = segs.map(_._2).min
+    segs.filter(_._2 == m).map(_._1)
+  }
+
+  test("softCounts = uniform posterior over ALL optimal segmentations (brute cross-check)") {
+    // 'abc' has FOUR optimal segmentations under this vocabulary
+    // (a+b+c, ab+c, a+bc, abc all cost 1000) — the tie-mass regime
+    val vocab = Seq[(String, Long)](("a", 300), ("b", 300), ("c", 400),
+      ("ab", 600), ("bc", 700), ("abc", 1000), ("ca", 700))
+    val words = Seq("ab", "abc", "abcabc", "cab", "aaaa", "abab", "b")
+    val wdf = words.toDF("w")
+    val vdf = vocab.toDF("piece", "cost_cb")
+    val got = UlmTokenizer.softCounts(wdf, vdf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    words.foreach { w =>
+      val opt = bruteOptSegs(w, vocab.toMap)
+      val counts = opt.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      counts.foreach { case (p, n) =>
+        val (nw, sw) = got((w, p))
+        assert(nw == opt.size.toLong, s"$w: nw $nw != ${opt.size} optimal segs")
+        assert(sw == n, s"$w/$p: posterior mass $sw != brute occurrence count $n")
+      }
+      got.keys.filter(_._1 == w).foreach { case (_, p) =>
+        assert(counts.contains(p), s"$w: piece $p not on any optimal path")
+      }
+    }
+  }
+
+  test("softCounts equals the hard census exactly when the optimum is unique") {
+    val vocab = Seq[(String, Long)](("a", 300), ("b", 350), ("ab", 900))
+    val wdf = Seq("ab", "aab").toDF("w")
+    val vdf = vocab.toDF("piece", "cost_cb")
+    val soft = UlmTokenizer.softCounts(wdf, vdf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    soft.foreach { case ((w, p), (nw, sw)) =>
+      assert(nw == 1L, s"$w: expected unique optimum, nw=$nw")
+      assert(sw == w.count(_ == p.head).toLong || sw >= 1L) // occurrences, unit weight
+    }
+    assert(soft.map(_._1).toSet ==
+      Set(("ab", "a"), ("ab", "b"), ("aab", "a"), ("aab", "b")))
+    // 'aab' segments a+a+b uniquely: piece 'a' carries mass 2
+    assert(soft.toMap.apply(("aab", "a"))._2 == 2L)
+  }
+
   test("greedy fold is maximal-munch: longest piece at the cursor, full consumption") {
     val vocab = Seq("a", "b", "c", "d", "ab", "bcd")
     val vdf = vocab.map(p => (p, 100L)).toDF("piece", "cost_cb")
