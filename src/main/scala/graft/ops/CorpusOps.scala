@@ -883,4 +883,100 @@ object CorpusOps {
 
   def piiEmailCount(c: Column): Column = regexp_count(c, lit(emailPattern)).cast("long")
   def piiPhoneCount(c: Column): Column = regexp_count(c, lit(phonePattern)).cast("long")
+
+  /** EXACT-SUBSTRING dedup statistics via DISTRIBUTED PREFIX DOUBLING —
+    * the suffix-array construction of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr), run as
+    * the Manber–Myers doubling recursion over the corpus token stream:
+    * round j assigns every in-document token position an EQUALITY CLASS
+    * for its 2^j-token window by pairing round j−1's classes at
+    * (pos, pos + 2^(j−1)) — log2(minRun) sort/join rounds, each a
+    * constant number of long-keyed shuffles. The shuffle payload is two
+    * BIGINT class ids per position, never the window text (a 16-token
+    * window is ~100 bytes; the class pair is 16 — the reason the paper
+    * builds suffix structures instead of grouping raw n-grams at scale).
+    * Class ids are exact (min packed position of the class, no hashing),
+    * so a window is duplicated iff its class has ≥ 2 members — the same
+    * census the suffix array's LCP run would yield, with the LCP capped
+    * at minRun, which is all the ≥-threshold removal decision needs.
+    *
+    * Per doc: token count, duplicated-window starts (count ≥ 2 at
+    * length minRun), exact token coverage of the union of duplicated
+    * windows (the span ExactSubstr removes), and the largest
+    * power-of-two duplicated window length ≤ minRun. Positions whose
+    * window would overrun the document simply drop out of round j+1
+    * (the inner join on the shifted partner), so every class is over
+    * full windows only.
+    *
+    * Scale shape: rounds = log2(minRun) — corpus-size-INDEPENDENT; each
+    * round's relations are token-stream-sized and shrink monotonically.
+    * Per-round localCheckpoint truncates the doubling lineage (the
+    * iterated-op discipline). The packed position doc_id·2^20 + pos
+    * requires docs under 2^20 tokens — asserted.
+    */
+  def suffixDupStats(docs: DataFrame, idCol: String, textCol: String,
+                     minRun: Int = 16): DataFrame = {
+    require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
+      s"suffixDupStats: minRun must be a power of two >= 2, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+      .repartition(col("doc_id"))
+      .scopedPersist()
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .scopedPersist()
+    // assert the packing invariant loudly (one metadata-scale row)
+    val maxLen = lens.agg(max(col("n_tokens"))).head.getLong(0)
+    require(maxLen < (1L << 20),
+      s"suffixDupStats: document of $maxLen tokens overflows the 2^20 position packing")
+    val gpCol = (col("doc_id") * lit(1L << 20) + col("pos")).as("gp")
+    // class at length 1 = the token itself; ids = min packed position
+    def reclass(pairs: DataFrame, keys: Seq[String]): DataFrame = {
+      val ids = pairs.groupBy(keys.map(col): _*)
+        .agg(min(col("gp")).as("ncls"), count(lit(1)).as("cnt"))
+      pairs.join(ids, keys)
+        .select(col("doc_id"), col("pos"), col("gp"),
+          col("ncls").as("cls"), col("cnt"))
+    }
+    var t = reclass(toks.withColumn("gp", gpCol), Seq("w"))
+      .localCheckpoint(false)
+    // (window length, duplicated-start positions at that length)
+    val contribs = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)](
+      1L -> t.where(col("cnt") >= 2).select(col("doc_id"), col("pos")))
+    var step = 1L
+    while (step < minRun) {
+      val partner = t.select(col("doc_id"), (col("pos") - step).as("pos"),
+        col("cls").as("cls2"))
+      val pairs = t.select(col("doc_id"), col("pos"), col("gp"), col("cls"))
+        .join(partner, Seq("doc_id", "pos")) // inner: overruns drop out
+      t = reclass(pairs, Seq("cls", "cls2")).localCheckpoint(false)
+      step *= 2
+      contribs += (step -> t.where(col("cnt") >= 2).select(col("doc_id"), col("pos")))
+    }
+    // largest duplicated power-of-two window per doc
+    val maxPow = contribs.map { case (l, df) => df.select(col("doc_id"), lit(l).as("dlen")) }
+      .reduce(_ unionAll _)
+      .groupBy(col("doc_id")).agg(max(col("dlen")).as("max_dup_len"))
+    // duplicated minRun-window starts + exact union coverage per doc
+    val dupStarts = contribs.last._2
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cover = dupStarts
+      .withColumn("prev_end", max(col("pos") + lit(minRun.toLong)).over(w))
+      .withColumn("add", greatest(lit(0L),
+        col("pos") + lit(minRun.toLong)
+          - greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"), sum(col("add")).as("dup_cover_toks"))
+    lens
+      .join(cover, Seq("doc_id"), "left")
+      .join(maxPow, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("dup_cover_toks"), lit(0L)).as("dup_cover_toks"),
+        coalesce(col("max_dup_len"), lit(0L)).as("max_dup_len"),
+        expr("coalesce(dup_cover_toks, CAST(0 AS BIGINT)) * 1000000 div n_tokens")
+          .as("dup_cover_ppm"))
+  }
 }

@@ -324,6 +324,20 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-SUBSTRING dedup via DISTRIBUTED SUFFIX-ARRAY PREFIX
+    // DOUBLING (Lee et al. 2022's ExactSubstr, the component
+    // q_text_dupspans approximates with 5-gram runs): Manber–Myers
+    // doubling assigns every token position an exact equality class for
+    // its 2^j-window in log2(16) = 4 long-keyed sort/join rounds — the
+    // shuffle carries two BIGINT class ids per position, never window
+    // text. Duplicated-window starts, exact union coverage (the span
+    // ExactSubstr removes), and the largest duplicated power-of-two
+    // window per doc. Oracle = brute-force gram census at each level
+    // over RAW strings, so a class-id bug hash-mismatches loudly.
+    "q_text_suffix_dedup" -> ((s: SparkSession, d: String) =>
+      CorpusOps.suffixDupStats(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ENCODE -> DECODE round-trip through the full BPE machinery. The
     // oracle is deliberately INDEPENDENT of BPE: it just concatenates
     // each doc's eligible words — so a bug anywhere in train, encode,
@@ -888,6 +902,45 @@ object CorpusQueries {
            |SELECT a.doc_id, a.n_spans, a.max_span_toks, a.dup_grams, t.n_grams,
            |  CAST(a.dup_grams AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS dup_frac
            |FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id""".stripMargin
+    },
+
+    // brute-force level census over raw gram strings, one level per
+    // power of two up to the engine's minRun=16
+    "q_text_suffix_dedup" -> {
+      val levels = Seq(1, 2, 4, 8, 16)
+      val levelCtes = levels.map { l =>
+        val gram =
+          if (l == 1) "ws[CAST(pos AS INT)]"
+          else s"array_to_string(list_slice(ws, CAST(pos AS INT), CAST(pos + $l - 1 AS INT)), ' ')"
+        s"""p$l AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - $l + 2)) AS BIGINT) AS pos, ws
+           |        FROM w WHERE len(ws) >= $l),
+           |g$l AS (SELECT doc_id, pos, $gram AS g FROM p$l),
+           |d$l AS (SELECT g$l.doc_id, g$l.pos
+           |        FROM g$l JOIN (SELECT g, COUNT(*) AS c FROM g$l GROUP BY g) cg USING (g)
+           |        WHERE cg.c >= 2)""".stripMargin
+      }.mkString(",\n")
+      val mpUnion = levels.map(l => s"SELECT doc_id, $l AS l FROM d$l")
+        .mkString(" UNION ALL ")
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+           |$levelCtes,
+           |mp AS (SELECT doc_id, CAST(MAX(l) AS BIGINT) AS max_dup_len
+           |       FROM ($mpUnion) GROUP BY doc_id),
+           |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+           |          CAST(SUM(a) AS BIGINT) AS dup_cover_toks
+           |        FROM (SELECT doc_id, pos,
+           |                GREATEST(0, pos + 16 - GREATEST(COALESCE(
+           |                  MAX(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS a
+           |              FROM d16) GROUP BY doc_id)
+           |SELECT l.doc_id, l.n_tokens,
+           |  CAST(COALESCE(c.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+           |  CAST(COALESCE(c.dup_cover_toks, 0) AS BIGINT) AS dup_cover_toks,
+           |  CAST(COALESCE(mp.max_dup_len, 0) AS BIGINT) AS max_dup_len,
+           |  CAST(COALESCE(c.dup_cover_toks, 0) * 1000000 // l.n_tokens AS BIGINT)
+           |    AS dup_cover_ppm
+           |FROM lens l LEFT JOIN cov c USING (doc_id) LEFT JOIN mp USING (doc_id)
+           |ORDER BY l.doc_id""".stripMargin
     },
 
     "q_corpus_cap" ->

@@ -438,4 +438,28 @@ class CorpusOpsSpec extends SparkSpec {
     // conservation: capped languages at exactly cap, budget fully spent here
     assert(got.toSeq.map(_._3).sum == 1110L)
   }
+
+  test("suffixDupStats: verbatim twins, cross-doc runs, within-doc repeats, unique docs") {
+    def toks(prefix: String, n: Int): Seq[String] = (1 to n).map(i => s"$prefix$i")
+    val shared = toks("s", 8) // an 8-token run planted in docs 1 and 3
+    val docs = Seq(
+      (1L, (toks("a", 4) ++ shared ++ toks("b", 8)).mkString(" ")), // 20 toks
+      (2L, (toks("a", 4) ++ shared ++ toks("b", 8)).mkString(" ")), // verbatim twin of 1
+      (3L, (toks("c", 6) ++ shared ++ toks("d", 6)).mkString(" ")), // shares only the run
+      (4L, toks("u", 10).mkString(" ")),                            // fully unique
+      (5L, (toks("r", 8) ++ toks("r", 8)).mkString(" "))            // within-doc 8-repeat
+    ).toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps.suffixDupStats(docs, "doc_id", "text", minRun = 16)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // (doc_id, n_tokens, n_dup_starts, dup_cover_toks, max_dup_len, ppm)
+    assert(got(0) == ((1L, 20L, 5L, 20L, 16L, 1000000L)), s"doc1 ${got(0)}")
+    assert(got(1) == ((2L, 20L, 5L, 20L, 16L, 1000000L)), s"doc2 ${got(1)}")
+    // doc 3: the shared 8-run duplicates at levels <= 8, but no 16-window
+    assert(got(2) == ((3L, 20L, 0L, 0L, 8L, 0L)), s"doc3 ${got(2)}")
+    assert(got(3) == ((4L, 10L, 0L, 0L, 0L, 0L)), s"doc4 ${got(3)}")
+    // doc 5: within-doc repetition is a duplication too (occurrence
+    // count >= 2, the ExactSubstr census), capped below 16
+    assert(got(4)._1 == 5L && got(4)._5 == 8L && got(4)._3 == 0L, s"doc5 ${got(4)}")
+  }
 }
