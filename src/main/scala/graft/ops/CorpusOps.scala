@@ -914,11 +914,14 @@ object CorpusOps {
     * iterated-op discipline). The packed position doc_id·2^20 + pos
     * requires docs under 2^20 tokens — asserted.
     */
-  def suffixDupStats(docs: DataFrame, idCol: String, textCol: String,
-                     minRun: Int = 16): DataFrame = {
+  /** Shared doubling core for the suffix tier: token stream, doc
+    * lengths, per-level duplicated-start relations, and the final
+    * class table (doc_id, pos, gp, cls, cnt) at window length minRun.
+    */
+  private def suffixDoubling(docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) = {
     require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
-      s"suffixDupStats: minRun must be a power of two >= 2, got $minRun")
-    import org.apache.spark.sql.expressions.Window
+      s"suffix doubling: minRun must be a power of two >= 2, got $minRun")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(words(col(textCol))).as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
@@ -929,7 +932,7 @@ object CorpusOps {
     // assert the packing invariant loudly (one metadata-scale row)
     val maxLen = lens.agg(max(col("n_tokens"))).head.getLong(0)
     require(maxLen < (1L << 20),
-      s"suffixDupStats: document of $maxLen tokens overflows the 2^20 position packing")
+      s"suffix doubling: document of $maxLen tokens overflows the 2^20 position packing")
     val gpCol = (col("doc_id") * lit(1L << 20) + col("pos")).as("gp")
     // class at length 1 = the token itself; ids = min packed position
     def reclass(pairs: DataFrame, keys: Seq[String]): DataFrame = {
@@ -954,6 +957,13 @@ object CorpusOps {
       step *= 2
       contribs += (step -> t.where(col("cnt") >= 2).select(col("doc_id"), col("pos")))
     }
+    (toks, lens, contribs.toSeq, t)
+  }
+
+  def suffixDupStats(docs: DataFrame, idCol: String, textCol: String,
+                     minRun: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, lens, contribs, _) = suffixDoubling(docs, idCol, textCol, minRun)
     // largest duplicated power-of-two window per doc
     val maxPow = contribs.map { case (l, df) => df.select(col("doc_id"), lit(l).as("dlen")) }
       .reduce(_ unionAll _)
@@ -978,5 +988,37 @@ object CorpusOps {
         coalesce(col("max_dup_len"), lit(0L)).as("max_dup_len"),
         expr("coalesce(dup_cover_toks, CAST(0 AS BIGINT)) * 1000000 div n_tokens")
           .as("dup_cover_ppm"))
+  }
+
+  /** EXACT-SUBSTRING REMOVAL (the ExactSubstr cleaned corpus, suffix-
+    * array edition of [[removeDupSpans]]): every duplicated minRun-token
+    * window keeps its CANONICAL occurrence — the class representative,
+    * which IS the class id (min packed position), so canonicality costs
+    * nothing extra — and every other occurrence's covered tokens are
+    * cut. Returns (doc_id, cleaned_text, n_removed_chars,
+    * n_removed_toks); docs reconstruct from kept tokens in position
+    * order. Same doubling core, same log-round scale shape.
+    */
+  def suffixRemove(docs: DataFrame, idCol: String, textCol: String,
+                   minRun: Int = 16): DataFrame = {
+    val (toks, _, _, t) = suffixDoubling(docs, idCol, textCol, minRun)
+    val rm = t.where(col("cnt") >= 2 && col("gp") =!= col("cls"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minRun - 1L))).as("pos"))
+      .distinct()
+    val kept = toks.join(rm, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")), " ").as("cleaned_text"))
+    val nRm = rm.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed_toks"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        array_join(words(col(textCol)), " ").as("norm"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(nRm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        (length(col("norm")) - length(coalesce(col("cleaned_text"), lit(""))))
+          .cast("long").as("n_removed_chars"),
+        coalesce(col("n_removed_toks"), lit(0L)).as("n_removed_toks"))
   }
 }

@@ -338,6 +338,16 @@ object CorpusQueries {
       CorpusOps.suffixDupStats(scan(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // removal twin: the ExactSubstr CLEANED CORPUS — every duplicated
+    // 16-window keeps its canonical occurrence (the class
+    // representative, min packed position — canonicality is free, the
+    // class id IS the witness) and every other occurrence's covered
+    // tokens are cut. Oracle recomputes the same keep/cut mask from the
+    // raw level-16 gram census and reassembles the text.
+    "q_text_suffix_rm" -> ((s: SparkSession, d: String) =>
+      CorpusOps.suffixRemove(scan(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ENCODE -> DECODE round-trip through the full BPE machinery. The
     // oracle is deliberately INDEPENDENT of BPE: it just concatenates
     // each doc's eligible words — so a bug anywhere in train, encode,
@@ -942,6 +952,34 @@ object CorpusQueries {
            |FROM lens l LEFT JOIN cov c USING (doc_id) LEFT JOIN mp USING (doc_id)
            |ORDER BY l.doc_id""".stripMargin
     },
+
+    "q_text_suffix_rm" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |p16 AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 16 + 2)) AS BIGINT) AS pos, ws
+           |        FROM w WHERE len(ws) >= 16),
+           |g16 AS (SELECT doc_id, pos,
+           |          array_to_string(list_slice(ws, CAST(pos AS INT), CAST(pos + 15 AS INT)), ' ') AS g
+           |        FROM p16),
+           |cg AS (SELECT g, COUNT(*) AS c, MIN(doc_id * 1048576 + pos) AS cangp
+           |       FROM g16 GROUP BY g),
+           |rm AS (SELECT DISTINCT g16.doc_id, CAST(unnest(range(pos, pos + 16)) AS BIGINT) AS pos
+           |       FROM g16 JOIN cg USING (g)
+           |       WHERE cg.c >= 2 AND g16.doc_id * 1048576 + g16.pos <> cg.cangp),
+           |allpos AS (SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos, ws FROM w),
+           |kept AS (SELECT a.doc_id,
+           |           string_agg(a.ws[CAST(a.pos AS INT)], ' ' ORDER BY a.pos) AS cleaned_text
+           |         FROM allpos a LEFT JOIN rm ON rm.doc_id = a.doc_id AND rm.pos = a.pos
+           |         WHERE rm.pos IS NULL GROUP BY a.doc_id),
+           |nrm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_toks
+           |        FROM rm GROUP BY doc_id),
+           |norm AS (SELECT doc_id, array_to_string(ws, ' ') AS norm FROM w)
+           |SELECT n.doc_id,
+           |  COALESCE(k.cleaned_text, '') AS cleaned_text,
+           |  CAST(length(n.norm) - length(COALESCE(k.cleaned_text, '')) AS BIGINT)
+           |    AS n_removed_chars,
+           |  CAST(COALESCE(m.n_removed_toks, 0) AS BIGINT) AS n_removed_toks
+           |FROM norm n LEFT JOIN kept k USING (doc_id) LEFT JOIN nrm m USING (doc_id)
+           |ORDER BY n.doc_id""".stripMargin,
 
     "q_corpus_cap" ->
       """WITH ranked AS (

@@ -461,5 +461,15 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 5: within-doc repetition is a duplication too (occurrence
     // count >= 2, the ExactSubstr census), capped below 16
     assert(got(4)._1 == 5L && got(4)._5 == 8L && got(4)._3 == 0L, s"doc5 ${got(4)}")
+
+    // removal twin: the canonical (min packed position) occurrence
+    // survives; the twin doc loses every covered token
+    val rm = graft.ops.CorpusOps.suffixRemove(docs, "doc_id", "text", minRun = 16)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(rm(0)._4 == 0L, s"canonical doc1 must keep everything: ${rm(0)}")
+    assert(rm(1)._4 == 20L && rm(1)._2 == "", s"twin doc2 fully cut: ${rm(1)}")
+    assert(rm(2)._4 == 0L && rm(3)._4 == 0L && rm(4)._4 == 0L,
+      s"sub-threshold docs untouched: ${rm.toSeq}")
   }
 }
