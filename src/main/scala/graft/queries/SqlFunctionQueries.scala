@@ -462,6 +462,54 @@ object SqlFunctionQueries {
         .orderBy(col("lang"), col("source"), col("q_ppm"))
     }),
 
+    // COUNT-MIN point-frequency sketch (Cormode & Muthukrishnan 2005) —
+    // the overcount-only complement to Misra-Gries' undercount-only
+    // summary, RELATIONALLY: the sketch is a d×w bucket-count TABLE
+    // (see ops/FreqSketches.scala), so partial aggregation is the merge
+    // and the oracle replays every cell from the portable hash.
+    // never_undercounts is a theorem boolean; the overcount is replayed
+    // exactly, not bounded probabilistically
+    "q_agg_cms" -> ((s: SparkSession, d: String) => {
+      val D = 3; val W = 64
+      val toks = scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val sk = graft.ops.FreqSketches.cmsSketch(toks, "w", D, W)
+      val census = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = census.agg(sum(col("c")).as("n"))
+      val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
+      graft.ops.FreqSketches.cmsEstimate(sk, top, "w", D, W)
+        .join(top.withColumnRenamed("w", "x"), Seq("x"))
+        .crossJoin(broadcast(n))
+        .select(col("x").as("token"), col("c").as("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("never_undercounts"),
+          expr("(cms_est - c) * 1000000 div n").as("overcount_ppm"))
+        .orderBy(col("token"))
+    }),
+
+    // AMS F2 / self-join-size sketch (Alon, Matias & Szegedy 1996) —
+    // the skew detector: F2 = Σ c(x)^2 estimated as the median of d
+    // signed-sum squares, each a one-pass partial-aggregable sum. The
+    // exact side is the census a 100 TB job cannot afford; the sketch
+    // is d BIGINTs
+    "q_agg_ams" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = 5
+      val toks = scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val z = graft.ops.FreqSketches.amsSketch(toks, "w", D)
+        .withColumn("zz", col("z") * col("z"))
+      val med = z.withColumn("rn",
+          row_number().over(Window.orderBy(col("zz")))) // d=5 rows: tiny
+        .where(col("rn") === (D + 1) / 2).select(col("zz").as("f2_est"))
+      val f2 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      f2.crossJoin(broadcast(med))
+        .select(col("f2_exact"), col("f2_est"),
+          expr("abs(f2_est - f2_exact) * 1000000 div f2_exact").as("err_ppm"))
+    }),
+
     // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from
     // Agarwal et al., Mergeable Summaries, PODS 2012) — the 100 TB
     // heavy-hitter answer next to KLL's percentile answer: O(k) state
@@ -833,6 +881,48 @@ object SqlFunctionQueries {
 
     // exact top-10 census replay; the sketch side is graded by the
     // deterministic theorem booleans (k=8 → error bound n/9)
+    // full cell-by-cell CMS replay from the portable hash — the
+    // estimate is hash-matched, not tolerance-matched
+    "q_agg_cms" -> {
+      val hb = DedupQueries.sqlHex60Public("md5('cms:' || CAST(r AS VARCHAR) || ':' || w)")
+      raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |           FROM documents),
+           |tk AS (SELECT w FROM w WHERE regexp_full_match(w, '[a-z]+')),
+           |t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY w),
+           |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t),
+           |rr AS (SELECT unnest([0, 1, 2]) AS r),
+           |hb AS (SELECT r, w, ($hb) % 64 AS b
+           |       FROM (SELECT rr.r AS r, tk.w AS w FROM tk CROSS JOIN rr)),
+           |sk AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY r, b),
+           |topt AS (SELECT w, c FROM t ORDER BY c DESC, w LIMIT 10),
+           |eb AS (SELECT w, r, ($hb) % 64 AS b
+           |       FROM (SELECT topt.w AS w, rr.r AS r FROM topt CROSS JOIN rr)),
+           |est AS (SELECT eb.w, MIN(COALESCE(sk.c, 0)) AS est
+           |        FROM eb LEFT JOIN sk USING (r, b) GROUP BY eb.w)
+           |SELECT topt.w AS token, topt.c AS exact_cnt,
+           |  CAST(est.est AS BIGINT) AS cms_est,
+           |  est.est >= topt.c AS never_undercounts,
+           |  CAST((est.est - topt.c) * 1000000 // n.n AS BIGINT) AS overcount_ppm
+           |FROM topt JOIN est ON est.w = topt.w, n ORDER BY token""".stripMargin
+    },
+
+    "q_agg_ams" -> {
+      val h = DedupQueries.sqlHex60Public("md5('ams:' || CAST(r AS VARCHAR) || ':' || w)")
+      raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |           FROM documents),
+           |tk AS (SELECT w FROM w WHERE regexp_full_match(w, '[a-z]+')),
+           |t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY w),
+           |rr AS (SELECT unnest([0, 1, 2, 3, 4]) AS r),
+           |zz0 AS (SELECT r, CAST(SUM(1 - 2 * (($h) % 2)) AS BIGINT) AS z
+           |        FROM (SELECT rr.r AS r, tk.w AS w FROM tk CROSS JOIN rr)
+           |        GROUP BY r),
+           |f2e AS (SELECT z * z AS zz, row_number() OVER (ORDER BY z * z) AS rn FROM zz0),
+           |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM t)
+           |SELECT ex.f2_exact, CAST(f2e.zz AS BIGINT) AS f2_est,
+           |  CAST(abs(f2e.zz - ex.f2_exact) * 1000000 // ex.f2_exact AS BIGINT) AS err_ppm
+           |FROM ex, f2e WHERE f2e.rn = 3""".stripMargin
+    },
+
     "q_agg_mg" ->
       raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
            |           FROM documents),

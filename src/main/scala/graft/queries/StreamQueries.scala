@@ -822,6 +822,55 @@ object StreamQueries {
         .orderBy(col("lang"), col("token"))
     }),
 
+    // STREAMING COUNT-MIN — the relational sketch's streaming cell:
+    // each micro-batch appends its OWN d×w bucket-count rows (plain
+    // (r, b, c) rows — the sketch is a table, so the "serialized
+    // partial" is just rows) and the rollup is one more groupBy-sum.
+    // Sum-merge is exact under any batch slicing, so q_agg_cms's
+    // cell-by-cell replay oracle is shared VERBATIM
+    "q_stream_cms" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val D = 3; val W = 64
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scms_src_$suffix"
+      val out = s"/tmp/graft_scms_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      def toks(df: DataFrame) = df
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              graft.ops.FreqSketches.cmsSketch(toks(batch), "w", D, W),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out).groupBy(col("r"), col("b"))
+        .agg(sum(col("c")).as("c"))
+      val census = toks(s.read.parquet(stage)).groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+      val n = census.agg(sum(col("c")).as("n"))
+      val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
+      graft.ops.FreqSketches.cmsEstimate(sk, top, "w", D, W)
+        .join(top.withColumnRenamed("w", "x"), Seq("x"))
+        .crossJoin(broadcast(n))
+        .select(col("x").as("token"), col("c").as("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("never_undercounts"),
+          expr("(cms_est - c) * 1000000 div n").as("overcount_ppm"))
+        .orderBy(col("token"))
+    }),
+
     // STREAMING KMV — the distinct-count monitor beside q_stream_kll's
     // percentile and q_stream_mg's heavy-hitter monitors, completing
     // the mergeable-sketch matrix: each micro-batch appends ONE
@@ -1253,6 +1302,9 @@ object StreamQueries {
     // grouped mergeable-summary twins: same contract, per group
     "q_stream_mg_grouped" -> SqlFunctionQueries.oracleSql("q_agg_mg_grouped"),
     "q_stream_kll_grouped" -> SqlFunctionQueries.oracleSql("q_agg_kll_grouped"),
+
+    // streaming CMS: per-batch bucket rows summed = the one-shot table
+    "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
