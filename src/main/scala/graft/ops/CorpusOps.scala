@@ -918,7 +918,21 @@ object CorpusOps {
     * lengths, per-level duplicated-start relations, and the final
     * class table (doc_id, pos, gp, cls, cnt) at window length minRun.
     */
+  /** Session memo for the doubling result, keyed by the ANALYZED input
+    * plan (semanticHash) — q_text_suffix_dedup and q_text_suffix_rm
+    * share one doubling per corpus instead of paying the log-round
+    * build twice; the checkpointed relations are token-stream-sized.
+    * Deterministic: the classes are a pure function of the input. */
+  private val suffixMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int), (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame)]
+
   private def suffixDoubling(docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) =
+    suffixMemo.getOrElseUpdate(
+      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol, minRun),
+      suffixDoublingBuild(docs, idCol, textCol, minRun))
+
+  private def suffixDoublingBuild(docs: DataFrame, idCol: String, textCol: String,
       minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) = {
     require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
       s"suffix doubling: minRun must be a power of two >= 2, got $minRun")

@@ -186,12 +186,19 @@ object Quantize {
         s"transform(slice($vecCol, 1, $dims), x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
         .as("q"))
       .scopedPersist()
-    val pairs = q.select(expr(
+    // UPPER TRIANGLE only (j >= i): the outer product is symmetric, so
+    // emitting dims(dims+1)/2 structs per row instead of dims² halves
+    // the in-row explosion and the partial-agg input; the mirror is a
+    // free union over the dims²-sized AGGREGATED relation
+    val pairsU = q.select(expr(
         """explode(flatten(transform(q, (xi, i) ->
-          |  transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'p', xi * xj)))))"""
+          |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+          |    named_struct('i', i, 'j', i + j, 'p', xi * xj)))))"""
           .stripMargin).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
+    val pairs = pairsU.unionAll(pairsU.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("p")))
     val marg = q.select(posexplode(col("q")).as(Seq("mi", "x")))
       .groupBy(col("mi")).agg(sum(col("x")).as("s"))
     val nn = q.agg(count(lit(1)).as("n"))

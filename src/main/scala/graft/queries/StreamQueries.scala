@@ -1133,9 +1133,12 @@ object StreamQueries {
         val q = df.select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
           .as("q"))
+        // upper triangle only — the symmetric mirror happens once at
+        // merge-read time, so each batch appends half the pair rows
         val pairs = q.select(expr(
             """explode(flatten(transform(q, (xi, i) ->
-              |  transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'p', xi * xj)))))"""
+              |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+              |    named_struct('i', i, 'j', i + j, 'p', xi * xj)))))"""
               .stripMargin).as("e"))
           .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
           .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
@@ -1161,7 +1164,9 @@ object StreamQueries {
       }
       val merged = s.read.parquet(out).groupBy(col("i"), col("j"))
         .agg(sum(col("p")).as("p"))
-      val pairs = merged.filter(col("i") >= 0 && col("j") >= 0)
+      val pairsU = merged.filter(col("i") >= 0 && col("j") >= 0)
+      val pairs = pairsU.unionAll(pairsU.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("p")))
       val marg = merged.filter(col("i") >= 0 && col("j") === -1)
         .select(col("i").as("mi"), col("p").as("s"))
       val nn = merged.filter(col("i") === -1).select(col("p").as("n"))
