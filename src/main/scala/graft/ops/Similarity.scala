@@ -60,6 +60,22 @@ object Similarity {
   def signRow(plane: Int, dims: Int): Seq[Double] =
     (0 until dims).map(j => hyperplaneSign(plane, j))
 
+  /** BINARY SIGN QUANTIZATION, 32 dims per BIGINT half: bit k of half h
+    * is 1 iff v[32h + k] ≥ 0. Two 32-bit halves instead of one 64-bit
+    * word keep every packed value in [0, 2^32) — no shift-into-sign-bit
+    * hazard, and the DuckDB oracle's SUM-of-powers replay needs no
+    * HUGEINT. A 64-dim float vector (256 bytes) becomes 16 bytes; the
+    * Hamming distance is two XOR+popcounts — the memory/bandwidth shape
+    * that makes billion-vector first-pass retrieval affordable, with
+    * exact cosine re-ranking only the shortlist (Hamming distance on
+    * sign bits is a monotone proxy for angular distance in expectation).
+    */
+  def signPackHalf(v: Column, half: Int): Column =
+    (0 until 32).map { k =>
+      when(element_at(v.cast("array<double>"), 32 * half + k + 1) >= 0,
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Random-hyperplane LSH bucket id (numPlanes bits): bit i = 1 iff
     * dot(v, plane_i) > 0, with the dot in exact scaled-integer arithmetic.
     */

@@ -38,6 +38,31 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 20)
     }),
 
+    // BINARY-QUANTIZED HAMMING SEARCH: sign-pack every 64-dim vector
+    // into two 32-bit halves (16 bytes — the billion-vector first-pass
+    // representation), shortlist by XOR+popcount Hamming distance, then
+    // exact-cosine re-rank ONLY the 10 survivors. The oracle replays
+    // the packing as a SUM of distinct powers and the same two
+    // popcounts, so the shortlist (and therefore the output) is
+    // hash-matched, not recall-graded
+    "q_sim_hamming" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val packed = e.select(col("vec_id"), col("embedding"),
+        Similarity.signPackHalf(col("embedding"), 0).as("h0"),
+        Similarity.signPackHalf(col("embedding"), 1).as("h1"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("h0").as("q0"), col("h1").as("q1"),
+          col("embedding").as("__qv"))
+      packed.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("hamming",
+          expr("CAST(bit_count(h0 ^ q0) + bit_count(h1 ^ q1) AS BIGINT)"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(10)
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("__qv")))
+        .select(col("vec_id"), col("hamming"), col("cosine"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+    }),
+
     // LSH-bucketed ANN top-10 for vec 0 (bucket probe + exact re-rank).
     // 6 planes → 64 buckets: sized so the probe bucket is non-empty at
     // sf0.01 (~500 vectors) — 16 planes would leave the query alone in
@@ -617,6 +642,29 @@ object SimilarityQueries {
          |$sqlCosineCtes
          |SELECT id_a AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_sim_hamming" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(t.j AS INT) AS j,
+         |    CAST(embedding[t.j] AS DOUBLE) AS e
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS j) t),
+         |pk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN e >= 0 AND j <= 32 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS BIGINT) AS h0,
+         |    CAST(SUM(CASE WHEN e >= 0 AND j > 32 THEN (1::BIGINT << (j - 33)) ELSE 0 END) AS BIGINT) AS h1
+         |  FROM ex GROUP BY vec_id),
+         |q AS (SELECT h0 AS q0, h1 AS q1 FROM pk WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |hm AS (SELECT p.vec_id,
+         |    CAST(bit_count(xor(p.h0, q.q0)) + bit_count(xor(p.h1, q.q1)) AS BIGINT) AS hamming
+         |  FROM pk p, q WHERE p.vec_id <> 0),
+         |topt AS (SELECT vec_id, hamming FROM hm ORDER BY hamming, vec_id LIMIT 10),
+         |pairs AS (SELECT t.vec_id AS id_a, 0 AS id_b, e.embedding AS va, qv.qv AS vb
+         |          FROM topt t JOIN embeddings e USING (vec_id), qv),
+         |$sqlCosineCtes
+         |SELECT t.vec_id, t.hamming, c.cosine
+         |FROM topt t JOIN cos c ON c.id_a = t.vec_id
+         |ORDER BY t.hamming, t.vec_id""".stripMargin,
 
     "q_sim_lsh" ->
       s"""WITH ${sqlBucketCte("embeddings", LSH_PLANES)},
