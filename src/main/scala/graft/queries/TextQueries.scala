@@ -117,6 +117,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CHAR-BIGRAM CONDITIONAL ENTROPY per doc, in integer CENTIBITS —
+    // the compressibility/repetitiveness quality signal (low entropy =
+    // templated or repetitive text; the gzip-ratio heuristic without
+    // the unreplayable codec): H = Σ c(ab)·cb(ab) / Σ c(ab) with
+    // cb(ab) = round(100·log2(c(a·)/c(ab))) from the SAME fixed-point
+    // staged-log generator the ULM tokenizer shares with its oracle
+    // (UlmTokenizer.costStages — ProfileQueries once used Gini "because
+    // entropy needs log()"; the generator retired that constraint).
+    // Bigrams run over the eligible-word stream, within words only
+    "q_text_entropy" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      val docs = scan(s, d, "documents")
+      val w0 = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      val bg = w0.select(col("doc_id"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+        .select(col("doc_id"), expr("substr(w, i, 2)").as("b"))
+      val cs = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val pf = cs.groupBy(col("doc_id"), expr("substr(b, 1, 1)").as("a"))
+        .agg(sum(col("c")).as("t"))
+      var j = cs.as("cs").join(pf.as("pf"),
+        col("cs.doc_id") === col("pf.doc_id") &&
+          expr("substr(cs.b, 1, 1)") === col("pf.a"))
+        .select(col("cs.doc_id").as("doc_id"), col("cs.b").as("b"),
+          col("cs.c").as("c"), col("pf.t").as("t"))
+      UlmTokenizer.costStages("t", "c", UlmTokenizer.Spark).foreach {
+        case (n, e) => j = j.withColumn(n, expr(e))
+      }
+      val h = j.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("cost_cb")).as("hsum"))
+      docs.select(col("doc_id"), col("lang")).join(h, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("hsum div n_bigrams"), lit(0L)).as("h_cb"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HAPAX LEGOMENA census (the vocabulary-richness readout corpus
     // linguists and dedup pipelines both watch — a corpus whose hapax
     // share collapses is template-flooded): corpus-wide term census →
@@ -587,6 +626,37 @@ object TextQueries {
     }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracleSql: Map[String, String] = Map(
+    // the staged fixed-point log replays as NESTED subqueries (one per
+    // stage — lateral aliases would inline exponentially, the vocabCte
+    // lesson), everything else is a plain bigram census
+    "q_text_entropy" -> {
+      import graft.ops.UlmTokenizer
+      val inner0 = "SELECT doc_id, b, c, t FROM j"
+      val staged = UlmTokenizer.costStages("t", "c", UlmTokenizer.Duck)
+        .foldLeft(inner0) { case (acc, (n, e)) => s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH w0 AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT doc_id, w FROM w0
+           |       WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2),
+           |bg AS (SELECT doc_id, substr(w, CAST(i AS INT), 2) AS b
+           |       FROM (SELECT doc_id, w, unnest(range(1, length(w))) AS i FROM wf)),
+           |cs AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+           |pf AS (SELECT doc_id, substr(b, 1, 1) AS a, CAST(SUM(c) AS BIGINT) AS t
+           |       FROM cs GROUP BY 1, 2),
+           |j AS (SELECT cs.doc_id, cs.b, cs.c, pf.t
+           |      FROM cs JOIN pf ON pf.doc_id = cs.doc_id AND pf.a = substr(cs.b, 1, 1)),
+           |st AS MATERIALIZED ($staged),
+           |h AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |        CAST(SUM(c * cost_cb) AS BIGINT) AS hsum
+           |      FROM st GROUP BY doc_id)
+           |SELECT d.doc_id, d.lang,
+           |  CAST(COALESCE(h.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(h.hsum // h.n_bigrams, 0) AS BIGINT) AS h_cb
+           |FROM documents d LEFT JOIN h USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+    },
+
     // same 60-bit md5 parse, same bucket arithmetic, pure integers
     "q_text_feathash" -> {
       val hb = DedupQueries.sqlHex60Public("md5('fh:' || w)")
