@@ -38,6 +38,46 @@ object SimilarityQueries {
         e.filter(col("vec_id") === 0), "embedding", k = 20)
     }),
 
+    // MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022's MRL deploy
+    // question: how much retrieval quality survives cutting 64-dim
+    // embeddings to their 16-dim prefix — the 4x index-cost knob):
+    // exact top-10 under the FULL cosine vs exact top-10 under the
+    // PREFIX cosine, per query; report top-1s, overlap@10, and the
+    // overlap ratio. Both rankings prune through TopKPerKey; the
+    // oracle replays both cosines from the same floor-scaled integer
+    // terms (truncation = a FILTER on the term index, so the two
+    // rankings share one term relation)
+    "q_sim_matryoshka" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val pairs = e.filter(col("vec_id") >= 8)
+        .crossJoin(broadcast(q))
+        .withColumn("cosf", Similarity.cosine(col("embedding"), col("qv")))
+        .withColumn("cost", Similarity.cosine(
+          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)))
+        .select(col("qid"), col("vec_id"), col("cosf"), col("cost"))
+      val full10 = graft.plans.TopKPerKey.topKPerKey(pairs,
+        keyCols = Seq("qid"), sorts = Seq(("cosf", false), ("vec_id", true)), k = 10)
+      val trunc10 = graft.plans.TopKPerKey.topKPerKey(pairs,
+        keyCols = Seq("qid"), sorts = Seq(("cost", false), ("vec_id", true)), k = 10)
+      val top1f = full10.groupBy(col("qid"))
+        .agg(max(struct(col("cosf"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("qid"), (-col("m.nid")).as("top1_full"))
+      val top1t = trunc10.groupBy(col("qid"))
+        .agg(max(struct(col("cost"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("qid"), (-col("m.nid")).as("top1_trunc"))
+      val ovl = full10.select(col("qid"), col("vec_id"))
+        .join(trunc10.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      top1f.join(top1t, Seq("qid")).join(ovl, Seq("qid"), "left")
+        .select(col("qid"), col("top1_full"), col("top1_trunc"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, CAST(0 AS BIGINT)) * 1000000 div 10")
+            .as("overlap_ppm"))
+        .orderBy(col("qid"))
+    }),
+
     // BINARY-QUANTIZED HAMMING SEARCH: sign-pack every 64-dim vector
     // into two 32-bit halves (16 bytes — the billion-vector first-pass
     // representation), shortlist by XOR+popcount Hamming distance, then
@@ -642,6 +682,39 @@ object SimilarityQueries {
          |$sqlCosineCtes
          |SELECT id_a AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_sim_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+         |terms AS (
+         |  SELECT q.qid, c.vec_id, t.j,
+         |    CAST(floor(CAST(c.embedding[t.j] AS DOUBLE) * CAST(q.qv[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tab,
+         |    CAST(floor(CAST(c.embedding[t.j] AS DOUBLE) * CAST(c.embedding[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS taa,
+         |    CAST(floor(CAST(q.qv[t.j] AS DOUBLE) * CAST(q.qv[t.j] AS DOUBLE) * 1e12) AS BIGINT) AS tbb
+         |  FROM c CROSS JOIN q CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS j) t),
+         |s AS (
+         |  SELECT qid, vec_id,
+         |    CAST(SUM(tab) AS DOUBLE) / (sqrt(CAST(SUM(taa) AS DOUBLE)) * sqrt(CAST(SUM(tbb) AS DOUBLE))) AS cosf,
+         |    CAST(SUM(tab) FILTER (WHERE j <= 16) AS DOUBLE)
+         |      / (sqrt(CAST(SUM(taa) FILTER (WHERE j <= 16) AS DOUBLE))
+         |         * sqrt(CAST(SUM(tbb) FILTER (WHERE j <= 16) AS DOUBLE))) AS cost
+         |  FROM terms GROUP BY qid, vec_id),
+         |rf AS (SELECT qid, vec_id, cosf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, vec_id) AS rn FROM s),
+         |rt AS (SELECT qid, vec_id, cost,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cost DESC, vec_id) AS rn FROM s),
+         |f10 AS (SELECT qid, vec_id, rn FROM rf WHERE rn <= 10),
+         |t10 AS (SELECT qid, vec_id, rn FROM rt WHERE rn <= 10),
+         |t1f AS (SELECT qid, vec_id AS top1_full FROM f10 WHERE rn = 1),
+         |t1t AS (SELECT qid, vec_id AS top1_trunc FROM t10 WHERE rn = 1),
+         |ov AS (SELECT f10.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |       FROM f10 JOIN t10 ON t10.qid = f10.qid AND t10.vec_id = f10.vec_id
+         |       GROUP BY f10.qid)
+         |SELECT t1f.qid, t1f.top1_full, t1t.top1_trunc,
+         |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(COALESCE(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT) AS overlap_ppm
+         |FROM t1f JOIN t1t USING (qid) LEFT JOIN ov USING (qid)
+         |ORDER BY t1f.qid""".stripMargin,
 
     "q_sim_hamming" ->
       s"""WITH ex AS (
