@@ -510,6 +510,37 @@ object SqlFunctionQueries {
           expr("abs(f2_est - f2_exact) * 1000000 div f2_exact").as("err_ppm"))
     }),
 
+    // AMS INNER-PRODUCT JOIN-SIZE ESTIMATION (the second half of the
+    // AMS paper's program: E[z_A·z_B] = Σ_k f_A(k)·f_B(k) = the join
+    // cardinality) — the cost-based-optimizer primitive that answers
+    // "how big is this join" from two d-BIGINT sketches built in
+    // independent single passes over each side, no join executed. Here:
+    // |view-events ⋈ purchase-events on user_id|, real multiplicities
+    // on BOTH sides. Same deterministic hash family as q_agg_ams, so
+    // the estimate replays exactly; the exact side is the per-key
+    // frequency join the estimator avoids
+    "q_agg_join_card" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = 5
+      val ev = scan(s, d, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("x"))
+      val zv = graft.ops.FreqSketches.amsSketch(side("view"), "x", D)
+        .withColumnRenamed("z", "zv")
+      val zp = graft.ops.FreqSketches.amsSketch(side("purchase"), "x", D)
+        .withColumnRenamed("z", "zp")
+      val med = zv.join(zp, Seq("r"))
+        .withColumn("zz", col("zv") * col("zp"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("zz"), col("r"))))
+        .where(col("rn") === (D + 1) / 2).select(col("zz").as("join_est"))
+      val exact = side("view").groupBy(col("x")).agg(count(lit(1)).as("fv"))
+        .join(side("purchase").groupBy(col("x")).agg(count(lit(1)).as("fp")), Seq("x"))
+        .agg(sum(col("fv") * col("fp")).as("join_exact"))
+      exact.crossJoin(broadcast(med))
+        .select(col("join_exact"), col("join_est"),
+          expr("abs(join_est - join_exact) * 1000000 div join_exact").as("err_ppm"))
+    }),
+
     // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from
     // Agarwal et al., Mergeable Summaries, PODS 2012) — the 100 TB
     // heavy-hitter answer next to KLL's percentile answer: O(k) state
@@ -921,6 +952,31 @@ object SqlFunctionQueries {
            |SELECT ex.f2_exact, CAST(f2e.zz AS BIGINT) AS f2_est,
            |  CAST(abs(f2e.zz - ex.f2_exact) * 1000000 // ex.f2_exact AS BIGINT) AS err_ppm
            |FROM ex, f2e WHERE f2e.rn = 3""".stripMargin
+    },
+
+    "q_agg_join_card" -> {
+      val h = DedupQueries.sqlHex60Public("md5('ams:' || CAST(r AS VARCHAR) || ':' || w)")
+      raw"""WITH rr AS (SELECT unnest([0, 1, 2, 3, 4]) AS r),
+           |sv AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events
+           |       WHERE event_type = 'view'),
+           |sp AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events
+           |       WHERE event_type = 'purchase'),
+           |zv AS (SELECT r, CAST(SUM(1 - 2 * (($h) % 2)) AS BIGINT) AS zv
+           |       FROM (SELECT rr.r AS r, sv.x AS w FROM sv CROSS JOIN rr)
+           |       GROUP BY r),
+           |zp AS (SELECT r, CAST(SUM(1 - 2 * (($h) % 2)) AS BIGINT) AS zp
+           |       FROM (SELECT rr.r AS r, sp.x AS w FROM sp CROSS JOIN rr)
+           |       GROUP BY r),
+           |m AS (SELECT zv.zv * zp.zp AS zz,
+           |        row_number() OVER (ORDER BY zv.zv * zp.zp, zv.r) AS rn
+           |      FROM zv JOIN zp USING (r)),
+           |ex AS (SELECT CAST(SUM(fv * fp) AS BIGINT) AS join_exact
+           |       FROM (SELECT x, COUNT(*) AS fv FROM sv GROUP BY x) a
+           |       JOIN (SELECT x, COUNT(*) AS fp FROM sp GROUP BY x) b USING (x))
+           |SELECT ex.join_exact, CAST(m.zz AS BIGINT) AS join_est,
+           |  CAST(abs(m.zz - ex.join_exact) * 1000000 // ex.join_exact AS BIGINT)
+           |    AS err_ppm
+           |FROM ex, m WHERE m.rn = 3""".stripMargin
     },
 
     "q_agg_mg" ->
