@@ -104,6 +104,36 @@ object QualityQueries {
         .orderBy(col("bin"))
     }),
 
+    // POPULATION STABILITY INDEX over the same fixed binning — the
+    // industry drift score q_dq_drift's TVD deliberately avoided
+    // "because PSI needs ln()": the staged fixed-point log generator
+    // (UlmTokenizer.costStages, shared bit-exactly with the DuckDB
+    // oracle) retired that constraint. Per bin: shares floored at
+    // 1 ppm (the Laplace guard — an empty bin would send PSI to ∞),
+    // dlog_cb = round(100·log2(max/min share)), psi_term =
+    // |p−q|·dlog_cb, so PSI in bits = Σ terms / 1e8 (·ln2 for nats).
+    // Still two nBins-row histograms — the log runs on 16 rows
+    "q_dq_psi" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      val o = scan(s, d, "orders")
+      val cut = lit("1995-01-01").cast("date")
+      var c = graft.ops.Drift.driftCensus(
+          o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
+          col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
+        .withColumn("pp", greatest(col("base_ppm"), lit(1L)))
+        .withColumn("qq", greatest(col("cur_ppm"), lit(1L)))
+        .withColumn("rmax", greatest(col("pp"), col("qq")))
+        .withColumn("rmin", least(col("pp"), col("qq")))
+      UlmTokenizer.costStages("rmax", "rmin", UlmTokenizer.Spark).foreach {
+        case (n, e) => c = c.withColumn(n, expr(e))
+      }
+      val p = c.select(col("bin"), col("n_base"), col("n_cur"),
+        col("base_ppm"), col("cur_ppm"), col("cost_cb").as("dlog_cb"),
+        (abs(col("pp") - col("qq")) * col("cost_cb")).as("psi_term"))
+      val tot = p.agg(sum(col("psi_term")).as("psi_total"))
+      p.crossJoin(broadcast(tot)).orderBy(col("bin"))
+    }),
+
     // K-ANONYMITY census (Sweeney 2002) over customer quasi-identifiers
     // (mktsegment, nationkey, acctbal-band): ONE rollup pass computes the
     // equivalence classes of the whole generalization ladder at once —
@@ -562,6 +592,38 @@ object QualityQueries {
         |  CAST(abs(n_base * 1000000 // greatest(tb, 1)
         |         - n_cur * 1000000 // greatest(tc, 1)) AS BIGINT) AS diff_ppm
         |FROM h, t ORDER BY bin""".stripMargin,
+
+    "q_dq_psi" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("rmax", "rmin", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM j2") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH b AS (
+           |  SELECT CAST(LEAST(15, GREATEST(0,
+           |           CAST(floor((o_totalprice - 0.0) / 37500.0) AS INTEGER))) AS BIGINT) AS bin,
+           |         o_orderdate < DATE '1995-01-01' AS is_base
+           |  FROM orders),
+           |h AS (SELECT bin,
+           |        CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS n_base,
+           |        CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_cur
+           |      FROM b GROUP BY bin),
+           |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+           |             CAST(SUM(n_cur) AS BIGINT) AS tc FROM h),
+           |c0 AS (SELECT bin, n_base, n_cur,
+           |         CAST(n_base * 1000000 // greatest(tb, 1) AS BIGINT) AS base_ppm,
+           |         CAST(n_cur * 1000000 // greatest(tc, 1) AS BIGINT) AS cur_ppm
+           |       FROM h, t),
+           |j AS (SELECT *, greatest(base_ppm, 1) AS pp, greatest(cur_ppm, 1) AS qq
+           |      FROM c0),
+           |j2 AS (SELECT *, greatest(pp, qq) AS rmax, least(pp, qq) AS rmin FROM j),
+           |st AS MATERIALIZED ($staged),
+           |p AS (SELECT bin, n_base, n_cur, base_ppm, cur_ppm,
+           |        CAST(cost_cb AS BIGINT) AS dlog_cb,
+           |        CAST(abs(pp - qq) * cost_cb AS BIGINT) AS psi_term
+           |      FROM st),
+           |tt AS (SELECT CAST(SUM(psi_term) AS BIGINT) AS psi_total FROM p)
+           |SELECT p.*, tt.psi_total FROM p, tt ORDER BY bin""".stripMargin
+    },
 
     "q_dq_kanon" ->
       """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
