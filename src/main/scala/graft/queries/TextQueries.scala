@@ -156,6 +156,53 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CONCAT-AND-CHUNK PACKING census (the GPT-style pretraining data
+    // layout: every doc's tokens concatenated in doc_id order, sliced
+    // into fixed 512-token contexts): how many docs get split across a
+    // context boundary, how many boundary crossings the corpus pays,
+    // and the tail padding of the last chunk. The global token offset
+    // is a DISTRIBUTED two-level prefix sum (doc_id-bucket census →
+    // tiny bucket-prefix window → within-bucket windows) — never a
+    // global single-task window, the q_agg_ks spine. Empty docs carry
+    // no tokens and are excluded from the span census
+    "q_text_pack" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 512
+      val dt = scan(s, d, "documents").select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"))
+        .withColumn("b", expr("doc_id div 1024"))
+      val bt = dt.groupBy(col("b")).agg(sum(col("n_tok")).as("s"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt.withColumn("p", coalesce(sum(col("s")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = dt.join(broadcast(bpre), Seq("b"))
+        .withColumn("st", col("p") + coalesce(sum(col("n_tok")).over(wv), lit(0L)))
+      val spans = off.filter(col("n_tok") > 0)
+        .withColumn("spans",
+          expr(s"(st + n_tok - 1) div $C - st div $C + 1"))
+      spans.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(when(col("spans") === 1, 1L).otherwise(0L)).as("span1_docs"),
+          sum(when(col("spans") === 2, 1L).otherwise(0L)).as("span2_docs"),
+          sum(when(col("spans") >= 3, 1L).otherwise(0L)).as("span3p_docs"),
+          sum(col("spans") - 1).as("n_crossings"))
+        .select(col("n_docs"), col("total_tokens"),
+          lit(C.toLong).as("chunk_len"),
+          expr(s"(total_tokens + ${C - 1}) div $C").as("n_chunks"),
+          col("span1_docs"), col("span2_docs"), col("span3p_docs"),
+          col("n_crossings"),
+          expr("(span2_docs + span3p_docs) * 1000000 div n_docs")
+            .as("split_doc_ppm"),
+          expr(s"((total_tokens + ${C - 1}) div $C) * $C - total_tokens")
+            .as("tail_pad_tokens"))
+    }),
+
     // HAPAX LEGOMENA census (the vocabulary-richness readout corpus
     // linguists and dedup pipelines both watch — a corpus whose hapax
     // share collapses is template-flooded): corpus-wide term census →
@@ -656,6 +703,38 @@ object TextQueries {
            |FROM documents d LEFT JOIN h USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_text_pack" ->
+      raw"""WITH dt AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           |  FROM documents),
+           |o AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |          AS BIGINT) AS st
+           |      FROM dt),
+           |sp AS (SELECT n_tok, st,
+           |         (st + n_tok - 1) // 512 - st // 512 + 1 AS spans
+           |       FROM o WHERE n_tok > 0),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           |        CAST(SUM(CASE WHEN spans = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS span1_docs,
+           |        CAST(SUM(CASE WHEN spans = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS span2_docs,
+           |        CAST(SUM(CASE WHEN spans >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS span3p_docs,
+           |        CAST(SUM(spans - 1) AS BIGINT) AS n_crossings
+           |      FROM sp)
+           |SELECT n_docs, total_tokens, CAST(512 AS BIGINT) AS chunk_len,
+           |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+           |  span1_docs, span2_docs, span3p_docs, n_crossings,
+           |  CAST((span2_docs + span3p_docs) * 1000000 // n_docs AS BIGINT)
+           |    AS split_doc_ppm,
+           |  CAST(((total_tokens + 511) // 512) * 512 - total_tokens AS BIGINT)
+           |    AS tail_pad_tokens
+           |FROM a""".stripMargin,
 
     // same 60-bit md5 parse, same bucket arithmetic, pure integers
     "q_text_feathash" -> {
