@@ -541,6 +541,39 @@ object SqlFunctionQueries {
           expr("abs(join_est - join_exact) * 1000000 div join_exact").as("err_ppm"))
     }),
 
+    // HYPERLOGLOG as a relational register table (ops/Hll.scala) — the
+    // third corner of the distinct-count triangle (exact bitmap / KMV /
+    // HLL): 64 (reg, max-rho) rows, max-groupBy IS the merge, estimate
+    // = fixed-point harmonic mean with the linear-counting small-range
+    // branch via the shared staged log. Replayed register-exact by the
+    // oracle; err_ppm reported, not bounded
+    "q_agg_hll" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      val est = graft.ops.Hll.estimate(graft.ops.Hll.registers(
+        ev.select(col("user_id").cast("string").as("x")), "x"))
+      val ex = ev.agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      ex.crossJoin(broadcast(est))
+        .select(col("n_exact"), col("hll_est"), col("est_raw"), col("est_lin"),
+          col("n_regs_zero"),
+          expr("abs(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+    }),
+
+    // RELATIONAL BITMAP INDEX (roaring-lite): EXACT distinct counting
+    // and set algebra over a bounded integer domain as a (set, word,
+    // bits) relation — 32 ids per BIGINT word, bit_or IS the merge
+    // (partial aggregation = mergeable across partitions/batches, the
+    // CMS/AMS story with exactness instead of error bounds). Distinct
+    // = Σ bit_count(word); intersection/union never rescan events,
+    // they are a word-keyed equi-join of two bitmap relations ~64x
+    // smaller than the id sets. The audit columns count bitmap words
+    // (8 bytes each) — the storage story vs a distinct-id shuffle
+    "q_agg_bitmap" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+      graft.ops.BitmapIndex.census(
+        graft.ops.BitmapIndex.bitmap(ev, "event_type", "user_id"))
+    }),
+
     // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from
     // Agarwal et al., Mergeable Summaries, PODS 2012) — the 100 TB
     // heavy-hitter answer next to KLL's percentile answer: O(k) state
@@ -978,6 +1011,72 @@ object SqlFunctionQueries {
            |    AS err_ppm
            |FROM ex, m WHERE m.rn = 3""".stripMargin
     },
+
+    "q_agg_hll" -> {
+      import graft.ops.{Hll, UlmTokenizer}
+      val h = DedupQueries.sqlHex60Public("md5('hll:' || x)")
+      val staged = UlmTokenizer.costStages("64", "vv", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM t1") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events),
+           |h AS (SELECT $h AS h FROM e),
+           |hr AS (SELECT h % 64 AS reg, h // 64 AS v FROM h),
+           |r0 AS (SELECT reg,
+           |         CAST(MAX(55 - (${Hll.bitlenCase("v")})) AS BIGINT) AS m0
+           |       FROM hr GROUP BY reg),
+           |rd AS (SELECT unnest(range(0, 64)) AS reg),
+           |rt AS (SELECT rd.reg, COALESCE(r0.m0, 0) AS mr
+           |       FROM rd LEFT JOIN r0 USING (reg)),
+           |tot AS (SELECT
+           |    CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mr AS INT)) AS BIGINT)
+           |      AS s_x,
+           |    CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+           |  FROM rt),
+           |t1 AS (SELECT *, greatest(v0, 1) AS vv FROM tot),
+           |st AS MATERIALIZED ($staged),
+           |est AS (SELECT s_x, v0,
+           |    CAST(CAST(${Hll.AlphaX20} AS HUGEINT) * 4096 * ${1L << 55}
+           |      // s_x // 1048576 AS BIGINT) AS est_raw,
+           |    CAST(CAST(64 AS BIGINT) * cost_cb * 693147 // 100000000
+           |      AS BIGINT) AS est_lin
+           |  FROM st),
+           |e2 AS (SELECT est_raw, est_lin, v0,
+           |         CASE WHEN est_raw <= 160 AND v0 > 0 THEN est_lin
+           |              ELSE est_raw END AS hll_est
+           |       FROM est),
+           |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           |       FROM events)
+           |SELECT ex.n_exact, e2.hll_est, e2.est_raw, e2.est_lin,
+           |  e2.v0 AS n_regs_zero,
+           |  CAST(abs(e2.hll_est - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+           |    AS err_ppm
+           |FROM ex, e2""".stripMargin
+    },
+
+    "q_agg_bitmap" ->
+      raw"""WITH e AS (SELECT event_type AS t, user_id FROM events
+           |           WHERE event_type IN ('view', 'purchase')),
+           |bm AS (SELECT t, user_id // 32 AS w,
+           |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+           |           AS BIGINT) AS bits
+           |       FROM e GROUP BY t, w),
+           |pt AS (SELECT t AS set_name,
+           |         CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users,
+           |         CAST(COUNT(*) AS BIGINT) AS n_words FROM bm GROUP BY t),
+           |v AS (SELECT w, bits AS bv FROM bm WHERE t = 'view'),
+           |p AS (SELECT w, bits AS bp FROM bm WHERE t = 'purchase'),
+           |j AS (SELECT COALESCE(bv, 0) AS bv, COALESCE(bp, 0) AS bp
+           |      FROM v FULL OUTER JOIN p USING (w)),
+           |so AS (SELECT CAST(SUM(bit_count(bv & bp)) AS BIGINT) AS n_and,
+           |         CAST(SUM(bit_count(bv | bp)) AS BIGINT) AS n_or,
+           |         CAST(SUM(CASE WHEN (bv & bp) <> 0 THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS w_and,
+           |         CAST(COUNT(*) AS BIGINT) AS w_or FROM j)
+           |SELECT * FROM (
+           |  SELECT set_name, n_users, n_words FROM pt
+           |  UNION ALL SELECT 'view_and_purchase', n_and, w_and FROM so
+           |  UNION ALL SELECT 'view_or_purchase', n_or, w_or FROM so
+           |) ORDER BY set_name""".stripMargin,
 
     "q_agg_mg" ->
       raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

@@ -871,6 +871,85 @@ object StreamQueries {
         .orderBy(col("token"))
     }),
 
+    // STREAMING HYPERLOGLOG — the register table's streaming cell:
+    // each micro-batch appends its occupied (reg, mr) rows and the
+    // rollup is one more max-groupBy. Max-merge is idempotent/
+    // commutative/associative, so any batch slicing (even replays)
+    // yields the identical 64-register sketch and q_agg_hll's
+    // register-exact replay oracle is shared VERBATIM
+    "q_stream_hll" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_shll_src_$suffix"
+      val out = s"/tmp/graft_shll_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              graft.ops.Hll.registers(
+                batch.select(col("user_id").cast("string").as("x")), "x"),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val regs = s.read.parquet(out).groupBy(col("reg"))
+        .agg(max(col("mr")).as("mr"))
+      val est = graft.ops.Hll.estimate(regs)
+      val ex = s.read.parquet(stage)
+        .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      ex.crossJoin(broadcast(est))
+        .select(col("n_exact"), col("hll_est"), col("est_raw"), col("est_lin"),
+          col("n_regs_zero"),
+          expr("abs(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+    }),
+
+    // STREAMING BITMAP — the EXACT distinct monitor beside the sketch
+    // cells: each micro-batch appends its own (t, w, bits) bitmap words
+    // (the summary is a table, so the partial is just rows) and the
+    // rollup is one more groupBy-bit_or. OR-merge is idempotent as well
+    // as commutative/associative — any batch slicing, even replayed
+    // batches, yields the identical bitmap — so q_agg_bitmap's word-
+    // exact replay oracle is shared VERBATIM
+    "q_stream_bitmap" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sbmp_src_$suffix"
+      val out = s"/tmp/graft_sbmp_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              graft.ops.BitmapIndex.bitmap(batch, "event_type", "user_id"),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val bm = s.read.parquet(out).groupBy(col("t"), col("w"))
+        .agg(expr("bit_or(bits)").as("bits"))
+      graft.ops.BitmapIndex.census(bm)
+    }),
+
     // STREAMING KMV — the distinct-count monitor beside q_stream_kll's
     // percentile and q_stream_mg's heavy-hitter monitors, completing
     // the mergeable-sketch matrix: each micro-batch appends ONE
@@ -1310,6 +1389,8 @@ object StreamQueries {
 
     // streaming CMS: per-batch bucket rows summed = the one-shot table
     "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
+    "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
+    "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
