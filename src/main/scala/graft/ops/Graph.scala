@@ -156,6 +156,41 @@ object Graph {
         expr("common * 1000000 div (d1 + d2 - common)").as("jaccard_ppm"))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    * over a bipartite membership: AA(s1,s2) = Σ over shared groups g of
+    * 1 ⁄ ln(|g|) — a rare shared group weighs more than a popular one,
+    * the weighted upgrade of [[nodeJaccardTop]]'s unweighted
+    * common-neighbor count. The log runs once per DISTINCT group size
+    * (the md5-per-distinct lesson — the size census is tiny) through
+    * the staged fixed-point generator shared with the DuckDB oracle:
+    * contrib_x6 = 1e6 ⁄ ln(gs) = 10^14 div (cb·693147) with
+    * cb = round(100·log2 gs). Candidate generation, hot-group cap and
+    * the data-driven support floor are identical to the Jaccard op —
+    * a blocked equi-join on the group key, never all-pairs. Returns
+    * (s1, s2, common, aa_x6). */
+  def adamicAdarTop(groupNode: DataFrame, groupCol: String, nodeCol: String,
+      keepPermille: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
+    val keep = cappedMembership(groupNode, groupCol, nodeCol, maxGroupSize)
+      .scopedPersist()
+    val gsz = keep.groupBy(col("g")).agg(count(lit(1)).as("gs"))
+    var sz = gsz.select(col("gs")).distinct().filter(col("gs") >= 2)
+    UlmTokenizer.costStages("gs", "1", UlmTokenizer.Spark).foreach {
+      case (n, e) => sz = sz.withColumn(n, expr(e))
+    }
+    val gw = gsz.join(broadcast(sz.select(col("gs"),
+        expr("100000000000000 div (CAST(cost_cb AS BIGINT) * 693147)")
+          .as("contrib_x6"))), Seq("gs"))
+      .select(col("g"), col("contrib_x6"))
+    val a = keep.join(gw, Seq("g")).select(col("g"), col("n").as("s1"),
+      col("contrib_x6"))
+    val b = keep.select(col("g"), col("n").as("s2"))
+    val pairs = a.join(b, Seq("g")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"), sum(col("contrib_x6")).as("aa_x6"))
+      .scopedPersist()
+    pairs.filter(col("common") >= sharedFloorTop(pairs, keepPermille))
+  }
+
   def nodeJaccard(groupNode: DataFrame, groupCol: String, nodeCol: String,
                   minShared: Long, maxGroupSize: Long = Long.MaxValue): DataFrame = {
     val m = groupNode.select(col(groupCol).as("g"), col(nodeCol).as("n")).distinct().scopedPersist()

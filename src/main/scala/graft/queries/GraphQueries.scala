@@ -252,7 +252,17 @@ object GraphQueries {
       // absolute floor (120) kept 0 pairs at sf≥0.1 — see sharedFloorTop
       Graph.nodeJaccardTop(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
           keepPermille = 100, maxGroupSize = 100000)
-        .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2")).limit(50))
+        .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2")).limit(50)),
+
+    // ADAMIC-ADAR link prediction — q_graph_jaccard's weighted upgrade
+    // (rare shared parts count 1/ln(|part|) each, popular ones nearly
+    // nothing), the second classic common-neighbor score. The ln comes
+    // from the shared staged fixed-point log, evaluated once per
+    // DISTINCT part size; same cap, floor and blocked candidate join
+    "q_graph_adamic" -> ((s: SparkSession, d: String) =>
+      Graph.adamicAdarTop(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
+          keepPermille = 100, maxGroupSize = 100000)
+        .orderBy(col("aa_x6").desc, col("s1"), col("s2")).limit(50))
   )
 
   /** Shared DuckDB CTE: the co-supply edge list under the same
@@ -411,6 +421,35 @@ object GraphQueries {
         |  CAST(pr.common * 1000000 // (d1.d + d2.d - pr.common) AS BIGINT) AS jaccard_ppm
         |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
         |ORDER BY jaccard_ppm DESC, pr.s1, pr.s2 LIMIT 50""".stripMargin,
+    "q_graph_adamic" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("gs", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM ds") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |ok AS (SELECT p FROM ps0 GROUP BY p HAVING count(*) <= 100000),
+           |ps AS (SELECT ps0.p, ps0.s FROM ps0 JOIN ok ON ps0.p = ok.p),
+           |gz AS (SELECT p, CAST(count(*) AS BIGINT) AS gs FROM ps GROUP BY p),
+           |ds AS (SELECT DISTINCT gs FROM gz WHERE gs >= 2),
+           |st AS MATERIALIZED ($staged),
+           |wt AS (SELECT gs, CAST(100000000000000
+           |         // (CAST(cost_cb AS BIGINT) * 693147) AS BIGINT) AS contrib_x6
+           |       FROM st),
+           |gw AS (SELECT gz.p, wt.contrib_x6 FROM gz JOIN wt USING (gs)),
+           |pc AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common,
+           |         CAST(SUM(gw.contrib_x6) AS BIGINT) AS aa_x6
+           |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+           |       JOIN gw ON gw.p = a.p
+           |       GROUP BY a.s, b.s),
+           |ccc AS (SELECT common AS c, CAST(count(*) AS BIGINT) AS k FROM pc GROUP BY common),
+           |np AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM ccc),
+           |th AS (SELECT CAST(MIN(c) AS BIGINT) AS t
+           |       FROM (SELECT c, SUM(k) OVER (ORDER BY c) AS cum FROM ccc) cw, np
+           |       WHERE cw.cum >= (900 * np.n + 999) // 1000)
+           |SELECT pc.s1, pc.s2, pc.common, pc.aa_x6
+           |FROM pc, th WHERE pc.common >= th.t
+           |ORDER BY aa_x6 DESC, s1, s2 LIMIT 50""".stripMargin
+    },
     "q_graph_degree" ->
       s"""$edgeCte,
          |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
