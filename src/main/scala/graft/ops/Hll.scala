@@ -40,26 +40,29 @@ object Hll {
     (53 to 1 by -1).map(j => s"WHEN ($v) >= ${1L << j} THEN ${j + 1}")
       .mkString("CASE ", " ", s" WHEN ($v) >= 1 THEN 1 ELSE 0 END")
 
-  /** Occupied-register partials (reg, mr) over a string item column:
-    * reg = h mod 64, rho = 55 - bitlen(h div 64) (54 value bits; an
-    * all-zero value scores 55). Map-side combinable; THE mergeable
-    * unit — max-groupBy of any union of partials is the sketch. */
-  def registers(items: DataFrame, itemCol: String): DataFrame =
-    items.select(Dedup.hex60(
-        md5(concat(lit("hll:"), col(itemCol)).cast("binary"))).as("h"))
-      .select(expr("h % 64").as("reg"), expr("h div 64").as("v"))
+  /** Per-key grouped registers (keys..., reg, mr) — the grouped
+    * deployment cell: one 64-register sketch per key, all in one
+    * max-groupBy pass. */
+  def registersBy(items: DataFrame, keys: Seq[String], itemCol: String): DataFrame =
+    items.select(keys.map(col) :+ Dedup.hex60(
+        md5(concat(lit("hll:"), col(itemCol)).cast("binary"))).as("h"): _*)
+      .select(keys.map(col) :+ expr("h % 64").as("reg") :+ expr("h div 64").as("v"): _*)
       .withColumn("rho", expr(s"CAST(55 - (${bitlenCase("v")}) AS BIGINT)"))
-      .groupBy(col("reg")).agg(max(col("rho")).as("mr"))
+      .groupBy((keys :+ "reg").map(col): _*).agg(max(col("rho")).as("mr"))
 
-  /** One-row estimate relation (s_x, n_regs_zero, est_raw, est_lin,
-    * hll_est) from an occupied-register relation — missing registers
-    * are true zeros (dense 64-row dimension joined in). */
-  def estimate(regs: DataFrame): DataFrame = {
+  /** Per-key estimate relation (keys..., s_x, n_regs_zero, est_raw,
+    * est_lin, hll_est) — a dense key×64 dimension fills missing
+    * registers with true zeros; the staged log runs once per key row. */
+  def estimateBy(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val s = regs.sparkSession
-    val dim = s.range(0, M.toLong).select(col("id").as("reg"))
-    val rt = dim.join(regs, Seq("reg"), "left")
-      .select(col("reg"), coalesce(col("mr"), lit(0L)).as("mr"))
-    var t = rt.agg(
+    val dim0 = s.range(0, M.toLong).select(col("id").as("reg"))
+    val dim =
+      if (keys.isEmpty) dim0
+      else regs.select(keys.map(col): _*).distinct().crossJoin(dim0)
+    val rt = dim.join(regs, keys :+ "reg", "left")
+      .select(keys.map(col) :+ col("reg") :+ coalesce(col("mr"), lit(0L)).as("mr"): _*)
+    var t = (if (keys.isEmpty) rt.groupBy() else rt.groupBy(keys.map(col): _*))
+      .agg(
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))")).as("s_x"),
         sum(when(col("mr") === 0, 1L).otherwise(0L)).as("v0"))
       .withColumn("vv", greatest(col("v0"), lit(1L)))
@@ -70,9 +73,17 @@ object Hll {
         s"CAST(CAST($AlphaX20 AS DECIMAL(38,0)) * ${M.toLong * M} * ${1L << 55}" +
           " div s_x AS BIGINT) div 1048576"))
       .withColumn("est_lin", expr(s"$M * cost_cb * 693147 div 100000000"))
-      .select(col("s_x"), col("v0").as("n_regs_zero"), col("est_raw"),
-        col("est_lin"),
+      .select(keys.map(col) ++ Seq(col("s_x"), col("v0").as("n_regs_zero"),
+        col("est_raw"), col("est_lin"),
         expr(s"CASE WHEN est_raw <= ${5 * M / 2} AND v0 > 0" +
-          " THEN est_lin ELSE est_raw END").as("hll_est"))
+          " THEN est_lin ELSE est_raw END").as("hll_est")): _*)
   }
+
+  /** Occupied-register partials (reg, mr) over a string item column —
+    * the scalar cell of [[registersBy]]. */
+  def registers(items: DataFrame, itemCol: String): DataFrame =
+    registersBy(items, Nil, itemCol)
+
+  /** One-row estimate — the scalar cell of [[estimateBy]]. */
+  def estimate(regs: DataFrame): DataFrame = estimateBy(regs, Nil)
 }

@@ -558,6 +558,24 @@ object SqlFunctionQueries {
           expr("abs(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
     }),
 
+    // the grouped deployment cell: one 64-register sketch per
+    // event_type in a single max-groupBy pass, dense key×64 dimension,
+    // the staged log once per group row — the KLL/MG/KMV grouped shape
+    "q_agg_hll_grouped" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      val est = graft.ops.Hll.estimateBy(graft.ops.Hll.registersBy(
+        ev.select(col("event_type").as("t"),
+          col("user_id").cast("string").as("x")), Seq("t"), "x"), Seq("t"))
+      val ex = ev.select(col("event_type").as("t"), col("user_id"))
+        .groupBy(col("t"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      ex.join(est, Seq("t"))
+        .select(col("t"), col("n_exact"), col("hll_est"), col("est_raw"),
+          col("est_lin"), col("n_regs_zero"),
+          expr("abs(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+        .orderBy(col("t"))
+    }),
+
     // RELATIONAL BITMAP INDEX (roaring-lite): EXACT distinct counting
     // and set algebra over a bounded integer domain as a (set, word,
     // bits) relation — 32 ids per BIGINT word, bit_or IS the merge
@@ -1051,6 +1069,51 @@ object SqlFunctionQueries {
            |  CAST(abs(e2.hll_est - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
            |    AS err_ppm
            |FROM ex, e2""".stripMargin
+    },
+
+    "q_agg_hll_grouped" -> {
+      import graft.ops.{Hll, UlmTokenizer}
+      val h = DedupQueries.sqlHex60Public("md5('hll:' || x)")
+      val staged = UlmTokenizer.costStages("64", "vv", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM t1") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH e AS (SELECT event_type AS t, CAST(user_id AS VARCHAR) AS x
+           |           FROM events),
+           |h AS (SELECT t, $h AS h FROM e),
+           |hr AS (SELECT t, h % 64 AS reg, h // 64 AS v FROM h),
+           |r0 AS (SELECT t, reg,
+           |         CAST(MAX(55 - (${Hll.bitlenCase("v")})) AS BIGINT) AS m0
+           |       FROM hr GROUP BY t, reg),
+           |td AS (SELECT DISTINCT t FROM e),
+           |rd AS (SELECT td.t, r.reg FROM td
+           |       CROSS JOIN (SELECT unnest(range(0, 64)) AS reg) r),
+           |rt AS (SELECT rd.t, rd.reg, COALESCE(r0.m0, 0) AS mr
+           |       FROM rd LEFT JOIN r0 USING (t, reg)),
+           |tot AS (SELECT t,
+           |    CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mr AS INT)) AS BIGINT)
+           |      AS s_x,
+           |    CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+           |  FROM rt GROUP BY t),
+           |t1 AS (SELECT *, greatest(v0, 1) AS vv FROM tot),
+           |st AS MATERIALIZED ($staged),
+           |est AS (SELECT t, s_x, v0,
+           |    CAST(CAST(${Hll.AlphaX20} AS HUGEINT) * 4096 * ${1L << 55}
+           |      // s_x // 1048576 AS BIGINT) AS est_raw,
+           |    CAST(CAST(64 AS BIGINT) * cost_cb * 693147 // 100000000
+           |      AS BIGINT) AS est_lin
+           |  FROM st),
+           |e2 AS (SELECT t, est_raw, est_lin, v0,
+           |         CASE WHEN est_raw <= 160 AND v0 > 0 THEN est_lin
+           |              ELSE est_raw END AS hll_est
+           |       FROM est),
+           |ex AS (SELECT event_type AS t,
+           |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           |       FROM events GROUP BY 1)
+           |SELECT ex.t, ex.n_exact, e2.hll_est, e2.est_raw, e2.est_lin,
+           |  e2.v0 AS n_regs_zero,
+           |  CAST(abs(e2.hll_est - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+           |    AS err_ppm
+           |FROM ex JOIN e2 USING (t) ORDER BY ex.t""".stripMargin
     },
 
     "q_agg_bitmap" ->
