@@ -203,6 +203,34 @@ object TextQueries {
             .as("tail_pad_tokens"))
     }),
 
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis,
+    // IPL 2006) — the corpus subsampler that picks docs ∝ token count
+    // (importance sampling by length; swap any weight in): key =
+    // u^(1/w) kept top-k ⇔ smallest (−ln u)/w, here an INTEGER
+    // priority cb·10^6 div w with cb = round(100·log2(2^40/(h40+1)))
+    // from the shared staged log over a 40-bit md5 slice (2^40·2^20
+    // stays in int64 — the full 60-bit hash would overflow the
+    // generator's fixed-point headroom). One hash + one constant-depth
+    // log per row, global top-k via TakeOrdered — no shuffle beyond
+    // the k-row partials; deterministic, so the draw itself replays
+    "q_text_wsample" -> ((s: SparkSession, d: String) => {
+      import graft.ops.{Dedup, UlmTokenizer}
+      var c = scan(s, d, "documents").select(col("doc_id"),
+          when(length(trim(col("text"))) === 0, 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("h", Dedup.hex60(md5(
+          concat(lit("ws:"), col("doc_id").cast("string")).cast("binary"))))
+        .withColumn("hm1", expr("h % 1099511627776 + 1"))
+      UlmTokenizer.costStages("1099511627776", "hm1", UlmTokenizer.Spark)
+        .foreach { case (n, e) => c = c.withColumn(n, expr(e)) }
+      c.select(col("doc_id"), col("n_tok"),
+          col("cost_cb").cast("long").as("dlog_cb"),
+          expr("CAST(cost_cb AS BIGINT) * 1000000 div n_tok").as("prio"))
+        .orderBy(col("prio"), col("doc_id")).limit(20)
+    }),
+
     // HAPAX LEGOMENA census (the vocabulary-richness readout corpus
     // linguists and dedup pipelines both watch — a corpus whose hapax
     // share collapses is template-flooded): corpus-wide term census →
@@ -702,6 +730,29 @@ object TextQueries {
            |  CAST(COALESCE(h.hsum // h.n_bigrams, 0) AS BIGINT) AS h_cb
            |FROM documents d LEFT JOIN h USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_text_wsample" -> {
+      import graft.ops.UlmTokenizer
+      val h = DedupQueries.sqlHex60Public("md5('ws:' || CAST(doc_id AS VARCHAR))")
+      val staged = UlmTokenizer.costStages("1099511627776", "hm1",
+          UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM hh") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH dt AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           |  FROM documents),
+           |df AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM dt
+           |       WHERE n_tok > 0),
+           |hh AS (SELECT doc_id, n_tok, ($h) % 1099511627776 + 1 AS hm1 FROM df),
+           |st AS MATERIALIZED ($staged),
+           |p AS (SELECT doc_id, n_tok, CAST(cost_cb AS BIGINT) AS dlog_cb,
+           |        CAST(CAST(cost_cb AS BIGINT) * 1000000 // n_tok AS BIGINT)
+           |          AS prio
+           |      FROM st)
+           |SELECT doc_id, n_tok, dlog_cb, prio FROM p
+           |ORDER BY prio, doc_id LIMIT 20""".stripMargin
     },
 
     "q_text_pack" ->
