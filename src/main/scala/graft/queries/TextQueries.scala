@@ -203,6 +203,67 @@ object TextQueries {
             .as("tail_pad_tokens"))
     }),
 
+    // PPMI COLLOCATIONS (Church & Hanks 1990) — top adjacent-bigram
+    // associations by pointwise mutual information, the collocation
+    // detector corpus linguists and phrase-mining pipelines run first.
+    // PMI decomposes into SINGLE-count logs — pmi_cb = cb(c_ab) +
+    // 2·cb(N) − cb(N_bi) − cb(c_a) − cb(c_b), each cb = round(100·
+    // log2(count)) from the shared staged generator — so no product
+    // ever feeds the fixed-point log (c_ab·N² would blow its 2^43
+    // headroom; bare counts stay legal to ~8.8e12 tokens, the 100 TB
+    // census range). The log runs once per DISTINCT count value (tiny
+    // relation, broadcast back); candidates floored at c_ab ≥ 5;
+    // bigrams via lead() over per-doc windows — docs are small, the
+    // ROUGE construction
+    "q_text_pmi" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.UlmTokenizer
+      val tr = scan(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .withColumnRenamed("col", "w")
+      val tf = tr.where(col("w").rlike("^[a-z]+$"))
+        .withColumn("p2", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val bi = tf.withColumn("nx", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p2"))))
+        .where(col("nx").isNotNull)
+      // cand feeds the distinct-value union (5 branches) AND the five
+      // cb joins — 11 plan references; persist or the nested join tree
+      // replicates into a driver-OOM-sized plan (the lineage lesson)
+      val ua = tf.groupBy(col("w")).agg(count(lit(1)).as("c")).scopedPersist()
+      val bc = bi.groupBy(col("w"), col("nx")).agg(count(lit(1)).as("c_ab"))
+        .scopedPersist()
+      val tot = ua.agg(sum(col("c")).as("n"))
+        .crossJoin(bc.agg(sum(col("c_ab")).as("nbt")))
+      val cand = bc.filter(col("c_ab") >= 5)
+        .join(ua.select(col("w"), col("c").as("c_a")), Seq("w"))
+        .join(ua.select(col("w").as("nx"), col("c").as("c_b")), Seq("nx"))
+        .crossJoin(broadcast(tot))
+        .scopedPersist()
+      val vals = cand.select(col("c_ab").as("v"))
+        .union(cand.select(col("c_a"))).union(cand.select(col("c_b")))
+        .union(tot.select(col("n"))).union(tot.select(col("nbt")))
+        .distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist() // joined back five times
+      cand
+        .join(broadcast(cb.select(col("v").as("c_ab"), col("cb").as("cb_ab"))), Seq("c_ab"))
+        .join(broadcast(cb.select(col("v").as("c_a"), col("cb").as("cb_a"))), Seq("c_a"))
+        .join(broadcast(cb.select(col("v").as("c_b"), col("cb").as("cb_b"))), Seq("c_b"))
+        .join(broadcast(cb.select(col("v").as("n"), col("cb").as("cb_n"))), Seq("n"))
+        .join(broadcast(cb.select(col("v").as("nbt"), col("cb").as("cb_nb"))), Seq("nbt"))
+        .withColumn("pmi_cb", col("cb_ab") + lit(2L) * col("cb_n")
+          - col("cb_nb") - col("cb_a") - col("cb_b"))
+        .filter(col("pmi_cb") > 0)
+        .select(col("w").as("a"), col("nx").as("b"), col("c_ab"), col("pmi_cb"))
+        .orderBy(col("pmi_cb").desc, col("a"), col("b")).limit(20)
+    }),
+
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis,
     // IPL 2006) — the corpus subsampler that picks docs ∝ token count
     // (importance sampling by length; swap any weight in): key =
@@ -730,6 +791,51 @@ object TextQueries {
            |  CAST(COALESCE(h.hsum // h.n_bigrams, 0) AS BIGINT) AS h_cb
            |FROM documents d LEFT JOIN h USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_text_pmi" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+           |             AS toks
+           |           FROM documents WHERE length(trim(text)) > 0),
+           |t0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+           |       FROM d),
+           |tr AS (SELECT doc_id, pos, toks[pos] AS w FROM t0),
+           |tf AS (SELECT doc_id,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p2, w
+           |       FROM tr WHERE regexp_full_match(w, '[a-z]+')),
+           |bi AS (SELECT doc_id, w,
+           |         lead(w) OVER (PARTITION BY doc_id ORDER BY p2) AS nx
+           |       FROM tf),
+           |ua AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY w),
+           |bc AS (SELECT w, nx, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi
+           |       WHERE nx IS NOT NULL GROUP BY w, nx),
+           |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ua),
+           |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nbt FROM bc),
+           |cand AS (SELECT bc.w, bc.nx, bc.c_ab, a.c AS c_a, b.c AS c_b,
+           |           nn.n, nb.nbt
+           |         FROM bc JOIN ua a ON a.w = bc.w JOIN ua b ON b.w = bc.nx,
+           |           nn, nb
+           |         WHERE bc.c_ab >= 5),
+           |vals AS (SELECT DISTINCT v FROM (
+           |    SELECT c_ab AS v FROM cand UNION SELECT c_a FROM cand
+           |    UNION SELECT c_b FROM cand UNION SELECT n FROM cand
+           |    UNION SELECT nbt FROM cand)),
+           |st AS MATERIALIZED ($staged),
+           |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+           |j AS (SELECT cand.w AS a, cand.nx AS b, cand.c_ab,
+           |        x1.cb + 2 * x4.cb - x5.cb - x2.cb - x3.cb AS pmi_cb
+           |      FROM cand
+           |      JOIN cbt x1 ON x1.v = cand.c_ab
+           |      JOIN cbt x2 ON x2.v = cand.c_a
+           |      JOIN cbt x3 ON x3.v = cand.c_b
+           |      JOIN cbt x4 ON x4.v = cand.n
+           |      JOIN cbt x5 ON x5.v = cand.nbt)
+           |SELECT a, b, c_ab, CAST(pmi_cb AS BIGINT) AS pmi_cb FROM j
+           |WHERE pmi_cb > 0 ORDER BY pmi_cb DESC, a, b LIMIT 20""".stripMargin
     },
 
     "q_text_wsample" -> {
