@@ -73,4 +73,30 @@ object Drift {
     censusOfHists(
       histogram(base, value, lo, hi, nBins),
       histogram(current, value, lo, hi, nBins))
+
+  /** Population Stability Index census over two PRECOMPUTED (bin, n)
+    * histograms — the ln() the TVD census deliberately avoided, via the
+    * staged fixed-point log (UlmTokenizer.costStages, shared bit-exact
+    * with the DuckDB oracle). Shares floored at 1 ppm (the Laplace
+    * guard — an empty bin would send PSI to ∞); per bin dlog_cb =
+    * round(100·log2(max/min share)) and psi_term = |p−q|·dlog_cb, so
+    * PSI in bits = Σ terms / 1e8 (·ln 2 for nats). The log runs on
+    * nBins rows — cost lives entirely in the two histogram passes,
+    * which the streaming twin pays per micro-batch as additive
+    * partials. */
+  def psiOfHists(baseHist: DataFrame, curHist: DataFrame): DataFrame = {
+    var c = censusOfHists(baseHist, curHist)
+      .withColumn("pp", greatest(col("base_ppm"), lit(1L)))
+      .withColumn("qq", greatest(col("cur_ppm"), lit(1L)))
+      .withColumn("rmax", greatest(col("pp"), col("qq")))
+      .withColumn("rmin", least(col("pp"), col("qq")))
+    UlmTokenizer.costStages("rmax", "rmin", UlmTokenizer.Spark).foreach {
+      case (n, e) => c = c.withColumn(n, expr(e))
+    }
+    val p = c.select(col("bin"), col("n_base"), col("n_cur"),
+      col("base_ppm"), col("cur_ppm"), col("cost_cb").as("dlog_cb"),
+      (abs(col("pp") - col("qq")) * col("cost_cb")).as("psi_term"))
+    val tot = p.agg(sum(col("psi_term")).as("psi_total"))
+    p.crossJoin(broadcast(tot)).orderBy(col("bin"))
+  }
 }

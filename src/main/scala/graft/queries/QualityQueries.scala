@@ -114,24 +114,14 @@ object QualityQueries {
     // |p−q|·dlog_cb, so PSI in bits = Σ terms / 1e8 (·ln2 for nats).
     // Still two nBins-row histograms — the log runs on 16 rows
     "q_dq_psi" -> ((s: SparkSession, d: String) => {
-      import graft.ops.UlmTokenizer
+      import graft.ops.Drift
       val o = scan(s, d, "orders")
       val cut = lit("1995-01-01").cast("date")
-      var c = graft.ops.Drift.driftCensus(
-          o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
-          col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
-        .withColumn("pp", greatest(col("base_ppm"), lit(1L)))
-        .withColumn("qq", greatest(col("cur_ppm"), lit(1L)))
-        .withColumn("rmax", greatest(col("pp"), col("qq")))
-        .withColumn("rmin", least(col("pp"), col("qq")))
-      UlmTokenizer.costStages("rmax", "rmin", UlmTokenizer.Spark).foreach {
-        case (n, e) => c = c.withColumn(n, expr(e))
-      }
-      val p = c.select(col("bin"), col("n_base"), col("n_cur"),
-        col("base_ppm"), col("cur_ppm"), col("cost_cb").as("dlog_cb"),
-        (abs(col("pp") - col("qq")) * col("cost_cb")).as("psi_term"))
-      val tot = p.agg(sum(col("psi_term")).as("psi_total"))
-      p.crossJoin(broadcast(tot)).orderBy(col("bin"))
+      Drift.psiOfHists(
+        Drift.histogram(o.filter(col("o_orderdate") < cut),
+          col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16),
+        Drift.histogram(o.filter(col("o_orderdate") >= cut),
+          col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16))
     }),
 
     // K-ANONYMITY census (Sweeney 2002) over customer quasi-identifiers

@@ -871,6 +871,49 @@ object StreamQueries {
         .orderBy(col("token"))
     }),
 
+    // STREAMING PSI — the drift monitor's streaming cell: histograms
+    // are ADDITIVE, so each micro-batch appends its own (bin, nb, nc)
+    // partial counts and the rollup is one more groupBy-sum; the staged
+    // fixed-point log runs once, on the 16 merged bins. Sum-merge is
+    // exact under any batch slicing, so q_dq_psi's oracle is shared
+    // VERBATIM
+    "q_stream_psi" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import graft.ops.Drift
+      val o = graft.engine.QueryBuilder.scan(s, d, "orders")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_spsi_src_$suffix"
+      val out = s"/tmp/graft_spsi_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      o.repartition(3, col("o_orderkey")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = batch.select(
+                Drift.binOf(col("o_totalprice"), 0.0, 600000.0, 16).as("bin"),
+                (col("o_orderdate") < lit("1995-01-01").cast("date")).as("is_base"))
+              .groupBy(col("bin")).agg(
+                sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+                sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+            graft.sinks.Sinks.write(part,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val h = s.read.parquet(out).groupBy(col("bin"))
+        .agg(sum(col("nb")).as("nb"), sum(col("nc")).as("nc"))
+      Drift.psiOfHists(
+        h.select(col("bin"), col("nb").as("n")),
+        h.select(col("bin"), col("nc").as("n")))
+    }),
+
     // STREAMING HYPERLOGLOG — the register table's streaming cell:
     // each micro-batch appends its occupied (reg, mr) rows and the
     // rollup is one more max-groupBy. Max-merge is idempotent/
@@ -1391,6 +1434,7 @@ object StreamQueries {
     "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
+    "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
