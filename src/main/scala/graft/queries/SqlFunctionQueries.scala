@@ -592,6 +592,35 @@ object SqlFunctionQueries {
         graft.ops.BitmapIndex.bitmap(ev, "event_type", "user_id"))
     }),
 
+    // DAY-OVER-DAY RETENTION over per-day bitmap indexes — the product
+    // analytics the bitmap tier exists for: DAU = popcount of the
+    // day's bitmap, retained = popcount(day AND next-day) via a
+    // (day, word)-keyed equi-join of bitmap relations ~32x smaller
+    // than the event stream — the classic "retention without
+    // re-scanning events" layout (only days with a successor emit)
+    "q_agg_retention" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val ev = scan(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val bm = graft.ops.BitmapIndex.bitmap(ev, "day", "user_id")
+        .scopedPersist()
+      val dau = bm.groupBy(col("t"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("dau"))
+      val nx = bm.select(expr("t - INTERVAL 1 DAY").as("t"), col("w"),
+        col("bits").as("b2"))
+      val ret = bm.join(nx, Seq("t", "w"))
+        .groupBy(col("t"))
+        .agg(sum(expr("bit_count(bits & b2)")).cast("long").as("retained"))
+      val days = bm.select(col("t")).distinct()
+      val withNext = days.join(
+        days.select(expr("t - INTERVAL 1 DAY").as("t")), Seq("t"))
+      dau.join(withNext, Seq("t")).join(ret, Seq("t"), "left")
+        .select(col("t").as("day"), col("dau"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          expr("coalesce(retained, 0) * 1000000 div dau").as("retention_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from
     // Agarwal et al., Mergeable Summaries, PODS 2012) — the 100 TB
     // heavy-hitter answer next to KLL's percentile answer: O(k) state
@@ -1140,6 +1169,31 @@ object SqlFunctionQueries {
            |  UNION ALL SELECT 'view_and_purchase', n_and, w_and FROM so
            |  UNION ALL SELECT 'view_or_purchase', n_or, w_or FROM so
            |) ORDER BY set_name""".stripMargin,
+
+    "q_agg_retention" ->
+      raw"""WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           |                  user_id
+           |           FROM events),
+           |bm AS (SELECT day, user_id // 32 AS w,
+           |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+           |           AS BIGINT) AS bits
+           |       FROM e GROUP BY day, w),
+           |dau AS (SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau
+           |        FROM bm GROUP BY day),
+           |nx AS (SELECT day - INTERVAL 1 DAY AS day, w, bits AS b2 FROM bm),
+           |ret AS (SELECT bm.day, CAST(SUM(bit_count(bm.bits & nx.b2)) AS BIGINT)
+           |          AS retained
+           |        FROM bm JOIN nx ON nx.day = bm.day AND nx.w = bm.w
+           |        GROUP BY bm.day),
+           |days AS (SELECT DISTINCT day FROM bm),
+           |wn AS (SELECT a.day FROM days a
+           |       JOIN days b ON b.day = a.day + INTERVAL 1 DAY)
+           |SELECT dau.day, dau.dau, COALESCE(ret.retained, 0) AS retained,
+           |  CAST(COALESCE(ret.retained, 0) * 1000000 // dau.dau AS BIGINT)
+           |    AS retention_ppm
+           |FROM dau JOIN wn ON wn.day = dau.day
+           |LEFT JOIN ret ON ret.day = dau.day
+           |ORDER BY dau.day""".stripMargin,
 
     "q_agg_mg" ->
       raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
