@@ -774,6 +774,142 @@ object Multimodal {
     * after (i·13 + t) mod 200 more ticks. Analytic — the oracle sums
     * ticks/keys/velocities straight from these formulas.
     */
+  /** Fixture bitrate menu (kbps) indexed by 1 + (id+f) % 13 → element
+    * b−1 — the GENERATION formula, shared between [[syntheticMp3]] and
+    * the DuckDB oracle ([[sqlMp3Kbps]]). The DECODER never sees this:
+    * it reads the header bits against the full MPEG-1 Layer III
+    * standard table, independently transcribed in [[decodeMp3]]. */
+  val Mp3FixtureKbps: Array[Int] =
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256)
+
+  /** DuckDB CASE over [[Mp3FixtureKbps]] for the formula oracle. */
+  def sqlMp3Kbps(bIdx: String): String =
+    Mp3FixtureKbps.zipWithIndex
+      .map { case (k, i) => s"WHEN ${i + 1} THEN $k" }
+      .mkString(s"CASE ($bIdx) ", " ", " END")
+
+  /** Parsed MP3: ID3v2 tag size (header + syncsafe body), frame count,
+    * byte length, Σ per-frame bitrate (kbps) and Σ per-frame duration
+    * in integer µs (1152 samples ⁄ samplerate, floor per frame — the
+    * oracle replays the same floor). */
+  final case class Mp3Stats(media_id: Long, n_frames: Long, id3_size: Long,
+                            byte_len: Long, kbps_sum: Long, dur_us: Long)
+
+  /** MPEG-1 Layer III frame walk + ID3v2 skip — the 18th container
+    * format: a sync-word stream, not a chunk directory (every prior
+    * walker had a length-prefixed or directory structure; MP3 frames
+    * carry their length IMPLICITLY in the header's bitrate/samplerate/
+    * padding bits via len = 144·bitrate ⁄ samplerate + pad, so a single
+    * misread desyncs everything after it). ID3v2 size is SYNCSAFE
+    * (7 bits per byte — a naive u32 read overshoots whenever any size
+    * byte ≥ 0x80). Truncated final frames, bad versions/layers,
+    * free-format (idx 0) and forbidden (idx 15) bitrates all fail
+    * loudly, like every decoder in this file. Ref for the table:
+    * ISO/IEC 11172-3 (public standard values).
+    */
+  def decodeMp3(rows: Iterator[MediaRow]): Iterator[Mp3Stats] = rows.map { r =>
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    // full MPEG-1 Layer III standard tables — independent of the fixture
+    val kbpsTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, -1)
+    val srTab = Array(44100, 48000, 32000, -1)
+    var off = 0
+    var id3Size = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      require(u8(3) == 3 || u8(3) == 4,
+        s"unsupported ID3v2 version ${u8(3)}: media ${r.media_id}")
+      require((u8(6) | u8(7) | u8(8) | u8(9)) < 0x80,
+        s"non-syncsafe ID3 size byte: media ${r.media_id}")
+      val body = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      id3Size = 10L + body
+      require(id3Size <= b.length,
+        s"ID3 tag overruns payload: media ${r.media_id}")
+      off = id3Size.toInt
+    }
+    var nFrames = 0L
+    var kbpsSum = 0L
+    var durUs = 0L
+    while (off < b.length) {
+      require(off + 4 <= b.length,
+        s"trailing garbage (${b.length - off} bytes, no frame header): media ${r.media_id}")
+      require(u8(off) == 0xff && (u8(off + 1) & 0xe0) == 0xe0,
+        s"lost sync at $off: media ${r.media_id}")
+      val h1 = u8(off + 1)
+      require((h1 >> 3 & 0x3) == 3, s"not MPEG-1 at $off: media ${r.media_id}")
+      require((h1 >> 1 & 0x3) == 1, s"not Layer III at $off: media ${r.media_id}")
+      val h2 = u8(off + 2)
+      val bIdx = h2 >> 4
+      val sIdx = h2 >> 2 & 0x3
+      val pad = h2 >> 1 & 0x1
+      require(bIdx >= 1 && bIdx <= 14,
+        s"free/forbidden bitrate index $bIdx at $off: media ${r.media_id}")
+      require(sIdx != 3, s"reserved samplerate at $off: media ${r.media_id}")
+      val kbps = kbpsTab(bIdx)
+      val sr = srTab(sIdx)
+      val flen = 144 * kbps * 1000 / sr + pad
+      require(flen >= 4 && off + flen <= b.length,
+        s"frame at $off (len $flen) overruns payload: media ${r.media_id}")
+      nFrames += 1
+      kbpsSum += kbps
+      durUs += 1152000000L / sr
+      off += flen
+    }
+    Mp3Stats(r.media_id, nFrames, id3Size, b.length.toLong, kbpsSum, durUs)
+  }
+
+  def extractMp3Stats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeMp3).toDF()
+  }
+
+  /** ID3v2.3 tag (syncsafe size, sync-free padding body) + 3..8 real
+    * MPEG-1 Layer III frames with deterministic bitrate/samplerate/
+    * padding drawn from the id — every frame length derives from the
+    * header exactly as the standard prescribes, so the walker's table
+    * lookups are exercised on every row. */
+  def syntheticMp3(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val nf = 3 + (id % 6).toInt
+      val tagBody = 10 + (id % 50).toInt
+      val srTab = Array(44100, 48000, 32000)
+      val frames = (0 until nf).map { f =>
+        val kbps = Mp3FixtureKbps((((id + f) % 13)).toInt)
+        val sr = srTab(((id + f) % 3).toInt)
+        val pad = ((id + f) % 2).toInt
+        val bIdx = ((id + f) % 13).toInt + 1
+        val sIdx = ((id + f) % 3).toInt
+        (bIdx, sIdx, pad, 144 * kbps * 1000 / sr + pad)
+      }
+      val total = 10 + tagBody + frames.map(_._4).sum
+      val b = new Array[Byte](total)
+      b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 3; b(4) = 0; b(5) = 0
+      b(6) = ((tagBody >> 21) & 0x7f).toByte
+      b(7) = ((tagBody >> 14) & 0x7f).toByte
+      b(8) = ((tagBody >> 7) & 0x7f).toByte
+      b(9) = (tagBody & 0x7f).toByte
+      var j = 0
+      while (j < tagBody) { b(10 + j) = ((id + j) % 128).toByte; j += 1 }
+      var off = 10 + tagBody
+      var f = 0
+      while (f < nf) {
+        val (bIdx, sIdx, pad, flen) = frames(f)
+        b(off) = 0xff.toByte
+        b(off + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+        b(off + 2) = ((bIdx << 4) | (sIdx << 2) | (pad << 1)).toByte
+        b(off + 3) = ((((id + f) % 4) << 6)).toByte
+        var k = 4
+        while (k < flen) { b(off + k) = ((id + f + k) % 255).toByte; k += 1 }
+        off += flen
+        f += 1
+      }
+      MediaRow(id, "audio/mpeg", b)
+    }.toDF()
+  }
+
   def syntheticMidi(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -284,6 +284,20 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL MP3 FRAME WALK — 18th container format and the first
+    // SYNC-WORD stream (every prior walker had a length-prefixed or
+    // directory structure; MP3 frame lengths are IMPLICIT in the
+    // header's bitrate/samplerate/padding bits, so the walker's table
+    // lookups are load-bearing on every frame), plus the ID3v2
+    // syncsafe-size skip (7 bits per byte — a naive u32 read overshoots
+    // whenever any size byte ≥ 0x80). Decoder reads the real ISO tables;
+    // oracle replays the fixture formula
+    "q_multimodal_mp3" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractMp3Stats(
+        Multimodal.syntheticMp3(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL ZIP DECODE — 17th container format, second archive walker:
     // EOCD backward scan, central directory walk with local-header
     // cross-checks, per-entry REAL decompression (stored + raw-deflate
@@ -721,6 +735,27 @@ object MultimodalQueries {
     // per-channel sums come straight from the fixture formula
     // (c = 1 + id%2, rate = 8000 + (id%4)*1000, nf = 4 + id%16,
     // sample j = ((id*37 + j*13) mod 4001) - 2000, channel = j mod c)
+    "q_multimodal_mp3" -> {
+      val kbps = graft.ops.Multimodal.sqlMp3Kbps("1 + (id + fi) % 13")
+      raw"""WITH f AS (SELECT doc_id AS id, CAST(3 + doc_id % 6 AS BIGINT) AS nf,
+           |             CAST(10 + doc_id % 50 AS BIGINT) AS tagbody
+           |           FROM documents),
+           |fr AS (SELECT id, nf, tagbody, unnest(range(0, nf)) AS fi FROM f),
+           |p AS (SELECT id, nf, tagbody, fi, $kbps AS kbps,
+           |        CASE (id + fi) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           |             ELSE 32000 END AS sr,
+           |        (id + fi) % 2 AS pad
+           |      FROM fr),
+           |q AS (SELECT *, 144 * kbps * 1000 // sr + pad AS flen,
+           |        1152000000 // sr AS fdur FROM p)
+           |SELECT id AS media_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+           |  CAST(MAX(tagbody) + 10 AS BIGINT) AS id3_size,
+           |  CAST(MAX(tagbody) + 10 + SUM(flen) AS BIGINT) AS byte_len,
+           |  CAST(SUM(kbps) AS BIGINT) AS kbps_sum,
+           |  CAST(SUM(fdur) AS BIGINT) AS dur_us
+           |FROM q GROUP BY id ORDER BY media_id""".stripMargin
+    },
+
     "q_multimodal_wav" ->
       """WITH f AS (
         |  SELECT doc_id,
