@@ -541,6 +541,49 @@ object SqlFunctionQueries {
           expr("abs(join_est - join_exact) * 1000000 div join_exact").as("err_ppm"))
     }),
 
+    // HISTOGRAM JOIN-CARDINALITY ESTIMATION — the System-R/Selinger
+    // classic beside q_agg_join_card's AMS sketch, on the SAME join
+    // (view ⋈ purchase on user_id) so the two CBO primitives are
+    // directly comparable: global estimate |A|·|B| ⁄ max(ndv_A, ndv_B)
+    // and its equi-width refinement Σ_buckets na·nb ⁄ max(da, db) over
+    // user_id div 64 buckets. Buckets PARTITION the key space, so
+    // per-bucket exact NDVs sum to the global NDV — one count-distinct
+    // groupBy per side is the whole build, the estimates are metadata-
+    // sized arithmetic. Exact side = the per-key frequency join both
+    // estimators exist to avoid
+    "q_agg_histcard" -> ((s: SparkSession, d: String) => {
+      val ev = scan(s, d, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"))
+      def hist(df: DataFrame) = df
+        .groupBy(expr("user_id div 64").as("bk"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd"))
+      val ha = hist(side("view"))
+        .select(col("bk"), col("n").as("na"), col("nd").as("da"))
+      val hb = hist(side("purchase"))
+        .select(col("bk"), col("n").as("nb"), col("nd").as("db"))
+      val j = ha.join(hb, Seq("bk"))
+      val binned = j.agg(
+        sum(expr("na * nb div greatest(da, db)")).as("est_binned"),
+        count(lit(1)).as("n_buckets"))
+      val glob = ha.agg(sum(col("na")).as("ta"), sum(col("da")).as("nda"))
+        .crossJoin(hb.agg(sum(col("nb")).as("tb"), sum(col("db")).as("ndb")))
+        .select(expr("ta * tb div greatest(nda, ndb)").as("est_systemr"))
+      val exact = side("view").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("fv"))
+        .join(side("purchase").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("fp")), Seq("user_id"))
+        .agg(sum(col("fv") * col("fp")).as("join_exact"))
+      exact.crossJoin(broadcast(glob)).crossJoin(broadcast(binned))
+        .select(col("join_exact"), col("est_systemr"),
+          expr("abs(est_systemr - join_exact) * 1000000 div join_exact")
+            .as("err_systemr_ppm"),
+          col("est_binned"),
+          expr("abs(est_binned - join_exact) * 1000000 div join_exact")
+            .as("err_binned_ppm"),
+          col("n_buckets"))
+    }),
+
     // HYPERLOGLOG as a relational register table (ops/Hll.scala) — the
     // third corner of the distinct-count triangle (exact bitmap / KMV /
     // HLL): 64 (reg, max-rho) rows, max-groupBy IS the merge, estimate
@@ -1058,6 +1101,37 @@ object SqlFunctionQueries {
            |    AS err_ppm
            |FROM ex, m WHERE m.rn = 3""".stripMargin
     },
+
+    "q_agg_histcard" ->
+      raw"""WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+           |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+           |ha AS (SELECT user_id // 64 AS bk, CAST(COUNT(*) AS BIGINT) AS na,
+           |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS da
+           |       FROM a GROUP BY bk),
+           |hb AS (SELECT user_id // 64 AS bk, CAST(COUNT(*) AS BIGINT) AS nb,
+           |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS db
+           |       FROM b GROUP BY bk),
+           |bn AS (SELECT CAST(SUM(na * nb // greatest(da, db)) AS BIGINT)
+           |         AS est_binned,
+           |         CAST(COUNT(*) AS BIGINT) AS n_buckets
+           |       FROM ha JOIN hb USING (bk)),
+           |gl AS (SELECT CAST((SELECT SUM(na) FROM ha)
+           |           * (SELECT SUM(nb) FROM hb)
+           |           // greatest((SELECT SUM(da) FROM ha),
+           |                      (SELECT SUM(db) FROM hb)) AS BIGINT)
+           |         AS est_systemr),
+           |ex AS (SELECT CAST(SUM(fv * fp) AS BIGINT) AS join_exact FROM
+           |       (SELECT user_id, COUNT(*) AS fv FROM a GROUP BY user_id) x
+           |       JOIN (SELECT user_id, COUNT(*) AS fp FROM b GROUP BY user_id) y
+           |       USING (user_id))
+           |SELECT ex.join_exact, gl.est_systemr,
+           |  CAST(abs(gl.est_systemr - ex.join_exact) * 1000000
+           |    // ex.join_exact AS BIGINT) AS err_systemr_ppm,
+           |  bn.est_binned,
+           |  CAST(abs(bn.est_binned - ex.join_exact) * 1000000
+           |    // ex.join_exact AS BIGINT) AS err_binned_ppm,
+           |  bn.n_buckets
+           |FROM ex, gl, bn""".stripMargin,
 
     "q_agg_hll" -> {
       import graft.ops.{Hll, UlmTokenizer}
