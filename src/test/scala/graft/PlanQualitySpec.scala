@@ -152,6 +152,38 @@ class PlanQualitySpec extends SparkSpec {
       "doc-level window has an empty partition spec — single-task global sort at scale")
   }
 
+  test("bucketed sort-merge join reads bucket-for-bucket: no Exchange below the join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // run the registered query once so the bucketed tables exist; at
+    // sf0.001 AQE rightly broadcasts the tiny dim in the query itself,
+    // so pin the bucket-for-bucket property with an explicit merge
+    // hint over the same bucketed tables (the plan both sides get at
+    // the scale where neither fits in memory)
+    graft.queries.JoinQueries.queries("q_join_bucketed")(spark, sf001).collect()
+    val suffix = Integer.toHexString(sf001.hashCode)
+    val o = spark.table(s"graft_bkt_orders_$suffix")
+    val c = spark.table(s"graft_bkt_customer_$suffix")
+    val df = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+    df.collect()
+    def smjSubtrees(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => smjSubtrees(a.executedPlan)
+      case q: QueryStageExec => smjSubtrees(q.plan)
+      case j: SortMergeJoinExec => Seq(j)
+      case other => other.children.flatMap(smjSubtrees)
+    }
+    val exec = df.queryExecution.executedPlan
+    val smjs = smjSubtrees(exec)
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n${exec.toString.take(2000)}")
+    for (j <- smjs) {
+      val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle either side:\n${j.toString.take(2000)}")
+    }
+  }
+
   test("chunkText is map-only: no exchange anywhere in the plan") {
     val plan = graft.ops.CorpusOps.chunkText(
         scan(spark, sf001, "documents"), "doc_id", "text", size = 120, stride = 90)
