@@ -158,6 +158,39 @@ object JoinQueries {
         .orderBy(col("c_custkey"), col("n_nationkey"))
     }),
 
+    // DYNAMIC PARTITION PRUNING — the other half of the 100 TB layout
+    // story next to q_join_bucketed: the fact table is WRITTEN
+    // partitioned by year, the dimension (top-3 revenue years) exists
+    // only at RUNTIME, and Spark's DPP turns the broadcast dim into a
+    // partition filter on the fact scan — only 3 of 7 year directories
+    // are ever read (PlanQualitySpec asserts dynamicpruningexpression
+    // in the scan's PartitionFilters). A static filter cannot express
+    // this: the qualifying years are an aggregate's output
+    "q_join_dpp" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val suffix = Integer.toHexString(d.hashCode)
+      val dir = s"/tmp/graft_dpp_fact_$suffix"
+      val p = new Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      scan(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      val fact = s.read.parquet(dir)
+      import org.apache.spark.sql.expressions.Window
+      val dim = scan(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("li_cents"))
+        .withColumn("r", row_number().over( // 7 year rows — tiny
+          Window.orderBy(col("li_cents").desc, col("y"))))
+        .filter(col("r") <= 3).drop("r")
+      fact.join(broadcast(dim), fact("o_year") === dim("y"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy(col("o_year"))
+    }),
+
     // BUCKETED (shuffle-free) SORT-MERGE JOIN — Spark's native
     // `bucketBy` table layout, the canonical 100 TB co-location
     // technique this tier talks about everywhere else: both sides
@@ -318,6 +351,23 @@ object JoinQueries {
         |FROM customer JOIN nation
         |  ON c_acctbal >= n_nationkey * 400.0 AND c_acctbal <= n_nationkey * 400.0 + 399.0
         |ORDER BY c_custkey, n_nationkey""".stripMargin,
+    "q_join_dpp" ->
+      """WITH dim AS (
+        |  SELECT y FROM (
+        |    SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+        |      SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS li_cents,
+        |      ROW_NUMBER() OVER (
+        |        ORDER BY SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) DESC,
+        |          CAST(year(l_shipdate) AS BIGINT)) AS r
+        |    FROM lineitem GROUP BY 1)
+        |  WHERE r <= 3)
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN dim ON CAST(year(o_orderdate) AS BIGINT) = dim.y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -184,6 +184,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("DPP: runtime dim filter becomes a dynamic partition filter on the fact scan") {
+    val df = graft.queries.JoinQueries.queries("q_join_dpp")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact scan:\n${plan.take(3000)}")
+  }
+
   test("chunkText is map-only: no exchange anywhere in the plan") {
     val plan = graft.ops.CorpusOps.chunkText(
         scan(spark, sf001, "documents"), "doc_id", "text", size = 120, stride = 90)
