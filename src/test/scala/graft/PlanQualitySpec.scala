@@ -184,6 +184,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join splits a hot-key partition at runtime (skew=true in the final SMJ)") {
+    import spark.implicits._
+    // 1 hot key carrying ~90% of the left side, thresholds lowered so
+    // local-scale data exhibits the 100 TB failure mode AQE exists for
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000L)
+        .select(when(col("id") % 10 < 9, 7L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 1000L).select(col("id").as("k"),
+        (col("id") * 3).as("w"))
+      val j = left.join(right, Seq("k"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("DPP: runtime dim filter becomes a dynamic partition filter on the fact scan") {
     val df = graft.queries.JoinQueries.queries("q_join_dpp")(spark, sf001)
     df.collect()
