@@ -203,6 +203,59 @@ object TextQueries {
             .as("tail_pad_tokens"))
     }),
 
+    // VOCABULARY KL DIVERGENCE between language slices — the domain-
+    // shift score over unigram distributions (the corpus-mixture
+    // cousin of q_dq_psi's 16-bin PSI): add-1 smoothing over the UNION
+    // vocabulary (every term present on both sides, so no ∞ terms),
+    // both directions reported. log2(p/q) decomposes into SINGLE-count
+    // cbs — cb(cp)+cb(Nq)−cb(cq)−cb(Np) — through the shared staged
+    // generator, once per DISTINCT count value. Term mass in floor-ppm;
+    // the statistic is a defined integer, replayed exactly
+    "q_text_kl" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      import graft.ops.CacheScope.ScopedPersist
+      val tk = scan(s, d, "documents").filter(col("lang").isin("en", "de"))
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val c = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+        .scopedPersist()
+      val vocab = c.select(col("w")).distinct()
+      val m = vocab
+        .join(c.filter(col("lang") === "en").select(col("w"), col("n").as("ne")),
+          Seq("w"), "left")
+        .join(c.filter(col("lang") === "de").select(col("w"), col("n").as("nd")),
+          Seq("w"), "left")
+        .select(col("w"), (coalesce(col("ne"), lit(0L)) + 1L).as("cp"),
+          (coalesce(col("nd"), lit(0L)) + 1L).as("cq"))
+        .scopedPersist()
+      val tot = m.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+      val vals = m.select(col("cp").as("v")).union(m.select(col("cq")))
+        .union(tot.select(col("np"))).union(tot.select(col("nq"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      val j = m.crossJoin(broadcast(tot))
+        .join(broadcast(cb.select(col("v").as("cp"), col("cb").as("cb_p"))), Seq("cp"))
+        .join(broadcast(cb.select(col("v").as("cq"), col("cb").as("cb_q"))), Seq("cq"))
+        .join(broadcast(cb.select(col("v").as("np"), col("cb").as("cb_np"))), Seq("np"))
+        .join(broadcast(cb.select(col("v").as("nq"), col("cb").as("cb_nq"))), Seq("nq"))
+      val agg = j.agg(
+        count(lit(1)).as("n_vocab"),
+        sum(expr("(cp * 1000000 div np) * (cb_p + cb_nq - cb_q - cb_np)"))
+          .as("kl_en_de"),
+        sum(expr("(cq * 1000000 div nq) * (cb_q + cb_np - cb_p - cb_nq)"))
+          .as("kl_de_en"))
+      agg.select(lit("de_to_en").as("direction"), col("n_vocab"),
+          col("kl_de_en").as("kl_cb_ppm"))
+        .unionByName(agg.select(lit("en_to_de").as("direction"), col("n_vocab"),
+          col("kl_en_de").as("kl_cb_ppm")))
+        .orderBy(col("direction"))
+    }),
+
     // PPMI COLLOCATIONS (Church & Hanks 1990) — top adjacent-bigram
     // associations by pointwise mutual information, the collocation
     // detector corpus linguists and phrase-mining pipelines run first.
@@ -791,6 +844,49 @@ object TextQueries {
            |  CAST(COALESCE(h.hsum // h.n_bigrams, 0) AS BIGINT) AS h_cb
            |FROM documents d LEFT JOIN h USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_text_kl" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH tk AS (SELECT lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents WHERE lang IN ('en', 'de')),
+           |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+           |      WHERE regexp_full_match(w, '[a-z]+') GROUP BY lang, w),
+           |vc AS (SELECT DISTINCT w FROM c),
+           |m AS (SELECT vc.w,
+           |        COALESCE(e.n, 0) + 1 AS cp, COALESCE(g.n, 0) + 1 AS cq
+           |      FROM vc
+           |      LEFT JOIN (SELECT w, n FROM c WHERE lang = 'en') e ON e.w = vc.w
+           |      LEFT JOIN (SELECT w, n FROM c WHERE lang = 'de') g ON g.w = vc.w),
+           |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+           |               CAST(SUM(cq) AS BIGINT) AS nq FROM m),
+           |vals AS (SELECT DISTINCT v FROM (
+           |    SELECT cp AS v FROM m UNION SELECT cq FROM m
+           |    UNION SELECT np FROM tot UNION SELECT nq FROM tot)),
+           |st AS MATERIALIZED ($staged),
+           |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+           |j AS (SELECT m.cp, m.cq, tot.np, tot.nq,
+           |        x1.cb AS cb_p, x2.cb AS cb_q, x3.cb AS cb_np, x4.cb AS cb_nq
+           |      FROM m CROSS JOIN tot
+           |      JOIN cbt x1 ON x1.v = m.cp
+           |      JOIN cbt x2 ON x2.v = m.cq
+           |      JOIN cbt x3 ON x3.v = tot.np
+           |      JOIN cbt x4 ON x4.v = tot.nq),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           |        CAST(SUM((cp * 1000000 // np) * (cb_p + cb_nq - cb_q - cb_np))
+           |          AS BIGINT) AS kl_en_de,
+           |        CAST(SUM((cq * 1000000 // nq) * (cb_q + cb_np - cb_p - cb_nq))
+           |          AS BIGINT) AS kl_de_en
+           |      FROM j)
+           |SELECT direction, n_vocab, kl_cb_ppm FROM (
+           |  SELECT 'de_to_en' AS direction, n_vocab, kl_de_en AS kl_cb_ppm FROM a
+           |  UNION ALL
+           |  SELECT 'en_to_de', n_vocab, kl_en_de FROM a
+           |) ORDER BY direction""".stripMargin
     },
 
     "q_text_pmi" -> {
