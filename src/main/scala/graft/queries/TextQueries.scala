@@ -203,6 +203,48 @@ object TextQueries {
             .as("tail_pad_tokens"))
     }),
 
+    // ZIPF EXPONENT — least-squares slope of the log-log rank-frequency
+    // line over the top-64 terms, the vocabulary-health readout (a
+    // natural corpus sits near −1; template floods flatten it, dedup
+    // failures steepen it). x = cb(rank), y = cb(count) through the
+    // shared staged log; the slope is the EXACT rational
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) — numerator/denominator reported as
+    // witnesses, magnitude sign-decomposed because Spark div truncates
+    // while DuckDB // floors on negatives
+    "q_text_zipf_slope" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.UlmTokenizer
+      import graft.ops.CacheScope.ScopedPersist
+      val census = scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val top = census.orderBy(col("c").desc, col("w")).limit(64)
+        .withColumn("r", row_number().over( // 64 rows — tiny
+          Window.orderBy(col("c").desc, col("w"))))
+        .scopedPersist()
+      val vals = top.select(col("r").cast("long").as("v"))
+        .union(top.select(col("c"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      val pts = top
+        .join(broadcast(cb.select(col("v").cast("int").as("r"), col("cb").as("x"))), Seq("r"))
+        .join(broadcast(cb.select(col("v").as("c"), col("cb").as("y"))), Seq("c"))
+      pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .select(col("n").as("n_terms"), col("slope_num"), col("slope_den"),
+          when(col("slope_num") < 0, -1L).otherwise(1L).as("slope_sign"),
+          expr("abs(slope_num) * 1000000 div slope_den").as("slope_mag_x6"))
+    }),
+
     // VOCABULARY KL DIVERGENCE between language slices — the domain-
     // shift score over unigram distributions (the corpus-mixture
     // cousin of q_dq_psi's 16-bin PSI): add-1 smoothing over the UNION
@@ -844,6 +886,41 @@ object TextQueries {
            |  CAST(COALESCE(h.hsum // h.n_bigrams, 0) AS BIGINT) AS h_cb
            |FROM documents d LEFT JOIN h USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_text_zipf_slope" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH tk AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |              AS w
+           |            FROM documents),
+           |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+           |      WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+           |top AS (SELECT w, c,
+           |          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+           |        FROM c ORDER BY c DESC, w LIMIT 64),
+           |vals AS (SELECT DISTINCT v FROM (
+           |    SELECT r AS v FROM top UNION SELECT c FROM top)),
+           |st AS MATERIALIZED ($staged),
+           |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+           |pts AS (SELECT x1.cb AS x, x2.cb AS y FROM top
+           |        JOIN cbt x1 ON x1.v = top.r
+           |        JOIN cbt x2 ON x2.v = top.c),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |        CAST(SUM(x * x) AS BIGINT) AS sxx
+           |      FROM pts)
+           |SELECT n AS n_terms,
+           |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           |  CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
+           |    AS slope_sign,
+           |  CAST(abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+           |    AS BIGINT) AS slope_mag_x6
+           |FROM a""".stripMargin
     },
 
     "q_text_kl" -> {
