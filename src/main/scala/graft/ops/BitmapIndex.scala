@@ -27,6 +27,28 @@ object BitmapIndex {
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 32 AS INT))").as("m"))
       .groupBy(col("t"), col("w")).agg(expr("bit_or(m)").as("bits"))
 
+  /** Day-over-day retention over a per-day bitmap relation (t = day
+    * TIMESTAMP, w, bits): DAU = popcount, retained = popcount(day AND
+    * next-day) via a (day, word)-keyed equi-join — never a rescan of
+    * the raw events. Only days with a successor emit. */
+  def retention(bm: DataFrame): DataFrame = {
+    val dau = bm.groupBy(col("t"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("dau"))
+    val nx = bm.select(expr("t - INTERVAL 1 DAY").as("t"), col("w"),
+      col("bits").as("b2"))
+    val ret = bm.join(nx, Seq("t", "w"))
+      .groupBy(col("t"))
+      .agg(sum(expr("bit_count(bits & b2)")).cast("long").as("retained"))
+    val days = bm.select(col("t")).distinct()
+    val withNext = days.join(
+      days.select(expr("t - INTERVAL 1 DAY").as("t")), Seq("t"))
+    dau.join(withNext, Seq("t")).join(ret, Seq("t"), "left")
+      .select(col("t").as("day"), col("dau"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        expr("coalesce(retained, 0) * 1000000 div dau").as("retention_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** Census over a two-set ('view'/'purchase') bitmap relation:
     * per-set exact distinct + word counts, then AND/OR rows from one
     * full-outer word join. Output: (set_name, n_users, n_words). */

@@ -645,23 +645,8 @@ object SqlFunctionQueries {
       import graft.ops.CacheScope.ScopedPersist
       val ev = scan(s, d, "events")
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      val bm = graft.ops.BitmapIndex.bitmap(ev, "day", "user_id")
-        .scopedPersist()
-      val dau = bm.groupBy(col("t"))
-        .agg(sum(expr("bit_count(bits)")).cast("long").as("dau"))
-      val nx = bm.select(expr("t - INTERVAL 1 DAY").as("t"), col("w"),
-        col("bits").as("b2"))
-      val ret = bm.join(nx, Seq("t", "w"))
-        .groupBy(col("t"))
-        .agg(sum(expr("bit_count(bits & b2)")).cast("long").as("retained"))
-      val days = bm.select(col("t")).distinct()
-      val withNext = days.join(
-        days.select(expr("t - INTERVAL 1 DAY").as("t")), Seq("t"))
-      dau.join(withNext, Seq("t")).join(ret, Seq("t"), "left")
-        .select(col("t").as("day"), col("dau"),
-          coalesce(col("retained"), lit(0L)).as("retained"),
-          expr("coalesce(retained, 0) * 1000000 div dau").as("retention_ppm"))
-        .orderBy(col("day"))
+      graft.ops.BitmapIndex.retention(
+        graft.ops.BitmapIndex.bitmap(ev, "day", "user_id").scopedPersist())
     }),
 
     // MISRA-GRIES frequent items (Misra & Gries 1982; merge rule from

@@ -914,6 +914,43 @@ object StreamQueries {
         h.select(col("bin"), col("nc").as("n")))
     }),
 
+    // STREAMING RETENTION — the per-day bitmap retention monitor as a
+    // streaming cell: each micro-batch appends its own (day, w, bits)
+    // words (OR-merge is idempotent, so replayed batches are harmless),
+    // the rollup is one more groupBy-bit_or, and the downstream
+    // retention arithmetic is shared with the batch op — as is its
+    // oracle, VERBATIM
+    "q_stream_retention" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sret_src_$suffix"
+      val out = s"/tmp/graft_sret_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              graft.ops.BitmapIndex.bitmap(
+                batch.select(date_trunc("day", col("ts")).as("day"),
+                  col("user_id")), "day", "user_id"),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val bm = s.read.parquet(out).groupBy(col("t"), col("w"))
+        .agg(expr("bit_or(bits)").as("bits"))
+      graft.ops.BitmapIndex.retention(bm)
+    }),
+
     // STREAMING HYPERLOGLOG — the register table's streaming cell:
     // each micro-batch appends its occupied (reg, mr) rows and the
     // rollup is one more max-groupBy. Max-merge is idempotent/
@@ -1435,6 +1472,7 @@ object StreamQueries {
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
+    "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
