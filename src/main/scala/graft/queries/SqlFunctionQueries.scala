@@ -487,6 +487,45 @@ object SqlFunctionQueries {
         .orderBy(col("token"))
     }),
 
+    // the grouped CMS cell (the KLL/MG/KMV/HLL grouped shape): one d×w
+    // bucket table PER LANGUAGE in a single groupBy pass — the group
+    // key rides the sketch relation, the hash stays per (r, token),
+    // per-lang top-5 estimated against per-lang cells
+    "q_agg_cms_grouped" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.FreqSketches
+      val D = 3; val W = 64
+      val toks = scan(s, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val sk = toks.select(col("lang"), col("w").as("x"),
+          explode(sequence(lit(0L), lit(D - 1L))).as("r"))
+        .select(col("lang"), col("r"),
+          FreqSketches.cmsBucket(col("r"), col("x"), W).as("b"))
+        .groupBy(col("lang"), col("r"), col("b"))
+        .agg(count(lit(1)).as("sc"))
+      val census = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val n = census.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("w").asc)
+      val top = census.withColumn("rk", row_number().over(wr))
+        .where(col("rk") <= 5).drop("rk")
+      val est = top.select(col("lang"), col("w"))
+        .withColumn("r", explode(sequence(lit(0L), lit(D - 1L))))
+        .withColumn("b", FreqSketches.cmsBucket(col("r"), col("w"), W))
+        .join(sk, Seq("lang", "r", "b"), "left")
+        .groupBy(col("lang"), col("w"))
+        .agg(min(coalesce(col("sc"), lit(0L))).as("cms_est"))
+      top.join(est, Seq("lang", "w")).join(broadcast(n), Seq("lang"))
+        .select(col("lang"), col("w").as("token"), col("c").as("exact_cnt"),
+          col("cms_est"),
+          (col("cms_est") >= col("c")).as("never_undercounts"),
+          expr("(cms_est - c) * 1000000 div n").as("overcount_ppm"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
     // AMS F2 / self-join-size sketch (Alon, Matias & Szegedy 1996) —
     // the skew detector: F2 = Σ c(x)^2 estimated as the median of d
     // signed-sum squares, each a one-pass partial-aggregable sum. The
@@ -1043,6 +1082,39 @@ object SqlFunctionQueries {
            |  est.est >= topt.c AS never_undercounts,
            |  CAST((est.est - topt.c) * 1000000 // n.n AS BIGINT) AS overcount_ppm
            |FROM topt JOIN est ON est.w = topt.w, n ORDER BY token""".stripMargin
+    },
+
+    "q_agg_cms_grouped" -> {
+      val hb = DedupQueries.sqlHex60Public("md5('cms:' || CAST(r AS VARCHAR) || ':' || w)")
+      raw"""WITH w0 AS (SELECT lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents),
+           |tk AS (SELECT lang, w FROM w0 WHERE regexp_full_match(w, '[a-z]+')),
+           |t AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+           |      GROUP BY lang, w),
+           |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM t GROUP BY lang),
+           |rr AS (SELECT unnest([0, 1, 2]) AS r),
+           |hb AS (SELECT lang, r, w, ($hb) % 64 AS b
+           |       FROM (SELECT tk.lang, rr.r AS r, tk.w AS w
+           |             FROM tk CROSS JOIN rr)),
+           |sk AS (SELECT lang, r, b, CAST(COUNT(*) AS BIGINT) AS sc
+           |       FROM hb GROUP BY lang, r, b),
+           |rk AS (SELECT lang, w, c,
+           |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+           |       FROM t),
+           |topt AS (SELECT lang, w, c FROM rk WHERE rk <= 5),
+           |eb AS (SELECT lang, w, r, ($hb) % 64 AS b
+           |       FROM (SELECT topt.lang, topt.w AS w, rr.r AS r
+           |             FROM topt CROSS JOIN rr)),
+           |est AS (SELECT eb.lang, eb.w, MIN(COALESCE(sk.sc, 0)) AS est
+           |        FROM eb LEFT JOIN sk USING (lang, r, b) GROUP BY eb.lang, eb.w)
+           |SELECT topt.lang, topt.w AS token, topt.c AS exact_cnt,
+           |  CAST(est.est AS BIGINT) AS cms_est,
+           |  est.est >= topt.c AS never_undercounts,
+           |  CAST((est.est - topt.c) * 1000000 // n.n AS BIGINT) AS overcount_ppm
+           |FROM topt JOIN est ON est.lang = topt.lang AND est.w = topt.w
+           |JOIN n ON n.lang = topt.lang
+           |ORDER BY topt.lang, token""".stripMargin
     },
 
     "q_agg_ams" -> {
