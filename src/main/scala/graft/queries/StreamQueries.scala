@@ -914,6 +914,55 @@ object StreamQueries {
         h.select(col("bin"), col("nc").as("n")))
     }),
 
+    // STREAMING AMS — the F2/skew monitor's streaming cell: each
+    // micro-batch appends its own d-row (r, z) signed-sum partials
+    // (sum by r IS the merge — the relation is additive under any
+    // batch slicing), the rollup is one more groupBy-sum and the
+    // median-of-squares estimate runs on d=5 merged rows. q_agg_ams's
+    // exact-replay oracle is shared VERBATIM
+    "q_stream_ams" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val D = 5
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sams_src_$suffix"
+      val out = s"/tmp/graft_sams_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      def toks(df: DataFrame) = df
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              graft.ops.FreqSketches.amsSketch(toks(batch), "w", D),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val z = s.read.parquet(out).groupBy(col("r"))
+        .agg(sum(col("z")).as("z"))
+        .withColumn("zz", col("z") * col("z"))
+      val med = z.withColumn("rn",
+          row_number().over(Window.orderBy(col("zz")))) // d=5 rows: tiny
+        .where(col("rn") === (D + 1) / 2).select(col("zz").as("f2_est"))
+      val f2 = toks(s.read.parquet(stage)).groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      f2.crossJoin(broadcast(med))
+        .select(col("f2_exact"), col("f2_est"),
+          expr("abs(f2_est - f2_exact) * 1000000 div f2_exact").as("err_ppm"))
+    }),
+
     // STREAMING RETENTION — the per-day bitmap retention monitor as a
     // streaming cell: each micro-batch appends its own (day, w, bits)
     // words (OR-merge is idempotent, so replayed batches are harmless),
@@ -1473,6 +1522,7 @@ object StreamQueries {
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
     "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
+    "q_stream_ams" -> SqlFunctionQueries.oracleSql("q_agg_ams"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
