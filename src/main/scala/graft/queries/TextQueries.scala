@@ -299,8 +299,12 @@ object TextQueries {
     }),
 
     // PPMI COLLOCATIONS (Church & Hanks 1990) — top adjacent-bigram
-    // associations by pointwise mutual information, the collocation
-    // detector corpus linguists and phrase-mining pipelines run first.
+    // associations by pointwise mutual information IN LOG SPACE: the
+    // statistic q_text_collocations approximates with exact lift
+    // "because log() is banned by the libm rule" — the staged
+    // fixed-point generator retired that rule, so this op reports the
+    // real additive PMI (centibits, comparable across pairs and
+    // corpora, where lift is multiplicative and scale-bound).
     // PMI decomposes into SINGLE-count logs — pmi_cb = cb(c_ab) +
     // 2·cb(N) − cb(N_bi) − cb(c_a) − cb(c_b), each cb = round(100·
     // log2(count)) from the shared staged generator — so no product
