@@ -532,6 +532,55 @@ object ProfileQueries {
     // combinable, and the census the ratios run over is |columns| ×
     // |distinct values| — tiny. N² fits bigint to ~3×10⁹ rows per
     // census; shard by date or move to DECIMAL(38) past that
+    // SHANNON ENTROPY PROFILE — the statistic q_profile_gini
+    // approximates with Gini impurity "ON PURPOSE: entropy needs
+    // log()": the staged fixed-point log retired that constraint (the
+    // PSI/PMI precedent), so this op reports the real per-column
+    // entropy in integer centibits — H_cb = cb(N) − ⌊Σ c·cb(c) ⁄ N⌋
+    // (the log-sum identity: H = log2 N − (1/N)Σc·log2 c) — plus the
+    // normalized fraction of the column's own log2(distinct) ceiling.
+    // Same one-pass stack() unpivot; the logs run once per DISTINCT
+    // count value over the |columns|×|levels| census
+    "q_profile_entropy" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      import graft.ops.CacheScope.ScopedPersist
+      val fromOrders = scan(s, d, "orders").select(expr(
+        "stack(2, 'orders.o_orderstatus', o_orderstatus, " +
+          "'orders.o_orderpriority', o_orderpriority) AS (col_name, v)"))
+      val fromLineitem = scan(s, d, "lineitem").select(expr(
+        "stack(2, 'lineitem.l_returnflag', l_returnflag, " +
+          "'lineitem.l_linestatus', l_linestatus) AS (col_name, v)"))
+      val census = fromOrders.unionAll(fromLineitem)
+        .groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist()
+      val colAgg = census.groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+        .scopedPersist()
+      val vals = census.select(col("c").as("v2"))
+        .union(colAgg.select(col("n")))
+        .union(colAgg.select(col("n_distinct"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v2", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v2"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      val wc = census
+        .join(broadcast(cb.select(col("v2").as("c"), col("cb"))), Seq("c"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("c") * col("cb")).as("sum_ccb"))
+      colAgg.join(wc, Seq("col_name"))
+        .join(broadcast(cb.select(col("v2").as("n"), col("cb").as("cb_n"))), Seq("n"))
+        .join(broadcast(cb.select(col("v2").as("n_distinct"),
+          col("cb").as("cb_d"))), Seq("n_distinct"))
+        .select(col("col_name"), col("n"), col("n_distinct"),
+          expr("cb_n - sum_ccb div n").as("h_cb"),
+          expr("CASE WHEN cb_d = 0 THEN 0 ELSE " +
+            "(cb_n - sum_ccb div n) * 1000000 div cb_d END").as("h_norm_ppm"))
+        .orderBy(col("col_name"))
+    }),
+
     "q_profile_gini" -> ((s: SparkSession, d: String) => {
       val fromOrders = scan(s, d, "orders").select(expr(
         "stack(2, 'orders.o_orderstatus', o_orderstatus, " +
@@ -871,6 +920,43 @@ object ProfileQueries {
         |         THEN 'small'
         |       ELSE 'negligible' END AS effect
         |FROM a""".stripMargin,
+
+    "q_profile_entropy" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v2", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH u AS (SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+           |           UNION ALL
+           |           SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+           |           UNION ALL
+           |           SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+           |           UNION ALL
+           |           SELECT 'lineitem.l_linestatus', l_linestatus FROM lineitem),
+           |census AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c
+           |           FROM u GROUP BY col_name, v),
+           |ca AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+           |         CAST(COUNT(*) AS BIGINT) AS n_distinct
+           |       FROM census GROUP BY col_name),
+           |vals AS (SELECT DISTINCT v2 FROM (
+           |    SELECT c AS v2 FROM census UNION SELECT n FROM ca
+           |    UNION SELECT n_distinct FROM ca)),
+           |st AS MATERIALIZED ($staged),
+           |cbt AS (SELECT v2, CAST(cost_cb AS BIGINT) AS cb FROM st),
+           |wc AS (SELECT census.col_name,
+           |         CAST(SUM(census.c * cbt.cb) AS BIGINT) AS sum_ccb
+           |       FROM census JOIN cbt ON cbt.v2 = census.c
+           |       GROUP BY census.col_name)
+           |SELECT ca.col_name, ca.n, ca.n_distinct,
+           |  CAST(x1.cb - sum_ccb // n AS BIGINT) AS h_cb,
+           |  CAST(CASE WHEN x2.cb = 0 THEN 0 ELSE
+           |    (x1.cb - sum_ccb // n) * 1000000 // x2.cb END AS BIGINT)
+           |    AS h_norm_ppm
+           |FROM ca JOIN wc ON wc.col_name = ca.col_name
+           |JOIN cbt x1 ON x1.v2 = ca.n
+           |JOIN cbt x2 ON x2.v2 = ca.n_distinct
+           |ORDER BY ca.col_name""".stripMargin
+    },
 
     "q_profile_gini" ->
       """WITH u AS (SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
