@@ -15,6 +15,34 @@ import graft.ops.ExactAgg.{dsum, sqlDsum, sqlDsumScaled, sqlDsumScaledOver}
 object FunnelQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WEEKLY COHORT RETENTION MATRIX — the product-analytics staple
+    // q_agg_retention's day-over-day readout generalizes to: users
+    // grouped by first-seen week (the cohort), each cohort traced
+    // across age-in-weeks, cell = distinct active users with the
+    // cohort-relative share in floor-ppm. Shape: one distinct
+    // (user, week) census (map-side combinable), one min-per-user
+    // aggregate, one user-keyed join — every relation after the census
+    // is user- or cell-sized, never event-sized
+    "q_events_cohort" -> ((s: SparkSession, d: String) => {
+      val acts = scan(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct().scopedPersist()
+      val first = acts.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+        .scopedPersist()
+      val m = acts.join(first, Seq("user_id"))
+        .select(col("w0"),
+          expr("CAST(datediff(wk, w0) div 7 AS BIGINT)").as("age"),
+          col("user_id"))
+        .groupBy(col("w0"), col("age"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = first.groupBy(col("w0")).agg(count(lit(1)).as("cohort_n"))
+      m.join(sizes, Seq("w0"))
+        .select(col("w0").as("cohort_week"), col("age"),
+          col("n_active").cast("long").as("n_active"), col("cohort_n"),
+          expr("n_active * 1000000 div cohort_n").as("retention_ppm"))
+        .orderBy(col("cohort_week"), col("age"))
+    }),
+
     // FIRST/LAST-TOUCH ATTRIBUTION: for every purchase, the earliest and
     // the latest preceding view/click by the same user — one window pass
     // over per-user event streams (ROWS … 1 PRECEDING; ignoreNulls picks
@@ -378,6 +406,20 @@ object FunnelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS w0 FROM a GROUP BY user_id),
+        |m AS (SELECT f.w0,
+        |        CAST(date_diff('day', f.w0, a.wk) // 7 AS BIGINT) AS age,
+        |        CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY f.w0, age),
+        |sz AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM f
+        |       GROUP BY w0)
+        |SELECT m.w0 AS cohort_week, m.age, m.n_active, sz.cohort_n,
+        |  CAST(m.n_active * 1000000 // sz.cohort_n AS BIGINT) AS retention_ppm
+        |FROM m JOIN sz USING (w0) ORDER BY cohort_week, age""".stripMargin,
+
     "q_events_attribution" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type, ts,
