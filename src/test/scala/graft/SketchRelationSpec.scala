@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{BitmapIndex, Hll}
+
+/** Relational-sketch laws for the round-12 distinct-count tier: the
+  * bitmap index is EXACT and OR-merge idempotent; the HLL register
+  * table is max-merge mergeable (any split of the input yields the
+  * identical 64-register sketch) and its estimate lands within the
+  * coarse m=64 error envelope on a known-cardinality set.
+  */
+class SketchRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitmap census counts exactly, set ops included") {
+    val ev = Seq.tabulate(500)(i => ("view", (i % 200).toLong)) ++
+      Seq.tabulate(300)(i => ("purchase", (i % 90 + 150).toLong))
+    val df = ev.toDF("event_type", "user_id")
+    val out = BitmapIndex.census(BitmapIndex.bitmap(df, "event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view")._1 == 200)
+    assert(out("purchase")._1 == 90)
+    // purchase ids 150..239 overlap view ids 0..199 on 150..199
+    assert(out("view_and_purchase")._1 == 50)
+    assert(out("view_or_purchase")._1 == 240)
+  }
+
+  test("bitmap OR-merge is idempotent: duplicated partials change nothing") {
+    val df = Seq.tabulate(64)(i => ("view", i.toLong)).toDF("event_type", "user_id")
+    val once = BitmapIndex.bitmap(df, "event_type", "user_id")
+    val doubled = once.unionAll(once)
+      .groupBy(col("t"), col("w")).agg(expr("bit_or(bits)").as("bits"))
+    assert(BitmapIndex.census(doubled).collect().toSeq ==
+      BitmapIndex.census(once).collect().toSeq)
+  }
+
+  test("HLL registers merge identically under any input split") {
+    val items = (0L until 5000L).map(i => s"user-$i")
+    val whole = Hll.registers(items.toDF("x"), "x")
+    val (a, b) = items.splitAt(1234)
+    val merged = Hll.registers(a.toDF("x"), "x")
+      .unionAll(Hll.registers(b.toDF("x"), "x"))
+      .groupBy(col("reg")).agg(max(col("mr")).as("mr"))
+    assert(merged.orderBy("reg").collect().toSeq ==
+      whole.orderBy("reg").collect().toSeq)
+    // replay idempotence: merging the whole sketch with itself is a no-op
+    val replayed = whole.unionAll(whole)
+      .groupBy(col("reg")).agg(max(col("mr")).as("mr"))
+    assert(replayed.orderBy("reg").collect().toSeq ==
+      whole.orderBy("reg").collect().toSeq)
+  }
+
+  test("HLL estimate lands inside the coarse m=64 envelope on 5000 distinct") {
+    val est = Hll.estimate(Hll.registers(
+        (0L until 5000L).map(i => s"user-$i").toDF("x"), "x"))
+      .select(col("hll_est")).collect()(0).getLong(0)
+    // 1.04/sqrt(64) ~ 13% std error; 4 sigma is a deterministic-fixture
+    // bound here (the hash is fixed, so this is a regression pin, not a
+    // probabilistic claim)
+    assert(est > 3000 && est < 7500, s"estimate $est implausible for 5000")
+  }
+
+  test("HLL linear-counting branch: tiny cardinalities route through it") {
+    val one = Hll.estimate(Hll.registers(Seq("a", "b", "c").toDF("x"), "x"))
+      .collect()(0)
+    val estRaw = one.getAs[Long]("est_raw")
+    val hll = one.getAs[Long]("hll_est")
+    val lin = one.getAs[Long]("est_lin")
+    assert(estRaw <= 160 && hll == lin,
+      s"expected the linear-counting branch: raw=$estRaw est=$hll lin=$lin")
+  }
+}
