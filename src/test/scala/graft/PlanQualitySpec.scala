@@ -152,6 +152,26 @@ class PlanQualitySpec extends SparkSpec {
       "doc-level window has an empty partition spec — single-task global sort at scale")
   }
 
+  test("packing census: global token offset is two-level, no doc-level global window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.TextQueries.queries("q_text_pack")(spark, sf001)
+      val windows = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the two prefix-sum windows")
+      // the only unpartitioned window may run over the 1024-doc BUCKET
+      // census (its input references the bucket key, never doc_id);
+      // the doc-level window must be partitioned by bucket
+      val docLevelGlobal = windows.exists(w =>
+        w.partitionSpec.isEmpty &&
+          w.child.references.map(_.name).exists(_ == "doc_id"))
+      assert(!docLevelGlobal,
+        "doc-level window has an empty partition spec — single-task global sort at scale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed sort-merge join reads bucket-for-bucket: no Exchange below the join") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
