@@ -29,12 +29,17 @@ object FreqSketches {
       .cast("binary"))), lit(w.toLong))
 
   /** The d×w sketch relation (r, b, c) over an item column — the whole
-    * sketch is d·w rows of (int, int, long): merge = sum by (r, b). */
+    * sketch is d·w rows of (int, int, long): merge = sum by (r, b).
+    * Hashes run once per DISTINCT item and are weighted by count (the
+    * q_profile_dupcols lesson — md5 is the dominant cost, and
+    * Σ_{occurrences→(r,b)} 1 = Σ_{w→(r,b)} c_w identically), so the
+    * emitted cells are bit-identical to the per-occurrence build. */
   def cmsSketch(items: DataFrame, itemCol: String, d: Int, w: Int): DataFrame =
-    items.select(col(itemCol).as("x"),
+    items.groupBy(col(itemCol).as("x")).agg(count(lit(1)).as("cnt"))
+      .select(col("x"), col("cnt"),
         explode(sequence(lit(0L), lit(d - 1L))).as("r"))
-      .select(col("r"), cmsBucket(col("r"), col("x"), w).as("b"))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .select(col("r"), cmsBucket(col("r"), col("x"), w).as("b"), col("cnt"))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("c"))
 
   /** Point estimates for a (small) item relation against a sketch
     * relation: est(x) = min over rows r of c[r, h_r(x)]. The item side
@@ -59,8 +64,9 @@ object FreqSketches {
     * per row over item OCCURRENCES — merge = sum by r, so partials from
     * any split/batch slicing compose. F₂ estimate = median of z². */
   def amsSketch(items: DataFrame, itemCol: String, d: Int): DataFrame =
-    items.select(col(itemCol).as("x"),
+    items.groupBy(col(itemCol).as("x")).agg(count(lit(1)).as("cnt"))
+      .select(col("x"), col("cnt"),
         explode(sequence(lit(0L), lit(d - 1L))).as("r"))
-      .select(col("r"), amsSign(col("r"), col("x")).as("s"))
+      .select(col("r"), (col("cnt") * amsSign(col("r"), col("x"))).as("s"))
       .groupBy(col("r")).agg(sum(col("s")).as("z"))
 }
