@@ -16,6 +16,60 @@ object WindowQueries {
     .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CROSTON'S METHOD (Croston 1972) — intermittent-demand forecasting,
+    // the sibling q_ts_holt can't replace: when most days have ZERO
+    // demand, SES over the raw series biases toward zero; Croston
+    // smooths demand SIZES and demand INTERVALS separately and
+    // forecasts size/interval. With α = 1/2 the SES recursion has a
+    // CLOSED dyadic form (s_n = (d_1 + Σ_{j≥2} 2^(j-2)·d_j) / 2^(n-1)),
+    // so the whole method is one weighted sum per series — fully
+    // relational, no iteration — over the last 40 demand events (the
+    // 2^-40 tail is sub-integer at x6 scale; bounding the window is
+    // also the bounded-state form a stream would keep). Pure integers;
+    // the x6 divisions widen through DECIMAL(38). Series = per-user
+    // purchase demand on the FIXED user_id < 8 slab (the r7 fixed-slab
+    // scale rule — per-user purchases stay genuinely intermittent,
+    // ~3-day gaps, at EVERY scale factor, where any corpus-wide
+    // grouping densifies as the corpus grows)
+    "q_ts_croston" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 40
+      val dd = scan(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 8)
+        .select(col("user_id").as("store"),
+          date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("store"), col("day")).agg(count(lit(1)).as("dem"))
+      val wAsc = Window.partitionBy(col("store")).orderBy(col("day"))
+      val withGap = dd
+        .withColumn("gap",
+          coalesce(expr("CAST(datediff(day, lag(day) OVER " +
+            "(PARTITION BY store ORDER BY day)) AS BIGINT)"), lit(1L)))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy(col("store")).orderBy(col("day").desc)))
+      val win = withGap.filter(col("rn_desc") <= K)
+        .withColumn("j", row_number().over(wAsc))
+      val agg = win.groupBy(col("store")).agg(
+        max(col("j")).as("m"),
+        sum(when(col("j") === 1, col("dem"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 2 AS INT)) * dem")))
+          .as("snum"),
+        sum(when(col("j") === 1, col("gap"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 2 AS INT)) * gap")))
+          .as("inum"))
+      val nTot = dd.groupBy(col("store")).agg(count(lit(1)).as("n_demand"))
+      nTot.join(agg, Seq("store"))
+        .select(col("store"), col("n_demand"), col("m"),
+          expr("CAST(CAST(snum AS DECIMAL(38,0)) * 1000000 div " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(m - 1 AS INT)) AS BIGINT)")
+            .as("size_x6"),
+          expr("CAST(CAST(inum AS DECIMAL(38,0)) * 1000000 div " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(m - 1 AS INT)) AS BIGINT)")
+            .as("interval_x6"),
+          expr("CAST(CAST(snum AS DECIMAL(38,0)) * 1000000 div inum AS BIGINT)")
+            .as("croston_x6"))
+        .orderBy(col("store"))
+    }),
+
     "q_win_rank" -> ((s: SparkSession, d: String) => {
       scan(s, d, "orders")
         .withColumn("rn", row_number().over(perCustomer))
@@ -1151,6 +1205,40 @@ object WindowQueries {
         |FROM r ORDER BY event_type""".stripMargin
 
     val oracleSql: Map[String, String] = Map(
+    "q_ts_croston" ->
+      """WITH dd AS (SELECT user_id AS store,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS dem
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 8
+        |  GROUP BY 1, 2),
+        |g AS (SELECT store, day, dem,
+        |        CAST(COALESCE(date_diff('day',
+        |          lag(day) OVER (PARTITION BY store ORDER BY day), day), 1)
+        |          AS BIGINT) AS gap,
+        |        ROW_NUMBER() OVER (PARTITION BY store ORDER BY day DESC)
+        |          AS rn_desc
+        |      FROM dd),
+        |w AS (SELECT store, day, dem, gap,
+        |        ROW_NUMBER() OVER (PARTITION BY store ORDER BY day) AS j
+        |      FROM g WHERE rn_desc <= 40),
+        |a AS (SELECT store, CAST(MAX(j) AS BIGINT) AS m,
+        |        CAST(SUM(CASE WHEN j = 1 THEN dem
+        |          ELSE (CAST(1 AS BIGINT) << CAST(j - 2 AS INT)) * dem END)
+        |          AS BIGINT) AS snum,
+        |        CAST(SUM(CASE WHEN j = 1 THEN gap
+        |          ELSE (CAST(1 AS BIGINT) << CAST(j - 2 AS INT)) * gap END)
+        |          AS BIGINT) AS inum
+        |      FROM w GROUP BY store),
+        |nt AS (SELECT store, CAST(COUNT(*) AS BIGINT) AS n_demand FROM dd
+        |       GROUP BY store)
+        |SELECT nt.store, nt.n_demand, a.m,
+        |  CAST(CAST(snum AS HUGEINT) * 1000000
+        |    // (CAST(1 AS BIGINT) << CAST(m - 1 AS INT)) AS BIGINT) AS size_x6,
+        |  CAST(CAST(inum AS HUGEINT) * 1000000
+        |    // (CAST(1 AS BIGINT) << CAST(m - 1 AS INT)) AS BIGINT)
+        |    AS interval_x6,
+        |  CAST(CAST(snum AS HUGEINT) * 1000000 // inum AS BIGINT) AS croston_x6
+        |FROM nt JOIN a USING (store) ORDER BY store""".stripMargin,
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
