@@ -914,6 +914,76 @@ object StreamQueries {
         h.select(col("bin"), col("nc").as("n")))
     }),
 
+    // STREAMING CROSTON — the intermittent-demand forecast's streaming
+    // cell: per-batch partials are the (store, day, dem) daily demand
+    // counts (ADDITIVE under any batch slicing — sum by (store, day)
+    // IS the merge), and the closed dyadic-weight form runs once on
+    // the merged census, so q_ts_croston's oracle is shared VERBATIM.
+    // The last-40-demand-events window the batch op bounds itself to
+    // is exactly the state a per-key streaming smoother would keep
+    "q_stream_croston" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scro_src_$suffix"
+      val out = s"/tmp/graft_scro_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = batch
+              .filter(col("event_type") === "purchase" && col("user_id") < 8)
+              .groupBy(col("user_id").as("store"),
+                date_trunc("day", col("ts")).as("day"))
+              .agg(count(lit(1)).as("dem"))
+            graft.sinks.Sinks.write(part,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val K = 40
+      val dd = s.read.parquet(out).groupBy(col("store"), col("day"))
+        .agg(sum(col("dem")).as("dem"))
+      val wAsc = Window.partitionBy(col("store")).orderBy(col("day"))
+      val withGap = dd
+        .withColumn("gap",
+          coalesce(expr("CAST(datediff(day, lag(day) OVER " +
+            "(PARTITION BY store ORDER BY day)) AS BIGINT)"), lit(1L)))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy(col("store")).orderBy(col("day").desc)))
+      val win = withGap.filter(col("rn_desc") <= K)
+        .withColumn("j", row_number().over(wAsc))
+      val agg = win.groupBy(col("store")).agg(
+        max(col("j")).as("m"),
+        sum(when(col("j") === 1, col("dem"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 2 AS INT)) * dem")))
+          .as("snum"),
+        sum(when(col("j") === 1, col("gap"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 2 AS INT)) * gap")))
+          .as("inum"))
+      val nTot = dd.groupBy(col("store")).agg(count(lit(1)).as("n_demand"))
+      nTot.join(agg, Seq("store"))
+        .select(col("store"), col("n_demand"), col("m"),
+          expr("CAST(CAST(snum AS DECIMAL(38,0)) * 1000000 div " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(m - 1 AS INT)) AS BIGINT)")
+            .as("size_x6"),
+          expr("CAST(CAST(inum AS DECIMAL(38,0)) * 1000000 div " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(m - 1 AS INT)) AS BIGINT)")
+            .as("interval_x6"),
+          expr("CAST(CAST(snum AS DECIMAL(38,0)) * 1000000 div inum AS BIGINT)")
+            .as("croston_x6"))
+        .orderBy(col("store"))
+    }),
+
     // STREAMING AMS — the F2/skew monitor's streaming cell: each
     // micro-batch appends its own d-row (r, z) signed-sum partials
     // (sum by r IS the merge — the relation is additive under any
@@ -1523,6 +1593,7 @@ object StreamQueries {
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
     "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
     "q_stream_ams" -> SqlFunctionQueries.oracleSql("q_agg_ams"),
+    "q_stream_croston" -> WindowQueries.oracleSql("q_ts_croston"),
 
     // streaming KMV: the merged per-batch sketches equal the one-shot
     // sketch (union-keep-k-smallest is idempotent), so the oracle is
