@@ -139,8 +139,14 @@ object Bench {
       math.round(measured.map(_._2(i)._1).sum * 1000) / 1000.0
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // protocol field (ADVICE r12): "b2b-v2" = back-to-back attempts with
+    // family caches shared across attempts — per-query minimums are NOT
+    // comparable with pre-r12 two-pass archives on family-first queries
+    // (their min no longer pays the cache rebuild). bench_diff and human
+    // readers can gate cross-round comparisons on this matching.
+    val protocol = "b2b-v2"
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
     val detailLine =
       s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // The driver's capture window keeps only the LAST ~2000 chars of

@@ -57,7 +57,8 @@ object Kmv {
     /** Same integer arithmetic as [[KmvDistinct.eval]]: exact below k,
       * (k−1)·2⁶⁰ / z_k at capacity. */
     def estimate: Long =
-      if (values.size < k0) values.size.toLong
+      if (values.isEmpty) 0L // k=0 empty marker (all-NULL group) degrades to 0
+      else if (values.size < k0) values.size.toLong
       else ((BigInt(k0 - 1) << 60) / BigInt(values.last())).toLong
 
     def serialize: Array[Byte] = {

@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
 object BitmapIndex {
 
   /** (t, w, bits) bitmap relation from a (t, id) set-membership
-    * relation: w = id div 32, bit = id mod 32. Ids must be >= 0. */
+    * relation: w = id div 32, bit = id mod 32. Ids must be >= 0 —
+    * enforced IN-PLAN (raise_error, so streaming callers keep working
+    * and a negative id fails loudly at execution instead of silently
+    * landing on a wrong word/bit via truncating div/%, which would
+    * also diverge from the oracle's flooring `//`). */
   def bitmap(sets: DataFrame, setCol: String, idCol: String): DataFrame =
-    sets.select(col(setCol).as("t"), expr(s"$idCol div 32").as("w"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 32 AS INT))").as("m"))
+    sets.select(col(setCol).as("t"),
+        expr(s"CASE WHEN $idCol >= 0 THEN CAST($idCol AS BIGINT) ELSE " +
+          s"raise_error(concat('bitmap: ids must be >= 0, got ', CAST($idCol AS STRING))) END")
+          .as("id"))
+      .select(col("t"), expr("id div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 32 AS INT))").as("m"))
       .groupBy(col("t"), col("w")).agg(expr("bit_or(m)").as("bits"))
 
   /** Day-over-day retention over a per-day bitmap relation (t = day

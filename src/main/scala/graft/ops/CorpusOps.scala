@@ -918,19 +918,54 @@ object CorpusOps {
     * lengths, per-level duplicated-start relations, and the final
     * class table (doc_id, pos, gp, cls, cnt) at window length minRun.
     */
-  /** Session memo for the doubling result, keyed by the ANALYZED input
-    * plan (semanticHash) — q_text_suffix_dedup and q_text_suffix_rm
-    * share one doubling per corpus instead of paying the log-round
-    * build twice; the checkpointed relations are token-stream-sized.
-    * Deterministic: the classes are a pure function of the input. */
-  private val suffixMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, Int), (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame)]
+  /** Session memo for the doubling result — q_text_suffix_dedup and
+    * q_text_suffix_rm share one doubling per corpus instead of paying
+    * the log-round build twice; the checkpointed relations are
+    * token-stream-sized. Deterministic: the classes are a pure function
+    * of the input.
+    *
+    * Bounded to ONE entry, keyed by (SparkSession identity, analyzed
+    * semanticHash, cols, minRun): a new corpus (or a new session — a
+    * hash collision across sessions would otherwise hand back
+    * DataFrames bound to a stopped session) replaces the old one, and
+    * replacement UNPERSISTS the evicted entry's relations — both the
+    * scopedPersist'd token/length tables (plan-cache unpersist) and
+    * every round's localCheckpoint RDD (LogicalRDD-level unpersist;
+    * `clearCache()` never frees those), so multi-dir sessions
+    * (ScaleCurve) don't accumulate token-stream-sized blocks for the
+    * JVM lifetime. */
+  private type SuffixEntry = (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame)
+  private var suffixMemo: Option[((Int, Int, String, String, Int), SuffixEntry)] = None
+
+  /** Free an evicted entry: unpersist the cached tables, then walk every
+    * stored plan for LogicalRDD nodes (the localCheckpoint anchors) and
+    * unpersist their RDDs. Never throws — eviction is best-effort. */
+  private def releaseSuffixEntry(v: SuffixEntry): Unit = {
+    val (toks, lens, contribs, t) = v
+    try toks.unpersist() catch { case _: Throwable => () }
+    try lens.unpersist() catch { case _: Throwable => () }
+    (contribs.map(_._2) :+ t).foreach { df =>
+      try df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
+  }
 
   private def suffixDoubling(docs: DataFrame, idCol: String, textCol: String,
       minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) =
-    suffixMemo.getOrElseUpdate(
-      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol, minRun),
-      suffixDoublingBuild(docs, idCol, textCol, minRun))
+    synchronized {
+      val key = (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), idCol, textCol, minRun)
+      suffixMemo match {
+        case Some((k, v)) if k == key => v
+        case prev =>
+          val built = suffixDoublingBuild(docs, idCol, textCol, minRun)
+          prev.foreach { case (_, v) => releaseSuffixEntry(v) }
+          suffixMemo = Some(key -> built)
+          built
+      }
+    }
 
   private def suffixDoublingBuild(docs: DataFrame, idCol: String, textCol: String,
       minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) = {

@@ -89,21 +89,46 @@ object StreamOps {
     * them on every invocation (Bench attempts each query twice, Verify
     * and ScaleCurve re-invoke too) is pure waste: ~18 staged sources ×
     * one redundant full-table write each per bench session. First
-    * invocation per JVM writes; later ones reuse the path. A fresh JVM
-    * always rewrites, so a regenerated source (GenScale) can never feed
-    * a stale staging. */
-  private val stagedOnce = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  def stageOnce(path: String)(write: => Unit): String = {
-    stagedOnce.getOrElseUpdate(path, write)
+    * invocation per JVM writes; later ones reuse the path.
+    *
+    * The memo value is a SOURCE FINGERPRINT (file list + sizes +
+    * mtimes of the staged relation's inputs), so a source regenerated
+    * WITHIN the same JVM (GenScale in a ScaleCurve session) invalidates
+    * the staging and rewrites; a fresh JVM always rewrites. Writes are
+    * serialized per path via ConcurrentHashMap.compute (atomic per key
+    * — TrieMap.getOrElseUpdate could evaluate the by-name write twice
+    * under concurrent first calls, racing two overwrite writes into the
+    * same dir). */
+  private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stageOnce(path: String, fingerprint: String = "")(write: => Unit): String = {
+    stagedOnce.compute(path, (_: String, prev: String) => {
+      if (prev == null || prev != fingerprint) write
+      fingerprint
+    })
     path
   }
+
+  /** Metadata-scale content fingerprint of a DataFrame's source files
+    * (path, size, mtime per input file). Empty string when the inputs
+    * aren't stat-able local files — staging then degrades to plain
+    * once-per-JVM. */
+  private def sourceFingerprint(df: DataFrame): String =
+    try {
+      val h = java.security.MessageDigest.getInstance("MD5")
+      df.inputFiles.sorted.foreach { f =>
+        val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        h.update(s"$f:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      h.digest().map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "" }
 
   /** `df.stageTo(path)` — the memoized spelling of
     * `df.write.mode("overwrite").parquet(path)` for staged stream
     * sources (see [[stageOnce]]). */
   implicit class StagedWrite(private val df: DataFrame) {
     def stageTo(path: String): String =
-      stageOnce(path)(df.write.mode("overwrite").parquet(path))
+      stageOnce(path, sourceFingerprint(df))(df.write.mode("overwrite").parquet(path))
   }
 
   /** Run a (bounded) streaming DataFrame to completion into a memory
