@@ -310,6 +310,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL WARC DECODE — 19th container format and the entry point of
+    // every crawl-based LLM pipeline (Common Crawl is WARC): per-record
+    // gzip-member framing (header + CRC-32 + ISIZE trailer verified),
+    // WARC/1.0 header parse, Content-Length-exact record framing,
+    // response-record census with the HTTP head/payload split (the
+    // payload byte sum proves the split point). Oracle replays the
+    // fixture formula without parsing a byte
+    "q_multimodal_warc" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractWarcStats(
+        Multimodal.syntheticWarc(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // WEBDATASET-OVER-ZIP: the zip walker's member RELATION feeding the
     // same sample-assembly groupBy as the tar variant — shards come in
     // both containers in practice, and the audit (last sample's .cls
@@ -849,6 +862,30 @@ object MultimodalQueries {
         |SELECT a.id AS media_id, a.n_entries, a.n_stored, a.n_deflate,
         |  a.total_bytes, a.max_bytes, c.content_sum
         |FROM agg a JOIN csum c ON a.id = c.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 1 + id%4 responses, each with a fixed 65-byte
+    // HTTP head (all header fields fixed-width by fixture construction)
+    // and body L = 100 + (id+17i)%300 bytes of (id+5i+j)%256; archive =
+    // 1 warcinfo + m (request, response) pairs, one gzip member each,
+    // so n_members = 1 + 2m; the last response is a 404, so n_ok = m-1
+    "q_multimodal_warc" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 4 AS INT) AS mm
+        |           FROM documents),
+        |f AS (SELECT id, mm, unnest(range(0, mm)) AS i FROM m),
+        |sz AS (SELECT id, mm, i,
+        |         CAST(100 + (id + 17 * i) % 300 AS BIGINT) AS L FROM f),
+        |b AS (SELECT id, i, L, unnest(range(0, L)) AS j FROM sz),
+        |ps AS (SELECT id, CAST(SUM((id + 5 * i + j) % 256) AS BIGINT) AS payload_sum
+        |       FROM b GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(mm) AS INT) AS mm,
+        |          CAST(SUM(65 + L) AS BIGINT) AS http_bytes,
+        |          CAST(SUM(L) AS BIGINT) AS payload_bytes
+        |        FROM sz GROUP BY id)
+        |SELECT a.id AS media_id, CAST(1 + 2 * a.mm AS INT) AS n_members,
+        |  a.mm AS n_responses, a.mm AS n_requests, CAST(1 AS INT) AS n_warcinfo,
+        |  a.http_bytes, a.payload_bytes, p.payload_sum,
+        |  CAST(a.mm - 1 AS INT) AS n_ok
+        |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
 
     // formula replay: cue i starts 3000i + id%700 and lasts
     // 800 + (id+37i)%1500; gaps are 3000 − dur, so max_gap =

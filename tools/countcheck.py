@@ -86,7 +86,7 @@ def main():
         in_prev = False
         for i, line in enumerate(lines, 1):
             if line.startswith("#"):
-                in_prev = "prev" in line.lower()
+                in_prev = ("prev" in line.lower()) or ("historical" in line.lower())
             if in_prev:
                 continue
             for pat, key in CLAIMS:
