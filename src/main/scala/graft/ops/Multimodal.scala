@@ -2838,4 +2838,202 @@ object Multimodal {
       MediaRow(id, "application/warc", out.toByteArray)
     }.toDF()
   }
+
+  /** PDF object census: the document-corpus ingest audit. */
+  final case class PdfStats(media_id: Long, n_objects: Int, n_free: Int,
+                            n_pages: Int, n_streams: Int, stream_bytes: Long,
+                            n_tj: Int, n_tjarr: Int, text_chars: Long,
+                            trailer_size: Int)
+
+  /** REAL PDF walker — the TWENTIETH container format and the dominant
+    * document-corpus format (ISO 32000): classic cross-reference-table
+    * PDFs walked by the real framing rules, with the same
+    * skip-don't-decode discipline as the GIF/MP3 walkers — no
+    * rendering, no font machinery, just the structural passes a corpus
+    * ingest runs to census and triage PDFs at scale:
+    *
+    *  1. `%PDF-` header, `startxref` pointer from the tail, and the
+    *     XREF TABLE at exactly that offset — subsection header plus
+    *     fixed 20-byte entries (10-digit offset, 5-digit generation,
+    *     n/f type), the random-access index that makes PDF scannable
+    *     without a sequential parse.
+    *  2. Every in-use entry dereferenced: the `<num> 0 obj` header at
+    *     the recorded offset must match the entry's object number — a
+    *     stale xref fails loudly here.
+    *  3. STREAM-LENGTH FRAMING: stream objects are skipped by their
+    *     dict's /Length, then `endstream` is REQUIRED at exactly that
+    *     boundary (stream data may contain any keyword, so length-skip
+    *     is the only correct walk — the tar/zip lesson in PDF form).
+    *  4. Text-op census inside content streams: `(…) Tj` and
+    *     `[(…)…] TJ` operators counted and their literal string bytes
+    *     summed — the extraction-volume estimate a text pipeline wants
+    *     before committing to full extraction.
+    *  5. Trailer /Size cross-checked against the xref entry count.
+    *
+    * Malformed inputs — bad header, dangling startxref, xref/object
+    * offset mismatch, bad /Length framing, unterminated string, size
+    * mismatch — all fail loudly (`PdfSpec`).
+    */
+  def decodePdf(rows: Iterator[MediaRow]): Iterator[PdfStats] = rows.map { r =>
+    val b = r.payload
+    def str(off: Int, len: Int): String = {
+      require(off >= 0 && off + len <= b.length,
+        s"read past PDF end ($off+$len of ${b.length}): media ${r.media_id}")
+      new String(b, off, len, "ISO-8859-1")
+    }
+    require(b.length > 40 && str(0, 5) == "%PDF-",
+      s"bad PDF header: media ${r.media_id}")
+    // startxref from the tail window
+    val twLen = math.min(64, b.length)
+    val tail = str(b.length - twLen, twLen)
+    val sxi = tail.lastIndexOf("startxref")
+    require(sxi >= 0, s"missing startxref: media ${r.media_id}")
+    val xrefOff = tail.substring(sxi + 9).trim.split("\\s+")(0).toInt
+    require(xrefOff + 4 <= b.length && str(xrefOff, 4) == "xref",
+      s"startxref ($xrefOff) does not point at an xref table: media ${r.media_id}")
+    var p = xrefOff + 4
+    while (b(p) == '\n' || b(p) == '\r') p += 1
+    var le = p; while (b(le) != '\n') le += 1
+    val hdr = str(p, le - p).trim.split(" ")
+    require(hdr.length == 2 && hdr(0) == "0",
+      s"unsupported xref subsection '${hdr.mkString(" ")}': media ${r.media_id}")
+    val k = hdr(1).toInt
+    p = le + 1
+    // k fixed 20-byte entries
+    val entries = (0 until k).map { n =>
+      val e = str(p + 20 * n, 20)
+      require(e(10) == ' ' && e(16) == ' ' && (e(17) == 'n' || e(17) == 'f'),
+        s"malformed xref entry $n '$e': media ${r.media_id}")
+      (e.substring(0, 10).toInt, e(17))
+    }
+    p += 20 * k
+    // trailer: /Size must equal the entry count
+    val trailerStr = str(p, math.min(200, b.length - p))
+    require(trailerStr.startsWith("trailer"),
+      s"xref table not followed by trailer: media ${r.media_id}")
+    val sizeM = "/Size (\\d+)".r.findFirstMatchIn(trailerStr)
+    require(sizeM.isDefined, s"trailer missing /Size: media ${r.media_id}")
+    val trailerSize = sizeM.get.group(1).toInt
+    require(trailerSize == k,
+      s"trailer /Size $trailerSize != xref count $k: media ${r.media_id}")
+    var (nObj, nFree, nPages, nStreams) = (0, 0, 0, 0)
+    var (streamBytes, textChars) = (0L, 0L)
+    var (nTj, nTjArr) = (0, 0)
+    entries.zipWithIndex.foreach { case ((off, typ), num) =>
+      if (typ == 'f') nFree += 1
+      else {
+        nObj += 1
+        val want = s"$num 0 obj"
+        require(str(off, want.length) == want,
+          s"xref offset $off for object $num finds '${str(off, math.min(12, b.length - off))}': media ${r.media_id}")
+        // dict between << and >> (single-level in the walkable subset)
+        val window = str(off, math.min(300, b.length - off))
+        val dOpen = window.indexOf("<<")
+        val dClose = window.indexOf(">>")
+        require(dOpen >= 0 && dClose > dOpen,
+          s"object $num has no dictionary: media ${r.media_id}")
+        val dict = window.substring(dOpen, dClose + 2)
+        // "/Type /Page " (trailing delimiter) vs "/Type /Pages"
+        if (dict.contains("/Type /Page ") || dict.contains("/Type /Page/")) nPages += 1
+        if (dict.contains("/Length ")) {
+          nStreams += 1
+          val len = "/Length (\\d+)".r.findFirstMatchIn(dict).get.group(1).toInt
+          val sKey = window.indexOf("stream", dClose)
+          require(sKey >= 0, s"stream object $num missing 'stream': media ${r.media_id}")
+          var ds = off + sKey + 6
+          if (b(ds) == '\r') ds += 1
+          require(b(ds) == '\n', s"missing EOL after 'stream' in object $num: media ${r.media_id}")
+          ds += 1
+          // length-skip, then endstream REQUIRED at exactly that boundary
+          require(str(ds + len, 10) == "\nendstream",
+            s"/Length $len does not land on endstream in object $num: media ${r.media_id}")
+          streamBytes += len
+          // text-op census over the content bytes
+          var q = ds
+          val end = ds + len
+          var inArr = false
+          while (q < end) {
+            b(q).toChar match {
+              case '[' => inArr = true; q += 1
+              case ']' =>
+                if (inArr && q + 3 <= end && str(q, 4).startsWith("] TJ")) nTjArr += 1
+                inArr = false; q += 1
+              case '(' =>
+                var c = q + 1
+                while (c < end && b(c) != ')') {
+                  require(b(c) != '\\',
+                    s"escaped string in object $num not in the walkable subset: media ${r.media_id}")
+                  c += 1
+                }
+                require(c < end, s"unterminated string in object $num: media ${r.media_id}")
+                textChars += c - q - 1
+                if (!inArr && c + 3 < end && str(c + 1, 3) == " Tj") nTj += 1
+                q = c + 1
+              case _ => q += 1
+            }
+          }
+        }
+      }
+    }
+    PdfStats(r.media_id, nObj, nFree, nPages, nStreams, streamBytes,
+      nTj, nTjArr, textChars, trailerSize)
+  }
+
+  /** PDF pipeline — same narrow mapPartitions seam as the other 19. */
+  def extractPdfStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePdf).toDF()
+  }
+
+  /** Deterministic classic-xref PDF fixture per id: catalog + pages
+    * tree + m = 1 + id%3 pages, each with an UNCOMPRESSED content
+    * stream of k_i = 2 + (id+i)%4 fixed-width `(…) Tj` ops plus one
+    * two-string `[…] TJ` op, so every stat is analytic:
+    * stream length = 53 + 21·k_i, literal chars = 15·k_i + 12,
+    * objects = 2 + 2m (+1 free), trailer /Size = 3 + 2m. Real byte
+    * offsets in the xref table (tracked as the builder emits), real
+    * 20-byte entries — the decoder's offset cross-check has teeth.
+    */
+  def syntheticPdf(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 1 + (id % 3).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val offsets = new Array[Int](3 + 2 * m)
+      w("%PDF-1.4\n")
+      offsets(1) = out.size()
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      offsets(2) = out.size()
+      val kids = (0 until m).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $m >>\nendobj\n")
+      (0 until m).foreach { i =>
+        val pageNum = 3 + 2 * i
+        val contNum = 4 + 2 * i
+        offsets(pageNum) = out.size()
+        w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R >>\nendobj\n")
+        val kOps = 2 + ((id + i) % 4).toInt
+        val content = new StringBuilder()
+        content.append("BT /F1 12 Tf 72 720 Td ")
+        (0 until kOps).foreach { j =>
+          content.append(f"(t$id%08d_$i%02d_$j%02d) Tj ")
+        }
+        content.append(f"[(a$id%08d) -120 (b$i%02d)] TJ ")
+        content.append("ET")
+        offsets(contNum) = out.size()
+        w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n")
+        w(content.toString)
+        w("\nendstream\nendobj\n")
+      }
+      val xrefOff = out.size()
+      val kEntries = 3 + 2 * m
+      w(s"xref\n0 $kEntries\n")
+      w("0000000000 65535 f\r\n")
+      (1 until kEntries).foreach(n => w(f"${offsets(n)}%010d 00000 n\r\n"))
+      w(s"trailer\n<< /Size $kEntries /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF")
+      MediaRow(id, "application/pdf", out.toByteArray)
+    }.toDF()
+  }
 }

@@ -323,6 +323,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL PDF DECODE — 20th container format, the dominant document-
+    // corpus format: classic xref-table walk (20-byte entries, offsets
+    // dereferenced and cross-checked against object headers),
+    // /Length-framed stream skip with endstream required at the exact
+    // boundary, Tj/TJ text-op census with literal byte counts — the
+    // extraction-volume triage a text pipeline runs before committing
+    // to full extraction. Oracle replays the fixture formula
+    "q_multimodal_pdf" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractPdfStats(
+        Multimodal.syntheticPdf(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // WEBDATASET-OVER-ZIP: the zip walker's member RELATION feeding the
     // same sample-assembly groupBy as the tar variant — shards come in
     // both containers in practice, and the audit (last sample's .cls
@@ -886,6 +899,26 @@ object MultimodalQueries {
         |  a.http_bytes, a.payload_bytes, p.payload_sum,
         |  CAST(a.mm - 1 AS INT) AS n_ok
         |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 1 + id%3 pages, page i's content stream has
+    // k = 2 + (id+i)%4 Tj ops (15 literal chars each) plus one TJ op
+    // (12 chars in two strings); stream length = 53 + 21k; objects =
+    // catalog + pages + m x (page, stream) = 2 + 2m in use + 1 free
+    "q_multimodal_pdf" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS mm
+        |           FROM documents),
+        |f AS (SELECT id, mm, unnest(range(0, mm)) AS i FROM m),
+        |kk AS (SELECT id, mm, i, CAST(2 + (id + i) % 4 AS BIGINT) AS k FROM f),
+        |agg AS (SELECT id, CAST(MAX(mm) AS INT) AS mm,
+        |          CAST(SUM(53 + 21 * k) AS BIGINT) AS stream_bytes,
+        |          CAST(SUM(k) AS INT) AS n_tj,
+        |          CAST(SUM(15 * k + 12) AS BIGINT) AS text_chars
+        |        FROM kk GROUP BY id)
+        |SELECT id AS media_id, CAST(2 + 2 * mm AS INT) AS n_objects,
+        |  CAST(1 AS INT) AS n_free, mm AS n_pages, mm AS n_streams,
+        |  stream_bytes, n_tj, mm AS n_tjarr, text_chars,
+        |  CAST(3 + 2 * mm AS INT) AS trailer_size
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     // formula replay: cue i starts 3000i + id%700 and lasts
     // 800 + (id+37i)%1500; gaps are 3000 − dur, so max_gap =
