@@ -53,6 +53,19 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END CORPUS FUNNEL CENSUS — the one readout a dataset owner
+    // actually reads before a training run: clean → langid → Gopher gate
+    // → exact dedup → near-dup in ONE composed lazy pipeline, emitting
+    // per-stage kept/dropped counts WITH drop attribution (which Gopher
+    // rule fired) and the surviving per-language mixture weights. Every
+    // stage survivor set is persisted ONCE and read by exactly two
+    // consumers (its census and the next stage) — the shingle tier runs
+    // once (FunnelPlanSpec pins it); censuses are 1-row aggs crossed
+    // (the blessed 1-row cross), so the whole census is one job over
+    // cached stage relations. Long-format output (stage_ord, stage,
+    // metric, value) so the stage list can grow without a schema change
+    "q_corpus_funnel" -> ((s: SparkSession, d: String) => corpusFunnel(s, d)),
+
     // PER-DOMAIN CONTRIBUTION CAP — the mixture-hygiene rule that stops
     // any one source from dominating the corpus: keep each source's K
     // best docs (here: longest, deterministic id tie-break) through the
@@ -543,6 +556,85 @@ object CorpusQueries {
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The q_corpus_funnel pipeline (see the registry comment). Factored
+    * out so FunnelPlanSpec can plan-assert the single-pass claims. */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val raw = scan(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    // stage 1: quality gate (the q_corpus_clean rule)
+    val quality = raw
+      .withColumn("n_words", TextAnalysis.tokenCountWs(col("text")))
+      .withColumn("stop_ratio",
+        TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords))
+      .filter(col("n_words") >= 20 && col("stop_ratio") > 0.0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .scopedPersist()
+    // stage 2: langid confirmation — the predicted label must agree with
+    // the recorded one (mislabeled or mixed-language docs drop here)
+    val langKept = quality
+      .filter(TextAnalysis.langId(col("text")) === col("lang"))
+      .scopedPersist()
+    // stage 3: Gopher gate; the flag relation persists once and feeds
+    // BOTH the keep filter and the drop attribution census
+    val gflags = CorpusOps.gopherFilter(langKept, "doc_id", "text").scopedPersist()
+    val gopherKept = langKept
+      .join(gflags.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      .scopedPersist()
+    // stage 4: exact dedup (min-id survivor per normalized fingerprint)
+    val fp = gopherKept.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .scopedPersist()
+    val exactKept = fp
+      .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .scopedPersist()
+    // stage 5: near-dup removal (minhash banding → exact-Jaccard verify →
+    // CC → keep each cluster's canonical min id). The shingle tier lives
+    // inside minhashDedup and runs exactly once.
+    val pairs = Dedup.minhashDedup(exactKept.select("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val dropNear = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val finalKept = exactKept.join(dropNear, Seq("doc_id"), "left_anti")
+      .scopedPersist()
+    val counts = raw.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(langKept.agg(count(lit(1)).as("n_lang")))
+      .crossJoin(gflags.agg(sum(col("keep")).as("n_gopher"),
+        sum(col("bad_wc")).as("d_wc"), sum(col("bad_mwl")).as("d_mwl"),
+        sum(col("bad_ttr")).as("d_ttr"), sum(col("bad_dbf")).as("d_dbf"),
+        sum(col("bad_twf")).as("d_twf")))
+      .crossJoin(exactKept.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(finalKept.agg(count(lit(1)).as("n_final")))
+    val staged = counts.selectExpr(
+      """stack(16,
+        |  0, 'raw',     'n_docs',    n_raw,
+        |  1, 'quality', 'n_kept',    n_quality,
+        |  1, 'quality', 'n_dropped', n_raw - n_quality,
+        |  2, 'langid',  'n_kept',    n_lang,
+        |  2, 'langid',  'n_dropped', n_quality - n_lang,
+        |  3, 'gopher',  'n_kept',    n_gopher,
+        |  3, 'gopher',  'n_dropped', n_lang - n_gopher,
+        |  3, 'gopher',  'drop_wc',   d_wc,
+        |  3, 'gopher',  'drop_mwl',  d_mwl,
+        |  3, 'gopher',  'drop_ttr',  d_ttr,
+        |  3, 'gopher',  'drop_dbf',  d_dbf,
+        |  3, 'gopher',  'drop_twf',  d_twf,
+        |  4, 'exact',   'n_kept',    n_exact,
+        |  4, 'exact',   'n_dropped', n_gopher - n_exact,
+        |  5, 'neardup', 'n_kept',    n_final,
+        |  5, 'neardup', 'n_dropped', n_exact - n_final
+        |) AS (stage_ord, stage, metric, value)""".stripMargin)
+    // stage 6: surviving mixture weights per language (floor ppm)
+    val mixRows = finalKept.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(finalKept.agg(count(lit(1)).as("nt"))))
+      .select(lit(6).as("stage_ord"), lit("mix").as("stage"),
+        concat(lit("w_"), col("lang"), lit("_ppm")).as("metric"),
+        expr("n * 1000000 div nt").as("value"))
+    staged.select(col("stage_ord"), col("stage"), col("metric"),
+        col("value").cast("long").as("value"))
+      .unionByName(mixRows)
+      .orderBy(col("stage_ord"), col("metric"))
+  }
+
   /** Shared BPE-training replay for the q_bpe_merge / q_bpe_encode
     * oracles: v0 = U+0001-delimited word census; each round r censuses
     * adjacent symbol pairs, picks the argmax (CTE m$r), and replays the
@@ -692,6 +784,141 @@ object CorpusQueries {
            |FROM deduped
            |WHERE ${DedupQueries.sqlHex60Public("md5('corpus:' || doc_id::VARCHAR)")} % 2 = 0
            |ORDER BY doc_id""".stripMargin
+    },
+
+    // the funnel replayed as staged CTEs — each stage MATERIALIZED so
+    // the census and the next stage both read one evaluation (the
+    // inlined-CTE blowup lesson); langid/gopher/minhash spellings are
+    // the same generators/SQL the standalone stage oracles use
+    "q_corpus_funnel" -> {
+      val markers = TextAnalysis.defaultMarkers
+      val scoreExprs = markers.map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        raw"""len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> list_contains($list, w))) AS score_$lang""".stripMargin
+      }.mkString(",\n    ")
+      val maxExpr = markers.map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseExpr = markers.map { case (l, _) =>
+        s"WHEN score_$l = __mx AND __mx > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val minhash = DedupQueries.minhashCtesOver("survivors_text")
+      raw"""WITH RECURSIVE qual AS (
+           |  SELECT doc_id, lang, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           |        w -> list_contains($stopList, w))) AS n_stop
+           |  FROM documents),
+           |quality AS MATERIALIZED (
+           |  SELECT doc_id, lang, text FROM qual
+           |  WHERE n_words >= 20
+           |    AND CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) > 0.0),
+           |lsc AS (SELECT doc_id, lang, text,
+           |    $scoreExprs
+           |  FROM quality),
+           |lm AS (SELECT *, $maxExpr AS __mx FROM lsc),
+           |langkept AS MATERIALIZED (
+           |  SELECT doc_id, lang, text FROM lm WHERE ($caseExpr) = lang),
+           |gw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM langkept),
+           |gwx AS (SELECT doc_id, unnest(ws) AS wd FROM gw),
+           |gwc AS (SELECT doc_id, wd, count(*) AS c FROM gwx GROUP BY doc_id, wd),
+           |gwstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+           |              CAST(sum(c) AS BIGINT) AS total_words,
+           |              CAST(count(*) AS BIGINT) AS distinct_words
+           |            FROM gwc GROUP BY doc_id),
+           |gmw AS (SELECT doc_id,
+           |          CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+           |            / CAST(len(ws) AS DOUBLE) AS mwl FROM gw),
+           |gbgx AS (SELECT doc_id,
+           |           unnest(list_transform(range(1, len(ws)),
+           |                  i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+           |         FROM gw),
+           |gbgc AS (SELECT doc_id, g, count(*) AS c FROM gbgx GROUP BY doc_id, g),
+           |gbstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+           |              CAST(count(*) AS BIGINT) AS distinct_bigrams
+           |            FROM gbgc GROUP BY doc_id),
+           |gkeep AS MATERIALIZED (
+           |  SELECT gw.doc_id,
+           |    CASE WHEN s.total_words BETWEEN 30 AND 90 THEN 0 ELSE 1 END AS bad_wc,
+           |    CASE WHEN m.mwl BETWEEN 3.9 AND 5.0 THEN 0 ELSE 1 END AS bad_mwl,
+           |    CASE WHEN CAST(s.distinct_words AS DOUBLE) / CAST(s.total_words AS DOUBLE) >= 0.35
+           |         THEN 0 ELSE 1 END AS bad_ttr,
+           |    CASE WHEN 1.0 - CAST(b.distinct_bigrams AS DOUBLE) / CAST(b.total_bigrams AS DOUBLE) <= 0.08
+           |         THEN 0 ELSE 1 END AS bad_dbf,
+           |    CASE WHEN CAST(s.top_cnt AS DOUBLE) / CAST(s.total_words AS DOUBLE) <= 0.12
+           |         THEN 0 ELSE 1 END AS bad_twf
+           |  FROM gw JOIN gwstats s USING (doc_id) JOIN gmw m USING (doc_id)
+           |         JOIN gbstats b USING (doc_id)),
+           |gk AS (SELECT *, CASE WHEN bad_wc + bad_mwl + bad_ttr + bad_dbf + bad_twf = 0
+           |                      THEN 1 ELSE 0 END AS keep FROM gkeep),
+           |gopherkept AS MATERIALIZED (
+           |  SELECT l.doc_id, l.lang, l.text FROM langkept l
+           |  JOIN gk g ON g.doc_id = l.doc_id AND g.keep = 1),
+           |fpt AS (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fpv
+           |        FROM gopherkept),
+           |exactkept AS MATERIALIZED (
+           |  SELECT f.* FROM fpt f
+           |  JOIN (SELECT fpv, MIN(doc_id) AS doc_id FROM fpt GROUP BY fpv) k
+           |    ON f.doc_id = k.doc_id),
+           |survivors_text AS (SELECT doc_id, text FROM exactkept),
+           |$minhash,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairsq
+           |  UNION SELECT doc_b, doc_a FROM pairsq),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |       FROM reach GROUP BY src),
+           |near_dups AS (SELECT doc_id FROM cl WHERE doc_id <> cluster),
+           |finalkept AS MATERIALIZED (
+           |  SELECT e.doc_id, e.lang FROM exactkept e
+           |  WHERE NOT EXISTS (SELECT 1 FROM near_dups n WHERE n.doc_id = e.doc_id)),
+           |c_raw AS (SELECT CAST(count(*) AS BIGINT) AS v FROM documents),
+           |c_q AS (SELECT CAST(count(*) AS BIGINT) AS v FROM quality),
+           |c_l AS (SELECT CAST(count(*) AS BIGINT) AS v FROM langkept),
+           |c_g AS (SELECT CAST(COALESCE(sum(keep), 0) AS BIGINT) AS v,
+           |          CAST(COALESCE(sum(bad_wc), 0) AS BIGINT) AS d_wc,
+           |          CAST(COALESCE(sum(bad_mwl), 0) AS BIGINT) AS d_mwl,
+           |          CAST(COALESCE(sum(bad_ttr), 0) AS BIGINT) AS d_ttr,
+           |          CAST(COALESCE(sum(bad_dbf), 0) AS BIGINT) AS d_dbf,
+           |          CAST(COALESCE(sum(bad_twf), 0) AS BIGINT) AS d_twf
+           |        FROM gk),
+           |c_e AS (SELECT CAST(count(*) AS BIGINT) AS v FROM exactkept),
+           |c_f AS (SELECT CAST(count(*) AS BIGINT) AS v FROM finalkept),
+           |rows_ AS (
+           |  SELECT 0 AS stage_ord, 'raw' AS stage, 'n_docs' AS metric,
+           |         (SELECT v FROM c_raw) AS value
+           |  UNION ALL SELECT 1, 'quality', 'n_kept', (SELECT v FROM c_q)
+           |  UNION ALL SELECT 1, 'quality', 'n_dropped',
+           |    (SELECT v FROM c_raw) - (SELECT v FROM c_q)
+           |  UNION ALL SELECT 2, 'langid', 'n_kept', (SELECT v FROM c_l)
+           |  UNION ALL SELECT 2, 'langid', 'n_dropped',
+           |    (SELECT v FROM c_q) - (SELECT v FROM c_l)
+           |  UNION ALL SELECT 3, 'gopher', 'n_kept', (SELECT v FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'n_dropped',
+           |    (SELECT v FROM c_l) - (SELECT v FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'drop_wc', (SELECT d_wc FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'drop_mwl', (SELECT d_mwl FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'drop_ttr', (SELECT d_ttr FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'drop_dbf', (SELECT d_dbf FROM c_g)
+           |  UNION ALL SELECT 3, 'gopher', 'drop_twf', (SELECT d_twf FROM c_g)
+           |  UNION ALL SELECT 4, 'exact', 'n_kept', (SELECT v FROM c_e)
+           |  UNION ALL SELECT 4, 'exact', 'n_dropped',
+           |    (SELECT v FROM c_g) - (SELECT v FROM c_e)
+           |  UNION ALL SELECT 5, 'neardup', 'n_kept', (SELECT v FROM c_f)
+           |  UNION ALL SELECT 5, 'neardup', 'n_dropped',
+           |    (SELECT v FROM c_e) - (SELECT v FROM c_f)
+           |  UNION ALL
+           |  SELECT 6, 'mix', 'w_' || lang || '_ppm', n * 1000000 // nt
+           |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           |        FROM finalkept GROUP BY lang) x
+           |       CROSS JOIN (SELECT v AS nt FROM c_f) t)
+           |SELECT CAST(stage_ord AS INT) AS stage_ord, stage, metric,
+           |  CAST(value AS BIGINT) AS value
+           |FROM rows_ ORDER BY stage_ord, metric""".stripMargin
     },
 
     // oracle joins on RAW gram strings while the engine joins on
