@@ -3036,4 +3036,149 @@ object Multimodal {
       MediaRow(id, "application/pdf", out.toByteArray)
     }.toDF()
   }
+
+  /** HTML markup census: the extraction-volume audit between the WARC
+    * walk and the text pipeline. */
+  final case class HtmlStats(media_id: Long, n_open: Int, n_close: Int,
+                             n_selfclose: Int, n_comments: Int, n_decl: Int,
+                             script_bytes: Long, n_entities: Int,
+                             text_chars: Long, max_depth: Int)
+
+  /** REAL HTML tokenizer — the TWENTY-FIRST format and the step every
+    * crawl pipeline runs between the WARC response payload and the text
+    * tier: a character-level markup walk (NO regex — nesting, raw-text
+    * elements and entities are not regular), extracting exactly the
+    * quantities a corpus ingest wants before committing to storage:
+    *
+    *  - tag census with a REAL element stack: open/close/self-closing
+    *    counts, mismatched or unclosed tags fail loudly, max nesting
+    *    depth (the DOM-bomb signal);
+    *  - RAW-TEXT elements (`<script>`, `<style>`): content skipped to
+    *    the literal close tag per the HTML parsing spec — their bytes
+    *    are counted (the boilerplate mass) but never contribute text;
+    *  - comments and `<!...>` declarations skipped with terminator
+    *    checks;
+    *  - character references in text DECODED (`&amp;`-style named +
+    *    `&#NN;` numeric), unknown entities fail loudly;
+    *  - visible text chars counted post-decode — the extraction-volume
+    *    number that decides whether the document is worth keeping.
+    */
+  def decodeHtml(rows: Iterator[MediaRow]): Iterator[HtmlStats] = rows.map { r =>
+    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var (nOpen, nClose, nSelf, nComments, nDecl, nEnt) = (0, 0, 0, 0, 0, 0)
+    var (scriptBytes, textChars) = (0L, 0L)
+    var maxDepth = 0
+    val stack = scala.collection.mutable.Stack[String]()
+    val rawText = Set("script", "style")
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          require(e >= 0, s"unterminated comment at $i: media ${r.media_id}")
+          nComments += 1; i = e + 3
+        } else if (s.startsWith("<!", i)) {
+          val e = s.indexOf('>', i)
+          require(e >= 0, s"unterminated declaration at $i: media ${r.media_id}")
+          nDecl += 1; i = e + 1
+        } else if (s.startsWith("</", i)) {
+          val e = s.indexOf('>', i)
+          require(e >= 0, s"unterminated close tag at $i: media ${r.media_id}")
+          val name = s.substring(i + 2, e).trim
+          require(stack.nonEmpty && stack.top == name,
+            s"mismatched </$name> (open: ${stack.headOption.getOrElse("-")}): media ${r.media_id}")
+          stack.pop()
+          nClose += 1; i = e + 1
+        } else {
+          val e = s.indexOf('>', i)
+          require(e >= 0, s"unterminated tag at $i: media ${r.media_id}")
+          val inner = s.substring(i + 1, e)
+          val self = inner.endsWith("/")
+          val name = (if (self) inner.dropRight(1) else inner)
+            .takeWhile(ch => ch.isLetterOrDigit)
+          require(name.nonEmpty, s"empty tag name at $i: media ${r.media_id}")
+          if (self) { nSelf += 1; i = e + 1 }
+          else if (rawText(name)) {
+            // raw-text element: content runs to the LITERAL close tag
+            nOpen += 1
+            maxDepth = math.max(maxDepth, stack.size + 1)
+            val close = s"</$name>"
+            val ce = s.indexOf(close, e + 1)
+            require(ce >= 0, s"unterminated raw-text <$name>: media ${r.media_id}")
+            scriptBytes += ce - (e + 1)
+            nClose += 1
+            i = ce + close.length
+          } else {
+            nOpen += 1
+            stack.push(name)
+            maxDepth = math.max(maxDepth, stack.size)
+            i = e + 1
+          }
+        }
+      } else if (c == '&') {
+        val sc = s.indexOf(';', i)
+        require(sc > i && sc - i <= 8, s"unterminated entity at $i: media ${r.media_id}")
+        val ent = s.substring(i + 1, sc)
+        val decoded = ent match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case num if num.startsWith("#") && num.length > 1 && num.drop(1).forall(_.isDigit) =>
+            new String(Character.toChars(num.drop(1).toInt))
+          case other => throw new IllegalArgumentException(
+            s"unknown entity &$other;: media ${r.media_id}")
+        }
+        nEnt += 1
+        textChars += decoded.length
+        i = sc + 1
+      } else {
+        textChars += 1
+        i += 1
+      }
+    }
+    require(stack.isEmpty,
+      s"unclosed tags at EOF: ${stack.mkString(",")}: media ${r.media_id}")
+    HtmlStats(r.media_id, nOpen, nClose, nSelf, nComments, nDecl,
+      scriptBytes, nEnt, textChars, maxDepth)
+  }
+
+  /** HTML pipeline — same narrow mapPartitions seam as the other 20. */
+  def extractHtmlStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeHtml).toDF()
+  }
+
+  /** Deterministic HTML fixture per id: doctype, title, style, one
+    * comment, a div of m = 2 + id%4 paragraphs — paragraph i carries
+    * k_i = 3 + (id+i)%5 fixed-width words, one `&amp;` entity and a
+    * `<br/>` — and a script. Every census stat is analytic: open/close
+    * tags = 7 + m each, self-closing = m, raw-text bytes = 28, text
+    * chars = 9 (title) + Σ(13·k_i + 3), max depth 4
+    * (html>body>div>p).
+    */
+  def syntheticHtml(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 2 + (id % 4).toInt
+      val sb = new StringBuilder()
+      sb.append("<!DOCTYPE html>")
+      sb.append(f"<html><head><title>T$id%08d</title>")
+      sb.append("<style>.c{margin:0}</style></head>")
+      sb.append(f"<body><!--n$id%08d--><div id=${'"'}d$id%08d${'"'}>")
+      (0 until m).foreach { i =>
+        val k = 3 + ((id + i) % 5).toInt
+        val words = (0 until k).map(_ => f"w$id%08d_$i%02d").mkString(" ")
+        sb.append(f"""<p class="k$i%02d">""")
+        sb.append(words).append(" &amp; x<br/></p>")
+      }
+      sb.append(f"</div><script>var v$id%08d=1;</script></body></html>")
+      MediaRow(id, "text/html",
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF()
+  }
 }

@@ -323,6 +323,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL HTML TOKENIZE — 21st format, the step between the WARC
+    // response payload and the text tier: character-level markup walk
+    // with a real element stack (no regex), raw-text script/style skip
+    // per the parsing spec, entity decode, visible-text volume, max
+    // nesting depth. Oracle replays the fixture formula
+    "q_multimodal_html" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractHtmlStats(
+        Multimodal.syntheticHtml(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL PDF DECODE — 20th container format, the dominant document-
     // corpus format: classic xref-table walk (20-byte entries, offsets
     // dereferenced and cross-checked against object headers),
@@ -899,6 +910,25 @@ object MultimodalQueries {
         |  a.http_bytes, a.payload_bytes, p.payload_sum,
         |  CAST(a.mm - 1 AS INT) AS n_ok
         |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 2 + id%4 paragraphs, paragraph i carries
+    // k = 3 + (id+i)%5 12-char words (13k+3 text chars with the decoded
+    // entity tail), plus the 9-char title; 7+m open/close tags, m br
+    // self-closers, 28 raw-text bytes, depth 4
+    "q_multimodal_html" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INT) AS mm
+        |           FROM documents),
+        |f AS (SELECT id, mm, unnest(range(0, mm)) AS i FROM m),
+        |kk AS (SELECT id, mm, i, CAST(3 + (id + i) % 5 AS BIGINT) AS k FROM f),
+        |agg AS (SELECT id, CAST(MAX(mm) AS INT) AS mm,
+        |          CAST(SUM(13 * k + 3) AS BIGINT) AS ptext
+        |        FROM kk GROUP BY id)
+        |SELECT id AS media_id, CAST(7 + mm AS INT) AS n_open,
+        |  CAST(7 + mm AS INT) AS n_close, mm AS n_selfclose,
+        |  CAST(1 AS INT) AS n_comments, CAST(1 AS INT) AS n_decl,
+        |  CAST(28 AS BIGINT) AS script_bytes, mm AS n_entities,
+        |  CAST(9 + ptext AS BIGINT) AS text_chars, CAST(4 AS INT) AS max_depth
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     // formula replay: m = 1 + id%3 pages, page i's content stream has
     // k = 2 + (id+i)%4 Tj ops (15 literal chars each) plus one TJ op
