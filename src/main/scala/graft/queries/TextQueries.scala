@@ -298,6 +298,42 @@ object TextQueries {
         .orderBy(col("direction"))
     }),
 
+    // TF-IDF TOP TERMS (Spärck Jones 1972) — the classic term-weighting
+    // readout beside BM25's ranked retrieval and PMI's associations:
+    // score(d, w) = tf(d, w) · idf_cb(w) with idf_cb = round(100·
+    // log2(N / df)) EXACT in integer centibits from the shared staged
+    // fixed-point log (N ≥ df always, so the generator's t ≥ c
+    // contract holds by construction; no libm, replayed bit-identically
+    // by the oracle). The log runs once per DISTINCT df value — a
+    // vocabulary-distinct-sized relation broadcast back, the
+    // hash-per-distinct discipline — so the corpus-sized work is two
+    // map-side-combinable groupBys and one broadcast join. Global
+    // top-50 by integer score, full tie-break
+    "q_text_tfidf" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      val tf = scan(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .scopedPersist() // feeds df census AND the scored join
+      val dfc = tf.groupBy(col("w")).agg(count(lit(1)).as("df")).scopedPersist()
+      val n = tf.agg(countDistinct(col("doc_id")).as("nn"))
+      var cbt = dfc.select(col("df").as("dfv")).distinct()
+        .crossJoin(broadcast(n))
+      UlmTokenizer.costStages("nn", "dfv", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val idf = cbt.select(col("dfv").as("df"), col("cost_cb").cast("long").as("idf_cb"))
+      tf.join(dfc, Seq("w"))
+        .join(broadcast(idf), Seq("df"))
+        .select(col("doc_id"), col("w"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"), col("idf_cb"),
+          (col("tf") * col("idf_cb")).as("score_cb"))
+        .orderBy(col("score_cb").desc, col("doc_id"), col("w"))
+        .limit(50)
+    }),
+
     // PPMI COLLOCATIONS (Church & Hanks 1990) — top adjacent-bigram
     // associations by pointwise mutual information IN LOG SPACE: the
     // statistic q_text_collocations approximates with exact lift
@@ -968,6 +1004,30 @@ object TextQueries {
            |  UNION ALL
            |  SELECT 'en_to_de', n_vocab, kl_en_de FROM a
            |) ORDER BY direction""".stripMargin
+    },
+
+    // same word stream, same staged log over DISTINCT df values; the
+    // nested-subquery staging (never lateral aliases) per the vocabCte
+    // lesson
+    "q_text_tfidf" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("nn", "dfv", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents WHERE length(trim(text)) > 0),
+           |w AS (SELECT doc_id, unnest(toks) AS w FROM d),
+           |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM w WHERE regexp_full_match(w, '[a-z]+') GROUP BY doc_id, w),
+           |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+           |nn0 AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nn FROM tf),
+           |vals AS (SELECT DISTINCT df AS dfv, nn FROM dfc, nn0),
+           |st AS MATERIALIZED ($staged),
+           |idf AS (SELECT dfv AS df, CAST(cost_cb AS BIGINT) AS idf_cb FROM st)
+           |SELECT tf.doc_id, tf.w, tf.tf, dfc.df, idf.idf_cb,
+           |  CAST(tf.tf * idf.idf_cb AS BIGINT) AS score_cb
+           |FROM tf JOIN dfc ON dfc.w = tf.w JOIN idf ON idf.df = dfc.df
+           |ORDER BY score_cb DESC, doc_id, tf.w LIMIT 50""".stripMargin
     },
 
     "q_text_pmi" -> {
