@@ -298,6 +298,46 @@ object TextQueries {
         .orderBy(col("direction"))
     }),
 
+    // SFT CHAT-TEMPLATE ASSEMBLY CENSUS — the packing audit an
+    // instruction-tuning pipeline runs before serialization: each doc's
+    // token stream is segmented into alternating user/assistant turns
+    // of formula-driven lengths (turn j wants 5 + (id+3j)%10 tokens;
+    // the last turn keeps the remainder), every turn pays a 2-marker
+    // template overhead, and a 64-token context budget admits whole
+    // turns greedily. Reports per doc: turn count, per-role token
+    // mass (assistant tokens ARE the loss-mask mass — the SFT
+    // masking rule), template overhead, and how much survives the
+    // budget. The greedy recurrence is RELATIONAL on both engines:
+    // turn boundaries are prefix sums over an exploded turn index
+    // (bounded by n/5 — per-doc, the ROUGE window construction),
+    // never a driver loop
+    "q_text_sft" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val wj = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      val dn = scan(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      dn.select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L), expr("n div 5"))).as("j"))
+        .withColumn("lj", lit(5L) + (col("doc_id") + lit(3L) * col("j")) % 10L)
+        .withColumn("cum", coalesce(sum(col("lj")).over(
+          wj.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("cum") < col("n"))
+        .withColumn("len", least(col("lj"), col("n") - col("cum")))
+        .withColumn("wtpl", col("len") + 2L)
+        .withColumn("cumt", sum(col("wtpl")).over(wj))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_toks"),
+          count(lit(1)).as("n_turns"),
+          sum(when(col("j") % 2 === 0, col("len")).otherwise(0L)).as("user_toks"),
+          sum(when(col("j") % 2 === 1, col("len")).otherwise(0L)).as("asst_toks"),
+          (count(lit(1)) * 2).as("overhead_toks"),
+          sum(when(col("cumt") <= 64, 1L).otherwise(0L)).as("turns_in_budget"),
+          sum(when(col("cumt") <= 64, col("wtpl")).otherwise(0L)).as("toks_in_budget"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF TOP TERMS (Spärck Jones 1972) — the classic term-weighting
     // readout beside BM25's ranked retrieval and PMI's associations:
     // score(d, w) = tf(d, w) · idf_cb(w) with idf_cb = round(100·
@@ -1005,6 +1045,32 @@ object TextQueries {
            |  SELECT 'en_to_de', n_vocab, kl_en_de FROM a
            |) ORDER BY direction""".stripMargin
     },
+
+    // the same relational recurrence: exploded turn index, window
+    // prefix sums, greedy budget admission
+    "q_text_sft" ->
+      raw"""WITH dn AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |tj AS (SELECT doc_id, n, unnest(range(0, n // 5 + 1)) AS j FROM dn),
+           |lj AS (SELECT doc_id, n, j,
+           |         CAST(5 + (doc_id + 3 * j) % 10 AS BIGINT) AS lj FROM tj),
+           |cm AS (SELECT *, CAST(COALESCE(SUM(lj) OVER (PARTITION BY doc_id
+           |         ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         AS BIGINT) AS cum FROM lj),
+           |t AS (SELECT doc_id, n, j, LEAST(lj, n - cum) AS len, cum
+           |      FROM cm WHERE cum < n),
+           |t2 AS (SELECT *, len + 2 AS wtpl,
+           |         SUM(len + 2) OVER (PARTITION BY doc_id ORDER BY j) AS cumt
+           |       FROM t)
+           |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+           |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+           |  CAST(COALESCE(SUM(CASE WHEN j % 2 = 0 THEN len ELSE 0 END), 0) AS BIGINT) AS user_toks,
+           |  CAST(COALESCE(SUM(CASE WHEN j % 2 = 1 THEN len ELSE 0 END), 0) AS BIGINT) AS asst_toks,
+           |  CAST(COUNT(*) * 2 AS BIGINT) AS overhead_toks,
+           |  CAST(COALESCE(SUM(CASE WHEN cumt <= 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS turns_in_budget,
+           |  CAST(COALESCE(SUM(CASE WHEN cumt <= 64 THEN wtpl ELSE 0 END), 0) AS BIGINT) AS toks_in_budget
+           |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same word stream, same staged log over DISTINCT df values; the
     // nested-subquery staging (never lateral aliases) per the vocabCte
