@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder.scan
+import graft.ops.CacheScope.ScopedPersist
 import graft.ops.ExactAgg._
 
 /** Aggregation surface (SURVEY §2.5 — absent in the reference). All double
@@ -187,6 +188,49 @@ object AggQueries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
+    // WEIGHT OF EVIDENCE / INFORMATION VALUE (the credit-scoring
+    // feature census; Siddiqi 2006) — per categorical bin, woe =
+    // log2(g/G) − log2(b/B) in EXACT integer centibits, decomposed into
+    // SINGLE-count logs (woe_cb = cb(g) + cb(B) − cb(b) − cb(G), each
+    // cb = round(100·log2(count)) from the shared staged fixed-point
+    // generator — no ratio ever feeds the log, the PMI discipline), and
+    // the IV contribution (g·10⁶ div G − b·10⁶ div B)·woe_cb as a pure
+    // integer product (counts ≤ 8.8e12 stay in the generator's
+    // headroom; the product ≤ 10⁶·~2100 fits easily). Outcome =
+    // order fell through (status F), bins = o_orderpriority — every
+    // bin carries both classes at every SF so log(0) can't arise.
+    // One map-side-combinable groupBy; logs once per DISTINCT count
+    "q_feature_woe" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      val byBin = scan(s, d, "orders")
+        .select(col("o_orderpriority").as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
+        .groupBy(col("bin"))
+        .agg(sum(lit(1L) - col("bad")).as("g"), sum(col("bad")).as("b"))
+        .scopedPersist()
+      val tot = byBin.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+      val cand = byBin.crossJoin(broadcast(tot)).scopedPersist()
+      val vals = cand.select(col("g").as("v")).union(cand.select(col("b")))
+        .union(cand.select(col("gt"))).union(cand.select(col("bt"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      cand
+        .join(broadcast(cb.select(col("v").as("g"), col("cb").as("cb_g"))), Seq("g"))
+        .join(broadcast(cb.select(col("v").as("b"), col("cb").as("cb_b"))), Seq("b"))
+        .join(broadcast(cb.select(col("v").as("gt"), col("cb").as("cb_gt"))), Seq("gt"))
+        .join(broadcast(cb.select(col("v").as("bt"), col("cb").as("cb_bt"))), Seq("bt"))
+        .select(col("bin"), col("g").as("n_good"), col("b").as("n_bad"),
+          (col("cb_g") + col("cb_bt") - col("cb_b") - col("cb_gt")).as("woe_cb"),
+          ((expr("g * 1000000 div gt") - expr("b * 1000000 div bt"))
+            * (col("cb_g") + col("cb_bt") - col("cb_b") - col("cb_gt")))
+            .as("iv_contrib"))
         .orderBy(col("bin"))
     }),
 
@@ -1291,6 +1335,36 @@ object AggQueries {
         |                 WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // same decomposition, same staged log over DISTINCT counts; the
+    // floor-div terms are nonnegative so `div` vs `//` agree
+    "q_feature_woe" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      s"""WITH bb AS (SELECT o_orderpriority AS bin,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS g,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM orders GROUP BY o_orderpriority),
+         |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt FROM bb),
+         |cand AS (SELECT bb.*, tot.gt, tot.bt FROM bb, tot),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT g AS v FROM cand UNION SELECT b FROM cand
+         |    UNION SELECT gt FROM cand UNION SELECT bt FROM cand)),
+         |st AS MATERIALIZED ($staged),
+         |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st)
+         |SELECT bin, g AS n_good, b AS n_bad,
+         |  CAST(x1.cb + x4.cb - x2.cb - x3.cb AS BIGINT) AS woe_cb,
+         |  CAST((g * 1000000 // gt - b * 1000000 // bt)
+         |    * (x1.cb + x4.cb - x2.cb - x3.cb) AS BIGINT) AS iv_contrib
+         |FROM cand
+         |JOIN cbt x1 ON x1.v = cand.g
+         |JOIN cbt x2 ON x2.v = cand.b
+         |JOIN cbt x3 ON x3.v = cand.gt
+         |JOIN cbt x4 ON x4.v = cand.bt
+         |ORDER BY bin""".stripMargin
+    },
 
     "q_agg_ks" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
