@@ -262,6 +262,45 @@ object FunnelQueries {
     // q_ts_rolling_dau contribute-to-buckets shape. Output: the
     // conversion-context histogram (views_7d capped at 10 → purchases,
     // users)
+    // CIDR LONGEST-PREFIX-MATCH CENSUS — the IP-enrichment join every
+    // clickstream/geo pipeline runs: events carry a deterministic
+    // synthetic IPv4 (Knuth multiplicative hash of event_id mod 2^32 —
+    // products < 2^63, ANSI-legal on both engines), matched against a
+    // three-tier prefix table (/4 full cover, /12 and /20 carve-outs,
+    // all from range() formulas so the oracle rebuilds the dim
+    // bit-identically) with REAL routing semantics: overlapping blocks
+    // resolve to the most specific prefix via per-event argmax (ties
+    // impossible — same-length blocks are disjoint by construction).
+    // Shape: broadcast range join against the 48-row dim + one
+    // map-side-combinable census; the fact table never shuffles
+    "q_events_cidr" -> ((s: SparkSession, d: String) => {
+      def tier(plen: Int, span: Long, loExpr: org.apache.spark.sql.Column) =
+        s.range(16).select(
+          concat(lit(s"b${plen}_"), lpad(col("id").cast("string"), 2, "0")).as("block"),
+          lit(plen).as("plen"), loExpr.as("lo"), (loExpr + span - 1).as("hi"))
+      val k = col("id")
+      val blocks = tier(4, 1L << 28, k * (1L << 28))
+        .unionAll(tier(12, 1L << 20, k * (1L << 28) + (k * 5 % 16) * (1L << 20)))
+        .unionAll(tier(20, 1L << 12,
+          k * (1L << 28) + (k * 5 % 16) * (1L << 20) + (k * 3 % 16) * (1L << 12)))
+      val ev = scan(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") * 2654435761L % 4294967296L).as("ip"))
+      val matched = ev.join(broadcast(blocks),
+          col("ip") >= col("lo") && col("ip") <= col("hi"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("plen"), col("block"))).as("m"))
+        .select(col("user_id"), col("m.block").as("block"), col("m.plen").as("plen"))
+      matched.groupBy(col("block"), col("plen"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("nt"))))
+        .withColumn("share_ppm", expr("n_events * 1000000 div nt"))
+        .select(col("block"), col("plen").cast("int").as("plen"),
+          col("n_events"), col("n_users"), col("share_ppm"))
+        .orderBy(col("block"))
+    }),
+
     "q_feature_pit" -> ((s: SparkSession, d: String) => {
       val e = scan(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -565,6 +604,37 @@ object FunnelQueries {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dim rebuilt from the same range() formulas; LPM via window rank
+    // (same tie-free ordering as the engine's struct-max)
+    "q_events_cidr" ->
+      """WITH t4 AS (SELECT 'b4_' || lpad(CAST(k AS VARCHAR), 2, '0') AS block,
+        |    4 AS plen, k * 268435456 AS lo, k * 268435456 + 268435455 AS hi
+        |  FROM (SELECT unnest(range(0, 16)) AS k)),
+        |t12 AS (SELECT 'b12_' || lpad(CAST(k AS VARCHAR), 2, '0') AS block,
+        |    12 AS plen, k * 268435456 + (k * 5 % 16) * 1048576 AS lo,
+        |    k * 268435456 + (k * 5 % 16) * 1048576 + 1048575 AS hi
+        |  FROM (SELECT unnest(range(0, 16)) AS k)),
+        |t20 AS (SELECT 'b20_' || lpad(CAST(k AS VARCHAR), 2, '0') AS block,
+        |    20 AS plen,
+        |    k * 268435456 + (k * 5 % 16) * 1048576 + (k * 3 % 16) * 4096 AS lo,
+        |    k * 268435456 + (k * 5 % 16) * 1048576 + (k * 3 % 16) * 4096 + 4095 AS hi
+        |  FROM (SELECT unnest(range(0, 16)) AS k)),
+        |blocks AS (SELECT * FROM t4 UNION ALL SELECT * FROM t12
+        |           UNION ALL SELECT * FROM t20),
+        |ev AS (SELECT event_id, user_id,
+        |         event_id * 2654435761 % 4294967296 AS ip FROM events),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM ev),
+        |m AS (SELECT ev.event_id, ev.user_id, b.block, b.plen,
+        |        row_number() OVER (PARTITION BY ev.event_id
+        |          ORDER BY b.plen DESC, b.block) AS rn
+        |      FROM ev JOIN blocks b ON ev.ip >= b.lo AND ev.ip <= b.hi),
+        |best AS (SELECT * FROM m WHERE rn = 1)
+        |SELECT block, CAST(plen AS INT) AS plen,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) * 1000000 // MAX(nt.nt) AS BIGINT) AS share_ppm
+        |FROM best, nt GROUP BY block, plen ORDER BY block""".stripMargin,
 
     "q_events_dwell" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
