@@ -3152,6 +3152,121 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeHtml).toDF()
   }
 
+  /** robots.txt census + access decisions: the crawl-politeness gate. */
+  final case class RobotsStats(media_id: Long, n_groups: Int, n_rules: Int,
+                               n_sitemaps: Int, delay_star: Int,
+                               n_allowed: Int, n_blocked: Int)
+
+  /** REAL robots.txt parser (RFC 9309, the Robots Exclusion Protocol) —
+    * the politeness gate every crawl pipeline consults before the WARC
+    * fetch: line-oriented group parse (a `User-agent:` run opens a
+    * group; `Allow:`/`Disallow:` rules attach to the OPEN group —
+    * a rule before any user-agent line fails loudly), comments and
+    * blank lines per spec, `Crawl-delay` and `Sitemap` extensions
+    * censused, and the REAL access-decision semantics evaluated for a
+    * fixed probe set: the most specific matching group wins (exact UA
+    * over `*`, and per RFC there is NO fallback merge), then
+    * longest-path-match among that group's rules with Allow winning
+    * length ties; no matching rule means allowed.
+    */
+  def decodeRobots(rows: Iterator[MediaRow]): Iterator[RobotsStats] = rows.map { r =>
+    val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    // groups: (user agents, rules (allow?, path)); extensions censused
+    val groups = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String],
+       scala.collection.mutable.ArrayBuffer[(Boolean, String)])]()
+    var nSitemaps = 0
+    var delayStar = 0
+    var openForAgents = false // a UA line extends the open group only
+                              // until a rule closes the agent run
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        require(ci > 0, s"malformed robots line '$line': media ${r.media_id}")
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!openForAgents) {
+              groups += ((scala.collection.mutable.ArrayBuffer(),
+                scala.collection.mutable.ArrayBuffer()))
+              openForAgents = true
+            }
+            groups.last._1 += value.toLowerCase
+          case "allow" | "disallow" =>
+            require(groups.nonEmpty,
+              s"$key rule before any user-agent: media ${r.media_id}")
+            openForAgents = false
+            groups.last._2 += ((key == "allow", value))
+          case "crawl-delay" =>
+            require(groups.nonEmpty,
+              s"crawl-delay before any user-agent: media ${r.media_id}")
+            openForAgents = false
+            if (groups.last._1.contains("*")) delayStar = value.toInt
+          case "sitemap" => nSitemaps += 1 // group-independent per RFC
+          case other => throw new IllegalArgumentException(
+            s"unknown robots directive '$other': media ${r.media_id}")
+        }
+      }
+    }
+    // access decision for UA `ua`: most specific group, longest match
+    def allowed(ua: String, path: String): Boolean = {
+      val g = groups.find(_._1.contains(ua)).orElse(groups.find(_._1.contains("*")))
+      g match {
+        case None => true
+        case Some((_, rules)) =>
+          val hits = rules.filter { case (_, p) => p.nonEmpty && path.startsWith(p) }
+          if (hits.isEmpty) true
+          else {
+            val maxLen = hits.map(_._2.length).max
+            hits.filter(_._2.length == maxLen).exists(_._1) // allow wins ties
+          }
+      }
+    }
+    val probes = Seq("/p0/secret", "/p2/secret", "/private/x", "/public/x")
+    val nAllowed = probes.count(allowed("graftbot", _))
+    RobotsStats(r.media_id, groups.size, groups.map(_._2.size).sum,
+      nSitemaps, delayStar, nAllowed, probes.size - nAllowed)
+  }
+
+  /** robots pipeline — same narrow mapPartitions seam as the other 21. */
+  def extractRobotsStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeRobots).toDF()
+  }
+
+  /** Deterministic robots.txt fixture per id: a `*` group (2 rules +
+    * crawl-delay id%5 + 1), a `graftbot` group with `Allow: /` plus
+    * d + 1 = id%3 + 1 path disallows, 1 + id%2 sitemap lines, comments
+    * and blank lines. Probe decisions are analytic: `/p0/secret` is
+    * always blocked for graftbot, `/p2/secret` iff d = 2, the two
+    * `*`-group paths are allowed (RFC: no fallback merge once a
+    * UA-specific group matches) — so n_blocked = 1 + (id%3 = 2).
+    */
+  def syntheticRobots(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val d = (id % 3).toInt
+      val sb = new StringBuilder()
+      sb.append(s"# robots fixture $id\n\n")
+      sb.append("User-agent: *\n")
+      sb.append("Disallow: /private\n")
+      sb.append("Allow: /private/ok\n")
+      sb.append(s"Crawl-delay: ${id % 5 + 1}\n\n")
+      sb.append("User-agent: graftbot\n")
+      sb.append("Allow: /\n")
+      (0 to d).foreach(k => sb.append(s"Disallow: /p$k/secret\n"))
+      sb.append("\n")
+      (0 until (1 + (id % 2)).toInt).foreach(k =>
+        sb.append(s"Sitemap: https://example.test/s$k.xml\n"))
+      MediaRow(id, "text/plain",
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF()
+  }
+
   /** Deterministic HTML fixture per id: doctype, title, style, one
     * comment, a div of m = 2 + id%4 paragraphs — paragraph i carries
     * k_i = 3 + (id+i)%5 fixed-width words, one `&amp;` entity and a

@@ -323,6 +323,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL robots.txt PARSE — 22nd format, the politeness gate before
+    // the WARC fetch: RFC 9309 group parse (UA runs, rule attachment,
+    // loud orphan rules), Crawl-delay/Sitemap extensions, and the real
+    // access-decision semantics (most specific group, NO fallback
+    // merge, longest-path match, Allow wins ties) evaluated on a fixed
+    // probe set. Oracle replays the analytic decisions
+    "q_multimodal_robots" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractRobotsStats(
+        Multimodal.syntheticRobots(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL HTML TOKENIZE — 21st format, the step between the WARC
     // response payload and the text tier: character-level markup walk
     // with a real element stack (no regex), raw-text script/style skip
@@ -910,6 +922,18 @@ object MultimodalQueries {
         |  a.http_bytes, a.payload_bytes, p.payload_sum,
         |  CAST(a.mm - 1 AS INT) AS n_ok
         |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: 2 groups, 4 + id%3 rules, 1 + id%2 sitemaps,
+    // star delay id%5 + 1; /p0/secret always blocked for graftbot,
+    // /p2/secret iff id%3 = 2, the other two probes allowed
+    "q_multimodal_robots" ->
+      """SELECT doc_id AS media_id, CAST(2 AS INT) AS n_groups,
+        |  CAST(4 + doc_id % 3 AS INT) AS n_rules,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_sitemaps,
+        |  CAST(doc_id % 5 + 1 AS INT) AS delay_star,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 3 END AS INT) AS n_allowed,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS n_blocked
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // formula replay: m = 2 + id%4 paragraphs, paragraph i carries
     // k = 3 + (id+i)%5 12-char words (13k+3 text chars with the decoded
