@@ -274,24 +274,8 @@ object FunnelQueries {
     // Shape: broadcast range join against the 48-row dim + one
     // map-side-combinable census; the fact table never shuffles
     "q_events_cidr" -> ((s: SparkSession, d: String) => {
-      def tier(plen: Int, span: Long, loExpr: org.apache.spark.sql.Column) =
-        s.range(16).select(
-          concat(lit(s"b${plen}_"), lpad(col("id").cast("string"), 2, "0")).as("block"),
-          lit(plen).as("plen"), loExpr.as("lo"), (loExpr + span - 1).as("hi"))
-      val k = col("id")
-      val blocks = tier(4, 1L << 28, k * (1L << 28))
-        .unionAll(tier(12, 1L << 20, k * (1L << 28) + (k * 5 % 16) * (1L << 20)))
-        .unionAll(tier(20, 1L << 12,
-          k * (1L << 28) + (k * 5 % 16) * (1L << 20) + (k * 3 % 16) * (1L << 12)))
-      val ev = scan(s, d, "events")
-        .select(col("event_id"), col("user_id"),
-          (col("event_id") * 2654435761L % 4294967296L).as("ip"))
-      val matched = ev.join(broadcast(blocks),
-          col("ip") >= col("lo") && col("ip") <= col("hi"))
-        .groupBy(col("event_id"), col("user_id"))
-        .agg(max(struct(col("plen"), col("block"))).as("m"))
-        .select(col("user_id"), col("m.block").as("block"), col("m.plen").as("plen"))
-      matched.groupBy(col("block"), col("plen"))
+      val ev = scan(s, d, "events").select(col("event_id"), col("user_id"))
+      cidrMatched(s, ev).groupBy(col("block"), col("plen"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .crossJoin(broadcast(ev.agg(count(lit(1)).as("nt"))))
@@ -443,6 +427,35 @@ object FunnelQueries {
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
     })
   )
+
+  /** The q_events_cidr prefix dim: three tiers from range() formulas
+    * (the oracle rebuilds them bit-identically). */
+  private[queries] def cidrBlocks(s: SparkSession): DataFrame = {
+    def tier(plen: Int, span: Long, loExpr: org.apache.spark.sql.Column) =
+      s.range(16).select(
+        concat(lit(s"b${plen}_"), lpad(col("id").cast("string"), 2, "0")).as("block"),
+        lit(plen).as("plen"), loExpr.as("lo"), (loExpr + span - 1).as("hi"))
+    val k = col("id")
+    tier(4, 1L << 28, k * (1L << 28))
+      .unionAll(tier(12, 1L << 20, k * (1L << 28) + (k * 5 % 16) * (1L << 20)))
+      .unionAll(tier(20, 1L << 12,
+        k * (1L << 28) + (k * 5 % 16) * (1L << 20) + (k * 3 % 16) * (1L << 12)))
+  }
+
+  /** Longest-prefix-match of an (event_id, user_id) relation against
+    * [[cidrBlocks]]: broadcast range join + per-event struct-max argmax
+    * (tie-free — same-length blocks are disjoint). Per-row decision, so
+    * batch slicing can't change it (the q_stream_cidr contract). */
+  private[queries] def cidrMatched(s: SparkSession, ev: DataFrame): DataFrame = {
+    val withIp = ev.withColumn("ip",
+      col("event_id") * 2654435761L % 4294967296L)
+    withIp.join(broadcast(cidrBlocks(s)),
+        col("ip") >= col("lo") && col("ip") <= col("hi"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("plen"), col("block"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.block").as("block"), col("m.plen").as("plen"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_events_cohort" ->

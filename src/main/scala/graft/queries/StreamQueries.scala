@@ -1149,6 +1149,60 @@ object StreamQueries {
       graft.ops.BitmapIndex.census(bm)
     }),
 
+    // STREAMING CIDR ENRICHMENT — the LPM census as an incremental
+    // ingest: the longest-prefix decision is per-ROW (event + the
+    // broadcast dim), so batch slicing can't change it; each micro-batch
+    // appends two mergeable partials — per-block event counts (additive)
+    // and per-block user BITMAPS (bit_or is the merge, the exact-distinct
+    // relation from q_agg_bitmap) — and the final census rolls both up
+    // with one groupBy each. Oracle = the batch query's SQL, verbatim
+    "q_stream_cidr" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val ev = graft.engine.QueryBuilder.scan(s, d, "events")
+        .select(col("event_id"), col("user_id"))
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scidr_src_$suffix"
+      val outCnt = s"/tmp/graft_scidr_cnt_$suffix"
+      val outBm = s"/tmp/graft_scidr_bm_$suffix"
+      val fs = new Path(outCnt).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(outCnt), true)
+      fs.delete(new Path(outBm), true)
+      ev.repartition(3, col("event_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val m = FunnelQueries.cidrMatched(s, batch).persist()
+            try {
+              graft.sinks.Sinks.write(
+                m.groupBy(col("block"), col("plen")).agg(count(lit(1)).as("n")),
+                graft.model.SinkSpec("parquet", outCnt, mode = "append"))
+              graft.sinks.Sinks.write(
+                graft.ops.BitmapIndex.bitmap(m, "block", "user_id"),
+                graft.model.SinkSpec("parquet", outBm, mode = "append"))
+            } finally { m.unpersist(); () }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cnt = s.read.parquet(outCnt).groupBy(col("block"), col("plen"))
+        .agg(sum(col("n")).as("n_events"))
+      val users = s.read.parquet(outBm)
+        .groupBy(col("t"), col("w")).agg(expr("bit_or(bits)").as("bits"))
+        .groupBy(col("t"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"))
+        .withColumnRenamed("t", "block")
+      cnt.join(users, Seq("block"))
+        .crossJoin(broadcast(cnt.agg(sum(col("n_events")).as("nt"))))
+        .withColumn("share_ppm", expr("n_events * 1000000 div nt"))
+        .select(col("block"), col("plen").cast("int").as("plen"),
+          col("n_events"), col("n_users"), col("share_ppm"))
+        .orderBy(col("block"))
+    }),
+
     // STREAMING KMV — the distinct-count monitor beside q_stream_kll's
     // percentile and q_stream_mg's heavy-hitter monitors, completing
     // the mergeable-sketch matrix: each micro-batch appends ONE
@@ -1589,6 +1643,7 @@ object StreamQueries {
     // streaming CMS: per-batch bucket rows summed = the one-shot table
     "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
+    "q_stream_cidr" -> FunnelQueries.oracleSql("q_events_cidr"),
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
     "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
