@@ -3152,6 +3152,68 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeHtml).toDF()
   }
 
+  /** One extracted anchor link (the crawl frontier / link-graph seam). */
+  final case class HtmlLink(media_id: Long, href: String)
+
+  /** Link RELATION variant of [[decodeHtml]] — the member-relation
+    * pattern (decodeTarMembers/decodeZipMembers) on the markup walker:
+    * the full validated tokenize runs first (stack balance, raw-text
+    * rule, entity checks — by delegating to decodeHtml), then anchors
+    * are re-scanned for their `href` attribute and emitted one row per
+    * link, so the LINK GRAPH — the crawl frontier, PageRank input,
+    * in-degree census — is plain Spark aggregation downstream, not
+    * decoder logic. Anchors without an href fail loudly (the fixture
+    * always writes one; a real pipeline wants the miss surfaced).
+    */
+  def decodeHtmlLinks(rows: Iterator[MediaRow]): Iterator[HtmlLink] =
+    rows.flatMap { r =>
+      decodeHtml(Iterator(r)).foreach(_ => ()) // full validation pass
+      val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HtmlLink]
+      var i = s.indexOf("<a ")
+      while (i >= 0) {
+        val e = s.indexOf('>', i)
+        val tag = s.substring(i, e)
+        val hi = tag.indexOf("href=\"")
+        require(hi >= 0, s"anchor without href at $i: media ${r.media_id}")
+        val vs = hi + 6
+        val ve = tag.indexOf('"', vs)
+        require(ve > vs, s"unterminated href at $i: media ${r.media_id}")
+        out += HtmlLink(r.media_id, tag.substring(vs, ve))
+        i = s.indexOf("<a ", e)
+      }
+      out.iterator
+    }
+
+  /** Link-relation pipeline. */
+  def extractHtmlLinks(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeHtmlLinks).toDF()
+  }
+
+  /** Deterministic linked-page fixture: page id carries m = 2 + id%5
+    * anchors to `/doc/<(id + 31(j+1)) % 1000>` — 31 is coprime to 1000,
+    * so no self-link arises at m ≤ 6 and the in-degree distribution
+    * over the 1000-page namespace is formula-replayable.
+    */
+  def syntheticHtmlLinks(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 2 + (id % 5).toInt
+      val sb = new StringBuilder()
+      sb.append("<html><body>")
+      (0 until m).foreach { j =>
+        val dst = (id + 31L * (j + 1)) % 1000L
+        sb.append(s"""<a href="/doc/$dst">t$j</a>""")
+      }
+      sb.append("</body></html>")
+      MediaRow(id, "text/html",
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF()
+  }
+
   /** robots.txt census + access decisions: the crawl-politeness gate. */
   final case class RobotsStats(media_id: Long, n_groups: Int, n_rules: Int,
                                n_sitemaps: Int, delay_star: Int,

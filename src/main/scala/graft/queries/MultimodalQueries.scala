@@ -323,6 +323,25 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // LINK-GRAPH EXTRACTION over the validated HTML walk — the crawl
+    // frontier census: anchors re-scanned into a link RELATION (the
+    // member-relation pattern), hrefs parsed to target pages, and the
+    // in-degree distribution over the page namespace aggregated as
+    // plain Spark groupBys — PageRank's input shape straight off the
+    // markup walker. Oracle rebuilds the edge list from the formula
+    "q_multimodal_links" -> ((s: SparkSession, d: String) => {
+      val links = Multimodal.extractHtmlLinks(
+        Multimodal.syntheticHtmlLinks(scan(s, d, "documents"), "doc_id"))
+      val edges = links.select(col("media_id").as("src"),
+        regexp_extract(col("href"), "/doc/([0-9]+)", 1).cast("long").as("dst"))
+      edges.groupBy(col("dst"))
+        .agg(count(lit(1)).as("in_deg"), countDistinct(col("src")).as("n_srcs"))
+        .groupBy(col("in_deg"))
+        .agg(count(lit(1)).as("n_pages"), min(col("dst")).as("first_page"),
+          sum(col("n_srcs")).as("sum_srcs"))
+        .orderBy(col("in_deg"))
+    }),
+
     // REAL robots.txt PARSE — 22nd format, the politeness gate before
     // the WARC fetch: RFC 9309 group parse (UA runs, rule attachment,
     // loud orphan rules), Crawl-delay/Sitemap extensions, and the real
@@ -922,6 +941,21 @@ object MultimodalQueries {
         |  a.http_bytes, a.payload_bytes, p.payload_sum,
         |  CAST(a.mm - 1 AS INT) AS n_ok
         |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: page id links to (id + 31(j+1)) % 1000 for
+    // j < 2 + id%5; src pages are distinct per (dst), so n_srcs = deg
+    "q_multimodal_links" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 5 AS INT) AS mm
+        |           FROM documents),
+        |f AS (SELECT id, unnest(range(0, mm)) AS j FROM m),
+        |e AS (SELECT id AS src, (id + 31 * (j + 1)) % 1000 AS dst FROM f),
+        |d AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg,
+        |        CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
+        |      FROM e GROUP BY dst)
+        |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(min(dst) AS BIGINT) AS first_page,
+        |  CAST(SUM(n_srcs) AS BIGINT) AS sum_srcs
+        |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin,
 
     // formula replay: 2 groups, 4 + id%3 rules, 1 + id%2 sitemaps,
     // star delay id%5 + 1; /p0/secret always blocked for graftbot,
