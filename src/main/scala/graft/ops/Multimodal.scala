@@ -3152,6 +3152,107 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeHtml).toDF()
   }
 
+  /** Payload RELATION variant of [[decodeWarc]] — the member-relation
+    * pattern on the crawl walker: the fully verified walk runs first
+    * (gzip CRC/ISIZE, record framing, HTTP splits — by delegating to
+    * decodeWarc), then the members are re-walked and each HTTP-200
+    * response's PAYLOAD is emitted as a MediaRow (mime text/html), so
+    * the downstream parse — [[decodeHtml]], the text tier — is plain
+    * Spark over a relation, exactly how a production WARC→text job is
+    * shaped. */
+  def decodeWarcResponses(rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.flatMap { r =>
+      decodeWarc(Iterator(r)).foreach(_ => ()) // full validation pass
+      val b = r.payload
+      val out = scala.collection.mutable.ArrayBuffer.empty[MediaRow]
+      var off = 0
+      while (off < b.length) {
+        val dataStart = off + 10
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(b, dataStart, b.length - dataStart)
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          acc.write(buf, 0, n)
+        }
+        val used = (b.length - dataStart) - inf.getRemaining
+        inf.end()
+        val rec = acc.toByteArray
+        off = dataStart + used + 8
+        val recS = new String(rec, "ISO-8859-1")
+        val hdrEnd = recS.indexOf("\r\n\r\n")
+        val head = recS.substring(0, hdrEnd)
+        if (head.contains("WARC-Type: response")) {
+          val blockStart = hdrEnd + 4
+          val split = recS.indexOf("\r\n\r\n", blockStart)
+          if (recS.substring(blockStart, blockStart + 12).endsWith("200")) {
+            val pEnd = rec.length - 4 // strip the record terminator
+            out += MediaRow(r.media_id, "text/html",
+              java.util.Arrays.copyOfRange(rec, split + 4, pEnd))
+          }
+        }
+      }
+      out.iterator
+    }
+
+  /** Response-payload pipeline. */
+  def extractWarcResponses(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeWarcResponses).toDF()
+  }
+
+  /** Crawl-shaped .warc.gz fixture: the [[syntheticWarc]] framing with
+    * HTML response bodies — page j (j < m−1 gets status 200, the last
+    * is the 404) carries k_j = 10 + (id + 7j)%30 twelve-char words in
+    * one paragraph, so the downstream parse volume is analytic
+    * (13·k_j − 1 text chars per page).
+    */
+  def syntheticCrawlWarc(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val m = 1 + (id % 4).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def gzMember(record: Array[Byte]): Unit = {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(record); gz.close()
+      }
+      def warcRecord(typ: String, idx: Int, block: Array[Byte]): Array[Byte] = {
+        val h = new StringBuilder()
+        h.append("WARC/1.0\r\n")
+        h.append(s"WARC-Type: $typ\r\n")
+        h.append(f"WARC-Record-ID: <urn:crawl:$id%08d-$idx%02d>\r\n")
+        h.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+        h.append(s"Content-Length: ${block.length}\r\n")
+        h.append("\r\n")
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(h.toString.getBytes("US-ASCII"))
+        o.write(block)
+        o.write("\r\n\r\n".getBytes("US-ASCII"))
+        o.toByteArray
+      }
+      gzMember(warcRecord("warcinfo", 0, "software: graft/13\r\n".getBytes("US-ASCII")))
+      (0 until m).foreach { i =>
+        val req = f"GET /c$i%02d HTTP/1.1\r\nHost: h$id%08d.test\r\n\r\n"
+        gzMember(warcRecord("request", i + 1, req.getBytes("US-ASCII")))
+        val k = 10 + ((id + 7 * i) % 30).toInt
+        val words = (0 until k).map(j => f"w$id%08d_$j%02d").mkString(" ")
+        val html = s"<html><body><p>$words</p></body></html>"
+        val body = html.getBytes("US-ASCII")
+        val status = if (i == m - 1) "404 NF" else "200 OK"
+        val head = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n"
+        val block = new java.io.ByteArrayOutputStream()
+        block.write(head.getBytes("US-ASCII"))
+        block.write(body)
+        gzMember(warcRecord("response", i + 1, block.toByteArray))
+      }
+      MediaRow(id, "application/warc", out.toByteArray)
+    }.toDF()
+  }
+
   /** One extracted anchor link (the crawl frontier / link-graph seam). */
   final case class HtmlLink(media_id: Long, href: String)
 

@@ -323,6 +323,33 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // END-TO-END CRAWL FUNNEL — the composition a Common-Crawl-shaped
+    // ingest actually runs, in one registry entry: verified WARC walk →
+    // HTTP-200 response payloads as a relation → real HTML parse per
+    // page → extraction-volume quality gate (pages with ≥ 259 decoded
+    // text chars ⇔ ≥ 20 fixture words). The fixture's response bodies
+    // ARE HTML, so every stage exercises its real decoder; per-doc
+    // output joins the record census with the parse census (docs whose
+    // only response 404'd keep a zero row). Oracle replays the formulas
+    "q_crawl_funnel" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
+      val warc = Multimodal.syntheticCrawlWarc(scan(s, d, "documents"), "doc_id")
+        .scopedPersist() // feeds the stats walk AND the payload walk
+      val stats = Multimodal.extractWarcStats(warc)
+        .select(col("media_id"), col("n_members").as("n_records"), col("n_ok"))
+      val pages = Multimodal.extractHtmlStats(Multimodal.extractWarcResponses(warc))
+      val pcensus = pages.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_parsed"),
+          sum(col("text_chars")).as("text_chars"),
+          sum(when(col("text_chars") >= 259, 1L).otherwise(0L)).as("n_kept"))
+      stats.join(pcensus, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_records"), col("n_ok"),
+          coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+          coalesce(col("text_chars"), lit(0L)).as("text_chars"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("media_id"))
+    }),
+
     // LINK-GRAPH EXTRACTION over the validated HTML walk — the crawl
     // frontier census: anchors re-scanned into a link RELATION (the
     // member-relation pattern), hrefs parsed to target pages, and the
@@ -941,6 +968,25 @@ object MultimodalQueries {
         |  a.http_bytes, a.payload_bytes, p.payload_sum,
         |  CAST(a.mm - 1 AS INT) AS n_ok
         |FROM agg a JOIN ps p ON a.id = p.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: m = 1 + id%4 pairs, only the m-1 leading
+    // responses are 200s; page j carries k = 10 + (id+7j)%30 words of
+    // 12 chars -> 13k-1 parsed text chars, kept iff k >= 20
+    "q_crawl_funnel" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 4 AS INT) AS mm
+        |           FROM documents),
+        |f AS (SELECT id, mm, unnest(range(0, mm - 1)) AS j FROM m),
+        |kk AS (SELECT id, j, CAST(10 + (id + 7 * j) % 30 AS BIGINT) AS k FROM f),
+        |pc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_parsed,
+        |         CAST(SUM(13 * k - 1) AS BIGINT) AS text_chars,
+        |         CAST(SUM(CASE WHEN k >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |       FROM kk GROUP BY id)
+        |SELECT m.id AS media_id, CAST(1 + 2 * m.mm AS INT) AS n_records,
+        |  CAST(m.mm - 1 AS INT) AS n_ok,
+        |  CAST(COALESCE(pc.n_parsed, 0) AS BIGINT) AS n_parsed,
+        |  CAST(COALESCE(pc.text_chars, 0) AS BIGINT) AS text_chars,
+        |  CAST(COALESCE(pc.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM m LEFT JOIN pc ON pc.id = m.id ORDER BY media_id""".stripMargin,
 
     // formula replay: page id links to (id + 31(j+1)) % 1000 for
     // j < 2 + id%5; src pages are distinct per (dst), so n_srcs = deg
