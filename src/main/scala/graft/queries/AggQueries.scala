@@ -904,6 +904,72 @@ object AggQueries {
             .as("reject_95"))
     }),
 
+    // EXACT AUC-ROC (the binary-classifier ranking metric) — AUC is
+    // the Mann–Whitney U statistic normalized (Hanley & McNeil 1982),
+    // so the SAME all-integer doubled-rank census computes it exactly:
+    // auc_ppm = (2·ranksum⁺ − n⁺(n⁺+1))·10⁶ div (2·n⁺·n⁻) with
+    // tie-averaged ranks from the distributed two-level prefix sum —
+    // no sort of the full relation, no float. The "model" is a
+    // deterministic keyed-hash score with a label-dependent shift, so
+    // both engines replay the predictions bit-identically and the
+    // metric itself is the thing under test. DECIMAL(38,0) headroom on
+    // the ppm products (the MW discipline)
+    "q_eval_auc" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg((sum(col("d1")) + sum(col("d2"))).as("sc"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt.withColumn("p", coalesce(sum(col("sc")).over(wb), lit(0L)))
+        .select(col("b"), col("p"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("below",
+          col("p") + sum(col("d1") + col("d2")).over(wv) - col("d1") - col("d2"))
+        .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+          sum(col("d1") * (lit(2) * col("below") + col("d1") + col("d2") + lit(1)))
+            .as("r2"))
+        .withColumn("u1_x2", col("r2") - col("n1") * (col("n1") + lit(1)))
+        .select(col("n1").as("n_pos"), col("n2").as("n_neg"), col("u1_x2"),
+          expr("CAST(CAST(u1_x2 AS DECIMAL(38,0)) * 1000000 div (2 * n1 * n2) AS BIGINT)")
+            .as("auc_ppm"),
+          expr("CAST(CAST(u1_x2 AS DECIMAL(38,0)) * 1000000 div (n1 * n2) - 1000000 AS BIGINT)")
+            .as("gini_ppm"))
+    }),
+
+    // EXPECTED-CALIBRATION-ERROR READOUT (Guo et al. 2017, the binned
+    // reliability diagram) over the same deterministic predictions:
+    // per decile-of-score bin, accuracy and mean confidence as exact
+    // floor-ppm integers, the |gap| and its n-weighted mass (Σ weighted
+    // div N IS the ECE). One map-side-combinable census — at 100 TB the
+    // bins relation is 10 rows
+    "q_eval_ece" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders").select(
+          (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+            col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+            + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", expr("score div 100000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("score")).as("sum_score"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("n_pos * 1000000 div n").as("acc_ppm"),
+          expr("sum_score div n").as("conf_ppm"),
+          expr("abs(n_pos * 1000000 div n - sum_score div n)").as("gap_ppm"),
+          expr("n * abs(n_pos * 1000000 div n - sum_score div n)").as("weighted_gap"))
+        .orderBy(col("bin"))
+    }),
+
     // FEATURE LIFT screening (the campaign-targeting / feature-triage
     // readout): per acctbal band, the purchase-conversion rate and its
     // LIFT over the global rate — all cross-multiplied integer ppm
@@ -1738,6 +1804,46 @@ object AggQueries {
         |    AS n_outliers
         |FROM v, r3
         |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
+
+    // same doubled-rank census; gini's subtraction stays on the
+    // nonnegative floor-quotient so // and div agree
+    "q_eval_auc" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT ($hv) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS v,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+         |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+         |  FROM orders),
+         |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+         |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+         |c AS (SELECT v, d1, d2,
+         |        SUM(d1 + d2) OVER (ORDER BY v) - d1 - d2 AS below FROM vals),
+         |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+         |        CAST(SUM(d1 * (2 * below + d1 + d2 + 1)) AS BIGINT) AS r2 FROM c),
+         |b AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u1_x2 FROM a)
+         |SELECT n1 AS n_pos, n2 AS n_neg, u1_x2,
+         |  CAST(u1_x2::HUGEINT * 1000000 // (2 * n1 * n2) AS BIGINT) AS auc_ppm,
+         |  CAST(u1_x2::HUGEINT * 1000000 // (n1 * n2) - 1000000 AS BIGINT) AS gini_ppm
+         |FROM b""".stripMargin
+    },
+
+    "q_eval_ece" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH p AS (SELECT ($hv) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS score,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         |  FROM orders),
+         |g AS (SELECT score // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(SUM(y) AS BIGINT) AS n_pos,
+         |        CAST(SUM(score) AS BIGINT) AS sum_score
+         |      FROM p GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+         |  CAST(sum_score // n AS BIGINT) AS conf_ppm,
+         |  CAST(abs(n_pos * 1000000 // n - sum_score // n) AS BIGINT) AS gap_ppm,
+         |  CAST(n * abs(n_pos * 1000000 // n - sum_score // n) AS BIGINT) AS weighted_gap
+         |FROM g ORDER BY bin""".stripMargin
+    },
 
     "q_agg_mannwhitney" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
