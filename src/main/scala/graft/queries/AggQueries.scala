@@ -970,6 +970,51 @@ object AggQueries {
         .orderBy(col("bin"))
     }),
 
+    // BRIER SCORE + LOG-LOSS over the same deterministic predictions —
+    // the two proper scoring rules beside AUC's ranking view. Brier is
+    // a pure integer sum of squared ppm gaps (DECIMAL(38,0) headroom:
+    // (10⁶)²·n rows). Log-loss reports in CENTIBITS per example:
+    // ll_cb(y=1) = cb(10⁶) − cb(score) and ll_cb(y=0) = cb(10⁶) −
+    // cb(10⁶ − score), each cb = round(100·log2(count)) from the shared
+    // staged generator run once per DISTINCT score value — the score
+    // domain is bounded (< 10⁶) independent of row count, so the log
+    // table is constant-size at any SF. Scores of 0 would be -inf:
+    // the +1 clamp (cb over score+1) is the standard epsilon, applied
+    // identically in the oracle
+    "q_eval_scoring" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      val p = scan(s, d, "orders").select(
+          (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+            col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+            + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .withColumn("p1", col("score") + 1L) // clamp: log arg >= 1
+        .withColumn("p0", lit(1000001L) - col("score"))
+        .scopedPersist()
+      val vals = p.select(col("p1").as("v")).union(p.select(col("p0"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      // cb(10^6) = round(100·log2(10^6)) = 1993 — the fixed numerator
+      val scored = p
+        .join(broadcast(cb.select(col("v").as("p1"), col("cb").as("cb1"))), Seq("p1"))
+        .join(broadcast(cb.select(col("v").as("p0"), col("cb").as("cb0"))), Seq("p0"))
+        .select(col("score"), col("y"),
+          when(col("y") === 1L, lit(1993L) - col("cb1"))
+            .otherwise(lit(1993L) - col("cb0")).as("ll_cb"),
+          (col("score") - col("y") * 1000000L).as("gap"))
+      scored.agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0))").as("brier_num"),
+          sum(col("ll_cb")).as("ll_cb_sum"))
+        .select(col("n"),
+          expr("CAST(brier_num div n AS BIGINT)").as("brier_pp12"),
+          col("ll_cb_sum"),
+          expr("ll_cb_sum * 1000 div n").as("ll_mcb_mean"))
+    }),
+
     // FEATURE LIFT screening (the campaign-targeting / feature-triage
     // readout): per acctbal band, the purchase-conversion rate and its
     // LIFT over the global rate — all cross-multiplied integer ppm
@@ -1804,6 +1849,33 @@ object AggQueries {
         |    AS n_outliers
         |FROM v, r3
         |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
+
+    // same clamps, same staged log over the bounded score domain
+    "q_eval_scoring" -> {
+      import graft.ops.UlmTokenizer
+      val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      s"""WITH p AS (SELECT ($hv) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS score,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         |  FROM orders),
+         |p2 AS (SELECT score, y, score + 1 AS p1, 1000001 - score AS p0 FROM p),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT p1 AS v FROM p2 UNION SELECT p0 FROM p2)),
+         |st AS MATERIALIZED ($staged),
+         |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+         |s2 AS (SELECT score, y,
+         |        CASE WHEN y = 1 THEN 1993 - c1.cb ELSE 1993 - c0.cb END AS ll_cb,
+         |        score - y * 1000000 AS gap
+         |      FROM p2 JOIN cbt c1 ON c1.v = p2.p1 JOIN cbt c0 ON c0.v = p2.p0)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(gap::HUGEINT * gap) // count(*) AS BIGINT) AS brier_pp12,
+         |  CAST(SUM(ll_cb) AS BIGINT) AS ll_cb_sum,
+         |  CAST(SUM(ll_cb) * 1000 // count(*) AS BIGINT) AS ll_mcb_mean
+         |FROM s2""".stripMargin
+    },
 
     // same doubled-rank census; gini's subtraction stays on the
     // nonnegative floor-quotient so // and div agree

@@ -1149,6 +1149,55 @@ object StreamQueries {
       graft.ops.BitmapIndex.census(bm)
     }),
 
+    // STREAMING CRAWL INGEST — the WARC→HTML funnel as arriving shards:
+    // every output row is a pure per-media-row decision (decode this
+    // archive, parse its 200 payloads, gate on extraction volume), so
+    // batch slicing can't change results and per-batch outputs append
+    // directly — the q_stream_er shape on the binary tier. Oracle = the
+    // batch funnel's formula replay, verbatim
+    "q_stream_crawl" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+        .select(col("doc_id"))
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_scrawl_src_$suffix"
+      val out = s"/tmp/graft_scrawl_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val warc = graft.ops.Multimodal.syntheticCrawlWarc(batch, "doc_id")
+              .persist()
+            try {
+              val stats = graft.ops.Multimodal.extractWarcStats(warc)
+                .select(col("media_id"), col("n_members").as("n_records"), col("n_ok"))
+              val pages = graft.ops.Multimodal.extractHtmlStats(
+                graft.ops.Multimodal.extractWarcResponses(warc))
+              val pcensus = pages.groupBy(col("media_id"))
+                .agg(count(lit(1)).as("n_parsed"),
+                  sum(col("text_chars")).as("text_chars"),
+                  sum(when(col("text_chars") >= 259, 1L).otherwise(0L)).as("n_kept"))
+              val rows = stats.join(pcensus, Seq("media_id"), "left")
+                .select(col("media_id"), col("n_records"), col("n_ok"),
+                  coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+                  coalesce(col("text_chars"), lit(0L)).as("text_chars"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+              graft.sinks.Sinks.write(rows,
+                graft.model.SinkSpec("parquet", out, mode = "append"))
+            } finally { warc.unpersist(); () }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).orderBy(col("media_id"))
+    }),
+
     // STREAMING CIDR ENRICHMENT — the LPM census as an incremental
     // ingest: the longest-prefix decision is per-ROW (event + the
     // broadcast dim), so batch slicing can't change it; each micro-batch
@@ -1644,6 +1693,7 @@ object StreamQueries {
     "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
     "q_stream_cidr" -> FunnelQueries.oracleSql("q_events_cidr"),
+    "q_stream_crawl" -> MultimodalQueries.oracleSql("q_crawl_funnel"),
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
     "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
