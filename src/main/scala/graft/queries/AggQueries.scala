@@ -1015,6 +1015,91 @@ object AggQueries {
           expr("ll_cb_sum * 1000 div n").as("ll_mcb_mean"))
     }),
 
+    // CONFUSION-MATRIX SCORING at the operating threshold (500k ppm):
+    // tp/fp/fn/tn plus the derived metrics, every one an EXACT integer
+    // — precision/recall/F1 as floor-ppm, Matthews correlation as
+    // sign + squared ppm (mcc² = (tp·tn − fp·fn)²·10⁶ over the four
+    // marginals, DECIMAL(38,0) headroom so no sqrt and no float), and
+    // Cohen's kappa cross-multiplied to a single quotient with the
+    // numerator SIGN-DECOMPOSED (it can go negative; floor-div and
+    // trunc-div disagree there — the Kruskal lesson). One combinable
+    // 4-counter aggregation over the deterministic predictions
+    "q_eval_confusion" -> ((s: SparkSession, d: String) => {
+      scan(s, d, "orders").select(
+          (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+            col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+            + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .withColumn("pred", when(col("score") >= 500000L, 1L).otherwise(0L))
+        .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+        .withColumn("n", expr("tp + fp + fn + tn"))
+        .withColumn("mnum", expr(
+          "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"))
+        .withColumn("knum", expr(
+          """CAST(n AS DECIMAL(38,0)) * (tp + tn)
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))""".stripMargin))
+        .withColumn("kden", expr(
+          """CAST(n AS DECIMAL(38,0)) * n
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))""".stripMargin))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"),
+          expr("CAST(sign(mnum) AS BIGINT)").as("mcc_sign"),
+          expr("""CAST(mnum * mnum * 1000000
+                 |  div (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                 |       * (tn + fp) * (tn + fn)) AS BIGINT)""".stripMargin)
+            .as("mcc_sq_ppm"),
+          expr("CAST(CAST(sign(knum) AS BIGINT) * (abs(knum) * 1000000 div kden) AS BIGINT)")
+            .as("kappa_ppm"))
+    }),
+
+    // PR-AUC / AVERAGE PRECISION (step-wise, descending distinct
+    // thresholds — the convention documented HERE and mirrored
+    // definitionally in the oracle): AP = Σ_v Δtp(v)·P(v) / n⁺ with
+    // P(v) = tp(v)·10⁶ div (tp(v) + fp(v)) per distinct score v. The
+    // descending cumulative counts come from the SAME ascending
+    // two-level prefix spine (tp(v) = n⁺ − pos_below(v)), so no global
+    // descending sort is ever taken — the census relation is bounded
+    // by the score domain, not the row count
+    "q_eval_prauc" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
+      val wb = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bt
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+        .select(col("b"), col("p1"), col("p2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("below1", col("p1") + sum(col("d1")).over(wv) - col("d1"))
+        .withColumn("below2", col("p2") + sum(col("d2")).over(wv) - col("d2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("tp", col("n1") - col("below1"))
+        .withColumn("fp", col("n2") - col("below2"))
+        .withColumn("term", col("d1") * expr("tp * 1000000 div (tp + fp)"))
+        .agg(sum(col("term")).as("num"), max(col("n1")).as("n_pos"))
+        .select(col("n_pos"), col("num").as("ap_num"),
+          expr("num div n_pos").as("ap_ppm"))
+    }),
+
     // FEATURE LIFT screening (the campaign-targeting / feature-triage
     // readout): per acctbal band, the purchase-conversion rate and its
     // LIFT over the global rate — all cross-multiplied integer ppm
@@ -1849,6 +1934,63 @@ object AggQueries {
         |    AS n_outliers
         |FROM v, r3
         |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
+
+    // same confusion counters; HUGEINT carries the mcc/kappa products,
+    // kappa's numerator sign-decomposed identically
+    "q_eval_confusion" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH p AS (SELECT ($hv) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS score,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         |  FROM orders),
+         |c AS (SELECT
+         |    CAST(SUM(CASE WHEN y = 1 AND score >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN y = 0 AND score >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN y = 1 AND score < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN y = 0 AND score < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM p),
+         |d AS (SELECT *, tp + fp + fn + tn AS n,
+         |        tp::HUGEINT * tn - fp::HUGEINT * fn AS mnum,
+         |        n2.knum, n2.kden
+         |      FROM c, LATERAL (SELECT
+         |        (tp + fp + fn + tn)::HUGEINT * (tp + tn)
+         |          - ((tp + fp)::HUGEINT * (tp + fn) + (fn + tn)::HUGEINT * (fp + tn)) AS knum,
+         |        (tp + fp + fn + tn)::HUGEINT * (tp + fp + fn + tn)
+         |          - ((tp + fp)::HUGEINT * (tp + fn) + (fn + tn)::HUGEINT * (fp + tn)) AS kden) n2)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+         |  CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+         |  CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+         |  CAST(sign(mnum) AS BIGINT) AS mcc_sign,
+         |  CAST(mnum * mnum * 1000000
+         |    // ((tp + fp)::HUGEINT * (tp + fn) * (tn + fp) * (tn + fn)) AS BIGINT)
+         |    AS mcc_sq_ppm,
+         |  CAST(CAST(sign(knum) AS BIGINT) * (abs(knum) * 1000000 // kden) AS BIGINT)
+         |    AS kappa_ppm
+         |FROM d""".stripMargin
+    },
+
+    // definitional mirror of the engine's step-wise AP (plain window
+    // over the distinct-score census — oracle-side naivety is fine)
+    "q_eval_prauc" -> {
+      val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT ($hv) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS v,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+         |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+         |  FROM orders),
+         |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+         |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+         |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1 FROM vals),
+         |cum AS (SELECT v, d1,
+         |          SUM(d1) OVER (ORDER BY v DESC) AS tp,
+         |          SUM(d2) OVER (ORDER BY v DESC) AS fp
+         |        FROM vals),
+         |terms AS (SELECT d1 * (tp * 1000000 // (tp + fp)) AS term FROM cum)
+         |SELECT n1 AS n_pos, CAST(SUM(term) AS BIGINT) AS ap_num,
+         |  CAST(SUM(term) // n1 AS BIGINT) AS ap_ppm
+         |FROM terms, t GROUP BY n1""".stripMargin
+    },
 
     // same clamps, same staged log over the bounded score domain
     "q_eval_scoring" -> {
