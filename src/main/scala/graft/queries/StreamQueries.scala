@@ -1149,6 +1149,74 @@ object StreamQueries {
       graft.ops.BitmapIndex.census(bm)
     }),
 
+    // STREAMING MODEL-EVAL MONITOR — the confusion matrix is the
+    // textbook mergeable summary (four additive counters), so the
+    // production shape "score arriving traffic, keep a running quality
+    // readout" appends one 4-counter partial per micro-batch and the
+    // final readout derives every metric from the rolled-up counts.
+    // Oracle = the batch confusion query's SQL, verbatim
+    "q_stream_eval" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val o = graft.engine.QueryBuilder.scan(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_seval_src_$suffix"
+      val out = s"/tmp/graft_seval_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      o.repartition(3, col("o_orderkey")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val scored = batch.select(
+              (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+                col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+                + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
+              when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+              .withColumn("pred", when(col("score") >= 500000L, 1L).otherwise(0L))
+            val partial = scored.agg(
+              sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+              sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+              sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+              sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+            graft.sinks.Sinks.write(partial,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .agg(sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+          sum(col("fn")).as("fn"), sum(col("tn")).as("tn"))
+        .withColumn("n", expr("tp + fp + fn + tn"))
+        .withColumn("mnum", expr(
+          "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"))
+        .withColumn("knum", expr(
+          """CAST(n AS DECIMAL(38,0)) * (tp + tn)
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))""".stripMargin))
+        .withColumn("kden", expr(
+          """CAST(n AS DECIMAL(38,0)) * n
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))""".stripMargin))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"),
+          expr("CAST(sign(mnum) AS BIGINT)").as("mcc_sign"),
+          expr("""CAST(mnum * mnum * 1000000
+                 |  div (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                 |       * (tn + fp) * (tn + fn)) AS BIGINT)""".stripMargin)
+            .as("mcc_sq_ppm"),
+          expr("CAST(CAST(sign(knum) AS BIGINT) * (abs(knum) * 1000000 div kden) AS BIGINT)")
+            .as("kappa_ppm"))
+    }),
+
     // STREAMING CRAWL INGEST — the WARC→HTML funnel as arriving shards:
     // every output row is a pure per-media-row decision (decode this
     // archive, parse its 200 payloads, gate on extraction volume), so
@@ -1694,6 +1762,7 @@ object StreamQueries {
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
     "q_stream_cidr" -> FunnelQueries.oracleSql("q_events_cidr"),
     "q_stream_crawl" -> MultimodalQueries.oracleSql("q_crawl_funnel"),
+    "q_stream_eval" -> AggQueries.oracleSql("q_eval_confusion"),
     "q_stream_hll" -> SqlFunctionQueries.oracleSql("q_agg_hll"),
     "q_stream_psi" -> QualityQueries.oracleSql("q_dq_psi"),
     "q_stream_retention" -> SqlFunctionQueries.oracleSql("q_agg_retention"),
