@@ -262,6 +262,57 @@ object FunnelQueries {
     // q_ts_rolling_dau contribute-to-buckets shape. Output: the
     // conversion-context histogram (views_7d capped at 10 → purchases,
     // users)
+    // KAPLAN–MEIER SURVIVAL CURVE (product-limit estimator, 1958) —
+    // the churn/retention readout in EXACT LOG SPACE: the product
+    // Π(1 − d_t/n_t) becomes the SUM Σ(cb(n_t − d_t) − cb(n_t)) in
+    // integer centibits from the shared staged log (single-count args
+    // only, run once per DISTINCT at-risk/survivor count). A user's
+    // "death" day is their last observed event day; at-risk counts
+    // come from one reverse prefix sum over the DAY dimension (tiny —
+    // windows there are free; the user census is the only
+    // corpus-sized pass). The terminal day (everyone remaining dies,
+    // S→0, log undefined) contributes no term and is flagged — the
+    // convention the oracle mirrors definitionally
+    "q_events_survival" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.UlmTokenizer
+      val users = scan(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(date_trunc("day", col("ts"))).as("last_day"))
+      val deaths = users.groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("d"))
+      val tot = deaths.agg(sum(col("d")).as("nu"))
+      val wd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = deaths.crossJoin(broadcast(tot))
+        .withColumn("below", coalesce(sum(col("d")).over(wd), lit(0L)))
+        .withColumn("n_risk", col("nu") - col("below"))
+        .withColumn("surv", col("n_risk") - col("d"))
+        .scopedPersist()
+      val vals = risk.select(col("n_risk").as("v"))
+        .union(risk.filter(col("surv") >= 1).select(col("surv")))
+        .distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      risk
+        .join(broadcast(cb.select(col("v").as("n_risk"), col("cb").as("cb_n"))),
+          Seq("n_risk"))
+        .join(broadcast(cb.select(col("v").as("surv"), col("cb").as("cb_s"))),
+          Seq("surv"), "left_outer")
+        .withColumn("term",
+          when(col("surv") >= 1, col("cb_s") - col("cb_n")).otherwise(0L))
+        .withColumn("s_cb", sum(col("term")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col("n_risk"), col("d").as("n_deaths"),
+          col("s_cb"),
+          when(col("surv") === 0L, 1L).otherwise(0L).as("terminal"))
+        .orderBy(col("day"))
+    }),
+
     // CIDR LONGEST-PREFIX-MATCH CENSUS — the IP-enrichment join every
     // clickstream/geo pipeline runs: events carry a deterministic
     // synthetic IPv4 (Knuth multiplicative hash of event_id mod 2^32 —
@@ -617,6 +668,39 @@ object FunnelQueries {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same survivor/at-risk censuses, same staged log, same terminal
+    // convention
+    "q_events_survival" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS last_day
+         |  FROM events GROUP BY user_id),
+         |dd AS (SELECT last_day AS day, CAST(count(*) AS BIGINT) AS d
+         |       FROM u GROUP BY last_day),
+         |t AS (SELECT CAST(SUM(d) AS BIGINT) AS nu FROM dd),
+         |r AS (SELECT day, d, nu - CAST(COALESCE(SUM(d) OVER (ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS n_risk
+         |      FROM dd, t),
+         |r2 AS (SELECT *, n_risk - d AS surv FROM r),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT n_risk AS v FROM r2
+         |    UNION SELECT surv FROM r2 WHERE surv >= 1)),
+         |st AS MATERIALIZED ($staged),
+         |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+         |tm AS (SELECT r2.day, r2.n_risk, r2.d, r2.surv,
+         |         CASE WHEN r2.surv >= 1 THEN cs.cb - cn.cb ELSE 0 END AS term
+         |       FROM r2 JOIN cbt cn ON cn.v = r2.n_risk
+         |            LEFT JOIN cbt cs ON cs.v = r2.surv)
+         |SELECT day, n_risk, d AS n_deaths,
+         |  CAST(SUM(term) OVER (ORDER BY day) AS BIGINT) AS s_cb,
+         |  CAST(CASE WHEN surv = 0 THEN 1 ELSE 0 END AS BIGINT) AS terminal
+         |FROM tm ORDER BY day""".stripMargin
+    },
 
     // dim rebuilt from the same range() formulas; LPM via window rank
     // (same tie-free ordering as the engine's struct-max)
