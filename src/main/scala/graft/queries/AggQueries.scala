@@ -1015,6 +1015,84 @@ object AggQueries {
           expr("ll_cb_sum * 1000 div n").as("ll_mcb_mean"))
     }),
 
+    // DECISION-STUMP SPLIT SCAN (the CART/GBDT inner loop, Breiman
+    // 1984) — for every candidate threshold over a numeric feature,
+    // the EXACT information gain in centibit-scaled integers:
+    // 100·n·H(n, c₁) = n·cb(n) − c₁·cb(c₁) − c₀·cb(c₀) (each cb from
+    // the shared staged log; 0·cb(0) ≡ 0 via the left-join guard), and
+    // gain(t) = parent − left − right over prefix sums of the
+    // distinct-value census. The census and the log table are bounded
+    // by the FEATURE DOMAIN (acctbal has ~11k floor values at any SF),
+    // so the scan costs one corpus pass + domain-sized work — the shape
+    // that lets a 100 TB feature store scan splits per feature. Top-5
+    // thresholds by gain, deterministic tie-break
+    "q_feature_split" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.UlmTokenizer
+      val c = scan(s, d, "customer").select(
+        floor(col("c_acctbal")).cast("long").as("v"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("y"))
+      val census = c.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("c1"))
+      val tot = census.agg(sum(col("n")).as("nn"), sum(col("c1")).as("cc1"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cand = census
+        .withColumn("nl", sum(col("n")).over(wv))
+        .withColumn("c1l", sum(col("c1")).over(wv))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nn")) // right side nonempty
+        .withColumn("c0l", col("nl") - col("c1l"))
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("c1r", col("cc1") - col("c1l"))
+        .withColumn("c0r", col("nr") - col("c1r"))
+        .scopedPersist()
+      val vals = Seq("nl", "c1l", "c0l", "nr", "c1r", "c0r")
+        .map(cn => cand.filter(col(cn) >= 1).select(col(cn).as("v2")))
+        .reduce(_ union _)
+        .union(tot.select(col("nn").as("v2")))
+        .union(tot.filter(col("cc1") >= 1).select(col("cc1")))
+        .union(tot.filter(col("nn") - col("cc1") >= 1).select(col("nn") - col("cc1")))
+        .distinct().withColumnRenamed("v2", "v")
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      def cbOf(cn: String, as: String) = broadcast(
+        cb.select(col("v").as(cn), col("cb").as(as)))
+      // parent 100·n·H as a 1-row relation through the same cb table
+      val parent = tot
+        .join(cbOf("nn", "cb_nn"), Seq("nn"))
+        .join(cbOf("cc1", "cb_c1"), Seq("cc1"), "left_outer")
+        .withColumn("c0", col("nn") - col("cc1"))
+        .join(cbOf("c0", "cb_c0"), Seq("c0"), "left_outer")
+        .select((col("nn") * col("cb_nn")
+          - col("cc1") * coalesce(col("cb_c1"), lit(0L))
+          - col("c0") * coalesce(col("cb_c0"), lit(0L))).as("parent_ent"))
+      cand
+        .join(cbOf("nl", "cb_nl"), Seq("nl"))
+        .join(cbOf("c1l", "cb_c1l"), Seq("c1l"), "left_outer")
+        .join(cbOf("c0l", "cb_c0l"), Seq("c0l"), "left_outer")
+        .join(cbOf("nr", "cb_nr"), Seq("nr"))
+        .join(cbOf("c1r", "cb_c1r"), Seq("c1r"), "left_outer")
+        .join(cbOf("c0r", "cb_c0r"), Seq("c0r"), "left_outer")
+        .crossJoin(broadcast(parent))
+        .withColumn("gain_scaled", col("parent_ent")
+          - (col("nl") * col("cb_nl")
+            - col("c1l") * coalesce(col("cb_c1l"), lit(0L))
+            - col("c0l") * coalesce(col("cb_c0l"), lit(0L)))
+          - (col("nr") * col("cb_nr")
+            - col("c1r") * coalesce(col("cb_c1r"), lit(0L))
+            - col("c0r") * coalesce(col("cb_c0r"), lit(0L))))
+        .select(col("v").as("threshold"), col("nl").as("n_left"),
+          col("c1l").as("c1_left"), col("nr").as("n_right"),
+          col("c1r").as("c1_right"), col("gain_scaled"))
+        .orderBy(col("gain_scaled").desc, col("threshold"))
+        .limit(5)
+    }),
+
     // CONFUSION-MATRIX SCORING at the operating threshold (500k ppm):
     // tp/fp/fn/tn plus the derived metrics, every one an EXACT integer
     // — precision/recall/F1 as floor-ppm, Matthews correlation as
@@ -1934,6 +2012,68 @@ object AggQueries {
         |    AS n_outliers
         |FROM v, r3
         |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
+
+    // same census, prefix sums as one plain window (oracle-side
+    // naivety), same staged log with the 0-count left-join guard
+    "q_feature_split" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      s"""WITH c AS (SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
+         |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+         |  FROM customer),
+         |census AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(SUM(y) AS BIGINT) AS c1 FROM c GROUP BY v),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |        CAST(SUM(c1) AS BIGINT) AS cc1 FROM census),
+         |cand AS (SELECT v,
+         |    SUM(n) OVER (ORDER BY v) AS nl, SUM(c1) OVER (ORDER BY v) AS c1l,
+         |    nn, cc1
+         |  FROM census, t),
+         |c2 AS (SELECT v, nl, c1l, nl - c1l AS c0l, nn - nl AS nr,
+         |         cc1 - c1l AS c1r, (nn - nl) - (cc1 - c1l) AS c0r, nn, cc1
+         |       FROM cand WHERE nl < nn),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT nl AS v FROM c2 WHERE nl >= 1
+         |    UNION SELECT c1l FROM c2 WHERE c1l >= 1
+         |    UNION SELECT c0l FROM c2 WHERE c0l >= 1
+         |    UNION SELECT nr FROM c2 WHERE nr >= 1
+         |    UNION SELECT c1r FROM c2 WHERE c1r >= 1
+         |    UNION SELECT c0r FROM c2 WHERE c0r >= 1
+         |    UNION SELECT nn FROM t
+         |    UNION SELECT cc1 FROM t WHERE cc1 >= 1
+         |    UNION SELECT nn - cc1 FROM t WHERE nn - cc1 >= 1)),
+         |st AS MATERIALIZED ($staged),
+         |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st),
+         |parent AS (SELECT t.nn * pn.cb
+         |    - t.cc1 * COALESCE(p1.cb, 0)
+         |    - (t.nn - t.cc1) * COALESCE(p0.cb, 0) AS parent_ent
+         |  FROM t JOIN cbt pn ON pn.v = t.nn
+         |       LEFT JOIN cbt p1 ON p1.v = t.cc1
+         |       LEFT JOIN cbt p0 ON p0.v = t.nn - t.cc1),
+         |g AS (SELECT c2.v AS threshold, c2.nl AS n_left, c2.c1l AS c1_left,
+         |        c2.nr AS n_right, c2.c1r AS c1_right,
+         |        parent.parent_ent
+         |          - (c2.nl * xnl.cb - c2.c1l * COALESCE(x1l.cb, 0)
+         |             - c2.c0l * COALESCE(x0l.cb, 0))
+         |          - (c2.nr * xnr.cb - c2.c1r * COALESCE(x1r.cb, 0)
+         |             - c2.c0r * COALESCE(x0r.cb, 0)) AS gain_scaled
+         |      FROM c2
+         |      JOIN cbt xnl ON xnl.v = c2.nl
+         |      LEFT JOIN cbt x1l ON x1l.v = c2.c1l
+         |      LEFT JOIN cbt x0l ON x0l.v = c2.c0l
+         |      JOIN cbt xnr ON xnr.v = c2.nr
+         |      LEFT JOIN cbt x1r ON x1r.v = c2.c1r
+         |      LEFT JOIN cbt x0r ON x0r.v = c2.c0r
+         |      CROSS JOIN parent)
+         |SELECT threshold, CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(c1_left AS BIGINT) AS c1_left,
+         |  CAST(n_right AS BIGINT) AS n_right,
+         |  CAST(c1_right AS BIGINT) AS c1_right,
+         |  CAST(gain_scaled AS BIGINT) AS gain_scaled
+         |FROM g ORDER BY gain_scaled DESC, threshold LIMIT 5""".stripMargin
+    },
 
     // same confusion counters; HUGEINT carries the mcc/kappa products,
     // kappa's numerator sign-decomposed identically
