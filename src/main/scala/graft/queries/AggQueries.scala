@@ -1015,6 +1015,55 @@ object AggQueries {
           expr("ll_cb_sum * 1000 div n").as("ll_mcb_mean"))
     }),
 
+    // 1-D WASSERSTEIN / EARTH-MOVER DISTANCE (the drift measure KS's
+    // max understates: EMD integrates |F₁−F₂| over the VALUE axis, so
+    // a small-but-everywhere shift scores, not just the worst point):
+    // EMD = Σ_v |cum₁(v)·n₂ − cum₂(v)·n₁| · gap(v) / (n₁·n₂), exact —
+    // cumulative counts from the SAME two-level prefix spine as
+    // q_agg_ks, the value gap from a within-bucket lead with the next
+    // bucket's first value as the boundary fallback (the bucket dim is
+    // tiny, broadcast), and the weighted sum in DECIMAL(38,0) (terms
+    // reach ~10¹⁸ at sf1). Reported as floor-ppm of a cent
+    "q_agg_emd" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = scan(s, d, "orders").select(
+        floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      val vals = o.groupBy(col("v"))
+        .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
+        .withColumn("b", expr("v div 16384"))
+      val bt = vals.groupBy(col("b"))
+        .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"),
+          min(col("v")).as("first_v"))
+      val wb = Window.orderBy(col("b"))
+      val bpre = bt
+        .withColumn("p1", coalesce(sum(col("s1")).over(
+          wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(
+          wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("next_first", lead(col("first_v"), 1).over(Window.orderBy(col("b"))))
+        .select(col("b"), col("p1"), col("p2"), col("next_first"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      val tot = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      vals.join(broadcast(bpre), Seq("b"))
+        .withColumn("cum1", col("p1") + sum(col("d1")).over(
+          wv.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum2", col("p2") + sum(col("d2")).over(
+          wv.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lead_v", coalesce(lead(col("v"), 1).over(wv), col("next_first")))
+        .filter(col("lead_v").isNotNull) // the global max value carries no gap
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+            |  - CAST(cum2 AS DECIMAL(38,0)) * n1) * (lead_v - v)""".stripMargin))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("term")).as("emd_num"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(emd_num * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("emd_cents_ppm"))
+    }),
+
     // DECISION-STUMP SPLIT SCAN (the CART/GBDT inner loop, Breiman
     // 1984) — for every candidate threshold over a numeric feature,
     // the EXACT information gain in centibit-scaled integers:
@@ -2012,6 +2061,27 @@ object AggQueries {
         |    AS n_outliers
         |FROM v, r3
         |GROUP BY r3.n, r3.k, r3.mu0, r3.mu1, r3.mu2, r3.mu3""".stripMargin,
+
+    // plain-window naive mirror: inclusive cumulatives + global lead
+    "q_agg_emd" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
+        |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(SUM(w1) AS BIGINT) AS d1,
+        |           CAST(SUM(w2) AS BIGINT) AS d2 FROM o GROUP BY v),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |        CAST(SUM(d2) AS BIGINT) AS n2 FROM vals),
+        |c AS (SELECT v, SUM(d1) OVER (ORDER BY v) AS cum1,
+        |        SUM(d2) OVER (ORDER BY v) AS cum2,
+        |        lead(v) OVER (ORDER BY v) AS lead_v
+        |      FROM vals),
+        |terms AS (SELECT abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1)
+        |            * (lead_v - v) AS term
+        |          FROM c, t WHERE lead_v IS NOT NULL)
+        |SELECT n1, n2,
+        |  CAST(SUM(term) * 1000000 // (n1::HUGEINT * n2) AS BIGINT) AS emd_cents_ppm
+        |FROM terms, t GROUP BY n1, n2""".stripMargin,
 
     // same census, prefix sums as one plain window (oracle-side
     // naivety), same staged log with the 0-count left-join guard
