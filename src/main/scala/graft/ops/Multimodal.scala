@@ -471,7 +471,7 @@ object Multimodal {
     t
   }
 
-  private def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
+  private[ops] def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
     var c = 0xffffffff
     var i = off
     while (i < off + len) { c = Crc32cTable((c ^ b(i)) & 0xff) ^ (c >>> 8); i += 1 }
@@ -481,7 +481,7 @@ object Multimodal {
   /** TFRecord's masked CRC: rotate-right 15 + magic, per the public
     * TensorFlow framing spec.
     */
-  private def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+  private[graft] def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
     val c = crc32c(b, off, len)
     ((c >>> 15) | (c << 17)) + 0xa282ead8
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder.scan
-import graft.ops.Multimodal
+import graft.ops.{ModelFormats, Multimodal}
 
 /** Multimodal plumbing queries: binary payload ingest, stub decode via a
   * typed mapPartitions pipeline, frame sampling. Payloads here are UTF-8
@@ -402,6 +402,54 @@ object MultimodalQueries {
     "q_multimodal_pdf" -> ((s: SparkSession, d: String) => {
       Multimodal.extractPdfStats(
         Multimodal.syntheticPdf(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL SAFETENSORS DECODE — 23rd format, the HuggingFace weight
+    // container a model registry ingests: u64 header length, JSON
+    // tensor map, and the offset-tiling invariant (sorted data_offsets
+    // must cover the data section exactly) VERIFIED per file; dtype
+    // census + exact parameter/byte mass + raw-data byte sum. Oracle
+    // replays the fixture formula without parsing a byte
+    "q_multimodal_safetensors" -> ((s: SparkSession, d: String) => {
+      ModelFormats.extractSafetensorsStats(
+        ModelFormats.syntheticSafetensors(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL NPY DECODE — 24th format, the NumPy array file embeddings
+    // and labels ship in: magic/version/u16 header length, Python-dict
+    // header parse (descr, fortran_order, shape tuple), 64-alignment
+    // and total-length validation, exact little-endian i32 element sum
+    // (the endianness witness). Oracle replays the fixture formula
+    "q_multimodal_npy" -> ((s: SparkSession, d: String) => {
+      ModelFormats.extractNpyStats(
+        ModelFormats.syntheticNpy(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL GGUF DECODE — 25th format, the llama.cpp model container:
+    // typed metadata-KV walk (string/u32/u64/i32-array), tensor infos
+    // with every stored offset VERIFIED against the recomputed
+    // 32-aligned running offset, data byte sum over the real tensor
+    // spans (padding excluded — the alignment witness). Oracle replays
+    // the fixture formula including the alignment arithmetic
+    "q_multimodal_gguf" -> ((s: SparkSession, d: String) => {
+      ModelFormats.extractGgufStats(
+        ModelFormats.syntheticGguf(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL PROTOBUF tf.Example DECODE — 26th format, completing the
+    // TFRecord story (q_multimodal_tfrecord walks the CRC32C framing;
+    // this walks the protobuf INSIDE each frame): varint tags,
+    // length-delimited submessages, the Features map, packed
+    // int64/float lists — census by value kind with exact sum
+    // witnesses (floats are fixture half-integers, summed as 2v).
+    // Oracle replays the fixture formula
+    "q_multimodal_tfexample" -> ((s: SparkSession, d: String) => {
+      ModelFormats.extractTfExampleStats(
+        ModelFormats.syntheticTfExample(scan(s, d, "documents"), "doc_id"))
         .orderBy(col("media_id"))
     }),
 
@@ -1053,6 +1101,116 @@ object MultimodalQueries {
         |  stream_bytes, n_tj, mm AS n_tjarr, text_chars,
         |  CAST(3 + 2 * mm AS INT) AS trailer_size
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // formula replay: T = 2 + id%4 tensors, tensor i has
+    // params = (1+(id+i)%5)(1+(id+3i)%7) and esize 4 (F32, even i) /
+    // 1 (I8, odd i); data byte j of tensor i = (id + 11i + j) % 256
+    "q_multimodal_safetensors" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INT) AS t
+        |           FROM documents),
+        |f AS (SELECT id, t, unnest(range(0, t)) AS i FROM m),
+        |sz AS (SELECT id, t, i,
+        |        CAST((1 + (id + i) % 5) * (1 + (id + 3*i) % 7) AS BIGINT) AS params,
+        |        CAST(CASE WHEN i % 2 = 0 THEN 4 ELSE 1 END AS BIGINT) AS esize
+        |       FROM f),
+        |nb AS (SELECT id, t, i, params, params * esize AS nbytes FROM sz),
+        |b AS (SELECT id, i, unnest(range(0, nbytes)) AS j FROM nb),
+        |ds AS (SELECT id, CAST(SUM((id + 11*i + j) % 256) AS BIGINT) AS data_sum
+        |       FROM b GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(t) AS INT) AS t,
+        |         CAST(SUM(params) AS BIGINT) AS n_params,
+        |         CAST(SUM(nbytes) AS BIGINT) AS data_bytes,
+        |         CAST(MAX(nbytes) AS BIGINT) AS max_tensor_bytes
+        |       FROM nb GROUP BY id)
+        |SELECT a.id AS media_id, a.t AS n_tensors,
+        |  CAST((a.t + 1) // 2 AS INT) AS n_f32, CAST(a.t // 2 AS INT) AS n_i8,
+        |  a.n_params, a.data_bytes, a.max_tensor_bytes,
+        |  'graft' AS meta_format, d.data_sum
+        |FROM agg a JOIN ds d ON a.id = d.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: <i4 C-order (1+id%6, 1+id%9) matrix, element j
+    // (row-major) = (id*7 + j) % 1000 - 500; constant 118-byte header
+    "q_multimodal_npy" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 6 AS BIGINT) AS r,
+        |            CAST(1 + doc_id % 9 AS BIGINT) AS c FROM documents),
+        |e AS (SELECT id, unnest(range(0, r * c)) AS j FROM m),
+        |ds AS (SELECT id, CAST(SUM((id*7 + j) % 1000 - 500) AS BIGINT) AS data_sum
+        |       FROM e GROUP BY id)
+        |SELECT m.id AS media_id, CAST(1 AS INT) AS major, CAST(0 AS INT) AS minor,
+        |  CAST(2 AS INT) AS n_dims, m.r AS d0, m.c AS d1,
+        |  CAST(m.r * m.c AS BIGINT) AS n_elems, CAST(4 AS INT) AS elem_bytes,
+        |  CAST(0 AS INT) AS fortran, CAST(118 AS INT) AS header_bytes,
+        |  ds.data_sum
+        |FROM m JOIN ds ON m.id = ds.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: T = 1 + id%4 tensors (params as safetensors,
+    // esize 4/2), K = 2 + id%3 KVs (layer_count 1+id%7; ctx 128+id%512
+    // iff K>=3; i32 array sum iff K=4), align32(nb) = ((nb+31)//32)*32,
+    // inter-tensor pad only, data byte j of tensor i = (id+13i+j)%256
+    "q_multimodal_gguf" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 4 AS INT) AS t,
+        |            CAST(2 + doc_id % 3 AS INT) AS kvs FROM documents),
+        |f AS (SELECT id, t, unnest(range(0, t)) AS i FROM m),
+        |sz AS (SELECT id, t, i,
+        |        CAST((1 + (id + i) % 5) * (1 + (id + 3*i) % 7) AS BIGINT) AS params,
+        |        CAST(CASE WHEN i % 2 = 0 THEN 4 ELSE 2 END AS BIGINT) AS esize
+        |       FROM f),
+        |nb AS (SELECT id, t, i, params, params * esize AS nbytes FROM sz),
+        |db AS (SELECT id, i, unnest(range(0, nbytes)) AS j FROM nb),
+        |ds AS (SELECT id, CAST(SUM((id + 13*i + j) % 256) AS BIGINT) AS data_sum
+        |       FROM db GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(t) AS INT) AS t,
+        |         CAST(SUM(params) AS BIGINT) AS n_params,
+        |         CAST(SUM(nbytes) AS BIGINT) AS data_bytes,
+        |         CAST(SUM(CASE WHEN i < t - 1
+        |            THEN ((nbytes + 31) // 32) * 32 - nbytes ELSE 0 END) AS BIGINT)
+        |           AS pad_bytes
+        |       FROM nb GROUP BY id),
+        |ar AS (SELECT id, CAST(SUM((id + j) % 100) AS BIGINT) AS arr_sum
+        |       FROM (SELECT id, unnest(range(0, 2 + id % 3)) AS j
+        |             FROM m WHERE kvs = 4) GROUP BY id)
+        |SELECT m.id AS media_id, CAST(3 AS INT) AS version, m.kvs AS n_kv,
+        |  a.t AS n_tensors,
+        |  CAST((a.t + 1) // 2 AS INT) AS n_f32, CAST(a.t // 2 AS INT) AS n_f16,
+        |  CAST(1 + m.id % 7 AS BIGINT) AS layer_count,
+        |  CAST(CASE WHEN m.kvs >= 3 THEN 128 + m.id % 512 ELSE 0 END AS BIGINT)
+        |    AS ctx_len,
+        |  CAST(COALESCE(ar.arr_sum, 0) AS BIGINT) AS arr_sum,
+        |  a.n_params, a.data_bytes, a.pad_bytes, d.data_sum
+        |FROM m JOIN agg a ON m.id = a.id JOIN ds d ON m.id = d.id
+        |LEFT JOIN ar ON m.id = ar.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: n = 1 + id%3 records; record k carries 3 map
+    // entries — int64 values (id+k)%10 and 300+(id+k)%200, one bytes
+    // value of L = 5+(id+k)%20 bytes 97+(id+k+j)%26, and
+    // m = 2+(id+k)%3 half-integer floats (id+k)%7 + j/2 (summed as 2v)
+    "q_multimodal_tfexample" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS n
+        |           FROM documents),
+        |rec AS (SELECT id, n, unnest(range(0, n)) AS k FROM m),
+        |r2 AS (SELECT id, n, k,
+        |        CAST(5 + (id + k) % 20 AS BIGINT) AS l,
+        |        CAST(2 + (id + k) % 3 AS BIGINT) AS mf,
+        |        CAST((id + k) % 10 + 300 + (id + k) % 200 AS BIGINT) AS isum,
+        |        CAST((id + k) % 7 AS BIGINT) AS base FROM rec),
+        |bs AS (SELECT id, CAST(SUM(97 + (id + k + j) % 26) AS BIGINT) AS byte_sum
+        |       FROM (SELECT id, k, unnest(range(0, l)) AS j FROM r2) GROUP BY id),
+        |fs AS (SELECT id, CAST(SUM(2 * base + j) AS BIGINT) AS float_2sum,
+        |         CAST(COUNT(*) AS BIGINT) AS n_float_vals
+        |       FROM (SELECT id, base, unnest(range(0, mf)) AS j FROM r2)
+        |       GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(n) AS INT) AS n_records,
+        |         CAST(3 * COUNT(*) AS BIGINT) AS n_entries,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bytes_vals,
+        |         CAST(2 * COUNT(*) AS BIGINT) AS n_int_vals,
+        |         CAST(SUM(l) AS BIGINT) AS bytes_len_sum,
+        |         CAST(SUM(isum) AS BIGINT) AS int_sum
+        |       FROM r2 GROUP BY id)
+        |SELECT a.id AS media_id, a.n_records, a.n_entries, a.n_bytes_vals,
+        |  a.n_int_vals, f.n_float_vals, a.bytes_len_sum, b.byte_sum,
+        |  a.int_sum, f.float_2sum
+        |FROM agg a JOIN bs b ON a.id = b.id JOIN fs f ON a.id = f.id
+        |ORDER BY media_id""".stripMargin,
 
     // formula replay: cue i starts 3000i + id%700 and lasts
     // 800 + (id+37i)%1500; gaps are 3000 − dur, so max_gap =
