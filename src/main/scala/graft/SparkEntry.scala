@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.MergeQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.FunnelQueries.queries ++
-      graft.queries.EntityQueries.queries
+      graft.queries.EntityQueries.queries ++
+      graft.queries.PrefQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -84,5 +85,6 @@ object SparkEntry {
       graft.queries.MergeQueries.oracleSql ++
       graft.queries.QualityQueries.oracleSql ++
       graft.queries.FunnelQueries.oracleSql ++
-      graft.queries.EntityQueries.oracleSql
+      graft.queries.EntityQueries.oracleSql ++
+      graft.queries.PrefQueries.oracleSql
 }
