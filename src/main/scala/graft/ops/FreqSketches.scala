@@ -69,4 +69,67 @@ object FreqSketches {
         explode(sequence(lit(0L), lit(d - 1L))).as("r"))
       .select(col("r"), (col("cnt") * amsSign(col("r"), col("x"))).as("s"))
       .groupBy(col("r")).agg(sum(col("s")).as("z"))
+
+  /** Bloom bit position of item `x` for hash row `r`: portable 60-bit
+    * md5 hash mod m. */
+  def bloomPos(r: Column, x: Column, m: Int): Column =
+    pmod(Dedup.hex60(md5(concat(lit("bloom:"), r.cast("string"), lit(":"), x)
+      .cast("binary"))), lit(m.toLong))
+
+  /** The (w, bits) BLOOM-FILTER relation (Bloom 1970) over the DISTINCT
+    * items — the membership sketch completing the relational family
+    * (CMS frequency, AMS F₂, HLL cardinality, bitmap exact-set): k
+    * positions per item, 32 bits per BIGINT word (the BitmapIndex
+    * convention — bit 31 is the largest used, so the mask stays
+    * positive in every engine), `bit_or` IS the merge. m/32 rows total,
+    * so per-batch partials append as plain rows and roll up with one
+    * more groupBy. */
+  def bloomSketch(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame =
+    items.select(col(itemCol).as("x")).distinct()
+      .select(col("x"), explode(sequence(lit(0L), lit(k - 1L))).as("r"))
+      .select(bloomPos(col("r"), col("x"), m).as("pos"))
+      .select(expr("pos div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mk"))
+      .groupBy(col("w")).agg(expr("bit_or(mk)").as("bits"))
+
+  /** Membership census for a probe relation against a Bloom relation:
+    * positive iff ALL k probed bits are set (min over the per-hash
+    * hits). The probe side expands k-fold and equi-joins on the word —
+    * never a rescan of the member set. Emits (p, hit ∈ {0, 1}). */
+  def bloomTest(sketch: DataFrame, probes: DataFrame, probeCol: String,
+                k: Int, m: Int): DataFrame =
+    probes.select(col(probeCol).as("p"))
+      .withColumn("r", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("pos", bloomPos(col("r"), col("p"), m))
+      .select(col("p"), expr("pos div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mk"))
+      .join(sketch, Seq("w"), "left")
+      .groupBy(col("p"))
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mk")) =!= 0L,
+        1L).otherwise(0L)).as("hit"))
+
+  /** The standard Bloom census over a (w, bits) relation: fill, the
+    * no-false-negatives THEOREM re-probed over every member, and the
+    * exact false-positive count over 200 'zz<i>' probes (digits can't
+    * appear in an [a-z]+ item set, so they are guaranteed non-members).
+    * Shared by the batch and streaming cells so both replay the same
+    * oracle verbatim. */
+  def bloomCensus(sketch: DataFrame, members: DataFrame, memberCol: String,
+                  k: Int, m: Int): DataFrame = {
+    import graft.ops.CacheScope.ScopedPersist
+    val s = sketch.sparkSession
+    val sk = sketch.scopedPersist()
+    val bits = sk.agg(sum(expr("bit_count(bits)")).cast("long").as("n_set_bits"))
+    val mem = bloomTest(sk, members, memberCol, k, m)
+      .agg(count(lit(1)).as("n_members"), min(col("hit")).as("all_hit"))
+    val negs = s.range(200).select(concat(lit("zz"), col("id")).as("p"))
+    val neg = bloomTest(sk, negs, "p", k, m)
+      .agg(sum(col("hit")).as("n_false_pos"))
+    mem.crossJoin(broadcast(bits)).crossJoin(broadcast(neg))
+      .select(col("n_members"), col("n_set_bits"),
+        expr(s"n_set_bits * 1000000 div $m").as("fill_ppm"),
+        (col("all_hit") === 1L).as("no_false_negatives"),
+        lit(200L).as("n_neg_probes"), col("n_false_pos"),
+        expr("n_false_pos * 1000000 div 200").as("fpr_ppm"))
+  }
 }

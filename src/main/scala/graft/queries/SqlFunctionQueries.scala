@@ -526,6 +526,25 @@ object SqlFunctionQueries {
         .orderBy(col("lang"), col("token"))
     }),
 
+    // BLOOM-FILTER MEMBERSHIP sketch (Bloom 1970) — the "have we seen
+    // this key" gate a 100 TB dedup/decontamination pass runs before
+    // touching the full key set, RELATIONALLY: the filter is a 128-row
+    // (word, bits) table (ops/FreqSketches.scala), bit_or is the merge.
+    // Census: fill, the no-false-negatives THEOREM over every member,
+    // and the exact false-positive count over 200 guaranteed
+    // non-members (digits can't appear in [a-z]+ tokens) — the FPR is
+    // replayed exactly, not bounded probabilistically
+    "q_agg_bloom" -> ((s: SparkSession, d: String) => {
+      import graft.ops.FreqSketches
+      val K = 3; val M = 4096
+      val toks = scan(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .select(col("w")).distinct()
+      FreqSketches.bloomCensus(
+        FreqSketches.bloomSketch(toks, "w", K, M), toks, "w", K, M)
+    }),
+
     // AMS F2 / self-join-size sketch (Alon, Matias & Szegedy 1996) —
     // the skew detector: F2 = Σ c(x)^2 estimated as the median of d
     // signed-sum squares, each a one-pass partial-aggregable sum. The
@@ -1082,6 +1101,46 @@ object SqlFunctionQueries {
            |  est.est >= topt.c AS never_undercounts,
            |  CAST((est.est - topt.c) * 1000000 // n.n AS BIGINT) AS overcount_ppm
            |FROM topt JOIN est ON est.w = topt.w, n ORDER BY token""".stripMargin
+    },
+
+    // full word-by-word Bloom replay from the portable hash: build,
+    // member re-probe (the theorem side) and the 200 zz-probes, all
+    // hash-matched
+    "q_agg_bloom" -> {
+      val hp = DedupQueries.sqlHex60Public("md5('bloom:' || CAST(r AS VARCHAR) || ':' || x)")
+      raw"""WITH w0 AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |            FROM documents),
+           |tk AS (SELECT DISTINCT w AS x FROM w0 WHERE regexp_full_match(w, '[a-z]+')),
+           |rr AS (SELECT unnest([0, 1, 2]) AS r),
+           |pos AS (SELECT ($hp) % 4096 AS pos
+           |        FROM (SELECT tk.x AS x, rr.r AS r FROM tk CROSS JOIN rr)),
+           |bm AS (SELECT pos // 32 AS w,
+           |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+           |           AS BIGINT) AS bits
+           |       FROM pos GROUP BY pos // 32),
+           |nb AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits FROM bm),
+           |mt AS (SELECT x, ($hp) % 4096 AS pos
+           |       FROM (SELECT tk.x AS x, rr.r AS r FROM tk CROSS JOIN rr)),
+           |mh AS (SELECT mt.x, MIN(CASE WHEN COALESCE(bm.bits, 0)
+           |           & (CAST(1 AS BIGINT) << CAST(mt.pos % 32 AS INT)) <> 0
+           |         THEN 1 ELSE 0 END) AS hit
+           |       FROM mt LEFT JOIN bm ON bm.w = mt.pos // 32 GROUP BY mt.x),
+           |mem AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+           |          CAST(MIN(hit) AS BIGINT) AS all_hit FROM mh),
+           |ng AS (SELECT 'zz' || CAST(unnest(range(0, 200)) AS VARCHAR) AS x),
+           |np AS (SELECT x, ($hp) % 4096 AS pos
+           |       FROM (SELECT ng.x AS x, rr.r AS r FROM ng CROSS JOIN rr)),
+           |nh AS (SELECT np.x, MIN(CASE WHEN COALESCE(bm.bits, 0)
+           |           & (CAST(1 AS BIGINT) << CAST(np.pos % 32 AS INT)) <> 0
+           |         THEN 1 ELSE 0 END) AS hit
+           |       FROM np LEFT JOIN bm ON bm.w = np.pos // 32 GROUP BY np.x),
+           |nf AS (SELECT CAST(SUM(hit) AS BIGINT) AS n_false_pos FROM nh)
+           |SELECT mem.n_members, nb.n_set_bits,
+           |  CAST(nb.n_set_bits * 1000000 // 4096 AS BIGINT) AS fill_ppm,
+           |  mem.all_hit = 1 AS no_false_negatives,
+           |  CAST(200 AS BIGINT) AS n_neg_probes, nf.n_false_pos,
+           |  CAST(nf.n_false_pos * 1000000 // 200 AS BIGINT) AS fpr_ppm
+           |FROM mem, nb, nf""".stripMargin
     },
 
     "q_agg_cms_grouped" -> {

@@ -1149,6 +1149,47 @@ object StreamQueries {
       graft.ops.BitmapIndex.census(bm)
     }),
 
+    // streaming BLOOM partials: each micro-batch appends its own
+    // (w, bits) word rows; bit_or of the partials equals the one-shot
+    // filter (bit_or is idempotent and associative), so the final
+    // census — including the exact FPR replay over the zz-probes —
+    // matches q_agg_bloom's oracle verbatim. The member re-probe runs
+    // against the static read: the test side is a query over the
+    // sketch, not stream state
+    "q_stream_bloom" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      import graft.ops.FreqSketches
+      val K = 3; val M = 4096
+      def toks(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_sbloom_src_$suffix"
+      val out = s"/tmp/graft_sbloom_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      docs.repartition(3, col("doc_id")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              FreqSketches.bloomSketch(toks(batch), "w", K, M),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sk = s.read.parquet(out).groupBy(col("w"))
+        .agg(expr("bit_or(bits)").as("bits"))
+      FreqSketches.bloomCensus(sk, toks(docs).distinct(), "w", K, M)
+    }),
+
     // STREAMING MODEL-EVAL MONITOR — the confusion matrix is the
     // textbook mergeable summary (four additive counters), so the
     // production shape "score arriving traffic, keep a running quality
@@ -1760,6 +1801,9 @@ object StreamQueries {
     // streaming CMS: per-batch bucket rows summed = the one-shot table
     "q_stream_cms" -> SqlFunctionQueries.oracleSql("q_agg_cms"),
     "q_stream_bitmap" -> SqlFunctionQueries.oracleSql("q_agg_bitmap"),
+    // merged per-batch Bloom partials == the one-shot filter, so the
+    // oracle is q_agg_bloom's word-by-word replay
+    "q_stream_bloom" -> SqlFunctionQueries.oracleSql("q_agg_bloom"),
     "q_stream_cidr" -> FunnelQueries.oracleSql("q_events_cidr"),
     "q_stream_crawl" -> MultimodalQueries.oracleSql("q_crawl_funnel"),
     "q_stream_eval" -> AggQueries.oracleSql("q_eval_confusion"),

@@ -69,4 +69,36 @@ class SketchRelationSpec extends SparkSpec {
     assert(estRaw <= 160 && hll == lin,
       s"expected the linear-counting branch: raw=$estRaw est=$hll lin=$lin")
   }
+
+  test("bloom filter: no false negatives, OR-merge equals one-shot build") {
+    import graft.ops.FreqSketches
+    val items = (0 until 600).map(i => s"tok$i")
+    val whole = FreqSketches.bloomSketch(items.toDF("x"), "x", 3, 4096)
+    // every member probes positive — the theorem, not a tolerance
+    val hits = FreqSketches.bloomTest(whole, items.toDF("x"), "x", 3, 4096)
+      .agg(min(col("hit"))).collect()(0).getLong(0)
+    assert(hits == 1L, "a member probed negative")
+    // split-and-merge law: partials from any split OR to the same words
+    val (a, b) = items.splitAt(123)
+    val merged = FreqSketches.bloomSketch(a.toDF("x"), "x", 3, 4096)
+      .unionAll(FreqSketches.bloomSketch(b.toDF("x"), "x", 3, 4096))
+      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.orderBy(col("w")).collect().toSeq ==
+      whole.orderBy(col("w")).collect().toSeq, "merge law broken")
+  }
+
+  test("bloom fill is bounded by k x members and FPR stays plausible") {
+    import graft.ops.FreqSketches
+    val items = (0 until 400).map(i => s"tok$i")
+    val census = FreqSketches.bloomCensus(
+      FreqSketches.bloomSketch(items.toDF("x"), "x", 3, 4096),
+      items.toDF("x"), "x", 3, 4096).collect()(0)
+    assert(census.getAs[Long]("n_members") == 400)
+    val bits = census.getAs[Long]("n_set_bits")
+    assert(bits <= 1200 && bits >= 600, s"fill $bits implausible for 400x3")
+    assert(census.getAs[Boolean]("no_false_negatives"))
+    // fill ~25% -> per-probe FP chance ~1.6%; 200 probes, deterministic
+    // fixture: a generous regression pin, not a probabilistic claim
+    assert(census.getAs[Long]("n_false_pos") <= 20)
+  }
 }
