@@ -440,6 +440,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL TIFF DECODE — 27th format, the scanned-document corpus
+    // standard: II/MM byte-order mark with BOTH endiannesses exercised
+    // (the fixture alternates them by id), 42 magic, full IFD entry
+    // walk (SHORT/LONG value widths), baseline grayscale tags, strip
+    // bounds verified, exact pixel-byte sum (the endianness witness).
+    // Oracle replays the fixture formula
+    "q_multimodal_tiff" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractTiffStats(
+        Multimodal.syntheticTiff(scan(s, d, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL PROTOBUF tf.Example DECODE — 26th format, completing the
     // TFRecord story (q_multimodal_tfrecord walks the CRC32C framing;
     // this walks the protobuf INSIDE each frame): varint tags,
@@ -1179,6 +1191,21 @@ object MultimodalQueries {
         |  a.n_params, a.data_bytes, a.pad_bytes, d.data_sum
         |FROM m JOIN agg a ON m.id = a.id JOIN ds d ON m.id = d.id
         |LEFT JOIN ar ON m.id = ar.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: big-endian iff id odd, 8-entry IFD, w = 2+id%6,
+    // h = 1+id%5, one strip of w*h bytes, pixel j = (id*17 + j) % 256
+    "q_multimodal_tiff" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |            CAST(2 + doc_id % 6 AS BIGINT) AS w,
+        |            CAST(1 + doc_id % 5 AS BIGINT) AS h FROM documents),
+        |px AS (SELECT id, unnest(range(0, w * h)) AS j FROM m),
+        |ps AS (SELECT id, CAST(SUM((id * 17 + j) % 256) AS BIGINT) AS pixel_sum
+        |       FROM px GROUP BY id)
+        |SELECT m.id AS media_id, CAST(m.id % 2 AS INT) AS big_endian,
+        |  CAST(8 AS INT) AS n_entries, m.w AS width, m.h AS height,
+        |  CAST(8 AS INT) AS bits, CAST(1 AS INT) AS n_strips,
+        |  CAST(m.w * m.h AS BIGINT) AS strip_bytes, ps.pixel_sum
+        |FROM m JOIN ps ON m.id = ps.id ORDER BY media_id""".stripMargin,
 
     // formula replay: n = 1 + id%3 records; record k carries 3 map
     // entries — int64 values (id+k)%10 and 300+(id+k)%200, one bytes

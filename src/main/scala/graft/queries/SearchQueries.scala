@@ -150,6 +150,50 @@ object SearchQueries {
         .orderBy(col("term"))
     }),
 
+    // MEAN-AVERAGE-PRECISION@10 — the third classic retrieval-eval
+    // readout beside MRR@10 and nDCG@10, completing the family: per
+    // query term AP = (1/min(n_rel,10)) Σ_{hit at rank k} P@k, kept
+    // EXACT by scaling every precision by 2520 = lcm(1..10) (2520/k
+    // and the cumulative-hit numerators are integers — no float, no
+    // tolerance). Same deterministic sys/ideal rankings and TopKPerKey
+    // pruning as q_text_ndcg; the AP windows run over the ≤ 20×10
+    // survivor relation only
+    "q_text_map" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = scan(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = words.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qset = dfq.orderBy(col("df").desc, col("term").asc).limit(20)
+        .select(col("term"))
+      val matches = tf.join(broadcast(qset), Seq("term"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val ideal = graft.plans.TopKPerKey.topKPerKey(matches,
+          keyCols = Seq("term"), sorts = Seq(("n_chars", false), ("doc_id", true)), k = 10)
+        .select(col("term"), col("doc_id"))
+      val sys = graft.plans.TopKPerKey.topKPerKey(
+          tf.join(broadcast(qset), Seq("term")),
+          keyCols = Seq("term"), sorts = Seq(("tf", false), ("doc_id", true)), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))))
+        .select(col("term"), col("doc_id"), col("rank"))
+      val nrel = ideal.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+      val hits = sys.join(ideal, Seq("term", "doc_id"))
+        .withColumn("cumhits", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("rank"))))
+        .withColumn("contrib", col("cumhits") * expr("2520 div rank"))
+      val ap = hits.groupBy(col("term"))
+        .agg(count(lit(1)).as("hits"), sum(col("contrib")).as("ap_x2520"))
+      nrel.join(ap, Seq("term"), "left")
+        .select(col("term"), col("n_rel"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          coalesce(col("ap_x2520"), lit(0L)).as("ap_x2520"),
+          expr("coalesce(ap_x2520, CAST(0 AS BIGINT)) * 1000000 div (2520 * least(n_rel, 10))")
+            .as("ap_ppm"))
+        .orderBy(col("term"))
+    }),
+
     // RANKING-QUALITY COMPLETENESS: nDCG@10 + recall@10 per query,
     // beside q_text_mrr's MRR@10 — the graded-relevance metrics a
     // retrieval eval publishes. Graded relevance derives from the same
@@ -342,6 +386,41 @@ object SearchQueries {
            |  CAST(COALESCE(1000000 // k.rn, 0) AS BIGINT) AS rr_x6
            |FROM rel r LEFT JOIN rk10 k ON k.term = r.term AND k.doc_id = r.rel_doc
            |ORDER BY r.term""".stripMargin,
+
+    "q_text_map" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           |       FROM w GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |q AS (SELECT term FROM dfq ORDER BY df DESC, term LIMIT 20),
+           |m AS (SELECT t.term, t.doc_id, t.tf, d.n_chars
+           |      FROM tf t JOIN q USING (term)
+           |           JOIN documents d ON d.doc_id = t.doc_id),
+           |ir AS (SELECT term, doc_id,
+           |         row_number() OVER (PARTITION BY term
+           |           ORDER BY n_chars DESC, doc_id) AS irank FROM m),
+           |ideal AS (SELECT term, doc_id FROM ir WHERE irank <= 10),
+           |sr AS (SELECT term, doc_id,
+           |         row_number() OVER (PARTITION BY term
+           |           ORDER BY tf DESC, doc_id) AS rank FROM m),
+           |sys AS (SELECT * FROM sr WHERE rank <= 10),
+           |nrel AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rel
+           |         FROM ideal GROUP BY term),
+           |h AS (SELECT s.term, s.rank,
+           |        row_number() OVER (PARTITION BY s.term ORDER BY s.rank) AS cumhits
+           |      FROM sys s JOIN ideal i ON i.term = s.term AND i.doc_id = s.doc_id),
+           |ap AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS hits,
+           |         CAST(SUM(cumhits * (2520 // rank)) AS BIGINT) AS ap_x2520
+           |       FROM h GROUP BY term)
+           |SELECT n.term, n.n_rel,
+           |  CAST(COALESCE(ap.hits, 0) AS BIGINT) AS hits,
+           |  CAST(COALESCE(ap.ap_x2520, 0) AS BIGINT) AS ap_x2520,
+           |  CAST(COALESCE(ap.ap_x2520, 0) * 1000000
+           |    // (2520 * LEAST(n.n_rel, 10)) AS BIGINT) AS ap_ppm
+           |FROM nrel n LEFT JOIN ap ON ap.term = n.term
+           |ORDER BY n.term""".stripMargin,
 
     "q_text_ndcg" ->
       raw"""WITH wt(r, wr) AS (VALUES $ndcgWValues),

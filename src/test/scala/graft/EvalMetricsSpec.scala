@@ -78,4 +78,19 @@ class EvalMetricsSpec extends SparkSpec {
     // mean log-loss in millicentibits: 0 (perfect) .. 1993000 (certain-wrong)
     assert(llMean >= 0L && llMean <= 1993000L, s"log-loss $llMean")
   }
+
+  test("MAP@10 laws: AP bounded by 1e6, zero iff no hits, exact when all hit") {
+    val rows = graft.queries.SearchQueries.queries("q_text_map")(spark, sf001)
+      .collect()
+    assert(rows.length == 20, "one row per query term")
+    rows.foreach { r =>
+      val (nRel, hits, ap) = (r.getAs[Long]("n_rel"), r.getAs[Long]("hits"),
+        r.getAs[Long]("ap_ppm"))
+      assert(ap >= 0 && ap <= 1000000L, s"AP out of range: $ap")
+      assert((hits == 0) == (ap == 0), "AP zero iff no hits")
+      // perfect retrieval: if every sys rank 1..n_rel is a hit in order,
+      // AP = 1e6 exactly; conversely AP = 1e6 requires full recall
+      if (ap == 1000000L) assert(hits == math.min(nRel, 10))
+    }
+  }
 }
