@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, TextAnalysis}
 
 /** Dedup queries over the documents table (SURVEY §2.5 "Dedup" north-star
   * tier). Oracle SQL is generated from the same constants as the Scala
@@ -411,6 +411,43 @@ object DedupQueries {
         .groupBy(col("lang"), col("rate_ppm"))
         .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // CURRICULUM PHASE ASSIGNMENT — the easy-to-hard data-ordering
+    // census a staged pre-train run reads: docs ranked by a
+    // deterministic quality proxy (alpha-word fraction in exact ppm),
+    // split into 4 equal-count phases, per-phase doc/token mass and
+    // score range. The global rank is NEVER a corpus-wide window: it
+    // is the two-level prefix (cum count over the SMALL distinct-score
+    // census + a row_number partitioned by score — the q_eval_auc
+    // discipline), and the phase formula ((rank−1)·4 div N)+1 is
+    // spelled identically in both engines (no NTILE semantics to match)
+    "q_mix_curriculum" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = scan(s, d, "documents").select(col("doc_id"),
+          size(CorpusOps.words(col("text"))).cast("long").as("n_words"),
+          size(filter(CorpusOps.words(lower(col("text"))),
+            w => w.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+        .withColumn("score_ppm",
+          expr("n_alpha * 1000000 div greatest(n_words, 1)"))
+      val census = scored.groupBy(col("score_ppm")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("score_ppm").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = census
+        .withColumn("cum_before", coalesce(sum(col("c")).over(wc), lit(0L)))
+        .select(col("score_ppm"), col("cum_before"))
+      val total = scored.agg(count(lit(1)).as("n"))
+      val ws = Window.partitionBy(col("score_ppm")).orderBy(col("doc_id"))
+      scored.withColumn("rw", row_number().over(ws))
+        .join(broadcast(cum), Seq("score_ppm"))
+        .crossJoin(broadcast(total))
+        .withColumn("phase",
+          expr("((cum_before + rw - 1) * 4) div n + 1").cast("int"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+          min(col("score_ppm")).as("min_score_ppm"),
+          max(col("score_ppm")).as("max_score_ppm"))
+        .orderBy(col("phase"))
     }),
 
     // DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff 2023): per-lang
@@ -950,6 +987,37 @@ object DedupQueries {
          |  FROM sc)
          |SELECT doc_id, n_toks, score, cum_toks
          |FROM sel WHERE cum_toks <= 5000 ORDER BY doc_id""".stripMargin,
+
+    // same two-level-prefix rank and identical phase formula — no NTILE
+    "q_mix_curriculum" ->
+      raw"""WITH sc AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+           |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           |      w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT) AS n_alpha
+           |  FROM documents),
+           |s2 AS (SELECT doc_id, n_words,
+           |    CAST(n_alpha * 1000000 // GREATEST(n_words, 1) AS BIGINT) AS score_ppm
+           |  FROM sc),
+           |cen AS (SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM s2 GROUP BY score_ppm),
+           |cum AS (SELECT score_ppm,
+           |    CAST(COALESCE(SUM(c) OVER (ORDER BY score_ppm DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS cum_before
+           |  FROM cen),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+           |rk AS (SELECT doc_id, n_words, score_ppm,
+           |    ROW_NUMBER() OVER (PARTITION BY score_ppm ORDER BY doc_id) AS rw
+           |  FROM s2),
+           |ph AS (SELECT rk.score_ppm, rk.n_words,
+           |    CAST(((cum.cum_before + rk.rw - 1) * 4) // tot.n + 1 AS INT) AS phase
+           |  FROM rk JOIN cum USING (score_ppm), tot)
+           |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           |  CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+           |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+           |FROM ph GROUP BY phase ORDER BY phase""".stripMargin,
 
     "q_mix_alpha" ->
       s"""WITH t AS (

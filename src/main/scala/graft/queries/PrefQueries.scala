@@ -29,9 +29,10 @@ import graft.engine.QueryBuilder.scan
 object PrefQueries {
 
   // games per model pair, canonical (lo < hi) orientation — the one
-  // distributed pass every estimator below shares
-  private def canonGames(s: SparkSession, d: String): DataFrame =
-    scan(s, d, "orders").select(
+  // distributed pass every estimator below shares. Takes the orders
+  // RELATION so the streaming monitor can apply it per micro-batch
+  private[queries] def canonGamesOf(orders: DataFrame): DataFrame =
+    orders.select(
         (col("o_custkey") % 5).cast("int").as("a"),
         ((col("o_custkey") % 5 + 1 + col("o_orderkey") % 4) % 5).cast("int").as("b"),
         when((col("o_orderkey") * 31 + col("o_custkey") * 7) % 100 <
@@ -43,6 +44,9 @@ object PrefQueries {
         greatest(col("a"), col("b")).as("hi"),
         when(col("a") < col("b"), col("win_a"))
           .otherwise(lit(1L) - col("win_a")).as("win_lo"))
+
+  private def canonGames(s: SparkSession, d: String): DataFrame =
+    canonGamesOf(scan(s, d, "orders"))
 
   /** Bradley–Terry MM iteration in exact Long arithmetic — identical
     * on both engines (the oracle unrolls the same recurrence as CTE

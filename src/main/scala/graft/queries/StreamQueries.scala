@@ -1190,6 +1190,44 @@ object StreamQueries {
       FreqSketches.bloomCensus(sk, toks(docs).distinct(), "w", K, M)
     }),
 
+    // streaming preference monitor: each micro-batch of the game log
+    // appends its own (lo, hi, games, wins) partial — the counts are
+    // additive, so the rolled-up win-rate matrix equals the batch
+    // q_pref_winrate verbatim (the oracle is shared). The arena-
+    // leaderboard shape: at 100 TB only 10-row partials cross batches
+    "q_stream_pref" -> ((s: SparkSession, d: String) => {
+      import org.apache.hadoop.fs.Path
+      val orders = graft.engine.QueryBuilder.scan(s, d, "orders")
+      val suffix = Integer.toHexString(d.hashCode)
+      val stage = s"/tmp/graft_spref_src_$suffix"
+      val out = s"/tmp/graft_spref_out_$suffix"
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      orders.repartition(3, col("o_orderkey")).stageTo(stage)
+      val schema = s.read.parquet(stage).schema
+      StreamOps.withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.Sinks.write(
+              PrefQueries.canonGamesOf(batch)
+                .groupBy(col("lo"), col("hi"))
+                .agg(count(lit(1)).as("n"), sum(col("win_lo")).as("wl")),
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy(col("lo").as("model_lo"), col("hi").as("model_hi"))
+        .agg(sum(col("n")).as("n_games"), sum(col("wl")).as("n_wins_lo"))
+        .withColumn("winrate_ppm", expr("n_wins_lo * 1000000 div n_games"))
+        .orderBy(col("model_lo"), col("model_hi"))
+    }),
+
     // STREAMING MODEL-EVAL MONITOR — the confusion matrix is the
     // textbook mergeable summary (four additive counters), so the
     // production shape "score arriving traffic, keep a running quality
@@ -1804,6 +1842,8 @@ object StreamQueries {
     // merged per-batch Bloom partials == the one-shot filter, so the
     // oracle is q_agg_bloom's word-by-word replay
     "q_stream_bloom" -> SqlFunctionQueries.oracleSql("q_agg_bloom"),
+    // additive (games, wins) partials == the one-shot census
+    "q_stream_pref" -> PrefQueries.oracleSql("q_pref_winrate"),
     "q_stream_cidr" -> FunnelQueries.oracleSql("q_events_cidr"),
     "q_stream_crawl" -> MultimodalQueries.oracleSql("q_crawl_funnel"),
     "q_stream_eval" -> AggQueries.oracleSql("q_eval_confusion"),

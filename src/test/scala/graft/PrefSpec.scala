@@ -58,6 +58,27 @@ class PrefSpec extends SparkSpec {
       "BT and Copeland disagree on top vs bottom")
   }
 
+  test("streaming preference monitor equals the batch win-rate matrix") {
+    val b = run("q_pref_winrate").map(_.toSeq).toSeq
+    val s0 = graft.queries.StreamQueries.queries("q_stream_pref")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(b == s0, "batch/stream win-rate matrices diverge")
+  }
+
+  test("curriculum phases are equal-count and monotone in score") {
+    val rows = graft.queries.DedupQueries.queries("q_mix_curriculum")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("phase")).toSeq == Seq(1, 2, 3, 4))
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1, s"phases unbalanced: ${counts.toSeq}")
+    // non-increasing quality across phases (a boundary score may span
+    // two phases, so >= on the adjacent min/max)
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("min_score_ppm") >= lo.getAs[Long]("max_score_ppm"),
+        "curriculum order inverted")
+    }
+  }
+
   test("fleiss kappa bounded and positive under the structured raters") {
     val r = run("q_eval_fleiss")(0)
     val (pbar, pe, k) = (r.getAs[Long]("pbar_ppm"), r.getAs[Long]("pe_ppm"),
