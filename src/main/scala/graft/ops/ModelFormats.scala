@@ -376,31 +376,58 @@ object ModelFormats {
     * length 118 (10 + 118 = 128, 64-aligned — single-digit dims keep
     * the dict text constant-width).
     */
+  /** One `<i4` C-order NPY file: shape (r, c), element j (row-major) =
+    * (vSeed + j) mod 1000 − 500, constant 118-byte padded header.
+    * Shared by the standalone NPY fixture and the NPZ archive members.
+    */
+  private[ops] def npyBytes(rDim: Int, cDim: Int, vSeed: Long): Array[Byte] = {
+    val dict = s"{'descr': '<i4', 'fortran_order': False, 'shape': ($rDim, $cDim), }"
+    val hlen = 118
+    require(dict.length + 1 <= hlen, s"fixture dict too long (${dict.length})")
+    val header = dict + (" " * (hlen - dict.length - 1)) + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x93)
+    out.write("NUMPY".getBytes("US-ASCII"))
+    out.write(1); out.write(0)
+    out.write(hlen & 0xff); out.write((hlen >> 8) & 0xff)
+    out.write(header.getBytes("US-ASCII"))
+    val n = rDim * cDim
+    var j = 0
+    while (j < n) {
+      val v = ((vSeed + j) % 1000).toInt - 500
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      j += 1
+    }
+    out.toByteArray
+  }
+
   def syntheticNpy(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
-      val rDim = 1 + (id % 6).toInt
-      val cDim = 1 + (id % 9).toInt
-      val dict = s"{'descr': '<i4', 'fortran_order': False, 'shape': ($rDim, $cDim), }"
-      val hlen = 118
-      require(dict.length + 1 <= hlen, s"fixture dict too long (${dict.length})")
-      val header = dict + (" " * (hlen - dict.length - 1)) + "\n"
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(0x93)
-      out.write("NUMPY".getBytes("US-ASCII"))
-      out.write(1); out.write(0)
-      out.write(hlen & 0xff); out.write((hlen >> 8) & 0xff)
-      out.write(header.getBytes("US-ASCII"))
-      val n = rDim * cDim
-      var j = 0
-      while (j < n) {
-        val v = ((id * 7 + j) % 1000).toInt - 500
-        out.write(v & 0xff); out.write((v >> 8) & 0xff)
-        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
-        j += 1
+      MediaRow(id, "application/x-npy",
+        npyBytes(1 + (id % 6).toInt, 1 + (id % 9).toInt, id * 7))
+    }.toDF()
+  }
+
+  /** Deterministic NPZ fixture per id: a real ZIP archive of
+    * n = 2 + id%3 members "arr_<k>.npy" — member k is an NPY of shape
+    * (1 + (id+k)%6, 1 + (id+k)%9) with element seed id·7 + 11k, STORED
+    * for even k, raw-DEFLATED for odd (both zip paths run per archive).
+    */
+  def syntheticNpz(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = 2 + (id % 3).toInt
+      val entries = (0 until n).map { k =>
+        (s"arr_$k.npy",
+          npyBytes(1 + ((id + k) % 6).toInt, 1 + ((id + k) % 9).toInt,
+            id * 7 + 11 * k),
+          k % 2 == 0)
       }
-      MediaRow(id, "application/x-npy", out.toByteArray)
+      MediaRow(id, "application/x-npz", Multimodal.zipArchive(entries))
     }.toDF()
   }
 

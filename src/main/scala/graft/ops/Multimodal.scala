@@ -2521,6 +2521,105 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeZipMembers).toDF()
   }
 
+  /** Payload RELATION variant of [[decodeZip]] — one MediaRow per
+    * archive entry with the DECOMPRESSED content (the member name rides
+    * in the mime field, the decodeWarcResponses convention): the full
+    * validated walk runs first (signatures, CRCs, inflate), then the
+    * central directory is re-read and each entry's content re-extracted
+    * so a downstream per-member decoder (NPY in NPZ, any file-in-zip
+    * format) composes as a plain mapPartitions chain.
+    */
+  def decodeZipPayloads(rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.flatMap { r =>
+      decodeZip(Iterator(r)).foreach(_ => ()) // full validation pass
+      val b = r.payload
+      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
+      var e = b.length - 22
+      while (e >= 0 && !(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 5 && b(e + 3) == 6))
+        e -= 1
+      val nEntries = u16(e + 10)
+      var i = u32(e + 16).toInt
+      (0 until nEntries).map { _ =>
+        val method = u16(i + 10)
+        val csize = u32(i + 20)
+        val usize = u32(i + 24)
+        val nameLen = u16(i + 28)
+        val extraLen = u16(i + 30)
+        val commentLen = u16(i + 32)
+        val lho = u32(i + 42).toInt
+        val name = new String(b, i + 46, nameLen, "UTF-8")
+        val dataOff = lho + 30 + u16(lho + 26) + u16(lho + 28)
+        val content =
+          if (method == 0) java.util.Arrays.copyOfRange(b, dataOff, dataOff + usize.toInt)
+          else {
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(b, dataOff, csize.toInt)
+            val out = new Array[Byte](usize.toInt)
+            var got = 0
+            while (!inf.finished() && got < out.length)
+              got += inf.inflate(out, got, out.length - got)
+            inf.end()
+            out
+          }
+        i += 46 + nameLen + extraLen + commentLen
+        MediaRow(r.media_id, name, content)
+      }
+    }
+
+  /** zip-payload pipeline — MediaRow per member, name in `mime`. */
+  def extractZipPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeZipPayloads).toDF()
+  }
+
+  /** Minimal ZIP writer for composite fixtures: local headers with
+    * real CRC-32s, stored or raw-deflate entries, central directory +
+    * EOCD — the same byte layout [[syntheticZip]] emits inline.
+    */
+  private[ops] def zipArchive(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    val cd = new java.io.ByteArrayOutputStream()
+    def cd16(v: Int): Unit = { cd.write(v & 0xff); cd.write((v >> 8) & 0xff) }
+    def cd32(v: Long): Unit = { cd16((v & 0xffff).toInt); cd16(((v >> 16) & 0xffff).toInt) }
+    entries.foreach { case (nameStr, content, stored) =>
+      val crc = new java.util.zip.CRC32(); crc.update(content)
+      val data = if (stored) content else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(content); d.finish()
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) acc.write(buf, 0, d.deflate(buf))
+        d.end()
+        acc.toByteArray
+      }
+      val name = nameStr.getBytes("UTF-8")
+      val lho = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(if (stored) 0 else 8)
+      w16(0); w16(0)
+      w32(crc.getValue); w32(data.length.toLong); w32(content.length.toLong)
+      w16(name.length); w16(0)
+      out.write(name); out.write(data)
+      cd32(0x02014b50L); cd16(20); cd16(20); cd16(0); cd16(if (stored) 0 else 8)
+      cd16(0); cd16(0)
+      cd32(crc.getValue); cd32(data.length.toLong); cd32(content.length.toLong)
+      cd16(name.length); cd16(0); cd16(0)
+      cd16(0); cd16(0)
+      cd32(0L)
+      cd32(lho.toLong)
+      cd.write(name)
+    }
+    val cdOff = out.size()
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    w32(0x06054b50L); w16(0); w16(0); w16(entries.size); w16(entries.size)
+    w32(cdBytes.length.toLong); w32(cdOff.toLong); w16(0)
+    out.toByteArray
+  }
+
   /** WebDataset-over-ZIP fixture (the syntheticWds pattern on the ZIP
     * container): m = 2 + id%4 samples, each a (sample<i>.txt,
     * sample<i>.cls) pair EXCEPT the last sample's .cls, deliberately

@@ -440,6 +440,25 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // NPZ COMPOSITION — NumPy archives as they actually ship
+    // (embeddings/labels as .npz = NPY members inside a ZIP): the
+    // validated zip walk re-emits each member's DECOMPRESSED payload as
+    // a relation (both stored and raw-deflate paths run per archive),
+    // the REAL NPY decoder runs per member, and the per-archive census
+    // is a plain groupBy — two real walkers composed through one
+    // mapPartitions chain. Oracle replays both fixture formulas
+    "q_multimodal_npz" -> ((s: SparkSession, d: String) => {
+      val payloads = Multimodal.extractZipPayloads(
+        ModelFormats.syntheticNpz(scan(s, d, "documents"), "doc_id"))
+      ModelFormats.extractNpyStats(payloads)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).cast("int").as("n_arrays"),
+          sum(col("n_elems")).as("n_elems"),
+          max(col("d0")).as("max_rows"), max(col("d1")).as("max_cols"),
+          sum(col("data_sum")).as("data_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL TIFF DECODE — 27th format, the scanned-document corpus
     // standard: II/MM byte-order mark with BOTH endiannesses exercised
     // (the fixture alternates them by id), 42 magic, full IFD entry
@@ -1191,6 +1210,28 @@ object MultimodalQueries {
         |  a.n_params, a.data_bytes, a.pad_bytes, d.data_sum
         |FROM m JOIN agg a ON m.id = a.id JOIN ds d ON m.id = d.id
         |LEFT JOIN ar ON m.id = ar.id ORDER BY media_id""".stripMargin,
+
+    // formula replay: n = 2 + id%3 members, member k is a
+    // (1+(id+k)%6, 1+(id+k)%9) matrix with element j =
+    // (id*7 + 11k + j) % 1000 - 500
+    "q_multimodal_npz" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(2 + doc_id % 3 AS INT) AS n
+        |           FROM documents),
+        |f AS (SELECT id, n, unnest(range(0, n)) AS k FROM m),
+        |dims AS (SELECT id, n, k, CAST(1 + (id + k) % 6 AS BIGINT) AS r,
+        |           CAST(1 + (id + k) % 9 AS BIGINT) AS c FROM f),
+        |el AS (SELECT id, k, unnest(range(0, r * c)) AS j FROM dims),
+        |ds AS (SELECT id,
+        |         CAST(SUM((id*7 + 11*k + j) % 1000 - 500) AS BIGINT) AS data_sum
+        |       FROM el GROUP BY id),
+        |agg AS (SELECT id, CAST(MAX(n) AS INT) AS n_arrays,
+        |          CAST(SUM(r * c) AS BIGINT) AS n_elems,
+        |          CAST(MAX(r) AS BIGINT) AS max_rows,
+        |          CAST(MAX(c) AS BIGINT) AS max_cols
+        |        FROM dims GROUP BY id)
+        |SELECT a.id AS media_id, a.n_arrays, a.n_elems, a.max_rows,
+        |  a.max_cols, d.data_sum
+        |FROM agg a JOIN ds d ON a.id = d.id ORDER BY media_id""".stripMargin,
 
     // formula replay: big-endian iff id odd, 8-entry IFD, w = 2+id%6,
     // h = 1+id%5, one strip of w*h bytes, pixel j = (id*17 + j) % 256

@@ -121,6 +121,41 @@ class ModelFormatsSpec extends SparkSpec {
     assert(e.getMessage.contains("64-aligned"))
   }
 
+  test("npz composition: zip payload walk + per-member NPY decode") {
+    for (id <- Seq(0L, 3L, 7L, 42L)) {
+      val archive = fixture(id, ModelFormats.syntheticNpz)
+      val members = Multimodal.decodeZipPayloads(
+        Iterator(MediaRow(id, "application/x-npz", archive))).toSeq
+      val n = 2 + (id % 3).toInt
+      assert(members.length == n, s"id $id member count")
+      members.zipWithIndex.foreach { case (mr, k) =>
+        assert(mr.mime == s"arr_$k.npy", s"id $id member name order")
+        val st = ModelFormats.decodeNpy(Iterator(mr)).next()
+        val r = 1 + ((id + k) % 6); val c = 1 + ((id + k) % 9)
+        assert(st.d0 == r && st.d1 == c, s"id $id member $k shape")
+        val expSum = (0L until r * c).map(j => (id * 7 + 11 * k + j) % 1000 - 500).sum
+        assert(st.data_sum == expSum, s"id $id member $k sum")
+      }
+    }
+  }
+
+  test("npz loud failure: corrupt deflate stream fails the zip CRC check") {
+    val b = fixture(4L, ModelFormats.syntheticNpz) // id 4: members 0,1,2 (1 deflated)
+    // flip a byte inside the second member's compressed data: local
+    // header of arr_1.npy starts after member 0's stored bytes
+    val s = new String(b, "ISO-8859-1")
+    val lho1 = s.indexOf("arr_1.npy")
+    assert(lho1 >= 0)
+    b(lho1 + 20) = (b(lho1 + 20) ^ 0x7f).toByte
+    val e = intercept[Exception](Multimodal.decodeZipPayloads(
+      Iterator(MediaRow(4L, "application/x-npz", b))).toList)
+    // depending on where the flip lands, either the Inflater itself
+    // rejects the stream or the post-inflate CRC check fires — both
+    // are the loud path
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("inflate") ||
+      e.getMessage.contains("invalid"), s"unexpected failure: ${e.getMessage}")
+  }
+
   // ---------------- GGUF ----------------
 
   private def ggufDecode(b: Array[Byte], id: Long = 1L) =
