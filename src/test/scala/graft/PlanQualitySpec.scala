@@ -512,4 +512,59 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"range-join fallback in q_feature_pit:\n${plan.take(2000)}")
   }
+
+  test("q_text_map: same TopKPerKey pruning discipline as nDCG, survivor windows only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.SearchQueries.queries("q_text_map")(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("TopKPerKey"), s"TopKPerKey missing:\n${plan.take(2000)}")
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, "corpus-wide window in q_text_map")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_mix_curriculum: no corpus-wide window — ranks come from the two-level prefix") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.DedupQueries.queries("q_mix_curriculum")(spark, sf001)
+      val windows = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the score-partitioned row_number window")
+      // the ONLY unpartitioned window allowed is the cumulative count
+      // over the distinct-score CENSUS (a bounded relation); the
+      // doc-level row_number must be partitioned by score
+      val docLevel = windows.filter(_.windowExpression.exists(
+        _.toString.contains("row_number")))
+      assert(docLevel.nonEmpty && docLevel.forall(_.partitionSpec.nonEmpty),
+        "doc-level rank window is corpus-wide")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bloom membership probes equi-join the 128-word sketch, never nested-loop") {
+    val plan = graft.queries.SqlFunctionQueries.queries("q_agg_bloom")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in q_agg_bloom:\n${plan.take(2000)}")
+    // probe-side joins on the word id — a hash join, not a loop over
+    // the member set
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no equi-join:\n${plan.take(2000)}")
+  }
+
+  test("preference estimators reduce the game log with one combinable aggregation") {
+    // the BT/winrate family must partial-aggregate (map-side combine)
+    // before any exchange: at 100 TB only 10-row partials shuffle
+    val df = graft.queries.PrefQueries.queries("q_pref_winrate")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in q_pref_winrate:\n${plan.take(1500)}")
+  }
 }
