@@ -946,6 +946,43 @@ object AggQueries {
             .as("gini_ppm"))
     }),
 
+    // McNEMAR PAIRED-MODEL TEST — the "is model B actually better on
+    // the SAME items" readout an eval harness runs before swapping
+    // models (two models on the same eval set are PAIRED; comparing
+    // their marginal accuracies wastes the pairing): two deterministic
+    // keyed-hash classifiers over identical orders rows (B carries a
+    // larger label shift, so it is genuinely stronger), the 2×2
+    // concordance census, and the exact-integer McNemar statistic
+    // (b−c)²·10⁶ div (b+c), with the continuity-corrected variant
+    // using max(|b−c|−1, 0). One combinable aggregation
+    "q_eval_mcnemar" -> ((s: SparkSession, d: String) => {
+      val scored = scan(s, d, "orders").select(
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("sa"),
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc2:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 250000L).otherwise(0L)).as("sb"))
+      scored.select(
+          (when(col("sa") >= 400000L, 1L).otherwise(0L) === col("y")).as("ca"),
+          (when(col("sb") >= 400000L, 1L).otherwise(0L) === col("y")).as("cb"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("both_right"),
+          sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L)).as("both_wrong"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("a_only"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("b_only"))
+        .select(col("n_items"), col("both_right"), col("both_wrong"),
+          col("a_only"), col("b_only"),
+          expr("(b_only - a_only) * (b_only - a_only) * 1000000" +
+            " div greatest(a_only + b_only, 1)").as("mcnemar_x2_ppm"),
+          expr("greatest(abs(b_only - a_only) - 1, 0)" +
+            " * greatest(abs(b_only - a_only) - 1, 0) * 1000000" +
+            " div greatest(a_only + b_only, 1)").as("mcnemar_cc_ppm"),
+          expr("CASE WHEN b_only > a_only THEN 1 WHEN b_only < a_only THEN -1" +
+            " ELSE 0 END").as("better_model"))
+    }),
+
     // EXPECTED-CALIBRATION-ERROR READOUT (Guo et al. 2017, the binned
     // reliability diagram) over the same deterministic predictions:
     // per decile-of-score bin, accuracy and mean confidence as exact
@@ -2231,6 +2268,36 @@ object AggQueries {
 
     // same doubled-rank census; gini's subtraction stays on the
     // nonnegative floor-quotient so // and div agree
+    "q_eval_mcnemar" -> {
+      val ha = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      val hb = DedupQueries.sqlHex60Public("md5('sc2:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         |    ($ha) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS sa,
+         |    ($hb) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 250000 ELSE 0 END AS sb
+         |  FROM orders),
+         |c AS (SELECT
+         |    (CASE WHEN sa >= 400000 THEN 1 ELSE 0 END) = y AS ca,
+         |    (CASE WHEN sb >= 400000 THEN 1 ELSE 0 END) = y AS cb FROM o),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         |    CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+         |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+         |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS b_only
+         |  FROM c)
+         |SELECT n_items, both_right, both_wrong, a_only, b_only,
+         |  CAST((b_only - a_only) * (b_only - a_only) * 1000000
+         |    // GREATEST(a_only + b_only, 1) AS BIGINT) AS mcnemar_x2_ppm,
+         |  CAST(GREATEST(ABS(b_only - a_only) - 1, 0)
+         |    * GREATEST(ABS(b_only - a_only) - 1, 0) * 1000000
+         |    // GREATEST(a_only + b_only, 1) AS BIGINT) AS mcnemar_cc_ppm,
+         |  CAST(CASE WHEN b_only > a_only THEN 1 WHEN b_only < a_only THEN -1
+         |    ELSE 0 END AS INT) AS better_model
+         |FROM a""".stripMargin
+    },
+
     "q_eval_auc" -> {
       val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
       s"""WITH o AS (SELECT ($hv) % 800000

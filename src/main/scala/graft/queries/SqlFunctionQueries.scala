@@ -545,6 +545,54 @@ object SqlFunctionQueries {
         FreqSketches.bloomSketch(toks, "w", K, M), toks, "w", K, M)
     }),
 
+    // the grouped Bloom cell (the CMS/HLL/KLL/MG/KMV grouped shape):
+    // one 128-word filter PER LANGUAGE in a single groupBy pass — the
+    // group key rides the word relation, the hash stays per (r, token),
+    // and each language's census re-probes its own members plus the
+    // same 200 guaranteed non-members
+    "q_agg_bloom_grouped" -> ((s: SparkSession, d: String) => {
+      import graft.ops.FreqSketches
+      import graft.ops.CacheScope.ScopedPersist
+      val K = 3; val M = 4096
+      val toks = scan(s, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .select(col("lang"), col("w")).distinct().scopedPersist()
+      val sk = toks
+        .withColumn("r", explode(sequence(lit(0L), lit(K - 1L))))
+        .withColumn("pos", FreqSketches.bloomPos(col("r"), col("w"), M))
+        .select(col("lang"), expr("pos div 32").as("wd"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mk"))
+        .groupBy(col("lang"), col("wd")).agg(expr("bit_or(mk)").as("bits"))
+        .scopedPersist()
+      def test(probes: org.apache.spark.sql.DataFrame) = probes
+        .withColumn("r", explode(sequence(lit(0L), lit(K - 1L))))
+        .withColumn("pos", FreqSketches.bloomPos(col("r"), col("p"), M))
+        .select(col("lang"), col("p"), expr("pos div 32").as("wd"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mk"))
+        .join(sk, Seq("lang", "wd"), "left")
+        .groupBy(col("lang"), col("p"))
+        .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mk")) =!= 0L,
+          1L).otherwise(0L)).as("hit"))
+      val bits = sk.groupBy(col("lang"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_set_bits"))
+      val mem = test(toks.select(col("lang"), col("w").as("p")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_members"), min(col("hit")).as("all_hit"))
+      val negs = toks.select(col("lang")).distinct()
+        .crossJoin(s.range(200).select(concat(lit("zz"), col("id")).as("p")))
+      val neg = test(negs).groupBy(col("lang"))
+        .agg(sum(col("hit")).as("n_false_pos"))
+      mem.join(bits, Seq("lang")).join(neg, Seq("lang"))
+        .select(col("lang"), col("n_members"), col("n_set_bits"),
+          expr("n_set_bits * 1000000 div 4096").as("fill_ppm"),
+          (col("all_hit") === 1L).as("no_false_negatives"),
+          lit(200L).as("n_neg_probes"), col("n_false_pos"),
+          expr("n_false_pos * 1000000 div 200").as("fpr_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // AMS F2 / self-join-size sketch (Alon, Matias & Szegedy 1996) —
     // the skew detector: F2 = Σ c(x)^2 estimated as the median of d
     // signed-sum squares, each a one-pass partial-aggregable sum. The
@@ -1141,6 +1189,59 @@ object SqlFunctionQueries {
            |  CAST(200 AS BIGINT) AS n_neg_probes, nf.n_false_pos,
            |  CAST(nf.n_false_pos * 1000000 // 200 AS BIGINT) AS fpr_ppm
            |FROM mem, nb, nf""".stripMargin
+    },
+
+    // per-language word-by-word Bloom replay from the portable hash
+    "q_agg_bloom_grouped" -> {
+      val hp = DedupQueries.sqlHex60Public("md5('bloom:' || CAST(r AS VARCHAR) || ':' || x)")
+      raw"""WITH w0 AS (SELECT lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents),
+           |tk AS (SELECT DISTINCT lang, w AS x FROM w0
+           |       WHERE regexp_full_match(w, '[a-z]+')),
+           |rr AS (SELECT unnest([0, 1, 2]) AS r),
+           |pos AS (SELECT lang, ($hp) % 4096 AS pos
+           |        FROM (SELECT tk.lang, tk.x AS x, rr.r AS r
+           |              FROM tk CROSS JOIN rr)),
+           |bm AS (SELECT lang, pos // 32 AS w,
+           |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+           |           AS BIGINT) AS bits
+           |       FROM pos GROUP BY lang, pos // 32),
+           |nb AS (SELECT lang, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits
+           |       FROM bm GROUP BY lang),
+           |mt AS (SELECT lang, x, ($hp) % 4096 AS pos
+           |       FROM (SELECT tk.lang, tk.x AS x, rr.r AS r
+           |             FROM tk CROSS JOIN rr)),
+           |mh AS (SELECT mt.lang, mt.x, MIN(CASE WHEN COALESCE(bm.bits, 0)
+           |           & (CAST(1 AS BIGINT) << CAST(mt.pos % 32 AS INT)) <> 0
+           |         THEN 1 ELSE 0 END) AS hit
+           |       FROM mt LEFT JOIN bm
+           |         ON bm.lang = mt.lang AND bm.w = mt.pos // 32
+           |       GROUP BY mt.lang, mt.x),
+           |mem AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |          CAST(MIN(hit) AS BIGINT) AS all_hit FROM mh GROUP BY lang),
+           |lg AS (SELECT DISTINCT lang FROM tk),
+           |ng AS (SELECT lg.lang, 'zz' || CAST(i AS VARCHAR) AS x
+           |       FROM lg CROSS JOIN (SELECT unnest(range(0, 200)) AS i)),
+           |np AS (SELECT lang, x, ($hp) % 4096 AS pos
+           |       FROM (SELECT ng.lang, ng.x AS x, rr.r AS r
+           |             FROM ng CROSS JOIN rr)),
+           |nh AS (SELECT np.lang, np.x, MIN(CASE WHEN COALESCE(bm.bits, 0)
+           |           & (CAST(1 AS BIGINT) << CAST(np.pos % 32 AS INT)) <> 0
+           |         THEN 1 ELSE 0 END) AS hit
+           |       FROM np LEFT JOIN bm
+           |         ON bm.lang = np.lang AND bm.w = np.pos // 32
+           |       GROUP BY np.lang, np.x),
+           |nf AS (SELECT lang, CAST(SUM(hit) AS BIGINT) AS n_false_pos
+           |       FROM nh GROUP BY lang)
+           |SELECT mem.lang, mem.n_members, nb.n_set_bits,
+           |  CAST(nb.n_set_bits * 1000000 // 4096 AS BIGINT) AS fill_ppm,
+           |  mem.all_hit = 1 AS no_false_negatives,
+           |  CAST(200 AS BIGINT) AS n_neg_probes, nf.n_false_pos,
+           |  CAST(nf.n_false_pos * 1000000 // 200 AS BIGINT) AS fpr_ppm
+           |FROM mem JOIN nb ON nb.lang = mem.lang
+           |  JOIN nf ON nf.lang = mem.lang
+           |ORDER BY mem.lang""".stripMargin
     },
 
     "q_agg_cms_grouped" -> {

@@ -298,6 +298,61 @@ object TextQueries {
         .orderBy(col("direction"))
     }),
 
+    // JENSEN-SHANNON DIVERGENCE between the en/de unigram
+    // distributions — the symmetric, bounded mixing diagnostic beside
+    // q_text_kl's directed KL (JSD is what a mixture designer actually
+    // thresholds: 0 ≤ JSD ≤ 1 bit). Same +1-smoothed census and
+    // integer-centibit machinery; the mixture M = (P+Q)/2 enters
+    // through the ratio identity p/m = 2·cp·nq ⁄ (cp·nq + cq·np), so
+    // each word needs cb() of two exact integer products and the cb
+    // table stays vocab-sized. Emitted DOUBLED (jsd_x2 = KL(P‖M) +
+    // KL(Q‖M)) — no halving division whose floor could diverge on a
+    // near-zero negative sum. Bound note: costStages needs t·2²⁰ in
+    // int64, i.e. products under ~8.8e12 — held here with 100× margin;
+    // a deployment past that rescales counts first
+    "q_text_jsd" -> ((s: SparkSession, d: String) => {
+      import graft.ops.UlmTokenizer
+      import graft.ops.CacheScope.ScopedPersist
+      val tk = scan(s, d, "documents").filter(col("lang").isin("en", "de"))
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+      val c = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+        .scopedPersist()
+      val vocab = c.select(col("w")).distinct()
+      val m0 = vocab
+        .join(c.filter(col("lang") === "en").select(col("w"), col("n").as("ne")),
+          Seq("w"), "left")
+        .join(c.filter(col("lang") === "de").select(col("w"), col("n").as("nd")),
+          Seq("w"), "left")
+        .select(col("w"), (coalesce(col("ne"), lit(0L)) + 1L).as("cp"),
+          (coalesce(col("nd"), lit(0L)) + 1L).as("cq"))
+      val tot = m0.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+      val m = m0.crossJoin(broadcast(tot))
+        .select(col("cp"), col("cq"), col("np"), col("nq"),
+          (col("cp") * col("nq") * 2).as("a1"),
+          (col("cq") * col("np") * 2).as("a2"),
+          (col("cp") * col("nq") + col("cq") * col("np")).as("a0"))
+        .scopedPersist()
+      val vals = m.select(col("a1").as("v")).union(m.select(col("a2")))
+        .union(m.select(col("a0"))).distinct()
+      var cbt = vals
+      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
+        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
+      }
+      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
+        .scopedPersist()
+      m.join(broadcast(cb.select(col("v").as("a1"), col("cb").as("cb1"))), Seq("a1"))
+        .join(broadcast(cb.select(col("v").as("a2"), col("cb").as("cb2"))), Seq("a2"))
+        .join(broadcast(cb.select(col("v").as("a0"), col("cb").as("cb0"))), Seq("a0"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(expr("(cp * 1000000 div np) * (cb1 - cb0)")).as("kl_p_m"),
+          sum(expr("(cq * 1000000 div nq) * (cb2 - cb0)")).as("kl_q_m"))
+        .select(col("n_vocab"), col("kl_p_m").as("kl_p_m_cbppm"),
+          col("kl_q_m").as("kl_q_m_cbppm"),
+          (col("kl_p_m") + col("kl_q_m")).as("jsd_x2_cbppm"))
+    }),
+
     // SFT CHAT-TEMPLATE ASSEMBLY CENSUS — the packing audit an
     // instruction-tuning pipeline runs before serialization: each doc's
     // token stream is segmented into alternating user/assistant turns
@@ -1001,6 +1056,49 @@ object TextQueries {
            |  CAST(abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
            |    AS BIGINT) AS slope_mag_x6
            |FROM a""".stripMargin
+    },
+
+    // same census/cb machinery as q_text_kl, with the mixture entering
+    // as the exact product-ratio identity
+    "q_text_jsd" -> {
+      import graft.ops.UlmTokenizer
+      val staged = UlmTokenizer.costStages("v", "1", UlmTokenizer.Duck)
+        .foldLeft("SELECT * FROM vals") { case (acc, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($acc)" }
+      raw"""WITH tk AS (SELECT lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |  FROM documents WHERE lang IN ('en', 'de')),
+           |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+           |      WHERE regexp_full_match(w, '[a-z]+') GROUP BY lang, w),
+           |vc AS (SELECT DISTINCT w FROM c),
+           |m0 AS (SELECT vc.w,
+           |        COALESCE(e.n, 0) + 1 AS cp, COALESCE(g.n, 0) + 1 AS cq
+           |      FROM vc
+           |      LEFT JOIN (SELECT w, n FROM c WHERE lang = 'en') e ON e.w = vc.w
+           |      LEFT JOIN (SELECT w, n FROM c WHERE lang = 'de') g ON g.w = vc.w),
+           |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+           |               CAST(SUM(cq) AS BIGINT) AS nq FROM m0),
+           |m AS (SELECT cp, cq, np, nq,
+           |        CAST(cp * nq * 2 AS BIGINT) AS a1,
+           |        CAST(cq * np * 2 AS BIGINT) AS a2,
+           |        CAST(cp * nq + cq * np AS BIGINT) AS a0
+           |      FROM m0 CROSS JOIN tot),
+           |vals AS (SELECT DISTINCT v FROM (
+           |    SELECT a1 AS v FROM m UNION SELECT a2 FROM m
+           |    UNION SELECT a0 FROM m)),
+           |st AS MATERIALIZED ($staged),
+           |cbt AS (SELECT v, CAST(cost_cb AS BIGINT) AS cb FROM st)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           |  CAST(SUM((cp * 1000000 // np) * (x1.cb - x0.cb)) AS BIGINT)
+           |    AS kl_p_m_cbppm,
+           |  CAST(SUM((cq * 1000000 // nq) * (x2.cb - x0.cb)) AS BIGINT)
+           |    AS kl_q_m_cbppm,
+           |  CAST(SUM((cp * 1000000 // np) * (x1.cb - x0.cb))
+           |     + SUM((cq * 1000000 // nq) * (x2.cb - x0.cb)) AS BIGINT)
+           |    AS jsd_x2_cbppm
+           |FROM m JOIN cbt x1 ON x1.v = m.a1
+           |  JOIN cbt x2 ON x2.v = m.a2
+           |  JOIN cbt x0 ON x0.v = m.a0""".stripMargin
     },
 
     "q_text_kl" -> {

@@ -79,6 +79,34 @@ class EvalMetricsSpec extends SparkSpec {
     assert(llMean >= 0L && llMean <= 1993000L, s"log-loss $llMean")
   }
 
+  test("McNemar: concordance mass conserved, B wins by construction, CC <= raw") {
+    val r = run("q_eval_mcnemar")(0)
+    val parts = Seq("both_right", "both_wrong", "a_only", "b_only")
+      .map(r.getAs[Long](_))
+    assert(parts.sum == r.getAs[Long]("n_items"), "2x2 census mass lost")
+    // model B carries a 250k label shift vs A's 150k — it must be the
+    // stronger paired model on the same items
+    assert(r.getAs[Int]("better_model") == 1, "B should win")
+    assert(r.getAs[Long]("mcnemar_cc_ppm") <= r.getAs[Long]("mcnemar_x2_ppm"),
+      "continuity correction must not increase the statistic")
+  }
+
+  test("JSD is symmetric-bounded: both KL(.||M) halves >= 0, total <= 2 bits") {
+    val r = graft.queries.TextQueries.queries("q_text_jsd")(spark, sf001)
+      .collect()(0)
+    val (p, q) = (r.getAs[Long]("kl_p_m_cbppm"), r.getAs[Long]("kl_q_m_cbppm"))
+    // each KL(.||M) is >= 0 in exact arithmetic; the fixed-point
+    // estimate can dip below zero by (weight-floor x cb-rounding)
+    // slack — bound each half by the 1-bit ceiling instead, and pin
+    // positivity on the SUM (the quantity the mixture designer reads)
+    assert(math.abs(p) <= 100000000L && math.abs(q) <= 100000000L,
+      s"KL half beyond the 1-bit ceiling: $p / $q")
+    val jsd = r.getAs[Long]("jsd_x2_cbppm")
+    assert(jsd == p + q, "doubled JSD must be the exact sum")
+    // JSD <= 1 bit = 100 cb; weights sum to ~1e6 ppm; doubled => 2e8
+    assert(jsd > 0 && jsd <= 200000000L, s"JSD out of range: $jsd")
+  }
+
   test("MAP@10 laws: AP bounded by 1e6, zero iff no hits, exact when all hit") {
     val rows = graft.queries.SearchQueries.queries("q_text_map")(spark, sf001)
       .collect()

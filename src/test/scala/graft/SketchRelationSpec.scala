@@ -101,4 +101,17 @@ class SketchRelationSpec extends SparkSpec {
     // fixture: a generous regression pin, not a probabilistic claim
     assert(census.getAs[Long]("n_false_pos") <= 20)
   }
+
+  test("grouped bloom cells: one filter per language, theorem holds per group") {
+    val rows = graft.queries.SqlFunctionQueries
+      .queries("q_agg_bloom_grouped")(spark, sf001).collect()
+    assert(rows.length >= 2, "expected one cell per language")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_false_negatives"),
+        s"member probed negative in ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("n_set_bits") <= 3 * r.getAs[Long]("n_members"),
+        "fill exceeds k x members")
+      assert(r.getAs[Long]("fpr_ppm") <= 1000000L)
+    }
+  }
 }
