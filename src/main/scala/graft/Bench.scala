@@ -35,6 +35,24 @@ object Bench {
     // governs BOTH the warmup and the timed runs.
     def family(n: String): String = n.split("_").take(2).mkString("_")
     val familyClear = sys.env.getOrElse("BENCH_FAMILY_CLEAR", "1") != "0"
+    // FULL storage clear at the family boundary (r14): catalog caches
+    // PLUS leftover persistent RDDs — localCheckpoint blocks from the
+    // iterated graph/dedup/ER ops are registered RDD persists the cache
+    // manager never sees, and they accumulate across the whole run
+    // until the lazy ContextCleaner gets to them. As the registry grew
+    // (r12→r13: +40 entries) the pressure by the time the later
+    // families ran grew with it — the r13 graph-family drift
+    // (q_graph_kcore 3.80→6.37 s with NO code change) is exactly this
+    // shape. Nothing outside a family legitimately holds an RDD persist
+    // across the boundary: cross-query model memos are driver-side
+    // collected Seqs, and CacheScope datasets live in the catalog cache.
+    def clearStorage(spark: org.apache.spark.sql.SparkSession): Unit = {
+      spark.catalog.clearCache()
+      // blocking: the release must not overlap the next family's first
+      // timed attempt (a non-blocking unpersist would)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     // Under back-to-back attempts (below) each query's first attempt
     // absorbs its own codegen/cache ramp, so the untimed warmup only
     // needs to cover the SHARED paths (parquet scan, hash agg, the join
@@ -54,11 +72,11 @@ object Bench {
       var lastWarmFamily = ""
       warmSlice.foreach { n =>
         if (familyClear && lastWarmFamily.nonEmpty && family(n) != lastWarmFamily)
-          spark.catalog.clearCache()
+          clearStorage(spark)
         lastWarmFamily = family(n)
         reg.get(n).foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
-      spark.catalog.clearCache()
+      clearStorage(spark)
     }
     // cache policy: identical persisted subplans (e.g. the hashed shingle
     // table) are intentionally shared across queries of the same FAMILY
@@ -100,7 +118,7 @@ object Bench {
         .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
         .map { case (name, fn) =>
           if (familyClear && lastFamily.nonEmpty && family(name) != lastFamily)
-            spark.catalog.clearCache()
+            clearStorage(spark)
           lastFamily = family(name)
           val attempts = (1 to nRuns).map { _ =>
             val t0 = System.nanoTime()

@@ -32,7 +32,7 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val out = args.lift(1).getOrElse(s"${graft.engine.Staging.root}/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     generate(spark, src, out, factor)

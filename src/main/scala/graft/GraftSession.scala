@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def build(cpus: String, adaptive: Boolean = true): SparkSession = {
+    // streaming temp checkpoints → tmpfs scratch (see Staging): the
+    // fsync-heavy offset/commit/state metadata of every bounded
+    // AvailableNow run stops touching the disk. spark.local.dir is
+    // pinned to the PREVIOUS tmpdir so shuffle/spill scratch stays on
+    // disk — RAM-backing multi-GB shuffle files during the sf1 sweep
+    // would gamble the box's memory, the metadata never does.
+    val diskTmp = graft.engine.Staging.redirectTmpToScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", diskTmp)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

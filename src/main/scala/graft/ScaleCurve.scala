@@ -72,9 +72,21 @@ object ScaleCurve {
     // measure under earlier families' storage pressure — observed as a
     // 4× inflated q_profile_gini after q_graph_jaccard's sf1 persists
     def family(n: String): String = n.split("_").take(2).mkString("_")
+    // FULL storage clear: the cache manager (persisted Datasets) plus
+    // every persistent RDD still registered — this is where
+    // localCheckpoint blocks live, and three rounds of ER-family flags
+    // (golden → clusters → editjoin, r11–r13) were exactly residual
+    // checkpoint blocks from EARLIER families inflating the large-side
+    // measurement; each flag adjudicated clean by a manual isolated
+    // re-run. Clearing both at the boundary removes the pressure at its
+    // source instead of adjudicating it after the fact.
+    def clearStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     var lastFamily = ""
     val rows = picked.flatMap { case (name, fn) =>
-      if (lastFamily.nonEmpty && family(name) != lastFamily) spark.catalog.clearCache()
+      if (lastFamily.nonEmpty && family(name) != lastFamily) clearStorage()
       lastFamily = family(name)
       try {
         // small first warms codegen/caches for the shared plan shape, so
@@ -94,23 +106,52 @@ object ScaleCurve {
       }
     }
     val flagged = rows.filter { case (_, _, tl, _, nr) => nr > flagRatio && tl > 2.0 }
+    // Self-adjudication (r13 verdict punch #3): every flag is re-run
+    // ISOLATED — storage fully cleared, nothing sharing the session —
+    // and BOTH ratios land in the same JSON. A flag whose isolated norm
+    // drops back under the bar was harness storage pressure, not a
+    // scale defect; one that reproduces isolated is real. Replaces the
+    // manual scalecurve_*_isolated.json adjudication files of r11–r13.
+    val qmap = picked.toMap
+    val adjudicated = flagged.map { case (name, _, _, _, _) =>
+      clearStorage()
+      System.gc()
+      val its = time(qmap(name), small)
+      val itl = time(qmap(name), large)
+      val ir = itl / math.max(its, 0.2)
+      val inr = if (docTextFamilies(family(name))) ir * textNorm else ir
+      name -> (math.rint(ir * 100) / 100, math.rint(inr * 100) / 100,
+        inr <= flagRatio)
+    }.toMap
+    lazy val flaggedJson = flagged.map { case (n, _, _, _, _) =>
+      val (ir, inr, clean) = adjudicated(n)
+      s"""{"name":"$n","isolated_ratio":$ir,"isolated_norm_ratio":$inr,""" +
+        s""""isolated_clean":$clean}"""
+    }.mkString(",")
     val summary =
       s"""{"metric":"scalecurve","flag_ratio":$flagRatio,"n_queries":${rows.size},""" +
-        s""""n_flagged":${flagged.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""n_flagged":${flagged.size},"flagged":[$flaggedJson],""" +
         s""""n_errors":${errors.size},"small":"$small","large":"$large",""" +
         s""""bytes_small":$bytesSmall,"bytes_large":$bytesLarge,""" +
         s""""doc_rows_small":$docRowsSmall,"doc_rows_large":$docRowsLarge,""" +
         s""""byte_growth":${math.rint(byteGrowth * 100) / 100},""" +
         s""""row_growth":${math.rint(rowGrowth * 100) / 100}}"""
     val detail = rows.map { case (n, ts, tl, r, nr) =>
+      val iso = adjudicated.get(n).map { case (ir, inr, clean) =>
+        s""","isolated_ratio":$ir,"isolated_norm_ratio":$inr,"isolated_clean":$clean"""
+      }.getOrElse("")
       s""""$n":{"t_small":$ts,"t_large":$tl,"ratio":${math.rint(r * 100) / 100}""" +
-        s""","norm_ratio":${math.rint(nr * 100) / 100}}"""
+        s""","norm_ratio":${math.rint(nr * 100) / 100}$iso}"""
     }.mkString("{\"metric\":\"scalecurve_detail\",\"queries\":{", ",", "}}")
     GraftSession.emitJsonLines("tools/scalecurve_last.json", Seq(summary, detail))
     graft.sources.rest.StubServer.stop()
     spark.stop()
     if (flagged.nonEmpty) System.err.println(
-      s"SCALECURVE: ${flagged.size} super-linear queries: ${flagged.map(_._1).mkString(", ")}")
+      s"SCALECURVE: ${flagged.size} super-linear queries (isolated re-run inline): " +
+        flagged.map { case (n, _, _, _, _) =>
+          val (_, inr, clean) = adjudicated(n)
+          s"$n(iso_norm=$inr${if (clean) ", clean" else ", REPRODUCED"})"
+        }.mkString(", "))
     System.exit(0)
   }
 }

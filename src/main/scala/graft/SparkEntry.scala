@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.QualityQueries.queries ++
       graft.queries.FunnelQueries.queries ++
       graft.queries.EntityQueries.queries ++
-      graft.queries.PrefQueries.queries
+      graft.queries.PrefQueries.queries ++
+      graft.queries.QClassifierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -86,5 +87,6 @@ object SparkEntry {
       graft.queries.QualityQueries.oracleSql ++
       graft.queries.FunnelQueries.oracleSql ++
       graft.queries.EntityQueries.oracleSql ++
-      graft.queries.PrefQueries.oracleSql
+      graft.queries.PrefQueries.oracleSql ++
+      graft.queries.QClassifierQueries.oracleSql
 }

@@ -1,0 +1,60 @@
+package graft.engine
+
+/** Central staging root for every scratch relation the engine writes —
+  * staged stream sources, sink outputs, format round-trips, the
+  * GenScale sf1 tables.
+  *
+  * Why it exists (r13 verdict #8): the two most box-sensitive bench
+  * entries (q_stream_corpus 7.95 s degraded vs 2.90 s healthy,
+  * q_stream_crawl 7.87 vs 2.61) are exactly the stage-write +
+  * multi-batch AvailableNow shapes — their floor is checkpoint/staging
+  * I/O, not CPU, so a box under disk pressure inflates them ~2.7×.
+  * /tmp on this class of box is ext4-on-disk while /dev/shm is a
+  * RAM-backed tmpfs larger than every artifact we stage (sf1 is
+  * ~200 MB; the whole staged set is well under 2 GB): putting scratch
+  * there removes the disk from the measurement entirely.
+  *
+  * 100 TB note: this is LOCAL scratch for the single-JVM harness. On a
+  * real cluster the staged relations are ordinary parquet writes to the
+  * job's scratch bucket/HDFS and the checkpoint location is an explicit
+  * durable path per stream — a RAM disk would be wrong there; the env
+  * override exists so a deployment can point this anywhere.
+  */
+object Staging {
+  /** Scratch base: GRAFT_STAGE_DIR env > /dev/shm (when writable) > /tmp. */
+  lazy val root: String = {
+    val base = sys.env.get("GRAFT_STAGE_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_stage") else None
+    }.getOrElse("/tmp")
+    try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    catch { case _: Throwable => }
+    base
+  }
+
+  /** Point java.io.tmpdir at tmpfs-backed scratch so MEMORY-SINK TEMP
+    * CHECKPOINTS land there: Spark's StreamingQueryManager resolves a
+    * temp checkpoint via Utils.createTempDir, whose root defaults to
+    * java.io.tmpdir READ AT CALL TIME — so setting the property before
+    * any stream starts is sufficient, no fork-time JVM flag needed.
+    * Every bounded AvailableNow run writes offsets/commits/state files
+    * there and deletes them on stop (deleteCheckpointOnStop is true for
+    * temp checkpoints); at 43 q_stream_* entries × 2 bench attempts
+    * that is the bulk of the streaming harness's irreducible I/O floor.
+    *
+    * Returns the PREVIOUS tmpdir so the caller can pin spark.local.dir
+    * to it — shuffle/block scratch stays on disk, sized for the sf1
+    * sweep, only the small fsync-heavy streaming metadata moves to RAM.
+    */
+  def redirectTmpToScratch(): String = {
+    val prev = System.getProperty("java.io.tmpdir", "/tmp")
+    if (root != "/tmp") {
+      val t = s"$root/jvmtmp"
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+        System.setProperty("java.io.tmpdir", t)
+      } catch { case _: Throwable => }
+    }
+    prev
+  }
+}

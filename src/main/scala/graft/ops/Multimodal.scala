@@ -2538,6 +2538,10 @@ object Multimodal {
       var e = b.length - 22
       while (e >= 0 && !(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 5 && b(e + 3) == 6))
         e -= 1
+      // loud-failure contract: without this, e = -1 makes u16(e + 10)
+      // read payload bytes 9–10 as the entry count (garbage or an opaque
+      // out-of-bounds) instead of naming the malformed archive
+      require(e >= 0, s"EOCD signature not found: media ${r.media_id}")
       val nEntries = u16(e + 10)
       var i = u32(e + 16).toInt
       (0 until nEntries).map { _ =>

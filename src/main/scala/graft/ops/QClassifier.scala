@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Quality-classifier TRAINING as a relational operator — the
+  * fastText-style linear gate DCLM/FineWeb-class pipelines run as their
+  * main keep/drop filter (Li et al. 2024; Penedo et al. 2024 — public),
+  * re-expressed as distributed logistic-loss gradient descent in EXACT
+  * integer arithmetic so the DuckDB oracle replays every weight of
+  * every iteration bit-identically.
+  *
+  * Shape per GD iteration (T = 8, 1/t step decay):
+  *   z_d  = Σ_f w_f·x_df div 10⁶                (per-doc margin, micro)
+  *   r_d  = σ(z_d) − y_d·10⁶                    (residual, ppm)
+  *   g_f  = Σ_d  (x_df·r_d) div 10⁶             (gradient partial)
+  *   w_f ← w_f − (g_f·1000) div (n·2·(t+1))     (decayed step)
+  * with σ the PLAN piecewise-linear sigmoid (Amin, Curtis & Hayes-Gill
+  * 1997 — public): slopes ¼, ⅛, 1/32 over |z| < 1, 2.375, 5 logits then
+  * saturation, every slope a power-of-two integer division. Unlike the
+  * 2-piece hard sigmoid, the tails keep a live gradient until 5 logits
+  * out — full-batch GD on count features oscillates class-wide without
+  * that (measured: hard-sigmoid training pinned at the class prior for
+  * 16+ iterations; PLAN + 1/t decay reaches 100% seed accuracy in 8).
+  *
+  * Features: the hashing trick (Weinberger et al. 2009) into D = 32
+  * buckets via the portable 60-bit md5 parse, tf-normalized to ppm
+  * shares (raw counts re-introduce the document-length direction, which
+  * dominates the gradient and stalls training), plus a constant-scale
+  * bias feature at f = D. Labels: weak supervision, the DCLM pattern —
+  * a deterministic seed rule (token-count margin m = c_fast − c_slow)
+  * labels only the CONFIDENT docs (|m| ≥ 2) for training, and the
+  * trained model generalizes to the margin-1 docs the rule itself can
+  * barely call (measured ~90% full-corpus agreement from a 100%-seed
+  * fit at every SF).
+  *
+  * Sign discipline: Spark's `div` truncates toward zero while DuckDB's
+  * `//` floors — every division that can see a negative numerator is
+  * sign-split (CASE on the sign, divide the absolute value), the κ
+  * convention, so the two engines can never diverge.
+  *
+  * 100 TB: the gradient is a map-side-combinable groupBy over D+1 = 33
+  * keys; the per-doc margin is one equi-join with a 33-row broadcast +
+  * a doc-keyed partial agg; T passes over the SEED subset (a filter of
+  * the corpus — at real scale the seed set is the curated sample, not
+  * the corpus). Only the 33-row gradient ever reaches the driver (the
+  * k-row-seed convention). Scoring (see [[scoreAll]]) is one broadcast
+  * pass, zero shuffles before the census.
+  */
+object QClassifier {
+  val D = 32
+  val BIAS_X = 50000L
+  val ITERS = 8
+  val STEP_C = 2L
+
+  /** Truncating (toward-zero) integer division as a SQL fragment —
+    * operands may be negative; the sign-split keeps both engines on
+    * nonnegative floor division. */
+  private def tdivSql(num: String, den: String): String =
+    s"CASE WHEN ($num) >= 0 THEN ($num) div ($den) ELSE -((-($num)) div ($den)) END"
+
+  /** PLAN piecewise-linear sigmoid over a micro-unit margin column, in
+    * ppm. Pure integer CASE chain — identical text modulo the div/`//`
+    * spelling on the two engines (all operands nonnegative here). */
+  private def planSigSql(z: String, idiv: String): String = {
+    val a = s"abs($z)"
+    val h = s"""CASE WHEN $a >= 5000000 THEN 1000000
+               | WHEN $a >= 2375000 THEN 843750 + ($a) $idiv 32
+               | WHEN $a >= 1000000 THEN 625000 + ($a) $idiv 8
+               | ELSE 500000 + ($a) $idiv 4 END""".stripMargin.replace("\n", " ")
+    s"CASE WHEN ($z) >= 0 THEN $h ELSE 1000000 - ($h) END"
+  }
+  def planSigSpark(z: String): Column = expr(planSigSql(z, "div"))
+  def planSigDuck(z: String): String = planSigSql(z, "//")
+
+  /** (doc_id, f, x) hashed tf-ppm features + the bias row, from a
+    * documents relation with (doc_id, text). */
+  def featurize(docs: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val base = docs.select(col("doc_id"), ws.as("ws"))
+    val counts = base
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nt"),
+        explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("nt"),
+        pmod(Dedup.hex60(md5(concat(lit("lr:"), col("w")).cast("binary"))),
+          lit(D.toLong)).as("f"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("f"), expr("c * 1000000 div nt").as("x"))
+    counts.unionAll(base.select(col("doc_id"), lit(D.toLong).as("f"),
+      lit(BIAS_X).as("x")))
+  }
+
+  /** Seed-rule margin m = c_fast − c_slow per doc. */
+  def seedMargin(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (expr("size(filter(split(trim(lower(text)), '\\\\s+'), t -> t = 'fast'))") -
+        expr("size(filter(split(trim(lower(text)), '\\\\s+'), t -> t = 'slow'))"))
+        .cast("long").as("m"))
+
+  /** Per-JVM trained-model memo (the UlmTokenizer.trainedModel
+    * convention): (weights f→w_micro, n_train), keyed by source dir —
+    * the scoring query must not re-pay the T training passes. */
+  private val modelMemo = TrieMap.empty[String, (Map[Long, Long], Long)]
+
+  /** Train on the confident seed labels of `docs` (memoized per dir). */
+  def trainedModel(docs: DataFrame, dir: String): (Map[Long, Long], Long) =
+    modelMemo.getOrElseUpdate(dir, {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import graft.ops.CacheScope.ScopedPersist
+      val lab = seedMargin(docs).filter(abs(col("m")) >= 2)
+        .select(col("doc_id"), when(col("m") >= 2, 1L).otherwise(0L).as("y"))
+      // the train-subset feature relation feeds 2 joins per iteration ×
+      // T iterations: persist once (bounded: ≤ (D+2)·n_seed rows)
+      val tf = featurize(docs).join(lab, "doc_id").scopedPersist()
+      val n = math.max(lab.count(), 1L)
+      var w = (0L to D.toLong).map(_ -> 0L).toMap
+      (0 until ITERS).foreach { t =>
+        val wdf = w.toSeq.toDF("f", "w")
+        val z = tf.join(broadcast(wdf), "f")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("x") * col("w")).as("zz"), min(col("y")).as("y"))
+          .select(col("doc_id"),
+            (planSigSpark(tdivSql("zz", "1000000")) - col("y") * 1000000L).as("r"))
+        val g = tf.join(z, "doc_id")
+          .groupBy(col("f"))
+          .agg(sum(expr(tdivSql("x * r", "1000000"))).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 33 rows
+        val den = n * STEP_C * (t + 1)
+        w = w.map { case (f, wf) =>
+          val gf = g.getOrElse(f, 0L) * 1000L
+          val step = if (gf >= 0) gf / den else -((-gf) / den)
+          f -> (wf - step)
+        }
+      }
+      (w, n)
+    })
+
+  /** Score a documents relation with the trained model: one 33-row
+    * broadcast join + one doc-keyed partial agg — no full shuffle, the
+    * one-pass 100 TB scoring shape. Returns (doc_id, sig_ppm, keep). */
+  def scoreAll(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (w, _) = trainedModel(docs, dir)
+    val wdf = w.toSeq.toDF("f", "w")
+    featurize(docs).join(broadcast(wdf), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("w")).as("zz"))
+      .select(col("doc_id"),
+        planSigSpark(tdivSql("zz", "1000000")).cast("long").as("sig_ppm"))
+      .withColumn("keep", col("sig_ppm") >= 500000L)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  DuckDB oracle: the SAME T iterations unrolled as MATERIALIZED    //
+  //  CTE stages (the btlSql convention — inlined iterated CTEs        //
+  //  re-evaluate the chain exponentially).                            //
+  // ---------------------------------------------------------------- //
+
+  /** Shared feature/label CTE prefix (DuckDB). `hex60(e)` must be the
+    * caller's portable md5 parse (DedupQueries.sqlHex60Public). */
+  def oracleCtes(hex60: String => String): String = {
+    val hv = hex60("md5('lr:' || w)")
+    s"""wsx AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wsx),
+       |nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM wsx),
+       |fc AS (SELECT doc_id, CAST(($hv) % 32 AS BIGINT) AS f,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |feats AS MATERIALIZED (
+       |  SELECT fc.doc_id, fc.f, CAST(fc.c * 1000000 // nt.n AS BIGINT) AS x
+       |  FROM fc JOIN nt USING (doc_id)
+       |  UNION ALL SELECT doc_id, 32, ${BIAS_X} FROM nt),
+       |lab0 AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN w = 'fast' THEN 1 ELSE 0 END)
+       |       - SUM(CASE WHEN w = 'slow' THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM tok GROUP BY doc_id),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |    CAST(CASE WHEN m >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM lab0 WHERE abs(m) >= 2),
+       |tf AS MATERIALIZED (SELECT feats.doc_id, feats.f, feats.x, lab.y
+       |  FROM feats JOIN lab USING (doc_id)),
+       |ntr AS (SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS n FROM lab),
+       |it0 AS (SELECT CAST(unnest(range(0, 33)) AS BIGINT) AS f,
+       |  CAST(0 AS BIGINT) AS w)""".stripMargin
+  }
+
+  private def duckTdiv(num: String, den: String): String =
+    s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
+
+  /** The unrolled GD stages z$k/r$k/g$k/it${k+1}, k = 0 until ITERS. */
+  def oracleGdStages: String =
+    (0 until ITERS).map { k =>
+      val sig = planSigDuck(duckTdiv("zz", "1000000"))
+      s"""z$k AS MATERIALIZED (SELECT tf.doc_id,
+         |    CAST(SUM(tf.x * it$k.w) AS BIGINT) AS zz, MIN(tf.y) AS y
+         |  FROM tf JOIN it$k USING (f) GROUP BY tf.doc_id),
+         |r$k AS MATERIALIZED (SELECT doc_id,
+         |    CAST(($sig) - y * 1000000 AS BIGINT) AS r FROM z$k),
+         |g$k AS (SELECT tf.f,
+         |    CAST(SUM(${duckTdiv(s"tf.x * r$k.r", "1000000")}) AS BIGINT) AS g
+         |  FROM tf JOIN r$k USING (doc_id) GROUP BY tf.f),
+         |it${k + 1} AS MATERIALIZED (SELECT it.f,
+         |    CAST(it.w - ${duckTdiv("COALESCE(g.g, 0) * 1000",
+              s"(SELECT n FROM ntr) * $STEP_C * ${k + 1}")} AS BIGINT) AS w
+         |  FROM it$k it LEFT JOIN g$k g USING (f))""".stripMargin
+    }.mkString(",\n")
+}

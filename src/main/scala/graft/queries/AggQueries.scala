@@ -913,18 +913,26 @@ object AggQueries {
     // deterministic keyed-hash score with a label-dependent shift, so
     // both engines replay the predictions bit-identically and the
     // metric itself is the thing under test. DECIMAL(38,0) headroom on
-    // the ppm products (the MW discipline)
+    // the ppm products (the MW discipline).
+    // Score domain is % 80000 (+15000 shift → 95k values), NOT the
+    // % 800000 the point-metric eval queries use: the rank census is
+    // min(rows, |domain|)-sized, and the tighter domain saturates it by
+    // ~100k rows, so from sf0.1 up the census — and the window spine
+    // over it — is CONSTANT-size while only the combinable first
+    // groupBy sees the data (r13 sweep: the 800k domain left the census
+    // row-bound through sf1, norm_ratio 11.7× and climbing). AUC over
+    // tied scores stays exact via the tie-averaged doubled ranks
     "q_eval_auc" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val o = scan(s, d, "orders").select(
         (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
-          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
-          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("v"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 80000L
+          + when(col("o_orderstatus") === "F", 15000L).otherwise(0L)).as("v"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
         when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
       val vals = o.groupBy(col("v"))
         .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
-        .withColumn("b", expr("v div 16384"))
+        .withColumn("b", expr("v div 2048"))
       val bt = vals.groupBy(col("b"))
         .agg((sum(col("d1")) + sum(col("d2"))).as("sc"))
       val wb = Window.orderBy(col("b"))
@@ -954,7 +962,12 @@ object AggQueries {
     // larger label shift, so it is genuinely stronger), the 2×2
     // concordance census, and the exact-integer McNemar statistic
     // (b−c)²·10⁶ div (b+c), with the continuity-corrected variant
-    // using max(|b−c|−1, 0). One combinable aggregation
+    // using max(|b−c|−1, 0). One combinable aggregation.
+    // BIGINT headroom: (b−c)²·10⁶ stays under 2⁶³ while |b−c| < 3.04e6
+    // discordant items — ~3M rows of pure one-sided disagreement between
+    // two models on the SAME items, far beyond any eval set (the
+    // q_text_jsd bound-note convention); past it Spark wraps where DuckDB
+    // errors, so the bound is documented here rather than guarded
     "q_eval_mcnemar" -> ((s: SparkSession, d: String) => {
       val scored = scan(s, d, "orders").select(
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
@@ -1233,15 +1246,18 @@ object AggQueries {
     // by the score domain, not the row count
     "q_eval_prauc" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
+      // same 95k-value bounded score domain as q_eval_auc (see there):
+      // the census saturates at |domain| rows, so the window spine is
+      // constant-size at any SF past ~100k rows
       val o = scan(s, d, "orders").select(
         (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
-          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
-          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("v"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 80000L
+          + when(col("o_orderstatus") === "F", 15000L).otherwise(0L)).as("v"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
         when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
       val vals = o.groupBy(col("v"))
         .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
-        .withColumn("b", expr("v div 16384"))
+        .withColumn("b", expr("v div 2048"))
       val bt = vals.groupBy(col("b"))
         .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
       val wb = Window.orderBy(col("b"))
@@ -2221,8 +2237,8 @@ object AggQueries {
     // over the distinct-score census — oracle-side naivety is fine)
     "q_eval_prauc" -> {
       val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
-      s"""WITH o AS (SELECT ($hv) % 800000
-         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS v,
+      s"""WITH o AS (SELECT ($hv) % 80000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 15000 ELSE 0 END AS v,
          |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
          |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
          |  FROM orders),
@@ -2300,8 +2316,8 @@ object AggQueries {
 
     "q_eval_auc" -> {
       val hv = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
-      s"""WITH o AS (SELECT ($hv) % 800000
-         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS v,
+      s"""WITH o AS (SELECT ($hv) % 80000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 15000 ELSE 0 END AS v,
          |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1,
          |    CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END AS w2
          |  FROM orders),

@@ -164,9 +164,13 @@ object PrefQueries {
           expr("(s2 - 3 * n_items) * 1000000 div (6 * n_items)").as("pbar_ppm"),
           expr("pc2 div 1000000").as("pe_ppm"))
         .select(col("n_items"), col("pbar_ppm"), col("pe_ppm"),
+          // degenerate-data guard: if every rating lands in ONE category
+          // pe_ppm = 10⁶ and the bare denominator is 0 (Spark NULL vs a
+          // DuckDB error — a silent divergence); GREATEST(·,1) applied
+          // IDENTICALLY in both engines keeps the division total
           expr("""CASE WHEN pbar_ppm >= pe_ppm
-                 |THEN (pbar_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
-                 |ELSE -((pe_ppm - pbar_ppm) * 1000000 div (1000000 - pe_ppm))
+                 |THEN (pbar_ppm - pe_ppm) * 1000000 div GREATEST(1000000 - pe_ppm, 1)
+                 |ELSE -((pe_ppm - pbar_ppm) * 1000000 div GREATEST(1000000 - pe_ppm, 1))
                  |END""".stripMargin.replace("\n", " ")).as("kappa_ppm"))
     })
   )
@@ -195,11 +199,12 @@ object PrefQueries {
   private val btlSql: String = {
     val steps = (0 until 10).map { k =>
       s"""s$k AS MATERIALIZED (SELECT i.model AS model,
-         |  CAST(SUM(np.n * 1000000000 // (i.p + j.p)) AS BIGINT) AS s
-         |  FROM it$k i JOIN np ON np.mi = i.model JOIN it$k j ON j.model = np.mj
+         |  CAST(COALESCE(SUM(np.n * 1000000000 // (i.p + j.p)), 0) AS BIGINT) AS s
+         |  FROM it$k i LEFT JOIN np ON np.mi = i.model
+         |    LEFT JOIN it$k j ON j.model = np.mj
          |  GROUP BY i.model),
          |pr$k AS MATERIALIZED (SELECT w.model,
-         |  CAST(GREATEST(w.w * 1000000000 // s$k.s, 1) AS BIGINT) AS praw
+         |  CAST(GREATEST(w.w * 1000000000 // GREATEST(s$k.s, 1), 1) AS BIGINT) AS praw
          |  FROM w JOIN s$k ON s$k.model = w.model),
          |it${k + 1} AS MATERIALIZED (SELECT model,
          |  CAST(GREATEST(praw * 5000000 //
@@ -212,11 +217,15 @@ object PrefQueries {
        |  FROM canon GROUP BY lo, hi),
        |np AS MATERIALIZED (SELECT lo AS mi, hi AS mj, n FROM pairs
        |  UNION ALL SELECT hi, lo, n FROM pairs),
-       |w AS MATERIALIZED (SELECT model, CAST(SUM(wv) AS BIGINT) AS w FROM (
+       |mdl AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS model),
+       |w AS MATERIALIZED (SELECT mdl.model,
+       |    CAST(COALESCE(SUM(wv), 0) AS BIGINT) AS w
+       |  FROM mdl LEFT JOIN (
        |    SELECT lo AS model, wl AS wv FROM pairs
-       |    UNION ALL SELECT hi, n - wl FROM pairs) GROUP BY model),
-       |g AS (SELECT mi AS model, CAST(SUM(n) AS BIGINT) AS n_games
-       |  FROM np GROUP BY mi),
+       |    UNION ALL SELECT hi, n - wl FROM pairs) x ON x.model = mdl.model
+       |  GROUP BY mdl.model),
+       |g AS (SELECT mdl.model, CAST(COALESCE(SUM(np.n), 0) AS BIGINT) AS n_games
+       |  FROM mdl LEFT JOIN np ON np.mi = mdl.model GROUP BY mdl.model),
        |it0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 5)) AS INT) AS model,
        |  CAST(1000000 AS BIGINT) AS p),
        |$steps
@@ -272,8 +281,8 @@ object PrefQueries {
         |  FROM s2n, pc)
         |SELECT n_items, pbar_ppm, pe_ppm,
         |  CAST(CASE WHEN pbar_ppm >= pe_ppm
-        |    THEN (pbar_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
-        |    ELSE -((pe_ppm - pbar_ppm) * 1000000 // (1000000 - pe_ppm))
+        |    THEN (pbar_ppm - pe_ppm) * 1000000 // GREATEST(1000000 - pe_ppm, 1)
+        |    ELSE -((pe_ppm - pbar_ppm) * 1000000 // GREATEST(1000000 - pe_ppm, 1))
         |  END AS BIGINT) AS kappa_ppm
         |FROM m""".stripMargin
   )

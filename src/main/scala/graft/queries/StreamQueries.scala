@@ -112,7 +112,7 @@ object StreamQueries {
     // reference's declared-but-dead "sync" action made real: each
     // micro-batch lands through the same sink path batch pipelines use
     "q_stream_sink" -> ((s: SparkSession, d: String) => {
-      val out = s"/tmp/graft_streamsink_${Integer.toHexString(d.hashCode)}"
+      val out = s"${graft.engine.Staging.root}/graft_streamsink_${Integer.toHexString(d.hashCode)}"
       // clean slate: append-mode landing must not accumulate across runs
       val dir = new java.io.File(out)
       if (dir.exists()) {
@@ -152,8 +152,8 @@ object StreamQueries {
     "q_stream_upsert" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_upsert_src_$suffix"
-      val target = s"/tmp/graft_upsert_tgt_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_upsert_src_$suffix"
+      val target = s"${graft.engine.Staging.root}/graft_upsert_tgt_$suffix"
       val fs = new Path(target).getFileSystem(s.sparkContext.hadoopConfiguration)
       graft.engine.QueryBuilder.scan(s, d, "orders")
         .repartition(3, col("o_orderkey"))
@@ -209,8 +209,8 @@ object StreamQueries {
       import graft.ops.Dedup
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_neardup_src_$suffix"
-      val out = s"/tmp/graft_neardup_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_neardup_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_neardup_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
@@ -263,8 +263,8 @@ object StreamQueries {
       import graft.ops.{Dedup, TextAnalysis}
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scorpus_src_$suffix"
-      val out = s"/tmp/graft_scorpus_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scorpus_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_scorpus_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
@@ -325,8 +325,8 @@ object StreamQueries {
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
       val cut = lit("1995-01-01").cast("date")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sdrift_src_$suffix"
-      val out = s"/tmp/graft_sdrift_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sdrift_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sdrift_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.filter(col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice")
@@ -364,8 +364,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_schksum_src_$suffix"
-      val out = s"/tmp/graft_schksum_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_schksum_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_schksum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(2, col("doc_id")).stageTo(stage)
@@ -408,8 +408,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scusum_src_$suffix"
-      val out = s"/tmp/graft_scusum_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scusum_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_scusum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -534,8 +534,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_stopk_src_$suffix"
-      val out = s"/tmp/graft_stopk_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_stopk_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_stopk_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -581,8 +581,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sks_src_$suffix"
-      val out = s"/tmp/graft_sks_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sks_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sks_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -654,8 +654,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_skll_src_$suffix"
-      val out = s"/tmp/graft_skll_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_skll_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_skll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -726,8 +726,8 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_smg_src_$suffix"
-      val out = s"/tmp/graft_smg_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_smg_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_smg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -777,8 +777,8 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_smgg_src_$suffix"
-      val out = s"/tmp/graft_smgg_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_smgg_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_smgg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -833,8 +833,8 @@ object StreamQueries {
       val D = 3; val W = 64
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scms_src_$suffix"
-      val out = s"/tmp/graft_scms_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scms_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_scms_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -882,8 +882,8 @@ object StreamQueries {
       import graft.ops.Drift
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_spsi_src_$suffix"
-      val out = s"/tmp/graft_spsi_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_spsi_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_spsi_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -926,8 +926,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scro_src_$suffix"
-      val out = s"/tmp/graft_scro_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scro_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_scro_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -996,8 +996,8 @@ object StreamQueries {
       val D = 5
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sams_src_$suffix"
-      val out = s"/tmp/graft_sams_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sams_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sams_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1043,8 +1043,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sret_src_$suffix"
-      val out = s"/tmp/graft_sret_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sret_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sret_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1080,8 +1080,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_shll_src_$suffix"
-      val out = s"/tmp/graft_shll_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_shll_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_shll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1124,8 +1124,8 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .filter(col("event_type").isin("view", "purchase"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sbmp_src_$suffix"
-      val out = s"/tmp/graft_sbmp_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sbmp_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sbmp_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1165,8 +1165,8 @@ object StreamQueries {
         .where(col("w").rlike("^[a-z]+$"))
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sbloom_src_$suffix"
-      val out = s"/tmp/graft_sbloom_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sbloom_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sbloom_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1199,8 +1199,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val orders = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_spref_src_$suffix"
-      val out = s"/tmp/graft_spref_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_spref_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_spref_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       orders.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -1239,8 +1239,8 @@ object StreamQueries {
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_seval_src_$suffix"
-      val out = s"/tmp/graft_seval_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_seval_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_seval_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -1307,8 +1307,8 @@ object StreamQueries {
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
         .select(col("doc_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scrawl_src_$suffix"
-      val out = s"/tmp/graft_scrawl_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scrawl_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_scrawl_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1357,9 +1357,9 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .select(col("event_id"), col("user_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_scidr_src_$suffix"
-      val outCnt = s"/tmp/graft_scidr_cnt_$suffix"
-      val outBm = s"/tmp/graft_scidr_bm_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_scidr_src_$suffix"
+      val outCnt = s"${graft.engine.Staging.root}/graft_scidr_cnt_$suffix"
+      val outBm = s"${graft.engine.Staging.root}/graft_scidr_bm_$suffix"
       val fs = new Path(outCnt).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(outCnt), true)
       fs.delete(new Path(outBm), true)
@@ -1413,8 +1413,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_skmv_src_$suffix"
-      val out = s"/tmp/graft_skmv_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_skmv_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_skmv_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1460,8 +1460,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_skllg_src_$suffix"
-      val out = s"/tmp/graft_skllg_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_skllg_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_skllg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1527,8 +1527,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_smw_src_$suffix"
-      val out = s"/tmp/graft_smw_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_smw_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_smw_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1598,8 +1598,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_sdd_src_$suffix"
-      val out = s"/tmp/graft_sdd_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_sdd_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_sdd_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1651,8 +1651,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val emb = graft.engine.QueryBuilder.scan(s, d, "embeddings")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_spca_src_$suffix"
-      val out = s"/tmp/graft_spca_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_spca_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_spca_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       emb.repartition(3, col("vec_id")).stageTo(stage)
@@ -1731,8 +1731,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"/tmp/graft_shpx_src_$suffix"
-      val out = s"/tmp/graft_shpx_out_$suffix"
+      val stage = s"${graft.engine.Staging.root}/graft_shpx_src_$suffix"
+      val out = s"${graft.engine.Staging.root}/graft_shpx_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)

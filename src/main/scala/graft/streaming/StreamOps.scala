@@ -29,7 +29,7 @@ object StreamOps {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
     val streamDir = Paths.get(
-      s"/tmp/graft_stream_${Integer.toHexString(dir.hashCode)}")
+      s"${graft.engine.Staging.root}/graft_stream_${Integer.toHexString(dir.hashCode)}")
     Files.createDirectories(streamDir)
     // the source may be a single parquet FILE (driver testdata) or a
     // DIRECTORY of part files (Spark-written, e.g. GenScale's sf1): the

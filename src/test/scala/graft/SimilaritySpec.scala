@@ -66,6 +66,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(_._3) && out.exists(!_._3), "need both dups and survivors")
   }
 
+  test("semDedup plan: the pairwise step is an equi-join on the cluster cell ONLY") {
+    val df = Similarity.semDedup(emb, "vec_id", "embedding",
+      k = 4, refinements = 1, tau = 0.30)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString()
+    // the Σ|cell|² candidate step must never degrade to all-pairs: no
+    // cartesian, no nested-loop — at 100 TB that is the entire contract
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair step degraded to all-pairs:\n${s.take(1500)}")
+    // and the equi-join that builds candidates keys on `cell` alone
+    // (the id inequality and the cosine threshold are FILTERS, not keys)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected join operators in the semDedup plan")
+    val pairJoin = joins.find(j => j.leftKeys.nonEmpty &&
+      j.leftKeys.forall(_.toString.contains("cell")))
+    assert(pairJoin.isDefined,
+      s"no equi-join keyed on cell:\n${joins.map(j => j.leftKeys.mkString(",")).mkString("; ")}")
+    assert(pairJoin.get.leftKeys.size == 1, "pair join must key on cell ONLY")
+  }
+
   test("ivfTopK results are a subset of brute-force ranking, identically scored") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val query = emb.filter(col("vec_id") === 0)

@@ -25,7 +25,8 @@ class StatefulStreamingSpec extends SparkSpec {
       tbl.resolve("part-00000-regen-c000.snappy.parquet"))
     // the old link now dangles — restaging must neither throw nor leave it
     StreamOps.eventsStream(spark, root.toString)
-    val staged = Paths.get(s"/tmp/graft_stream_${Integer.toHexString(root.toString.hashCode)}")
+    val staged = Paths.get(
+      s"${graft.engine.Staging.root}/graft_stream_${Integer.toHexString(root.toString.hashCode)}")
     val ls = Files.list(staged)
     val links = try {
       import scala.jdk.CollectionConverters._

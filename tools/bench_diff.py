@@ -9,13 +9,26 @@ either format:
     the truncated per-query map — parsed best-effort for whatever query
     names survived the capture window
 
-Usage: python3 tools/bench_diff.py <old> <new> [ratio=1.5] [floor_sec=0.5]
+Usage: python3 tools/bench_diff.py <old[,old2,...]> <new> [ratio=1.5]
+[floor_sec=0.5]
 
 A query is flagged only when BOTH (a) new/old >= ratio and (b) new time
 >= floor_sec — sub-floor queries are pure harness noise. Since round 6,
 Bench emits the MIN of two independent runs per query, so a flagged
 ratio is by construction reproduced (both runs of the new code exceeded
 it); the two-run rule is built into the numbers, not this script.
+
+Two-anchor mode (round 14): <old> may be a comma-separated list of
+anchors — typically the adjacent bench AND the previous round's
+committed bench. The r13 graph family gained +23% in sub-threshold
+steps the single adjacent anchor could not see (each step < ratio, the
+cumulative drift > ratio); diffing against BOTH anchors catches it: per
+query, the OLD time is the per-anchor MINIMUM (each anchor is already a
+healthy-box min-of-two), so cumulative drift compounds against the
+older anchor while a genuinely new query still compares against
+whichever anchor has it. The flag report names the anchor that supplied
+the old time. Family totals use only anchors that contain the family,
+summed from the same per-query minima.
 
 Family-aware (round 8): queries cache-share persisted intermediates
 within a bench family (first two '_'-segments of the name — the unit at
@@ -83,12 +96,29 @@ def family(q):
 
 
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
+    old_paths, new_path = sys.argv[1].split(","), sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
-    (old, old_errs), (new, new_errs) = load(old_path), load(new_path)
+    anchors = [(p, *load(p)) for p in old_paths]
+    new, new_errs = load(new_path)
+    # merged old side: per-query minimum across anchors (each anchor is a
+    # healthy min-of-two already); remember which anchor supplied it so a
+    # flag names the round it drifted from. A query errored in an anchor
+    # contributes nothing from that anchor.
+    old, old_src, old_errs = {}, {}, None
+    for path, q, errs in anchors:
+        for name, t in q.items():
+            if name in errs:
+                continue
+            if name not in old or t < old[name]:
+                old[name], old_src[name] = t, path
+        # a query only counts as old-errored if it errored in EVERY anchor
+        # that knows it (otherwise some anchor has a valid measurement)
+        old_errs = errs if old_errs is None else (old_errs & errs)
+    old_errs = (old_errs or set()) - set(old)
     common = sorted(set(old) & set(new))
-    print(f"comparing {len(common)} common queries "
+    print(f"comparing {len(common)} common queries across "
+          f"{len(anchors)} anchor(s) "
           f"({len(new) - len(common)} new-only, {len(old) - len(common)} old-only)")
     # a query errored in the new run has no valid measurement: its fast
     # fail time must not pass (or even flatter) the gate. Since round 8,
@@ -126,18 +156,19 @@ def main():
             # slowdown is real and gates, even when the family is too
             # large for its own ratio to trip.
             is_shift = (fn - fo) < 0.5 * (n - o)
-            (shifted if is_shift else flagged).append((n / o, q, o, n, f, fo, fn))
+            (shifted if is_shift else flagged).append(
+                (n / o, q, o, n, f, fo, fn, old_src[q]))
         elif o >= floor and n > 0 and o / n >= ratio:
             improved.append((o / n, q, o, n))
     for r, q, o, n in sorted(improved, reverse=True):
         print(f"  IMPROVED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
-    for r, q, o, n, f, fo, fn in sorted(shifted, reverse=True):
-        print(f"  SHIFTED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x) but family "
-              f"{f} total {fo:.1f}s -> {fn:.1f}s — intra-family cache "
+    for r, q, o, n, f, fo, fn, src in sorted(shifted, reverse=True):
+        print(f"  SHIFTED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x vs {src}) but "
+              f"family {f} total {fo:.1f}s -> {fn:.1f}s — intra-family cache "
               f"attribution, not a regression")
-    for r, q, o, n, f, fo, fn in sorted(flagged, reverse=True):
-        print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower); "
-              f"family {f} total {fo:.1f}s -> {fn:.1f}s")
+    for r, q, o, n, f, fo, fn, src in sorted(flagged, reverse=True):
+        print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x slower vs "
+              f"{src}); family {f} total {fo:.1f}s -> {fn:.1f}s")
     for q in errored:
         print(f"  ERRORED {q}: failed in the new run — no valid measurement")
     ok = set(common) - new_errs - old_errs
