@@ -42,8 +42,19 @@ object GenScale {
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Fact tables are written as 32 hash-partitioned files (keyed on the
+    // table's primary key — deterministic content per file, unlike
+    // round-robin). The narrow replicate plan otherwise emits ONE part
+    // file per table, and a single-file single-row-group parquet is ONE
+    // Spark input partition no matter the byte settings — every sf1
+    // sweep measurement then times a SERIALIZED scan+expression chain
+    // (measured: q_eval_auc 26 s at sf1 on one task; the r13 eval-tier
+    // flags were mostly this). No 100 TB table is one file; the gate
+    // should measure the operator's scaling on a realistic multi-file
+    // layout, not a degenerate one.
+    def write(t: String, df: DataFrame, key: String = ""): Unit = {
+      val shaped = if (key.isEmpty) df else df.repartition(32, col(key))
+      shaped.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] $t written")
     }
     def keySpace(df: DataFrame, key: String): Long =
@@ -71,12 +82,13 @@ object GenScale {
       df.crossJoin(broadcast(ks)).select(cols.toIndexedSeq: _*)
     }
 
-    write("customer", replicate(customer, Map("c_custkey" -> cOff)))
-    write("supplier", replicate(supplier, Map("s_suppkey" -> sOff)))
-    write("part", replicate(part, Map("p_partkey" -> pOff)))
-    write("orders", replicate(orders, Map("o_orderkey" -> oOff, "o_custkey" -> cOff)))
+    write("customer", replicate(customer, Map("c_custkey" -> cOff)), "c_custkey")
+    write("supplier", replicate(supplier, Map("s_suppkey" -> sOff)), "s_suppkey")
+    write("part", replicate(part, Map("p_partkey" -> pOff)), "p_partkey")
+    write("orders", replicate(orders, Map("o_orderkey" -> oOff, "o_custkey" -> cOff)), "o_orderkey")
     write("lineitem", replicate(read("lineitem"),
-      Map("l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)))
+      Map("l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)),
+      "l_orderkey")
 
     // user_id is a FOREIGN key into customer (q_stream_static_join joins
     // it to c_custkey, q_join_asof to o_custkey) — it must shift by the
@@ -88,7 +100,7 @@ object GenScale {
     val events = read("events")
     write("events", replicate(events, Map(
       "event_id" -> keySpace(events, "event_id"),
-      "user_id" -> cOff)))
+      "user_id" -> cOff)), "event_id")
 
     val docs = read("documents")
     val dOff = keySpace(docs, "doc_id")
@@ -108,7 +120,7 @@ object GenScale {
         .otherwise(length(newText).cast("long")).as("n_chars")
       case c => col(c)
     }
-    write("documents", docs.crossJoin(broadcast(ks)).select(docCols.toIndexedSeq: _*))
+    write("documents", docs.crossJoin(broadcast(ks)).select(docCols.toIndexedSeq: _*), "doc_id")
 
     // embeddings: ids reseed AND vectors ROTATE (circular dim shift by
     // 7k, norm- and distribution-preserving) for k > 0 — replicating
@@ -130,6 +142,6 @@ object GenScale {
       case "embedding" => rotated.as("embedding")
       case c => col(c)
     }
-    write("embeddings", emb.crossJoin(broadcast(ksV)).select(embCols.toIndexedSeq: _*))
+    write("embeddings", emb.crossJoin(broadcast(ksV)).select(embCols.toIndexedSeq: _*), "vec_id")
   }
 }
