@@ -996,6 +996,68 @@ object AggQueries {
             " ELSE 0 END").as("better_model"))
     }),
 
+    // PAIRED BOOTSTRAP SIGNIFICANCE TEST (Koehn 2004) — the eval-harness
+    // standard for "is model B actually better, or is the gap noise":
+    // B = 100 bootstrap replicas of the SAME items, fraction of replicas
+    // where B's accuracy beats A's, plus the exact 95% CI on the
+    // accuracy gap. Poissonized resampling (the classic one-pass
+    // spelling: per (item, replica) an independent Poisson(1) weight
+    // replaces multinomial draws) keeps it a single combinable
+    // aggregation into B groups — no per-replica pass, no shuffle of the
+    // items. The "randomness" is the keyed 60-bit hash mapped through
+    // the fixed cumulative-Poisson(1) ppm thresholds, so both engines
+    // replay every weight identically. Replica stats and the gap are
+    // exact integers (sign-split division, the κ convention); the CI
+    // bounds are exact selections (ranks ceil(2.5)=3 and ceil(97.5)=98
+    // of the 100 replica gaps) over the B-row census — at 100 TB the
+    // only data-sized work is the one partial-aggregated pass, and the
+    // census is B rows regardless of corpus size
+    "q_eval_bootstrap" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = scan(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("sa"),
+        (graft.ops.Dedup.hex60(md5(concat(lit("sc2:"),
+          col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+          + when(col("o_orderstatus") === "F", 250000L).otherwise(0L)).as("sb"))
+        .select(col("o_orderkey"),
+          when((when(col("sa") >= 400000L, 1L).otherwise(0L)) === col("y"), 1L)
+            .otherwise(0L).as("ca"),
+          when((when(col("sb") >= 400000L, 1L).otherwise(0L)) === col("y"), 1L)
+            .otherwise(0L).as("cb"))
+      val reps = scored.select(col("o_orderkey"), col("ca"), col("cb"),
+          explode(sequence(lit(0), lit(99))).as("r"))
+        .withColumn("u", graft.ops.Dedup.hex60(md5(concat(lit("bs:"),
+          col("o_orderkey").cast("string"), lit(":"), col("r").cast("string"))
+          .cast("binary"))) % 1000000L)
+        .withColumn("w", expr(
+          """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+            | WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+            | WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+            | WHEN u < 999916 THEN 6 ELSE 7 END"""
+            .stripMargin.replace("\n", " ")))
+      val byRep = reps.groupBy(col("r"))
+        .agg(sum(col("w") * col("ca")).as("na"),
+          sum(col("w") * col("cb")).as("nb"), sum(col("w")).as("nw"))
+        .withColumn("d_ppm", expr(
+          """CASE WHEN nb >= na THEN (nb - na) * 1000000 div GREATEST(nw, 1)
+            | ELSE -((na - nb) * 1000000 div GREATEST(nw, 1)) END"""
+            .stripMargin.replace("\n", " ")))
+      val ranked = byRep.withColumn("rk",
+        row_number().over(Window.orderBy(col("d_ppm"), col("r"))))
+      ranked.agg(count(lit(1)).as("n_replicas"),
+          sum(when(col("d_ppm") > 0, 1L).otherwise(0L)).as("n_b_better"),
+          expr("CASE WHEN SUM(d_ppm) >= 0 THEN SUM(d_ppm) div COUNT(1)" +
+            " ELSE -((-SUM(d_ppm)) div COUNT(1)) END").as("mean_diff_ppm"),
+          max(when(col("rk") === 3, col("d_ppm"))).as("ci_lo_ppm"),
+          max(when(col("rk") === 98, col("d_ppm"))).as("ci_hi_ppm"))
+        .select(col("n_replicas"), col("n_b_better"),
+          expr("n_b_better * 1000000 div n_replicas").as("p_b_better_ppm"),
+          col("mean_diff_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"))
+    }),
+
     // EXPECTED-CALIBRATION-ERROR READOUT (Guo et al. 2017, the binned
     // reliability diagram) over the same deterministic predictions:
     // per decile-of-score bin, accuracy and mean confidence as exact
@@ -2280,6 +2342,57 @@ object AggQueries {
          |  CAST(SUM(ll_cb) AS BIGINT) AS ll_cb_sum,
          |  CAST(SUM(ll_cb) * 1000 // count(*) AS BIGINT) AS ll_mcb_mean
          |FROM s2""".stripMargin
+    },
+
+    // same keyed-hash classifiers; Poisson(1) weights from the fixed
+    // cumulative ppm thresholds; the gap and mean divisions sign-split
+    "q_eval_bootstrap" -> {
+      val ha = DedupQueries.sqlHex60Public("md5('sc:' || CAST(o_orderkey AS VARCHAR))")
+      val hb = DedupQueries.sqlHex60Public("md5('sc2:' || CAST(o_orderkey AS VARCHAR))")
+      val hu = DedupQueries.sqlHex60Public(
+        "md5('bs:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR))")
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         |    ($ha) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 150000 ELSE 0 END AS sa,
+         |    ($hb) % 800000
+         |      + CASE WHEN o_orderstatus = 'F' THEN 250000 ELSE 0 END AS sb
+         |  FROM orders),
+         |c AS (SELECT o_orderkey,
+         |    CASE WHEN (CASE WHEN sa >= 400000 THEN 1 ELSE 0 END) = y
+         |      THEN 1 ELSE 0 END AS ca,
+         |    CASE WHEN (CASE WHEN sb >= 400000 THEN 1 ELSE 0 END) = y
+         |      THEN 1 ELSE 0 END AS cb FROM o),
+         |reps AS (SELECT c.o_orderkey, c.ca, c.cb, rr.r,
+         |    ($hu) % 1000000 AS u
+         |  FROM c, (SELECT unnest(range(0, 100)) AS r) rr),
+         |wts AS (SELECT r, ca, cb,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+         |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+         |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+         |      WHEN u < 999916 THEN 6 ELSE 7 END AS w
+         |  FROM reps),
+         |byrep AS (SELECT r, CAST(SUM(w * ca) AS BIGINT) AS na,
+         |    CAST(SUM(w * cb) AS BIGINT) AS nb, CAST(SUM(w) AS BIGINT) AS nw
+         |  FROM wts GROUP BY r),
+         |gaps AS (SELECT r,
+         |    CAST(CASE WHEN nb >= na
+         |      THEN (nb - na) * 1000000 // GREATEST(nw, 1)
+         |      ELSE -((na - nb) * 1000000 // GREATEST(nw, 1)) END AS BIGINT)
+         |      AS d_ppm
+         |  FROM byrep),
+         |rk AS (SELECT d_ppm, ROW_NUMBER() OVER (ORDER BY d_ppm, r) AS rk
+         |  FROM gaps)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+         |  CAST(SUM(CASE WHEN d_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_b_better,
+         |  CAST(SUM(CASE WHEN d_ppm > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS p_b_better_ppm,
+         |  CAST(CASE WHEN SUM(d_ppm) >= 0 THEN SUM(d_ppm) // COUNT(*)
+         |    ELSE -((-SUM(d_ppm)) // COUNT(*)) END AS BIGINT) AS mean_diff_ppm,
+         |  CAST(MAX(CASE WHEN rk = 3 THEN d_ppm END) AS BIGINT) AS ci_lo_ppm,
+         |  CAST(MAX(CASE WHEN rk = 98 THEN d_ppm END) AS BIGINT) AS ci_hi_ppm
+         |FROM rk""".stripMargin
     },
 
     // same doubled-rank census; gini's subtraction stays on the

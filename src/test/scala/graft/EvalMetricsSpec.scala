@@ -91,6 +91,21 @@ class EvalMetricsSpec extends SparkSpec {
       "continuity correction must not increase the statistic")
   }
 
+  test("paired bootstrap: B wins by construction, CI ordered, census complete") {
+    val r = run("q_eval_bootstrap")(0)
+    assert(r.getAs[Long]("n_replicas") == 100L)
+    val p = r.getAs[Long]("p_b_better_ppm")
+    assert(p >= 0L && p <= 1000000L)
+    // model B carries the larger label shift (250k vs 150k) on the SAME
+    // items — the bootstrap must call it better in most replicas
+    assert(p > 500000L, s"B should win most replicas, p=$p")
+    val (lo, hi) = (r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm"))
+    assert(lo <= hi, s"CI inverted: [$lo, $hi]")
+    // the mean gap is positive and inside the ±1e6 ppm range
+    val m = r.getAs[Long]("mean_diff_ppm")
+    assert(m > 0L && math.abs(m) <= 1000000L, s"mean gap $m")
+  }
+
   test("JSD is symmetric-bounded: both KL(.||M) halves >= 0, total <= 2 bits") {
     val r = graft.queries.TextQueries.queries("q_text_jsd")(spark, sf001)
       .collect()(0)
