@@ -53,11 +53,16 @@ object QClassifier {
   val BIAS_X = 50000L
   val ITERS = 8
   val STEP_C = 2L
+  /** Cartography ambiguity threshold on the post-transit variance
+    * (pp2 = ppm²): 2.25e9 ≈ a 47k-ppm std over the last-4 window —
+    * calibrated so the band discriminates (measured: transit-free
+    * per-item stds spread 17k–51k on the seed corpus). */
+  val CARTO_VAR_AMBIG = 2250000000L
 
   /** Truncating (toward-zero) integer division as a SQL fragment —
     * operands may be negative; the sign-split keeps both engines on
     * nonnegative floor division. */
-  private def tdivSql(num: String, den: String): String =
+  def tdivSql(num: String, den: String): String =
     s"CASE WHEN ($num) >= 0 THEN ($num) div ($den) ELSE -((-($num)) div ($den)) END"
 
   /** PLAN piecewise-linear sigmoid over a micro-unit margin column, in
@@ -98,52 +103,134 @@ object QClassifier {
         expr("size(filter(split(trim(lower(text)), '\\\\s+'), t -> t = 'slow'))"))
         .cast("long").as("m"))
 
-  /** Per-JVM trained-model memo (the UlmTokenizer.trainedModel
-    * convention): (weights f→w_micro, n_train), keyed by source dir —
-    * the scoring query must not re-pay the T training passes. */
-  private val modelMemo = TrieMap.empty[String, (Map[Long, Long], Long)]
+  /** Seed labels relation (doc_id, y) — the confident slice. */
+  def seedLabels(docs: DataFrame): DataFrame =
+    seedMargin(docs).filter(abs(col("m")) >= 2)
+      .select(col("doc_id"), when(col("m") >= 2, 1L).otherwise(0L).as("y"))
 
-  /** Train on the confident seed labels of `docs` (memoized per dir). */
-  def trainedModel(docs: DataFrame, dir: String): (Map[Long, Long], Long) =
+  /** The GD loop over a prepared (doc_id, f, x, y) relation: returns the
+    * weight vector AFTER each of the T updates (trajectory, T entries).
+    * `tf` should be persisted by the caller — it feeds 2 joins × T. */
+  private def trainCore(tf: DataFrame, n: Long): Seq[Map[Long, Long]] = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    var w = (0L to D.toLong).map(_ -> 0L).toMap
+    (0 until ITERS).map { t =>
+      val wdf = w.toSeq.toDF("f", "w")
+      val z = tf.join(broadcast(wdf), "f")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * col("w")).as("zz"), min(col("y")).as("y"))
+        .select(col("doc_id"),
+          (planSigSpark(tdivSql("zz", "1000000")) - col("y") * 1000000L).as("r"))
+      val g = tf.join(z, "doc_id")
+        .groupBy(col("f"))
+        .agg(sum(expr(tdivSql("x * r", "1000000"))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 33 rows
+      val den = n * STEP_C * (t + 1)
+      w = w.map { case (f, wf) =>
+        val gf = g.getOrElse(f, 0L) * 1000L
+        val step = if (gf >= 0) gf / den else -((-gf) / den)
+        f -> (wf - step)
+      }
+      w
+    }
+  }
+
+  /** Per-JVM trained-model memo (the UlmTokenizer.trainedModel
+    * convention): (per-iteration weight trajectory, n_train), keyed by
+    * source dir — neither the scoring query nor the cartography census
+    * re-pays the T training passes. */
+  private val modelMemo = TrieMap.empty[String, (Seq[Map[Long, Long]], Long)]
+
+  /** Train on the confident seed labels of `docs` (memoized per dir):
+    * the weight vector after every iteration, plus n_train. */
+  def trainedTrajectory(docs: DataFrame, dir: String): (Seq[Map[Long, Long]], Long) =
     modelMemo.getOrElseUpdate(dir, {
-      val spark = docs.sparkSession
-      import spark.implicits._
       import graft.ops.CacheScope.ScopedPersist
-      val lab = seedMargin(docs).filter(abs(col("m")) >= 2)
-        .select(col("doc_id"), when(col("m") >= 2, 1L).otherwise(0L).as("y"))
+      val lab = seedLabels(docs)
       // the train-subset feature relation feeds 2 joins per iteration ×
       // T iterations: persist once (bounded: ≤ (D+2)·n_seed rows)
       val tf = featurize(docs).join(lab, "doc_id").scopedPersist()
       val n = math.max(lab.count(), 1L)
-      var w = (0L to D.toLong).map(_ -> 0L).toMap
-      (0 until ITERS).foreach { t =>
-        val wdf = w.toSeq.toDF("f", "w")
-        val z = tf.join(broadcast(wdf), "f")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("x") * col("w")).as("zz"), min(col("y")).as("y"))
-          .select(col("doc_id"),
-            (planSigSpark(tdivSql("zz", "1000000")) - col("y") * 1000000L).as("r"))
-        val g = tf.join(z, "doc_id")
-          .groupBy(col("f"))
-          .agg(sum(expr(tdivSql("x * r", "1000000"))).as("g"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 33 rows
-        val den = n * STEP_C * (t + 1)
-        w = w.map { case (f, wf) =>
-          val gf = g.getOrElse(f, 0L) * 1000L
-          val step = if (gf >= 0) gf / den else -((-gf) / den)
-          f -> (wf - step)
-        }
-      }
-      (w, n)
+      (trainCore(tf, n), n)
     })
 
-  /** Score a documents relation with the trained model: one 33-row
-    * broadcast join + one doc-keyed partial agg — no full shuffle, the
-    * one-pass 100 TB scoring shape. Returns (doc_id, sig_ppm, keep). */
-  def scoreAll(docs: DataFrame, dir: String): DataFrame = {
+  /** Final trained weights (last trajectory entry) + n_train. */
+  def trainedModel(docs: DataFrame, dir: String): (Map[Long, Long], Long) = {
+    val (traj, n) = trainedTrajectory(docs, dir)
+    (traj.last, n)
+  }
+
+  /** k-fold memo: all k leave-one-fold-out models at once. */
+  private val foldMemo = TrieMap.empty[(String, Int), Map[Int, (Map[Long, Long], Long)]]
+
+  /** Fold id per doc: the keyed hash mod k (identical SQL spelling). */
+  def foldOf(k: Int) = pmod(Dedup.hex60(
+    md5(concat(lit("cv:"), col("doc_id").cast("string")).cast("binary"))), lit(k.toLong))
+
+  /** ALL k leave-one-fold-out models trained in ONE batched GD loop:
+    * per iteration, every (model m, seed doc with fold ≠ m) pair flows
+    * through one join + two partial aggregations, and a single ≤ k·33
+    * row collect updates every model — one Spark action per iteration
+    * instead of one per (model, iteration). The per-model arithmetic is
+    * EXACTLY trainCore's on that model's training subset (each model's
+    * z/residual/gradient sums range over its own docs, its own n in the
+    * step divisor), so the batched weights are bit-identical to k
+    * independent trainings — which is what the oracle replays as k
+    * separate unrolled chains. Memoized per (dir, k). */
+  def foldModelsAll(docs: DataFrame, dir: String, k: Int): Map[Int, (Map[Long, Long], Long)] =
+    foldMemo.getOrElseUpdate((dir, k), {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import graft.ops.CacheScope.ScopedPersist
+      val lab = seedLabels(docs).withColumn("fold", foldOf(k))
+      val tfAll = featurize(docs).join(lab, "doc_id").scopedPersist()
+      val byFold = lab.groupBy(col("fold")).count()
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val total = byFold.values.sum
+      val nOf = (0 until k).map(m => m -> math.max(total - byFold.getOrElse(m, 0L), 1L)).toMap
+      val mtab = (0 until k).map(_.toLong).toDF("m")
+      var w: Map[(Int, Long), Long] =
+        (for (m <- 0 until k; f <- 0L to D.toLong) yield (m, f) -> 0L).toMap
+      (0 until ITERS).foreach { t =>
+        val wdf = w.toSeq.map { case ((m, f), wv) => (m.toLong, f, wv) }
+          .toDF("m", "f", "w")
+        val pairs = tfAll.join(broadcast(mtab), col("m") =!= col("fold"))
+        val z = pairs.join(broadcast(wdf), Seq("m", "f"))
+          .groupBy(col("m"), col("doc_id"))
+          .agg(sum(col("x") * col("w")).as("zz"), min(col("y")).as("y"))
+          .select(col("m"), col("doc_id"),
+            (planSigSpark(tdivSql("zz", "1000000")) - col("y") * 1000000L).as("r"))
+        // z carries exactly the (m, doc) pairs with m ≠ fold(doc), so the
+        // doc-keyed join needs no re-filter
+        val g = tfAll.join(z, "doc_id")
+          .groupBy(col("m"), col("f"))
+          .agg(sum(expr(tdivSql("x * r", "1000000"))).as("g"))
+          .collect().map(r => (r.getLong(0).toInt, r.getLong(1)) -> r.getLong(2))
+          .toMap // ≤ k·33 rows
+        w = w.map { case ((m, f), wf) =>
+          val gf = g.getOrElse((m, f), 0L) * 1000L
+          val den = nOf(m) * STEP_C * (t + 1)
+          val step = if (gf >= 0) gf / den else -((-gf) / den)
+          (m, f) -> (wf - step)
+        }
+      }
+      (0 until k).map { m =>
+        m -> (w.collect { case ((`m`, f), wv) => f -> wv }.toMap, nOf(m))
+      }.toMap
+    })
+
+  /** Model trained on the seed docs OUTSIDE `fold` (of `k`). */
+  def foldModel(docs: DataFrame, dir: String, k: Int, fold: Int): (Map[Long, Long], Long) =
+    foldModelsAll(docs, dir, k)(fold)
+
+  /** Score a documents relation with an explicit weight vector: one
+    * 33-row broadcast join + one doc-keyed partial agg — no full
+    * shuffle, the one-pass 100 TB scoring shape.
+    * Returns (doc_id, sig_ppm, keep). */
+  def scoreWith(docs: DataFrame, w: Map[Long, Long]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (w, _) = trainedModel(docs, dir)
     val wdf = w.toSeq.toDF("f", "w")
     featurize(docs).join(broadcast(wdf), "f")
       .groupBy(col("doc_id"))
@@ -152,6 +239,10 @@ object QClassifier {
         planSigSpark(tdivSql("zz", "1000000")).cast("long").as("sig_ppm"))
       .withColumn("keep", col("sig_ppm") >= 500000L)
   }
+
+  /** Score with the dir-memoized trained model. */
+  def scoreAll(docs: DataFrame, dir: String): DataFrame =
+    scoreWith(docs, trainedModel(docs, dir)._1)
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracle: the SAME T iterations unrolled as MATERIALIZED    //
@@ -190,21 +281,33 @@ object QClassifier {
   private def duckTdiv(num: String, den: String): String =
     s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
 
-  /** The unrolled GD stages z$k/r$k/g$k/it${k+1}, k = 0 until ITERS. */
-  def oracleGdStages: String =
-    (0 until ITERS).map { k =>
+  /** The unrolled GD stages over an arbitrary prepared train relation
+    * `tfn` (doc_id, f, x, y) and its count CTE `ntrn`, with every stage
+    * name carrying `sfx` so several chains (the k-fold oracles) can
+    * coexist in one WITH. When `sfx` is nonempty the chain declares its
+    * own zero-weight start; the unsuffixed chain reuses the prefix's it0. */
+  def oracleGdStagesOver(tfn: String, ntrn: String, sfx: String): String = {
+    val zero = if (sfx.isEmpty) "" else
+      s"""it${sfx}0 AS (SELECT CAST(unnest(range(0, 33)) AS BIGINT) AS f,
+         |  CAST(0 AS BIGINT) AS w),
+         |""".stripMargin
+    zero + (0 until ITERS).map { k =>
       val sig = planSigDuck(duckTdiv("zz", "1000000"))
-      s"""z$k AS MATERIALIZED (SELECT tf.doc_id,
-         |    CAST(SUM(tf.x * it$k.w) AS BIGINT) AS zz, MIN(tf.y) AS y
-         |  FROM tf JOIN it$k USING (f) GROUP BY tf.doc_id),
-         |r$k AS MATERIALIZED (SELECT doc_id,
-         |    CAST(($sig) - y * 1000000 AS BIGINT) AS r FROM z$k),
-         |g$k AS (SELECT tf.f,
-         |    CAST(SUM(${duckTdiv(s"tf.x * r$k.r", "1000000")}) AS BIGINT) AS g
-         |  FROM tf JOIN r$k USING (doc_id) GROUP BY tf.f),
-         |it${k + 1} AS MATERIALIZED (SELECT it.f,
+      s"""z$sfx$k AS MATERIALIZED (SELECT $tfn.doc_id,
+         |    CAST(SUM($tfn.x * it$sfx$k.w) AS BIGINT) AS zz, MIN($tfn.y) AS y
+         |  FROM $tfn JOIN it$sfx$k USING (f) GROUP BY $tfn.doc_id),
+         |r$sfx$k AS MATERIALIZED (SELECT doc_id,
+         |    CAST(($sig) - y * 1000000 AS BIGINT) AS r FROM z$sfx$k),
+         |g$sfx$k AS (SELECT $tfn.f,
+         |    CAST(SUM(${duckTdiv(s"$tfn.x * r$sfx$k.r", "1000000")}) AS BIGINT) AS g
+         |  FROM $tfn JOIN r$sfx$k USING (doc_id) GROUP BY $tfn.f),
+         |it$sfx${k + 1} AS MATERIALIZED (SELECT it.f,
          |    CAST(it.w - ${duckTdiv("COALESCE(g.g, 0) * 1000",
-              s"(SELECT n FROM ntr) * $STEP_C * ${k + 1}")} AS BIGINT) AS w
-         |  FROM it$k it LEFT JOIN g$k g USING (f))""".stripMargin
+              s"(SELECT n FROM $ntrn) * $STEP_C * ${k + 1}")} AS BIGINT) AS w
+         |  FROM it$sfx$k it LEFT JOIN g$sfx$k g USING (f))""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The unrolled GD stages z$k/r$k/g$k/it${k+1}, k = 0 until ITERS. */
+  def oracleGdStages: String = oracleGdStagesOver("tf", "ntr", "")
 }

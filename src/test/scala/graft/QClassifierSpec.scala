@@ -85,6 +85,38 @@ class QClassifierSpec extends SparkSpec {
     assert(agreePpm >= 800000L, s"corpus agreement $agreePpm ppm — model collapsed?")
   }
 
+  test("cartography census: mass = seeds, regions partition every bin, var >= 0") {
+    val docs = graft.engine.QueryBuilder.scan(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val nSeeds = QClassifier.seedLabels(docs).count()
+    val rows = QClassifierQueries.queries("q_text_cartography")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == nSeeds, "census must cover every seed doc")
+    rows.foreach { r =>
+      val (n, e, a, h) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(e + a + h == n, s"regions must partition bin ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0L, "variance is non-negative by Cauchy-Schwarz")
+    }
+  }
+
+  test("5-fold CV: folds partition the seeds, out-of-fold accuracy beats chance") {
+    val docs = graft.engine.QueryBuilder.scan(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val nSeeds = QClassifier.seedLabels(docs).count()
+    val rows = QClassifierQueries.queries("q_text_cv")(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      // each row: train on the other 4 folds, test on this one
+      assert(r.getLong(1) + r.getLong(2) == nSeeds,
+        s"fold ${r.getLong(0)}: n_train + n_test != seeds")
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    assert(rows.map(_.getLong(2)).sum == nSeeds, "test folds must partition seeds")
+    // macro-average out-of-fold accuracy: the distilled rule generalizes
+    val macroAcc = rows.map(_.getLong(4)).sum / 5
+    assert(macroAcc >= 700000L, s"out-of-fold accuracy collapsed: $macroAcc ppm")
+  }
+
   test("one-pass scoring plan: broadcast weight join, no shuffle before the doc agg") {
     val docs = graft.engine.QueryBuilder.scan(spark, sf001, "documents")
       .select(col("doc_id"), col("text"))
