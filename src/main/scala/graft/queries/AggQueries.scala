@@ -930,9 +930,13 @@ object AggQueries {
           + when(col("o_orderstatus") === "F", 15000L).otherwise(0L)).as("v"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("w1"),
         when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("w2"))
+      // vals feeds BOTH the bucket spine and the final rank join — without
+      // the persist the scan+hash+census chain runs twice (the r14 profile
+      // of this family's wall)
       val vals = o.groupBy(col("v"))
         .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
         .withColumn("b", expr("v div 2048"))
+        .scopedPersist()
       val bt = vals.groupBy(col("b"))
         .agg((sum(col("d1")) + sum(col("d2"))).as("sc"))
       val wb = Window.orderBy(col("b"))
@@ -1320,6 +1324,7 @@ object AggQueries {
       val vals = o.groupBy(col("v"))
         .agg(sum(col("w1")).as("d1"), sum(col("w2")).as("d2"))
         .withColumn("b", expr("v div 2048"))
+        .scopedPersist() // three consumers: spine, totals, rank join
       val bt = vals.groupBy(col("b"))
         .agg(sum(col("d1")).as("s1"), sum(col("d2")).as("s2"))
       val wb = Window.orderBy(col("b"))
