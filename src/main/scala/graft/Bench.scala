@@ -47,6 +47,10 @@ object Bench {
     // across the boundary: cross-query model memos are driver-side
     // collected Seqs, and CacheScope datasets live in the catalog cache.
     def clearStorage(spark: org.apache.spark.sql.SparkSession): Unit = {
+      // memo invalidation FIRST: a memo holding a localCheckpoint'd
+      // DataFrame across the clear would fail its next use (blocks gone,
+      // lineage truncated) — see CacheScope.StorageMemos
+      graft.ops.StorageMemos.invalidateAll()
       spark.catalog.clearCache()
       // blocking: the release must not overlap the next family's first
       // timed attempt (a non-blocking unpersist would)

@@ -81,6 +81,10 @@ object ScaleCurve {
     // re-run. Clearing both at the boundary removes the pressure at its
     // source instead of adjudicating it after the fact.
     def clearStorage(): Unit = {
+      // memo invalidation FIRST: unpersisting a localCheckpoint destroys
+      // its only copy, so any memo still holding the DataFrame would hand
+      // out CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its next use
+      graft.ops.StorageMemos.invalidateAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
@@ -113,15 +117,24 @@ object ScaleCurve {
     // scale defect; one that reproduces isolated is real. Replaces the
     // manual scalecurve_*_isolated.json adjudication files of r11–r13.
     val qmap = picked.toMap
+    // crash-safe: an adjudication failure records as NOT-clean with a
+    // sentinel ratio instead of killing the sweep after 25 minutes of
+    // good measurements (r14: the pre-registry memo bug did exactly that)
     val adjudicated = flagged.map { case (name, _, _, _, _) =>
       clearStorage()
       System.gc()
-      val its = time(qmap(name), small)
-      val itl = time(qmap(name), large)
-      val ir = itl / math.max(its, 0.2)
-      val inr = if (docTextFamilies(family(name))) ir * textNorm else ir
-      name -> (math.rint(ir * 100) / 100, math.rint(inr * 100) / 100,
-        inr <= flagRatio)
+      name -> (try {
+        val its = time(qmap(name), small)
+        val itl = time(qmap(name), large)
+        val ir = itl / math.max(its, 0.2)
+        val inr = if (docTextFamilies(family(name))) ir * textNorm else ir
+        (math.rint(ir * 100) / 100, math.rint(inr * 100) / 100, inr <= flagRatio)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"SCALECURVE ADJUDICATION ERROR $name: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+          (-1.0, -1.0, false)
+      })
     }.toMap
     lazy val flaggedJson = flagged.map { case (n, _, _, _, _) =>
       val (ir, inr, clean) = adjudicated(n)

@@ -94,3 +94,24 @@ object CacheScope {
     }
   }
 }
+
+/** Registry of STORAGE-BACKED MEMOS — op/query-level caches whose values
+  * hold localCheckpoint'd or persisted DataFrames across calls (the ER
+  * shared-candidates memo, the suffix-array memo). A harness that clears
+  * executor storage wholesale (Bench/ScaleCurve at family boundaries)
+  * must invalidate these FIRST: unpersisting a localCheckpoint RDD
+  * destroys its only copy (lineage is truncated), so a memo handing out
+  * the old DataFrame afterwards fails with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — observed when the r14 sweep's
+  * flag adjudication re-ran a q_er query after a cross-family clear.
+  * Each owner registers a hook that drops (and releases) its entries;
+  * the next access rebuilds. Hooks must never throw.
+  */
+object StorageMemos {
+  private val hooks = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  def register(hook: () => Unit): Unit = hooks.add(hook)
+  def invalidateAll(): Unit = {
+    val it = hooks.iterator()
+    while (it.hasNext) { val h = it.next(); try h() catch { case _: Throwable => () } }
+  }
+}

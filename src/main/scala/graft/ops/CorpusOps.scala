@@ -936,6 +936,12 @@ object CorpusOps {
     * JVM lifetime. */
   private type SuffixEntry = (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame)
   private var suffixMemo: Option[((Int, Int, String, String, Int), SuffixEntry)] = None
+  // harness storage clears destroy the memoized checkpoint blocks — drop
+  // the entry so the next access rebuilds (see CacheScope.StorageMemos)
+  StorageMemos.register(() => synchronized {
+    suffixMemo.foreach { case (_, v) => releaseSuffixEntry(v) }
+    suffixMemo = None
+  })
 
   /** Free an evicted entry: unpersist the cached tables, then walk every
     * stored plan for LogicalRDD nodes (the localCheckpoint anchors) and

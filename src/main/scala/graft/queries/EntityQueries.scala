@@ -46,6 +46,17 @@ object EntityQueries {
     * lesson). */
   private val candMemo =
     scala.collection.mutable.LinkedHashMap.empty[(Int, String), DataFrame]
+  // harness storage clears destroy the memo's checkpoint blocks — drop
+  // the handles so the next access rebuilds (see CacheScope.StorageMemos)
+  graft.ops.StorageMemos.register(() => synchronized {
+    candMemo.values.foreach { v =>
+      try v.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
+    candMemo.clear()
+  })
   private def sharedCandidates(s: SparkSession, d: String): DataFrame = synchronized {
     val key = (System.identityHashCode(s), d)
     candMemo.remove(key) match {
