@@ -82,7 +82,17 @@ object GenScale {
       df.crossJoin(broadcast(ks)).select(cols.toIndexedSeq: _*)
     }
 
-    write("customer", replicate(customer, Map("c_custkey" -> cOff)), "c_custkey")
+    // c_name is DERIVED from c_custkey in TPC-H ('Customer#%09d'), so the
+    // faithful replica rewrites it from the offset key. Without this every
+    // replica duplicates the source's names verbatim and the ER tier's
+    // edit-distance pair count grows QUADRATICALLY in the replica count —
+    // a generator artifact (the documents/embeddings decorrelation rule),
+    // observed as q_er_editjoin's only r14 100× flag (isolated 16.9×;
+    // within-replica ER structure is preserved exactly by this rewrite).
+    write("customer",
+      replicate(customer, Map("c_custkey" -> cOff))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))),
+      "c_custkey")
     write("supplier", replicate(supplier, Map("s_suppkey" -> sOff)), "s_suppkey")
     write("part", replicate(part, Map("p_partkey" -> pOff)), "p_partkey")
     write("orders", replicate(orders, Map("o_orderkey" -> oOff, "o_custkey" -> cOff)), "o_orderkey")
