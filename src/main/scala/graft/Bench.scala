@@ -7,8 +7,18 @@ object Bench {
     val spark = GraftSession.build(cpus)
     // warm the JVM/codegen/FS paths so the first timed query isn't
     // charged ~4s of session startup, and touch every table's footer so
-    // per-query numbers measure the plan, not first-read of the file
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // per-query numbers measure the plan, not first-read of the file.
+    // BOX-HEALTH PROBE (r14 verdict #4): this fixed action's wall time
+    // is emitted as warmup_sec in the total record — three rounds of
+    // official BENCH numbers (r11, r13c, BENCH_r14) were degraded-box
+    // runs that could only be adjudicated by narrative; a fixed probe
+    // in every artifact makes the flag mechanical (healthy boxes here
+    // measure ~3.5–4.5 s; a probe ≫ that says discount the run).
+    val warmupSec = {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      math.round((System.nanoTime() - t0) / 1e6) / 1000.0
+    }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
@@ -168,7 +178,7 @@ object Bench {
     // readers can gate cross-round comparisons on this matching.
     val protocol = "b2b-v2"
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warmup_sec":$warmupSec,"n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
     val detailLine =
       s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // The driver's capture window keeps only the LAST ~2000 chars of

@@ -29,7 +29,12 @@ object ScaleCurve {
     val nameFilter = args.lift(3).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus)
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // box-health probe, same fixed action as Bench (see warmup_sec there)
+    val warmupSec = {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      math.round((System.nanoTime() - t0) / 1e6) / 1000.0
+    }
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -142,7 +147,7 @@ object ScaleCurve {
         s""""isolated_clean":$clean}"""
     }.mkString(",")
     val summary =
-      s"""{"metric":"scalecurve","flag_ratio":$flagRatio,"n_queries":${rows.size},""" +
+      s"""{"metric":"scalecurve","flag_ratio":$flagRatio,"warmup_sec":$warmupSec,"n_queries":${rows.size},""" +
         s""""n_flagged":${flagged.size},"flagged":[$flaggedJson],""" +
         s""""n_errors":${errors.size},"small":"$small","large":"$large",""" +
         s""""bytes_small":$bytesSmall,"bytes_large":$bytesLarge,""" +

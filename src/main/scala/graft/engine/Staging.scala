@@ -46,8 +46,15 @@ object Staging {
     * to it — shuffle/block scratch stays on disk, sized for the sf1
     * sweep, only the small fsync-heavy streaming metadata moves to RAM.
     */
+  /** The JVM's ORIGINAL tmpdir, captured once before any redirect —
+    * [[redirectTmpToScratch]] must stay idempotent: a second call in the
+    * same JVM (two GraftSession.build invocations) would otherwise
+    * return the already-redirected tmpfs path as "previous" and the
+    * caller would pin spark.local.dir (shuffle scratch) to RAM. */
+  private lazy val originalTmp: String = System.getProperty("java.io.tmpdir", "/tmp")
+
   def redirectTmpToScratch(): String = {
-    val prev = System.getProperty("java.io.tmpdir", "/tmp")
+    val prev = originalTmp
     if (root != "/tmp") {
       val t = s"$root/jvmtmp"
       try {

@@ -212,13 +212,37 @@ object Graph {
         expr("common * 1000000 div (d1 + d2 - common)").as("jaccard_ppm"))
   }
 
+  /** SYMMETRIC edge relation annotated with BOTH endpoint degrees —
+    * (u, v, du, dv), one row per direction of each undirected edge.
+    * This is the graph family's shared prefix: the degree census, the
+    * degree-ordered orientation filter, the assortativity moments and
+    * the rich-club conditional sums are all single-pass reads of this
+    * one relation — a caller that materializes it once (the
+    * GraphQueries family memo) turns ~10 per-query join pyramids into
+    * scans of a pair-scale cached table. Two shuffles to build (degree
+    * census + one join keyed by each endpoint), node-degree joins never
+    * repeat downstream.
+    */
+  def symWithDeg(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
+      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    sym.join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("du").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("du"), col("dv"))
+  }
+
   /** Degree histogram of an undirected edge list (s1 < s2 per row). */
-  def degreeHistogram(edges: DataFrame): DataFrame = {
-    val ends = edges.select(col("s1").as("n")).unionAll(edges.select(col("s2").as("n")))
-    ends.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degreeHistogramFrom(symWithDeg(edges))
+
+  /** [[degreeHistogram]] over a prebuilt [[symWithDeg]] relation: the
+    * per-node degree is already in-row, so the census is one distinct +
+    * one combinable agg — no join. */
+  def degreeHistogramFrom(symDeg: DataFrame): DataFrame =
+    symDeg.select(col("u").as("n"), col("du").as("degree")).distinct()
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
-  }
 
   /** Exact global triangle count via degree-ordered wedge enumeration.
     *
@@ -228,16 +252,17 @@ object Graph {
     * original (s1 < s2) edge list — the wedge endpoints are emitted in id
     * order, so no symmetric union is needed.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
-      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val oriented = sym
-      .join(deg, Seq("u"))
-      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
-      .filter(col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCountFrom(symWithDeg(edges), edges)
+
+  /** [[triangleCount]] over a prebuilt [[symWithDeg]] relation: the
+    * orientation predicate reads the in-row degrees, so no degree joins
+    * remain — one filter, the wedge join, the closing probe. */
+  def triangleCountFrom(symDeg: DataFrame, edges: DataFrame): DataFrame = {
+    val oriented = symDeg
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .scopedPersist() // reused as wedge legs AND closing probe — one materialization
+      .scopedPersist() // reused as BOTH wedge legs — one materialization
     val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
     val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
     val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
@@ -255,17 +280,17 @@ object Graph {
     * single double expression: (nΣxy − S²) / (nΣx² − S²) — the x/y
     * moments coincide by symmetry, so no sqrt is even needed.
     */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
-      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    sym
-      .join(deg, Seq("u"))
-      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+  def degreeAssortativity(edges: DataFrame): DataFrame =
+    degreeAssortativityFrom(symWithDeg(edges))
+
+  /** [[degreeAssortativity]] over a prebuilt [[symWithDeg]] relation —
+    * the moment pass is then a single combinable aggregation, no joins. */
+  def degreeAssortativityFrom(symDeg: DataFrame): DataFrame = {
+    symDeg
       .agg(count(lit(1)).as("n_dir_edges"),
-        sum(col("d")).as("sx"),
-        sum(col("d") * col("d")).as("qx"),
-        sum(col("d") * col("dv")).as("sxy"))
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("qx"),
+        sum(col("du") * col("dv")).as("sxy"))
       .select(col("n_dir_edges"),
         // NULL on degree-regular graphs (variance 0 — the estimator is
         // undefined, and ANSI-mode Divide throws rather than NaN-ing)
@@ -285,14 +310,17 @@ object Graph {
     * the single oriented-edge materialization carry over unchanged.
     * Nodes with d < 2 have no possible triangle and emit 0.
     */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
-      .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val oriented = sym
-      .join(deg, Seq("u"))
-      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
-      .filter(col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    clusteringCoefficientFrom(symWithDeg(edges), edges)
+
+  /** [[clusteringCoefficient]] over a prebuilt [[symWithDeg]] relation:
+    * orientation and the final per-node degree both read in-row degrees
+    * — the only remaining joins are the wedge probe and the node-sized
+    * left join of triangle counts. */
+  def clusteringCoefficientFrom(symDeg: DataFrame, edges: DataFrame): DataFrame = {
+    val deg = symDeg.select(col("u"), col("du").as("d")).distinct()
+    val oriented = symDeg
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
       .scopedPersist()
     val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
@@ -329,7 +357,18 @@ object Graph {
   def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"kCore: need k >= 1, rounds >= 1, got k=$k rounds=$rounds")
     var cur = edges.select(col("s1"), col("s2"))
-    for (_ <- 1 to rounds) {
+    // EARLY FIXPOINT EXIT: the peel is monotone (cur_i ⊆ cur_{i-1}), so
+    // an unchanged edge COUNT means an unchanged edge SET — every later
+    // round is the identity and the result equals the full `rounds`
+    // budget bit-for-bit (the oracle's unrolled 6-CTE chain included).
+    // Each checkpoint is already a full materialization, so the count is
+    // a metadata-scale read of blocks that exist; skipping the dead
+    // rounds drops their shuffle barriers — at sf0.1 the peel converges
+    // by round ~2, so this halves the query's barrier count while
+    // keeping the fixed budget as the 100 TB worst-case bound.
+    var prevEdges = -1L
+    var fixed = false
+    for (_ <- 1 to rounds if !fixed) {
       val sym = cur.select(col("s1").as("u"), col("s2").as("v"))
         .unionAll(cur.select(col("s2").as("u"), col("s1").as("v")))
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -339,6 +378,9 @@ object Graph {
         .join(keep.select(col("u").as("s2")), Seq("s2"), "left_semi")
         .select(col("s1"), col("s2"))
         .localCheckpoint()
+      val n = cur.count()
+      if (n == prevEdges) fixed = true
+      prevEdges = n
     }
     val sym = cur.select(col("s1").as("u"), col("s2").as("v"))
       .unionAll(cur.select(col("s2").as("u"), col("s1").as("v")))
@@ -529,6 +571,14 @@ object Graph {
     val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
       .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
       .scopedPersist()
+    labelPropagationSym(sym, rounds)
+  }
+
+  /** [[labelPropagation]] over a prebuilt symmetric (u, v) relation —
+    * for callers that already materialize the symmetric edges (the
+    * GraphQueries family memo). */
+  def labelPropagationSym(sym: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {

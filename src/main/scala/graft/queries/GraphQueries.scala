@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.CacheScope.ScopedPersist
 import graft.engine.QueryBuilder.scan
 import graft.ops.Graph
 
@@ -28,50 +27,114 @@ object GraphQueries {
   // the edge relation, the part that matters at real scale.
   private val PrIters = 3
 
-  /** Persisted so the identical edge-derivation subplan is served from
-    * the cache manager across the degree/triangle/(any future) graph
-    * queries — the per-part self-join is the expensive stage. */
-  private def coSupply(s: SparkSession, d: String): DataFrame =
-    // explicit hot-group cap: far above TPC-H's suppliers-per-part (~10)
-    // at any SF, so the DuckDB oracle (no cap) stays equivalent, while a
-    // pathological group can never square the join. Support floor is the
-    // DATA-DRIVEN top-10% census rank (Graph.sharedFloorTop) — the r1–r9
-    // absolute floor (145 shared parts) emptied the graph at sf≥0.1
-    // (max shared there is 42), so the family's scale records measured
-    // empty results; the census floor keeps edge density scale-stable
-    Graph.topSharedPairs(scan(s, d, "lineitem"), "l_partkey", "l_suppkey",
-        keepPermille = 100, maxGroupSize = 100000)
-      .select(col("s1"), col("s2"))
-      .scopedPersist()
+  /** The graph family's SHARED SUBPLANS, memoized as localCheckpoint'd
+    * relations per (session, dataset dir) — the ER shared-candidates
+    * convention (EntityQueries.candMemo, −54% family time in r13),
+    * applied to the prefix ~12 graph entries used to rebuild per call:
+    *
+    *  - `edges`: the co-supply edge list (s1 < s2) under the data-driven
+    *    top-10% support floor. Hot-group cap 100000: far above TPC-H's
+    *    suppliers-per-part (~10) at any SF, so the DuckDB oracle (no
+    *    cap) stays equivalent while a pathological group can never
+    *    square the join. The floor is the census rank
+    *    (Graph.sharedFloorTop) — the r1–r9 absolute floor (145 shared
+    *    parts) emptied the graph at sf≥0.1, so the family's scale
+    *    records measured empty results; the census floor keeps edge
+    *    density scale-stable. Building it runs the per-part self-join
+    *    plus the floor collect ONCE per (session, dir) instead of once
+    *    per query.
+    *  - `symDeg`: Graph.symWithDeg(edges) — both-direction edges with
+    *    in-row endpoint degrees; degree census, orientation,
+    *    assortativity moments and rich-club sums are single-pass reads.
+    *
+    * Both relations are pair-scale (top-permille of the pair census —
+    * edge-sized, never input-sized), so the checkpoint footprint is
+    * metadata next to the lineitem scan it replaces. Capacity-2 LRU:
+    * ScaleCurve interleaves a small and a large dir per query, so
+    * capacity 1 would thrash a rebuild per timing. Eviction and harness
+    * storage clears unpersist the checkpoint RDDs (clearCache can't
+    * free RDD-level persists; a cleared checkpoint's DataFrame must
+    * never be handed out again — StorageMemos contract).
+    */
+  private final case class SharedGraph(edges: DataFrame, symDeg: DataFrame)
+  private val graphMemo =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, String), SharedGraph]
+  /** customer↔supplier DISTINCT purchase pairs (c, s) — the second
+    * shared prefix (pagerank/ppr/hits all start here: the orders ⋈
+    * lineitem join + distinct is their expensive stage). */
+  private val bipMemo =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, String), DataFrame]
+  private def releaseChk(v: DataFrame): Unit =
+    try v.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case _: Throwable => () }
+  graft.ops.StorageMemos.register(() => synchronized {
+    graphMemo.values.foreach { v => releaseChk(v.edges); releaseChk(v.symDeg) }
+    graphMemo.clear()
+    bipMemo.values.foreach(releaseChk)
+    bipMemo.clear()
+  })
+
+  private def shared(s: SparkSession, d: String): SharedGraph = synchronized {
+    val key = (System.identityHashCode(s), d)
+    graphMemo.remove(key) match {
+      case Some(v) => graphMemo.put(key, v); v // re-insert = mark most-recent
+      case None =>
+        val edges = Graph.topSharedPairs(scan(s, d, "lineitem"),
+            "l_partkey", "l_suppkey", keepPermille = 100, maxGroupSize = 100000)
+          .select(col("s1"), col("s2"))
+          .localCheckpoint()
+        val built = SharedGraph(edges, Graph.symWithDeg(edges).localCheckpoint())
+        if (graphMemo.size >= 2) {
+          graphMemo.remove(graphMemo.head._1).foreach { v =>
+            releaseChk(v.edges); releaseChk(v.symDeg)
+          }
+        }
+        graphMemo.put(key, built)
+        built
+    }
+  }
+
+  /** Memoized co-supply edge list (s1 < s2). */
+  private def coSupply(s: SparkSession, d: String): DataFrame = shared(s, d).edges
+
+  private def bipartite(s: SparkSession, d: String): DataFrame = synchronized {
+    val key = (System.identityHashCode(s), d)
+    bipMemo.remove(key) match {
+      case Some(v) => bipMemo.put(key, v); v
+      case None =>
+        val o = scan(s, d, "orders")
+        val l = scan(s, d, "lineitem")
+        val built = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+          .localCheckpoint()
+        if (bipMemo.size >= 2)
+          bipMemo.remove(bipMemo.head._1).foreach(releaseChk)
+        bipMemo.put(key, built)
+        built
+    }
+  }
 
   /** customer↔supplier bipartite, both directions; supplier ids offset so
-    * the two key spaces never collide. */
+    * the two key spaces never collide. Built on the memoized distinct
+    * pair relation; pageRank's scopedPersist of its degree-annotated
+    * edges is still shared ACROSS pagerank/ppr via the cache manager
+    * (identical plans over the same checkpointed relation). */
   private def orderGraph(s: SparkSession, d: String): DataFrame = {
-    val o = scan(s, d, "orders")
-    val l = scan(s, d, "lineitem")
-    // persisted: pageRank materializes this through BOTH the edge side
-    // and the degree aggregate of its (persisted) withDeg input, and each
-    // of those reads both unionAll branches — 4 computations of the
-    // orders⋈lineitem join+distinct without the cache, 1 with it.
-    // Round-6 A/B (two runs each, cold): persisted 6.5 s vs unpersisted
-    // 6.6/6.7 s — indistinguishable at sf0.1 local, so the 100 TB shape
-    // (never recompute a large join 4×) wins the tie. The r4→r5
-    // "pagerank regression" did not reproduce under a fixed measurement
-    // protocol; it was bench-context noise, which the two-run Bench
-    // minimum now suppresses.
-    val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-      .scopedPersist()
+    val cs = bipartite(s, d)
     cs.select(col("c").as("src"), (col("s") + lit(SuppOffset)).as("dst"))
       .unionAll(cs.select((col("s") + lit(SuppOffset)).as("src"), col("c").as("dst")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_degree" -> ((s: SparkSession, d: String) =>
-      Graph.degreeHistogram(coSupply(s, d))),
+      Graph.degreeHistogramFrom(shared(s, d).symDeg)),
 
-    "q_graph_triangles" -> ((s: SparkSession, d: String) =>
-      Graph.triangleCount(coSupply(s, d))),
+    "q_graph_triangles" -> ((s: SparkSession, d: String) => {
+      val sh = shared(s, d)
+      Graph.triangleCountFrom(sh.symDeg, sh.edges)
+    }),
 
     "q_graph_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.pageRank(orderGraph(s, d), PrIters)
@@ -97,31 +160,34 @@ object GraphQueries {
     // (every k rides the same join — never a pass per k); φ(k) =
     // 2E_k·10⁶ div (N_k(N_k−1)) in exact ppm
     "q_graph_richclub" -> ((s: SparkSession, d: String) => {
-      val edges = coSupply(s, d)
-      val deg = edges.select(col("s1").as("n"))
-        .unionAll(edges.select(col("s2").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // one pass over the memoized symDeg: the directed conditional sum
+      // s_k = Σ[du>k ∧ dv>k] counts each undirected edge twice, so
+      // s_k = 2·E_k exactly — the φ numerator the definition needs,
+      // with no edge⋈degree join left at all. The k=3 output rows ride
+      // ONE explode over the two 1-row aggs (crossJoin of scalars), so
+      // nk/ek are computed once, not once per unionAll branch (the r14
+      // shape re-ran both aggregations 3×).
+      val sh = shared(s, d)
       val ks = Seq(4L, 8L, 16L)
+      val deg = sh.symDeg.select(col("u").as("n"), col("du").as("deg")).distinct()
       val nk = deg.agg(
         ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).head,
         ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).tail: _*)
-      val ek = edges
-        .join(broadcast(deg.select(col("n"), col("deg").as("da"))),
-          col("s1") === col("n")).drop("n")
-        .join(broadcast(deg.select(col("n"), col("deg").as("db"))),
-          col("s2") === col("n")).drop("n")
-        .agg(ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
-            .otherwise(0L)).as(s"e_$k")).head,
-          ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
-            .otherwise(0L)).as(s"e_$k")).tail: _*)
-      val wide = nk.crossJoin(ek)
-      ks.map { k =>
-        wide.select(lit(k).as("k"), col(s"n_$k").as("n_nodes"),
-          col(s"e_$k").as("n_edges"),
+      val sk = sh.symDeg.agg(
+        ks.map(k => sum(when(col("du") > k && col("dv") > k, 1L)
+          .otherwise(0L)).as(s"s_$k")).head,
+        ks.map(k => sum(when(col("du") > k && col("dv") > k, 1L)
+          .otherwise(0L)).as(s"s_$k")).tail: _*)
+      nk.crossJoin(sk)
+        .select(explode(array(ks.map(k => struct(
+          lit(k).as("k"), col(s"n_$k").as("n_nodes"),
+          expr(s"s_$k div 2").as("n_edges"),
           expr(s"""CASE WHEN n_$k >= 2
-                  |  THEN 2 * e_$k * 1000000 div (n_$k * (n_$k - 1))
-                  |  ELSE 0 END""".stripMargin).as("phi_ppm"))
-      }.reduce(_ unionAll _).orderBy(col("k"))
+                  |  THEN s_$k * 1000000 div (n_$k * (n_$k - 1))
+                  |  ELSE 0 END""".stripMargin).as("phi_ppm"))): _*)).as("r"))
+        .select(col("r.k").as("k"), col("r.n_nodes").as("n_nodes"),
+          col("r.n_edges").as("n_edges"), col("r.phi_ppm").as("phi_ppm"))
+        .orderBy(col("k"))
     }),
 
     // HITS over the DIRECTED customer→supplier purchase bipartite:
@@ -132,10 +198,11 @@ object GraphQueries {
     // top-10 per role. The oracle unrolls the same normalize-per-half-
     // round chain in HUGEINT
     "q_graph_hits" -> ((s: SparkSession, d: String) => {
-      val o = scan(s, d, "orders")
-      val l = scan(s, d, "lineitem")
-      val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      // directed view of the memoized purchase pairs: before the memo,
+      // every half-round's edge join recomputed the orders⋈lineitem
+      // distinct from scratch (4 computations per call)
+      val cs = bipartite(s, d)
+        .select(col("c").as("src"), col("s").as("dst"))
       val (hubs, auth) = Graph.hits(cs, 2)
       auth.select(lit("authority").as("role"), col("node"), col("a").as("score"))
         .orderBy(col("score").desc, col("node")).limit(10)
@@ -163,10 +230,8 @@ object GraphQueries {
     // fine at oracle scale, fatal at 100 TB). Same cached symmetric
     // edge relation as the family's other queries
     "q_graph_bfs" -> ((s: SparkSession, d: String) => {
-      val base = coSupply(s, d)
-      val edges = base.select(col("s1").as("src"), col("s2").as("dst"))
-        .unionAll(base.select(col("s2").as("src"), col("s1").as("dst")))
-        .scopedPersist()
+      val edges = shared(s, d).symDeg
+        .select(col("u").as("src"), col("v").as("dst"))
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 10 === 0)
       Graph.bfs(edges, seeds, "node", maxDepth = 3).orderBy(col("node"))
@@ -177,14 +242,16 @@ object GraphQueries {
     // (r < 0)? Exact bigint moments, one double division (symmetry
     // kills the sqrt); see Graph.degreeAssortativity
     "q_graph_assortativity" -> ((s: SparkSession, d: String) =>
-      Graph.degreeAssortativity(coSupply(s, d))),
+      Graph.degreeAssortativityFrom(shared(s, d).symDeg)),
 
     // PER-NODE CLUSTERING COEFFICIENT: 2·t(v)/(d(v)(d(v)−1)) in
     // floor-ppm over the co-supply graph — the local density census
     // from the SAME O(m^1.5) degree-ordered wedge pass as
     // q_graph_triangles (each triangle exploded to its members in-row)
-    "q_graph_clustering" -> ((s: SparkSession, d: String) =>
-      Graph.clusteringCoefficient(coSupply(s, d)).orderBy(col("node"))),
+    "q_graph_clustering" -> ((s: SparkSession, d: String) => {
+      val sh = shared(s, d)
+      Graph.clusteringCoefficientFrom(sh.symDeg, sh.edges).orderBy(col("node"))
+    }),
 
     // K-CORE decomposition (Batagelj–Zaveršnik peel, 6 synchronous
     // rounds — the fixpoint at this graph's scale, asserted in
@@ -201,7 +268,8 @@ object GraphQueries {
     // round = one edge-sized join + two combinable aggs; the struct-max
     // mode avoids any window over the edge relation
     "q_graph_lpa" -> ((s: SparkSession, d: String) =>
-      Graph.labelPropagation(coSupply(s, d), rounds = 4)
+      Graph.labelPropagationSym(
+          shared(s, d).symDeg.select(col("u"), col("v")), rounds = 4)
         .orderBy(col("node"))),
 
     // MODULARITY of the NATION partition (Newman-Girvan Q as an
@@ -217,7 +285,8 @@ object GraphQueries {
     // collapses to one community -- Q == 0 -- so the exogenous
     // partition is the informative one.)
     "q_graph_modularity" -> ((s: SparkSession, d: String) => {
-      val g = coSupply(s, d)
+      val sh = shared(s, d)
+      val g = sh.edges
       val nation = scan(s, d, "supplier")
         .select(col("s_suppkey").as("node"), col("s_nationkey").as("community"))
       val tot = g.agg(count(lit(1)).as("m_edges"))
@@ -226,8 +295,7 @@ object GraphQueries {
         .join(broadcast(nation.select(col("node").as("s2"), col("community").as("cb"))), Seq("s2"))
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
-      val sym = g.select(col("s1").as("u")).unionAll(g.select(col("s2").as("u")))
-      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val deg = sh.symDeg.select(col("u"), col("du").as("d")).distinct()
       deg.join(broadcast(nation.select(col("node").as("u"), col("community"))), Seq("u"))
         .groupBy(col("community"))
         .agg(sum(col("d")).as("d_sum"), count(lit(1)).as("n_nodes"))

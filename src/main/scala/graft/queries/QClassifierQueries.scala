@@ -145,12 +145,20 @@ object QClassifierQueries {
         .select(col("fold"),
           (QClassifier.planSigSpark(QClassifier.tdivSql("zz", "1000000"))
             >= 500000L).as("pred"), (col("y") === 1L).as("truth"))
-      scored.groupBy(col("fold"))
+      // fold SPINE from the model table (one row per fold by
+      // construction), not from the scored census: a fold with zero
+      // held-out seed docs (hash assignment at tiny SFs) must still
+      // emit its row with n_test = 0 — the oracle's mdl-table left
+      // join does, so an inner join here would be a row-count
+      // divergence (ADVICE r14)
+      val census = scored.groupBy(col("fold"))
         .agg(count(lit(1)).as("n_test"),
           sum(when(col("pred") === col("truth"), 1L).otherwise(0L)).as("n_right"))
-        .join(broadcast(ntr), "fold")
-        .select(col("fold"), col("n_train"), col("n_test"), col("n_right"),
-          expr("n_right * 1000000 div GREATEST(n_test, 1)").as("acc_ppm"))
+      ntr.join(census, Seq("fold"), "left")
+        .select(col("fold"), col("n_train"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          coalesce(col("n_right"), lit(0L)).as("n_right"))
+        .withColumn("acc_ppm", expr("n_right * 1000000 div GREATEST(n_test, 1)"))
         .orderBy(col("fold"))
     })
   )
@@ -254,8 +262,8 @@ object QClassifierQueries {
            |res$f AS (SELECT CAST($f AS BIGINT) AS fold,
            |    (SELECT n FROM ntrf$f) AS n_train,
            |    CAST(COUNT(*) AS BIGINT) AS n_test,
-           |    CAST(SUM(CASE WHEN (($sig) >= 500000) = (y = 1)
-           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_right
+           |    CAST(COALESCE(SUM(CASE WHEN (($sig) >= 500000) = (y = 1)
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_right
            |  FROM tst$f)""".stripMargin
       }.mkString(",\n")
       val unionArms = (0 until 5).map(f =>

@@ -46,6 +46,38 @@ class GraphSpec extends SparkSpec {
     assert(h == Map(1L -> 3L, 3L -> 1L)) // 3 leaves of degree 1, 1 hub of degree 3
   }
 
+  test("symWithDeg: both directions with in-row endpoint degrees") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s1", "s2")
+    val rows = Graph.symWithDeg(star).as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, 2L, 3L, 1L), (1L, 3L, 3L, 1L), (1L, 4L, 3L, 1L),
+      (2L, 1L, 1L, 3L), (3L, 1L, 1L, 3L), (4L, 1L, 1L, 3L)), s"got $rows")
+  }
+
+  test("derived *From variants agree with the base operators (memo-path parity)") {
+    // the GraphQueries family memo feeds the *From variants a prebuilt
+    // symWithDeg relation; the result must be bit-identical to the base
+    // ops that build it inline — checked on a graph with triangles,
+    // distinct degrees and ties (bowtie + a pendant)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("s1", "s2")
+    val sd = Graph.symWithDeg(g)
+    assert(Graph.triangleCountFrom(sd, g).head().getLong(0) ==
+      Graph.triangleCount(g).head().getLong(0))
+    assert(Graph.degreeHistogramFrom(sd).as[(Long, Long)].collect().toSet ==
+      Graph.degreeHistogram(g).as[(Long, Long)].collect().toSet)
+    assert(Graph.clusteringCoefficientFrom(sd, g)
+        .as[(Long, Long, Long, Long)].collect().toSet ==
+      Graph.clusteringCoefficient(g).as[(Long, Long, Long, Long)].collect().toSet)
+    assert(Graph.degreeAssortativityFrom(sd).as[(Long, Double)].collect().head ==
+      Graph.degreeAssortativity(g).as[(Long, Double)].collect().head)
+    assert(Graph.labelPropagationSym(
+        g.select(col("s1").as("u"), col("s2").as("v"))
+          .unionAll(g.select(col("s2").as("u"), col("s1").as("v"))), 4)
+        .as[(Long, Long)].collect().toSet ==
+      Graph.labelPropagation(g, 4).as[(Long, Long)].collect().toSet)
+  }
+
   test("coOccurrenceEdges: threshold and duplicate membership rows") {
     // groups g1,g2 shared by (a,b); g1 only for c; duplicate rows must not
     // inflate the shared count

@@ -27,8 +27,16 @@ query, the OLD time is the per-anchor MINIMUM (each anchor is already a
 healthy-box min-of-two), so cumulative drift compounds against the
 older anchor while a genuinely new query still compares against
 whichever anchor has it. The flag report names the anchor that supplied
-the old time. Family totals use only anchors that contain the family,
-summed from the same per-query minima.
+the old time. OLD family totals are computed PER ANCHOR (each a
+coherent same-session sum over that anchor's valid members) and the
+minimum total over anchors containing the family is used — never a mix
+of per-query minima from different sessions, which would understate the
+old total and skew the shift test toward REGRESSED (ADVICE r14).
+
+Box-health annotation (round 15): each side's warmup_sec probe (the
+fixed session-warm action Bench/ScaleCurve time and emit) is printed
+when present, so a degraded-box comparison is visible in the report
+itself instead of requiring the run_totals narrative.
 
 Family-aware (round 8): queries cache-share persisted intermediates
 within a bench family (first two '_'-segments of the name — the unit at
@@ -57,28 +65,32 @@ import sys
 
 
 def load(path):
-    """Returns (queries: {name: sec}, errors: set[name])."""
+    """Returns (queries: {name: sec}, errors: set[name], warmup_sec|None)."""
     txt = open(path).read()
+    # box-health probe: emitted on the total line (JSON-lines format) or
+    # anywhere in a driver capture's text — regex keeps it format-agnostic
+    m = re.search(r'"warmup_sec":([0-9.]+)', txt)
+    warmup = float(m.group(1)) if m else None
     # JSON-lines detail format
     for line in txt.splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric":"detail"' in line:
             d = json.loads(line)
-            return d["queries"], set(d.get("errors", []))
+            return d["queries"], set(d.get("errors", [])), warmup
     # driver capture: whole object with optional "tail" fragment
     try:
         obj = json.loads(txt)
         if isinstance(obj, dict):
             errs = set(obj.get("errors", []))
             if "queries" in obj:
-                return obj["queries"], errs
+                return obj["queries"], errs, warmup
             if "queries_sec" in obj:
-                return obj["queries_sec"], errs
+                return obj["queries_sec"], errs, warmup
             if "tail" in obj:
                 return {
                     m.group(1): float(m.group(2))
                     for m in re.finditer(r'"(q_\w+)":([0-9.]+)', obj["tail"])
-                }, errs
+                }, errs, warmup
     except json.JSONDecodeError:
         pass
     raise SystemExit(f"unrecognized bench format: {path}")
@@ -100,13 +112,18 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     anchors = [(p, *load(p)) for p in old_paths]
-    new, new_errs = load(new_path)
+    new, new_errs, new_warm = load(new_path)
+    for path, _, _, w in anchors:
+        print(f"box probe {path}: "
+              f"{'%.2fs' % w if w is not None else 'n/a (pre-r15 artifact)'}")
+    print(f"box probe {new_path}: "
+          f"{'%.2fs' % new_warm if new_warm is not None else 'n/a (pre-r15 artifact)'}")
     # merged old side: per-query minimum across anchors (each anchor is a
     # healthy min-of-two already); remember which anchor supplied it so a
     # flag names the round it drifted from. A query errored in an anchor
     # contributes nothing from that anchor.
     old, old_src, old_errs = {}, {}, None
-    for path, q, errs in anchors:
+    for path, q, errs, _ in anchors:
         for name, t in q.items():
             if name in errs:
                 continue
@@ -129,17 +146,27 @@ def main():
     # both maps) or a brand-new failing query: a broken query must fail
     # the gate every round until fixed, not only the round it broke.
     errored = sorted(new_errs)
-    # family totals over queries valid on both sides; computed over the FULL
-    # registry on each side (not just common) so a member added on one side
-    # still lands in its family's total — that asymmetry is exactly the
-    # attribution-shift case this exists to adjudicate.
-    fam_o, fam_n = {}, {}
-    for q, t in old.items():
-        if q not in old_errs:
-            fam_o[family(q)] = fam_o.get(family(q), 0.0) + t
+    # family totals; computed over the FULL registry on each side (not just
+    # common) so a member added on one side still lands in its family's
+    # total — that asymmetry is exactly the attribution-shift case this
+    # exists to adjudicate. OLD totals are per-anchor sums (each a coherent
+    # same-session number) with the minimum taken over anchors containing
+    # the family — never a cross-session mix of per-query minima, which
+    # understates the old total and skews is_shift toward REGRESSED
+    # (ADVICE r14).
+    fam_n = {}
     for q, t in new.items():
         if q not in new_errs:
             fam_n[family(q)] = fam_n.get(family(q), 0.0) + t
+    fam_o = {}
+    for _, q, errs, _ in anchors:
+        per_anchor = {}
+        for name, t in q.items():
+            if name not in errs:
+                per_anchor[family(name)] = per_anchor.get(family(name), 0.0) + t
+        for f, tot in per_anchor.items():
+            if f not in fam_o or tot < fam_o[f]:
+                fam_o[f] = tot
     flagged, shifted, improved = [], [], []
     for q in common:
         if q in new_errs or q in old_errs:
