@@ -470,20 +470,29 @@ object Graph {
       // agg, once in the next relation's lineage). hubs/auth need no
       // checkpoint of their own anymore — they are narrow projections
       // of a checkpointed partial × a 1-row broadcast.
+      // DECIMAL(38,0) sums end to end: the raw per-node masses fit a
+      // long, but the NORMALIZATION TOTAL is Σ_edges h = E·1e12 — past
+      // ~9M distinct edges that exceeds 2^63 (caught by the r15
+      // sf1→sf10 gate as an ANSI ARITHMETIC_OVERFLOW; the DuckDB twin
+      // was already summing in HUGEINT). Exact integer values are
+      // unchanged — decimal sum ≡ long sum wherever the long didn't
+      // overflow — so oracle parity holds bit-for-bit.
       val araw = e.join(hubs, e("src") === hubs("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
         .localCheckpoint(false)
       val atot = araw.agg(sum(col("ar")).as("tot"))
       auth = araw.crossJoin(broadcast(atot))
         .select(col("dst").as("node"),
-          expr(s"CAST(CAST(ar AS DECIMAL(38,0)) * ${Scale}L div tot AS BIGINT)").as("a"))
+          expr(s"CAST(ar * ${Scale}L div tot AS BIGINT)").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .groupBy(col("src"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
         .localCheckpoint(false)
       val htot = hraw.agg(sum(col("hr")).as("tot"))
       hubs = hraw.crossJoin(broadcast(htot))
         .select(col("src").as("node"),
-          expr(s"CAST(CAST(hr AS DECIMAL(38,0)) * ${Scale}L div tot AS BIGINT)").as("h"))
+          expr(s"CAST(hr * ${Scale}L div tot AS BIGINT)").as("h"))
     }
     (hubs, auth)
   }
