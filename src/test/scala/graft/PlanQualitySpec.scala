@@ -298,6 +298,27 @@ class PlanQualitySpec extends SparkSpec {
       s"modularity should cross only the 1-row total:\n${mPlan.take(2000)}")
   }
 
+  test("graph-memo consumers are single-pass: no join in the degree/assortativity/richclub plans") {
+    // the r15 family memo's design claim: symWithDeg carries both
+    // endpoint degrees IN-ROW, so these censuses read the checkpointed
+    // relation once — a Join appearing here means the memo stopped
+    // paying for itself. richclub's only join may be the blessed 1-row
+    // cross of its two scalar aggregates.
+    import graft.queries.GraphQueries
+    for (name <- Seq("q_graph_degree", "q_graph_assortativity")) {
+      val plan = GraphQueries.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"$name should be join-free:\n${plan.take(2000)}")
+    }
+    val rc = GraphQueries.queries("q_graph_richclub")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(!rc.contains("SortMergeJoin") && !rc.contains("BroadcastHashJoin")
+      && !rc.contains("CartesianProduct"), rc.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(rc).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
+      s"richclub should cross only the two 1-row aggregates:\n${rc.take(2000)}")
+  }
+
   test("STL decomposition broadcasts the 7-row seasonal relation") {
     val plan = graft.queries.WindowQueries.queries("q_ts_stl")(spark, sf001)
       .queryExecution.executedPlan.toString()
