@@ -190,8 +190,11 @@ object Bench {
     val rmap = results.toMap
     val headQs = headline.flatMap(k => rmap.get(k).map(v => s"\"$k\":${math.round(v * 1000) / 1000.0}"))
       .mkString("{", ",", "}")
+    // warmup_sec rides the summary line too: the driver's capture window
+    // keeps only the LAST stdout line, and the probe must be readable
+    // from BENCH_r{N}.json itself for the degraded-box adjudication
     val summaryLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_runs":$nRuns,"queries":$headQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","warmup_sec":$warmupSec,"n_queries":${results.size},"n_errors":${errors.size},"n_runs":$nRuns,"queries":$headQs,"sf":"$sfDir"}"""
     GraftSession.emitJsonLines("tools/bench_last.json", Seq(totalLine, detailLine))
     println(summaryLine) // LAST stdout line — survives any tail-capture window >= ~1.2 KB
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM
