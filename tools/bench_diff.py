@@ -29,9 +29,10 @@ older anchor while a genuinely new query still compares against
 whichever anchor has it. The flag report names the anchor that supplied
 the old time. OLD family totals are computed PER ANCHOR (each a
 coherent same-session sum over that anchor's valid members) and the
-minimum total over anchors containing the family is used — never a mix
-of per-query minima from different sessions, which would understate the
-old total and skew the shift test toward REGRESSED (ADVICE r14).
+minimum total over the BEST-COVERING anchors is used — never a mix of
+per-query minima from different sessions (ADVICE r14), and never a bare
+min that lets an anchor predating some family members undercut a
+full-coverage anchor's total (ADVICE r15).
 
 Box-health annotation (round 15): each side's warmup_sec probe (the
 fixed session-warm action Bench/ScaleCurve time and emit) is printed
@@ -67,16 +68,31 @@ import sys
 def load(path):
     """Returns (queries: {name: sec}, errors: set[name], warmup_sec|None)."""
     txt = open(path).read()
-    # box-health probe: emitted on the total line (JSON-lines format) or
-    # anywhere in a driver capture's text — regex keeps it format-agnostic
-    m = re.search(r'"warmup_sec":([0-9.]+)', txt)
-    warmup = float(m.group(1)) if m else None
-    # JSON-lines detail format
+    # box-health probe: prefer the PARSED total/summary line (JSON-lines
+    # format) — a driver-capture artifact whose tail concatenates lines
+    # from more than one run would otherwise report a stale probe via a
+    # first-match regex (ADVICE r15). When several total lines exist, the
+    # LAST one is the run the file describes; the raw-text fallback below
+    # mirrors that with the last regex match.
+    warmup, detail = None, None
     for line in txt.splitlines():
         line = line.strip()
-        if line.startswith("{") and '"metric":"detail"' in line:
-            d = json.loads(line)
-            return d["queries"], set(d.get("errors", [])), warmup
+        if not line.startswith("{"):
+            continue
+        if '"metric":"detail"' in line and detail is None:
+            detail = json.loads(line)
+        elif '"metric":"total"' in line:
+            try:
+                t = json.loads(line)
+                if "warmup_sec" in t:
+                    warmup = float(t["warmup_sec"])
+            except json.JSONDecodeError:
+                pass
+    if warmup is None:
+        ms = re.findall(r'"warmup_sec":([0-9.]+)', txt)
+        warmup = float(ms[-1]) if ms else None
+    if detail is not None:
+        return detail["queries"], set(detail.get("errors", [])), warmup
     # driver capture: whole object with optional "tail" fragment
     try:
         obj = json.loads(txt)
@@ -158,15 +174,31 @@ def main():
     for q, t in new.items():
         if q not in new_errs:
             fam_n[family(q)] = fam_n.get(family(q), 0.0) + t
-    fam_o = {}
+    # OLD family totals: per-anchor sums (coherent same-session numbers),
+    # but an anchor that predates some of the family's COMMON members has a
+    # structurally smaller total — taking a bare min over such anchors
+    # understates fo and biases is_shift toward REGRESSED, the same skew
+    # the per-anchor rule was meant to remove (ADVICE r15). So anchors are
+    # ranked by how many of the family's common members they cover; the min
+    # total is taken only among the best-covering anchors (the adjacent
+    # anchor, same registry, always fully covers — older subset anchors
+    # only win when nothing better knows the family).
+    fam_common = {}
+    for q in common:
+        fam_common.setdefault(family(q), set()).add(q)
+    fam_best = {}  # family -> (coverage, total)
     for _, q, errs, _ in anchors:
+        valid = {n for n in q if n not in errs}
         per_anchor = {}
         for name, t in q.items():
             if name not in errs:
                 per_anchor[family(name)] = per_anchor.get(family(name), 0.0) + t
         for f, tot in per_anchor.items():
-            if f not in fam_o or tot < fam_o[f]:
-                fam_o[f] = tot
+            cov = len(fam_common.get(f, set()) & valid)
+            cur = fam_best.get(f)
+            if cur is None or cov > cur[0] or (cov == cur[0] and tot < cur[1]):
+                fam_best[f] = (cov, tot)
+    fam_o = {f: tot for f, (_, tot) in fam_best.items()}
     flagged, shifted, improved = [], [], []
     for q in common:
         if q in new_errs or q in old_errs:
