@@ -66,15 +66,16 @@ import sys
 
 
 def load(path):
-    """Returns (queries: {name: sec}, errors: set[name], warmup_sec|None)."""
+    """Returns (queries: {name: sec}, errors: set[name], warmup_sec|None,
+    probe2_sec|None)."""
     txt = open(path).read()
-    # box-health probe: prefer the PARSED total/summary line (JSON-lines
+    # box-health probes: prefer the PARSED total/summary line (JSON-lines
     # format) — a driver-capture artifact whose tail concatenates lines
     # from more than one run would otherwise report a stale probe via a
     # first-match regex (ADVICE r15). When several total lines exist, the
     # LAST one is the run the file describes; the raw-text fallback below
     # mirrors that with the last regex match.
-    warmup, detail = None, None
+    warmup, probe2, detail = None, None, None
     for line in txt.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -86,27 +87,32 @@ def load(path):
                 t = json.loads(line)
                 if "warmup_sec" in t:
                     warmup = float(t["warmup_sec"])
+                if "probe2_sec" in t:
+                    probe2 = float(t["probe2_sec"])
             except json.JSONDecodeError:
                 pass
     if warmup is None:
         ms = re.findall(r'"warmup_sec":([0-9.]+)', txt)
         warmup = float(ms[-1]) if ms else None
+    if probe2 is None:
+        ms = re.findall(r'"probe2_sec":([0-9.]+)', txt)
+        probe2 = float(ms[-1]) if ms else None
     if detail is not None:
-        return detail["queries"], set(detail.get("errors", [])), warmup
+        return detail["queries"], set(detail.get("errors", [])), warmup, probe2
     # driver capture: whole object with optional "tail" fragment
     try:
         obj = json.loads(txt)
         if isinstance(obj, dict):
             errs = set(obj.get("errors", []))
             if "queries" in obj:
-                return obj["queries"], errs, warmup
+                return obj["queries"], errs, warmup, probe2
             if "queries_sec" in obj:
-                return obj["queries_sec"], errs, warmup
+                return obj["queries_sec"], errs, warmup, probe2
             if "tail" in obj:
                 return {
                     m.group(1): float(m.group(2))
                     for m in re.finditer(r'"(q_\w+)":([0-9.]+)', obj["tail"])
-                }, errs, warmup
+                }, errs, warmup, probe2
     except json.JSONDecodeError:
         pass
     raise SystemExit(f"unrecognized bench format: {path}")
@@ -128,18 +134,20 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     anchors = [(p, *load(p)) for p in old_paths]
-    new, new_errs, new_warm = load(new_path)
-    for path, _, _, w in anchors:
-        print(f"box probe {path}: "
-              f"{'%.2fs' % w if w is not None else 'n/a (pre-r15 artifact)'}")
-    print(f"box probe {new_path}: "
-          f"{'%.2fs' % new_warm if new_warm is not None else 'n/a (pre-r15 artifact)'}")
+    new, new_errs, new_warm, new_p2 = load(new_path)
+    def probes(w, p2):
+        a = "%.2fs" % w if w is not None else "n/a (pre-r15 artifact)"
+        b = f", probe2 {p2:.2f}s" if p2 is not None else ""
+        return a + b
+    for path, _, _, w, p2 in anchors:
+        print(f"box probe {path}: {probes(w, p2)}")
+    print(f"box probe {new_path}: {probes(new_warm, new_p2)}")
     # merged old side: per-query minimum across anchors (each anchor is a
     # healthy min-of-two already); remember which anchor supplied it so a
     # flag names the round it drifted from. A query errored in an anchor
     # contributes nothing from that anchor.
     old, old_src, old_errs = {}, {}, None
-    for path, q, errs, _ in anchors:
+    for path, q, errs, _, _ in anchors:
         for name, t in q.items():
             if name in errs:
                 continue
@@ -187,7 +195,7 @@ def main():
     for q in common:
         fam_common.setdefault(family(q), set()).add(q)
     fam_best = {}  # family -> (coverage, total)
-    for _, q, errs, _ in anchors:
+    for _, q, errs, _, _ in anchors:
         valid = {n for n in q if n not in errs}
         per_anchor = {}
         for name, t in q.items():
@@ -234,6 +242,17 @@ def main():
     tot_o = sum(old[q] for q in ok)
     tot_n = sum(new[q] for q in ok)
     print(f"common-set total (valid both sides): {tot_o:.1f}s -> {tot_n:.1f}s")
+    # probe2 normalization (r15 verdict #4): rescale the new total by the
+    # sustained-throughput probe ratio so a cross-box comparison reads in
+    # the anchor box's seconds — the mechanical replacement for the
+    # run_totals narrative. Printed only when BOTH sides carry probe2
+    # (informational: per-query flags above stay unnormalized).
+    old_p2s = [p2 for *_, p2 in anchors if p2 is not None]
+    if new_p2 and old_p2s:
+        f = min(old_p2s) / new_p2
+        print(f"probe2-normalized new total: {tot_n * f:.1f}s "
+              f"(box factor {f:.3f} = anchor probe2 {min(old_p2s):.2f}s "
+              f"/ new probe2 {new_p2:.2f}s)")
     print(f"{len(flagged)} regression(s), {len(shifted)} attribution shift(s), "
           f"{len(errored)} errored (ratio>={ratio}, floor={floor}s)")
     sys.exit(1 if (flagged or errored) else 0)
