@@ -935,7 +935,7 @@ object CorpusOps {
     * (ScaleCurve) don't accumulate token-stream-sized blocks for the
     * JVM lifetime. */
   private type SuffixEntry = (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame)
-  private var suffixMemo: Option[((Int, Int, String, String, Int), SuffixEntry)] = None
+  private var suffixMemo: Option[((org.apache.spark.sql.SparkSession, Int, String, String, Int), SuffixEntry)] = None
   // harness storage clears destroy the memoized checkpoint blocks — drop
   // the entry so the next access rebuilds (see CacheScope.StorageMemos)
   StorageMemos.register(() => synchronized {
@@ -961,7 +961,11 @@ object CorpusOps {
   private def suffixDoubling(docs: DataFrame, idCol: String, textCol: String,
       minRun: Int): (DataFrame, DataFrame, Seq[(Long, DataFrame)], DataFrame) =
     synchronized {
-      val key = (System.identityHashCode(docs.sparkSession),
+      // session carried by REFERENCE (ADVICE r15: identityHashCode can be
+      // reused after a stopped session is GC'd); the tuple's equality on
+      // the session slot is reference equality since SparkSession doesn't
+      // override equals
+      val key = (docs.sparkSession,
         docs.queryExecution.analyzed.semanticHash(), idCol, textCol, minRun)
       suffixMemo match {
         case Some((k, v)) if k == key => v

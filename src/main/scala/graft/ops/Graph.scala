@@ -576,7 +576,7 @@ object Graph {
     * MATERIALIZED CTEs for the same inlining-blowup reason.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    require(rounds >= 0, s"labelPropagation: rounds must be >= 0, got $rounds")
     val sym = edges.select(col("s1").as("u"), col("s2").as("v"))
       .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
       .scopedPersist()
@@ -585,9 +585,11 @@ object Graph {
 
   /** [[labelPropagation]] over a prebuilt symmetric (u, v) relation —
     * for callers that already materialize the symmetric edges (the
-    * GraphQueries family memo). */
+    * GraphQueries family memo). rounds = 0 returns the initial
+    * self-labels (the pre-r15 labelPropagation behavior, kept so the
+    * identity call stays legal — ADVICE r15). */
   def labelPropagationSym(sym: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    require(rounds >= 0, s"labelPropagation: rounds must be >= 0, got $rounds")
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {

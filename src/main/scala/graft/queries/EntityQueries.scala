@@ -44,8 +44,11 @@ object EntityQueries {
     * timing; eviction unpersists the evicted checkpoint RDDs
     * (clearCache can't free RDD-level persists — the suffixMemo
     * lesson). */
+  // Session-REFERENCE key (SparkSession doesn't override equals): the
+  // identityHashCode key could collide after a stopped session was GC'd
+  // and its hash reused (ADVICE r15; same fix as GraphQueries' memos).
   private val candMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
   // harness storage clears destroy the memo's checkpoint blocks — drop
   // the handles so the next access rebuilds (see CacheScope.StorageMemos)
   graft.ops.StorageMemos.register(() => synchronized {
@@ -58,13 +61,13 @@ object EntityQueries {
     candMemo.clear()
   })
   private def sharedCandidates(s: SparkSession, d: String): DataFrame = synchronized {
-    val key = (System.identityHashCode(s), d)
+    val key = (s, d)
     candMemo.remove(key) match {
       case Some(v) => candMemo.put(key, v); v // re-insert = mark most-recent
       case None =>
         val (recs, len) = records(s, d)
         val built = candidates(recs, len).localCheckpoint()
-        if (candMemo.size >= 2) {
+        if (candMemo.size >= GraphQueries.MemoCapacity) {
           val oldest = candMemo.head._1
           candMemo.remove(oldest).foreach { v =>
             try v.queryExecution.analyzed.foreach {

@@ -57,13 +57,30 @@ object GraphQueries {
     * never be handed out again — StorageMemos contract).
     */
   private final case class SharedGraph(edges: DataFrame, symDeg: DataFrame)
+  // Keyed on the SESSION REFERENCE itself (SparkSession doesn't override
+  // equals, so tuple equality is reference equality) — the previous
+  // identityHashCode key could collide after a stopped session was GC'd
+  // and its hash reused, handing out checkpointed DataFrames bound to a
+  // dead session (ADVICE r15). The strong ref pins at most MemoCapacity
+  // stopped sessions, which is the same order as the DataFrames the memo
+  // already holds.
+  //
+  // MemoCapacity invariant (ADVICE r15): eviction unpersists the
+  // localCheckpoint RDDs, so any caller still holding an evicted entry's
+  // DataFrame fails its next action with CHECKPOINT_RDD_BLOCK_ID_NOT_
+  // FOUND. Capacity must therefore be ≥ the number of (session, dir)
+  // pairs LIVE AT ONCE in any harness: Bench/Verify use 1, ScaleCurve
+  // interleaves 2 (small + large per query). A future ≥3-tier sweep MUST
+  // raise GRAFT_MEMO_CAPACITY rather than silently thrash/break.
+  private[queries] val MemoCapacity =
+    math.max(2, sys.env.getOrElse("GRAFT_MEMO_CAPACITY", "2").toInt)
   private val graphMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, String), SharedGraph]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), SharedGraph]
   /** customer↔supplier DISTINCT purchase pairs (c, s) — the second
     * shared prefix (pagerank/ppr/hits all start here: the orders ⋈
     * lineitem join + distinct is their expensive stage). */
   private val bipMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
   private def releaseChk(v: DataFrame): Unit =
     try v.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
@@ -77,7 +94,7 @@ object GraphQueries {
   })
 
   private def shared(s: SparkSession, d: String): SharedGraph = synchronized {
-    val key = (System.identityHashCode(s), d)
+    val key = (s, d)
     graphMemo.remove(key) match {
       case Some(v) => graphMemo.put(key, v); v // re-insert = mark most-recent
       case None =>
@@ -86,7 +103,7 @@ object GraphQueries {
           .select(col("s1"), col("s2"))
           .localCheckpoint()
         val built = SharedGraph(edges, Graph.symWithDeg(edges).localCheckpoint())
-        if (graphMemo.size >= 2) {
+        if (graphMemo.size >= MemoCapacity) {
           graphMemo.remove(graphMemo.head._1).foreach { v =>
             releaseChk(v.edges); releaseChk(v.symDeg)
           }
@@ -100,7 +117,7 @@ object GraphQueries {
   private def coSupply(s: SparkSession, d: String): DataFrame = shared(s, d).edges
 
   private def bipartite(s: SparkSession, d: String): DataFrame = synchronized {
-    val key = (System.identityHashCode(s), d)
+    val key = (s, d)
     bipMemo.remove(key) match {
       case Some(v) => bipMemo.put(key, v); v
       case None =>
@@ -109,7 +126,7 @@ object GraphQueries {
         val built = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
           .localCheckpoint()
-        if (bipMemo.size >= 2)
+        if (bipMemo.size >= MemoCapacity)
           bipMemo.remove(bipMemo.head._1).foreach(releaseChk)
         bipMemo.put(key, built)
         built
