@@ -92,6 +92,29 @@ object Bench {
       }
       clearStorage(spark)
     }
+    // SUSTAINED-THROUGHPUT PROBE (r15 verdict #4): warmup_sec only rules
+    // out the cold-start class — the r15 box probed ~3.5–4.4 s (nominal)
+    // while running ~1.2× slower SUSTAINED than the r14c box, and the
+    // adjudication fell back to run_totals narrative. probe2 times a
+    // fixed 3-query slice (one query per heavy shape: join-tree, shuffle
+    // dedup, text scoring — all members of the untimed warm slice, so
+    // under default settings the number measures execution, not codegen
+    // ramp; with BENCH_WARMUP=0 it additionally carries compile ramp and
+    // is only comparable to other no-warmup runs). Storage is cleared
+    // before each probe query and after the slice, so the timed runs
+    // below start from the same family-boundary state as before.
+    val probe2Sec = {
+      val reg = SparkEntry.queries
+      val slice = Seq("q_tpch_q9", "q_dedup_minhash", "q_text_bm25")
+      val t0 = System.nanoTime()
+      slice.foreach { n =>
+        clearStorage(spark)
+        reg.get(n).foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      }
+      val sec = math.round((System.nanoTime() - t0) / 1e6) / 1000.0
+      clearStorage(spark)
+      sec
+    }
     // cache policy: identical persisted subplans (e.g. the hashed shingle
     // table) are intentionally shared across queries of the same FAMILY
     // via the cache manager (round-1 methodology), but a family's caches
@@ -178,7 +201,7 @@ object Bench {
     // readers can gate cross-round comparisons on this matching.
     val protocol = "b2b-v2"
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warmup_sec":$warmupSec,"n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warmup_sec":$warmupSec,"probe2_sec":$probe2Sec,"n_queries":${results.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_runs":$nRuns,"run_totals":[${runTotals.mkString(",")}],"sf":"$sfDir"}"""
     val detailLine =
       s"""{"metric":"detail","queries":$qs,"errors":[${errors.map("\"" + _ + "\"").mkString(",")}],"flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // The driver's capture window keeps only the LAST ~2000 chars of
@@ -194,7 +217,7 @@ object Bench {
     // keeps only the LAST stdout line, and the probe must be readable
     // from BENCH_r{N}.json itself for the degraded-box adjudication
     val summaryLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","warmup_sec":$warmupSec,"n_queries":${results.size},"n_errors":${errors.size},"n_runs":$nRuns,"queries":$headQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","warmup_sec":$warmupSec,"probe2_sec":$probe2Sec,"n_queries":${results.size},"n_errors":${errors.size},"n_runs":$nRuns,"queries":$headQs,"sf":"$sfDir"}"""
     GraftSession.emitJsonLines("tools/bench_last.json", Seq(totalLine, detailLine))
     println(summaryLine) // LAST stdout line — survives any tail-capture window >= ~1.2 KB
     graft.sources.rest.StubServer.stop() // don't let the REST stub pin the JVM

@@ -25,7 +25,7 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val large = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val flagRatio = args.lift(2).map(_.toDouble).getOrElse(15.0)
+    val flagRatioArg = args.lift(2).filterNot(_ == "auto").map(_.toDouble)
     val nameFilter = args.lift(3).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus)
@@ -65,6 +65,16 @@ object ScaleCurve {
     val byteGrowth = bytesLarge.toDouble / bytesSmall
     val rowGrowth = docRowsLarge.toDouble / docRowsSmall
     val textNorm = rowGrowth / byteGrowth // < 1 when docs widen with sf
+    // GROWTH-DERIVED default flag bar (r15 verdict #2): the old fixed 15
+    // was a 100×-sweep constant — at a 10× step it only catches >1.5×
+    // superlinearity (q_dedup_ppjoin read 15.16× and still passed). Wall
+    // growing more than 20% past the DATA growth is the superlinear
+    // signal at any step size, so the default is row_growth × 1.2: 12 at
+    // a 10× step, 120 at 100× (a linear 100×-growth wall is fine — the
+    // historical 15 bar demanded 6.7× sublinearity there, which is why
+    // its flags needed adjudication). An explicit numeric arg still
+    // overrides, or pass "auto" to name the derived default.
+    val flagRatio = flagRatioArg.getOrElse(math.rint(rowGrowth * 1.2 * 100) / 100)
 
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }

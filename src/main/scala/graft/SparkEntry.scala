@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.FunnelQueries.queries ++
       graft.queries.EntityQueries.queries ++
       graft.queries.PrefQueries.queries ++
-      graft.queries.QClassifierQueries.queries
+      graft.queries.QClassifierQueries.queries ++
+      graft.queries.AnnQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -88,5 +89,6 @@ object SparkEntry {
       graft.queries.FunnelQueries.oracleSql ++
       graft.queries.EntityQueries.oracleSql ++
       graft.queries.PrefQueries.oracleSql ++
-      graft.queries.QClassifierQueries.oracleSql
+      graft.queries.QClassifierQueries.oracleSql ++
+      graft.queries.AnnQueries.oracleSql
 }

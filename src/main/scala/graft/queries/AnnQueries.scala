@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder.scan
+import graft.ops.AnnIndex
+
+/** ANN index persist/reload queries — the deploy tier over
+  * [[graft.ops.AnnIndex]]: build the IVF-PQ index as parquet tables,
+  * reload, and serve from the persisted bytes. Every query here READS
+  * BACK what it wrote (the engine side is the round-trip; the oracle
+  * recomputes from the raw embeddings table), so a persistence bug —
+  * wrong partition column type, float truncation, code column drift —
+  * is a hash mismatch, not a silent recall loss.
+  *
+  * Sums that aggregate scaled-integer longs over the corpus ride
+  * DECIMAL(38,0) (the q_graph_hits convention): Σ n2 ≈ 6.4e13 per
+  * vector crosses 2⁶³ past ~10⁵ vectors — second-decade safe.
+  */
+object AnnQueries {
+
+  private val DIMS = 64
+
+  private def mainDir(d: String) =
+    s"${graft.engine.Staging.root}/graft_ann_main_${Integer.toHexString(d.hashCode)}"
+  private def deltaDir(d: String) =
+    s"${graft.engine.Staging.root}/graft_ann_delta_${Integer.toHexString(d.hashCode)}"
+  private def recallDir(d: String) =
+    s"${graft.engine.Staging.root}/graft_ann_recall_${Integer.toHexString(d.hashCode)}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BUILD + PERSIST + read-back census: train the deterministic
+    // IVF-PQ index, write centroids + cell-partitioned postings, then
+    // aggregate the PERSISTED table per cell — counts, exact Σ n2, the
+    // PQ-code mass, id range. The census is the index's build report
+    // (cell balance + code distribution); hashing it against the
+    // from-scratch oracle proves the persisted bytes, not the plan.
+    "q_ann_build" -> ((s: SparkSession, d: String) => {
+      val dir = mainDir(d)
+      AnnIndex.build(scan(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", dir)
+      s.read.parquet(s"$dir/postings")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("n2").cast("decimal(38,0)")).as("sum_n2"),
+          sum(aggregate(col("code"), lit(0L), (a, x) => a + x)).as("sum_codes"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("cell"))
+    }),
+
+    // RELOAD + SERVE: rebuild the index (deploy), then answer vec 0's
+    // top-10 purely from the persisted tables — centroids collected
+    // back for probe selection, postings directory-pruned to 3 of 16
+    // cells, ADC over the stored codes, exact re-rank from the stored
+    // vectors. Bit-identical to the in-plan stack (q_sim_ivf_adc) at
+    // the same parameters — which is exactly what the oracle asserts.
+    "q_ann_query" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val dir = mainDir(d)
+      AnnIndex.build(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      AnnIndex.adcQuery(idx, qv, k = 10, shortlist = 50, probes = 3)
+    }),
+
+    // DELTA INGEST: new vectors join a deployed index WITHOUT
+    // retraining — odd ids are assigned + PQ-coded under the frozen
+    // even-id-trained centroids and APPENDED to the postings table
+    // (old postings stay valid; at 100 TB this is the hourly ingest
+    // path — a map-side pass + partitioned append, no index rebuild).
+    // Census per cell: base/delta populations + exact Σ n2.
+    "q_ann_delta" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val dir = deltaDir(d)
+      AnnIndex.build(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      AnnIndex.assignWithSeeds(e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", idx.seeds)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+      s.read.parquet(s"$dir/postings")
+        .groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_delta"),
+          sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+        .orderBy(col("cell"))
+    }),
+
+    // INDEX QUALITY AUDIT: per-cell PQ reconstruction distortion from
+    // the RELOADED postings — Σ_m min_k d(sub_m, codebook k) per
+    // vector, the quantization-error metric that tells an operator
+    // which cells have drifted from their codebook (retrain signal).
+    "q_ann_stats" -> ((s: SparkSession, d: String) => {
+      val dir = mainDir(d)
+      AnnIndex.build(scan(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      idx.postings
+        .withColumn("dist", AnnIndex.distortion(col("embedding"), idx.codebook))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist").cast("decimal(38,0)")).as("sum_distortion"),
+          max(col("dist")).as("max_distortion"))
+        .orderBy(col("cell"))
+    }),
+
+    // SERVING RECALL EVAL: recall@10 of the reloaded index (3 of 16
+    // probes) against brute-force ground truth for a fixed 5-query
+    // probe set — the accuracy/cost number a deployed index republishes
+    // after every build. Query side is eval-sized (the r7 scale rule);
+    // the brute side broadcasts the 5 queries and prunes through
+    // TopKPerKey, so the eval costs one corpus pass at any scale.
+    "q_ann_recall" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val dir = recallDir(d)
+      AnnIndex.build(corpus, "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      val qrows = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0)).toSeq
+      val ann = qrows.map { r =>
+        AnnIndex.adcQuery(idx, r.getSeq[Float](1), k = 10, shortlist = 50, probes = 3)
+          .select(lit(r.getLong(0)).as("qid"), col("vec_id"), lit(1L).as("__hit"))
+      }.reduce(_ unionAll _)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          graft.ops.Similarity.scaledDot(col("embedding"), col("embedding")).as("qn"))
+      val scored = corpus.crossJoin(broadcast(q))
+        .withColumn("cosine",
+          graft.ops.Similarity.scaledDot(col("embedding"), col("qv")).cast("double") /
+            (sqrt(graft.ops.Similarity.scaledDot(col("embedding"), col("embedding"))
+              .cast("double")) * sqrt(col("qn").cast("double"))))
+        .select(col("qid"), col("vec_id"), col("cosine"))
+      val brute = graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("qid"), sorts = Seq(("cosine", false), ("vec_id", true)), k = 10)
+      brute.select(col("qid"), col("vec_id"))
+        .join(ann, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(col("n_exact"), col("n_found"),
+          expr("n_found * 1000000 div n_exact").as("recall_ppm"))
+    }))
+
+  // ---------------------------------------------------------- oracles
+
+  // floor-scaled product term shared by every oracle here (the
+  // Similarity SCALE convention: see SimilarityQueries)
+  private def term(a: String, b: String) =
+    s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12) AS BIGINT)"
+
+  /** The from-scratch CTE prelude every q_ann oracle shares: corpus,
+    * 16 smallest-id seeds, exact BIGINT self-norms, max-cosine cell
+    * assignment, the 8-row PQ codebook and per-(vector, subspace)
+    * nearest-centroid codes — the DuckDB spelling of AnnIndex.build.
+    * `pred` picks the corpus (and therefore the seeds AND codebook).
+    */
+  private def buildCtes(pred: String): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $pred),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, vec_id, embedding
+       |  FROM (SELECT * FROM embeddings WHERE $pred ORDER BY vec_id LIMIT 16)),
+       |j AS (SELECT unnest(range(1, ${DIMS + 1})) AS j),
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(${term("embedding[j.j]", "embedding[j.j]")}) AS BIGINT) AS n2
+       |  FROM embeddings CROSS JOIN j GROUP BY vec_id),
+       |adots AS (
+       |  SELECT e.vec_id, s.sidx,
+       |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+       |  FROM corpus e CROSS JOIN seeds s CROSS JOIN j
+       |  GROUP BY e.vec_id, s.sidx),
+       |acos AS (
+       |  SELECT d.vec_id, d.sidx,
+       |    d.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE))) AS cos
+       |  FROM adots d
+       |    JOIN norms ne ON ne.vec_id = d.vec_id
+       |    JOIN seeds s ON s.sidx = d.sidx
+       |    JOIN norms ns ON ns.vec_id = s.vec_id),
+       |assign AS (
+       |  SELECT vec_id, sidx AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+       |    FROM acos) WHERE rn = 1),
+       |cb AS (SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS kk
+       |       FROM (SELECT * FROM embeddings WHERE $pred ORDER BY vec_id LIMIT 8)),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+       |cdists AS (SELECT e.vec_id, s.m, cb.kk,
+       |    CAST(list_sum(list_transform(range(1, 9), i ->
+       |      CAST(floor((CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+       |                 * (CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+       |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS d
+       |  FROM corpus e, sub s, cb),
+       |cbest AS (SELECT vec_id, m, kk, d,
+       |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, kk) AS rn
+       |          FROM cdists)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_ann_build" ->
+      s"""WITH ${buildCtes("vec_id <> 0")},
+         |codesum AS (SELECT vec_id, CAST(SUM(kk) AS BIGINT) AS sc
+         |            FROM cbest WHERE rn = 1 GROUP BY vec_id)
+         |SELECT CAST(a.cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CAST(n.n2 AS HUGEINT)) AS DECIMAL(38,0)) AS sum_n2,
+         |  CAST(SUM(c.sc) AS BIGINT) AS sum_codes,
+         |  MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
+         |FROM assign a
+         |  JOIN norms n ON n.vec_id = a.vec_id
+         |  JOIN codesum c ON c.vec_id = a.vec_id
+         |GROUP BY a.cell ORDER BY cell""".stripMargin,
+
+    "q_ann_query" ->
+      s"""WITH ${buildCtes("vec_id <> 0")},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qdots AS (
+         |  SELECT s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY s.sidx),
+         |qcos AS (
+         |  SELECT d.sidx,
+         |    d.dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE))) AS cos
+         |  FROM qdots d
+         |    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |qprobe AS (SELECT sidx FROM qcos ORDER BY cos DESC, sidx LIMIT 3),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
+         |lut AS (SELECT s.m, cb.kk,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS ld
+         |  FROM q, sub s, cb),
+         |adc AS (SELECT c.vec_id, c.cell, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+         |        FROM cand c JOIN cbest b ON b.vec_id = c.vec_id AND b.rn = 1
+         |          JOIN lut l ON l.m = b.m AND l.kk = b.kk
+         |        GROUP BY c.vec_id, c.cell),
+         |short AS (SELECT * FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |fdots AS (
+         |  SELECT sh.vec_id, sh.cell, sh.adc_dist,
+         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+         |  FROM short sh JOIN corpus e ON e.vec_id = sh.vec_id CROSS JOIN q CROSS JOIN j
+         |  GROUP BY sh.vec_id, sh.cell, sh.adc_dist)
+         |SELECT f.vec_id, CAST(f.cell AS INT) AS cell, f.adc_dist,
+         |  f.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+         |FROM fdots f
+         |  JOIN norms ne ON ne.vec_id = f.vec_id
+         |  CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+         |ORDER BY cosine DESC, f.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_delta" ->
+      s"""WITH ${buildCtes("vec_id <> 0 AND vec_id % 2 = 0")},
+         |delta AS (SELECT vec_id, embedding FROM embeddings
+         |          WHERE vec_id <> 0 AND vec_id % 2 = 1),
+         |ddots AS (
+         |  SELECT e.vec_id, s.sidx,
+         |    CAST(SUM(${term("e.embedding[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM delta e CROSS JOIN seeds s CROSS JOIN j
+         |  GROUP BY e.vec_id, s.sidx),
+         |dcos AS (
+         |  SELECT d.vec_id, d.sidx,
+         |    d.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE))) AS cos
+         |  FROM ddots d
+         |    JOIN norms ne ON ne.vec_id = d.vec_id
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |dassign AS (
+         |  SELECT vec_id, sidx AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sidx) AS rn
+         |    FROM dcos) WHERE rn = 1),
+         |allassign AS (
+         |  SELECT vec_id, cell FROM assign UNION ALL SELECT vec_id, cell FROM dassign)
+         |SELECT CAST(a.cell AS INT) AS cell,
+         |  CAST(SUM(CASE WHEN a.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN a.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |  CAST(SUM(CAST(n.n2 AS HUGEINT)) AS DECIMAL(38,0)) AS sum_n2
+         |FROM allassign a JOIN norms n ON n.vec_id = a.vec_id
+         |GROUP BY a.cell ORDER BY cell""".stripMargin,
+
+    "q_ann_stats" ->
+      s"""WITH ${buildCtes("vec_id <> 0")},
+         |dist AS (SELECT vec_id, CAST(SUM(d) AS BIGINT) AS dist
+         |         FROM cbest WHERE rn = 1 GROUP BY vec_id)
+         |SELECT CAST(a.cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CAST(t.dist AS HUGEINT)) AS DECIMAL(38,0)) AS sum_distortion,
+         |  CAST(MAX(t.dist) AS BIGINT) AS max_distortion
+         |FROM assign a JOIN dist t ON t.vec_id = a.vec_id
+         |GROUP BY a.cell ORDER BY cell""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH ${buildCtes("vec_id >= 5")},
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |qdots AS (
+         |  SELECT q.qid, s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+         |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY q.qid, s.sidx),
+         |qcos AS (
+         |  SELECT d.qid, d.sidx,
+         |    d.dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE))) AS cos
+         |  FROM qdots d
+         |    JOIN norms nq ON nq.vec_id = d.qid
+         |    JOIN seeds s ON s.sidx = d.sidx
+         |    JOIN norms ns ON ns.vec_id = s.vec_id),
+         |qprobe AS (SELECT qid, sidx FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, sidx) AS rn
+         |    FROM qcos) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
+         |lut AS (SELECT q.qid, s.m, cb.kk,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(floor((CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * (CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+         |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS ld
+         |  FROM q, sub s, cb),
+         |adc AS (SELECT c.qid, c.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+         |        FROM cand c JOIN cbest b ON b.vec_id = c.vec_id AND b.rn = 1
+         |          JOIN lut l ON l.qid = c.qid AND l.m = b.m AND l.kk = b.kk
+         |        GROUP BY c.qid, c.vec_id),
+         |short AS (SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 50),
+         |fdots AS (
+         |  SELECT sh.qid, sh.vec_id,
+         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+         |  FROM short sh JOIN corpus e ON e.vec_id = sh.vec_id
+         |    JOIN q ON q.qid = sh.qid CROSS JOIN j
+         |  GROUP BY sh.qid, sh.vec_id),
+         |anntop AS (SELECT qid, vec_id FROM (
+         |    SELECT f.qid, f.vec_id,
+         |      row_number() OVER (PARTITION BY f.qid ORDER BY
+         |        f.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) DESC,
+         |        f.vec_id) AS rn
+         |    FROM fdots f
+         |      JOIN norms ne ON ne.vec_id = f.vec_id
+         |      JOIN norms nq ON nq.vec_id = f.qid) WHERE rn <= 10),
+         |bdots AS (
+         |  SELECT q.qid, e.vec_id,
+         |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+         |  FROM corpus e CROSS JOIN q CROSS JOIN j
+         |  GROUP BY q.qid, e.vec_id),
+         |brute AS (SELECT qid, vec_id FROM (
+         |    SELECT b.qid, b.vec_id,
+         |      row_number() OVER (PARTITION BY b.qid ORDER BY
+         |        b.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) DESC,
+         |        b.vec_id) AS rn
+         |    FROM bdots b
+         |      JOIN norms ne ON ne.vec_id = b.vec_id
+         |      JOIN norms nq ON nq.vec_id = b.qid) WHERE rn <= 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM brute b LEFT JOIN anntop a ON a.qid = b.qid AND a.vec_id = b.vec_id""".stripMargin)
+}
