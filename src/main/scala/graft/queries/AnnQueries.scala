@@ -142,6 +142,82 @@ object AnnQueries {
           sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
         .select(col("n_exact"), col("n_found"),
           expr("n_found * 1000000 div n_exact").as("recall_ppm"))
+    }),
+
+    // RETRIEVE-THEN-RERANK — the two-stage serving harness every
+    // production RAG stack ships: the reloaded ANN index recalls a
+    // cheap top-20 (probes 3/16, ADC codes, exact cosine), then a
+    // SECOND-STAGE scorer reranks the shortlist against the query
+    // DOCUMENT (vec_id = doc_id by generator contract): exact distinct-
+    // word overlap with doc 0's text — the deterministic stand-in for a
+    // cross-encoder (the stage-2 model is swappable; the harness shape
+    // — candidate join to the document store, per-candidate scoring,
+    // rerank of a k-row relation — is what's being built and proven).
+    // Stage-2 cost is shortlist-sized at any corpus scale: 20 rows join
+    // the document store by id, the query's word set rides as a plan
+    // literal.
+    "q_ann_rerank" -> ((s: SparkSession, d: String) => {
+      val e = scan(s, d, "embeddings")
+      val dir = mainDir(d)
+      AnnIndex.build(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val qWords = scan(s, d, "documents").filter(col("doc_id") === 0)
+        .select(col("text")).head().getString(0)
+        .trim.toLowerCase.split("\\s+").distinct.toSeq
+      val shortlist = AnnIndex.adcQuery(idx, qv, k = 20, shortlist = 50, probes = 3)
+      val docs = scan(s, d, "documents").select(col("doc_id"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
+      shortlist.join(docs, shortlist("vec_id") === docs("doc_id"), "left")
+        .select(col("vec_id"), col("cosine"),
+          coalesce(size(array_intersect(col("ws"),
+            array(qWords.map(lit): _*))).cast("long"), lit(0L)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // RECIPROCAL-RANK FUSION (Cormack et al. SIGIR'09) of two retrieval
+    // arms — the standard hybrid-search combiner: arm A = the reloaded
+    // ANN index's top-20 by cosine; arm B = lexical top-20 by exact
+    // distinct-word overlap with the query document (at 100 TB arm B is
+    // an inverted-index lookup; here it is one map-side scan + top-k —
+    // rank semantics identical). Scores are exact integers:
+    // Σ_arms 10⁹ div (60 + rank), so the fused order is engine-portable
+    // with no float drift. Output: top-10 fused with per-arm presence.
+    "q_ann_rrf" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = scan(s, d, "embeddings")
+      val dir = mainDir(d)
+      AnnIndex.build(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", dir)
+      val idx = AnnIndex.load(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val qWords = scan(s, d, "documents").filter(col("doc_id") === 0)
+        .select(col("text")).head().getString(0)
+        .trim.toLowerCase.split("\\s+").distinct.toSeq
+      // both rank windows run over k-row relations — the single-partition
+      // window is the POINT (20 rows on the driver-adjacent path), never
+      // a corpus-sized sort
+      val armA = AnnIndex.adcQuery(idx, qv, k = 20, shortlist = 50, probes = 3)
+        .select(col("vec_id"), row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long").as("rank_a"))
+      val armB = scan(s, d, "documents").filter(col("doc_id") =!= 0)
+        .select(col("doc_id").as("vec_id"),
+          coalesce(size(array_intersect(
+            array_distinct(split(lower(trim(col("text"))), "\\s+")),
+            array(qWords.map(lit): _*))).cast("long"), lit(0L)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), row_number().over(
+          Window.orderBy(col("n_shared").desc, col("vec_id").asc)).cast("long").as("rank_b"))
+      armA.join(armB, Seq("vec_id"), "full")
+        .select(col("vec_id"),
+          (coalesce(expr("1000000000 div (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + rank_b)"), lit(0L))).as("rrf_score"),
+          (col("rank_a").isNotNull.cast("int") +
+            col("rank_b").isNotNull.cast("int")).cast("long").as("n_arms"))
+        .orderBy(col("rrf_score").desc, col("vec_id").asc)
+        .limit(10)
     }))
 
   // ---------------------------------------------------------- oracles
@@ -195,7 +271,94 @@ object AnnQueries {
        |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, kk) AS rn
        |          FROM cdists)""".stripMargin
 
+  /** The single-query (vec 0) ANN serving chain from [[buildCtes]]'s
+    * relations through the exact-cosine top-`k`: probe selection, ADC
+    * over the per-(vector, subspace) codes, 50-candidate shortlist,
+    * re-rank. Ends with `anntop` (vec_id, cosine, rn ≤ k).
+    */
+  private def annTopCtes(k: Int, probes: Int): String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qdots AS (
+       |  SELECT s.sidx, CAST(SUM(${term("q.qv[j.j]", "s.embedding[j.j]")}) AS DOUBLE) AS dot
+       |  FROM q CROSS JOIN seeds s CROSS JOIN j GROUP BY s.sidx),
+       |qcos AS (
+       |  SELECT d.sidx,
+       |    d.dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE))) AS cos
+       |  FROM qdots d
+       |    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+       |    JOIN seeds s ON s.sidx = d.sidx
+       |    JOIN norms ns ON ns.vec_id = s.vec_id),
+       |qprobe AS (SELECT sidx FROM qcos ORDER BY cos DESC, sidx LIMIT $probes),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell FROM assign a JOIN qprobe p ON a.cell = p.sidx),
+       |lut AS (SELECT s.m, cb.kk,
+       |    CAST(list_sum(list_transform(range(1, 9), i ->
+       |      CAST(floor((CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+       |                 * (CAST(q.qv[s.m * 8 + i] AS DOUBLE) - CAST(cb.cv[s.m * 8 + i] AS DOUBLE))
+       |                 * 1000000000000.0) AS BIGINT))) AS BIGINT) AS ld
+       |  FROM q, sub s, cb),
+       |adc AS (SELECT c.vec_id, c.cell, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+       |        FROM cand c JOIN cbest b ON b.vec_id = c.vec_id AND b.rn = 1
+       |          JOIN lut l ON l.m = b.m AND l.kk = b.kk
+       |        GROUP BY c.vec_id, c.cell),
+       |short AS (SELECT * FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+       |fdots AS (
+       |  SELECT sh.vec_id,
+       |    CAST(SUM(${term("e.embedding[j.j]", "q.qv[j.j]")}) AS DOUBLE) AS dot
+       |  FROM short sh JOIN corpus e ON e.vec_id = sh.vec_id CROSS JOIN q CROSS JOIN j
+       |  GROUP BY sh.vec_id),
+       |anntop AS (SELECT vec_id, cosine FROM (
+       |    SELECT f.vec_id,
+       |      f.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine,
+       |      row_number() OVER (ORDER BY
+       |        f.dot / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) DESC,
+       |        f.vec_id) AS rn
+       |    FROM fdots f
+       |      JOIN norms ne ON ne.vec_id = f.vec_id
+       |      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq) WHERE rn <= $k)""".stripMargin
+
+  /** Distinct-word overlap of every document with doc 0's word set —
+    * the lexical stage-2 scorer, shared by rerank and RRF oracles. */
+  private val lexCtes: String =
+    s"""qw AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE doc_id = 0)),
+       |cw AS (SELECT DISTINCT doc_id, w FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE text IS NOT NULL)),
+       |nshared AS (SELECT cw.doc_id, CAST(COUNT(*) AS BIGINT) AS ns
+       |            FROM cw JOIN qw ON qw.w = cw.w GROUP BY cw.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_ann_rerank" ->
+      s"""WITH ${buildCtes("vec_id <> 0")},
+         |${annTopCtes(20, 3)},
+         |$lexCtes
+         |SELECT t.vec_id, t.cosine, CAST(COALESCE(ns.ns, 0) AS BIGINT) AS n_shared
+         |FROM anntop t LEFT JOIN nshared ns ON ns.doc_id = t.vec_id
+         |ORDER BY n_shared DESC, cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_rrf" ->
+      s"""WITH ${buildCtes("vec_id <> 0")},
+         |${annTopCtes(20, 3)},
+         |$lexCtes,
+         |arma AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank_a
+         |  FROM anntop),
+         |armbbase AS (SELECT d.doc_id AS vec_id, CAST(COALESCE(ns.ns, 0) AS BIGINT) AS n_shared
+         |  FROM documents d LEFT JOIN nshared ns ON ns.doc_id = d.doc_id
+         |  WHERE d.doc_id <> 0),
+         |armb AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY n_shared DESC, vec_id) AS BIGINT) AS rank_b
+         |  FROM (SELECT * FROM armbbase ORDER BY n_shared DESC, vec_id LIMIT 20))
+         |SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         |  CAST(COALESCE(1000000000 // (60 + a.rank_a), 0)
+         |     + COALESCE(1000000000 // (60 + b.rank_b), 0) AS BIGINT) AS rrf_score,
+         |  CAST((CASE WHEN a.rank_a IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN b.rank_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_arms
+         |FROM arma a FULL JOIN armb b ON b.vec_id = a.vec_id
+         |ORDER BY rrf_score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_build" ->
       s"""WITH ${buildCtes("vec_id <> 0")},
