@@ -392,16 +392,28 @@ object SimilarityQueries {
     // en↔de document pairs from the embedding space — mutual bucketed
     // kNN with ratio-margin > 1, all margin math scaled-integer. The
     // candidate generator is the same co-locatable bucket equi-join as
-    // q_sim_knn; the two top-k passes ride the TopKPerKey operator
+    // q_sim_knn; the two top-k passes ride the TopKPerKey operator.
+    // ADAPTIVE plane count (r16 — the tier-3 sf10 sweep caught the
+    // fixed 64-bucket join going quadratic: iso_norm 40.85 at 20k→200k
+    // vectors): planes grow with the corpus so bucket count ∝ N and the
+    // candidate join stays linear — exactly q_dedup_embed's block rule.
+    // p = LSH_PLANES at ≤500 vectors, so the sf0.01 oracle is
+    // bit-identical to plain 6-plane bucketing; recall loss at larger
+    // SFs is the standard single-probe LSH trade the _lsh/_embed
+    // siblings already make. The count() is a metadata-scale driver
+    // action (cf. q_dedup_embed's n).
     "q_sim_bitext" -> ((s: SparkSession, d: String) => {
       val e = scan(s, d, "embeddings")
+      val n = e.count()
+      var p = LSH_PLANES
+      while (p < 16 && (500L << (p - LSH_PLANES)) < n) p += 1
       val lang = scan(s, d, "documents").select(col("doc_id"), col("lang"))
       val tagged = e.join(lang, e("vec_id") === lang("doc_id"))
         .select(col("vec_id"), col("embedding"), col("lang"))
       Similarity.bitextMine(
         tagged.filter(col("lang") === "en"), "vec_id", "embedding",
         tagged.filter(col("lang") === "de"), "vec_id", "embedding",
-        DIMS, k = 4, numPlanes = LSH_PLANES)
+        DIMS, k = 4, numPlanes = p)
     }),
 
     // CLUSTER-BALANCED diversity selection: the best m=5 docs per
