@@ -1252,6 +1252,77 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeWavAfp).toDF()
   }
 
+  /** FNV-1a over a byte slice, masked non-negative — the content-digest
+    * BLOCK KEY for the perceptual pair tiers. Any 64-bit digest works:
+    * the band never appears in an output, only equality matters, and
+    * digest equality ⟺ content equality at 2⁻⁶⁴ collision odds (the
+    * repo-wide md5 convention: a collision is a loud mismatch).
+    */
+  private def fnv1a(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h & Long.MaxValue
+  }
+
+  final case class WavAfpB(media_id: Long, n_samples: Long, afp: Long, band: Long)
+
+  /** [[decodeWavAfp]] plus the scalable block key: an FNV digest of the
+    * first ELEVEN segment energies (bits 0–10's inputs — the prefix the
+    * twin perturbation provably never touches). The r16 tier sweeps
+    * showed any FIXED band space (the old afp%1024 over 256 n-values =
+    * 262k blocks) makes the blocked self-join quadratic once the corpus
+    * outgrows it; a content digest's cardinality grows WITH the corpus,
+    * so Σ N_block² stays linear (distinct sources get distinct bands).
+    */
+  def decodeWavAfpBanded(rows: Iterator[MediaRow]): Iterator[WavAfpB] = rows.map { r =>
+    val b = r.payload
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", s"not a RIFF/WAVE payload: media ${r.media_id}")
+    val energies = new Array[Long](61)
+    var nSamp = 0L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val cid = new String(b, i, 4, "US-ASCII")
+      val sz = u32(i + 4).toInt
+      val body = i + 8
+      cid match {
+        case "data" =>
+          nSamp = sz / 2
+          var j = 0L
+          while (j < nSamp) {
+            val v = u16(body + 2 * j.toInt).toShort.toLong
+            energies((j * 61 / nSamp).toInt) += v * v
+            j += 1
+          }
+        case _ => ()
+      }
+      i = body + sz + (sz & 1)
+    }
+    require(nSamp > 0, s"no data chunk: media ${r.media_id}")
+    var hash = 0L
+    var k = 0
+    while (k < 60) {
+      if (energies(k + 1) > energies(k)) hash |= 1L << k
+      k += 1
+    }
+    // digest the 11 twin-invariant prefix energies (little-endian longs)
+    val eb = java.nio.ByteBuffer.allocate(11 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var s = 0
+    while (s < 11) { eb.putLong(energies(s)); s += 1 }
+    WavAfpB(r.media_id, nSamp, hash, fnv1a(eb.array(), 0, 11 * 8))
+  }
+
+  /** Banded fingerprint pipeline — feeds [[afpPairs]]. */
+  def extractWavAfpBanded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeWavAfpBanded).toDF()
+  }
+
   /** Deterministic mono-WAV fixture WITH PLANTED NEAR-DUPS (the audio
     * twin of [[syntheticPpmPairs]]): per id, a base clip (media_id =
     * 2·id; n = 600 + id%256 samples, sample j = ((id·37 + j·13) mod
@@ -1291,15 +1362,20 @@ object Multimodal {
   }
 
   /** Audio near-dup candidate pairs — identical contract to
-    * [[phashPairs]]: block on (n_samples, low-10-bit band) composed
-    * into the 15-bit-chunk pigeonhole join, exact Hamming ≤ `maxHamming`
-    * verify, mirrored definitionally in the oracle.
+    * [[phashPairs]]: block on (n_samples, prefix-energy content band —
+    * [[extractWavAfpBanded]]) composed into the 15-bit-chunk pigeonhole
+    * join, exact Hamming ≤ `maxHamming` verify. The band is mirrored
+    * DEFINITIONALLY in the oracle as equality of the eleven prefix
+    * segment energies (digest equality ⟺ energy-vector equality at
+    * 2⁻⁶⁴ odds). r16: the old fixed afp%1024 band space went quadratic
+    * once the corpus outgrew its ≈262k blocks; the content band's
+    * cardinality tracks the corpus, keeping candidates linear.
     */
   def afpPairs(afps: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(
       afps.select(col("media_id").as("doc_id"), col("n_samples"),
-        (col("afp") % 1024L).as("band0"), col("afp").as("simhash")),
-      maxHamming, blockCols = Seq("n_samples", "band0"))
+        col("band"), col("afp").as("simhash")),
+      maxHamming, blockCols = Seq("n_samples", "band"))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** Parsed JPEG header facts (metadata-only decode — dimensions come
@@ -1469,6 +1545,51 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodePpmPhash).toDF()
   }
 
+  final case class PpmPhashB(media_id: Long, width: Int, height: Int,
+                             phash: Long, band: Long)
+
+  /** [[decodePpmPhash]] plus the scalable block key: an FNV digest of
+    * the RAW ROW-0 BYTES — the top sampled row, which the twin
+    * perturbation provably never touches (edits start at j ≥ 3w). The
+    * old band (phash % 1024 = the 10 row-0 hash bits) lives in a FIXED
+    * 2¹⁰ space: with 9×7 dimension values that is ≈64k blocks total,
+    * and once the corpus outgrows it the blocked self-join is
+    * quadratic (r16 tier-5 sweep: q_multimodal_dedup isolated norm
+    * 18.13 at 50k→500k docs). A content digest's cardinality grows
+    * with the distinct top rows, i.e. with the corpus — Σ N_block²
+    * stays linear, and the semantic ("candidates agree on the top
+    * sampled row") only gets STRICTER, exactly like a real image-dedup
+    * pre-partition on a thumbnail band.
+    */
+  def decodePpmPhashBanded(rows: Iterator[MediaRow]): Iterator[PpmPhashB] = rows.map { r =>
+    val b = r.payload
+    val (w, h, _, off) = parsePpmHeader(b, r.media_id)
+    def gray(x: Int, y: Int): Int = {
+      val j = off + 3 * (y * w + x)
+      (b(j) & 0xff) + (b(j + 1) & 0xff) + (b(j + 2) & 0xff)
+    }
+    var hash = 0L
+    var rr = 0
+    while (rr < 6) {
+      val y = rr * h / 6
+      var c = 0
+      while (c < 10) {
+        if (gray((c + 1) * w / 11, y) > gray(c * w / 11, y))
+          hash |= 1L << (rr * 10 + c)
+        c += 1
+      }
+      rr += 1
+    }
+    PpmPhashB(r.media_id, w, h, hash, fnv1a(b, off, off + 3 * w))
+  }
+
+  /** Banded perceptual-hash pipeline — feeds [[phashPairs]]. */
+  def extractPpmPhashBanded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodePpmPhashBanded).toDF()
+  }
+
   /** Deterministic P6 fixture WITH PLANTED NEAR-DUPS for the perceptual
     * tier: per source id, a base image (media_id = 2·id) and — for
     * id % 4 = 0 — a perturbed twin (media_id = 2·id + 1), mirroring
@@ -1511,21 +1632,24 @@ object Multimodal {
   }
 
   /** Image NEAR-DUP candidate pairs over perceptual hashes: block on
-    * (width, height, grid-row-0 band = low 10 hash bits) composed into
-    * [[Dedup.simhashPairs]]' 15-bit chunk pigeonhole join, verify exact
-    * Hamming ≤ `maxHamming`. The band key is the documented web-scale
-    * pre-partition (SCALE.md / simhashPairs blockCols): same-looking
-    * images agree on dimensions and the top sampled row, and candidates
-    * only form within a block — the Σ(N_block²)/2^15 bound instead of
-    * N²/2^15. Semantics shrink accordingly (a pair differing in the
-    * row-0 band is by definition not a candidate), mirrored in the
-    * oracle.
+    * (width, height, row-0 CONTENT band — [[extractPpmPhashBanded]])
+    * composed into [[Dedup.simhashPairs]]' 15-bit chunk pigeonhole
+    * join, verify exact Hamming ≤ `maxHamming`. The band key is the
+    * documented web-scale pre-partition (SCALE.md / simhashPairs
+    * blockCols): same-looking images agree on dimensions and the top
+    * sampled row, and candidates only form within a block — the
+    * Σ(N_block²)/2^15 bound instead of N²/2^15, with block cardinality
+    * growing WITH the corpus (r16: the old low-10-hash-bit band's
+    * fixed 2¹⁰ space went quadratic at the second decade). Semantics
+    * shrink accordingly (a pair differing anywhere in row 0 is by
+    * definition not a candidate), mirrored definitionally in the
+    * oracle (row-0 equality = the fixture's (width, id low-20) pair).
     */
   def phashPairs(phashes: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(
       phashes.select(col("media_id").as("doc_id"), col("width"), col("height"),
-        (col("phash") % 1024L).as("band0"), col("phash").as("simhash")),
-      maxHamming, blockCols = Seq("width", "height", "band0"))
+        col("band"), col("phash").as("simhash")),
+      maxHamming, blockCols = Seq("width", "height", "band"))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** Parsed GIF container facts (metadata-only frame census — frame

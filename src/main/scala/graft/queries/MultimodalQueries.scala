@@ -202,7 +202,7 @@ object MultimodalQueries {
     // planted twins. The media twin of q_dedup_simhash_blocked
     "q_multimodal_neardup" -> ((s: SparkSession, d: String) => {
       Multimodal.phashPairs(
-        Multimodal.extractPpmPhash(
+        Multimodal.extractPpmPhashBanded(
           Multimodal.syntheticPpmPairs(scan(s, d, "documents"), "doc_id")))
         .orderBy(col("media_a"), col("media_b"))
     }),
@@ -224,7 +224,7 @@ object MultimodalQueries {
     // output linear. The audio twin of q_multimodal_neardup
     "q_multimodal_afp_pairs" -> ((s: SparkSession, d: String) => {
       Multimodal.afpPairs(
-        Multimodal.extractWavAfp(
+        Multimodal.extractWavAfpBanded(
           Multimodal.syntheticWavPairs(scan(s, d, "documents"), "doc_id")))
         .orderBy(col("media_a"), col("media_b"))
     }),
@@ -235,7 +235,7 @@ object MultimodalQueries {
     // Pairs → clusters → keep-one is the complete media-dedup loop
     "q_multimodal_dedup" -> ((s: SparkSession, d: String) => {
       val pairs = Multimodal.phashPairs(
-        Multimodal.extractPpmPhash(
+        Multimodal.extractPpmPhashBanded(
           Multimodal.syntheticPpmPairs(scan(s, d, "documents"), "doc_id")))
         .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
       graft.ops.Dedup.connectedComponents(pairs)
@@ -628,7 +628,9 @@ object MultimodalQueries {
        |         WHERE a.seg < 60),
        |afp AS (SELECT id, tw, n,
        |          CAST(SUM(CAST(bit AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS afp
-       |        FROM bits GROUP BY id, tw, n)""".stripMargin
+       |        FROM bits GROUP BY id, tw, n),
+       |eband AS (SELECT id, tw, list(en ORDER BY seg) AS bl
+       |          FROM e WHERE seg <= 10 GROUP BY id, tw)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_afp" ->
@@ -641,8 +643,9 @@ object MultimodalQueries {
          |SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b,
          |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
          |FROM afp a JOIN afp b
-         |  ON a.n = b.n AND a.afp % 1024 = b.afp % 1024
-         |  AND 2 * a.id + a.tw < 2 * b.id + b.tw
+         |  ON a.n = b.n AND 2 * a.id + a.tw < 2 * b.id + b.tw
+         |  JOIN eband ea ON ea.id = a.id AND ea.tw = a.tw
+         |  JOIN eband eb ON eb.id = b.id AND eb.tw = b.tw AND ea.bl = eb.bl
          |WHERE bit_count(xor(a.afp, b.afp)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
 
@@ -660,7 +663,8 @@ object MultimodalQueries {
          |pairsq AS (
          |  SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b
          |  FROM ph a JOIN ph b
-         |    ON a.w = b.w AND a.h = b.h AND a.phash % 1024 = b.phash % 1024
+         |    ON a.w = b.w AND a.h = b.h
+         |    AND a.id % (1::BIGINT << CAST(a.w AS INT)) = b.id % (1::BIGINT << CAST(a.w AS INT))
          |    AND 2 * a.id + a.tw < 2 * b.id + b.tw
          |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
          |edges AS (SELECT media_a AS a, media_b AS b FROM pairsq
@@ -675,14 +679,18 @@ object MultimodalQueries {
          |FROM clusters GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // blocked-candidate semantics mirrored definitionally: same (w, h),
-    // same low-10-bit band, Hamming <= 3 — the chunk pigeonhole the
-    // engine joins on is exhaustive within that contract
+    // same ROW-0 CONTENT (engine: FNV digest of the raw row-0 bytes;
+    // oracle: the fixture's row 0 encodes id bits at stripe positions
+    // 0..w-1, so byte equality == id mod 2^w equality — exact for
+    // w in [12, 20]), Hamming <= 3 — the chunk pigeonhole the engine
+    // joins on is exhaustive within that contract
     "q_multimodal_neardup" ->
       s"""WITH $phashCtes
          |SELECT 2 * a.id + a.tw AS media_a, 2 * b.id + b.tw AS media_b,
          |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |FROM ph a JOIN ph b
-         |  ON a.w = b.w AND a.h = b.h AND a.phash % 1024 = b.phash % 1024
+         |  ON a.w = b.w AND a.h = b.h
+         |  AND a.id % (1::BIGINT << CAST(a.w AS INT)) = b.id % (1::BIGINT << CAST(a.w AS INT))
          |  AND 2 * a.id + a.tw < 2 * b.id + b.tw
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,

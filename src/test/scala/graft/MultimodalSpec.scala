@@ -134,17 +134,24 @@ class MultimodalSpec extends SparkSpec {
     import graft.ops.Multimodal.PpmPhash
     val ids = (0L until 120L).toDF("id")
     val media = Multimodal.syntheticPpmPairs(ids, "id")
-    val hashes = Multimodal.extractPpmPhash(media).as[PpmPhash]
+    import graft.ops.Multimodal.PpmPhashB
+    val hashes = Multimodal.extractPpmPhashBanded(media).as[PpmPhashB]
       .collect().map(p => p.media_id -> p).toMap
+    // the content band is INJECTIVE on distinct sources here: row 0
+    // encodes the id stripes, so only a base and its twin share a band
+    hashes.values.groupBy(p => (p.width, p.height, p.band)).foreach { case (_, g) =>
+      assert(g.map(_.media_id / 2).toSet.size == 1,
+        s"row-0 band collided across sources: ${g.map(_.media_id)}")
+    }
     // ground truth from the decoded hashes themselves: the blocked-pair
-    // contract is same (w,h), same low-10 band, hamming <= 3
+    // contract is same (w,h), same row-0 content band, hamming <= 3
     val expected = (for {
       a <- hashes.values; b <- hashes.values
       if a.media_id < b.media_id && a.width == b.width && a.height == b.height
-      if (a.phash % 1024) == (b.phash % 1024)
+      if a.band == b.band
       d = java.lang.Long.bitCount(a.phash ^ b.phash) if d <= 3
     } yield (a.media_id, b.media_id, d)).toSet
-    val got = Multimodal.phashPairs(Multimodal.extractPpmPhash(media))
+    val got = Multimodal.phashPairs(Multimodal.extractPpmPhashBanded(media))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
     // the construction plants recoverable twins: most (2id, 2id+1) pairs
@@ -159,15 +166,21 @@ class MultimodalSpec extends SparkSpec {
     import graft.ops.Multimodal.WavAfp
     val ids = (0L until 120L).toDF("id")
     val media = Multimodal.syntheticWavPairs(ids, "id")
-    val hashes = Multimodal.extractWavAfp(media).as[WavAfp]
+    import graft.ops.Multimodal.WavAfpB
+    val hashes = Multimodal.extractWavAfpBanded(media).as[WavAfpB]
       .collect().map(a => a.media_id -> a).toMap
+    // prefix-energy band injectivity on distinct sources (twin shares it)
+    hashes.values.groupBy(a => (a.n_samples, a.band)).foreach { case (_, g) =>
+      assert(g.map(_.media_id / 2).toSet.size == 1,
+        s"prefix-energy band collided across sources: ${g.map(_.media_id)}")
+    }
     val expected = (for {
       a <- hashes.values; b <- hashes.values
       if a.media_id < b.media_id && a.n_samples == b.n_samples
-      if (a.afp % 1024) == (b.afp % 1024)
+      if a.band == b.band
       d = java.lang.Long.bitCount(a.afp ^ b.afp) if d <= 3
     } yield (a.media_id, b.media_id, d)).toSet
-    val got = Multimodal.afpPairs(Multimodal.extractWavAfp(media))
+    val got = Multimodal.afpPairs(Multimodal.extractWavAfpBanded(media))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
     // the perturbation skips segments 0-10, so every twin shares its

@@ -277,9 +277,9 @@ class PlanQualitySpec extends SparkSpec {
     val cases = Seq(
       "ppJoin" -> Dedup.ppJoin(ppToks, 1, 2),
       "phashPairs" -> Multimodal.phashPairs(
-        Multimodal.extractPpmPhash(Multimodal.syntheticPpmPairs(docs, "doc_id"))),
+        Multimodal.extractPpmPhashBanded(Multimodal.syntheticPpmPairs(docs, "doc_id"))),
       "afpPairs" -> Multimodal.afpPairs(
-        Multimodal.extractWavAfp(Multimodal.syntheticWavPairs(docs, "doc_id"))),
+        Multimodal.extractWavAfpBanded(Multimodal.syntheticWavPairs(docs, "doc_id"))),
       "labelPropagation" -> Graph.labelPropagation(
         scan(spark, sf001, "lineitem")
           .select((col("l_partkey") % 50).as("s1"), (col("l_suppkey") + 1000).as("s2"))
