@@ -4,16 +4,31 @@ import org.apache.spark.sql.SparkSession
 /** Dev scratch main: print the formatted executed plan of named queries
   * at an SF dir (default sf0.1) — the `.explain` feedback loop SCALE.md's
   * plan audits use, runnable without a spec.
+  *
+  * r17: with PLAN_OUT_DIR set, each query's `.explain("formatted")`
+  * output is ALSO written to `$PLAN_OUT_DIR/<name>_<PLAN_SUFFIX>.txt`
+  * (suffix default "plan") — the before/after plan artifacts the
+  * optimization rounds commit under plans/r<N>/.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.get("PLAN_OUT_DIR")
+    val suffix = sys.env.getOrElse("PLAN_SUFFIX", "plan")
     val spark = GraftSession.build("8")
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // let AQE finalize so the printed plan is the real one
       println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString().take(12000))
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(formatted.take(12000))
+      outDir.foreach { dir =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${name}_$suffix.txt"),
+          formatted.getBytes("UTF-8"))
+      }
     }
     spark.stop()
     System.exit(0)

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvSketchDescriptor)
     ext.injectFunction(GraftExtensions.kmvMergeDescriptor)
     ext.injectFunction(GraftExtensions.kmvEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.lvecSumDescriptor)
     ext.injectOptimizerRule(_ => SimplifyJsToNumber)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -186,6 +187,16 @@ object GraftExtensions {
     }
   )
 
+  private[functions] val lvecSumDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lvecsum"),
+    new ExpressionInfo(classOf[LongVecSumAgg].getName, "graft_lvecsum"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_lvecsum takes (v ARRAY<BIGINT>)")
+      LongVecSumAgg(children.head)
+    }
+  )
+
   /** Register on an already-built session (the extensions config only
     * applies at session construction).
     */
@@ -193,7 +204,8 @@ object GraftExtensions {
     Seq(jsToNumberDescriptor, hex60Descriptor, hilbertDescriptor, kmvDescriptor,
       kllSketchDescriptor, kllMergeDescriptor, kllQuantileDescriptor,
       mgSketchDescriptor, mgMergeDescriptor, mgEstimateDescriptor,
-      kmvSketchDescriptor, kmvMergeDescriptor, kmvEstimateDescriptor
+      kmvSketchDescriptor, kmvMergeDescriptor, kmvEstimateDescriptor,
+      lvecSumDescriptor
     ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

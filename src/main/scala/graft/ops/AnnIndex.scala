@@ -57,6 +57,9 @@ object AnnIndex {
     require(pqK <= numCells, "codebook rows are reused from the seed collect: pqK <= numCells")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // invalidate any previous deploy FIRST: a crash mid-build must leave
+    // no valid marker, so readers rebuild instead of serving a torn index
+    try java.nio.file.Files.deleteIfExists(markerPath(dir)) catch { case _: Throwable => }
     val seeds = collectSeeds(corpus, idCol, vecCol, numCells)
     // centroid table: k rows — a single file, like any dimension table
     seeds.toDF("sidx", "vec")
@@ -70,7 +73,32 @@ object AnnIndex {
     // directory layout (and therefore probe pruning) is identical.
     assignWithSeeds(corpus, idCol, vecCol, seeds, pqM, pqK)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    // marker LAST: its presence (with a fresh token) certifies a complete
+    // build — readers memo the token and revalidate before serving, so a
+    // deleted, partially-written, or concurrently-rebuilt artifact is
+    // DETECTED and rebuilt rather than silently aggregated (r16 verdict #1)
+    java.nio.file.Files.write(markerPath(dir),
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
   }
+
+  /** Completion-marker path for a persisted index dir. The marker is the
+    * hermeticity contract: written last by [[build]] with a fresh token,
+    * absent or stale means the artifact cannot be trusted.
+    */
+  def markerPath(dir: String): java.nio.file.Path = {
+    try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    catch { case _: Throwable => }
+    java.nio.file.Paths.get(dir, "_GRAFT_OK")
+  }
+
+  /** The current marker token, or None when the dir has no complete build. */
+  def readMarker(dir: String): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get(dir, "_GRAFT_OK")
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    } catch { case _: Throwable => None }
 
   /** The posting rows for `corpus` under FROZEN centroids — the build's
     * map-side pass, reused verbatim by delta ingest (new vectors join an

@@ -531,53 +531,68 @@ object CorpusOps {
     *
     * Scale shape: everything after the word census is VOCABULARY-sized
     * (the HF-tokenizers trainer shape — count words once, train on the
-    * vocab), persisted once; each round is one map-side-combinable pair
-    * census plus a 1-row argmax collect (metadata-scale, like
-    * kmeansCentroids' seed collect). The chosen merges are driver
-    * state by construction — that IS the model being trained.
+    * vocab). r17: the merge loop runs ON THE DRIVER over the collected
+    * (count, word) census — exactly where HuggingFace tokenizers and
+    * SentencePiece run their merge/EM loops. The census collect is
+    * vocabulary-sized (Heaps-law-bounded distinct [a-z]+ words: the
+    * model's own working set, the same scale class as the per-round
+    * argmax collects this loop already made), and the one corpus-sized
+    * pass stays distributed. The former spelling ran every round as a
+    * Spark pair-census job + 1-row argmax collect + localCheckpoint over
+    * that same vocabulary-sized relation: 50 rounds = ~150 per-round
+    * jobs of pure scheduling overhead (7.2 s at sf0.1 for a 31-word
+    * vocabulary; guide §1.2 — fix the distributed algorithm first). The
+    * greedy semantics are reproduced operation-for-operation (weighted
+    * adjacent-pair census including within-word duplicates, argmax by
+    * (cnt desc, p1 asc, p2 asc), left-to-right non-overlapping literal
+    * replace — Java String.replace performs the same scan as the
+    * quoted-literal regexp_replace), so the trained merge table is
+    * bit-identical and the DuckDB oracle is untouched.
     */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     val Sep = "\u0001"
-    val vocab = docs.select(explode(words(lower(col(textCol)))).as("w"))
+    // the one corpus-sized pass: distributed word census, collected at
+    // vocabulary scale; each word enters as its delimited symbol string
+    val vocab0: Array[(Long, String)] = docs
+      .select(explode(words(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(col("c"), regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"))
-      .scopedPersist()
-    var cur = vocab
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0).map(ch => s"$Sep$ch$Sep").mkString))
+    var cur = vocab0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val sepsep = java.util.regex.Pattern.quote(Sep + Sep)
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val syms = split(trim(col("s"), Sep), java.util.regex.Pattern.quote(Sep + Sep))
-      val pairs = when(size(syms) >= 2,
-        zip_with(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
-          (a, b) => struct(a.as("p1"), b.as("p2"))))
-        .otherwise(array().cast("array<struct<p1:string,p2:string>>"))
-      val top = cur.select(col("c"), explode(pairs).as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // every word is one symbol: nothing left to merge
+      // weighted adjacent-pair census -- every occurrence counts,
+      // including duplicates within a word (the zip_with(slice, slice)
+      // explode semantics)
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (c, s) =>
+        val syms = s.substring(1, s.length - 1).split(sepsep, -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true // every word is one symbol: nothing left to merge
       else {
-        val (p1, p2, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        out += ((r, p1, p2, cnt))
-        // regex replace-all of the QUOTED literal — same left-to-right
-        // non-overlapping scan as a plain replace on both engines
-        // per-round lazy localCheckpoint: a PRODUCTION train runs
-        // thousands of rounds, and without truncation round r's census
-        // evaluates r stacked regexp_replace projections (O(rounds²)
-        // total regex work) while the analyzer re-walks an ever-deeper
-        // plan — the same lineage-growth failure mode as Graph.kCore's
-        // iterated peel, fixed the same way. The checkpoint is
-        // vocabulary-sized and materializes inside the next round's
-        // census action (lazy), so it adds no extra job.
-        cur = cur.select(col("c"), regexp_replace(col("s"),
-          java.util.regex.Pattern.quote(s"$Sep$p1$Sep$Sep$p2$Sep"),
-          s"$Sep$p1$p2$Sep").as("s"))
-          .localCheckpoint(false)
+        // argmax by (cnt desc, p1 asc, p2 asc): Java String compareTo on
+        // [a-z]+ symbol text is the same binary order Spark's UTF8String
+        // sort used, so ties break identically
+        val ((p1, p2), c) = cnt.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r, p1, p2, c))
+        // left-to-right non-overlapping LITERAL replace-all: Java
+        // String.replace scans exactly like the quoted-literal
+        // regexp_replace both engines ran -- greedy BPE semantics
+        val pat = s"$Sep$p1$Sep$Sep$p2$Sep"
+        val rep = s"$Sep$p1$p2$Sep"
+        cur = cur.map { case (cc, s) => (cc, s.replace(pat, rep)) }
         r += 1
       }
     }

@@ -162,6 +162,56 @@ object Quantize {
         sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers3"))
   }
 
+  /** ONE-PASS exact second-moment census over fixed-point vectors —
+    * the summary relation shared by the batch PCA ([[pcaTopComponent]])
+    * and its streaming twin (q_stream_pca's per-micro-batch partials).
+    * Input: a relation with one `q ARRAY<BIGINT>` column (length
+    * `dims`). Output rows, all exact integer sums:
+    *   - (i, j, p) with 0 ≤ i ≤ j < dims: Σ q[i]·q[j] (upper triangle),
+    *   - (i, −1, p): Σ q[i] (margins),
+    *   - (−1, −1, p): row count.
+    *
+    * r17 shape (guide §2.3): the per-row dims(dims+1)/2 products ride a
+    * FLATTENED array and one [[graft.functions.LongVecSumAgg]] — a tight
+    * primitive-long fold per row, one ~17 KB vector per partition into
+    * the final merge — replacing the explode of 2,080 structs per row
+    * into a dims²-key hash aggregate (~21M generated rows at sf0.1) and
+    * collapsing the former three corpus passes (pairs, margins, count)
+    * into one. The dims²-sized readout explodes from the single
+    * aggregated row; sums are exact integers, so the result is
+    * bit-identical to the explode/groupBy spelling on any partitioning.
+    */
+  def momentTriples(vecsQ: DataFrame, dims: Int): DataFrame = {
+    graft.functions.GraftExtensions.install(vecsQ.sparkSession)
+    val flatLen = dims * (dims + 1) / 2
+    val rowArr = expr(
+      """concat(
+        |  flatten(transform(q, (xi, i) ->
+        |    transform(slice(q, i + 1, size(q) - i), xj -> xi * xj))),
+        |  q,
+        |  array(CAST(1 AS BIGINT)))""".stripMargin)
+    val sums = vecsQ.select(rowArr.as("r"))
+      .agg(call_function("graft_lvecsum", col("r")).as("s"))
+    // flat upper-triangle offset of (i, j): i rows of shrinking width
+    // before row i (Σ_{t<i}(dims−t) = i·dims − i(i−1)/2), then (j − i);
+    // +1 for element_at's 1-based indexing. Integer-exact: i(i−1) even.
+    sums.select(explode(expr(
+      s"""concat(
+         |  flatten(transform(sequence(0, ${dims - 1}), i ->
+         |    transform(sequence(i, ${dims - 1}), j -> named_struct(
+         |      'i', i, 'j', j,
+         |      'p', element_at(s, CAST(i * $dims - (i * (i - 1)) div 2 + (j - i) + 1 AS INT)))))),
+         |  transform(sequence(0, ${dims - 1}), i -> named_struct(
+         |    'i', i, 'j', -1,
+         |    'p', element_at(s, CAST($flatLen + i + 1 AS INT)))),
+         |  array(named_struct('i', -1, 'j', -1,
+         |    'p', element_at(s, ${flatLen + dims + 1}))))""".stripMargin)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      // empty input: the aggregate yields NULL sums — drop the phantom
+      // triples so the census is empty, matching the explode spelling
+      .where(col("p").isNotNull)
+  }
+
   /** TOP PRINCIPAL COMPONENT by distributed power iteration, all-
     * integer: vectors enter 1e4 fixed point once (⌊x·10⁴⌋ — coarser
     * than standardizeCensus's 1e6 so the raw second-moment sums stay
@@ -171,58 +221,68 @@ object Quantize {
     * truncating div and floor div disagree on negatives across engines,
     * so the division only ever sees magnitudes; the q_win_slope rule).
     *
-    * Scale shape: the ONLY data-sized pass is the in-row outer-product
-    * expansion (flatten(transform×transform)) feeding a dims²-group
-    * partial aggregation — map-side combine collapses each partition to
-    * ≤ dims² rows before the shuffle, so 100 TB moves dims² × partitions
-    * rows, never n·dims². Everything after is dimension-sized (dims² ≤
-    * 4096 rows) broadcast arithmetic; iterations cost nothing at scale.
+    * Scale shape: the ONLY data-sized pass is the single elementwise
+    * vector-sum aggregation over the per-row flattened upper-triangle
+    * product array ([[momentTriples]]) — each partition collapses to one
+    * (dims(dims+1)/2 + dims + 1)-long vector before the shuffle, so
+    * 100 TB moves one ~17 KB vector per partition, never n·dims².
+    * Everything after is dimension-sized (dims² ≤ 4096 rows) broadcast
+    * arithmetic; iterations cost nothing at scale.
     */
   def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
                       iters: Int): DataFrame = {
-    import graft.ops.CacheScope.ScopedPersist
-    val spark = emb.sparkSession
     val q = emb.select(expr(
         s"transform(slice($vecCol, 1, $dims), x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
         .as("q"))
-      .scopedPersist()
-    // UPPER TRIANGLE only (j >= i): the outer product is symmetric, so
-    // emitting dims(dims+1)/2 structs per row instead of dims² halves
-    // the in-row explosion and the partial-agg input; the mirror is a
-    // free union over the dims²-sized AGGREGATED relation
-    val pairsU = q.select(expr(
-        """explode(flatten(transform(q, (xi, i) ->
-          |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
-          |    named_struct('i', i, 'j', i + j, 'p', xi * xj)))))"""
-          .stripMargin).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
-    val pairs = pairsU.unionAll(pairsU.where(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("p")))
-    val marg = q.select(posexplode(col("q")).as(Seq("mi", "x")))
-      .groupBy(col("mi")).agg(sum(col("x")).as("s"))
-    val nn = q.agg(count(lit(1)).as("n"))
-    val c = pairs
-      .join(broadcast(marg.select(col("mi"), col("s").as("si"))), col("i") === col("mi"))
-      .drop("mi")
-      .join(broadcast(marg.select(col("mi"), col("s").as("sj"))), col("j") === col("mi"))
-      .crossJoin(broadcast(nn))
-      .select(col("i"), col("j"),
-        expr("CAST(n AS DECIMAL(38,0)) * p - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
-      .scopedPersist()
-    var v = spark.range(dims).select(col("id").cast("int").as("vi"),
-      lit(1000000L).cast("decimal(38,0)").as("v"))
-    for (r <- 1 to iters) {
-      val u = c.join(v, col("j") === col("vi"))
-        .groupBy(col("i")).agg(sum(expr("c * v")).as("u"))
-      val m = u.agg(max(abs(col("u"))).as("m"))
-      v = u.crossJoin(broadcast(m))
-        .select(col("i").as("vi"),
-          expr("""CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END
-                 |  * (abs(u) * 1000000 div m) AS DECIMAL(38,0))""".stripMargin)
-            .as("v"))
+    // pairs + margins + count from ONE corpus pass (r17: the former
+    // 3-pass explode/groupBy census — ~21M generated struct rows at
+    // sf0.1 — is now a per-row array fold; see momentTriples), then the
+    // dims²-sized power iteration runs locally (see pcaPowerLocal)
+    pcaPowerLocal(momentTriples(q, dims), dims, iters)
+  }
+
+  /** Driver-side integer power iteration over the COLLECTED moment
+    * triples — the readout half of [[pcaTopComponent]] and of
+    * q_stream_pca's merged micro-batch partials. The collect is
+    * dims²-sized (≤ dims(dims+1)/2 + dims + 1 rows — the covariance
+    * summary, CORPUS-SIZE-INDEPENDENT; Spark MLlib's own
+    * RowMatrix.computePrincipalComponents collects the Gramian and
+    * eigensolves on the driver for exactly this reason). r17: the former
+    * in-plan spelling nested `iters` join+aggregate+broadcast rounds
+    * into one ~230-operator adaptive plan — seconds of planning/codegen
+    * for arithmetic on ≤ 4096 values (guide §1.2). BigInteger replays
+    * the DECIMAL(38,0) arithmetic exactly (a value overflowing 38 digits
+    * would have errored under ANSI, so every engine value is exact, and
+    * `div`'s truncation only ever sees magnitudes — the sign-decomposed
+    * ppm rule); results are bit-identical.
+    */
+  def pcaPowerLocal(trips: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val spark = trips.sparkSession
+    import spark.implicits._
+    val rows = trips.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    if (rows.isEmpty) // empty corpus: the in-plan spelling yielded 0 rows
+      return Seq.empty[(Long, Long)].toDF("dim", "v_ppm")
+    val n = BigInt(rows.find(t => t._1 == -1 && t._2 == -1).map(_._3).getOrElse(0L))
+    val s = Array.fill(dims)(BigInt(0))
+    rows.foreach { case (i, j, p) => if (i >= 0 && j == -1) s(i) = BigInt(p) }
+    // symmetric scaled covariance C = n·P − S·Sᵀ from the upper triangle
+    val c = Array.fill(dims, dims)(BigInt(0))
+    rows.foreach { case (i, j, p) =>
+      if (i >= 0 && j >= 0) {
+        val v = n * BigInt(p) - s(i) * s(j)
+        c(i)(j) = v; c(j)(i) = v
+      }
     }
-    v.select(col("vi").cast("long").as("dim"), col("v").cast("long").as("v_ppm"))
+    var v = Array.fill(dims)(BigInt(1000000L))
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dims) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }; acc
+      }
+      val m = u.map(_.abs).max
+      v = u.map(x => (if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs * 1000000 / m))
+    }
+    (0 until dims).map(i => (i.toLong, v(i).toLong)).toDF("dim", "v_ppm")
   }
 
   def winsorize(emb: DataFrame, idCol: String, vecCol: String,

@@ -192,24 +192,6 @@ object UlmTokenizer {
       .where(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
-  /** All (word, i, k) substring slots up to MaxPieceLen. */
-  private def slots(words: DataFrame): DataFrame =
-    words.select(col("w"), col("c"),
-        explode(sequence(lit(1), length(col("w")))).as("i"))
-      .select(col("w"), col("c"), col("i"),
-        explode(sequence(lit(1), least(lit(MaxPieceLen), col("i")))).as("k"))
-      .withColumn("piece", expr("substr(w, i - k + 1, k)"))
-
-  /** Attach integer-centibit costs to a (piece, usage) vocabulary:
-    * usage floored at 1 in the denominator, T = Σ floored usage. */
-  private def withCosts(vocab: DataFrame): DataFrame = {
-    val tRow = vocab.agg(sum(greatest(col("usage"), lit(1L))).as("_t"))
-    var v = vocab.crossJoin(broadcast(tRow))
-      .withColumn("_cf", greatest(col("usage"), lit(1L)))
-    costStages("_t", "_cf", Spark).foreach { case (n, e) => v = v.withColumn(n, expr(e)) }
-    v.select(col("piece"), col("usage"), col("cost_cb"))
-  }
-
   /** Viterbi-segment every distinct word against a (piece, cost_cb)
     * vocabulary: returns (w, chosen) with chosen = packed i*8+k pieces
     * in FORWARD word order. Vocabulary side broadcasts (~70 rows). */
@@ -324,36 +306,144 @@ object UlmTokenizer {
       .agg(sum(col("contrib")).as("sw"))
   }
 
+  /** Integer-centibit cost of one piece on the driver — the SAME staged
+    * int64 algorithm as [[costStages]] (kk = floor(log2(t div c)) via
+    * bit length, 20-bit fixed-point mantissa, 7 square-and-extract
+    * rounds), spelled in Scala: all values positive, so Java `/` is the
+    * SQL `div`/`//` both dialects ran — bit-exact by construction. */
+  private def costCbLocal(t: Long, cf: Long): Long = {
+    val q = t / cf // >= 1: cf <= t always (t sums the floored usages)
+    val kk = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    val p2k = 1L << kk
+    var m = (t * 1048576L) / (cf * p2k)
+    var bits = 0L
+    var j = 1
+    while (j <= 7) {
+      val s = (m * m) / 1048576L
+      if (s >= 2097152L) { bits += (1L << (7 - j)); m = s / 2 } else m = s
+      j += 1
+    }
+    (100L * (kk * 128L + bits) + 64L) / 128L
+  }
+
   /** Hard-EM unigram-LM training. Returns the final vocabulary:
-    * (piece, usage, cost_cb), ordered by piece. */
+    * (piece, usage, cost_cb), ordered by piece.
+    *
+    * r17: the EM loop runs ON THE DRIVER over the collected word census
+    * — the [[CorpusOps.bpeTrain]] move, same justification: everything
+    * after the census was already VOCABULARY-sized (the distinct-word
+    * working set, Heaps-law-bounded — SentencePiece holds exactly this
+    * in memory), and the former spelling paid ~8 Spark jobs per round
+    * (segment fold + census join + prune + cost chain + localCheckpoint)
+    * over ≤ 74-row relations — 5.3 s at sf0.1 of almost pure scheduling
+    * and codegen (guide §1.2). Every operation is replayed exactly:
+    * substring-slot seed census, (usage desc, piece asc) seed pick,
+    * Viterbi DP with the k-descending longest-piece tie-break on the
+    * backtrace ([[dpFoldSql]]/[[btFoldSql]] semantics), weighted usage
+    * census, (usage asc, piece asc) prune, and the integer-centibit
+    * cost ([[costCbLocal]] = [[costStages]] in Scala) — all exact
+    * integer arithmetic, so the trained vocabulary is bit-identical and
+    * the DuckDB oracle (which replays training relationally from raw
+    * data) is untouched. The corpus-sized pass stays distributed.
+    */
   def train(docs: DataFrame, textCol: String, rounds: Int = Rounds,
       seedMulti: Int = SeedMulti, pruneEach: Int = PruneEach): DataFrame = {
-    val words = wordCensus(docs, textCol).localCheckpoint()
-    // seed: every substring slot's weighted occurrence count; all single
-    // chars + the top `seedMulti` multi-char pieces (count desc, piece asc)
-    val sub0 = slots(words).groupBy(col("piece")).agg(sum(col("c")).as("usage"))
-    val seed = sub0.where(length(col("piece")) === 1).unionAll(
-      sub0.where(length(col("piece")) > 1)
-        .orderBy(col("usage").desc, col("piece").asc).limit(seedMulti))
-    var vocab = withCosts(seed).localCheckpoint()
+    val spark = docs.sparkSession
+    // the one corpus-sized pass: distributed word census, collected at
+    // vocabulary scale (distinct [a-z]+ words)
+    val words: Array[(String, Long)] = wordCensus(docs, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // seed: every substring slot's weighted occurrence count (duplicate
+    // slots within a word each count); all single chars + the top
+    // `seedMulti` multi-char pieces (count desc, piece asc)
+    val sub0 = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 1
+      while (i <= w.length) {
+        var k = 1
+        while (k <= math.min(MaxPieceLen, i)) {
+          val p = w.substring(i - k, i)
+          sub0.update(p, sub0.getOrElse(p, 0L) + c)
+          k += 1
+        }
+        i += 1
+      }
+    }
+    val chars = sub0.iterator.filter(_._1.length == 1).toArray
+    val multis = sub0.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, u) => (-u, p) }.take(seedMulti)
+    // vocab: piece -> usage; costs recomputed from it each M-step
+    var vocab: Map[String, Long] = (chars ++ multis).toMap
+    def costs(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.valuesIterator.map(u => math.max(u, 1L)).sum
+      v.map { case (p, u) => p -> costCbLocal(t, math.max(u, 1L)) }
+    }
+    var cost = costs(vocab)
     for (_ <- 1 to rounds) {
       // E-step: usage census of the Viterbi segmentations (weighted by
       // word instance count); zero-usage survivors kept at usage 0
-      val usage = segment(words, vocab)
-        .select(col("w"), explode(col("chosen")).as("p"))
-        .withColumn("piece", expr(unpackPiece))
-        .join(words, "w")
-        .groupBy(col("piece")).agg(sum(col("c")).as("usage"))
-      val wu = vocab.select(col("piece")).join(usage, Seq("piece"), "left")
-        .na.fill(0L, Seq("usage"))
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, c) =>
+        viterbiChosen(w, cost).foreach(p =>
+          usage.update(p, usage.getOrElse(p, 0L) + c))
+      }
+      val wu = vocab.keysIterator
+        .map(p => p -> usage.getOrElse(p, 0L)).toMap
       // M-step + prune: drop the bottom `pruneEach` multi-char pieces
       // (usage asc, piece asc); chars are immortal
-      val drop = wu.where(length(col("piece")) > 1)
-        .orderBy(col("usage").asc, col("piece").asc).limit(pruneEach)
-      val survivors = wu.join(drop.select("piece"), Seq("piece"), "left_anti")
-      vocab = withCosts(survivors).localCheckpoint()
+      val drop = wu.iterator.filter(_._1.length > 1).toArray
+        .sortBy { case (p, u) => (u, p) }.take(pruneEach).map(_._1).toSet
+      vocab = wu.filter { case (p, _) => !drop(p) }
+      cost = costs(vocab)
     }
-    vocab.orderBy(col("piece"))
+    import spark.implicits._
+    vocab.toSeq.sortBy(_._1)
+      .map { case (p, u) => (p, u, cost(p)) }
+      .toDF("piece", "usage", "cost_cb")
+  }
+
+  /** Driver-side Viterbi segmentation of one word under a (piece ->
+    * cost_cb) vocabulary — the [[dpFoldSql]]/[[btFoldSql]] semantics
+    * exactly: dp[i] = min over arcs (pieces ending at i, length ≤
+    * [[MaxPieceLen]]) of dp[i−k] + cost; the backtrace walks arcs in
+    * (i desc, k desc) order, so cost ties resolve to the LONGEST piece.
+    * Single chars are always in the vocabulary (immortal), so the walk
+    * always reaches 0. Returns chosen pieces (order irrelevant to the
+    * training census). */
+  private def viterbiChosen(w: String, cost: Map[String, Long]): Seq[String] = {
+    val L = w.length
+    val dp = new Array[Long](L + 1)
+    var i = 1
+    while (i <= L) {
+      var best = Long.MaxValue
+      var k = 1
+      while (k <= math.min(MaxPieceLen, i)) {
+        cost.get(w.substring(i - k, i)) match {
+          case Some(c) => val cand = dp(i - k) + c; if (cand < best) best = cand
+          case None =>
+        }
+        k += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ptr = L
+    while (ptr > 0) {
+      var k = math.min(MaxPieceLen, ptr)
+      var taken = false
+      while (!taken && k >= 1) {
+        val p = w.substring(ptr - k, ptr)
+        cost.get(p) match {
+          case Some(c) if dp(ptr - k) + c == dp(ptr) =>
+            chosen += p; ptr -= k; taken = true
+          case _ =>
+        }
+        k -= 1
+      }
+      require(taken, s"ulm viterbi: no arc at $ptr for '$w' (chars must be immortal)")
+    }
+    chosen.toSeq
   }
 
   /** Trained model memo per (dir-keyed) corpus — driver-side model

@@ -21,12 +21,23 @@ object AnnQueries {
 
   private val DIMS = 64
 
-  private def mainDir(d: String) =
-    s"${graft.engine.Staging.root}/graft_ann_main_${Integer.toHexString(d.hashCode)}"
-  private def deltaDir(d: String) =
-    s"${graft.engine.Staging.root}/graft_ann_delta_${Integer.toHexString(d.hashCode)}"
-  private def recallDir(d: String) =
-    s"${graft.engine.Staging.root}/graft_ann_recall_${Integer.toHexString(d.hashCode)}"
+  /** HERMETICITY (r16 verdict #1): the staging dirs used to be box-global
+    * tmpfs paths keyed only by hex(dataset.hashCode) — shared by every
+    * JVM on the machine, so a concurrent bench/verify process rebuilding
+    * or appending the same dirs corrupted the census sums (the r16 driver
+    * gate's only red). Now every dir is (a) scoped under the per-JVM
+    * [[graft.engine.Staging.session]] scratch root — no other process can
+    * ever name this JVM's artifacts, and a shutdown hook removes the tree
+    * — and (b) keyed by a SHA-256 digest of the FULL dataset path (32-bit
+    * String.hashCode can collide across paths).
+    */
+  private lazy val sessionRoot: String = s"${graft.engine.Staging.session}/graft_ann"
+  private def dsTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  private[graft] def mainDir(d: String) = s"$sessionRoot/main_${dsTag(d)}"
+  private[graft] def deltaDir(d: String) = s"$sessionRoot/delta_${dsTag(d)}"
+  private[graft] def recallDir(d: String) = s"$sessionRoot/recall_${dsTag(d)}"
 
   /** Deploy-once memo for the MAIN index: the four serving queries
     * (query/stats/rerank/rrf) measure SERVING from a deployed index —
@@ -35,19 +46,23 @@ object AnnQueries {
     * entry that carries the deploy and always rebuilds. Session-
     * REFERENCE key like every other memo; registered with StorageMemos
     * so harness storage clears (which also mark dataset-regeneration
-    * boundaries — GenScale reuses staging paths) force a rebuild. The
-    * memo holds no Spark storage — the artifact is the parquet on
-    * disk — so invalidation is just forgetting the marker.
+    * boundaries — GenScale reuses staging paths) force a rebuild.
+    * The memo value is the artifact's completion-marker token: before
+    * trusting the memo, the reader revalidates the ON-DISK marker — a
+    * deleted, torn, or externally rebuilt artifact no longer matches and
+    * is rebuilt, so memo/disk agreement is VERIFIED per use, never
+    * assumed across processes (r16 verdict #1).
     */
   private val deployedMain =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
   graft.ops.StorageMemos.register(() => synchronized { deployedMain.clear() })
   private def ensureMain(s: SparkSession, d: String): String = synchronized {
     val dir = mainDir(d)
-    if (!deployedMain.contains((s, d))) {
+    val onDisk = AnnIndex.readMarker(dir)
+    if (!deployedMain.get((s, d)).exists(tok => onDisk.contains(tok))) {
       AnnIndex.build(scan(s, d, "embeddings").filter(col("vec_id") =!= 0),
         "vec_id", "embedding", dir)
-      deployedMain.add((s, d))
+      deployedMain.put((s, d), AnnIndex.readMarker(dir).getOrElse(""))
     }
     dir
   }
@@ -66,7 +81,7 @@ object AnnQueries {
       val dir = mainDir(d)
       AnnIndex.build(scan(s, d, "embeddings").filter(col("vec_id") =!= 0),
         "vec_id", "embedding", dir)
-      synchronized { deployedMain.add((s, d)) }
+      synchronized { deployedMain.put((s, d), AnnIndex.readMarker(dir).getOrElse("")) }
       s.read.parquet(s"$dir/postings")
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -93,10 +108,15 @@ object AnnQueries {
 
     // DELTA INGEST: new vectors join a deployed index WITHOUT
     // retraining — odd ids are assigned + PQ-coded under the frozen
-    // even-id-trained centroids and APPENDED to the postings table
-    // (old postings stay valid; at 100 TB this is the hourly ingest
-    // path — a map-side pass + partitioned append, no index rebuild).
-    // Census per cell: base/delta populations + exact Σ n2.
+    // even-id-trained centroids and written as a FRESH delta segment
+    // beside the base postings; readers union the segments (the LSM
+    // layout — old postings stay valid; at 100 TB this is the hourly
+    // ingest path: a map-side pass + one partitioned segment write, no
+    // index rebuild). The r16 blind mode("append") into the base dir was
+    // not crash/interleave-safe (a partial append is silently aggregated
+    // — ADVICE r16 #2); an overwrite into a segment dir is all-or-
+    // nothing at the census read. Census per cell: base/delta
+    // populations + exact Σ n2.
     "q_ann_delta" -> ((s: SparkSession, d: String) => {
       val e = scan(s, d, "embeddings").filter(col("vec_id") =!= 0)
       val dir = deltaDir(d)
@@ -104,8 +124,9 @@ object AnnQueries {
       val idx = AnnIndex.load(s, dir)
       AnnIndex.assignWithSeeds(e.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", idx.seeds)
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings_delta")
       s.read.parquet(s"$dir/postings")
+        .unionByName(s.read.parquet(s"$dir/postings_delta"))
         .groupBy(col("cell"))
         .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_base"),
           sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_delta"),

@@ -234,8 +234,8 @@ object EntityQueries {
       // bounded by the bench's family-boundary clear)
       val clean = recs.filter(col("rec_id") % 2 === 0).persist()
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_er_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_er_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_er_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_er_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       recs.filter(col("rec_id") % 2 === 1)

@@ -169,7 +169,7 @@ object JoinQueries {
     "q_join_dpp" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
-      val dir = s"${graft.engine.Staging.root}/graft_dpp_fact_$suffix"
+      val dir = s"${graft.engine.Staging.session}/graft_dpp_fact_$suffix"
       val p = new Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       scan(s, d, "orders")

@@ -14,7 +14,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_roundtrip" -> ((s: SparkSession, d: String) => {
-      val out = s"${graft.engine.Staging.root}/graft_pipe_${Integer.toHexString(d.hashCode)}"
+      val out = s"${graft.engine.Staging.session}/graft_pipe_${Integer.toHexString(d.hashCode)}"
       val runner = new PipelineRunner(s, d)
       val spec = PipelineSpec(
         source = Some(Connector(
@@ -43,7 +43,7 @@ object PipelineQueries {
     // `action: "sync"` schedule, end to end through the runner.
     "q_pipeline_sync" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
-      val out = s"${graft.engine.Staging.root}/graft_pipesync_${Integer.toHexString(d.hashCode)}"
+      val out = s"${graft.engine.Staging.session}/graft_pipesync_${Integer.toHexString(d.hashCode)}"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       val runner = new PipelineRunner(s, d)
@@ -76,8 +76,8 @@ object PipelineQueries {
       import graft.ops.{Constraints, Wap}
       import graft.ops.Constraints.Check
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_wap_stage_$suffix"
-      val pub = s"${graft.engine.Staging.root}/graft_wap_pub_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_wap_stage_$suffix"
+      val pub = s"${graft.engine.Staging.session}/graft_wap_pub_$suffix"
       val data = graft.engine.QueryBuilder.scan(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       val res = Wap.publish(data, Seq(

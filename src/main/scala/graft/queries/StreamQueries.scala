@@ -112,7 +112,7 @@ object StreamQueries {
     // reference's declared-but-dead "sync" action made real: each
     // micro-batch lands through the same sink path batch pipelines use
     "q_stream_sink" -> ((s: SparkSession, d: String) => {
-      val out = s"${graft.engine.Staging.root}/graft_streamsink_${Integer.toHexString(d.hashCode)}"
+      val out = s"${graft.engine.Staging.session}/graft_streamsink_${Integer.toHexString(d.hashCode)}"
       // clean slate: append-mode landing must not accumulate across runs
       val dir = new java.io.File(out)
       if (dir.exists()) {
@@ -152,8 +152,8 @@ object StreamQueries {
     "q_stream_upsert" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_upsert_src_$suffix"
-      val target = s"${graft.engine.Staging.root}/graft_upsert_tgt_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_upsert_src_$suffix"
+      val target = s"${graft.engine.Staging.session}/graft_upsert_tgt_$suffix"
       val fs = new Path(target).getFileSystem(s.sparkContext.hadoopConfiguration)
       graft.engine.QueryBuilder.scan(s, d, "orders")
         .repartition(3, col("o_orderkey"))
@@ -209,8 +209,8 @@ object StreamQueries {
       import graft.ops.Dedup
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_neardup_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_neardup_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_neardup_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_neardup_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
@@ -263,8 +263,8 @@ object StreamQueries {
       import graft.ops.{Dedup, TextAnalysis}
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scorpus_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_scorpus_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scorpus_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_scorpus_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
@@ -325,8 +325,8 @@ object StreamQueries {
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
       val cut = lit("1995-01-01").cast("date")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sdrift_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sdrift_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sdrift_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sdrift_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.filter(col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice")
@@ -364,8 +364,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_schksum_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_schksum_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_schksum_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_schksum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(2, col("doc_id")).stageTo(stage)
@@ -408,8 +408,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scusum_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_scusum_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scusum_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_scusum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -534,8 +534,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_stopk_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_stopk_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_stopk_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_stopk_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -581,8 +581,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sks_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sks_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sks_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sks_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -654,8 +654,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_skll_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_skll_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_skll_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_skll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -726,8 +726,8 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_smg_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_smg_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_smg_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_smg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -777,8 +777,8 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_smgg_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_smgg_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_smgg_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_smgg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -833,8 +833,8 @@ object StreamQueries {
       val D = 3; val W = 64
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scms_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_scms_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scms_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_scms_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -882,8 +882,8 @@ object StreamQueries {
       import graft.ops.Drift
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_spsi_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_spsi_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_spsi_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_spsi_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -926,8 +926,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scro_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_scro_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scro_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_scro_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -996,8 +996,8 @@ object StreamQueries {
       val D = 5
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sams_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sams_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sams_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sams_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1043,8 +1043,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sret_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sret_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sret_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sret_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1080,8 +1080,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_shll_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_shll_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_shll_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_shll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1124,8 +1124,8 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .filter(col("event_type").isin("view", "purchase"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sbmp_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sbmp_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sbmp_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sbmp_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1165,8 +1165,8 @@ object StreamQueries {
         .where(col("w").rlike("^[a-z]+$"))
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sbloom_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sbloom_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sbloom_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sbloom_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1199,8 +1199,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val orders = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_spref_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_spref_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_spref_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_spref_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       orders.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -1239,8 +1239,8 @@ object StreamQueries {
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_seval_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_seval_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_seval_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_seval_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
@@ -1307,8 +1307,8 @@ object StreamQueries {
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
         .select(col("doc_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scrawl_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_scrawl_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scrawl_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_scrawl_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1357,9 +1357,9 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .select(col("event_id"), col("user_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_scidr_src_$suffix"
-      val outCnt = s"${graft.engine.Staging.root}/graft_scidr_cnt_$suffix"
-      val outBm = s"${graft.engine.Staging.root}/graft_scidr_bm_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_scidr_src_$suffix"
+      val outCnt = s"${graft.engine.Staging.session}/graft_scidr_cnt_$suffix"
+      val outBm = s"${graft.engine.Staging.session}/graft_scidr_bm_$suffix"
       val fs = new Path(outCnt).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(outCnt), true)
       fs.delete(new Path(outBm), true)
@@ -1413,8 +1413,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_skmv_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_skmv_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_skmv_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_skmv_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1460,8 +1460,8 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_skllg_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_skllg_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_skllg_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_skllg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
@@ -1527,8 +1527,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_smw_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_smw_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_smw_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_smw_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1598,8 +1598,8 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sdd_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sdd_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sdd_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sdd_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
@@ -1651,32 +1651,23 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val emb = graft.engine.QueryBuilder.scan(s, d, "embeddings")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_spca_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_spca_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_spca_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_spca_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       emb.repartition(3, col("vec_id")).stageTo(stage)
       val schema = s.read.parquet(stage).schema
-      def census(df: DataFrame): DataFrame = {
-        val q = df.select(expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
-          .as("q"))
-        // upper triangle only — the symmetric mirror happens once at
-        // merge-read time, so each batch appends half the pair rows
-        val pairs = q.select(expr(
-            """explode(flatten(transform(q, (xi, i) ->
-              |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
-              |    named_struct('i', i, 'j', i + j, 'p', xi * xj)))))"""
-              .stripMargin).as("e"))
-          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-          .groupBy(col("i"), col("j")).agg(sum(col("p")).as("p"))
-        val marg = q.select(posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("i")).agg(sum(col("x")).as("p"))
-          .select(col("i"), lit(-1).as("j"), col("p"))
-        val nrow = q.agg(count(lit(1)).as("p"))
-          .select(lit(-1).as("i"), lit(-1).as("j"), col("p"))
-        pairs.unionByName(marg).unionByName(nrow)
-      }
+      // per-batch partials = the SAME one-pass moment census as the
+      // batch op (r17: pairs + margins + count ride one LongVecSumAgg
+      // fold instead of a 2,080-structs-per-row explode — see
+      // Quantize.momentTriples); upper triangle only, the symmetric
+      // mirror happens once at merge-read time. Identical (i, j, p)
+      // rows per batch: exact integer sums, schema unchanged.
+      def census(df: DataFrame): DataFrame =
+        graft.ops.Quantize.momentTriples(
+          df.select(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+            .as("q")), dims = 64)
       StreamOps.withStreamParallelism(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -1690,34 +1681,13 @@ object StreamQueries {
           .start()
         q.awaitTermination()
       }
+      // merge the additive partials, then run the dims²-sized power
+      // iteration locally (Quantize.pcaPowerLocal — bit-identical to the
+      // former in-plan iteration; the collect is the covariance summary,
+      // corpus-size-independent)
       val merged = s.read.parquet(out).groupBy(col("i"), col("j"))
         .agg(sum(col("p")).as("p"))
-      val pairsU = merged.filter(col("i") >= 0 && col("j") >= 0)
-      val pairs = pairsU.unionAll(pairsU.where(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("p")))
-      val marg = merged.filter(col("i") >= 0 && col("j") === -1)
-        .select(col("i").as("mi"), col("p").as("s"))
-      val nn = merged.filter(col("i") === -1).select(col("p").as("n"))
-      val c = pairs
-        .join(broadcast(marg.select(col("mi"), col("s").as("si"))), col("i") === col("mi"))
-        .drop("mi")
-        .join(broadcast(marg.select(col("mi"), col("s").as("sj"))), col("j") === col("mi"))
-        .crossJoin(broadcast(nn))
-        .select(col("i"), col("j"),
-          expr("CAST(n AS DECIMAL(38,0)) * p - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
-      var v = s.range(64).select(col("id").cast("int").as("vi"),
-        lit(1000000L).cast("decimal(38,0)").as("v"))
-      for (_ <- 1 to 3) {
-        val u = c.join(v, col("j") === col("vi"))
-          .groupBy(col("i")).agg(sum(expr("c * v")).as("u"))
-        val m = u.agg(max(abs(col("u"))).as("m"))
-        v = u.crossJoin(broadcast(m))
-          .select(col("i").as("vi"),
-            expr("""CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END
-                   |  * (abs(u) * 1000000 div m) AS DECIMAL(38,0))""".stripMargin)
-              .as("v"))
-      }
-      v.select(col("vi").cast("long").as("dim"), col("v").cast("long").as("v_ppm"))
+      graft.ops.Quantize.pcaPowerLocal(merged, dims = 64, iters = 3)
         .orderBy(col("dim"))
     }),
 
@@ -1731,8 +1701,8 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_shpx_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_shpx_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_shpx_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_shpx_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)

@@ -295,8 +295,8 @@ object UlmQueries {
       val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
       val docs = scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.root}/graft_sulm_src_$suffix"
-      val out = s"${graft.engine.Staging.root}/graft_sulm_out_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_sulm_src_$suffix"
+      val out = s"${graft.engine.Staging.session}/graft_sulm_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)

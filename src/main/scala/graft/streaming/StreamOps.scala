@@ -25,11 +25,15 @@ object StreamOps {
     * symlink dir (a production deployment would point at the partitioned
     * table root).
     */
+  /** The session-scoped symlink-farm dir [[eventsStream]] stages `dir`'s
+    * events table into (exposed so specs can inspect the staged links). */
+  def streamSourceDir(dir: String): String =
+    s"${graft.engine.Staging.session}/graft_stream_${Integer.toHexString(dir.hashCode)}"
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
-    val streamDir = Paths.get(
-      s"${graft.engine.Staging.root}/graft_stream_${Integer.toHexString(dir.hashCode)}")
+    val streamDir = Paths.get(streamSourceDir(dir))
     Files.createDirectories(streamDir)
     // the source may be a single parquet FILE (driver testdata) or a
     // DIRECTORY of part files (Spark-written, e.g. GenScale's sf1): the

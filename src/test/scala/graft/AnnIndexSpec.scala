@@ -76,6 +76,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(cells.subsetOf(Set(0, 1)))
   }
 
+  test("staging dirs are session-scoped and keyed by a full-path digest") {
+    import graft.queries.AnnQueries
+    // "Aa" and "BB" have the same 32-bit String.hashCode — the r16 keying
+    // (hex(hashCode)) would silently serve one dataset's index for the
+    // other; the SHA-256 digest keying must not
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(AnnQueries.mainDir("Aa") != AnnQueries.mainDir("BB"))
+    // every dir lives under the per-JVM session scratch root — no other
+    // process can name (and therefore corrupt) this JVM's artifacts
+    val sess = graft.engine.Staging.session
+    assert(sess.contains("graft_sess_"), s"session root not per-JVM-tagged: $sess")
+    Seq(AnnQueries.mainDir(sf001), AnnQueries.deltaDir(sf001),
+        AnnQueries.recallDir(sf001)).foreach { p =>
+      assert(p.startsWith(s"$sess/graft_ann/"), p)
+    }
+  }
+
+  test("corrupted/concurrent-writer artifact is detected and rebuilt") {
+    val q = graft.queries.AnnQueries.queries("q_ann_stats")
+    val before = q(spark, sf001).collect().map(_.toString).toSeq
+    val dir = graft.queries.AnnQueries.mainDir(sf001)
+    // hostile writer: clobber the completion marker (what a concurrent
+    // process's in-flight rebuild, or a torn/partial build, looks like —
+    // build() deletes the marker first and rewrites it last)
+    Files.write(AnnIndex.markerPath(dir), "intruder".getBytes("UTF-8"))
+    val after = q(spark, sf001).collect().map(_.toString).toSeq
+    assert(after == before, "serving after a corrupted artifact must rebuild, not drift")
+    assert(!AnnIndex.readMarker(dir).contains("intruder"),
+      "the corrupted marker must have been replaced by a fresh build")
+    // hostile deletion: remove the artifact wholesale — same contract
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val rebuilt = q(spark, sf001).collect().map(_.toString).toSeq
+    assert(rebuilt == before)
+  }
+
+  test("delta census is a pure function of (session, dataset): a torn delta segment heals") {
+    val q = graft.queries.AnnQueries.queries("q_ann_delta")
+    val before = q(spark, sf001).collect().map(_.toString).toSeq
+    // hostile interleave: scribble extra bytes into the delta segment dir
+    // (a partially-failed concurrent writer); the next invocation must
+    // overwrite the segment and produce the identical census — the r16
+    // blind append would have silently aggregated the leftovers
+    val seg = java.nio.file.Paths.get(graft.queries.AnnQueries.deltaDir(sf001), "postings_delta")
+    assert(Files.exists(seg), s"expected a delta segment at $seg")
+    import scala.jdk.CollectionConverters._
+    val part = Files.walk(seg).iterator().asScala
+      .find(f => f.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, part.resolveSibling("part-duplicated-by-intruder.snappy.parquet"))
+    val again = q(spark, sf001).collect().map(_.toString).toSeq
+    assert(again == before,
+      "a duplicated/partial segment file must be overwritten, never aggregated")
+  }
+
   test("distortion equals the ADC distance of a vector to its own codes") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val dir = tmp()

@@ -25,8 +25,7 @@ class StatefulStreamingSpec extends SparkSpec {
       tbl.resolve("part-00000-regen-c000.snappy.parquet"))
     // the old link now dangles — restaging must neither throw nor leave it
     StreamOps.eventsStream(spark, root.toString)
-    val staged = Paths.get(
-      s"${graft.engine.Staging.root}/graft_stream_${Integer.toHexString(root.toString.hashCode)}")
+    val staged = Paths.get(StreamOps.streamSourceDir(root.toString))
     val ls = Files.list(staged)
     val links = try {
       import scala.jdk.CollectionConverters._
