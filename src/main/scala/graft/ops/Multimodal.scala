@@ -1195,10 +1195,15 @@ object Multimodal {
     */
   final case class WavAfp(media_id: Long, n_samples: Long, afp: Long)
 
-  /** REAL RIFF walk → 60-bit audio fingerprint (mono 16-bit PCM, ≥ 61
-    * samples). Same loud-failure contract as [[decodeWav]].
+  /** The VALIDATED RIFF walk both fingerprint decoders share (r17 —
+    * ADVICE r16: the banded variant had re-implemented the walk minus
+    * every guard, so malformed payloads raised index errors instead of
+    * the contract message and a stereo/8-bit payload silently
+    * fingerprinted; the walk now exists once): mono 16-bit PCM fmt
+    * check, chunk-size overrun require, ≥ 61-sample floor, fmt-before-
+    * data ordering. Returns (nSamp, the 61 segment energies).
     */
-  def decodeWavAfp(rows: Iterator[MediaRow]): Iterator[WavAfp] = rows.map { r =>
+  private def wavSegmentEnergies(r: MediaRow): (Long, Array[Long]) = {
     val b = r.payload
     def u8(i: Int): Int = b(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -1236,13 +1241,26 @@ object Multimodal {
       i = body + sz + (sz & 1)
     }
     require(nSamp > 0, s"no data chunk: media ${r.media_id}")
+    (nSamp, energies)
+  }
+
+  /** The 60-bit sign-of-energy-delta hash over [[wavSegmentEnergies]]. */
+  private def afpHash(energies: Array[Long]): Long = {
     var hash = 0L
     var k = 0
     while (k < 60) {
       if (energies(k + 1) > energies(k)) hash |= 1L << k
       k += 1
     }
-    WavAfp(r.media_id, nSamp, hash)
+    hash
+  }
+
+  /** REAL RIFF walk → 60-bit audio fingerprint (mono 16-bit PCM, ≥ 61
+    * samples). Same loud-failure contract as [[decodeWav]].
+    */
+  def decodeWavAfp(rows: Iterator[MediaRow]): Iterator[WavAfp] = rows.map { r =>
+    val (nSamp, energies) = wavSegmentEnergies(r)
+    WavAfp(r.media_id, nSamp, afpHash(energies))
   }
 
   /** Fingerprint pipeline — same narrow mapPartitions seam. */
@@ -1276,44 +1294,15 @@ object Multimodal {
     * so Σ N_block² stays linear (distinct sources get distinct bands).
     */
   def decodeWavAfpBanded(rows: Iterator[MediaRow]): Iterator[WavAfpB] = rows.map { r =>
-    val b = r.payload
-    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def u32(i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
-      new String(b, 8, 4, "US-ASCII") == "WAVE", s"not a RIFF/WAVE payload: media ${r.media_id}")
-    val energies = new Array[Long](61)
-    var nSamp = 0L
-    var i = 12
-    while (i + 8 <= b.length) {
-      val cid = new String(b, i, 4, "US-ASCII")
-      val sz = u32(i + 4).toInt
-      val body = i + 8
-      cid match {
-        case "data" =>
-          nSamp = sz / 2
-          var j = 0L
-          while (j < nSamp) {
-            val v = u16(body + 2 * j.toInt).toShort.toLong
-            energies((j * 61 / nSamp).toInt) += v * v
-            j += 1
-          }
-        case _ => ()
-      }
-      i = body + sz + (sz & 1)
-    }
-    require(nSamp > 0, s"no data chunk: media ${r.media_id}")
-    var hash = 0L
-    var k = 0
-    while (k < 60) {
-      if (energies(k + 1) > energies(k)) hash |= 1L << k
-      k += 1
-    }
+    // the shared VALIDATED walk (r17): same fmt/overrun/sample-floor
+    // guards as decodeWavAfp — malformed payloads fail with the contract
+    // message on both decoders, and the two can no longer drift
+    val (nSamp, energies) = wavSegmentEnergies(r)
     // digest the 11 twin-invariant prefix energies (little-endian longs)
     val eb = java.nio.ByteBuffer.allocate(11 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var s = 0
     while (s < 11) { eb.putLong(energies(s)); s += 1 }
-    WavAfpB(r.media_id, nSamp, hash, fnv1a(eb.array(), 0, 11 * 8))
+    WavAfpB(r.media_id, nSamp, afpHash(energies), fnv1a(eb.array(), 0, 11 * 8))
   }
 
   /** Banded fingerprint pipeline — feeds [[afpPairs]]. */

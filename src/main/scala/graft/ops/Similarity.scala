@@ -241,10 +241,20 @@ object Similarity {
     * scale this is a broadcast-free map-side pass.
     */
   def cellsForCentroids(vecCol: String, n2Col: String, seeds: Seq[(Int, Seq[Double])]): Column = {
-    // each cosine evaluates exactly once into the array; array_position
-    // returns the FIRST max (1-based) → lowest-index tie-break
     val cosArr = centroidCosArr(vecCol, n2Col, seeds)
-    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
+    // r17: single-evaluation argmax fold — the former
+    // array_position(cosArr, array_max(cosArr)) referenced the k-dot
+    // cosine array TWICE, and HOF expressions are CodegenFallback, so
+    // both references re-evaluated all k dots per row. Strict > keeps
+    // the FIRST maximum (the same lowest-index tie-break), and Spark's
+    // NaN ordering (NaN > x for any non-NaN, first NaN then sticks)
+    // selects the first NaN in both spellings — assignment identical.
+    aggregate(
+      zip_with(cosArr, sequence(lit(0), lit(seeds.size - 1)),
+        (c, i) => struct(c.as("c"), i.as("i"))),
+      struct(lit(Double.NegativeInfinity).as("c"), lit(-1).as("i")),
+      (acc, x) => when(x.getField("c") > acc.getField("c"), x).otherwise(acc))
+      .getField("i").cast("int")
   }
 
   /** The max cosine itself — the value [[cellsForCentroids]] argmaxes.
@@ -258,11 +268,25 @@ object Similarity {
                              seeds: Seq[(Int, Seq[Double])]): Column = {
     // an empty centroid set would silently yield null cells downstream
     require(seeds.nonEmpty, "centroid cosine: empty centroid set (corpus smaller than k?)")
-    array(seeds.map { case (_, sv) =>
-      val seedNorm = math.sqrt(scaledDotLocalD(sv, sv).toDouble)
-      scaledDot(col(vecCol), array(sv.map(lit): _*)).cast("double") /
-        (sqrt(col(n2Col).cast("double")) * lit(seedNorm))
-    }: _*)
+    // r17 (guide §1.2 order-of-operations, applied to PLAN cost): the
+    // centroid table rides as ONE array<array<double>> literal indexed
+    // by a HOF loop instead of k independently-expanded
+    // aggregate(zip_with(vec, array(64 lits))) branches — k×dims×~5
+    // expression nodes collapse to ~100, which is what the optimizer
+    // and codegen walk on EVERY invocation (at bench scale the corpus
+    // is 2k rows, so plan cost dominated these queries; at 100 TB the
+    // executed bytecode is the same tight fold either way). Arithmetic
+    // is replayed exactly: floor(x·y·1e12) longs summed, divided by the
+    // same driver-computed seed norms — results bit-identical.
+    val seedLit = typedlit(seeds.map(_._2))
+    val normLit = typedlit(seeds.map { case (_, sv) =>
+      math.sqrt(scaledDotLocalD(sv, sv).toDouble) })
+    transform(sequence(lit(0), lit(seeds.size - 1)), si =>
+      aggregate(
+        zip_with(col(vecCol).cast("array<double>"), element_at(seedLit, si + 1),
+          (x, y) => floor(x * y * lit(SCALE)).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+        (sqrt(col(n2Col).cast("double")) * element_at(normLit, si + 1)))
   }
 
   // ----------------------------------------- deterministic k-means (Lloyd)
@@ -407,7 +431,15 @@ object Similarity {
       .withColumn("__n2", scaledDot(col(vecCol), col(vecCol)))
       .withColumn("__cell", ivfCells(vecCol, "__n2", seeds))
       .filter(col("__cell").isin(probeCells: _*))
-      .withColumn("adc_dist", Quantize.adcDistance(Quantize.pqCodes(vd, codebook, pqM), luts))
+      // codes MATERIALIZE in their own projection before the ADC lookup:
+      // adcDistance reads element m of its codes argument once per
+      // subspace, and higher-order functions are CodegenFallback — an
+      // inlined pqCodes expression would re-evaluate the full M×K argmin
+      // per subspace (M× the work, measured 2× wall on q_embed_adc r17);
+      // a column reference is one evaluation + M cheap lookups, and
+      // CollapseProject keeps multi-referenced non-cheap projections
+      .withColumn("__codes", Quantize.pqCodes(vd, codebook, pqM))
+      .withColumn("adc_dist", Quantize.adcDistance(col("__codes"), luts))
     val short = pruned
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(shortlist)

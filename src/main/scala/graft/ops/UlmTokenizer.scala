@@ -501,25 +501,31 @@ object UlmTokenizer {
     CorpusOps.bpeWordStream(docs, idCol, textCol, Int.MaxValue)
 
   /** ENCODE under a trained model: per-doc token ids in word order.
-    * The Viterbi fold runs once per DISTINCT word; instances get their
+    * The Viterbi segmentation runs once per DISTINCT word ON THE DRIVER
+    * (r17 — the train() move applied to the ship step: the distinct
+    * eligible words are the vocabulary-sized working set, collected like
+    * the trainer's census, and [[viterbiChosen]] replays the
+    * dp/backtrace folds' integer semantics exactly); instances get their
     * ids via a broadcast join back to the (doc, rank, word) stream —
-    * the bpeEncode shape exactly. */
+    * the bpeEncode shape exactly. Plan cost: one small collect + one
+    * broadcast join, where the fold spelling re-planned two broadcast
+    * joins, two aggregates, and the dp/bt fold trees per invocation —
+    * which q_stream_ulm paid PER MICRO-BATCH. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       model: Seq[(String, Long, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = model.map(t => (t._1, t._3)).toDF("piece", "cost_cb")
-    val ids = pieceIds(model).toDF("piece", "id")
+    val cost = model.map(t => (t._1, t._3)).toMap
+    val ids = pieceIds(model).toMap
     val toks = CorpusOps.bpeWordStream(docs, idCol, textCol, Int.MaxValue)
-    val seg = segment(toks.select(col("w")).distinct(), vocab)
-      .select(col("w"), explode(col("chosen")).as("p"),
-        expr(unpackPiece).as("piece"))
-      .join(broadcast(ids), "piece")
-      .groupBy(col("w"))
-      // chosen was forward-ordered; re-sort by emit position: packed
-      // i*8+k is monotone in end position i, which IS forward order
-      .agg(transform(sort_array(collect_list(struct(col("p"), col("id")))),
-        e => e.getField("id")).as("wids"))
+    // vocabulary-sized collect (distinct [a-z]+ words — Heaps-bounded)
+    val words = toks.select(col("w")).distinct().collect().map(_.getString(0))
+    // viterbiChosen emits pieces in REVERSE word order (the backtrace
+    // walk); forward ids = reversed chosen — identical to the former
+    // packed-position sort, which was forward order by construction
+    val seg = words.toSeq.map(w =>
+      (w, viterbiChosen(w, cost).reverse.map(ids).toArray))
+      .toDF("w", "wids")
     toks.join(broadcast(seg), Seq("w"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -95,8 +95,11 @@ object QuantizeQueries {
         .getSeq[Float](1).map(_.toDouble).toSeq
       val luts = Quantize.adcLuts(query, codebook, PqM)
       val vd = col("embedding").cast("array<double>")
-      emb.select(col("vec_id"),
-          Quantize.adcDistance(Quantize.pqCodes(vd, codebook, PqM), luts).as("adc_dist"))
+      // codes materialize once per row before the per-subspace lookups
+      // (the Similarity.ivfAdcTopK r17 rule — see the comment there)
+      emb.select(col("vec_id"), Quantize.pqCodes(vd, codebook, PqM).as("__codes"))
+        .select(col("vec_id"),
+          Quantize.adcDistance(col("__codes"), luts).as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
     }),

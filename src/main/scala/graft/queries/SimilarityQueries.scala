@@ -488,6 +488,14 @@ object SimilarityQueries {
     * Similarity.hyperplaneSign / lshBucket.
     */
   private def sqlBucketCte(src: String, planes: Int = 16): String =
+    sqlBucketCteExpr(src, planes.toString)
+
+  /** [[sqlBucketCte]] with the plane count as an arbitrary SQL scalar
+    * expression — the q_sim_bitext oracle derives it from count(*) to
+    * mirror the engine's corpus-adaptive rule (r16 ADVICE: the engine
+    * grew adaptive planes while the oracle stayed fixed at 6, so parity
+    * held only at n ≤ 500 and any larger-sf Verify failed by design). */
+  private def sqlBucketCteExpr(src: String, planesSql: String): String =
     s"""${src}_terms AS (
        |  SELECT e.vec_id, i.i,
        |    CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) *
@@ -495,7 +503,7 @@ object SimilarityQueries {
        |              substring(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1 >= 8
        |            THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT) AS t
        |  FROM $src e
-       |    CROSS JOIN (SELECT unnest(range(0, $planes)) AS i) i
+       |    CROSS JOIN (SELECT unnest(range(0, $planesSql)) AS i) i
        |    CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS j) j),
        |${src}_dots AS (
        |  SELECT vec_id, i, SUM(t) AS dot
@@ -981,7 +989,18 @@ object SimilarityQueries {
          |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_bitext" ->
-      s"""WITH ${sqlBucketCte("embeddings", LSH_PLANES)},
+      // nplanes mirrors the engine's adaptive rule EXACTLY: start at
+      // LSH_PLANES, +1 for every j in 0..9 with 500·2^j < n (the while
+      // loop's increments — monotone condition, so the count equals the
+      // sequential stop), cap 16. At n ≤ 500 this is LSH_PLANES, so the
+      // small-SF oracle bytes are unchanged; at larger SFs the oracle
+      // now tracks the engine instead of failing by design (r16 ADVICE).
+      s"""WITH nplanes AS (
+         |  SELECT $LSH_PLANES + (
+         |    SELECT count(*) FROM (SELECT unnest(range(0, 10)) AS j) t
+         |    WHERE 500 * (CAST(1 AS BIGINT) << t.j) < (SELECT count(*) FROM embeddings)
+         |  ) AS p),
+         |${sqlBucketCteExpr("embeddings", "(SELECT p FROM nplanes)")},
          |tag AS (SELECT e.vec_id, e.embedding, d.lang, b.bucket
          |        FROM embeddings e
          |          JOIN documents d ON d.doc_id = e.vec_id
