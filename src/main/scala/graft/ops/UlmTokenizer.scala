@@ -166,10 +166,19 @@ object UlmTokenizer {
     val pBranches = (62 to 1 by -1).map { j =>
       s"WHEN _q >= ${java.math.BigInteger.TWO.pow(j)} THEN CAST(${java.math.BigInteger.TWO.pow(j)} AS BIGINT)"
     }.mkString(" ")
+    // Spark spells kk/p2k compactly (r17 plan-size discipline): for
+    // q ≥ 1, floor(log2(q)) = length(bin(q)) − 1 exactly (and bin(0) =
+    // "0" gives the CASE chain's ELSE 0), p2k = 1 << kk — two small
+    // expressions instead of two 62-branch CASE chains re-analyzed at
+    // every call site (16 engine-side users). DuckDB keeps the CASE
+    // chains: the ORACLE text must stay byte-stable, and duckdb's bin()
+    // differs. Values are identical integers either way.
     val head = Seq(
       "_q" -> s"($t) $d ($c)",
-      "_kk" -> s"CASE $kBranches ELSE 0 END",
-      "_p2k" -> s"CASE $pBranches ELSE CAST(1 AS BIGINT) END",
+      "_kk" -> (if (D == Spark) "CAST(length(bin(_q)) - 1 AS INT)"
+                else s"CASE $kBranches ELSE 0 END"),
+      "_p2k" -> (if (D == Spark) "shiftleft(CAST(1 AS BIGINT), _kk)"
+                 else s"CASE $pBranches ELSE CAST(1 AS BIGINT) END"),
       "_m0" -> s"(($t) * 1048576) $d (($c) * _p2k)")
     val iters = (1 to 7).flatMap { j =>
       val prev = s"_m${j - 1}"

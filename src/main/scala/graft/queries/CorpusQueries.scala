@@ -226,7 +226,13 @@ object CorpusQueries {
       val terms = scan(s, d, "documents").select(col("source"),
         explode(CorpusOps.wordNgrams(
           split(trim(lower(col("text"))), "\\s+"), 2)).as("term"))
+      // persisted: BOTH consumers (the per-source census and the
+      // first-source attribution) derive from this relation, and Spark
+      // plans don't dedupe common subtrees — without the persist the
+      // corpus-sized explode+aggregate ran twice in one plan (r17; the
+      // cached relation is (source, term, cnt), ~distinct-pair-sized)
       val perSource = terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .scopedPersist()
       val firstSrc = perSource.groupBy("term").agg(min(col("source")).as("source"))
       val newTerms = firstSrc.groupBy("source").agg(count(lit(1)).as("n_new_terms"))
       perSource.groupBy("source")
