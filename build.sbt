@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r17 verdict #2): the driver parses the LAST
+// stdout line of `sbt "runMain graft.Bench"` as bare JSON. sbt's default
+// logged output strategy prefixes every forked-run line with "[info] "
+// and appends a "[success] Total time: ..." trailer, so the contract
+// silently never held (parsed: null in BENCH_r01..r17). StdoutOutput
+// passes the forked JVM's stdout through verbatim; showSuccess drops
+// the trailer. Bench.scala's summary JSON is then the true last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,16 @@ object PlanDump {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // let AQE finalize so the printed plan is the real one
       println(s"==== $name ====")
+      // r18 (r17 verdict #9): plan-SIZE metrics alongside the dump — the
+      // 12k-char explain truncation hid expression-level wins (the r17
+      // q_text_kl before/after artifacts were byte-identical while the
+      // analyzed tree shrank ~60×); node counts make them checkable
+      val opt = df.queryExecution.optimizedPlan
+      val planNodes = opt.collect { case n => n }.size
+      val exprNodes = opt.map(_.expressions.map(e =>
+        e.collect { case x => x }.size).sum).sum
+      val header = s"PLANSIZE $name plan_nodes=$planNodes expr_nodes=$exprNodes\n"
+      println(header.trim)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(formatted.take(12000))
@@ -27,7 +37,7 @@ object PlanDump {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, s"${name}_$suffix.txt"),
-          formatted.getBytes("UTF-8"))
+          (header + formatted).getBytes("UTF-8"))
       }
     }
     spark.stop()

@@ -22,6 +22,41 @@ object Verify {
       // storage footprint stays flat
       spark.catalog.clearCache()
     }
+    // r17 verdict #1b: the three ANN censuses fail hash_match ONLY in the
+    // driver's gate (local three-way agreement is byte-exact — see
+    // AnnDriverDiagSpec / tools/ann_margin_audit.py), so dump the
+    // PRE-AGGREGATION relation (one row per vector: cell, code sum, n2,
+    // distortion) as `<name>__debug` sidecars. A census mismatch then
+    // localizes to specific vectors instead of opaque per-cell sums.
+    // Names carry no oracle entry, so the gate's per-oracle compare
+    // ignores them; they exist purely as driver-captured evidence.
+    if (Seq("q_ann_build", "q_ann_delta", "q_ann_stats").exists(nameFilter.matches)) {
+      import org.apache.spark.sql.functions._
+      def sidecar(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+        if (nameFilter.matches(name))
+          try df.orderBy(col("vec_id")).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${name}__debug")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name debug sidecar failed: ${e.getMessage}")
+          }
+      sidecar("q_ann_build") {
+        spark.read.parquet(s"${graft.queries.AnnQueries.mainDir(sfDir)}/postings")
+          .select(col("vec_id"), col("cell"),
+            expr("aggregate(code, 0L, (a, x) -> a + x)").as("code_sum"), col("n2"))
+      }
+      sidecar("q_ann_stats") {
+        val idx = graft.ops.AnnIndex.load(spark,
+          graft.queries.AnnQueries.mainDir(sfDir))
+        idx.postings.select(col("vec_id"), col("cell"),
+          graft.ops.AnnIndex.distortion(col("embedding"), idx.codebook).as("dist"))
+      }
+      sidecar("q_ann_delta") {
+        val dDir = graft.queries.AnnQueries.deltaDir(sfDir)
+        spark.read.parquet(s"$dDir/postings")
+          .unionByName(spark.read.parquet(s"$dDir/postings_delta"))
+          .select(col("vec_id"), col("cell"), col("n2"))
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

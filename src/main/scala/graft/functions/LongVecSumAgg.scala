@@ -47,6 +47,18 @@ case class LongVecSumAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
+  // SQL-registered as graft_lvecsum, so arbitrary input can reach it
+  // (ADVICE r17): anything but array<bigint> must fail analysis, not
+  // mis-read element bytes at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lvecsum requires array<bigint>, got ${other.catalogString}")
+    }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
@@ -57,7 +69,12 @@ case class LongVecSumAgg(
       require(b.length == n,
         s"graft_lvecsum: ragged input lengths (${b.length} vs $n)")
       var i = 0
-      while (i < n) { b(i) += arr.getLong(i); i += 1 }
+      while (i < n) {
+        // a NULL element would silently sum as 0/garbage where sum()
+        // null-skips — reject loudly (census arrays are never null)
+        require(!arr.isNullAt(i), s"graft_lvecsum: null element at index $i")
+        b(i) += arr.getLong(i); i += 1
+      }
       b
     }
   }

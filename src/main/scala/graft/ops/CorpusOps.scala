@@ -12,6 +12,33 @@ import CacheScope.ScopedPersist
   */
 object CorpusOps {
 
+  /** Driver-collect cap for the vocabulary-scale training censuses
+    * (r17 verdict #8 / ADVICE): the Heaps-law bound on distinct [a-z]+
+    * words is an expectation, not a guarantee — an adversarial 100 TB
+    * corpus can push the census past driver heap. Overridable for specs
+    * via the JVM property; the production bound (10M entries ≈ low-GB
+    * driver heap) matches every production tokenizer trainer's
+    * working-set assumption (HF tokenizers / SentencePiece collect the
+    * same census in one process).
+    */
+  private[graft] def censusCap: Int =
+    sys.props.get("graft.censusCap").map(_.toInt).getOrElse(10000000)
+
+  /** Bounded driver collect: at most `cap + 1` rows ever cross to the
+    * driver (the limit rides the plan), and hitting the cap fails
+    * LOUDLY with a pointer at the distributed alternative instead of an
+    * opaque driver OOM (the SCALE.md 1M-edge union-find gate pattern).
+    */
+  private[graft] def collectBounded(df: DataFrame, what: String,
+      cap: Int = censusCap): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: census exceeds $cap entries (driver-side training is for " +
+        "Heaps-bounded vocabularies; shard the corpus or raise -Dgraft.censusCap " +
+        "with driver heap to match — see SCALE.md, driver-gate pattern)")
+    rows
+  }
+
   /** Whitespace word array. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
@@ -555,11 +582,10 @@ object CorpusOps {
     val Sep = "\u0001"
     // the one corpus-sized pass: distributed word census, collected at
     // vocabulary scale; each word enters as its delimited symbol string
-    val vocab0: Array[(Long, String)] = docs
+    val vocab0: Array[(Long, String)] = collectBounded(docs
       .select(explode(words(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect()
+      .groupBy(col("w")).agg(count(lit(1)).as("c")), "bpeTrain")
       .map(r => (r.getLong(1), r.getString(0).map(ch => s"$Sep$ch$Sep").mkString))
     var cur = vocab0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

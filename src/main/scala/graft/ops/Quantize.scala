@@ -190,7 +190,14 @@ object Quantize {
         |    transform(slice(q, i + 1, size(q) - i), xj -> xi * xj))),
         |  q,
         |  array(CAST(1 AS BIGINT)))""".stripMargin)
-    val sums = vecsQ.select(rowArr.as("r"))
+    // NULL-vector rows are EXCLUDED from the census, count included
+    // (r17 verdict #4: the count used to ride count(lit(1)) — which
+    // counted NULL rows — and now rides the appended 1 inside the
+    // per-row array, which a NULL q would silently drop from `n` while
+    // never contributing products; the explicit filter makes the
+    // "census = non-null vectors only" contract visible and identical
+    // under both spellings)
+    val sums = vecsQ.where(col("q").isNotNull).select(rowArr.as("r"))
       .agg(call_function("graft_lvecsum", col("r")).as("s"))
     // flat upper-triangle offset of (i, j): i rows of shrinking width
     // before row i (Σ_{t<i}(dims−t) = i·dims − i(i−1)/2), then (j − i);
@@ -280,6 +287,12 @@ object Quantize {
         while (j < dims) { acc += c(i)(j) * v(j); j += 1 }; acc
       }
       val m = u.map(_.abs).max
+      // degenerate corpus (single row / all-identical vectors): C = 0 so
+      // every u is 0 — the former in-plan DECIMAL `div` yielded NULL
+      // v_ppm rows instead of dividing by zero (ADVICE r17); replay that
+      if (m == 0)
+        return (0 until dims).map(i => (i.toLong, Option.empty[Long]))
+          .toDF("dim", "v_ppm")
       v = u.map(x => (if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs * 1000000 / m))
     }
     (0 until dims).map(i => (i.toLong, v(i).toLong)).toDF("dim", "v_ppm")

@@ -360,8 +360,9 @@ object UlmTokenizer {
     val spark = docs.sparkSession
     // the one corpus-sized pass: distributed word census, collected at
     // vocabulary scale (distinct [a-z]+ words)
-    val words: Array[(String, Long)] = wordCensus(docs, textCol)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[(String, Long)] = CorpusOps.collectBounded(
+      wordCensus(docs, textCol), "UlmTokenizer.train")
+      .map(r => (r.getString(0), r.getLong(1)))
     // seed: every substring slot's weighted occurrence count (duplicate
     // slots within a word each count); all single chars + the top
     // `seedMulti` multi-char pieces (count desc, piece asc)
@@ -527,8 +528,10 @@ object UlmTokenizer {
     val cost = model.map(t => (t._1, t._3)).toMap
     val ids = pieceIds(model).toMap
     val toks = CorpusOps.bpeWordStream(docs, idCol, textCol, Int.MaxValue)
-    // vocabulary-sized collect (distinct [a-z]+ words — Heaps-bounded)
-    val words = toks.select(col("w")).distinct().collect().map(_.getString(0))
+    // vocabulary-sized collect (distinct [a-z]+ words — Heaps-bounded,
+    // capped: see CorpusOps.collectBounded)
+    val words = CorpusOps.collectBounded(
+      toks.select(col("w")).distinct(), "UlmTokenizer.encode").map(_.getString(0))
     // viterbiChosen emits pieces in REVERSE word order (the backtrace
     // walk); forward ids = reversed chosen — identical to the former
     // packed-position sort, which was forward order by construction

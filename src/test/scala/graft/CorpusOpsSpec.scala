@@ -472,4 +472,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rm(2)._4 == 0L && rm(3)._4 == 0L && rm(4)._4 == 0L,
       s"sub-threshold docs untouched: ${rm.toSeq}")
   }
+
+  test("collectBounded: census over the cap fails loudly, under the cap collects (r17 verdict #8)") {
+    import spark.implicits._
+    val five = Seq("a", "b", "c", "d", "e").toDF("w")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.collectBounded(five, "specCensus", cap = 4)
+    }
+    assert(e.getMessage.contains("specCensus") && e.getMessage.contains("exceeds 4"),
+      s"guard must name the census and the cap: ${e.getMessage}")
+    assert(graft.ops.CorpusOps.collectBounded(five, "specCensus", cap = 5).length == 5)
+    // the production cap default is the documented 10M bound
+    assert(graft.ops.CorpusOps.censusCap == 10000000)
+  }
 }

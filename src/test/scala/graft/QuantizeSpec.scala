@@ -79,4 +79,42 @@ class QuantizeSpec extends SparkSpec {
     val meanErr = rows.map(_._4).sum / rows.length
     assert(meanErr < 500000L, s"mean distortion $meanErr ppm — projection broken")
   }
+
+  test("momentTriples: NULL-vector rows are excluded from the census count (r17 verdict #4)") {
+    val dims = 2
+    val withNull = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L)))
+      .toDF("q")
+    val trips = Quantize.momentTriples(withNull, dims)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // count rides (-1,-1): 2 non-null rows, the NULL row contributes nothing
+    assert(trips((-1, -1)) == 2L)
+    assert(trips((0, 0)) == 1L * 1 + 3L * 3)
+    assert(trips((0, 1)) == 1L * 2 + 3L * 4)
+    assert(trips((1, -1)) == 2L + 4L)
+  }
+
+  test("pcaPowerLocal: degenerate corpus (C = 0) yields NULL v_ppm, not a crash (ADVICE r17)") {
+    // one row: n·P − S·Sᵀ = 0 for every entry, so every power-iterate is 0
+    val one = Seq(Seq(5L, 7L, 9L)).toDF("q")
+    val out = Quantize.pcaTopComponent(
+      one.select(expr("transform(q, x -> CAST(x AS FLOAT))").as("v")), "v", 3, 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(_.isNullAt(1)), "degenerate corpus must replay the old NULL div result")
+  }
+
+  test("graft_lvecsum: null elements and non-bigint arrays fail loudly (ADVICE r17)") {
+    graft.functions.GraftExtensions.install(spark)
+    val nullElem = Seq(Tuple1(Seq(Some(1L), None))).toDF("r")
+    val e1 = intercept[Exception] {
+      nullElem.agg(call_function("graft_lvecsum", col("r"))).collect()
+    }
+    assert(e1.getMessage != null)
+    val wrongType = Seq(Tuple1(Seq(1.5, 2.5))).toDF("r")
+    val e2 = intercept[Exception] {
+      wrongType.agg(call_function("graft_lvecsum", col("r"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("bigint")
+      || e2.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }
