@@ -82,6 +82,7 @@ object QClassifier {
   /** (doc_id, f, x) hashed tf-ppm features + the bias row, from a
     * documents relation with (doc_id, text). */
   def featurize(docs: DataFrame): DataFrame = {
+    import graft.ops.CacheScope.ScopedPersist
     val ws = split(trim(lower(col("text"))), "\\s+")
     val base = docs.select(col("doc_id"), ws.as("ws"))
     val counts = base
@@ -92,8 +93,15 @@ object QClassifier {
           lit(D.toLong)).as("f"))
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("f"), expr("c * 1000000 div nt").as("x"))
-    counts.unionAll(base.select(col("doc_id"), lit(D.toLong).as("f"),
-      lit(BIAS_X).as("x")))
+    // r18 (r17 verdict #7): the corpus-sized explode + md5 + groupBy is
+    // THE family's dominant pass and all four entries (qclassifier fit
+    // census, qscore, cartography, cv) build the identical subplan —
+    // persist it once so the cache manager shares it family-wide (the
+    // vocab_growth pattern; ≤ (D+2)·n_docs small rows). The bias-row
+    // union stays outside the cache (it is a constant-per-doc projection
+    // of `base`, no second corpus pass: doc_id rides the same scan).
+    counts.scopedPersist().unionAll(
+      base.select(col("doc_id"), lit(D.toLong).as("f"), lit(BIAS_X).as("x")))
   }
 
   /** Seed-rule margin m = c_fast − c_slow per doc. */

@@ -201,14 +201,22 @@ object DedupQueries {
     // (doc, band) entry and its signature must equal the from-scratch
     // rebuild, not just per-band cardinalities
     "q_index_maintain" -> ((s: SparkSession, d: String) => {
+      import graft.ops.CacheScope.ScopedPersist
       val docs = scan(s, d, "documents")
-      val base = docs.filter(col("doc_id") % 10 =!= 1) // the indexed corpus
-      val dels = base.filter(col("doc_id") % 10 === 2).select(col("doc_id"))
-      val ins = docs.filter(col("doc_id") % 10 === 1) // arriving micro-batch
-      val baseBands = Dedup.minhashBands(Dedup.hashedShingleTable(base, "doc_id", "text"))
+      // r18 (r17 verdict #6): per-doc signatures are filter-commutable
+      // (shingling never crosses docs), so base and arrival signatures
+      // derive from ONE full-corpus shingle table — the exact persisted
+      // subplan q_dedup_minhash/clusters/survivor already share via the
+      // family cache — instead of re-shingling two disjoint slices per
+      // invocation. The maintenance structure (anti-join of departures,
+      // union of newly banded arrivals) is unchanged; results identical
+      // because bands(filter(docs)) ≡ filter(bands(docs)) per doc.
+      val sh = Dedup.hashedShingleTable(docs, "doc_id", "text").scopedPersist()
+      val dels = docs.filter(col("doc_id") % 10 === 2).select(col("doc_id"))
+      val baseBands = Dedup.minhashBands(sh.filter(col("doc_id") % 10 =!= 1))
       val maintained = baseBands
         .join(dels, Seq("doc_id"), "left_anti")
-        .unionByName(Dedup.minhashBands(Dedup.hashedShingleTable(ins, "doc_id", "text")))
+        .unionByName(Dedup.minhashBands(sh.filter(col("doc_id") % 10 === 1)))
       maintained.select(col("doc_id"), col("band"), col("band_sig"))
         .orderBy(col("doc_id"), col("band"))
     }),

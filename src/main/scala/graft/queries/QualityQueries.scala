@@ -349,10 +349,16 @@ object QualityQueries {
     "q_dq_pseudonym" -> ((s: SparkSession, d: String) => {
       import graft.ops.Pseudonym
       val salt = "epoch1"
+      import graft.ops.CacheScope.ScopedPersist
+      // r18: the tokenized customer relation feeds THREE consumers (the
+      // census, the token-equality join, the raw-key join) and was
+      // recomputed — with its per-row crypto token — for each; persist
+      // once (guide §5 / the vocab_growth recompute-removal pattern)
       val ct = scan(s, d, "customer").select(
         col("c_mktsegment").as("segment"),
         col("c_custkey"),
         Pseudonym.token(col("c_custkey"), salt).as("tok"))
+        .scopedPersist()
       val ot = scan(s, d, "orders").select(
         col("o_custkey"), Pseudonym.token(col("o_custkey"), salt).as("otok"))
       val base = ct.groupBy(col("segment")).agg(

@@ -152,27 +152,18 @@ object StreamQueries {
     "q_stream_upsert" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_upsert_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_orders3_$suffix"
       val target = s"${graft.engine.Staging.session}/graft_upsert_tgt_$suffix"
       val fs = new Path(target).getFileSystem(s.sparkContext.hadoopConfiguration)
-      graft.engine.QueryBuilder.scan(s, d, "orders")
-        .repartition(3, col("o_orderkey"))
+      val orders = graft.engine.QueryBuilder.scan(s, d, "orders")
+      orders.repartition(3, col("o_orderkey"))
         .stageTo(stage)
       fs.delete(new Path(target), true)
       val bt = new graft.ops.BucketedTarget(s, target, numBuckets = 8,
         keys = Seq("o_custkey"), versionCols = Seq("o_orderdate", "o_orderkey"))
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            bt.upsert(batch)
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = orders.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        bt.upsert(batch)
       }
       bt.read().orderBy(col("o_custkey"))
     }),
@@ -209,40 +200,31 @@ object StreamQueries {
       import graft.ops.Dedup
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_neardup_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs5m2_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_neardup_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
         .repartition(2, col("doc_id")).stageTo(stage)
       val (idxSh, idxBands, idxSizes) = staticNearDupIndex(s, d)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val bSh = Dedup.hashedShingleTable(batch, "doc_id", "text").persist()
-            try {
-              val cand = Dedup.minhashBands(bSh)
-                .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"))
-                .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("idx_doc")),
-                  Seq("band", "band_sig"))
-                .select(least(col("new_doc"), col("idx_doc")).as("doc_a"),
-                  greatest(col("new_doc"), col("idx_doc")).as("doc_b"))
-                .distinct()
-              val verified = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
-                  precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
-                .filter(col("jaccard") >= 0.5)
-                .select(col("doc_a"), col("doc_b"), col("jaccard"))
-              graft.sinks.Sinks.write(verified,
-                graft.model.SinkSpec("parquet", out, mode = "append"))
-            } finally bSh.unpersist()
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = docs.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val bSh = Dedup.hashedShingleTable(batch, "doc_id", "text").persist()
+        try {
+          val cand = Dedup.minhashBands(bSh)
+            .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"))
+            .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("idx_doc")),
+              Seq("band", "band_sig"))
+            .select(least(col("new_doc"), col("idx_doc")).as("doc_a"),
+              greatest(col("new_doc"), col("idx_doc")).as("doc_b"))
+            .distinct()
+          val verified = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
+              precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          graft.sinks.Sinks.write(verified,
+            graft.model.SinkSpec("parquet", out, mode = "append"))
+        } finally bSh.unpersist()
       }
       s.read.parquet(out).orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -263,49 +245,40 @@ object StreamQueries {
       import graft.ops.{Dedup, TextAnalysis}
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scorpus_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs5m2_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scorpus_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.filter(col("doc_id") % 5 === 0)
         .repartition(2, col("doc_id")).stageTo(stage)
       val (idxSh, idxBands, idxSizes) = staticNearDupIndex(s, d)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val qual = batch
-              .withColumn("n_words", TextAnalysis.tokenCountWs(col("text")))
-              .withColumn("stop_ratio",
-                TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords))
-              .filter(col("n_words") >= 20 && col("stop_ratio") > 0.0)
-              .persist()
-            try {
-              val bSh = Dedup.hashedShingleTable(qual, "doc_id", "text").persist()
-              try {
-                val cand = Dedup.minhashBands(bSh)
-                  .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-                  .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")),
-                    Seq("band", "band_sig"))
-                  .select(col("doc_a"), col("doc_b")).distinct()
-                val dupNew = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
-                    precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
-                  .filter(col("jaccard") >= 0.5)
-                  .select(col("doc_a").as("doc_id")).distinct()
-                val survivors = qual.join(dupNew, Seq("doc_id"), "left_anti")
-                  .select(col("doc_id"), col("lang"), col("source"),
-                    col("n_words").cast("long").as("n_words"))
-                graft.sinks.Sinks.write(survivors,
-                  graft.model.SinkSpec("parquet", out, mode = "append"))
-              } finally bSh.unpersist()
-            } finally qual.unpersist()
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = docs.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val qual = batch
+          .withColumn("n_words", TextAnalysis.tokenCountWs(col("text")))
+          .withColumn("stop_ratio",
+            TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords))
+          .filter(col("n_words") >= 20 && col("stop_ratio") > 0.0)
+          .persist()
+        try {
+          val bSh = Dedup.hashedShingleTable(qual, "doc_id", "text").persist()
+          try {
+            val cand = Dedup.minhashBands(bSh)
+              .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+              .join(idxBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")),
+                Seq("band", "band_sig"))
+              .select(col("doc_a"), col("doc_b")).distinct()
+            val dupNew = Dedup.pairJaccard(cand, idxSh.unionByName(bSh),
+                precomputedSizes = Some(idxSizes.unionByName(Dedup.shingleSizes(bSh))))
+              .filter(col("jaccard") >= 0.5)
+              .select(col("doc_a").as("doc_id")).distinct()
+            val survivors = qual.join(dupNew, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("n_words").cast("long").as("n_words"))
+            graft.sinks.Sinks.write(survivors,
+              graft.model.SinkSpec("parquet", out, mode = "append"))
+          } finally bSh.unpersist()
+        } finally qual.unpersist()
       }
       s.read.parquet(out).orderBy(col("doc_id"))
     }),
@@ -333,21 +306,12 @@ object StreamQueries {
         .repartition(2, col("o_orderkey")).stageTo(stage)
       val baseHist = Drift.histogram(o.filter(col("o_orderdate") < cut),
         col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 16)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              Drift.histogram(batch, col("o_totalprice"),
-                lo = 0.0, hi = 600000.0, nBins = 16),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = o.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          Drift.histogram(batch, col("o_totalprice"),
+            lo = 0.0, hi = 600000.0, nBins = 16),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val curHist = s.read.parquet(out).groupBy(col("bin")).agg(sum(col("n")).as("n"))
       Drift.censusOfHists(baseHist, curHist).orderBy(col("bin"))
@@ -369,25 +333,16 @@ object StreamQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(2, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val part = batch.select(col("source"), col("n_chars"),
-                graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
-                  lit(":"), col("text")).cast("binary"))).as("h"))
-              .groupBy(col("source"))
-              .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
-                sum(col("n_chars")).as("b"))
-            graft.sinks.Sinks.write(part,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = docs.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val part = batch.select(col("source"), col("n_chars"),
+            graft.ops.Dedup.hex60(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("text")).cast("binary"))).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+            sum(col("n_chars")).as("b"))
+        graft.sinks.Sinks.write(part,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       s.read.parquet(out).groupBy(col("source"))
         .agg(sum(col("n")).cast("long").as("n_rows"),
@@ -408,26 +363,17 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scusum_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scusum_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val part = batch.groupBy(date_trunc("day", col("ts")).as("day"))
-              .agg(count(lit(1)).as("n"))
-            graft.sinks.Sinks.write(part,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val part = batch.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.sinks.Sinks.write(part,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       import org.apache.spark.sql.expressions.Window
       val daily = s.read.parquet(out)
@@ -534,30 +480,21 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_stopk_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_stopk_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = ev.schema
       def top3(df: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value").desc, col("event_id").asc)
         df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
           .select(col("event_type"), col("value"), col("event_id"))
       }
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(top3(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(top3(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       top3(s.read.parquet(out))
         .withColumn("rank", row_number().over(Window.partitionBy(col("event_type"))
@@ -581,30 +518,21 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sks_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sks_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = ev.schema
       def census(df: DataFrame): DataFrame =
         df.select(floor(col("value") * 100).cast("long").as("v"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("w1"),
             when(col("event_type") =!= "purchase", 1L).otherwise(0L).as("w2"))
           .groupBy(col("v"))
           .agg(sum(col("w1")).as("c1"), sum(col("w2")).as("c2"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val vals = s.read.parquet(out).groupBy(col("v"))
         .agg(sum(col("c1")).as("d1"), sum(col("c2")).as("d2"))
@@ -654,27 +582,18 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_skll_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_skll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partial = batch
-              .select(floor(col("value") * 100).cast("long").as("v"))
-              .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val partial = batch
+          .select(floor(col("value") * 100).cast("long").as("v"))
+          .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out)
         .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
@@ -726,29 +645,20 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_smg_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_smg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def toks(df: DataFrame) = df
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
         .where(col("w").rlike("^[a-z]+$"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partial = toks(batch)
-              .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val partial = toks(batch)
+          .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out)
         .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
@@ -777,30 +687,21 @@ object StreamQueries {
       val K = 8
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_smgg_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_smgg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def toks(df: DataFrame) = df
         .select(col("lang"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
         .where(col("w").rlike("^[a-z]+$"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partial = toks(batch).groupBy(col("lang"))
-              .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val partial = toks(batch).groupBy(col("lang"))
+          .agg(call_function("graft_mg_sketch", col("w"), lit(K)).as("sk"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out).groupBy(col("lang"))
         .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
@@ -833,28 +734,19 @@ object StreamQueries {
       val D = 3; val W = 64
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scms_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scms_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def toks(df: DataFrame) = df
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
         .where(col("w").rlike("^[a-z]+$"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              graft.ops.FreqSketches.cmsSketch(toks(batch), "w", D, W),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          graft.ops.FreqSketches.cmsSketch(toks(batch), "w", D, W),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out).groupBy(col("r"), col("b"))
         .agg(sum(col("c")).as("c"))
@@ -882,30 +774,21 @@ object StreamQueries {
       import graft.ops.Drift
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_spsi_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_orders3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_spsi_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val part = batch.select(
-                Drift.binOf(col("o_totalprice"), 0.0, 600000.0, 16).as("bin"),
-                (col("o_orderdate") < lit("1995-01-01").cast("date")).as("is_base"))
-              .groupBy(col("bin")).agg(
-                sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
-                sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
-            graft.sinks.Sinks.write(part,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = o.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val part = batch.select(
+            Drift.binOf(col("o_totalprice"), 0.0, 600000.0, 16).as("bin"),
+            (col("o_orderdate") < lit("1995-01-01").cast("date")).as("is_base"))
+          .groupBy(col("bin")).agg(
+            sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+            sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+        graft.sinks.Sinks.write(part,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val h = s.read.parquet(out).groupBy(col("bin"))
         .agg(sum(col("nb")).as("nb"), sum(col("nc")).as("nc"))
@@ -926,29 +809,20 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scro_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scro_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val part = batch
-              .filter(col("event_type") === "purchase" && col("user_id") < 8)
-              .groupBy(col("user_id").as("store"),
-                date_trunc("day", col("ts")).as("day"))
-              .agg(count(lit(1)).as("dem"))
-            graft.sinks.Sinks.write(part,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val part = batch
+          .filter(col("event_type") === "purchase" && col("user_id") < 8)
+          .groupBy(col("user_id").as("store"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("dem"))
+        graft.sinks.Sinks.write(part,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val K = 40
       val dd = s.read.parquet(out).groupBy(col("store"), col("day"))
@@ -996,28 +870,19 @@ object StreamQueries {
       val D = 5
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sams_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sams_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def toks(df: DataFrame) = df
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
         .where(col("w").rlike("^[a-z]+$"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              graft.ops.FreqSketches.amsSketch(toks(batch), "w", D),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          graft.ops.FreqSketches.amsSketch(toks(batch), "w", D),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val z = s.read.parquet(out).groupBy(col("r"))
         .agg(sum(col("z")).as("z"))
@@ -1043,27 +908,18 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sret_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sret_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              graft.ops.BitmapIndex.bitmap(
-                batch.select(date_trunc("day", col("ts")).as("day"),
-                  col("user_id")), "day", "user_id"),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          graft.ops.BitmapIndex.bitmap(
+            batch.select(date_trunc("day", col("ts")).as("day"),
+              col("user_id")), "day", "user_id"),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val bm = s.read.parquet(out).groupBy(col("t"), col("w"))
         .agg(expr("bit_or(bits)").as("bits"))
@@ -1080,26 +936,17 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_shll_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_shll_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              graft.ops.Hll.registers(
-                batch.select(col("user_id").cast("string").as("x")), "x"),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          graft.ops.Hll.registers(
+            batch.select(col("user_id").cast("string").as("x")), "x"),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val regs = s.read.parquet(out).groupBy(col("reg"))
         .agg(max(col("mr")).as("mr"))
@@ -1124,25 +971,18 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .filter(col("event_type").isin("view", "purchase"))
       val suffix = Integer.toHexString(d.hashCode)
+      // filtered source: NOT the shared graft_src_events3 staging (those
+      // queries stage the unfiltered table — different bytes)
       val stage = s"${graft.engine.Staging.session}/graft_sbmp_src_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sbmp_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              graft.ops.BitmapIndex.bitmap(batch, "event_type", "user_id"),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          graft.ops.BitmapIndex.bitmap(batch, "event_type", "user_id"),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val bm = s.read.parquet(out).groupBy(col("t"), col("w"))
         .agg(expr("bit_or(bits)").as("bits"))
@@ -1165,25 +1005,16 @@ object StreamQueries {
         .where(col("w").rlike("^[a-z]+$"))
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sbloom_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sbloom_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              FreqSketches.bloomSketch(toks(batch), "w", K, M),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = docs.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          FreqSketches.bloomSketch(toks(batch), "w", K, M),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out).groupBy(col("w"))
         .agg(expr("bit_or(bits)").as("bits"))
@@ -1199,27 +1030,18 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val orders = graft.engine.QueryBuilder.scan(s, d, "orders")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_spref_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_orders3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_spref_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       orders.repartition(3, col("o_orderkey")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(
-              PrefQueries.canonGamesOf(batch)
-                .groupBy(col("lo"), col("hi"))
-                .agg(count(lit(1)).as("n"), sum(col("win_lo")).as("wl")),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = orders.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(
+          PrefQueries.canonGamesOf(batch)
+            .groupBy(col("lo"), col("hi"))
+            .agg(count(lit(1)).as("n"), sum(col("win_lo")).as("wl")),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       s.read.parquet(out)
         .groupBy(col("lo").as("model_lo"), col("hi").as("model_hi"))
@@ -1239,35 +1061,26 @@ object StreamQueries {
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_seval_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_orders3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_seval_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       o.repartition(3, col("o_orderkey")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val scored = batch.select(
-              (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
-                col("o_orderkey").cast("string")).cast("binary"))) % 800000L
-                + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
-              when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-              .withColumn("pred", when(col("score") >= 500000L, 1L).otherwise(0L))
-            val partial = scored.agg(
-              sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
-              sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
-              sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
-              sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = o.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val scored = batch.select(
+          (graft.ops.Dedup.hex60(md5(concat(lit("sc:"),
+            col("o_orderkey").cast("string")).cast("binary"))) % 800000L
+            + when(col("o_orderstatus") === "F", 150000L).otherwise(0L)).as("score"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+          .withColumn("pred", when(col("score") >= 500000L, 1L).otherwise(0L))
+        val partial = scored.agg(
+          sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       s.read.parquet(out)
         .agg(sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
@@ -1307,40 +1120,32 @@ object StreamQueries {
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
         .select(col("doc_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scrawl_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scrawl_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val warc = graft.ops.Multimodal.syntheticCrawlWarc(batch, "doc_id")
-              .persist()
-            try {
-              val stats = graft.ops.Multimodal.extractWarcStats(warc)
-                .select(col("media_id"), col("n_members").as("n_records"), col("n_ok"))
-              val pages = graft.ops.Multimodal.extractHtmlStats(
-                graft.ops.Multimodal.extractWarcResponses(warc))
-              val pcensus = pages.groupBy(col("media_id"))
-                .agg(count(lit(1)).as("n_parsed"),
-                  sum(col("text_chars")).as("text_chars"),
-                  sum(when(col("text_chars") >= 259, 1L).otherwise(0L)).as("n_kept"))
-              val rows = stats.join(pcensus, Seq("media_id"), "left")
-                .select(col("media_id"), col("n_records"), col("n_ok"),
-                  coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
-                  coalesce(col("text_chars"), lit(0L)).as("text_chars"),
-                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-              graft.sinks.Sinks.write(rows,
-                graft.model.SinkSpec("parquet", out, mode = "append"))
-            } finally { warc.unpersist(); () }
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = docs.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val warc = graft.ops.Multimodal.syntheticCrawlWarc(batch, "doc_id")
+          .persist()
+        try {
+          val stats = graft.ops.Multimodal.extractWarcStats(warc)
+            .select(col("media_id"), col("n_members").as("n_records"), col("n_ok"))
+          val pages = graft.ops.Multimodal.extractHtmlStats(
+            graft.ops.Multimodal.extractWarcResponses(warc))
+          val pcensus = pages.groupBy(col("media_id"))
+            .agg(count(lit(1)).as("n_parsed"),
+              sum(col("text_chars")).as("text_chars"),
+              sum(when(col("text_chars") >= 259, 1L).otherwise(0L)).as("n_kept"))
+          val rows = stats.join(pcensus, Seq("media_id"), "left")
+            .select(col("media_id"), col("n_records"), col("n_ok"),
+              coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+              coalesce(col("text_chars"), lit(0L)).as("text_chars"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          graft.sinks.Sinks.write(rows,
+            graft.model.SinkSpec("parquet", out, mode = "append"))
+        } finally { warc.unpersist(); () }
       }
       s.read.parquet(out).orderBy(col("media_id"))
     }),
@@ -1357,32 +1162,24 @@ object StreamQueries {
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
         .select(col("event_id"), col("user_id"))
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_scidr_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val outCnt = s"${graft.engine.Staging.session}/graft_scidr_cnt_$suffix"
       val outBm = s"${graft.engine.Staging.session}/graft_scidr_bm_$suffix"
       val fs = new Path(outCnt).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(outCnt), true)
       fs.delete(new Path(outBm), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val m = FunnelQueries.cidrMatched(s, batch).persist()
-            try {
-              graft.sinks.Sinks.write(
-                m.groupBy(col("block"), col("plen")).agg(count(lit(1)).as("n")),
-                graft.model.SinkSpec("parquet", outCnt, mode = "append"))
-              graft.sinks.Sinks.write(
-                graft.ops.BitmapIndex.bitmap(m, "block", "user_id"),
-                graft.model.SinkSpec("parquet", outBm, mode = "append"))
-            } finally { m.unpersist(); () }
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val schema = ev.schema
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val m = FunnelQueries.cidrMatched(s, batch).persist()
+        try {
+          graft.sinks.Sinks.write(
+            m.groupBy(col("block"), col("plen")).agg(count(lit(1)).as("n")),
+            graft.model.SinkSpec("parquet", outCnt, mode = "append"))
+          graft.sinks.Sinks.write(
+            graft.ops.BitmapIndex.bitmap(m, "block", "user_id"),
+            graft.model.SinkSpec("parquet", outBm, mode = "append"))
+        } finally { m.unpersist(); () }
       }
       val cnt = s.read.parquet(outCnt).groupBy(col("block"), col("plen"))
         .agg(sum(col("n")).as("n_events"))
@@ -1413,29 +1210,20 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_skmv_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_skmv_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = ev.schema
       def hashed(df: DataFrame) = df.select(col("event_type"),
         graft.ops.Dedup.hex60(
           md5(concat(lit("kmv:"), col("user_id").cast("string")).cast("binary"))).as("hv"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partial = hashed(batch).groupBy(col("event_type"))
-              .agg(call_function("graft_kmv_sketch", col("hv"), lit(64)).as("sk"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val partial = hashed(batch).groupBy(col("event_type"))
+          .agg(call_function("graft_kmv_sketch", col("hv"), lit(64)).as("sk"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val exact = s.read.parquet(stage).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
@@ -1460,28 +1248,19 @@ object StreamQueries {
       graft.functions.GraftExtensions.install(s)
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_skllg_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_skllg_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def vals(df: DataFrame) = df.select(col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partial = vals(batch).groupBy(col("lang"), col("source"))
-              .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
-            graft.sinks.Sinks.write(partial,
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        val partial = vals(batch).groupBy(col("lang"), col("source"))
+          .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+        graft.sinks.Sinks.write(partial,
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val sk = s.read.parquet(out).groupBy(col("lang"), col("source"))
         .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
@@ -1527,30 +1306,21 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_smw_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_smw_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = ev.schema
       def census(df: DataFrame): DataFrame =
         df.select(floor(col("value") * 100).cast("long").as("v"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("w1"),
             when(col("event_type") =!= "purchase", 1L).otherwise(0L).as("w2"))
           .groupBy(col("v"))
           .agg(sum(col("w1")).as("c1"), sum(col("w2")).as("c2"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val vals = s.read.parquet(out).groupBy(col("v"))
         .agg(sum(col("c1")).as("d1"), sum(col("c2")).as("d2"))
@@ -1598,30 +1368,21 @@ object StreamQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sdd_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sdd_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       ev.repartition(3, col("event_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = ev.schema
       def census(df: DataFrame): DataFrame =
         df.filter(col("event_type").isin("purchase", "error"))
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(sum(when(col("event_type") === "purchase",
               floor(col("value") * 100).cast("long"))
             .otherwise(-floor(col("value") * 100).cast("long"))).as("flow"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       val daily = s.read.parquet(out).groupBy(col("day"))
         .agg(sum(col("flow")).as("flow"))
@@ -1656,7 +1417,7 @@ object StreamQueries {
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       emb.repartition(3, col("vec_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = emb.schema
       // per-batch partials = the SAME one-pass moment census as the
       // batch op (r17: pairs + margins + count ride one LongVecSumAgg
       // fold instead of a 2,080-structs-per-row explode — see
@@ -1668,18 +1429,9 @@ object StreamQueries {
           df.select(expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
             .as("q")), dims = 64)
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       // merge the additive partials, then run the dims²-sized power
       // iteration locally (Quantize.pcaPowerLocal — bit-identical to the
@@ -1701,28 +1453,19 @@ object StreamQueries {
       import org.apache.hadoop.fs.Path
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_shpx_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_shpx_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def census(df: DataFrame): DataFrame =
         df.filter(length(trim(col("text"))) > 0)
           .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       s.read.parquet(out).groupBy(col("w")).agg(sum(col("c")).as("c"))
         .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),

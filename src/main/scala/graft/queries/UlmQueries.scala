@@ -295,12 +295,12 @@ object UlmQueries {
       val model = UlmTokenizer.trainedModel(scan(s, d, "documents"), d)
       val docs = scan(s, d, "documents")
       val suffix = Integer.toHexString(d.hashCode)
-      val stage = s"${graft.engine.Staging.session}/graft_sulm_src_$suffix"
+      val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_sulm_out_$suffix"
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(out), true)
       docs.repartition(3, col("doc_id")).stageTo(stage)
-      val schema = s.read.parquet(stage).schema
+      val schema = docs.schema
       def census(batch: DataFrame): DataFrame = {
         val enc = UlmTokenizer.encode(batch, "doc_id", "text", model)
           .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
@@ -314,18 +314,12 @@ object UlmQueries {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
             sum(col("n_chars")).as("n_chars"))
       }
-      graft.streaming.StreamOps.withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sinks.Sinks.write(census(batch),
-              graft.model.SinkSpec("parquet", out, mode = "append"))
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      // r18: per-slice census partials via the bounded runner (see
+      // StreamOps.foreachBoundedSlice — identical slicing and partials,
+      // the per-invocation stream-machinery fixed cost dropped)
+      graft.streaming.StreamOps.foreachBoundedSlice(s, stage, schema) { batch =>
+        graft.sinks.Sinks.write(census(batch),
+          graft.model.SinkSpec("parquet", out, mode = "append"))
       }
       s.read.parquet(out).groupBy(col("lang"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
