@@ -164,6 +164,11 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
     */
   def upsert(delta: DataFrame): BucketUpsertStats = {
     if (readMeta().isEmpty) writeMeta(delta.schema.json) // pin the layout at first write
+    // the layout meta pins the schema, so the base read below never needs
+    // a footer-inference job (the stream merge-read discipline)
+    val pinnedSchema = readMeta().map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val d = delta.withColumn("__b", bucketExpr)
     d.persist()
     try {
@@ -176,7 +181,8 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
       val existing = touched.map(bucketDir).filter(fs.exists).map(_.toString)
       val base =
         if (existing.nonEmpty)
-          spark.read.parquet(existing.toSeq: _*).withColumn("__b", bucketExpr)
+          pinnedSchema.fold(spark.read)(spark.read.schema(_))
+            .parquet(existing.toSeq: _*).withColumn("__b", bucketExpr)
         else d.limit(0)
       // __b is a pure function of the keys, so adding it to the grouping
       // keys changes nothing semantically — it just survives the merge to
@@ -236,11 +242,14 @@ final class BucketedTarget(spark: SparkSession, path: String, numBuckets: Int,
             st.getPath.toString
         }.sorted
       else Array.empty[String]
-    if (dirs.nonEmpty) spark.read.parquet(dirs.toSeq: _*)
-    else readMeta() match {
-      case Some(m) =>
-        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val metaSchema = readMeta().map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (dirs.nonEmpty)
+      // the pinned layout schema skips the footer-inference job
+      metaSchema.fold(spark.read)(spark.read.schema(_)).parquet(dirs.toSeq: _*)
+    else metaSchema match {
+      case Some(schema) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None =>
         throw new IllegalStateException(

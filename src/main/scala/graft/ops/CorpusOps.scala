@@ -107,6 +107,18 @@ object CorpusOps {
       },
       acc => acc.getField("best"))
 
+  /** `size(wordNgrams(ws, 2)) > 0 ⟺ size(ws) >= 2` (the bigram array has
+    * exactly size(ws)−1 elements when size(ws) ≥ 2, else it is empty), so
+    * the has-bigrams gate can be tested BEFORE the bigram array exists.
+    * Filtering on the bigram array itself made the optimizer push the
+    * whole transform(sequence, array_join(slice(split…))) build into the
+    * Filter node below the projection — every row built its bigram array
+    * twice (once discarded after a size() test, once for real). The
+    * word-count spelling pushes only one split() per row.
+    */
+  private def hasBigrams(textCol: Column): Column =
+    size(words(textCol)) >= 2
+
   /** Gopher-style repetition signals, one row per doc:
     * top_word_frac (most frequent word / total words), type_token_ratio
     * (distinct/total words), dup_bigram_frac (1 - distinct/total bigrams).
@@ -122,11 +134,17 @@ object CorpusOps {
     * bit-identical IEEE on both oracle sides.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    docs.select(col(idCol).as("doc_id"), ws.as("__ws"), wordNgrams(ws, 2).as("__bg"))
-      .filter(size(col("__bg")) > 0)
+    // gate on the word count BEFORE building the bigram array (see
+    // hasBigrams: the old size(__bg) > 0 filter re-built the bigrams in
+    // the pushed-down Filter node, once per row, just to read the size);
+    // sort_array (native ordering) replaces array_sort, whose implicit
+    // comparator lambda is interpreted per comparison — identical order
+    // on the null-free arrays split() produces
+    docs.filter(hasBigrams(col(textCol)))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("__ws"), wordNgrams(col("__ws"), 2).as("__bg"))
       .select(col("doc_id"),
-        maxRunLength(array_sort(col("__ws"))).as("top_cnt"),
+        maxRunLength(sort_array(col("__ws"))).as("top_cnt"),
         size(col("__ws")).cast("long").as("total_words"),
         size(array_distinct(col("__ws"))).cast("long").as("distinct_words"),
         size(col("__bg")).cast("long").as("total_bigrams"),
@@ -152,20 +170,26 @@ object CorpusOps {
     */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
                    keepCols: Seq[String] = Nil): DataFrame = {
-    val ws = words(col(textCol))
     val flag = (c: Column) => when(c, 0).otherwise(1)
-    docs.select(col(idCol).as("doc_id") +: keepCols.map(col) :+
-        ws.as("__ws") :+ wordNgrams(ws, 2).as("__bg"): _*)
-      .filter(size(col("__bg")) > 0)
+    // same three spellings as repetitionStats: word-count pre-filter (no
+    // bigram build in the pushed Filter), native sort_array, and the
+    // word-length sum as length(concat_ws("", ws)) — one codegen'd
+    // concat instead of an interpreted per-element fold (Σ length(w) ≡
+    // length of the concatenation; split() arrays are null-free)
+    docs.filter(hasBigrams(col(textCol)))
+      .select(col(idCol).as("doc_id") +: keepCols.map(col) :+
+        words(col(textCol)).as("__ws"): _*)
+      .select(col("doc_id") +: keepCols.map(col) :+
+        col("__ws") :+ wordNgrams(col("__ws"), 2).as("__bg"): _*)
       .select(col("doc_id") +: keepCols.map(col) :+
         size(col("__ws")).cast("long").as("wc") :+
-        (aggregate(col("__ws"), lit(0L), (a, x) => a + length(x)).cast("double")
+        (length(concat_ws("", col("__ws"))).cast("double")
           / size(col("__ws")).cast("double")).as("mwl") :+
         (size(array_distinct(col("__ws"))).cast("double")
           / size(col("__ws")).cast("double")).as("ttr") :+
         (lit(1.0) - size(array_distinct(col("__bg"))).cast("double")
           / size(col("__bg")).cast("double")).as("dbf") :+
-        (maxRunLength(array_sort(col("__ws"))).cast("double")
+        (maxRunLength(sort_array(col("__ws"))).cast("double")
           / size(col("__ws")).cast("double")).as("twf"): _*)
       .select(col("doc_id") +: keepCols.map(col) :+
         flag(col("wc").between(30L, 90L)).as("bad_wc") :+

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheScope.ScopedPersist
 
 /** Entity resolution (record linkage) over structured records — the
   * Fellegi–Sunter (1969) pipeline: blocking → field-agreement vectors →
@@ -271,12 +272,16 @@ object EntityResolution {
     // inside the join's codegen pipeline, before the pair-distinct
     // shuffle they would otherwise dominate (5-8× of the output at the
     // 100× gate's digit-dense corpus)
+    // persisted: the self-join below reads this relation as BOTH sides,
+    // and Spark plans don't dedupe common subtrees — without the persist
+    // the (len+1)× posexplode + distinct ran twice per invocation
     val variants = base.select(col("id"),
         posexplode(expr("transform(sequence(0, length(s)), " +
           "i -> if(i = 0, s, concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
           .as(Seq("pos", "v")))
       .select(col("id"), col("pos"), xxhash64(col("v")).as("vh"))
       .distinct()
+      .scopedPersist()
     val cands = variants
       .join(variants.select(col("id").as("id_b"), col("pos").as("pos_b"), col("vh")), Seq("vh"))
       .filter(col("id") < col("id_b"))

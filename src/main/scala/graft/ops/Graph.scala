@@ -173,12 +173,13 @@ object Graph {
     val keep = cappedMembership(groupNode, groupCol, nodeCol, maxGroupSize)
       .scopedPersist()
     val gsz = keep.groupBy(col("g")).agg(count(lit(1)).as("gs"))
-    var sz = gsz.select(col("gs")).distinct().filter(col("gs") >= 2)
-    UlmTokenizer.costStages("gs", "1", UlmTokenizer.Spark).foreach {
-      case (n, e) => sz = sz.withColumn(n, expr(e))
-    }
-    val gw = gsz.join(broadcast(sz.select(col("gs"),
-        expr("100000000000000 div (CAST(cost_cb AS BIGINT) * 693147)")
+    // driver-side cb over the distinct group sizes (cbTableLocal — the
+    // size census is tiny; values bit-identical to the staged chain)
+    val sz = UlmTokenizer.cbTableLocal(
+      gsz.select(col("gs")).distinct().filter(col("gs") >= 2),
+      "adamicAdarTop group-size cb")
+    val gw = gsz.join(broadcast(sz.select(col("v").as("gs"),
+        expr("100000000000000 div (CAST(cb AS BIGINT) * 693147)")
           .as("contrib_x6"))), Seq("gs"))
       .select(col("g"), col("contrib_x6"))
     val a = keep.join(gw, Seq("g")).select(col("g"), col("n").as("s1"),
@@ -373,11 +374,16 @@ object Graph {
         .unionAll(cur.select(col("s2").as("u"), col("s1").as("v")))
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
+      // LAZY checkpoint + count as the materializing action: the eager
+      // spelling ran TWO jobs per peel round (checkpoint materialization,
+      // then the fixpoint count over the cached blocks); lazy marks the
+      // RDD and lets the count compute-and-cache it in ONE job. Same
+      // lineage truncation, same blocks, half the round's barriers.
       cur = cur
         .join(keep.select(col("u").as("s1")), Seq("s1"), "left_semi")
         .join(keep.select(col("u").as("s2")), Seq("s2"), "left_semi")
         .select(col("s1"), col("s2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n = cur.count()
       if (n == prevEdges) fixed = true
       prevEdges = n

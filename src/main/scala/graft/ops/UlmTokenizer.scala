@@ -320,7 +320,7 @@ object UlmTokenizer {
     * bit length, 20-bit fixed-point mantissa, 7 square-and-extract
     * rounds), spelled in Scala: all values positive, so Java `/` is the
     * SQL `div`/`//` both dialects ran — bit-exact by construction. */
-  private def costCbLocal(t: Long, cf: Long): Long = {
+  private[graft] def costCbLocal(t: Long, cf: Long): Long = {
     val q = t / cf // >= 1: cf <= t always (t sums the floored usages)
     val kk = 63 - java.lang.Long.numberOfLeadingZeros(q)
     val p2k = 1L << kk
@@ -333,6 +333,31 @@ object UlmTokenizer {
       j += 1
     }
     (100L * (kk * 128L + bits) + 64L) / 128L
+  }
+
+  /** (v, cb) lookup relation computed ON THE DRIVER via [[costCbLocal]]
+    * (= [[costStages]] with c = 1, kk via bit length — identical int64
+    * ops for v ≥ 1) over the collected distinct values of `vals`'s first
+    * column. For call sites whose cb input is a tiny DISTINCT-VALUE set
+    * (distinct census counts / group sizes — vocabulary-scale at most,
+    * Heaps-bounded like the trainer censuses; [[CorpusOps.collectBounded]]
+    * fails loudly past the cap), this replaces the 16-stage withColumn
+    * chain + scopedPersist: the consumers' broadcast joins then build
+    * over a LocalRelation instead of re-analyzing an InMemoryRelation
+    * that embeds the whole upstream census subtree once PER JOIN — the
+    * q_text_kl plan carried four such copies. Values are bit-identical;
+    * the DuckDB oracle text (staged CASE-chain fixed point) is untouched.
+    */
+  def cbTableLocal(vals: DataFrame, what: String): DataFrame = {
+    val spark = vals.sparkSession
+    val rows = CorpusOps.collectBounded(vals, what)
+      .map(r => r.getLong(0))
+    require(rows.forall(_ >= 0L), s"$what: cb input values must be >= 0")
+    // v = 0 replays the staged chain exactly: _q = 0, kk = length(bin(0))
+    // − 1 = 0, _m0 = 0, every square stays 0 ⇒ cb = 64 div 128 = 0
+    spark.createDataFrame(
+      rows.toIndexedSeq.map(v => (v, if (v == 0L) 0L else costCbLocal(v, 1L))))
+      .toDF("v", "cb")
   }
 
   /** Hard-EM unigram-LM training. Returns the final vocabulary:

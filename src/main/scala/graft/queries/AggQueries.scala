@@ -215,12 +215,10 @@ object AggQueries {
       val cand = byBin.crossJoin(broadcast(tot)).scopedPersist()
       val vals = cand.select(col("g").as("v")).union(cand.select(col("b")))
         .union(cand.select(col("gt"))).union(cand.select(col("bt"))).distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the per-bin count set (cbTableLocal; a
+      // degenerate all-good/all-bad bin's 0 maps to cb = 0, exactly the
+      // staged chain's value, so the inner joins keep it)
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_feature_woe cb values")
       cand
         .join(broadcast(cb.select(col("v").as("g"), col("cb").as("cb_g"))), Seq("g"))
         .join(broadcast(cb.select(col("v").as("b"), col("cb").as("cb_b"))), Seq("b"))
@@ -1107,6 +1105,11 @@ object AggQueries {
         .withColumn("p1", col("score") + 1L) // clamp: log arg >= 1
         .withColumn("p0", lit(1000001L) - col("score"))
         .scopedPersist()
+      // (r18 audit: the cbTableLocal LocalRelation move was tried and
+      // reverted HERE — unlike the other cb sites this distinct set is
+      // score-valued, ~2 per order row at small SF (~300k values), so
+      // collect + local-relation broadcast cost more than the staged
+      // chain saves; the distributed spelling stays)
       val vals = p.select(col("p1").as("v")).union(p.select(col("p0"))).distinct()
       var cbt = vals
       UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
@@ -1219,12 +1222,8 @@ object AggQueries {
         .union(tot.filter(col("cc1") >= 1).select(col("cc1")))
         .union(tot.filter(col("nn") - col("cc1") >= 1).select(col("nn") - col("cc1")))
         .distinct().withColumnRenamed("v2", "v")
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the (already >= 1 filtered) count set
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_feature_split cb values")
       def cbOf(cn: String, as: String) = broadcast(
         cb.select(col("v").as(cn), col("cb").as(as)))
       // parent 100·n·H as a 1-row relation through the same cb table

@@ -430,6 +430,10 @@ object CorpusQueries {
     // worth that second round. Rank order is total (count desc, pair
     // asc) so the result is exact
     "q_bpe_pairs" -> ((s: SparkSession, d: String) => {
+      // (r18 audit: an explicit two-level groupBy reshape was tried and
+      // reverted — the planner ALREADY rewrites the single countDistinct
+      // as a (pair, doc_id) partial aggregate with no Expand; the plans
+      // were node-for-node identical and the A/B flat)
       scan(s, d, "documents")
         .select(col("doc_id"),
           explode(CorpusOps.wordNgrams(CorpusOps.words(col("text")), 2)).as("pair"))

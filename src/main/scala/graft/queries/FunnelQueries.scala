@@ -292,12 +292,9 @@ object FunnelQueries {
       val vals = risk.select(col("n_risk").as("v"))
         .union(risk.filter(col("surv") >= 1).select(col("surv")))
         .distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the per-day risk/survivor counts
+      // (UlmTokenizer.cbTableLocal — the q_text_kl LocalRelation move)
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_events_survival cb values")
       risk
         .join(broadcast(cb.select(col("v").as("n_risk"), col("cb").as("cb_n"))),
           Seq("n_risk"))

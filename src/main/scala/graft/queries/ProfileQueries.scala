@@ -560,12 +560,10 @@ object ProfileQueries {
       val vals = census.select(col("c").as("v2"))
         .union(colAgg.select(col("n")))
         .union(colAgg.select(col("n_distinct"))).distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v2", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v2"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the distinct-count set (cbTableLocal)
+      val cb = graft.ops.UlmTokenizer
+        .cbTableLocal(vals, "q_profile_entropy cb values")
+        .withColumnRenamed("v", "v2")
       val wc = census
         .join(broadcast(cb.select(col("v2").as("c"), col("cb"))), Seq("c"))
         .groupBy(col("col_name"))

@@ -225,12 +225,8 @@ object TextQueries {
         .scopedPersist()
       val vals = top.select(col("r").cast("long").as("v"))
         .union(top.select(col("c"))).distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the 64-row rank/count set (cbTableLocal)
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_text_zipf_slope cb values")
       val pts = top
         .join(broadcast(cb.select(col("v").cast("int").as("r"), col("cb").as("x"))), Seq("r"))
         .join(broadcast(cb.select(col("v").as("c"), col("cb").as("y"))), Seq("c"))
@@ -274,12 +270,11 @@ object TextQueries {
       val tot = m.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
       val vals = m.select(col("cp").as("v")).union(m.select(col("cq")))
         .union(tot.select(col("np"))).union(tot.select(col("nq"))).distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // cb computed on the driver over the distinct-count set (see
+      // UlmTokenizer.cbTableLocal): the four broadcast joins below then
+      // build over a LocalRelation instead of four analyzed copies of
+      // the staged-log census subtree
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_text_kl cb values")
       val j = m.crossJoin(broadcast(tot))
         .join(broadcast(cb.select(col("v").as("cp"), col("cb").as("cb_p"))), Seq("cp"))
         .join(broadcast(cb.select(col("v").as("cq"), col("cb").as("cb_q"))), Seq("cq"))
@@ -336,12 +331,9 @@ object TextQueries {
         .scopedPersist()
       val vals = m.select(col("a1").as("v")).union(m.select(col("a2")))
         .union(m.select(col("a0"))).distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist()
+      // driver-side cb over the distinct-product set (UlmTokenizer
+      // .cbTableLocal — the q_text_kl LocalRelation discipline)
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_text_jsd cb values")
       m.join(broadcast(cb.select(col("v").as("a1"), col("cb").as("cb1"))), Seq("a1"))
         .join(broadcast(cb.select(col("v").as("a2"), col("cb").as("cb2"))), Seq("a2"))
         .join(broadcast(cb.select(col("v").as("a0"), col("cb").as("cb0"))), Seq("a0"))
@@ -414,12 +406,17 @@ object TextQueries {
         .scopedPersist() // feeds df census AND the scored join
       val dfc = tf.groupBy(col("w")).agg(count(lit(1)).as("df")).scopedPersist()
       val n = tf.agg(countDistinct(col("doc_id")).as("nn"))
-      var cbt = dfc.select(col("df").as("dfv")).distinct()
-        .crossJoin(broadcast(n))
-      UlmTokenizer.costStages("nn", "dfv", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val idf = cbt.select(col("dfv").as("df"), col("cost_cb").cast("long").as("idf_cb"))
+      // driver-side idf: collect the doc total (1 row) and the distinct
+      // df values (vocab-bounded), replay cb(nn, df) via costCbLocal —
+      // nn >= df >= 1 always, so the staged chain and the Scala replay
+      // are the same int64 ops (the cbTableLocal discipline, pair form)
+      val nnVal = n.collect()(0).getLong(0)
+      val idf = s.createDataFrame(
+        graft.ops.CorpusOps.collectBounded(
+            dfc.select(col("df")).distinct(), "q_text_tfidf df values")
+          .map(_.getLong(0)).toIndexedSeq
+          .map(dfv => (dfv, UlmTokenizer.costCbLocal(nnVal, dfv))))
+        .toDF("df", "idf_cb")
       tf.join(dfc, Seq("w"))
         .join(broadcast(idf), Seq("df"))
         .select(col("doc_id"), col("w"), col("tf").cast("long").as("tf"),
@@ -475,12 +472,9 @@ object TextQueries {
         .union(cand.select(col("c_a"))).union(cand.select(col("c_b")))
         .union(tot.select(col("n"))).union(tot.select(col("nbt")))
         .distinct()
-      var cbt = vals
-      UlmTokenizer.costStages("v", "1", UlmTokenizer.Spark).foreach {
-        case (nm, e) => cbt = cbt.withColumn(nm, expr(e))
-      }
-      val cb = cbt.select(col("v"), col("cost_cb").cast("long").as("cb"))
-        .scopedPersist() // joined back five times
+      // driver-side cb (cbTableLocal): five broadcast joins below build
+      // over a LocalRelation instead of five analyzed census copies
+      val cb = UlmTokenizer.cbTableLocal(vals, "q_text_pmi cb values")
       cand
         .join(broadcast(cb.select(col("v").as("c_ab"), col("cb").as("cb_ab"))), Seq("c_ab"))
         .join(broadcast(cb.select(col("v").as("c_a"), col("cb").as("cb_a"))), Seq("c_a"))
