@@ -1058,8 +1058,11 @@ object StreamQueries {
     // Oracle = the batch confusion query's SQL, verbatim
     "q_stream_eval" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
+      // full scan, not a 2-column projection: graft_src_orders3 is
+      // SHARED; a projected first-stager silently NULL-fills the other
+      // sharers' columns under their explicit-schema slice reads (the
+      // q_stream_cidr/kll collision class, r18)
       val o = graft.engine.QueryBuilder.scan(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
       val suffix = Integer.toHexString(d.hashCode)
       val stage = s"${graft.engine.Staging.session}/graft_src_orders3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_seval_out_$suffix"
@@ -1117,8 +1120,10 @@ object StreamQueries {
     // batch funnel's formula replay, verbatim
     "q_stream_crawl" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
+      // full scan, not a doc_id projection: the graft_src_docs3 dir is
+      // SHARED, and a projected first-stager would be served to sharers
+      // that need `text` (the q_stream_cidr/kll collision, r18)
       val docs = graft.engine.QueryBuilder.scan(s, d, "documents")
-        .select(col("doc_id"))
       val suffix = Integer.toHexString(d.hashCode)
       val stage = s"${graft.engine.Staging.session}/graft_src_docs3_$suffix"
       val out = s"${graft.engine.Staging.session}/graft_scrawl_out_$suffix"
@@ -1159,8 +1164,13 @@ object StreamQueries {
     // with one groupBy each. Oracle = the batch query's SQL, verbatim
     "q_stream_cidr" -> ((s: SparkSession, d: String) => {
       import org.apache.hadoop.fs.Path
+      // stages the FULL events scan like every other graft_src_events3
+      // sharer — stageOnce's fingerprint is the input FILES, so a
+      // projected slice in the shared dir would be served to the other
+      // sharers (first-stager-wins; q_stream_kll/kmv broke on `value`/
+      // `event_type` when this query staged only two columns — caught
+      // by the r18 mid-round full bench). The body projects per slice.
       val ev = graft.engine.QueryBuilder.scan(s, d, "events")
-        .select(col("event_id"), col("user_id"))
       val suffix = Integer.toHexString(d.hashCode)
       val stage = s"${graft.engine.Staging.session}/graft_src_events3_$suffix"
       val outCnt = s"${graft.engine.Staging.session}/graft_scidr_cnt_$suffix"

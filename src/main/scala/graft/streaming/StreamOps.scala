@@ -131,8 +131,16 @@ object StreamOps {
     * `df.write.mode("overwrite").parquet(path)` for staged stream
     * sources (see [[stageOnce]]). */
   implicit class StagedWrite(private val df: DataFrame) {
+    // the fingerprint carries the staged relation's SCHEMA as well as
+    // its source files: two queries sharing a dir but staging different
+    // projections of the same table would otherwise serve the first
+    // stager's columns to everyone (observed r18: a 2-column events
+    // slice in graft_src_events3 broke q_stream_kll/kmv loudly and
+    // NULL-filled explicit-schema sharers silently). Schema drift now
+    // triggers a rewrite instead.
     def stageTo(path: String): String =
-      stageOnce(path, sourceFingerprint(df))(df.write.mode("overwrite").parquet(path))
+      stageOnce(path, sourceFingerprint(df) + "|" + df.schema.json)(
+        df.write.mode("overwrite").parquet(path))
   }
 
   /** r18 LIGHTER BOUNDED RUNNER (r17 verdict #3 — the streaming floor).
