@@ -173,13 +173,17 @@ object Graph {
     val keep = cappedMembership(groupNode, groupCol, nodeCol, maxGroupSize)
       .scopedPersist()
     val gsz = keep.groupBy(col("g")).agg(count(lit(1)).as("gs"))
-    // driver-side cb over the distinct group sizes (cbTableLocal — the
-    // size census is tiny; values bit-identical to the staged chain)
-    val sz = UlmTokenizer.cbTableLocal(
-      gsz.select(col("gs")).distinct().filter(col("gs") >= 2),
-      "adamicAdarTop group-size cb")
-    val gw = gsz.join(broadcast(sz.select(col("v").as("gs"),
-        expr("100000000000000 div (CAST(cb AS BIGINT) * 693147)")
+    // (r18 audit: the cbTableLocal LocalRelation move was tried and
+    // REVERTED here — unlike the multi-join text sites, this chain
+    // lives in ONE broadcast subtree computed once, so the eager
+    // distinct+collect only added a job barrier: +0.2-0.3 s in two
+    // independent full benches)
+    var sz = gsz.select(col("gs")).distinct().filter(col("gs") >= 2)
+    UlmTokenizer.costStages("gs", "1", UlmTokenizer.Spark).foreach {
+      case (n, e) => sz = sz.withColumn(n, expr(e))
+    }
+    val gw = gsz.join(broadcast(sz.select(col("gs"),
+        expr("100000000000000 div (CAST(cost_cb AS BIGINT) * 693147)")
           .as("contrib_x6"))), Seq("gs"))
       .select(col("g"), col("contrib_x6"))
     val a = keep.join(gw, Seq("g")).select(col("g"), col("n").as("s1"),
