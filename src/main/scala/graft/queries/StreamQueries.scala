@@ -597,7 +597,7 @@ object StreamQueries {
       }
       val sk = s.read.parquet(out)
         .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
-      val vals = s.read.parquet(stage)
+      val vals = s.read.schema(schema).parquet(stage)
         .select(floor(col("value") * 100).cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
         .withColumn("b", expr("v div 16384"))
@@ -662,7 +662,7 @@ object StreamQueries {
       }
       val sk = s.read.parquet(out)
         .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
-      val census = toks(s.read.parquet(stage)).groupBy(col("w"))
+      val census = toks(s.read.schema(schema).parquet(stage)).groupBy(col("w"))
         .agg(count(lit(1)).as("c"))
       val n = census.agg(sum(col("c")).as("n"))
       val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
@@ -705,7 +705,7 @@ object StreamQueries {
       }
       val sk = s.read.parquet(out).groupBy(col("lang"))
         .agg(call_function("graft_mg_merge", col("sk")).as("sk"))
-      val census = toks(s.read.parquet(stage))
+      val census = toks(s.read.schema(schema).parquet(stage))
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
       val n = census.groupBy(col("lang")).agg(sum(col("c")).as("n"))
       import org.apache.spark.sql.expressions.Window
@@ -750,7 +750,7 @@ object StreamQueries {
       }
       val sk = s.read.parquet(out).groupBy(col("r"), col("b"))
         .agg(sum(col("c")).as("c"))
-      val census = toks(s.read.parquet(stage)).groupBy(col("w"))
+      val census = toks(s.read.schema(schema).parquet(stage)).groupBy(col("w"))
         .agg(count(lit(1)).as("c"))
       val n = census.agg(sum(col("c")).as("n"))
       val top = census.orderBy(col("c").desc, col("w").asc).limit(10)
@@ -890,7 +890,7 @@ object StreamQueries {
       val med = z.withColumn("rn",
           row_number().over(Window.orderBy(col("zz")))) // d=5 rows: tiny
         .where(col("rn") === (D + 1) / 2).select(col("zz").as("f2_est"))
-      val f2 = toks(s.read.parquet(stage)).groupBy(col("w"))
+      val f2 = toks(s.read.schema(schema).parquet(stage)).groupBy(col("w"))
         .agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("f2_exact"))
       f2.crossJoin(broadcast(med))
@@ -951,7 +951,7 @@ object StreamQueries {
       val regs = s.read.parquet(out).groupBy(col("reg"))
         .agg(max(col("mr")).as("mr"))
       val est = graft.ops.Hll.estimate(regs)
-      val ex = s.read.parquet(stage)
+      val ex = s.read.schema(schema).parquet(stage)
         .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
       ex.crossJoin(broadcast(est))
         .select(col("n_exact"), col("hll_est"), col("est_raw"), col("est_lin"),
@@ -1235,7 +1235,7 @@ object StreamQueries {
         graft.sinks.Sinks.write(partial,
           graft.model.SinkSpec("parquet", out, mode = "append"))
       }
-      val exact = s.read.parquet(stage).groupBy(col("event_type"))
+      val exact = s.read.schema(schema).parquet(stage).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       s.read.parquet(out).groupBy(col("event_type"))
         .agg(call_function("graft_kmv_merge", col("sk")).as("sk"))
@@ -1274,7 +1274,7 @@ object StreamQueries {
       }
       val sk = s.read.parquet(out).groupBy(col("lang"), col("source"))
         .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
-      val census = vals(s.read.parquet(stage))
+      val census = vals(s.read.schema(schema).parquet(stage))
         .groupBy(col("lang"), col("source"), col("v")).agg(count(lit(1)).as("c"))
       val wv = Window.partitionBy(col("lang"), col("source")).orderBy(col("v"))
       val cum = census.withColumn("cum", sum(col("c")).over(wv))
